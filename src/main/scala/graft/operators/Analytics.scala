@@ -1,0 +1,145 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational / dashboard analytics — the Spark-native realization of
+  * the reference dashboard's query surface (dashboard.py) and the
+  * collector's ingest-side dedup (weather_collector.py).
+  *
+  * Everything here is a pure Column-expression plan: Catalyst pushes
+  * filters/projections into the parquet scan and whole-stage codegen
+  * covers the operators. Aggregations are partial (map-side combine)
+  * by construction; per-entity windows hash-partition on the entity
+  * key, which distributes evenly at cluster scale.
+  */
+object Analytics {
+
+  /** Timestamp → epoch seconds. Emitted instead of raw timestamps so
+    * results hash identically across engines regardless of parquet
+    * timestamp physical precision (µs vs ns). */
+  def epochS(ts: Column): Column = ts.cast("long")
+
+  /** Global key metrics (dashboard.py:160-176 create_weather_metrics):
+    * avg/max/min measure, record count, entity count, latest ts. */
+  def metrics(events: DataFrame): DataFrame =
+    events.agg(
+      round(avg("value"), 4).as("avg_value"),
+      round(max("value"), 4).as("max_value"),
+      round(min("value"), 4).as("min_value"),
+      count(lit(1)).as("n_records"),
+      countDistinct("user_id").as("n_entities"),
+      max(epochS(col("ts"))).as("latest_ts"))
+
+  /** Categorical distribution (dashboard.py:209-231
+    * create_weather_distribution — value_counts of weather_main). */
+  def distribution(events: DataFrame): DataFrame =
+    events.groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("event_type"))
+
+  /** Per-entity comparison (dashboard.py:233-280 create_city_comparison
+    * — groupby(city).agg(mean of measures)). */
+  def groupCompare(events: DataFrame): DataFrame =
+    events.groupBy("user_id")
+      .agg(
+        round(avg("value"), 4).as("avg_value"),
+        round(min("value"), 4).as("min_value"),
+        round(max("value"), 4).as("max_value"),
+        count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+
+  /** Latest record per entity (dashboard.py:163 groupby('city').first()
+    * on desc-sorted data; :292 sort_values desc iloc[0]). One shuffle
+    * on the entity key; no global sort. */
+  def latestPerKey(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(desc("ts"), desc("event_id"))
+    events
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), epochS(col("ts")).as("epoch_s"),
+        col("event_type"), col("value"))
+      .orderBy("user_id")
+  }
+
+  /** Time-range scan (data_processor.py:27-53 load_data;
+    * dashboard.py:55-72). The ts predicate reaches parquet row-group
+    * stats (PushedFilters) — at 100 TB this prunes most of the scan. */
+  def loadTimerange(events: DataFrame, startTs: String, endTs: String): DataFrame =
+    events
+      .filter(col("ts") >= lit(startTs).cast("timestamp") &&
+              col("ts") < lit(endTs).cast("timestamp"))
+      .select(col("event_id"), col("user_id"),
+        epochS(col("ts")).as("epoch_s"), col("event_type"), col("value"))
+      .orderBy("event_id")
+
+  /** JSON payload ingest (weather_collector.py _parse_weather_data —
+    * raw API JSON → typed columns). `get_json_object` is codegen'd;
+    * a full `from_json` with schema is used in the streaming path. */
+  def jsonIngest(events: DataFrame): DataFrame =
+    events
+      .select(col("event_id"), col("user_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"),
+        col("value"))
+      .filter(col("k").isNotNull)
+      .orderBy("event_id")
+
+  /** Keyed dedup keep-first (weather_collector.py store_weather_data's
+    * INSERT-or-ignore on (city, timestamp)). Keep the lowest surrogate
+    * id per natural key — one hash shuffle on the key. */
+  def dedupByKey(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id", "ts").orderBy("event_id")
+    events
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("event_id"), col("user_id"),
+        epochS(col("ts")).as("epoch_s"), col("value"))
+      .orderBy("event_id")
+  }
+
+  /** Pricing-summary style aggregate over the fact table (the
+    * dashboard's "aggregate everything over a time range" shape at
+    * TPC-H scale). Partial aggregation + single shuffle on the tiny
+    * group key space. */
+  def pricingSummary(lineitem: DataFrame): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg("l_quantity"), 4).as("avg_qty"),
+        round(avg("l_extendedprice"), 4).as("avg_price"),
+        round(avg("l_discount"), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Dimension-enrichment join (the collector's city→country lookup
+    * shape): fact joined to two small dims. Dims are broadcast — no
+    * shuffle of the fact side at any scale. */
+  def joinEnrich(customer: DataFrame, nation: DataFrame, region: DataFrame): DataFrame =
+    customer
+      .join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"))
+      .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(
+        count(lit(1)).as("n_cust"),
+        round(avg("c_acctbal"), 4).as("avg_bal"))
+      .orderBy("r_name", "n_name")
+
+  /** Top-k by aggregated measure (dashboard "top cities" shape).
+    * Aggregate first (shuffle on key), then a global top-k — Spark
+    * executes orderBy+limit as TakeOrderedAndProject, so no full sort
+    * materializes at scale. */
+  def topkRevenue(lineitem: DataFrame, k: Int = 10): DataFrame =
+    lineitem
+      .groupBy("l_orderkey")
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(desc("revenue"), asc("l_orderkey"))
+      .limit(k)
+}

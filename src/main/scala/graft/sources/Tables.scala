@@ -1,0 +1,48 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampType}
+
+/** Typed readers for the driver-generated test tables.
+  *
+  * All readers are plain parquet scans — column pruning and predicate
+  * pushdown happen in downstream `select`/`filter` (verified via
+  * `PushedFilters`/`ReadSchema` in explain output). At cluster scale
+  * these would be partitioned-directory datasets; the API is a single
+  * `dir` so the same code serves both.
+  */
+object Tables {
+  private def read(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(spark: SparkSession, dir: String): DataFrame   = read(spark, dir, "region")
+  def nation(spark: SparkSession, dir: String): DataFrame   = read(spark, dir, "nation")
+  def customer(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame     = read(spark, dir, "part")
+  def orders(spark: SparkSession, dir: String): DataFrame   = read(spark, dir, "orders")
+  def lineitem(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "lineitem")
+  def documents(spark: SparkSession, dir: String): DataFrame  = read(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "embeddings")
+
+  /** Events table — the time-series analog of the reference's
+    * weather_data table (city→user_id, temperature→value).
+    *
+    * The parquet stores `ts` as TIMESTAMP(NANOS); Spark reads that as
+    * LongType nanos under `spark.sql.legacy.parquet.nanosAsLong`.
+    * Normalize to a microsecond TimestampType column here so every
+    * downstream operator sees a plain timestamp.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = read(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast(LongType)))
+      case TimestampType => raw
+      case other =>
+        throw new IllegalStateException(s"unexpected ts type: $other")
+    }
+  }
+}

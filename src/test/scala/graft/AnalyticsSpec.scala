@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+object TestSession {
+  lazy val spark: SparkSession = GraftSession.builder(master = "local[4]", shufflePartitions = 4)
+    .getOrCreate()
+  val sfDir = "/root/testdata/sf0.001"
+}
+
+class AnalyticsSpec extends AnyFunSuite {
+  import TestSession._
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() == 1)
+  }
+
+  test("every declared query runs and returns rows") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, sfDir).count()
+      assert(n > 0, s"$name returned no rows")
+    }
+  }
+
+  test("every query key has matching columns mindset: distinct names") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val cols = fn(spark, sfDir).columns
+      assert(cols.distinct.length == cols.length, s"$name has duplicate column names")
+    }
+  }
+
+  test("metrics values are sane") {
+    val row = SparkEntry.queries("q_metrics")(spark, sfDir).collect()(0)
+    assert(row.getAs[Long]("n_records") == 1000L)
+    assert(row.getAs[Long]("n_entities") == 15L)
+  }
+
+  test("dedup_key is idempotent") {
+    import graft.operators.Analytics
+    import graft.sources.Tables
+    val ev = Tables.events(spark, sfDir)
+    assert(Analytics.dedupByKey(ev).count() <= ev.count())
+  }
+
+  test("topk returns exactly k ordered desc") {
+    import graft.operators.Analytics
+    import graft.sources.Tables
+    val rows = Analytics.topkRevenue(Tables.lineitem(spark, sfDir), 10).collect()
+    assert(rows.length == 10)
+    val revs = rows.map(_.getAs[Double]("revenue"))
+    assert(revs.sameElements(revs.sorted(Ordering[Double].reverse)))
+  }
+}
