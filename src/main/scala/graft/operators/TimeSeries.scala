@@ -1,0 +1,178 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series feature engineering — Spark realization of
+  * data_processor.py's feature pipeline (create_time_features,
+  * create_lag_features, create_weather_indices,
+  * create_interaction_features, create_target_variable).
+  *
+  * The reference computes per-city pandas shifts/rolls; here every
+  * feature family is an expression over ONE window spec
+  * (`partitionBy(entity).orderBy(ts)`), so the whole feature set costs
+  * a single hash shuffle on the entity key regardless of how many
+  * features are derived. At 100 TB the entity key (city/user) has
+  * high cardinality → even partition distribution, and each partition
+  * sorts locally (no global sort).
+  */
+object TimeSeries {
+
+  /** Per-entity chronological window; surrogate id breaks ts ties so
+    * results are deterministic and engine-independent. */
+  def entityWindow: org.apache.spark.sql.expressions.WindowSpec =
+    Window.partitionBy("user_id").orderBy("ts", "event_id")
+
+  /** The "weather view" of the events table — maps the reference's
+    * measure columns onto deterministic event-table expressions
+    * (documented in SURVEY.md §3):
+    * temperature←value, humidity←props.k, wind_speed←f(event_id). */
+  def weatherView(events: DataFrame): DataFrame =
+    events.select(
+      col("event_id"), col("user_id"), col("ts"),
+      col("value").as("temperature"),
+      get_json_object(col("props"), "$.k").cast("double").as("humidity"),
+      ((col("event_id") % 30).cast("double") + lit(0.5)).as("wind_speed"))
+
+  /** Time components + cyclical encodings + bucketing + is_weekend
+    * (data_processor.py:55-84). Pure per-row expressions — fully
+    * codegen'd, no shuffle. `dow` uses pandas convention (Mon=0). */
+  def timeFeatures(events: DataFrame): DataFrame = {
+    val twoPi = lit(2.0 * math.Pi)
+    val h = hour(col("ts"))
+    val dow = (dayofweek(col("ts")) + lit(5)) % 7 // Spark Sun=1 → pandas Mon=0
+    val m = month(col("ts"))
+    events.select(
+      col("event_id"),
+      h.as("hour"),
+      dow.as("day_of_week"),
+      m.as("month"),
+      quarter(col("ts")).as("quarter"),
+      dayofyear(col("ts")).as("day_of_year"),
+      round(sin(twoPi * h / 24), 6).as("hour_sin"),
+      round(cos(twoPi * h / 24), 6).as("hour_cos"),
+      round(sin(twoPi * m / 12), 6).as("month_sin"),
+      round(cos(twoPi * m / 12), 6).as("month_cos"),
+      round(sin(twoPi * dow / 7), 6).as("day_sin"),
+      round(cos(twoPi * dow / 7), 6).as("day_cos"),
+      // pd.cut(bins=[0,6,12,18,24], include_lowest=True): [0,6] Night,
+      // (6,12] Morning, (12,18] Afternoon, (18,24] Evening
+      when(h <= 6, "Night").when(h <= 12, "Morning")
+        .when(h <= 18, "Afternoon").otherwise("Evening").as("time_of_day"),
+      (dow >= 5).cast("int").as("is_weekend")
+    ).orderBy("event_id")
+  }
+
+  /** Lag features (data_processor.py:86-98): shift(1,3,6,12,24) of the
+    * measure per entity. Original values pass through un-rounded —
+    * they are bit-exact across engines. */
+  def lagFeatures(events: DataFrame, lags: Seq[Int] = Seq(1, 3, 6, 12, 24)): DataFrame = {
+    val w = entityWindow
+    val lagCols = lags.map(n => lag(col("value"), n).over(w).as(s"value_lag_$n"))
+    events.select(Seq(col("event_id"), col("user_id"), col("value")) ++ lagCols: _*)
+      .orderBy("event_id")
+  }
+
+  /** Rolling statistics (data_processor.py:100-118): 24-row mean
+    * (min_periods=1) and sample std (min_periods=2, else null —
+    * matching pandas NaN semantics). */
+  def rollingStats(events: DataFrame, window: Int = 24): DataFrame = {
+    val w = entityWindow.rowsBetween(-(window - 1), 0)
+    val nInWindow = count(lit(1)).over(w)
+    events.select(
+      col("event_id"), col("user_id"), col("value"),
+      rnd(avg(col("value")).over(w), 4).as("rolling_mean_24"),
+      when(nInWindow >= 2, rnd(stddev_samp(col("value")).over(w), 4))
+        .as("rolling_std_24"))
+      .orderBy("event_id")
+  }
+
+  /** Weather comfort indices (data_processor.py:121-148): heat index,
+    * conditional wind chill, discomfort index. Row-local arithmetic —
+    * whole-stage codegen, no shuffle. */
+  def weatherIndices(weather: DataFrame): DataFrame = {
+    val t = col("temperature"); val rh = col("humidity"); val ws = col("wind_speed")
+    val heat =
+      lit(-8.78469475556) +
+        lit(1.61139411) * t +
+        lit(2.33854883889) * rh -
+        lit(0.14611605) * t * rh -
+        lit(0.012308094) * t * t -
+        lit(0.0164248277778) * rh * rh +
+        lit(0.002211732) * t * t * rh +
+        lit(0.00072546) * t * rh * rh -
+        lit(0.000003582) * t * t * rh * rh
+    val chill = lit(13.12) + lit(0.6215) * t -
+      lit(11.37) * pow(ws, 0.16) + lit(0.3965) * t * pow(ws, 0.16)
+    val discomfort = t - lit(0.55) * (lit(1) - lit(0.01) * rh) * (t - lit(14.5))
+    weather.select(
+      col("event_id"),
+      rnd(heat, 4).as("heat_index"),
+      rnd(when(t < 10, chill).otherwise(t), 4).as("wind_chill"),
+      rnd(discomfort, 4).as("discomfort_index"))
+      .orderBy("event_id")
+  }
+
+  /** Per-entity first difference (data_processor.py:151
+    * pressure_change = groupby(city).diff()). */
+  def diff(events: DataFrame): DataFrame =
+    events.select(
+      col("event_id"), col("user_id"), col("value"),
+      round(col("value") - lag(col("value"), 1).over(entityWindow), 4)
+        .as("value_change"))
+      .orderBy("event_id")
+
+  /** Interaction features (data_processor.py:159-176): pairwise
+    * products of measures. */
+  def interactions(weather: DataFrame): DataFrame =
+    weather.select(
+      col("event_id"),
+      round(col("temperature") * col("humidity"), 4).as("temp_humidity_interaction"),
+      round(col("wind_speed") * col("temperature"), 4).as("wind_temp_interaction"),
+      round(col("humidity") * col("wind_speed"), 4).as("humidity_wind_interaction"))
+      .orderBy("event_id")
+
+  /** Prediction targets (data_processor.py:246-261): future measure
+    * (lead by horizon), change, and cut category
+    * ((-inf,-2] Decrease, (-2,2] Stable, (2,inf) Increase). */
+  def targets(events: DataFrame, horizon: Int = 24): DataFrame = {
+    val future = lead(col("value"), horizon).over(entityWindow)
+    val change = future - col("value")
+    events.select(
+      col("event_id"), col("user_id"), col("value"),
+      future.as("value_future"),
+      round(change, 4).as("value_change"),
+      when(change.isNull, lit(null).cast("string"))
+        .when(change <= -2, "Decrease")
+        .when(change <= 2, "Stable")
+        .otherwise("Increase").as("change_category"))
+      .orderBy("event_id")
+  }
+
+  /** Binary future-event target (data_processor.py:263-270 will_rain:
+    * rolling(24,min_periods=1).sum().shift(-24) > 0). The shifted
+    * rolling sum at row i covers rows (i+1 .. i+24]; pandas yields
+    * NaN→False when i+24 falls outside the group. */
+  def willRain(events: DataFrame, horizon: Int = 24): DataFrame = {
+    val w = entityWindow
+    val rain = when(col("event_type") === "error", col("value")).otherwise(lit(0.0))
+    val futureSum = sum(rain).over(w.rowsBetween(1, horizon))
+    val hasFullHorizon = lead(col("event_id"), horizon).over(w).isNotNull
+    events.select(
+      col("event_id"), col("user_id"),
+      when(hasFullHorizon && futureSum > 0, 1).otherwise(0).as("will_rain"))
+      .orderBy("event_id")
+  }
+
+  /** Daily per-entity range (data_processor.py:154 temp_range =
+    * temp_max - temp_min, realized as a daily max-min aggregate).
+    * Partial agg + one shuffle on (entity, day). */
+  def dailyRange(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("user_id"), to_date(col("ts")).cast("string").as("day"))
+      .agg(
+        round(max("value") - min("value"), 4).as("value_range"),
+        count(lit(1)).as("n_events"))
+      .orderBy("user_id", "day")
+}

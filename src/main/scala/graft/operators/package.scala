@@ -1,0 +1,20 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.{lit, round}
+
+package object operators {
+
+  /** Tie-stable rounding for cross-engine (Spark vs DuckDB) parity.
+    *
+    * Derived measures here are rationals with small denominators (sums
+    * of 2-decimal values divided by window counts, etc.), so a result
+    * can land EXACTLY on a round-half boundary; the two engines' binary
+    * doubles then sit on opposite sides and round differently. Any
+    * value that is NOT an exact tie is >= ~1e-6 from the boundary, so
+    * nudging by 1e-9 on BOTH sides resolves exact ties identically
+    * while leaving every other value unchanged. Oracle SQL uses the
+    * same `round(x + 1e-9, n)` form.
+    */
+  def rnd(c: Column, scale: Int): Column = round(c + lit(1e-9), scale)
+}
