@@ -43,6 +43,19 @@ object SparkEntry {
     "q_target_shift"    -> ((s, d) => TimeSeries.targets(ev(s, d))),
     "q_will_rain"       -> ((s, d) => TimeSeries.willRain(ev(s, d))),
     "q_daily_range"     -> ((s, d) => TimeSeries.dailyRange(ev(s, d))),
+    // C. missing values / encoding / scaling
+    "q_ffill"          -> ((s, d) => MissingValues.ffill(MissingValues.maskedView(ev(s, d)))),
+    "q_interpolate"    -> ((s, d) => MissingValues.interpolate(MissingValues.maskedView(ev(s, d)))),
+    "q_mode_fill"      -> ((s, d) => MissingValues.modeFill(MissingValues.maskedView(ev(s, d)))),
+    "q_null_filter"    -> ((s, d) => MissingValues.nullFilter(MissingValues.maskedView(ev(s, d)))),
+    "q_label_encode"   -> ((s, d) => Encoders.labelEncode(ev(s, d))),
+    "q_standard_scale" -> ((s, d) => Encoders.standardScale(ev(s, d))),
+    // D. data quality
+    "q_quality_dups"     -> ((s, d) => Quality.duplicateKeys(ev(s, d))),
+    "q_quality_missing"  -> ((s, d) => Quality.missingProfile(MissingValues.maskedView(ev(s, d)))),
+    "q_quality_range"    -> ((s, d) => Quality.rangeCheck(TimeSeries.weatherView(ev(s, d)))),
+    "q_quality_highnull" -> ((s, d) => Quality.highNullRows(MissingValues.maskedView(ev(s, d)))),
+    "q_feature_stats"    -> ((s, d) => Quality.featureStats(TimeSeries.weatherView(ev(s, d)))),
   )
 
   /** Shared DuckDB fragments for oracle parity. */
@@ -53,6 +66,18 @@ object SparkEntry {
       |         value AS temperature,
       |         CAST(json_extract_string(props, '$.k') AS DOUBLE) AS humidity,
       |         CAST(event_id % 30 AS DOUBLE) + 0.5 AS wind_speed
+      |  FROM events
+      |)""".stripMargin
+
+  /** Deterministic null-injection view (must mirror
+    * MissingValues.maskedView exactly). */
+  private val duckMasked =
+    """WITH masked AS (
+      |  SELECT event_id, user_id, ts,
+      |         CASE WHEN event_id % 23 = 5 THEN NULL ELSE event_type END AS event_type,
+      |         CASE WHEN event_id % 19 IN (3, 11) THEN NULL ELSE value END AS value,
+      |         CASE WHEN event_id % 13 = 5 THEN NULL ELSE CAST(json_extract_string(props, '$.k') AS DOUBLE) END AS humidity,
+      |         CASE WHEN event_id % 29 IN (0, 8, 17) THEN NULL ELSE CAST(event_id % 30 AS DOUBLE) + 0.5 END AS wind_speed
       |  FROM events
       |)""".stripMargin
 
@@ -218,5 +243,136 @@ object SparkEntry {
         |FROM events
         |GROUP BY user_id, strftime(ts, '%Y-%m-%d')
         |ORDER BY user_id, day""".stripMargin,
+    "q_ffill" ->
+      s"""$duckMasked
+        |SELECT event_id, user_id, value,
+        |       last_value(value IGNORE NULLS)
+        |         OVER ($duckWindow ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS value_ffill
+        |FROM masked ORDER BY event_id""".stripMargin,
+    "q_interpolate" ->
+      s"""$duckMasked,
+        |base AS (
+        |  SELECT event_id, user_id, ts, value,
+        |         row_number() OVER ($duckWindow) AS rn
+        |  FROM masked
+        |),
+        |ext AS (
+        |  SELECT event_id, user_id, value, rn,
+        |         last_value(value IGNORE NULLS) OVER ($duckWindow ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        |         last_value(CASE WHEN value IS NOT NULL THEN rn END IGNORE NULLS) OVER ($duckWindow ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pr,
+        |         first_value(value IGNORE NULLS) OVER ($duckWindow ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        |         first_value(CASE WHEN value IS NOT NULL THEN rn END IGNORE NULLS) OVER ($duckWindow ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nr
+        |  FROM base
+        |)
+        |SELECT event_id, user_id, value,
+        |       round(CASE WHEN value IS NOT NULL THEN value
+        |                  WHEN pv IS NULL THEN NULL
+        |                  WHEN nv IS NULL THEN pv
+        |                  ELSE pv + (nv - pv) * (rn - pr) / CAST(nr - pr AS DOUBLE)
+        |             END + 1e-9, 4) AS value_interp
+        |FROM ext ORDER BY event_id""".stripMargin,
+    "q_mode_fill" ->
+      s"""$duckMasked,
+        |modes AS (
+        |  SELECT user_id, event_type AS mode_type
+        |  FROM (SELECT user_id, event_type, count(*) AS c
+        |        FROM masked WHERE event_type IS NOT NULL
+        |        GROUP BY user_id, event_type)
+        |  QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY c DESC, event_type) = 1
+        |)
+        |SELECT m.event_id, m.user_id,
+        |       coalesce(m.event_type, md.mode_type) AS event_type_filled
+        |FROM masked m JOIN modes md USING (user_id)
+        |ORDER BY m.event_id""".stripMargin,
+    "q_null_filter" ->
+      s"""$duckMasked
+        |SELECT event_id, user_id,
+        |       (CASE WHEN event_type IS NULL THEN 1 ELSE 0 END
+        |        + CASE WHEN value IS NULL THEN 1 ELSE 0 END
+        |        + CASE WHEN humidity IS NULL THEN 1 ELSE 0 END
+        |        + CASE WHEN wind_speed IS NULL THEN 1 ELSE 0 END) AS n_nulls
+        |FROM masked
+        |WHERE (CASE WHEN event_type IS NULL THEN 1 ELSE 0 END
+        |       + CASE WHEN value IS NULL THEN 1 ELSE 0 END
+        |       + CASE WHEN humidity IS NULL THEN 1 ELSE 0 END
+        |       + CASE WHEN wind_speed IS NULL THEN 1 ELSE 0 END) <= 2
+        |ORDER BY event_id""".stripMargin,
+    "q_label_encode" ->
+      """SELECT event_id, event_type,
+        |       dense_rank() OVER (ORDER BY event_type) - 1 AS type_code
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_standard_scale" ->
+      """WITH stats AS (
+        |  SELECT round(avg(value) + 1e-9, 4) AS m,
+        |         round(stddev_pop(value) + 1e-9, 4) AS s
+        |  FROM events
+        |)
+        |SELECT event_id, value, round((value - m) / s, 6) AS value_scaled
+        |FROM events CROSS JOIN stats ORDER BY event_id""".stripMargin,
+    "q_quality_dups" ->
+      """SELECT count(*) AS n_dup_keys,
+        |       coalesce(sum(c - 1), 0) AS n_dup_rows
+        |FROM (SELECT user_id, ts, count(*) AS c
+        |      FROM events GROUP BY user_id, ts HAVING count(*) > 1)""".stripMargin,
+    "q_quality_missing" ->
+      s"""$duckMasked
+        |SELECT t.column_name,
+        |       t.n_null,
+        |       round(t.n_null * 1.0 / t.n_total + 1e-9, 4) AS pct_null
+        |FROM (
+        |  SELECT 'event_type' AS column_name, count(*) - count(event_type) AS n_null, count(*) AS n_total FROM masked
+        |  UNION ALL
+        |  SELECT 'value', count(*) - count(value), count(*) FROM masked
+        |  UNION ALL
+        |  SELECT 'humidity', count(*) - count(humidity), count(*) FROM masked
+        |  UNION ALL
+        |  SELECT 'wind_speed', count(*) - count(wind_speed), count(*) FROM masked
+        |) t ORDER BY t.column_name""".stripMargin,
+    "q_quality_range" ->
+      s"""$duckWeatherView
+        |SELECT 'temperature' AS column_name,
+        |       sum(CASE WHEN temperature < -50 THEN 1 ELSE 0 END) AS n_below,
+        |       sum(CASE WHEN temperature > 60 THEN 1 ELSE 0 END) AS n_above
+        |FROM weather
+        |UNION ALL
+        |SELECT 'humidity',
+        |       sum(CASE WHEN humidity < 0 THEN 1 ELSE 0 END),
+        |       sum(CASE WHEN humidity > 100 THEN 1 ELSE 0 END)
+        |FROM weather
+        |UNION ALL
+        |SELECT 'wind_speed',
+        |       sum(CASE WHEN wind_speed < 0 THEN 1 ELSE 0 END),
+        |       sum(CASE WHEN wind_speed > 150 THEN 1 ELSE 0 END)
+        |FROM weather
+        |ORDER BY column_name""".stripMargin,
+    "q_quality_highnull" ->
+      s"""$duckMasked
+        |SELECT sum(CASE WHEN
+        |         (CASE WHEN event_type IS NULL THEN 1 ELSE 0 END
+        |          + CASE WHEN value IS NULL THEN 1 ELSE 0 END
+        |          + CASE WHEN humidity IS NULL THEN 1 ELSE 0 END
+        |          + CASE WHEN wind_speed IS NULL THEN 1 ELSE 0 END) > 2
+        |       THEN 1 ELSE 0 END) AS n_high_null_rows
+        |FROM masked""".stripMargin,
+    "q_feature_stats" ->
+      s"""$duckWeatherView
+        |SELECT 'humidity' AS feature,
+        |       round(avg(humidity) + 1e-9, 4) AS mean,
+        |       round(stddev_samp(humidity) + 1e-9, 4) AS std,
+        |       round(min(humidity) + 1e-9, 4) AS min_v,
+        |       round(max(humidity) + 1e-9, 4) AS max_v,
+        |       count(*) - count(humidity) AS n_null,
+        |       round(corr(humidity, temperature) + 1e-9, 4) AS corr_target
+        |FROM weather
+        |UNION ALL
+        |SELECT 'wind_speed',
+        |       round(avg(wind_speed) + 1e-9, 4),
+        |       round(stddev_samp(wind_speed) + 1e-9, 4),
+        |       round(min(wind_speed) + 1e-9, 4),
+        |       round(max(wind_speed) + 1e-9, 4),
+        |       count(*) - count(wind_speed),
+        |       round(corr(wind_speed, temperature) + 1e-9, 4)
+        |FROM weather
+        |ORDER BY feature""".stripMargin,
   )
 }

@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-quality checks — Spark realization of
+  * data_processor.py:316-400 (run_quality_checks: duplicate keys,
+  * missing-data profile, out-of-range counts, high-null rows) and
+  * :402-421 (feature statistics with target correlation).
+  *
+  * Every check is a full-scan aggregate: partial (map-side) combine,
+  * one tiny shuffled result. At 100 TB each check is a single pass;
+  * checks that share a scan can be unioned by the caller.
+  */
+object Quality {
+
+  /** Duplicate natural keys (:350-356 duplicated(['city','timestamp'])):
+    * number of keys with >1 row and the excess row count. */
+  def duplicateKeys(events: DataFrame): DataFrame =
+    events.groupBy("user_id", "ts").agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1)
+      .agg(
+        count(lit(1)).as("n_dup_keys"),
+        coalesce(sum(col("c") - 1), lit(0L)).as("n_dup_rows"))
+
+  /** Missing-data profile (:358-364 isnull().sum() per column): one
+    * output row per nullable column with count and fraction. Computed
+    * as ONE aggregate pass then exploded — not a pass per column. */
+  def missingProfile(masked: DataFrame,
+                     columns: Seq[String] = Seq("event_type", "value", "humidity", "wind_speed"))
+      : DataFrame = {
+    val aggs = count(lit(1)).as("n_total") +:
+      columns.map(c => sum(col(c).isNull.cast("long")).as(s"n_$c"))
+    val entries = columns.flatMap(c => Seq(lit(c), col(s"n_$c")))
+    masked.agg(aggs.head, aggs.tail: _*)
+      .select(col("n_total"), explode(map(entries: _*)).as(Seq("column_name", "n_null")))
+      .select(
+        col("column_name"), col("n_null"),
+        rnd(col("n_null") / col("n_total"), 4).as("pct_null"))
+      .orderBy("column_name")
+  }
+
+  /** Out-of-range counts (:366-383 vs VALID_RANGES bounds): per
+    * measure, rows below the lower and above the upper bound. */
+  def rangeCheck(weather: DataFrame,
+                 bounds: Seq[(String, Double, Double)] = Seq(
+                   ("temperature", -50d, 60d),
+                   ("humidity", 0d, 100d),
+                   ("wind_speed", 0d, 150d))): DataFrame = {
+    val aggs = bounds.flatMap { case (c, lo, hi) =>
+      Seq(sum((col(c) < lo).cast("long")).as(s"below_$c"),
+          sum((col(c) > hi).cast("long")).as(s"above_$c"))
+    }
+    val entries = bounds.flatMap { case (c, _, _) =>
+      Seq(lit(c), array(col(s"below_$c"), col(s"above_$c")))
+    }
+    weather.agg(aggs.head, aggs.tail: _*)
+      .select(explode(map(entries: _*)).as(Seq("column_name", "ba")))
+      .select(col("column_name"),
+        col("ba")(0).as("n_below"), col("ba")(1).as("n_above"))
+      .orderBy("column_name")
+  }
+
+  /** High-null row count (:385-391 rows >30% null — the same >2-of-7
+    * threshold as MissingValues.nullFilter, counted not dropped). */
+  def highNullRows(masked: DataFrame): DataFrame = {
+    val nNulls: Column = Seq("event_type", "value", "humidity", "wind_speed")
+      .map(c => col(c).isNull.cast("int"))
+      .reduce(_ + _)
+    masked.agg(sum((nNulls > 2).cast("long")).as("n_high_null_rows"))
+  }
+
+  /** Feature statistics (:402-421): per feature mean/std/min/max/null
+    * count and Pearson correlation with the target measure. One
+    * aggregate pass over the scan; `corr` is Spark's codegen'd
+    * co-moment aggregate. */
+  def featureStats(weather: DataFrame,
+                   features: Seq[String] = Seq("humidity", "wind_speed"),
+                   target: String = "temperature"): DataFrame = {
+    val aggs = features.flatMap { c =>
+      Seq(rnd(avg(col(c)), 4).as(s"mean_$c"),
+          rnd(stddev_samp(col(c)), 4).as(s"std_$c"),
+          rnd(min(col(c)), 4).as(s"min_$c"),
+          rnd(max(col(c)), 4).as(s"max_$c"),
+          sum(col(c).isNull.cast("long")).cast("double").as(s"nulls_$c"),
+          rnd(corr(col(c), col(target)), 4).as(s"corr_$c"))
+    }
+    val entries = features.flatMap { c =>
+      Seq(lit(c), array(col(s"mean_$c"), col(s"std_$c"), col(s"min_$c"),
+        col(s"max_$c"), col(s"nulls_$c"), col(s"corr_$c")))
+    }
+    weather.agg(aggs.head, aggs.tail: _*)
+      .select(explode(map(entries: _*)).as(Seq("feature", "st")))
+      .select(col("feature"),
+        col("st")(0).as("mean"), col("st")(1).as("std"),
+        col("st")(2).as("min_v"), col("st")(3).as("max_v"),
+        col("st")(4).cast("long").as("n_null"),
+        col("st")(5).as("corr_target"))
+      .orderBy("feature")
+  }
+}
