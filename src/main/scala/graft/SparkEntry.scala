@@ -56,6 +56,12 @@ object SparkEntry {
     "q_quality_range"    -> ((s, d) => Quality.rangeCheck(TimeSeries.weatherView(ev(s, d)))),
     "q_quality_highnull" -> ((s, d) => Quality.highNullRows(MissingValues.maskedView(ev(s, d)))),
     "q_feature_stats"    -> ((s, d) => Quality.featureStats(TimeSeries.weatherView(ev(s, d)))),
+    // H. text analysis + exact dedup
+    "q_dedup_exact"  -> ((s, d) => TextAnalysis.dedupExact(Tables.documents(s, d))),
+    "q_token_count"  -> ((s, d) => TextAnalysis.tokenCount(Tables.documents(s, d))),
+    "q_text_quality" -> ((s, d) => TextAnalysis.textQuality(Tables.documents(s, d))),
+    "q_lang_id"      -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
+    "q_fingerprint"  -> ((s, d) => TextAnalysis.fingerprint(Tables.documents(s, d))),
   )
 
   /** Shared DuckDB fragments for oracle parity. */
@@ -374,5 +380,62 @@ object SparkEntry {
         |       round(corr(wind_speed, temperature) + 1e-9, 4)
         |FROM weather
         |ORDER BY feature""".stripMargin,
+    "q_dedup_exact" ->
+      """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS content_hash,
+        |       min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
+    "q_token_count" ->
+      """WITH norm AS (
+        |  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS ntext
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |       CAST(len(string_split(ntext, ' ')) AS BIGINT) AS n_ws_tokens,
+        |       CAST(len(regexp_extract_all(ntext, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INT) AS n_bpe_tokens
+        |FROM norm ORDER BY doc_id""".stripMargin,
+    "q_text_quality" ->
+      """WITH tok AS (
+        |  SELECT doc_id, text,
+        |         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks,
+        |         length(text) AS n_chars
+        |  FROM documents
+        |), m AS (
+        |  SELECT doc_id,
+        |         CAST(n_chars AS DOUBLE) AS n_chars,
+        |         CAST(len(toks) AS DOUBLE) AS n_tok,
+        |         CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','is','in','to'))) AS DOUBLE) AS n_stop,
+        |         CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS DOUBLE) AS n_punct,
+        |         CAST(len(regexp_extract_all(text, '[A-Z]')) AS DOUBLE) AS n_upper
+        |  FROM tok
+        |)
+        |SELECT doc_id,
+        |       CAST(n_chars AS BIGINT) AS n_chars_m,
+        |       CAST(n_tok AS BIGINT) AS n_tokens,
+        |       round(n_stop / n_tok + 1e-9, 4) AS stopword_ratio,
+        |       round(n_punct / n_chars + 1e-9, 4) AS punct_ratio,
+        |       round(n_upper / n_chars + 1e-9, 4) AS upper_ratio,
+        |       round(least(n_tok / 200.0, 1.0) * 0.5 + (n_stop / n_tok) * 0.25
+        |             + (1.0 - n_punct / n_chars) * 0.25 + 1e-9, 4) AS quality_score
+        |FROM m ORDER BY doc_id""".stripMargin,
+    "q_lang_id" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id,
+        |         CAST(len(list_filter(toks, t -> t IN ('der','die','und','ist','ein','nicht'))) AS BIGINT) AS s_de,
+        |         CAST(len(list_filter(toks, t -> t IN ('the','of','and','is','to','that'))) AS BIGINT) AS s_en,
+        |         CAST(len(list_filter(toks, t -> t IN ('el','la','de','que','los','una'))) AS BIGINT) AS s_es,
+        |         CAST(len(list_filter(toks, t -> t IN ('le','la','et','les','des','une'))) AS BIGINT) AS s_fr
+        |  FROM tok
+        |)
+        |SELECT doc_id, s_de, s_en, s_es, s_fr,
+        |       CASE WHEN s_de = 0 AND s_en = 0 AND s_es = 0 AND s_fr = 0 THEN 'und'
+        |            WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+        |            WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+        |            WHEN s_es >= s_fr THEN 'es'
+        |            ELSE 'fr' END AS lang_pred
+        |FROM s ORDER BY doc_id""".stripMargin,
   )
 }

@@ -1,0 +1,94 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Hash kernels shared by the custom Catalyst expressions (interpreted
+  * eval AND generated code both call these static methods, so the two
+  * paths cannot drift). Standalone object (no companion class) →
+  * static forwarders exist for Janino-generated code to call.
+  */
+object TextHash {
+
+  /** 64-bit polynomial rolling hash over UTF-8 bytes (base 31, odd
+    * prime seed, natural mod 2^64) — the document-fingerprint kernel
+    * (reference: content-identity of a collected record; see
+    * weather_collector.py's (city,timestamp) identity — here extended
+    * to full-content identity for corpus dedup). */
+  def poly64(s: UTF8String): Long = {
+    val b = s.getBytes
+    var h = 1125899906842597L
+    var i = 0
+    while (i < b.length) {
+      h = h * 31L + (b(i) & 0xffL)
+      i += 1
+    }
+    h
+  }
+
+  /** Mix-finalizer (xmx form) applied on top of poly64 for the
+    * per-token hashes that feed SimHash/MinHash — poly64 alone is too
+    * linear for bit-vote / min-statistics to be well distributed. */
+  def mix64(x0: Long): Long = {
+    var x = x0
+    x ^= x >>> 33; x *= 0xff51afd7ed558ccdL
+    x ^= x >>> 33; x *= 0xc4ceb9fe1a85ec53L
+    x ^= x >>> 33
+    x
+  }
+
+  /** 64-bit SimHash over a token array: every token votes ±1 on each
+    * bit of its mixed hash; the sign of the vote sum is the output
+    * bit. Duplicate tokens vote multiple times (frequency-weighted). */
+  def simhash64(tokens: ArrayData): Long = {
+    val votes = new Array[Int](64)
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i)) {
+        val h = mix64(poly64(tokens.getUTF8String(i)))
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  /** MinHash signature of a token array: k permutations h_i(x) =
+    * mix64(x ^ seed_i); signature element i is the minimum over the
+    * token set (unsigned order). Empty input → Long.MaxValue fill. */
+  def minhash(tokens: ArrayData, k: Int): ArrayData = {
+    val sig = new Array[Long](k)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i)) {
+        val base = mix64(poly64(tokens.getUTF8String(i)))
+        var j = 0
+        while (j < k) {
+          // distinct seed per permutation; golden-ratio stride
+          val h = mix64(base ^ (0x9e3779b97f4a7c15L * (j + 1)))
+          // unsigned compare via flip of sign bit
+          if ((h ^ Long.MinValue) < (sig(j) ^ Long.MinValue)) sig(j) = h
+          j += 1
+        }
+      }
+      i += 1
+    }
+    ArrayData.toArrayData(sig)
+  }
+
+  /** Hamming distance between two 64-bit signatures. */
+  def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+}

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.GraftFunctions._
+import graft.operators.TextAnalysis
+import graft.sources.Tables
+
+class TextAnalysisSpec extends AnyFunSuite {
+  import TestSession._
+
+  private lazy val docs = Tables.documents(spark, sfDir)
+
+  /** Reference implementation of the poly64 kernel, independent of
+    * TextHash, to pin the expression's semantics. */
+  private def refPoly64(s: String): Long =
+    s.getBytes("UTF-8").foldLeft(1125899906842597L)((h, b) => h * 31L + (b & 0xff))
+
+  test("fingerprint64 matches the reference kernel (codegen path)") {
+    import spark.implicits._
+    val in = Seq("hello world", "", "a", "spark graft engine").toDF("text")
+    val out = in.select(col("text"), fingerprint64(col("text")).as("fp")).collect()
+    out.foreach(r => assert(r.getLong(1) == refPoly64(r.getString(0))))
+  }
+
+  test("fingerprint is deterministic and distinct on the corpus") {
+    val fps = TextAnalysis.fingerprint(docs).collect()
+    assert(fps.length == docs.count())
+    assert(fps.map(_.getLong(1)).distinct.length == fps.length) // no collisions here
+    val again = TextAnalysis.fingerprint(docs).collect()
+    assert(fps.map(_.getLong(1)).sameElements(again.map(_.getLong(1))))
+  }
+
+  test("simhash64: identical token sets hash identically, near sets are near") {
+    import spark.implicits._
+    val a = "the quick brown fox jumps over the lazy dog"
+    val b = "the quick brown fox jumps over the lazy cat" // 1 token differs
+    val c = "completely different words entirely unrelated content here"
+    val df = Seq(a, b, c).toDF("text")
+      .select(simhash64(split(col("text"), " ")).as("sh"))
+    val Array(ha, hb, hc) = df.collect().map(_.getLong(0))
+    def ham(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    assert(ham(ha, hb) < ham(ha, hc))
+    assert(ham(ha, ha) == 0)
+  }
+
+  test("minhashSig: jaccard estimate tracks true jaccard") {
+    import spark.implicits._
+    val a = (1 to 40).map(i => s"tok$i")
+    val b = (11 to 50).map(i => s"tok$i") // true J = 30/50 = 0.6
+    val df = Seq(a, b).toDF("toks").select(minhashSig(col("toks"), 128).as("sig"))
+    val Array(sa, sb) = df.collect().map(_.getSeq[Long](0))
+    val est = sa.zip(sb).count { case (x, y) => x == y } / 128.0
+    assert(math.abs(est - 0.6) < 0.15, s"estimate $est too far from 0.6")
+  }
+
+  test("langId output is a valid language or und") {
+    val out = TextAnalysis.langId(docs).collect()
+    val valid = Set("de", "en", "es", "fr", "und")
+    out.foreach(r => assert(valid(r.getAs[String]("lang_pred"))))
+  }
+
+  test("textQuality n_chars matches the table's n_chars column") {
+    val joined = TextAnalysis.textQuality(docs)
+      .join(docs.select("doc_id", "n_chars"), "doc_id")
+      .filter(col("n_chars_m") =!= col("n_chars"))
+    assert(joined.count() == 0)
+  }
+}
