@@ -62,6 +62,13 @@ object SparkEntry {
     "q_text_quality" -> ((s, d) => TextAnalysis.textQuality(Tables.documents(s, d))),
     "q_lang_id"      -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
     "q_fingerprint"  -> ((s, d) => TextAnalysis.fingerprint(Tables.documents(s, d))),
+    // H. near-dup + similarity
+    "q_dedup_minhash" -> ((s, d) => Dedup.minhashPairs(Tables.documents(s, d))),
+    "q_dedup_simhash" -> ((s, d) => Dedup.simhashPairs(Tables.documents(s, d))),
+    "q_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(Tables.documents(s, d))),
+    "q_dedup_embed"   -> ((s, d) => Similarity.embedDedup(Tables.embeddings(s, d))),
+    "q_ann_topk"      -> ((s, d) => Similarity.annTopK(Tables.embeddings(s, d))),
+    "q_ann_lsh"       -> ((s, d) => Similarity.annLsh(Tables.embeddings(s, d))),
   )
 
   /** Shared DuckDB fragments for oracle parity. */
@@ -437,5 +444,66 @@ object SparkEntry {
         |            WHEN s_es >= s_fr THEN 'es'
         |            ELSE 'fr' END AS lang_pred
         |FROM s ORDER BY doc_id""".stripMargin,
+    "q_ngram_jaccard" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(
+        |           range(1, len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) - 1),
+        |           i -> string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')[i]
+        |                || ' ' || string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')[i+1]
+        |                || ' ' || string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')[i+2]
+        |         )) AS sh
+        |  FROM documents
+        |  WHERE len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) >= 3
+        |), ex AS (
+        |  SELECT doc_id, unnest(sh) AS s, len(sh) AS n_sh FROM sh
+        |), shared AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |         count(*) AS inter, any_value(a.n_sh) AS na, any_value(b.n_sh) AS nb
+        |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id
+        |)
+        |SELECT doc_a, doc_b,
+        |       round(inter * 1.0 / (na + nb - inter) + 1e-9, 4) AS jaccard
+        |FROM shared
+        |WHERE round(inter * 1.0 / (na + nb - inter) + 1e-9, 4) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "q_dedup_embed" ->
+      """WITH e AS (
+        |  SELECT vec_id,
+        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings
+        |), n AS (
+        |  SELECT vec_id, v,
+        |         sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+        |  FROM e
+        |)
+        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |       round(list_sum(list_transform(range(1, len(a.v) + 1),
+        |               i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm) + 1e-9, 6) AS cos
+        |FROM n a JOIN n b ON a.vec_id < b.vec_id
+        |WHERE round(list_sum(list_transform(range(1, len(a.v) + 1),
+        |        i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm) + 1e-9, 6) >= 0.4
+        |ORDER BY vec_a, vec_b""".stripMargin,
+    "q_ann_topk" ->
+      """WITH e AS (
+        |  SELECT vec_id,
+        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings
+        |), n AS (
+        |  SELECT vec_id, v,
+        |         sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+        |  FROM e
+        |), scored AS (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+        |         round(list_sum(list_transform(range(1, len(a.v) + 1),
+        |                 i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm) + 1e-9, 6) AS cos
+        |  FROM n a JOIN n b ON a.vec_id < 20 AND a.vec_id <> b.vec_id
+        |)
+        |SELECT query_id, cand_id, cos,
+        |       CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS INT) AS rank
+        |FROM scored
+        |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) <= 5
+        |ORDER BY query_id, rank""".stripMargin,
   )
 }

@@ -91,4 +91,28 @@ object TextHash {
 
   /** Hamming distance between two 64-bit signatures. */
   def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  /** Random-hyperplane (signed random projection) signature of a
+    * numeric vector: bit p of the result is the sign of the dot
+    * product with a Rademacher(±1) hyperplane whose entries are a pure
+    * function of (seed, p, j) — deterministic across executors with no
+    * shipped matrix. nPlanes <= 32. */
+  def rhpSig(vec: ArrayData, nPlanes: Int, seed: Long): Int = {
+    val n = vec.numElements()
+    var sig = 0
+    var p = 0
+    while (p < nPlanes) {
+      var acc = 0.0
+      var j = 0
+      while (j < n) {
+        val r = mix64(seed ^ (p.toLong << 32) ^ j.toLong)
+        val s = if ((r & 1L) == 1L) 1.0 else -1.0
+        acc += vec.getFloat(j) * s
+        j += 1
+      }
+      if (acc > 0) sig |= (1 << p)
+      p += 1
+    }
+    sig
+  }
 }

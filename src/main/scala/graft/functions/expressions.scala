@@ -63,6 +63,18 @@ case class Hamming64(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Random-hyperplane LSH signature (int bucket) of a float vector. */
+case class RhpSig(child: Expression, nPlanes: Int, seed: Long)
+    extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(input: Any): Any =
+    TextHash.rhpSig(input.asInstanceOf[ArrayData], nPlanes, seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.rhpSig($c, $nPlanes, ${seed}L)")
+  override protected def withNewChildInternal(newChild: Expression): RhpSig =
+    copy(child = newChild)
+}
+
 /** Column-API wrappers. */
 object GraftFunctions {
   private def e(c: Column): Expression = Bridge.expression(c)
@@ -70,4 +82,6 @@ object GraftFunctions {
   def simhash64(tokens: Column): Column = Bridge.column(SimHash64(e(tokens)))
   def minhashSig(tokens: Column, k: Int): Column = Bridge.column(MinHashSig(e(tokens), k))
   def hamming64(a: Column, b: Column): Column = Bridge.column(Hamming64(e(a), e(b)))
+  def rhpSig(vec: Column, nPlanes: Int, seed: Long): Column =
+    Bridge.column(RhpSig(e(vec), nPlanes, seed))
 }

@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+
+/** Near-duplicate detection over the documents corpus (SURVEY.md §2H):
+  * MinHash+LSH, SimHash, and exact n-gram Jaccard.
+  *
+  * Scale design: the candidate space is always bucket-restricted — the
+  * O(n²) pair space is never materialized. MinHash bands and SimHash
+  * chunks are hash-shuffle keys; each bucket's pair expansion is local
+  * to its partition. Exact Jaccard verification joins the (small)
+  * candidate pair list back to per-doc shingle sets.
+  */
+object Dedup {
+
+  /** Distinct word n-gram shingles of the normalized text. */
+  def shingles(docs: DataFrame, n: Int = 3): DataFrame = {
+    val toks = TextAnalysis.tokens(col("text"))
+    docs.select(
+      col("doc_id"),
+      when(size(toks) >= n,
+        array_distinct(transform(
+          sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
+        .otherwise(array().cast("array<string>")).as("sh"))
+  }
+
+  /** MinHash+LSH near-dup pairs: 128 minhashes → `bands` bands of
+    * 128/bands rows; docs agreeing on any band's slice are candidates;
+    * candidates are verified with EXACT shingle-set Jaccard >= tau.
+    *
+    * The band bucket key is (band index, hash of the slice) — a single
+    * shuffle; bucket sizes are tiny because agreeing on 8 uniform
+    * 64-bit minhashes is itself a strong filter. */
+  def minhashPairs(docs: DataFrame, k: Int = 128, bands: Int = 16,
+                   tau: Double = 0.8): DataFrame = {
+    val rows = k / bands
+    val sh = shingles(docs).filter(size(col("sh")) > 0)
+    val sig = sh.select(col("doc_id"), col("sh"),
+      GraftFunctions.minhashSig(col("sh"), k).as("sig"))
+    val banded = sig.select(
+      col("doc_id"), col("sig"),
+      posexplode(array((0 until bands).map(b =>
+        slice(col("sig"), b * rows + 1, rows)): _*)))
+      .select(col("doc_id"), col("pos").as("band"), hash(col("col")).as("bucket"))
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    verifyJaccard(cand, sh, tau)
+  }
+
+  /** Exact Jaccard over candidate pairs via shingle-set join-back. */
+  private def verifyJaccard(cand: DataFrame, sh: DataFrame, tau: Double): DataFrame = {
+    val withSets = cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+    val union = (size(col("sh_a")) + size(col("sh_b"))).cast("double") - inter
+    withSets
+      .select(col("doc_a"), col("doc_b"), rnd(inter / union, 4).as("jaccard"))
+      .filter(col("jaccard") >= tau)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** SimHash near-dup pairs: 64-bit simhash of the shingle set, split
+    * into `chunks` chunks; by pigeonhole any pair within hamming
+    * distance < chunks shares a chunk → bucket join on (chunk index,
+    * chunk value), then exact hamming verify <= maxHamming. */
+  def simhashPairs(docs: DataFrame, chunks: Int = 8, maxHamming: Int = 6): DataFrame = {
+    val bits = 64 / chunks
+    val sh = shingles(docs).filter(size(col("sh")) > 0)
+    val sig = sh.select(col("doc_id"),
+      GraftFunctions.simhash64(col("sh")).as("sim"))
+    val chunked = sig.select(
+      col("doc_id"), col("sim"),
+      posexplode(array((0 until chunks).map(c =>
+        shiftright(col("sim"), c * bits).bitwiseAND(lit((1L << bits) - 1))): _*)))
+      .select(col("doc_id"), col("sim"), col("pos").as("chunk"), col("col").as("ck"))
+    val cand = chunked.as("a")
+      .join(chunked.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.ck") === col("b.ck") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sim").as("sim_a"), col("b.sim").as("sim_b"))
+      .distinct()
+    cand
+      .select(col("doc_a"), col("doc_b"),
+        GraftFunctions.hamming64(col("sim_a"), col("sim_b")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Exact n-gram Jaccard pairs via shingle bucket-join: only pairs
+    * sharing at least one shingle are ever formed (the shingle IS the
+    * bucket key), then |A∩B| comes from the join group count and
+    * |A∪B| from the per-doc set sizes. Fully SQL-expressible → strong
+    * DuckDB oracle. */
+  def ngramJaccardPairs(docs: DataFrame, tau: Double = 0.5): DataFrame = {
+    val sh = shingles(docs).filter(size(col("sh")) > 0)
+    val sizes = sh.select(col("doc_id"), size(col("sh")).as("n_sh"))
+    val exploded = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+    val shared = exploded.as("a")
+      .join(exploded.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    shared
+      .join(broadcast(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na"))), "doc_a")
+      .join(broadcast(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("nb"))), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        rnd(col("inter") / (col("na") + col("nb") - col("inter")), 4).as("jaccard"))
+      .filter(col("jaccard") >= tau)
+      .orderBy("doc_a", "doc_b")
+  }
+}

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+import graft.sources.Tables
+
+class SimilaritySpec extends AnyFunSuite {
+  import TestSession._
+
+  private lazy val docs = Tables.documents(spark, sfDir)
+  private lazy val emb = Tables.embeddings(spark, sfDir)
+
+  test("minhash candidates recover the exact jaccard pairs at tau=0.8") {
+    val exact = Dedup.ngramJaccardPairs(docs, tau = 0.8)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mh = Dedup.minhashPairs(docs, tau = 0.8)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mh.subsetOf(exact), "minhash emitted a pair below tau (verify failed)")
+    // 128 hashes / 16 bands at J>=0.8 -> detection prob ~1; demand full recall here
+    assert(mh == exact, s"minhash missed ${exact.diff(mh)}")
+  }
+
+  test("simhash pairs are near-dups under exact hamming") {
+    val out = Dedup.simhashPairs(docs).collect()
+    assert(out.nonEmpty)
+    out.foreach(r => assert(r.getAs[Int]("hamming") <= 6))
+  }
+
+  test("embedDedup pairs are symmetric-free and above threshold") {
+    val out = Similarity.embedDedup(emb).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Long]("vec_a") < r.getAs[Long]("vec_b"))
+      assert(r.getAs[Double]("cos") >= 0.4)
+    }
+  }
+
+  test("annTopK returns k ranked candidates per query") {
+    val out = Similarity.annTopK(emb, nQueries = 5, k = 5).collect()
+    assert(out.length == 25)
+    val byQuery = out.groupBy(_.getAs[Long]("query_id"))
+    byQuery.values.foreach { rows =>
+      val cs = rows.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("cos"))
+      assert(cs.sameElements(cs.sorted.reverse), "cosine not descending by rank")
+    }
+  }
+
+  test("annLsh achieves nontrivial recall vs brute force") {
+    val brute = Similarity.annTopK(emb, nQueries = 20, k = 5).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("cand_id"))).toSet
+    val lsh = Similarity.annLsh(emb, nQueries = 20, k = 5).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("cand_id"))).toSet
+    assert(lsh.nonEmpty)
+    val recall = brute.intersect(lsh).size.toDouble / brute.size
+    assert(recall > 0.05, s"recall $recall suspiciously low")
+  }
+
+  test("shingles produce n-grams of the right shape") {
+    val sh = Dedup.shingles(docs, 3).select(explode(col("sh")).as("s"))
+      .select(size(split(col("s"), " ")).as("n")).distinct().collect()
+    assert(sh.map(_.getInt(0)).toSet == Set(3))
+  }
+}
