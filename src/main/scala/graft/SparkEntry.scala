@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit, when}
 
 import graft.operators._
 import graft.sources.Tables
@@ -69,6 +70,15 @@ object SparkEntry {
     "q_dedup_embed"   -> ((s, d) => Similarity.embedDedup(Tables.embeddings(s, d))),
     "q_ann_topk"      -> ((s, d) => Similarity.annTopK(Tables.embeddings(s, d))),
     "q_ann_lsh"       -> ((s, d) => Similarity.annLsh(Tables.embeddings(s, d))),
+    // F. ML feature preparation (columnar, oracle-checkable)
+    "q_ml_feature_prep" -> ((s, d) => {
+      val masked = MissingValues.maskedView(ev(s, d))
+        .withColumn("mostly_null",
+          when(col("event_id") % 4 === 0, col("value")).otherwise(lit(null).cast("double")))
+      graft.ml.FeaturePrep.prepare(masked, Seq("event_id"),
+        Seq("value", "humidity", "wind_speed", "mostly_null"))
+        .orderBy("event_id")
+    }),
   )
 
   /** Shared DuckDB fragments for oracle parity. */
@@ -505,5 +515,25 @@ object SparkEntry {
         |FROM scored
         |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) <= 5
         |ORDER BY query_id, rank""".stripMargin,
+    "q_ml_feature_prep" ->
+      s"""$duckMasked,
+        |filled AS (
+        |  SELECT event_id,
+        |         coalesce(value, 0.0) AS value,
+        |         coalesce(humidity, 0.0) AS humidity,
+        |         coalesce(wind_speed, 0.0) AS wind_speed
+        |  FROM masked
+        |),
+        |stats AS (
+        |  SELECT round(avg(value) + 1e-9, 4) AS m_v, round(stddev_pop(value) + 1e-9, 4) AS s_v,
+        |         round(avg(humidity) + 1e-9, 4) AS m_h, round(stddev_pop(humidity) + 1e-9, 4) AS s_h,
+        |         round(avg(wind_speed) + 1e-9, 4) AS m_w, round(stddev_pop(wind_speed) + 1e-9, 4) AS s_w
+        |  FROM filled
+        |)
+        |SELECT event_id,
+        |       round((value - m_v) / s_v, 6) AS value_scaled,
+        |       round((humidity - m_h) / s_h, 6) AS humidity_scaled,
+        |       round((wind_speed - m_w) / s_w, 6) AS wind_speed_scaled
+        |FROM filled CROSS JOIN stats ORDER BY event_id""".stripMargin,
   )
 }
