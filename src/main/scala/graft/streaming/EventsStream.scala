@@ -1,0 +1,93 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming realization of the collector's scheduled
+  * ingest loop (weather_collector.py: periodic API poll → parse →
+  * dedup → store; monitoring/performance.py: running per-entity
+  * counters).
+  *
+  * The batch operators and these streaming ones share semantics: the
+  * windowed aggregate is the streaming q_daily_range/q_metrics shape,
+  * dedup mirrors Analytics.dedupByKey under a watermark bound, and the
+  * stateful monitor is APIMetrics as typed keyed state. Watermarks
+  * bound state so a 1000-executor job runs indefinitely without state
+  * growth; state is hash-partitioned by entity key.
+  */
+object EventsStream {
+
+  case class EventRow(event_id: Long, ts: Timestamp, user_id: Long,
+                      event_type: String, value: Double)
+
+  case class EntityState(n: Long, sum: Double, min: Double, max: Double)
+
+  case class EntityStats(user_id: Long, n: Long, mean: Double,
+                         min: Double, max: Double)
+
+  /** File-source stream over the events parquet (ts stored as
+    * TIMESTAMP(NANOS) → LongType nanos under the legacy flag, same as
+    * the batch reader — normalized here to a timestamp column). */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    spark.readStream.schema(schema)
+      // base path must be a directory; glob-filter to the events table
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast(LongType)))
+  }
+
+  /** Watermarked tumbling-window aggregate per entity (the dashboard
+    * metrics, continuously maintained). */
+  def windowedAgg(events: DataFrame, windowLen: String = "1 hour",
+                  watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        avg("value").as("avg_value"),
+        max("value").as("max_value"))
+
+  /** Streaming keyed dedup — the collector's (city, timestamp)
+    * INSERT-dedup under a watermark bound (state is dropped once the
+    * watermark passes, so it cannot grow without bound). */
+  def dedupWithinWatermark(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("user_id", "ts")
+
+  /** Running per-entity stats via typed keyed state
+    * (flatMapGroupsWithState) — the PerformanceTracker/APIMetrics
+    * counters as distributed state. Emits updated stats per batch. */
+  def statefulStats(events: Dataset[EventRow]): Dataset[EntityStats] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[EntityState, EntityStats](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout())(updateStats)
+  }
+
+  private def updateStats(userId: Long, rows: Iterator[EventRow],
+                          state: GroupState[EntityState]): Iterator[EntityStats] = {
+    var s = state.getOption.getOrElse(EntityState(0L, 0.0, Double.MaxValue, Double.MinValue))
+    var any = false
+    rows.foreach { r =>
+      any = true
+      s = EntityState(s.n + 1, s.sum + r.value, math.min(s.min, r.value),
+        math.max(s.max, r.value))
+    }
+    if (!any) Iterator.empty
+    else {
+      state.update(s)
+      Iterator.single(EntityStats(userId, s.n, s.sum / s.n, s.min, s.max))
+    }
+  }
+}

@@ -1,0 +1,88 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.EventsStream
+import graft.streaming.EventsStream.EventRow
+
+class StreamingSpec extends AnyFunSuite {
+  import TestSession._
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00")
+
+  test("windowed aggregate maintains per-entity hourly stats") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[EventRow]
+    val q = EventsStream.windowedAgg(ms.toDF(), "1 hour", "2 hours")
+      .writeStream.format("memory").queryName("win_agg").outputMode("complete").start()
+    try {
+      ms.addData(
+        EventRow(1, ts(10), 1, "view", 10.0),
+        EventRow(2, ts(20), 1, "view", 20.0),
+        EventRow(3, ts(70), 1, "view", 30.0),
+        EventRow(4, ts(15), 2, "click", 5.0))
+      q.processAllAvailable()
+      val rows = spark.table("win_agg").collect()
+      assert(rows.length == 3) // (u1,h0), (u1,h1), (u2,h0)
+      val u1h0 = rows.find(r => r.getAs[Long]("user_id") == 1 &&
+        r.getAs[Long]("n_events") == 2).get
+      assert(u1h0.getAs[Double]("avg_value") == 15.0)
+    } finally q.stop()
+  }
+
+  test("streaming dedup drops repeated (entity, ts) keys") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[EventRow]
+    val q = EventsStream.dedupWithinWatermark(ms.toDF())
+      .writeStream.format("memory").queryName("dedup").outputMode("append").start()
+    try {
+      ms.addData(
+        EventRow(1, ts(10), 1, "view", 10.0),
+        EventRow(2, ts(10), 1, "view", 10.5), // dup key
+        EventRow(3, ts(20), 1, "view", 20.0))
+      q.processAllAvailable()
+      ms.addData(EventRow(4, ts(10), 1, "view", 11.0)) // dup again, later batch
+      q.processAllAvailable()
+      assert(spark.table("dedup").count() == 2)
+    } finally q.stop()
+  }
+
+  test("stateful monitor keeps running per-entity stats across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[EventRow]
+    val q = EventsStream.statefulStats(ms.toDS())
+      .writeStream.format("memory").queryName("stats").outputMode("update").start()
+    try {
+      ms.addData(EventRow(1, ts(10), 1, "view", 10.0), EventRow(2, ts(11), 1, "view", 30.0))
+      q.processAllAvailable()
+      ms.addData(EventRow(3, ts(12), 1, "view", 20.0))
+      q.processAllAvailable()
+      val last = spark.table("stats").collect()
+        .filter(_.getAs[Long]("user_id") == 1)
+        .maxBy(_.getAs[Long]("n"))
+      assert(last.getAs[Long]("n") == 3)
+      assert(last.getAs[Double]("mean") == 20.0)
+      assert(last.getAs[Double]("min") == 10.0)
+      assert(last.getAs[Double]("max") == 30.0)
+    } finally q.stop()
+  }
+
+  test("file-source stream reads the events table end-to-end") {
+    val stream = EventsStream.readEvents(spark, sfDir)
+    assert(stream.isStreaming)
+    val q = EventsStream.windowedAgg(stream)
+      .writeStream.format("memory").queryName("file_agg").outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("file_agg").count() > 0)
+    } finally q.stop()
+  }
+}
