@@ -92,6 +92,89 @@ object TextHash {
   /** Hamming distance between two 64-bit signatures. */
   def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
 
+  /** Left-to-right dot product of two float vectors in double
+    * precision (each element widened BEFORE the multiply) — exactly
+    * the summation the DuckDB oracle's list_sum-over-list_transform
+    * computes, so cross-engine doubles are bit-identical. */
+  def dotFD(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  /** Distinct hashed word n-gram shingles of a token array: the hash
+    * is poly64 over the shingle's space-joined string form, computed
+    * without materializing the string. Joining/intersecting on the
+    * 8-byte hash instead of the ~20-char string makes the shingle
+    * bucket-join dramatically cheaper; counts match the string form
+    * modulo 64-bit collisions (~(n_shingles)²/2^65 ≈ 0). */
+  def shingleHash64(tokens: ArrayData, n: Int): ArrayData = {
+    val m = tokens.numElements()
+    if (m < n) return ArrayData.toArrayData(Array.empty[Long])
+    val seen = new java.util.HashSet[java.lang.Long]()
+    val out = new Array[Long](m - n + 1)
+    var cnt = 0
+    var i = 0
+    while (i <= m - n) {
+      var h = 1125899906842597L
+      var j = 0
+      while (j < n) {
+        if (j > 0) h = h * 31L + ' '.toLong
+        val b = tokens.getUTF8String(i + j).getBytes
+        var k = 0
+        while (k < b.length) { h = h * 31L + (b(k) & 0xffL); k += 1 }
+        j += 1
+      }
+      if (seen.add(h)) { out(cnt) = h; cnt += 1 }
+      i += 1
+    }
+    ArrayData.toArrayData(java.util.Arrays.copyOf(out, cnt))
+  }
+
+  /** SimHash over pre-hashed shingles (bit votes on mix64 of each). */
+  def simhashL(hashes: ArrayData): Long = {
+    val votes = new Array[Int](64)
+    val n = hashes.numElements()
+    var i = 0
+    while (i < n) {
+      val h = mix64(hashes.getLong(i))
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  /** MinHash signature over pre-hashed shingles. */
+  def minhashL(hashes: ArrayData, k: Int): ArrayData = {
+    val sig = new Array[Long](k)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    val n = hashes.numElements()
+    var i = 0
+    while (i < n) {
+      val base = mix64(hashes.getLong(i))
+      var j = 0
+      while (j < k) {
+        val h = mix64(base ^ (0x9e3779b97f4a7c15L * (j + 1)))
+        if ((h ^ Long.MinValue) < (sig(j) ^ Long.MinValue)) sig(j) = h
+        j += 1
+      }
+      i += 1
+    }
+    ArrayData.toArrayData(sig)
+  }
+
   /** Random-hyperplane (signed random projection) signature of a
     * numeric vector: bit p of the result is the sign of the dot
     * product with a Rademacher(±1) hyperplane whose entries are a pure

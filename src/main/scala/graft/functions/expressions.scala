@@ -63,6 +63,54 @@ case class Hamming64(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Double-precision dot product of two float vectors. */
+case class DotFD(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TextHash.dotFD(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.TextHash.dotFD($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotFD =
+    copy(left = l, right = r)
+}
+
+/** Distinct hashed word n-gram shingles of a token array. */
+case class ShingleHash64(child: Expression, n: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    TextHash.shingleHash64(input.asInstanceOf[ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.shingleHash64($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): ShingleHash64 =
+    copy(child = newChild)
+}
+
+/** SimHash64 over pre-hashed shingles (array<long>). */
+case class SimHash64L(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    TextHash.simhashL(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.simhashL($c)")
+  override protected def withNewChildInternal(newChild: Expression): SimHash64L =
+    copy(child = newChild)
+}
+
+/** MinHash signature over pre-hashed shingles (array<long>). */
+case class MinHashSigL(child: Expression, k: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    TextHash.minhashL(input.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.minhashL($c, $k)")
+  override protected def withNewChildInternal(newChild: Expression): MinHashSigL =
+    copy(child = newChild)
+}
+
 /** Random-hyperplane LSH signature (int bucket) of a float vector. */
 case class RhpSig(child: Expression, nPlanes: Int, seed: Long)
     extends UnaryExpression {
@@ -84,4 +132,10 @@ object GraftFunctions {
   def hamming64(a: Column, b: Column): Column = Bridge.column(Hamming64(e(a), e(b)))
   def rhpSig(vec: Column, nPlanes: Int, seed: Long): Column =
     Bridge.column(RhpSig(e(vec), nPlanes, seed))
+  def dotFD(a: Column, b: Column): Column = Bridge.column(DotFD(e(a), e(b)))
+  def shingleHash64(tokens: Column, n: Int): Column =
+    Bridge.column(ShingleHash64(e(tokens), n))
+  def simhash64L(hashes: Column): Column = Bridge.column(SimHash64L(e(hashes)))
+  def minhashSigL(hashes: Column, k: Int): Column =
+    Bridge.column(MinHashSigL(e(hashes), k))
 }

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 import graft.functions.GraftFunctions
 
@@ -11,12 +12,15 @@ import graft.functions.GraftFunctions
   * Scale design: the candidate space is always bucket-restricted — the
   * O(n²) pair space is never materialized. MinHash bands and SimHash
   * chunks are hash-shuffle keys; each bucket's pair expansion is local
-  * to its partition. Exact Jaccard verification joins the (small)
-  * candidate pair list back to per-doc shingle sets.
+  * to its partition. Shingles are carried as 8-byte hashes (codegen'd
+  * ShingleHash64 expression), never as strings, so bucket joins and
+  * set intersections run on longs; shingle sets that feed multiple
+  * plan branches are persisted once instead of recomputed per branch.
   */
 object Dedup {
 
-  /** Distinct word n-gram shingles of the normalized text. */
+  /** Distinct word n-gram shingles as strings (reference semantics /
+    * debugging; the pipelines below use the hashed form). */
   def shingles(docs: DataFrame, n: Int = 3): DataFrame = {
     val toks = TextAnalysis.tokens(col("text"))
     docs.select(
@@ -28,6 +32,12 @@ object Dedup {
         .otherwise(array().cast("array<string>")).as("sh"))
   }
 
+  /** Distinct hashed n-gram shingles (array<long>, codegen'd). */
+  def shingleHashes(docs: DataFrame, n: Int = 3): DataFrame =
+    docs.select(
+      col("doc_id"),
+      GraftFunctions.shingleHash64(TextAnalysis.tokens(col("text")), n).as("sh"))
+
   /** MinHash+LSH near-dup pairs: 128 minhashes → `bands` bands of
     * 128/bands rows; docs agreeing on any band's slice are candidates;
     * candidates are verified with EXACT shingle-set Jaccard >= tau.
@@ -38,9 +48,10 @@ object Dedup {
   def minhashPairs(docs: DataFrame, k: Int = 128, bands: Int = 16,
                    tau: Double = 0.8): DataFrame = {
     val rows = k / bands
-    val sh = shingles(docs).filter(size(col("sh")) > 0)
-    val sig = sh.select(col("doc_id"), col("sh"),
-      GraftFunctions.minhashSig(col("sh"), k).as("sig"))
+    val sh = shingleHashes(docs).filter(size(col("sh")) > 0)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sig = sh.select(col("doc_id"),
+      GraftFunctions.minhashSigL(col("sh"), k).as("sig"))
     val banded = sig.select(
       col("doc_id"), col("sig"),
       posexplode(array((0 until bands).map(b =>
@@ -55,7 +66,7 @@ object Dedup {
     verifyJaccard(cand, sh, tau)
   }
 
-  /** Exact Jaccard over candidate pairs via shingle-set join-back. */
+  /** Exact Jaccard over candidate pairs via hashed-shingle join-back. */
   private def verifyJaccard(cand: DataFrame, sh: DataFrame, tau: Double): DataFrame = {
     val withSets = cand
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
@@ -74,9 +85,9 @@ object Dedup {
     * chunk value), then exact hamming verify <= maxHamming. */
   def simhashPairs(docs: DataFrame, chunks: Int = 8, maxHamming: Int = 6): DataFrame = {
     val bits = 64 / chunks
-    val sh = shingles(docs).filter(size(col("sh")) > 0)
-    val sig = sh.select(col("doc_id"),
-      GraftFunctions.simhash64(col("sh")).as("sim"))
+    val sig = shingleHashes(docs).filter(size(col("sh")) > 0)
+      .select(col("doc_id"), GraftFunctions.simhash64L(col("sh")).as("sim"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val chunked = sig.select(
       col("doc_id"), col("sim"),
       posexplode(array((0 until chunks).map(c =>
@@ -97,12 +108,13 @@ object Dedup {
   }
 
   /** Exact n-gram Jaccard pairs via shingle bucket-join: only pairs
-    * sharing at least one shingle are ever formed (the shingle IS the
-    * bucket key), then |A∩B| comes from the join group count and
-    * |A∪B| from the per-doc set sizes. Fully SQL-expressible → strong
-    * DuckDB oracle. */
+    * sharing at least one shingle are ever formed (the hashed shingle
+    * IS the bucket key), then |A∩B| comes from the join group count
+    * and |A∪B| from the per-doc set sizes. Mirrors the string-based
+    * DuckDB oracle exactly (counts are hash-collision-free here). */
   def ngramJaccardPairs(docs: DataFrame, tau: Double = 0.5): DataFrame = {
-    val sh = shingles(docs).filter(size(col("sh")) > 0)
+    val sh = shingleHashes(docs).filter(size(col("sh")) > 0)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.select(col("doc_id"), size(col("sh")).as("n_sh"))
     val exploded = sh.select(col("doc_id"), explode(col("sh")).as("s"))
     val shared = exploded.as("a")

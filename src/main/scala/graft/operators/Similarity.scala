@@ -17,15 +17,14 @@ import graft.functions.GraftFunctions
   */
 object Similarity {
 
-  /** Left-to-right dot product of two double arrays. */
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+  /** Left-to-right double-precision dot product of two float arrays —
+    * the codegen'd DotFD expression (the zip_with/aggregate HOF chain
+    * is CodegenFallback and ~10x slower on the hot path). */
+  private def dot(a: Column, b: Column): Column = GraftFunctions.dotFD(a, b)
 
-  /** vec_id + embedding cast to double + its L2 norm. */
+  /** vec_id + embedding + its L2 norm (double). */
   def withNorm(embeddings: DataFrame): DataFrame =
-    embeddings.select(
-      col("vec_id"),
-      transform(col("embedding"), x => x.cast("double")).as("v"))
+    embeddings.select(col("vec_id"), col("embedding").as("v"))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
 
   private def cosine: Column =
@@ -73,8 +72,7 @@ object Similarity {
       .select(Seq(col("vec_id"), col("embedding")) ++
         (0 until tables).map(t =>
           GraftFunctions.rhpSig(col("embedding"), nPlanes, seed + t).as(s"b$t")): _*)
-      .select(col("vec_id"),
-        transform(col("embedding"), x => x.cast("double")).as("v"),
+      .select(col("vec_id"), col("embedding").as("v"),
         posexplode(array((0 until tables).map(t => col(s"b$t")): _*)))
       .withColumnRenamed("pos", "table").withColumnRenamed("col", "bucket")
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
