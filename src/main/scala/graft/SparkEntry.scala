@@ -24,10 +24,14 @@ object SparkEntry {
     // E. dashboard analytics + A. ingest
     "q_metrics"        -> ((s, d) => Analytics.metrics(ev(s, d))),
     "q_distribution"   -> ((s, d) => Analytics.distribution(ev(s, d))),
+    "q_corr_matrix"    -> ((s, d) => Analytics.corrMatrix(TimeSeries.weatherView(ev(s, d)))),
     "q_group_compare"  -> ((s, d) => Analytics.groupCompare(ev(s, d))),
     "q_latest_per_key" -> ((s, d) => Analytics.latestPerKey(ev(s, d))),
-    "q_load_timerange" -> ((s, d) =>
-      Analytics.loadTimerange(ev(s, d), "2024-01-10 00:00:00", "2024-01-20 00:00:00")),
+    "q_load_timerange" -> ((s, d) => {
+      GraftSession.tune(s)
+      Analytics.loadTimerange(Tables.eventsRaw(s, d),
+        "2024-01-10 00:00:00", "2024-01-20 00:00:00")
+    }),
     "q_json_ingest"    -> ((s, d) => Analytics.jsonIngest(ev(s, d))),
     "q_dedup_key"      -> ((s, d) => Analytics.dedupByKey(ev(s, d))),
     "q1_pricing"       -> ((s, d) => Analytics.pricingSummary(Tables.lineitem(s, d))),
@@ -115,6 +119,21 @@ object SparkEntry {
         |       count(DISTINCT user_id) AS n_entities,
         |       max(CAST(floor(epoch(ts)) AS BIGINT)) AS latest_ts
         |FROM events""".stripMargin,
+    "q_corr_matrix" ->
+      s"""$duckWeatherView
+        |SELECT t.col_a, t.col_b, t.corr_v FROM (
+        |  SELECT 'temperature' AS col_a, 'temperature' AS col_b, round(corr(temperature, temperature) + 1e-9, 4) AS corr_v FROM weather
+        |  UNION ALL
+        |  SELECT 'temperature', 'humidity', round(corr(temperature, humidity) + 1e-9, 4) FROM weather
+        |  UNION ALL
+        |  SELECT 'temperature', 'wind_speed', round(corr(temperature, wind_speed) + 1e-9, 4) FROM weather
+        |  UNION ALL
+        |  SELECT 'humidity', 'humidity', round(corr(humidity, humidity) + 1e-9, 4) FROM weather
+        |  UNION ALL
+        |  SELECT 'humidity', 'wind_speed', round(corr(humidity, wind_speed) + 1e-9, 4) FROM weather
+        |  UNION ALL
+        |  SELECT 'wind_speed', 'wind_speed', round(corr(wind_speed, wind_speed) + 1e-9, 4) FROM weather
+        |) t ORDER BY t.col_a, t.col_b""".stripMargin,
     "q_distribution" ->
       """SELECT event_type, count(*) AS cnt
         |FROM events GROUP BY event_type

@@ -32,6 +32,31 @@ object Analytics {
       countDistinct("user_id").as("n_entities"),
       max(epochS(col("ts"))).as("latest_ts"))
 
+  /** Pairwise Pearson correlation matrix (dashboard.py:178-207
+    * create_correlation_heatmap): upper triangle incl. diagonal over
+    * the numeric measures, as (col_a, col_b, corr) rows. ONE aggregate
+    * pass computes every pair (map-side combined co-moments) — never a
+    * pass per pair. */
+  def corrMatrix(weather: DataFrame,
+                 columns: Seq[String] = Seq("temperature", "humidity", "wind_speed"))
+      : DataFrame = {
+    val pairs = for {
+      (a, i) <- columns.zipWithIndex
+      b <- columns.drop(i)
+    } yield (a, b)
+    val aggs = pairs.map { case (a, b) => rnd(corr(col(a), col(b)), 4).as(s"${a}__$b") }
+    val entries = pairs.flatMap { case (a, b) =>
+      Seq(lit(s"$a|$b"), col(s"${a}__$b"))
+    }
+    weather.agg(aggs.head, aggs.tail: _*)
+      .select(explode(map(entries: _*)).as(Seq("pair", "corr_v")))
+      .select(
+        split(col("pair"), "\\|")(0).as("col_a"),
+        split(col("pair"), "\\|")(1).as("col_b"),
+        col("corr_v"))
+      .orderBy("col_a", "col_b")
+  }
+
   /** Categorical distribution (dashboard.py:209-231
     * create_weather_distribution — value_counts of weather_main). */
   def distribution(events: DataFrame): DataFrame =
@@ -65,15 +90,31 @@ object Analytics {
   }
 
   /** Time-range scan (data_processor.py:27-53 load_data;
-    * dashboard.py:55-72). The ts predicate reaches parquet row-group
-    * stats (PushedFilters) — at 100 TB this prunes most of the scan. */
-  def loadTimerange(events: DataFrame, startTs: String, endTs: String): DataFrame =
-    events
-      .filter(col("ts") >= lit(startTs).cast("timestamp") &&
-              col("ts") < lit(endTs).cast("timestamp"))
-      .select(col("event_id"), col("user_id"),
-        epochS(col("ts")).as("epoch_s"), col("event_type"), col("value"))
-      .orderBy("event_id")
+    * dashboard.py:55-72). Takes the RAW events frame and filters on
+    * the physical ts column, so the range predicate reaches parquet
+    * row-group stats (PushedFilters shows the bounds) — at 100 TB
+    * this prunes most of the scan. A filter on the converted
+    * timestamp would only push IsNotNull. */
+  def loadTimerange(rawEvents: DataFrame, startTs: String, endTs: String): DataFrame = {
+    import java.time.{LocalDateTime, ZoneOffset}
+    def ns(s: String): Long =
+      LocalDateTime.parse(s.replace(' ', 'T')).toEpochSecond(ZoneOffset.UTC) * 1000000000L
+    rawEvents.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        rawEvents
+          .filter(col("ts") >= ns(startTs) && col("ts") < ns(endTs))
+          .select(col("event_id"), col("user_id"),
+            expr("ts div 1000000000").as("epoch_s"), col("event_type"), col("value"))
+          .orderBy("event_id")
+      case _ =>
+        rawEvents
+          .filter(col("ts") >= lit(startTs).cast("timestamp") &&
+                  col("ts") < lit(endTs).cast("timestamp"))
+          .select(col("event_id"), col("user_id"),
+            epochS(col("ts")).as("epoch_s"), col("event_type"), col("value"))
+          .orderBy("event_id")
+    }
+  }
 
   /** JSON payload ingest (weather_collector.py _parse_weather_data —
     * raw API JSON → typed columns). `get_json_object` is codegen'd;

@@ -35,14 +35,25 @@ object Tables {
     * downstream operator sees a plain timestamp.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = read(spark, dir, "events")
+    val raw = eventsRaw(spark, dir)
     raw.schema("ts").dataType match {
       case LongType =>
-        raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast(LongType)))
+        // integer div, NOT `/`: epoch-2024 nanos (~1.7e18) exceed
+        // double's 53-bit mantissa, so a float division can land on
+        // the wrong microsecond.
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case TimestampType => raw
       case other =>
         throw new IllegalStateException(s"unexpected ts type: $other")
     }
+  }
+
+  /** Events with `ts` in its raw physical form (LongType nanos on the
+    * test parquet). Scan-heavy operators filter on this column so the
+    * predicate reaches parquet row-group stats — a range filter on the
+    * post-conversion timestamp would NOT push down. */
+  def eventsRaw(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    read(spark, dir, "events")
   }
 }

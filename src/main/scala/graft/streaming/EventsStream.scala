@@ -42,7 +42,7 @@ object EventsStream {
       // base path must be a directory; glob-filter to the events table
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast(LongType)))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
   /** Watermarked tumbling-window aggregate per entity (the dashboard
