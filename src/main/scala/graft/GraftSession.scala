@@ -24,6 +24,8 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir",
+        sys.env.getOrElse("SPARK_GRAFT_WAREHOUSE", "/tmp/graft-warehouse"))
       // testdata events.ts is parquet TIMESTAMP(NANOS); Spark reads it
       // as LongType (nanos) with this flag — Tables.events converts.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

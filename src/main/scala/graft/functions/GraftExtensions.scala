@@ -1,0 +1,67 @@
+package graft.functions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.graftbridge.Bridge
+
+/** SQL surface for the custom expressions: registers them as native
+  * SQL functions so `spark.sql("SELECT fingerprint64(text) ...")`
+  * works. Two paths:
+  *
+  *  - `spark.sql.extensions=graft.functions.GraftExtensions` at
+  *    session build time (the idiomatic plugin route), or
+  *  - `GraftExtensions.register(spark)` on a live session.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach { case (name, info, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftExtensions {
+
+  private def intArg(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+  private def longArg(e: Expression, what: String): Long = e match {
+    case Literal(v: Long, _) => v
+    case Literal(v: Int, _) => v.toLong
+    case other => throw new IllegalArgumentException(
+      s"$what must be a long literal, got $other")
+  }
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("fingerprint64",
+      info("fingerprint64", "fingerprint64(str) - 64-bit polynomial content fingerprint"),
+      (args: Seq[Expression]) => Fingerprint64(args.head)),
+    ("simhash64",
+      info("simhash64", "simhash64(array<string>) - 64-bit SimHash of a token array"),
+      (args: Seq[Expression]) => SimHash64(args.head)),
+    ("minhash_sig",
+      info("minhash_sig", "minhash_sig(array<string>, k) - k-element MinHash signature"),
+      (args: Seq[Expression]) => MinHashSig(args.head, intArg(args(1), "k"))),
+    ("hamming64",
+      info("hamming64", "hamming64(a, b) - hamming distance of two 64-bit hashes"),
+      (args: Seq[Expression]) => Hamming64(args.head, args(1))),
+    ("dot_fd",
+      info("dot_fd", "dot_fd(array<float>, array<float>) - double-precision dot product"),
+      (args: Seq[Expression]) => DotFD(args.head, args(1))),
+    ("shingle_hash64",
+      info("shingle_hash64", "shingle_hash64(array<string>, n) - distinct hashed n-gram shingles"),
+      (args: Seq[Expression]) => ShingleHash64(args.head, intArg(args(1), "n"))),
+    ("rhp_sig",
+      info("rhp_sig", "rhp_sig(array<float>, nPlanes, seed) - random-hyperplane LSH bucket"),
+      (args: Seq[Expression]) =>
+        RhpSig(args.head, intArg(args(1), "nPlanes"), longArg(args(2), "seed"))))
+
+  /** Register every graft function on a live session. */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (name, i, b) => Bridge.registerFunction(spark, name, i, b) }
+}

@@ -1,0 +1,45 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+
+/** Bucketed-table support (SURVEY.md §5): co-located joins.
+  *
+  * Writing both sides of a recurring fact-fact join bucketed (and
+  * sorted) by the join key lets every subsequent sort-merge join skip
+  * BOTH the shuffle and the sort — at 100 TB that's the difference
+  * between re-shuffling the fact table on every query and never
+  * shuffling it again. BucketedSpec proves the property by asserting
+  * the joined plan contains no Exchange.
+  */
+object Bucketed {
+
+  /** Write `df` as a bucketed+sorted managed parquet table. */
+  def writeBucketed(df: DataFrame, table: String, keyCol: String,
+                    buckets: Int = 8): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, keyCol)
+      .sortBy(keyCol)
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** Read a bucketed table back (bucket metadata comes from the
+    * catalog, so joins on the bucket key avoid the shuffle). */
+  def readBucketed(spark: org.apache.spark.sql.SparkSession, table: String): DataFrame =
+    spark.table(table)
+
+  /** Drop a managed table AND its leftover warehouse location (an
+    * in-memory catalog forgets tables across sessions while the
+    * filesystem keeps the data — recreating would then fail with
+    * LOCATION_ALREADY_EXISTS). */
+  def dropTable(spark: org.apache.spark.sql.SparkSession, table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:")
+    val loc = java.nio.file.Paths.get(warehouse, table)
+    if (java.nio.file.Files.exists(loc)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+}

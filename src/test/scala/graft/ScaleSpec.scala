@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.GraftExtensions
+import graft.operators.Salting
+import graft.sources.{Bucketed, Tables}
+
+class ScaleSpec extends AnyFunSuite {
+  import TestSession._
+
+  test("SQL function registration: custom expressions usable from SQL") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT fingerprint64('hello world') AS fp,
+        |       hamming64(CAST(5 AS BIGINT), CAST(6 AS BIGINT)) AS h,
+        |       shingle_hash64(array('a','b','c','d'), 3) AS sh,
+        |       simhash64(array('x','y')) AS sim""".stripMargin).collect()(0)
+    val refFp = "hello world".getBytes("UTF-8")
+      .foldLeft(1125899906842597L)((h, b) => h * 31L + (b & 0xff))
+    assert(r.getAs[Long]("fp") == refFp)
+    assert(r.getAs[Int]("h") == 2) // 101 vs 110
+    assert(r.getAs[scala.collection.Seq[Long]]("sh").length == 2)
+  }
+
+  test("extensions class injects the same functions at build time") {
+    val fns = GraftExtensions.functions
+    assert(fns.map(_._1).toSet == Set("fingerprint64", "simhash64", "minhash_sig",
+      "hamming64", "dot_fd", "shingle_hash64", "rhp_sig"))
+    // builders construct valid expressions from literal args
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val mh = fns.find(_._1 == "minhash_sig").get._3(
+      Seq(Literal.create(Array("a", "b")), Literal(64)))
+    assert(mh.dataType.typeName == "array")
+  }
+
+  test("salted aggregation equals the direct aggregate") {
+    val ev = Tables.events(spark, sfDir)
+    val direct = ev.groupBy("user_id")
+      .agg(sum("value").as("sum_value"), count(lit(1)).as("n_rows"))
+      .collect().map(r => (r.getLong(0), (r.getDouble(1), r.getLong(2)))).toMap
+    val salted = Salting.saltedAgg(ev, "user_id", "event_id", "value")
+      .collect().map(r => (r.getLong(0), (r.getDouble(1), r.getLong(2)))).toMap
+    assert(salted.keySet == direct.keySet)
+    salted.foreach { case (k, (s, n)) =>
+      assert(n == direct(k)._2)
+      assert(math.abs(s - direct(k)._1) < 1e-6)
+    }
+  }
+
+  test("salted join equals the direct join") {
+    val orders = Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey")
+    val lineitem = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey").as("o_orderkey"), col("l_linenumber"), col("l_quantity"))
+    val direct = lineitem.join(orders, "o_orderkey").count()
+    val salted = Salting.saltedJoin(lineitem, orders, "o_orderkey", "l_linenumber").count()
+    assert(salted == direct)
+  }
+
+  test("bucketed join runs without any Exchange (no shuffle, no sort)") {
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      Bucketed.dropTable(spark, "orders_b")
+      Bucketed.dropTable(spark, "lineitem_b")
+      Bucketed.writeBucketed(
+        Tables.orders(spark, sfDir).select("o_orderkey", "o_totalprice"),
+        "orders_b", "o_orderkey")
+      Bucketed.writeBucketed(
+        Tables.lineitem(spark, sfDir)
+          .select(col("l_orderkey").as("o_orderkey"), col("l_quantity")),
+        "lineitem_b", "o_orderkey")
+      val joined = Bucketed.readBucketed(spark, "lineitem_b")
+        .join(Bucketed.readBucketed(spark, "orders_b"), "o_orderkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"bucketed join still shuffles:\n$plan")
+      assert(joined.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    }
+  }
+}
