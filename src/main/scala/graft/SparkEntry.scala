@@ -9,10 +9,12 @@ import graft.sources.Tables
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
+    * rows>0. The composed feature pipeline: every windowed feature of
+    * the reference's process_pipeline off a single shuffle. */
   def entry(spark: SparkSession): DataFrame = {
     GraftSession.tune(spark)
-    Analytics.metrics(Tables.events(spark, "/root/testdata/sf0.001"))
+    TimeSeries.featurePipeline(Tables.events(spark, "/root/testdata/sf0.001"))
   }
 
   private def ev(s: SparkSession, dir: String): DataFrame = {
@@ -34,6 +36,13 @@ object SparkEntry {
     }),
     "q_json_ingest"    -> ((s, d) => Analytics.jsonIngest(ev(s, d))),
     "q_dedup_key"      -> ((s, d) => Analytics.dedupByKey(ev(s, d))),
+    "q_ingest_metrics" -> ((s, d) => Analytics.ingestMetrics(ev(s, d))),
+    "q_validate_ingest" -> ((s, d) => Analytics.validateIngest(ev(s, d))),
+    "q_recent_window"  -> ((s, d) => {
+      GraftSession.tune(s)
+      Analytics.recentWindow(Tables.eventsRaw(s, d), hours = 48)
+    }),
+    "q_feature_pipeline" -> ((s, d) => TimeSeries.featurePipeline(ev(s, d))),
     "q1_pricing"       -> ((s, d) => Analytics.pricingSummary(Tables.lineitem(s, d))),
     "q_join_enrich"    -> ((s, d) =>
       Analytics.joinEnrich(Tables.customer(s, d), Tables.nation(s, d), Tables.region(s, d))),
@@ -169,6 +178,47 @@ object SparkEntry {
         |FROM events
         |QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id) = 1
         |ORDER BY event_id""".stripMargin,
+    "q_ingest_metrics" ->
+      """SELECT user_id,
+        |       count(*) AS n_calls,
+        |       sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_failed,
+        |       round(1.0 - sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) * 1.0 / count(*) + 1e-9, 4) AS success_rate,
+        |       round(avg(CASE WHEN event_type <> 'error' THEN value END) + 1e-9, 4) AS avg_response_time
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_validate_ingest" ->
+      """SELECT event_id,
+        |       CASE WHEN user_id IS NOT NULL AND ts IS NOT NULL AND event_type IS NOT NULL THEN 1 ELSE 0 END AS has_required,
+        |       CASE WHEN value IS NOT NULL AND value >= -100 AND value <= 1000 THEN 1 ELSE 0 END AS value_in_range,
+        |       CASE WHEN json_extract_string(props, '$.k') IS NOT NULL THEN 1 ELSE 0 END AS json_parseable,
+        |       CASE WHEN user_id IS NOT NULL AND ts IS NOT NULL AND event_type IS NOT NULL
+        |             AND value IS NOT NULL AND value >= -100 AND value <= 1000
+        |             AND json_extract_string(props, '$.k') IS NOT NULL THEN 1 ELSE 0 END AS is_valid
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_recent_window" ->
+      """SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
+        |       event_type, value
+        |FROM events
+        |WHERE ts >= (SELECT max(ts) FROM events) - INTERVAL 48 HOUR
+        |ORDER BY event_id""".stripMargin,
+    "q_feature_pipeline" ->
+      s"""SELECT event_id, user_id, value,
+        |       hour(ts) AS hour,
+        |       isodow(ts) - 1 AS day_of_week,
+        |       round(sin(2 * pi() * hour(ts) / 24), 6) AS hour_sin,
+        |       round(cos(2 * pi() * hour(ts) / 24), 6) AS hour_cos,
+        |       lag(value, 1)  OVER ($duckWindow) AS value_lag_1,
+        |       lag(value, 24) OVER ($duckWindow) AS value_lag_24,
+        |       round(avg(value) OVER ($duckWindow ROWS BETWEEN 23 PRECEDING AND CURRENT ROW) + 1e-9, 4) AS rolling_mean_24,
+        |       CASE WHEN count(*) OVER ($duckWindow ROWS BETWEEN 23 PRECEDING AND CURRENT ROW) >= 2
+        |            THEN round(stddev_samp(value) OVER ($duckWindow ROWS BETWEEN 23 PRECEDING AND CURRENT ROW) + 1e-9, 4)
+        |       END AS rolling_std_24,
+        |       round(value - lag(value, 1) OVER ($duckWindow), 4) AS value_change,
+        |       lead(value, 24) OVER ($duckWindow) AS value_future,
+        |       CASE WHEN lead(value, 24) OVER ($duckWindow) IS NULL THEN NULL
+        |            WHEN lead(value, 24) OVER ($duckWindow) - value <= -2 THEN 'Decrease'
+        |            WHEN lead(value, 24) OVER ($duckWindow) - value <= 2 THEN 'Stable'
+        |            ELSE 'Increase' END AS change_category
+        |FROM events ORDER BY event_id""".stripMargin,
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         |       round(sum(l_quantity), 2) AS sum_qty,

@@ -20,22 +20,58 @@ class ModelRegistry(rootDir: String) {
     case '"' => "\\\""; case '\\' => "\\\\"; case c => c.toString
   }
 
+  /** SHA-256 over the saved artifact's files (sorted walk) —
+    * model_registry.py:47-55's integrity hash, directory-shaped. */
+  def artifactHash(dir: Path): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    Files.walk(dir).iterator().asScala.toSeq
+      .filter(Files.isRegularFile(_)).sortBy(_.toString)
+      .foreach(p => md.update(Files.readAllBytes(p)))
+    md.digest().map("%02x".format(_)).mkString
+  }
+
   /** Save `model` as the next version of `name`; returns the version. */
   def register(name: String, model: MLWritable, metrics: Map[String, Double]): Int = {
     val version = latestVersion(name).getOrElse(0) + 1
     val dir = root.resolve(name).resolve(s"v$version")
     model.write.overwrite().save(dir.toString)
     val ms = metrics.map { case (k, v) => s""""${esc(k)}": $v""" }.mkString("{", ", ", "}")
-    val line = s"""{"name": "${esc(name)}", "version": $version, "path": "${esc(dir.toString)}", "metrics": $ms}"""
+    val line = s"""{"name": "${esc(name)}", "version": $version, "path": "${esc(dir.toString)}", "hash": "${artifactHash(dir)}", "metrics": $ms}"""
     Files.writeString(indexFile, line + "\n",
       java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
     version
   }
 
+  /** Metric values of a registered (name, version). */
+  def metricsOf(name: String, version: Int): Map[String, Double] = {
+    val line = rawLines.find(l =>
+      l.contains(s""""name": "${esc(name)}"""") && l.contains(s""""version": $version"""))
+      .getOrElse(throw new NoSuchElementException(s"$name v$version"))
+    """"([a-zA-Z0-9_]+)": (-?[0-9.eE+-]+)""".r.findAllMatchIn(
+      line.substring(line.indexOf("\"metrics\"")))
+      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+  }
+
+  /** Compare two versions of a model (model_registry.py:102-128):
+    * per-metric (a, b, delta). */
+  def compare(name: String, versionA: Int, versionB: Int)
+      : Map[String, (Double, Double, Double)] = {
+    val a = metricsOf(name, versionA)
+    val b = metricsOf(name, versionB)
+    (a.keySet ++ b.keySet).map { k =>
+      val va = a.getOrElse(k, Double.NaN)
+      val vb = b.getOrElse(k, Double.NaN)
+      k -> (va, vb, vb - va)
+    }.toMap
+  }
+
+  private def rawLines: Seq[String] =
+    if (!Files.exists(indexFile)) Seq.empty
+    else Files.readAllLines(indexFile).asScala.toSeq.filter(_.nonEmpty)
+
   /** All registered (name, version, path) triples. */
   def entries: Seq[(String, Int, String)] =
-    if (!Files.exists(indexFile)) Seq.empty
-    else Files.readAllLines(indexFile).asScala.toSeq.filter(_.nonEmpty).map { l =>
+    rawLines.map { l =>
       val name = """"name": "([^"]*)"""".r.findFirstMatchIn(l).get.group(1)
       val v = """"version": (\d+)""".r.findFirstMatchIn(l).get.group(1).toInt
       val p = """"path": "([^"]*)"""".r.findFirstMatchIn(l).get.group(1)

@@ -140,6 +140,64 @@ object Analytics {
       .orderBy("event_id")
   }
 
+  /** Ingest-call metrics (weather_collector.py APIMetrics:39-60
+    * success_rate / average_response_time, per source): event_type
+    * 'error' models a failed call, `value` the response time. One
+    * map-side-combined aggregate per entity. */
+  def ingestMetrics(events: DataFrame): DataFrame =
+    events.groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_calls"),
+        sum((col("event_type") === "error").cast("long")).as("n_failed"),
+        rnd(lit(1.0) - sum((col("event_type") === "error").cast("long")) / count(lit(1)), 4)
+          .as("success_rate"),
+        rnd(avg(when(col("event_type") =!= "error", col("value"))), 4)
+          .as("avg_response_time"))
+      .orderBy("user_id")
+
+  /** Ingest validation (weather_collector.py:255-288
+    * validate_api_response: required fields present, values in
+    * plausible range, payload parseable). Emits per-row rule flags +
+    * an overall is_valid — a pure codegen projection; the caller
+    * filters or routes on it. */
+  def validateIngest(events: DataFrame): DataFrame = {
+    val hasRequired = col("user_id").isNotNull && col("ts").isNotNull &&
+      col("event_type").isNotNull
+    val valueOk = col("value").isNotNull && col("value") >= -100 && col("value") <= 1000
+    val jsonOk = get_json_object(col("props"), "$.k").isNotNull
+    events.select(
+      col("event_id"),
+      hasRequired.cast("int").as("has_required"),
+      valueOk.cast("int").as("value_in_range"),
+      jsonOk.cast("int").as("json_parseable"),
+      (hasRequired && valueOk && jsonOk).cast("int").as("is_valid"))
+      .orderBy("event_id")
+  }
+
+  /** Recent-window load (weather_collector.py:360-374 get_recent_data:
+    * last N hours relative to the newest record). The max-ts is a
+    * 1-value scalar collected to the driver so the range predicate is
+    * a LITERAL — it pushes to parquet row-group stats exactly like
+    * loadTimerange (a correlated subquery would not). */
+  def recentWindow(rawEvents: DataFrame, hours: Int = 24): DataFrame = {
+    val maxTs = rawEvents.agg(max(col("ts"))).collect()(0)
+    rawEvents.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        val cutoff = maxTs.getLong(0) - hours * 3600L * 1000000000L
+        rawEvents.filter(col("ts") >= cutoff)
+          .select(col("event_id"), col("user_id"),
+            expr("ts div 1000000000").as("epoch_s"), col("event_type"), col("value"))
+          .orderBy("event_id")
+      case _ =>
+        val cutoff = new java.sql.Timestamp(
+          maxTs.getTimestamp(0).getTime - hours * 3600L * 1000L)
+        rawEvents.filter(col("ts") >= lit(cutoff))
+          .select(col("event_id"), col("user_id"),
+            epochS(col("ts")).as("epoch_s"), col("event_type"), col("value"))
+          .orderBy("event_id")
+    }
+  }
+
   /** Pricing-summary style aggregate over the fact table (the
     * dashboard's "aggregate everything over a time range" shape at
     * TPC-H scale). Partial aggregation + single shuffle on the tiny

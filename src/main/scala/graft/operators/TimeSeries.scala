@@ -165,6 +165,41 @@ object TimeSeries {
       .orderBy("event_id")
   }
 
+  /** The composed feature pipeline (data_processor.py:275-314
+    * process_pipeline): time + cyclical + lag + rolling + diff +
+    * target features in ONE frame. Every windowed feature shares the
+    * SAME window spec, so Catalyst plans a single Window operator —
+    * one hash shuffle on the entity key and one per-partition sort
+    * produce all of them; `.explain` shows exactly one Exchange. */
+  def featurePipeline(events: DataFrame): DataFrame = {
+    val twoPi = lit(2.0 * math.Pi)
+    val h = hour(col("ts"))
+    val dow = (dayofweek(col("ts")) + lit(5)) % 7
+    val w = entityWindow
+    val wRoll = w.rowsBetween(-23, 0)
+    val nInWindow = count(lit(1)).over(wRoll)
+    val future = lead(col("value"), 24).over(w)
+    val change = future - col("value")
+    events.select(
+      col("event_id"), col("user_id"), col("value"),
+      h.as("hour"),
+      dow.as("day_of_week"),
+      round(sin(twoPi * h / 24), 6).as("hour_sin"),
+      round(cos(twoPi * h / 24), 6).as("hour_cos"),
+      lag(col("value"), 1).over(w).as("value_lag_1"),
+      lag(col("value"), 24).over(w).as("value_lag_24"),
+      rnd(avg(col("value")).over(wRoll), 4).as("rolling_mean_24"),
+      when(nInWindow >= 2, rnd(stddev_samp(col("value")).over(wRoll), 4))
+        .as("rolling_std_24"),
+      round(col("value") - lag(col("value"), 1).over(w), 4).as("value_change"),
+      future.as("value_future"),
+      when(change.isNull, lit(null).cast("string"))
+        .when(change <= -2, "Decrease")
+        .when(change <= 2, "Stable")
+        .otherwise("Increase").as("change_category"))
+      .orderBy("event_id")
+  }
+
   /** Daily per-entity range (data_processor.py:154 temp_range =
     * temp_max - temp_min, realized as a daily max-min aggregate).
     * Partial agg + one shuffle on (entity, day). */

@@ -32,16 +32,24 @@ object EventsStream {
   /** File-source stream over the events parquet (ts stored as
     * TIMESTAMP(NANOS) → LongType nanos under the legacy flag, same as
     * the batch reader — normalized here to a timestamp column). */
-  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+  /** `maxFilesPerTrigger` is the ingest rate limit — the collector's
+    * RateLimiter (weather_collector.py:71-112) expressed as source
+    * throttling: each micro-batch admits at most that many files. */
+  def readEvents(spark: SparkSession, dir: String,
+                 maxFilesPerTrigger: Int = 0): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = StructType(Seq(
       StructField("event_id", LongType), StructField("ts", LongType),
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))
-    spark.readStream.schema(schema)
+    val reader = spark.readStream.schema(schema)
       // base path must be a directory; glob-filter to the events table
       .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    val limited =
+      if (maxFilesPerTrigger > 0)
+        reader.option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      else reader
+    limited.parquet(dir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 

@@ -12,8 +12,8 @@ object TestSession {
 class AnalyticsSpec extends AnyFunSuite {
   import TestSession._
 
-  test("entry returns rows") {
-    assert(SparkEntry.entry(spark).count() == 1)
+  test("entry returns one feature row per event") {
+    assert(SparkEntry.entry(spark).count() == 1000)
   }
 
   test("every declared query runs and returns rows") {

@@ -97,6 +97,11 @@ class MLSpec extends AnyFunSuite {
     val a = model.transform(test).agg(sum("prediction")).collect()(0).getDouble(0)
     val b = loaded.transform(test).agg(sum("prediction")).collect()(0).getDouble(0)
     assert(math.abs(a - b) < 1e-9)
+    // compare + integrity hash (model_registry.py compare/_file_hash parity)
+    val cmp = reg.compare("lr", 1, 2)
+    assert(math.abs(cmp("r2")._3 - 0.001) < 1e-9)
+    val (_, _, path) = reg.entries.filter(_._1 == "lr").maxBy(_._2)
+    assert(reg.artifactHash(java.nio.file.Paths.get(path)).length == 64)
   }
 
   test("grid-search tuning returns a fitted best model") {
