@@ -121,7 +121,7 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
     "q_metrics" ->
-      """SELECT round(avg(value), 4) AS avg_value,
+      """SELECT round(CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / count(value) + 1e-9, 4) AS avg_value,
         |       round(max(value), 4) AS max_value,
         |       round(min(value), 4) AS min_value,
         |       count(*) AS n_records,
@@ -149,7 +149,7 @@ object SparkEntry {
         |ORDER BY cnt DESC, event_type""".stripMargin,
     "q_group_compare" ->
       """SELECT user_id,
-        |       round(avg(value), 4) AS avg_value,
+        |       round(CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / count(value) + 1e-9, 4) AS avg_value,
         |       round(min(value), 4) AS min_value,
         |       round(max(value), 4) AS max_value,
         |       count(*) AS n_events
@@ -183,7 +183,8 @@ object SparkEntry {
         |       count(*) AS n_calls,
         |       sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_failed,
         |       round(1.0 - sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) * 1.0 / count(*) + 1e-9, 4) AS success_rate,
-        |       round(avg(CASE WHEN event_type <> 'error' THEN value END) + 1e-9, 4) AS avg_response_time
+        |       round(CAST(sum(CAST(CASE WHEN event_type <> 'error' THEN value END AS DECIMAL(38,6))) AS DOUBLE)
+        |             / count(CASE WHEN event_type <> 'error' THEN value END) + 1e-9, 4) AS avg_response_time
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_validate_ingest" ->
       """SELECT event_id,
@@ -221,12 +222,12 @@ object SparkEntry {
         |FROM events ORDER BY event_id""".stripMargin,
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
-        |       round(sum(l_quantity), 2) AS sum_qty,
-        |       round(sum(l_extendedprice), 2) AS sum_base_price,
-        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-        |       round(avg(l_quantity), 4) AS avg_qty,
-        |       round(avg(l_extendedprice), 4) AS avg_price,
-        |       round(avg(l_discount), 6) AS avg_disc,
+        |       round(CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) + 1e-9, 2) AS sum_qty,
+        |       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) + 1e-9, 2) AS sum_base_price,
+        |       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6)) * (CAST(1 AS DECIMAL(38,6)) - CAST(l_discount AS DECIMAL(38,6)))) AS DOUBLE) + 1e-9, 2) AS sum_disc_price,
+        |       round(CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) / count(l_quantity) + 1e-9, 4) AS avg_qty,
+        |       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / count(l_extendedprice) + 1e-9, 4) AS avg_price,
+        |       round(CAST(sum(CAST(l_discount AS DECIMAL(38,6))) AS DOUBLE) / count(l_discount) + 1e-9, 6) AS avg_disc,
         |       count(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -234,7 +235,7 @@ object SparkEntry {
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q_join_enrich" ->
       """SELECT r_name, n_name, count(*) AS n_cust,
-        |       round(avg(c_acctbal), 4) AS avg_bal
+        |       round(CAST(sum(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) / count(c_acctbal) + 1e-9, 4) AS avg_bal
         |FROM customer
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
@@ -242,7 +243,7 @@ object SparkEntry {
         |ORDER BY r_name, n_name""".stripMargin,
     "q_topk_revenue" ->
       """SELECT l_orderkey,
-        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6)) * (CAST(1 AS DECIMAL(38,6)) - CAST(l_discount AS DECIMAL(38,6)))) AS DOUBLE) + 1e-9, 2) AS revenue,
         |       count(*) AS n_items
         |FROM lineitem
         |GROUP BY l_orderkey

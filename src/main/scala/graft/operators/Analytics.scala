@@ -25,7 +25,7 @@ object Analytics {
     * avg/max/min measure, record count, entity count, latest ts. */
   def metrics(events: DataFrame): DataFrame =
     events.agg(
-      round(avg("value"), 4).as("avg_value"),
+      decAvg(col("value"), 4).as("avg_value"),
       round(max("value"), 4).as("max_value"),
       round(min("value"), 4).as("min_value"),
       count(lit(1)).as("n_records"),
@@ -69,7 +69,7 @@ object Analytics {
   def groupCompare(events: DataFrame): DataFrame =
     events.groupBy("user_id")
       .agg(
-        round(avg("value"), 4).as("avg_value"),
+        decAvg(col("value"), 4).as("avg_value"),
         round(min("value"), 4).as("min_value"),
         round(max("value"), 4).as("max_value"),
         count(lit(1)).as("n_events"))
@@ -151,7 +151,7 @@ object Analytics {
         sum((col("event_type") === "error").cast("long")).as("n_failed"),
         rnd(lit(1.0) - sum((col("event_type") === "error").cast("long")) / count(lit(1)), 4)
           .as("success_rate"),
-        rnd(avg(when(col("event_type") =!= "error", col("value"))), 4)
+        decAvg(when(col("event_type") =!= "error", col("value")), 4)
           .as("avg_response_time"))
       .orderBy("user_id")
 
@@ -207,12 +207,14 @@ object Analytics {
       .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp"))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        round(sum("l_quantity"), 2).as("sum_qty"),
-        round(sum("l_extendedprice"), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
-        round(avg("l_quantity"), 4).as("avg_qty"),
-        round(avg("l_extendedprice"), 4).as("avg_price"),
-        round(avg("l_discount"), 6).as("avg_disc"),
+        rnd(decSum(col("l_quantity")), 2).as("sum_qty"),
+        rnd(decSum(col("l_extendedprice")), 2).as("sum_base_price"),
+        rnd(sum(col("l_extendedprice").cast("decimal(38,6)") *
+          (lit(1).cast("decimal(38,6)") - col("l_discount").cast("decimal(38,6)")))
+          .cast("double"), 2).as("sum_disc_price"),
+        decAvg(col("l_quantity"), 4).as("avg_qty"),
+        decAvg(col("l_extendedprice"), 4).as("avg_price"),
+        decAvg(col("l_discount"), 6).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 
@@ -226,7 +228,7 @@ object Analytics {
       .groupBy("r_name", "n_name")
       .agg(
         count(lit(1)).as("n_cust"),
-        round(avg("c_acctbal"), 4).as("avg_bal"))
+        decAvg(col("c_acctbal"), 4).as("avg_bal"))
       .orderBy("r_name", "n_name")
 
   /** Top-k by aggregated measure (dashboard "top cities" shape).
@@ -237,7 +239,9 @@ object Analytics {
     lineitem
       .groupBy("l_orderkey")
       .agg(
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        rnd(sum(col("l_extendedprice").cast("decimal(38,6)") *
+          (lit(1).cast("decimal(38,6)") - col("l_discount").cast("decimal(38,6)")))
+          .cast("double"), 2).as("revenue"),
         count(lit(1)).as("n_items"))
       .orderBy(desc("revenue"), asc("l_orderkey"))
       .limit(k)

@@ -17,4 +17,18 @@ package object operators {
     * same `round(x + 1e-9, n)` form.
     */
   def rnd(c: Column, scale: Int): Column = round(c + lit(1e-9), scale)
+
+  import org.apache.spark.sql.functions.{count, sum}
+
+  /** Exact decimal sum of a fixed-point (<=6dp) column, as double.
+    * Summing doubles accumulates order-dependent error that can
+    * straddle a rounding boundary differently per engine; summing
+    * DECIMAL is exact in both Spark and DuckDB, and the single
+    * cast-to-double of the same exact value is bit-identical. */
+  def decSum(c: Column): Column = sum(c.cast("decimal(38,6)")).cast("double")
+
+  /** Tie-stable exact-sum average (sum is exact decimal, the division
+    * and rounding run on bit-identical doubles in both engines). */
+  def decAvg(c: Column, scale: Int): Column =
+    rnd(decSum(c) / count(c), scale)
 }
