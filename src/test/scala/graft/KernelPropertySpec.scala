@@ -1,0 +1,129 @@
+package graft
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.GraftFunctions._
+
+/** Seeded randomized properties of the custom expression kernels,
+  * evaluated through the DataFrame API (i.e. the codegen path) and
+  * compared against independent reference implementations. */
+class KernelPropertySpec extends AnyFunSuite {
+  import TestSession._
+
+  private val rng = new Random(42)
+
+  private def refPoly64(s: String): Long =
+    s.getBytes("UTF-8").foldLeft(1125899906842597L)((h, b) => h * 31L + (b & 0xff))
+
+  private def randToken(): String =
+    Seq.fill(1 + rng.nextInt(8))(('a' + rng.nextInt(26)).toChar).mkString
+
+  test("poly64 equals the reference fold on random strings (codegen)") {
+    import spark.implicits._
+    val strs = Seq.fill(200)(Seq.fill(rng.nextInt(40))(randToken()).mkString(" "))
+    val out = strs.toDF("s").select(col("s"), fingerprint64(col("s"))).collect()
+    out.foreach(r => assert(r.getLong(1) == refPoly64(r.getString(0))))
+  }
+
+  test("shingleHash64 count equals distinct string-shingle count") {
+    import spark.implicits._
+    val docs = Seq.fill(100)(Seq.fill(3 + rng.nextInt(60))(randToken()))
+    val out = docs.map(_.mkString(" ")).toDF("text")
+      .select(col("text"), shingleHash64(split(col("text"), " "), 3).as("sh"))
+      .collect()
+    out.foreach { r =>
+      val toks = r.getString(0).split(" ")
+      val ref = toks.sliding(3).map(_.mkString(" ")).toSet
+      assert(r.getAs[scala.collection.Seq[Long]]("sh").length == ref.size)
+    }
+  }
+
+  test("hamming64 is a metric on random longs") {
+    import spark.implicits._
+    val pairs = Seq.fill(200)((rng.nextLong(), rng.nextLong()))
+    val out = pairs.toDF("a", "b")
+      .select(col("a"), col("b"), hamming64(col("a"), col("b")).as("h"),
+        hamming64(col("b"), col("a")).as("hrev"),
+        hamming64(col("a"), col("a")).as("self"))
+      .collect()
+    out.foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      assert(r.getAs[Int]("h") == java.lang.Long.bitCount(a ^ b))
+      assert(r.getAs[Int]("h") == r.getAs[Int]("hrev"))
+      assert(r.getAs[Int]("self") == 0)
+    }
+  }
+
+  test("minhash similarity estimate is unbiased across random set pairs") {
+    import spark.implicits._
+    // 30 pairs with known overlap fractions; 128-hash estimator should
+    // average within a few points of truth
+    val cases = (0 until 30).map { i =>
+      val overlap = 10 + rng.nextInt(30)
+      val aOnly = 5 + rng.nextInt(25)
+      val bOnly = 5 + rng.nextInt(25)
+      val shared = Seq.fill(overlap)(s"s${i}_" + randToken())
+      val a = shared ++ Seq.fill(aOnly)(s"a${i}_" + randToken())
+      val b = shared ++ Seq.fill(bOnly)(s"b${i}_" + randToken())
+      (a, b, overlap.toDouble / (overlap + aOnly + bOnly))
+    }
+    val df = cases.map { case (a, b, j) => (a, b, j) }.toDF("a", "b", "j")
+      .select(minhashSig(col("a"), 128).as("sa"), minhashSig(col("b"), 128).as("sb"), col("j"))
+    val errs = df.collect().map { r =>
+      val sa = r.getAs[scala.collection.Seq[Long]]("sa")
+      val sb = r.getAs[scala.collection.Seq[Long]]("sb")
+      val est = sa.zip(sb).count { case (x, y) => x == y } / 128.0
+      est - r.getAs[Double]("j")
+    }
+    assert(math.abs(errs.sum / errs.length) < 0.03, s"biased: ${errs.sum / errs.length}")
+    errs.foreach(e => assert(math.abs(e) < 0.2, s"outlier error $e"))
+  }
+
+  test("rhpSig is deterministic, seed-sensitive, and in range") {
+    import spark.implicits._
+    val vecs = Seq.fill(100)(Array.fill(16)(rng.nextFloat() * 2 - 1))
+    val df = vecs.toDF("v")
+    val a = df.select(rhpSig(col("v"), 8, 7L)).collect().map(_.getInt(0))
+    val b = df.select(rhpSig(col("v"), 8, 7L)).collect().map(_.getInt(0))
+    val c = df.select(rhpSig(col("v"), 8, 8L)).collect().map(_.getInt(0))
+    assert(a.sameElements(b))
+    assert(!a.sameElements(c), "different seed must give different buckets")
+    a.foreach(x => assert(x >= 0 && x < 256))
+  }
+
+  test("rhpSig: similar vectors collide more than dissimilar ones") {
+    import spark.implicits._
+    val base = Array.fill(32)(rng.nextFloat() * 2 - 1)
+    val near = (0 until 50).map { _ =>
+      base.map(x => x + rng.nextFloat() * 0.05f)
+    }
+    val far = (0 until 50).map(_ => Array.fill(32)(rng.nextFloat() * 2 - 1))
+    def buckets(vs: Seq[Array[Float]]) =
+      vs.toDF("v").select(rhpSig(col("v"), 8, 42L)).collect().map(_.getInt(0))
+    val baseBucket = buckets(Seq(base)).head
+    val nearHits = buckets(near).count(_ == baseBucket)
+    val farHits = buckets(far).count(_ == baseBucket)
+    assert(nearHits > farHits, s"near=$nearHits far=$farHits")
+    // random 8-bit buckets collide at ~50/256 ≈ 0.2 expected hits;
+    // perturbed copies must collide far above that noise floor
+    assert(nearHits >= 10, s"near-duplicate vectors should often share the bucket: $nearHits")
+  }
+
+  test("dotFD equals a strict left-to-right reference sum") {
+    import spark.implicits._
+    val pairs = Seq.fill(100)((Array.fill(64)(rng.nextFloat() * 2 - 1),
+      Array.fill(64)(rng.nextFloat() * 2 - 1)))
+    val out = pairs.toDF("a", "b")
+      .select(col("a"), col("b"), dotFD(col("a"), col("b")).as("d")).collect()
+    out.foreach { r =>
+      val a = r.getAs[scala.collection.Seq[Float]]("a")
+      val b = r.getAs[scala.collection.Seq[Float]]("b")
+      var acc = 0.0
+      a.indices.foreach(i => acc += a(i).toDouble * b(i).toDouble)
+      assert(r.getAs[Double]("d") == acc) // bit-exact, not approx
+    }
+  }
+}
