@@ -47,6 +47,10 @@ object SparkEntry {
     "q_join_enrich"    -> ((s, d) =>
       Analytics.joinEnrich(Tables.customer(s, d), Tables.nation(s, d), Tables.region(s, d))),
     "q_topk_revenue"   -> ((s, d) => Analytics.topkRevenue(Tables.lineitem(s, d))),
+    "q3_shipping"      -> ((s, d) =>
+      Analytics.shippingPriority(Tables.lineitem(s, d), Tables.orders(s, d))),
+    "q_brand_volume"   -> ((s, d) =>
+      Analytics.brandVolume(Tables.lineitem(s, d), Tables.part(s, d))),
     // B. time-series feature engineering
     "q_time_features"   -> ((s, d) => TimeSeries.timeFeatures(ev(s, d))),
     "q_lag_features"    -> ((s, d) => TimeSeries.lagFeatures(ev(s, d))),
@@ -249,6 +253,24 @@ object SparkEntry {
         |GROUP BY l_orderkey
         |ORDER BY revenue DESC, l_orderkey
         |LIMIT 10""".stripMargin,
+    "q3_shipping" ->
+      """SELECT l_orderkey,
+        |       CAST(floor(epoch(o_orderdate)) AS BIGINT) AS order_epoch,
+        |       o_orderpriority,
+        |       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6)) * (CAST(1 AS DECIMAL(38,6)) - CAST(l_discount AS DECIMAL(38,6)))) AS DOUBLE) + 1e-9, 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 10""".stripMargin,
+    "q_brand_volume" ->
+      """SELECT p_brand,
+        |       count(*) AS n_lines,
+        |       round(CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) + 1e-9, 2) AS sum_qty,
+        |       round(CAST(sum(CAST(p_retailprice AS DECIMAL(38,6))) AS DOUBLE) / count(p_retailprice) + 1e-9, 4) AS avg_retail
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
     "q_time_features" ->
       """SELECT event_id,
         |       hour(ts) AS hour,

@@ -231,6 +231,45 @@ object Analytics {
         decAvg(col("c_acctbal"), 4).as("avg_bal"))
       .orderBy("r_name", "n_name")
 
+  /** Shipping-priority style fact-fact join (TPC-H Q3 shape): the one
+    * join class the dim joins don't cover — two large tables joined on
+    * a high-cardinality key. Both sides shuffle-hash-partition on
+    * l_orderkey/o_orderkey; AQE coalesces and splits skew at runtime.
+    * Date filters push to both scans BEFORE the shuffle. */
+  def shippingPriority(lineitem: DataFrame, orders: DataFrame, k: Int = 10): DataFrame = {
+    val o = orders
+      .filter(col("o_orderdate") < lit("1995-03-15 00:00:00").cast("timestamp"))
+      .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    val l = lineitem
+      .filter(col("l_shipdate") > lit("1995-03-15 00:00:00").cast("timestamp"))
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(rnd(sum(col("l_extendedprice").cast("decimal(38,6)") *
+        (lit(1).cast("decimal(38,6)") - col("l_discount").cast("decimal(38,6)")))
+        .cast("double"), 2).as("revenue"))
+      // o_orderdate is TIMESTAMP_NTZ: NTZ won't cast to long directly;
+      // via TIMESTAMP it's interpreted in the (UTC) session zone.
+      .select(col("l_orderkey"),
+        epochS(col("o_orderdate").cast("timestamp")).as("order_epoch"),
+        col("o_orderpriority"), col("revenue"))
+      .orderBy(desc("revenue"), asc("l_orderkey"))
+      .limit(k)
+  }
+
+  /** Per-brand part economics (uses part + supplier coverage): parts
+    * joined to their lineitem sales, brand-level aggregate. The part
+    * dim broadcasts; lineitem never shuffles for the join. */
+  def brandVolume(lineitem: DataFrame, part: DataFrame): DataFrame =
+    lineitem
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        rnd(decSum(col("l_quantity")), 2).as("sum_qty"),
+        decAvg(col("p_retailprice"), 4).as("avg_retail"))
+      .orderBy("p_brand")
+
   /** Top-k by aggregated measure (dashboard "top cities" shape).
     * Aggregate first (shuffle on key), then a global top-k — Spark
     * executes orderBy+limit as TakeOrderedAndProject, so no full sort

@@ -72,6 +72,12 @@ object EventsStream {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("user_id", "ts")
 
+  /** Stream-static enrichment (the collector's city→coordinates config
+    * lookup, streaming form): the static dim is broadcast per
+    * micro-batch — the stream side never shuffles. */
+  def enrich(stream: DataFrame, dim: DataFrame, key: String = "user_id"): DataFrame =
+    stream.join(broadcast(dim), Seq(key), "left")
+
   /** Running per-entity stats via typed keyed state
     * (flatMapGroupsWithState) — the PerformanceTracker/APIMetrics
     * counters as distributed state. Emits updated stats per batch. */

@@ -75,6 +75,26 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static enrichment broadcasts the dim to each batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[EventRow]
+    val dim = Seq((1L, "alpha"), (2L, "beta")).toDF("user_id", "segment")
+    val q = EventsStream.enrich(ms.toDF(), dim)
+      .writeStream.format("memory").queryName("enriched").outputMode("append").start()
+    try {
+      ms.addData(
+        EventRow(1, ts(10), 1, "view", 10.0),
+        EventRow(2, ts(11), 2, "view", 20.0),
+        EventRow(3, ts(12), 9, "view", 30.0)) // no dim row -> null segment
+      q.processAllAvailable()
+      val rows = spark.table("enriched").collect()
+      assert(rows.length == 3)
+      val byUser = rows.map(r => r.getAs[Long]("user_id") -> r.getAs[String]("segment")).toMap
+      assert(byUser(1L) == "alpha" && byUser(2L) == "beta" && byUser(9L) == null)
+    } finally q.stop()
+  }
+
   test("file-source stream reads the events table end-to-end") {
     val stream = EventsStream.readEvents(spark, sfDir)
     assert(stream.isStreaming)
