@@ -51,6 +51,8 @@ object SparkEntry {
       Analytics.shippingPriority(Tables.lineitem(s, d), Tables.orders(s, d))),
     "q_brand_volume"   -> ((s, d) =>
       Analytics.brandVolume(Tables.lineitem(s, d), Tables.part(s, d))),
+    "q_supplier_stats" -> ((s, d) =>
+      Analytics.supplierStats(Tables.supplier(s, d), Tables.nation(s, d))),
     // B. time-series feature engineering
     "q_time_features"   -> ((s, d) => TimeSeries.timeFeatures(ev(s, d))),
     "q_lag_features"    -> ((s, d) => TimeSeries.lagFeatures(ev(s, d))),
@@ -271,6 +273,13 @@ object SparkEntry {
         |       round(CAST(sum(CAST(p_retailprice AS DECIMAL(38,6))) AS DOUBLE) / count(p_retailprice) + 1e-9, 4) AS avg_retail
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "q_supplier_stats" ->
+      """SELECT n_name,
+        |       count(*) AS n_suppliers,
+        |       round(CAST(sum(CAST(s_acctbal AS DECIMAL(38,6))) AS DOUBLE) / count(s_acctbal) + 1e-9, 4) AS avg_bal,
+        |       round(max(s_acctbal), 4) AS max_bal
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
     "q_time_features" ->
       """SELECT event_id,
         |       hour(ts) AS hour,

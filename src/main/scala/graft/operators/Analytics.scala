@@ -270,6 +270,18 @@ object Analytics {
         decAvg(col("p_retailprice"), 4).as("avg_retail"))
       .orderBy("p_brand")
 
+  /** Supplier account stats per nation (supplier-side of the dim
+    * star; same broadcast-dim shape as joinEnrich). */
+  def supplierStats(supplier: DataFrame, nation: DataFrame): DataFrame =
+    supplier
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(
+        count(lit(1)).as("n_suppliers"),
+        decAvg(col("s_acctbal"), 4).as("avg_bal"),
+        round(max("s_acctbal"), 4).as("max_bal"))
+      .orderBy("n_name")
+
   /** Top-k by aggregated measure (dashboard "top cities" shape).
     * Aggregate first (shuffle on key), then a global top-k — Spark
     * executes orderBy+limit as TakeOrderedAndProject, so no full sort

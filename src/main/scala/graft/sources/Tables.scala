@@ -48,6 +48,15 @@ object Tables {
     }
   }
 
+  /** Date-partitioned parquet writer — the 100 TB lake layout: one
+    * directory per (partition column) value, so date-ranged readers
+    * prune whole partitions before row-group stats even apply. */
+  def writePartitioned(df: DataFrame, path: String,
+                       partitionCol: String = "day"): Unit =
+    df.write.mode("overwrite")
+      .partitionBy(partitionCol)
+      .parquet(path)
+
   /** Events with `ts` in its raw physical form (LongType nanos on the
     * test parquet). Scan-heavy operators filter on this column so the
     * predicate reaches parquet row-group stats — a range filter on the
