@@ -63,6 +63,8 @@ object SparkEntry {
     "q_target_shift"    -> ((s, d) => TimeSeries.targets(ev(s, d))),
     "q_will_rain"       -> ((s, d) => TimeSeries.willRain(ev(s, d))),
     "q_daily_range"     -> ((s, d) => TimeSeries.dailyRange(ev(s, d))),
+    "q_sessionize"      -> ((s, d) => TimeSeries.sessionize(ev(s, d))),
+    "q_quantiles"       -> ((s, d) => TimeSeries.quantiles(ev(s, d))),
     // C. missing values / encoding / scaling
     "q_ffill"          -> ((s, d) => MissingValues.ffill(MissingValues.maskedView(ev(s, d)))),
     "q_interpolate"    -> ((s, d) => MissingValues.interpolate(MissingValues.maskedView(ev(s, d)))),
@@ -367,6 +369,38 @@ object SparkEntry {
         |FROM events
         |GROUP BY user_id, strftime(ts, '%Y-%m-%d')
         |ORDER BY user_id, day""".stripMargin,
+    "q_sessionize" ->
+      s"""WITH marked AS (
+        |  SELECT user_id,
+        |         CAST(floor(epoch(ts)) AS BIGINT) AS ep,
+        |         CASE WHEN lag(CAST(floor(epoch(ts)) AS BIGINT), 1) OVER ($duckWindow) IS NULL
+        |                OR CAST(floor(epoch(ts)) AS BIGINT)
+        |                   - lag(CAST(floor(epoch(ts)) AS BIGINT), 1) OVER ($duckWindow) > 1800
+        |              THEN 1 ELSE 0 END AS is_new,
+        |         ts, event_id
+        |  FROM events
+        |), sess AS (
+        |  SELECT user_id, ep,
+        |         sum(is_new) OVER ($duckWindow ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        |  FROM marked
+        |)
+        |SELECT user_id, session_idx,
+        |       min(ep) AS session_start,
+        |       max(ep) AS session_end,
+        |       count(*) AS n_events,
+        |       max(ep) - min(ep) AS duration_s
+        |FROM sess
+        |GROUP BY user_id, session_idx
+        |ORDER BY user_id, session_idx""".stripMargin,
+    "q_quantiles" ->
+      """SELECT 0.25 AS quantile, round(quantile_cont(value, 0.25) + 1e-9, 4) AS value_q FROM events
+        |UNION ALL
+        |SELECT 0.5, round(quantile_cont(value, 0.5) + 1e-9, 4) FROM events
+        |UNION ALL
+        |SELECT 0.75, round(quantile_cont(value, 0.75) + 1e-9, 4) FROM events
+        |UNION ALL
+        |SELECT 0.95, round(quantile_cont(value, 0.95) + 1e-9, 4) FROM events
+        |ORDER BY quantile""".stripMargin,
     "q_ffill" ->
       s"""$duckMasked
         |SELECT event_id, user_id, value,

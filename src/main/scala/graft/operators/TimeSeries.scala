@@ -200,6 +200,45 @@ object TimeSeries {
       .orderBy("event_id")
   }
 
+  /** Gap-based sessionization: a new session starts after a >gap
+    * silence per entity (the canonical large-scale event-pipeline
+    * operator). Two window passes over the SAME entity window spec
+    * (lag + running sum) then one aggregate — still a single shuffle
+    * on the entity key. */
+  def sessionize(events: DataFrame, gapSeconds: Long = 1800): DataFrame = {
+    val w = entityWindow
+    val epoch = col("ts").cast("long")
+    val prev = lag(epoch, 1).over(w)
+    val isNew = when(prev.isNull || epoch - prev > gapSeconds, 1L).otherwise(0L)
+    val sessionIdx = sum(isNew).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    events
+      .withColumn("session_idx", sessionIdx)
+      .groupBy("user_id", "session_idx")
+      .agg(
+        min(epoch).as("session_start"),
+        max(epoch).as("session_end"),
+        count(lit(1)).as("n_events"),
+        (max(epoch) - min(epoch)).as("duration_s"))
+      .orderBy("user_id", "session_idx")
+  }
+
+  /** Exact interpolated quantiles of the measure (dashboard
+    * distribution percentiles). NOTE: exact percentile requires a full
+    * sort of the column — at 100 TB use percentile_approx (t-digest,
+    * mergeable, one pass); this exact form is the oracle-checkable
+    * reference semantics. */
+  def quantiles(events: DataFrame,
+                qs: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.95)): DataFrame = {
+    val entries = qs.zipWithIndex.flatMap { case (q, i) =>
+      Seq(lit(q), col("qv")(i))
+    }
+    events
+      .agg(percentile(col("value"), lit(qs.toArray)).as("qv"))
+      .select(explode(map(entries: _*)).as(Seq("quantile", "v")))
+      .select(col("quantile"), rnd(col("v"), 4).as("value_q"))
+      .orderBy("quantile")
+  }
+
   /** Daily per-entity range (data_processor.py:154 temp_range =
     * temp_max - temp_min, realized as a daily max-min aggregate).
     * Partial agg + one shuffle on (entity, day). */

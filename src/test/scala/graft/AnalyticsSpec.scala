@@ -30,6 +30,15 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("driver contract is consistent: every oracle key has a query") {
+    val orphan = SparkEntry.oracleSql.keySet.diff(SparkEntry.queries.keySet)
+    assert(orphan.isEmpty, s"oracleSql keys without queries: $orphan")
+    val unoracled = SparkEntry.queries.keySet.diff(SparkEntry.oracleSql.keySet)
+    // rows-only queries are intentional; just keep the list visible
+    assert(unoracled.subsetOf(Set("q_fingerprint", "q_dedup_minhash",
+      "q_dedup_simhash", "q_ann_lsh")), s"unexpected rows-only queries: $unoracled")
+  }
+
   test("metrics values are sane") {
     val row = SparkEntry.queries("q_metrics")(spark, sfDir).collect()(0)
     assert(row.getAs[Long]("n_records") == 1000L)
