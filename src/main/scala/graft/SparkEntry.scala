@@ -563,11 +563,11 @@ object SparkEntry {
         |SELECT doc_id,
         |       CAST(n_chars AS BIGINT) AS n_chars_m,
         |       CAST(n_tok AS BIGINT) AS n_tokens,
-        |       round(n_stop / n_tok + 1e-9, 4) AS stopword_ratio,
-        |       round(n_punct / n_chars + 1e-9, 4) AS punct_ratio,
-        |       round(n_upper / n_chars + 1e-9, 4) AS upper_ratio,
-        |       round(least(n_tok / 200.0, 1.0) * 0.5 + (n_stop / n_tok) * 0.25
-        |             + (1.0 - n_punct / n_chars) * 0.25 + 1e-9, 4) AS quality_score
+        |       round(n_stop / greatest(n_tok, 1.0) + 1e-9, 4) AS stopword_ratio,
+        |       round(n_punct / greatest(n_chars, 1.0) + 1e-9, 4) AS punct_ratio,
+        |       round(n_upper / greatest(n_chars, 1.0) + 1e-9, 4) AS upper_ratio,
+        |       round(least(n_tok / 200.0, 1.0) * 0.5 + (n_stop / greatest(n_tok, 1.0)) * 0.25
+        |             + (1.0 - n_punct / greatest(n_chars, 1.0)) * 0.25 + 1e-9, 4) AS quality_score
         |FROM m ORDER BY doc_id""".stripMargin,
     "q_lang_id" ->
       """WITH tok AS (

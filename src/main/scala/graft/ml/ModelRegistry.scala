@@ -35,7 +35,11 @@ class ModelRegistry(rootDir: String) {
     val version = latestVersion(name).getOrElse(0) + 1
     val dir = root.resolve(name).resolve(s"v$version")
     model.write.overwrite().save(dir.toString)
-    val ms = metrics.map { case (k, v) => s""""${esc(k)}": $v""" }.mkString("{", ", ", "}")
+    // NaN/Infinity are not valid JSON number literals — write null
+    val ms = metrics.map { case (k, v) =>
+      val jv = if (v.isNaN || v.isInfinity) "null" else v.toString
+      s""""${esc(k)}": $jv"""
+    }.mkString("{", ", ", "}")
     val line = s"""{"name": "${esc(name)}", "version": $version, "path": "${esc(dir.toString)}", "hash": "${artifactHash(dir)}", "metrics": $ms}"""
     Files.writeString(indexFile, line + "\n",
       java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)

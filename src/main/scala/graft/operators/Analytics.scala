@@ -181,20 +181,33 @@ object Analytics {
     * loadTimerange (a correlated subquery would not). */
   def recentWindow(rawEvents: DataFrame, hours: Int = 24): DataFrame = {
     val maxTs = rawEvents.agg(max(col("ts"))).collect()(0)
+    val empty = rawEvents.filter(lit(false))
     rawEvents.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
-        val cutoff = maxTs.getLong(0) - hours * 3600L * 1000000000L
-        rawEvents.filter(col("ts") >= cutoff)
-          .select(col("event_id"), col("user_id"),
+        if (maxTs.isNullAt(0))
+          empty.select(col("event_id"), col("user_id"),
             expr("ts div 1000000000").as("epoch_s"), col("event_type"), col("value"))
-          .orderBy("event_id")
+        else {
+          val cutoff = maxTs.getLong(0) - hours * 3600L * 1000000000L
+          rawEvents.filter(col("ts") >= cutoff)
+            .select(col("event_id"), col("user_id"),
+              expr("ts div 1000000000").as("epoch_s"), col("event_type"), col("value"))
+            .orderBy("event_id")
+        }
       case _ =>
-        val cutoff = new java.sql.Timestamp(
-          maxTs.getTimestamp(0).getTime - hours * 3600L * 1000L)
-        rawEvents.filter(col("ts") >= lit(cutoff))
-          .select(col("event_id"), col("user_id"),
+        if (maxTs.isNullAt(0))
+          empty.select(col("event_id"), col("user_id"),
             epochS(col("ts")).as("epoch_s"), col("event_type"), col("value"))
-          .orderBy("event_id")
+        else {
+          // Instant arithmetic keeps sub-millisecond precision
+          // (Timestamp.getTime would truncate to ms and widen the window)
+          val cutoff = java.sql.Timestamp.from(
+            maxTs.getTimestamp(0).toInstant.minusSeconds(hours * 3600L))
+          rawEvents.filter(col("ts") >= lit(cutoff))
+            .select(col("event_id"), col("user_id"),
+              epochS(col("ts")).as("epoch_s"), col("event_type"), col("value"))
+            .orderBy("event_id")
+        }
     }
   }
 

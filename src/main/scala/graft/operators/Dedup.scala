@@ -47,6 +47,8 @@ object Dedup {
     * 64-bit minhashes is itself a strong filter. */
   def minhashPairs(docs: DataFrame, k: Int = 128, bands: Int = 16,
                    tau: Double = 0.8): DataFrame = {
+    require(bands > 0 && k % bands == 0,
+      s"bands ($bands) must evenly divide signature size ($k)")
     val rows = k / bands
     val sh = shingleHashes(docs).filter(size(col("sh")) > 0)
       .persist(StorageLevel.MEMORY_AND_DISK)

@@ -19,7 +19,9 @@ object Encoders {
     val classes = events.select(col(column)).where(col(column).isNotNull).distinct()
       .withColumn("type_code",
         (dense_rank().over(Window.orderBy(col(column))) - 1).cast("long"))
-    events.join(broadcast(classes), Seq(column))
+    // left join: a null category keeps its row with a null code
+    // (an inner join would silently drop those rows)
+    events.join(broadcast(classes), Seq(column), "left")
       .select(col("event_id"), col(column), col("type_code"))
       .orderBy("event_id")
   }

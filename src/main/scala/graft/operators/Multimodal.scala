@@ -117,10 +117,12 @@ object Multimodal {
     import frames.sparkSession.implicits._
     frames.map { f =>
       val n = f.pixels.length
+      // float elements: the ANN stack (Similarity via DotFD/RhpSig)
+      // consumes array<float> — a double array would be read wrongly
       val vec = Array.tabulate(dim) { d =>
         var acc = 0.0; var i = d
         while (i < n) { acc += (f.pixels(i) & 0xff); i += dim }
-        acc / ((n + dim - 1 - d) / dim).max(1)
+        (acc / ((n + dim - 1 - d) / dim).max(1)).toFloat
       }
       (f.media_id, f.frame_idx, vec)
     }.toDF("media_id", "frame_idx", "embedding")

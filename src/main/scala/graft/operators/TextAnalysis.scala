@@ -50,19 +50,20 @@ object TextAnalysis {
   def textQuality(docs: DataFrame): DataFrame = {
     val toks = tokens(col("text"))
     val nTok = size(toks).cast("double")
-    val nChars = length(col("text")).cast("double")
-    val stopList = stopwords.map(s => s"'$s'").mkString("(", ",", ")")
-    val nStop = size(expr(s"filter(split(regexp_replace(lower(trim(text)), '\\\\s+', ' '), ' '), t -> t IN $stopList)")).cast("double")
+    // greatest(…,1) guards empty text: Spark's non-ANSI x/0 is NULL but
+    // DuckDB's is NaN — the guard makes both engines emit 0 ratios
+    val nChars = greatest(length(col("text")).cast("double"), lit(1.0))
+    val nStop = size(filter(toks, t => t.isInCollection(stopwords))).cast("double")
     val nPunct = regexp_count(col("text"), lit("[^a-zA-Z0-9\\s]")).cast("double")
     val nUpper = regexp_count(col("text"), lit("[A-Z]")).cast("double")
-    val stopRatio = nStop / nTok
+    val stopRatio = nStop / greatest(nTok, lit(1.0))
     val punctRatio = nPunct / nChars
     val upperRatio = nUpper / nChars
     val score = least(nTok / 200d, lit(1.0)) * 0.5 +
       stopRatio * 0.25 + (lit(1.0) - punctRatio) * 0.25
     docs.select(
       col("doc_id"),
-      nChars.cast("long").as("n_chars_m"),
+      length(col("text")).cast("long").as("n_chars_m"),
       nTok.cast("long").as("n_tokens"),
       rnd(stopRatio, 4).as("stopword_ratio"),
       rnd(punctRatio, 4).as("punct_ratio"),
@@ -84,9 +85,8 @@ object TextAnalysis {
   def langId(docs: DataFrame): DataFrame = {
     val scored = langMarkers.foldLeft(docs.withColumn("toks", tokens(col("text")))) {
       case (df, (lang, words)) =>
-        val list = words.map(w => s"'$w'").mkString("(", ",", ")")
         df.withColumn(s"s_$lang",
-          size(expr(s"filter(toks, t -> t IN $list)")).cast("long"))
+          size(filter(col("toks"), t => t.isInCollection(words))).cast("long"))
     }
     val langs = langMarkers.map(_._1)
     val allZero = langs.map(l => col(s"s_$l") === 0).reduce(_ && _)

@@ -35,7 +35,8 @@ object Bucketed {
     spark.sql(s"DROP TABLE IF EXISTS $table")
     val warehouse = spark.conf.get("spark.sql.warehouse.dir")
       .stripPrefix("file:")
-    val loc = java.nio.file.Paths.get(warehouse, table)
+    // the catalog lowercases identifiers; the directory is lowercase too
+    val loc = java.nio.file.Paths.get(warehouse, table.toLowerCase)
     if (java.nio.file.Files.exists(loc)) {
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse

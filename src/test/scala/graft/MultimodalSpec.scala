@@ -49,10 +49,23 @@ class MultimodalSpec extends AnyFunSuite {
     resized.collect().foreach(f => assert(f.width == 8 && f.height == 8 && f.pixels.length == 64))
   }
 
-  test("feature extraction yields fixed-dim embeddings") {
+  test("feature extraction yields fixed-dim float embeddings") {
     val feats = Multimodal.features(Multimodal.resize(Multimodal.decode(media), 8, 8))
     val rows = feats.collect()
     assert(rows.nonEmpty)
-    rows.foreach(r => assert(r.getAs[scala.collection.Seq[Double]]("embedding").length == 16))
+    rows.foreach(r => assert(r.getAs[scala.collection.Seq[Float]]("embedding").length == 16))
+  }
+
+  test("media features compose with the ANN similarity stack") {
+    import graft.operators.Similarity
+    val feats = Multimodal.features(Multimodal.resize(Multimodal.decode(media), 8, 8))
+      .filter(col("frame_idx") === 0)
+      .select(col("media_id").as("vec_id"), col("embedding"))
+    val topk = Similarity.annTopK(feats, nQueries = 3, k = 3).collect()
+    assert(topk.nonEmpty)
+    topk.foreach { r =>
+      val c = r.getAs[Double]("cos")
+      assert(!c.isNaN && c >= -1.0001 && c <= 1.0001, s"cosine $c out of range")
+    }
   }
 }
