@@ -12,8 +12,13 @@ import org.apache.spark.sql.SparkSession
   * weather_collector.py stores ISO timestamps).
   */
 object GraftSession {
-  def builder(master: String = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]",
-              shufflePartitions: Int = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt)
+  /** Parallelism: SPARK_GRAFT_CPUS if set, else all cores. Shuffle
+    * partitions are sized to this (not the 200 default) so local runs
+    * don't fragment into hundreds of tiny tasks. */
+  def cpus: Int = sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
+    .getOrElse(Runtime.getRuntime.availableProcessors)
+  def builder(master: String = s"local[${GraftSession.cpus}]",
+              shufflePartitions: Int = GraftSession.cpus)
       : SparkSession.Builder =
     SparkSession.builder()
       .master(master)
