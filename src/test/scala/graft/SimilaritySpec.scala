@@ -57,6 +57,25 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall > 0.05, s"recall $recall suspiciously low")
   }
 
+  test("annIvf achieves nontrivial recall vs brute force") {
+    val brute = Similarity.annTopK(emb, nQueries = 20, k = 5).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("cand_id"))).toSet
+    val ivf = Similarity.annIvf(emb, nQueries = 20, k = 5).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("cand_id"))).toSet
+    assert(ivf.nonEmpty)
+    // every emitted pair is a true vector pair with exact cosine rank
+    // within its probed lists; recall vs global brute force must be
+    // well above the nProbe/nList=25% random-lists floor
+    val recall = brute.intersect(ivf).size.toDouble / brute.size
+    assert(recall > 0.3, s"recall $recall suspiciously low")
+  }
+
+  test("annIvf is deterministic across runs") {
+    val a = Similarity.annIvf(emb, nQueries = 5, k = 3).collect().toSeq
+    val b = Similarity.annIvf(emb, nQueries = 5, k = 3).collect().toSeq
+    assert(a == b)
+  }
+
   test("shingles produce n-grams of the right shape") {
     val sh = Dedup.shingles(docs, 3).select(explode(col("sh")).as("s"))
       .select(size(split(col("s"), " ")).as("n")).distinct().collect()
