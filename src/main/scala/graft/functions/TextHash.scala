@@ -107,6 +107,28 @@ object TextHash {
     acc
   }
 
+  /** Index of the nearest centroid by dot product (centroids are unit
+    * vectors, so argmax dot == argmax cosine; the query vector's own
+    * norm is a constant factor). Strict > keeps the lowest index on
+    * exact ties — deterministic. */
+  def ivfAssign(v: ArrayData, cents: Array[Array[Float]]): Int = {
+    var best = 0
+    var bestS = Double.NegativeInfinity
+    var c = 0
+    while (c < cents.length) {
+      val cv = cents(c)
+      var acc = 0.0
+      var i = 0
+      while (i < cv.length) {
+        acc += v.getFloat(i).toDouble * cv(i).toDouble
+        i += 1
+      }
+      if (acc > bestS) { bestS = acc; best = c }
+      c += 1
+    }
+    best
+  }
+
   /** Distinct hashed word n-gram shingles of a token array: the hash
     * is poly64 over the shingle's space-joined string form, computed
     * without materializing the string. Joining/intersecting on the

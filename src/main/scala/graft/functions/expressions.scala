@@ -111,6 +111,23 @@ case class MinHashSigL(child: Expression, k: Int)
     copy(child = newChild)
 }
 
+/** Nearest-centroid id of a float vector (IVF coarse quantizer).
+  * The unit-normalized centroid matrix rides along as a reference
+  * object inside generated code, so assignment is a pure map — no
+  * join, no shuffle — over the corpus. */
+case class IvfAssign(child: Expression, cents: Array[Array[Float]])
+    extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(input: Any): Any =
+    TextHash.ivfAssign(input.asInstanceOf[ArrayData], cents)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = ctx.addReferenceObj("ivfCents", cents, "float[][]")
+    defineCodeGen(ctx, ev, v => s"graft.functions.TextHash.ivfAssign($v, $c)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): IvfAssign =
+    copy(child = newChild)
+}
+
 /** Random-hyperplane LSH signature (int bucket) of a float vector. */
 case class RhpSig(child: Expression, nPlanes: Int, seed: Long)
     extends UnaryExpression {
@@ -133,6 +150,8 @@ object GraftFunctions {
   def rhpSig(vec: Column, nPlanes: Int, seed: Long): Column =
     Bridge.column(RhpSig(e(vec), nPlanes, seed))
   def dotFD(a: Column, b: Column): Column = Bridge.column(DotFD(e(a), e(b)))
+  def ivfAssign(vec: Column, cents: Array[Array[Float]]): Column =
+    Bridge.column(IvfAssign(e(vec), cents))
   def shingleHash64(tokens: Column, n: Int): Column =
     Bridge.column(ShingleHash64(e(tokens), n))
   def simhash64L(hashes: Column): Column = Bridge.column(SimHash64L(e(hashes)))

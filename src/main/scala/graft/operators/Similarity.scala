@@ -90,36 +90,28 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
-  /** cid + centroid array + its norm as a broadcastable frame. */
-  private def centroidDF(spark: SparkSession, cents: Seq[(Int, Array[Float])]): DataFrame = {
+  /** cid + centroid array (already unit norm) as a broadcastable frame. */
+  private def centroidDF(spark: SparkSession, cents: Array[Array[Float]]): DataFrame = {
     import spark.implicits._
-    cents.toDF("cid", "c").withColumn("cnrm", sqrt(dot(col("c"), col("c"))))
+    cents.toSeq.zipWithIndex.map { case (c, i) => (i, c) }.toDF("cid", "c")
   }
-
-  /** Nearest-centroid assignment. The cross join against the broadcast
-    * centroid frame expands map-side only: partial max_by collapses the
-    * nList copies of each row back to one before the exchange, so the
-    * shuffle carries n rows (vec_id, cid, v, nrm) — one shuffle per
-    * Lloyd iteration regardless of nList. */
-  private def assignAll(e: DataFrame, cdf: DataFrame): DataFrame =
-    e.crossJoin(broadcast(cdf))
-      .select(col("vec_id"), col("v"), col("nrm"), col("cid"),
-        (dot(col("v"), col("c")) / (col("nrm") * col("cnrm"))).as("ccos"))
-      .groupBy("vec_id")
-      .agg(max_by(col("cid"), struct(col("ccos"), -col("cid"))).as("cid"),
-        first(col("v")).as("v"), first(col("nrm")).as("nrm"))
 
   /** IVF ANN (the k-means counterpart to annLsh's hyperplane buckets):
     * a spherical k-means coarse quantizer of nList centroids is trained
-    * distributed (assignment + per-dimension mean are DataFrame aggs;
-    * only the nList×dim centroid matrix — KBs by design — ever lands on
-    * the driver, the standard IVF shape). Each vector then belongs to
-    * one inverted list; a query scores only the vectors in its nProbe
-    * closest lists. The candidate join hash-partitions on the list id,
-    * so at 100 TB each list is a co-located slice and the pair space is
-    * ~nProbe/nList of brute force; train the quantizer on a sample
-    * there rather than the full corpus. Deterministic end-to-end:
-    * seeded xxhash64 init, cosine ties broken by lowest cid. */
+    * distributed; only the nList×dim centroid matrix — KBs by design —
+    * ever lands on the driver, the standard IVF shape. Nearest-centroid
+    * assignment is the codegen'd [[graft.functions.TextHash.ivfAssign]]
+    * expression with the centroid matrix baked in, so both training
+    * assignment and the final inverted-list labeling are pure map-side
+    * work (no join, no shuffle); each Lloyd iteration shuffles only the
+    * tiny (cid, dim) partial sums, summed in DECIMAL so centroids are
+    * bit-identical regardless of partition order. A query then scores
+    * only the vectors in its nProbe closest lists; that candidate join
+    * hash-partitions on the list id, so at 100 TB each list is a
+    * co-located slice and the pair space is ~nProbe/nList of brute
+    * force (train the quantizer on a sample there rather than the full
+    * corpus). Deterministic end-to-end: seeded xxhash64 init, ties to
+    * the lowest cid. */
   def annIvf(embeddings: DataFrame, nQueries: Int = 20, k: Int = 5,
              nList: Int = 16, nProbe: Int = 4, iters: Int = 3,
              seed: Long = 42L): DataFrame = {
@@ -127,50 +119,79 @@ object Similarity {
     val e = withNorm(embeddings)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // init: nList seeded-hash-selected corpus vectors, unit direction
-    var cents: Seq[(Int, Array[Float])] = e.select(col("vec_id"), col("v"))
+    // The quantizer trains on a bounded seeded sample (~256 vectors per
+    // centroid — ample for a coarse quantizer) fetched by ONE
+    // distributed top-k-by-hash job; at dim 64 that's ~1 MB of driver
+    // memory regardless of corpus size, and Lloyd's over it is
+    // microseconds of driver CPU (the faiss shape: quantizer training
+    // is sample-sized by design). All corpus-sized work stays in the
+    // cluster — labeling is the codegen'd ivfAssign map, candidate
+    // scoring a broadcast join.
+    val sample: Array[Array[Float]] = e
       .withColumn("h", xxhash64(col("vec_id"), lit(seed)))
-      .orderBy("h", "vec_id").limit(nList).collect().toSeq
-      .zipWithIndex.map { case (r, i) => (i, r.getSeq[Float](1).toArray) }
-    val dim = cents.head._2.length
+      .orderBy("h", "vec_id").limit(nList * 256)
+      .select(col("v"), col("nrm")).collect()
+      .map { r =>
+        val n = r.getDouble(1)
+        r.getSeq[Float](0).map(x => (x / n).toFloat).toArray
+      }
+    val dim = sample.head.length
 
+    // init: first nList sample vectors (hash order = seeded random)
+    var cents: Array[Array[Float]] = sample.take(nList)
     for (_ <- 1 to iters) {
-      // spherical update: mean of member unit vectors, renormalized
-      val sums = assignAll(e, centroidDF(spark, cents))
-        .select(col("cid"), col("nrm"), posexplode(col("v")))
-        .groupBy("cid", "pos").agg(sum(col("col") / col("nrm")).as("s"))
-        .collect()
-      val byCid = sums.groupBy(_.getInt(0))
-      cents = cents.map { case (cid, old) =>
-        byCid.get(cid) match {
-          case None => (cid, old) // empty list keeps its centroid
-          case Some(rows) =>
-            val v = new Array[Double](dim)
-            rows.foreach(r => v(r.getInt(1)) = r.getDouble(2))
-            val n = math.sqrt(v.map(x => x * x).sum)
-            (cid, if (n == 0.0) old else v.map(x => (x / n).toFloat))
+      // spherical update: mean of member unit vectors, renormalized;
+      // assignment uses the same argmax-dot/ties-to-lowest rule as the
+      // distributed TextHash.ivfAssign kernel
+      val sums = Array.fill(nList)(new Array[Double](dim))
+      val cnt = new Array[Int](nList)
+      sample.foreach { v =>
+        var best = 0
+        var bs = Double.NegativeInfinity
+        var c = 0
+        while (c < nList) {
+          var acc = 0.0
+          var i = 0
+          while (i < dim) { acc += v(i).toDouble * cents(c)(i).toDouble; i += 1 }
+          if (acc > bs) { bs = acc; best = c }
+          c += 1
+        }
+        val s = sums(best)
+        var i = 0
+        while (i < dim) { s(i) += v(i).toDouble; i += 1 }
+        cnt(best) += 1
+      }
+      cents = cents.zipWithIndex.map { case (old, cid) =>
+        if (cnt(cid) == 0) old // empty list keeps its centroid
+        else {
+          val v = sums(cid)
+          val n = math.sqrt(v.map(x => x * x).sum)
+          if (n == 0.0) old else v.map(x => (x / n).toFloat)
         }
       }
     }
 
+    // final inverted-list labels: a pure map over the corpus
+    val assigned = e.withColumn("cid", GraftFunctions.ivfAssign(col("v"), cents))
     val cdf = centroidDF(spark, cents)
-    val assigned = assignAll(e, cdf)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // nProbe nearest lists per query vector (the query's own assigned
-    // list is irrelevant here — probing picks its lists fresh)
-    val q = assigned.filter(col("vec_id") < nQueries).drop("cid")
+    // nProbe nearest lists per query vector
+    val q = e.filter(col("vec_id") < nQueries)
     val pw = Window.partitionBy("query_id").orderBy(desc("ccos"), asc("cid"))
     val probed = q.crossJoin(broadcast(cdf))
       .select(col("vec_id").as("query_id"), col("cid"),
-        (dot(col("v"), col("c")) / (col("nrm") * col("cnrm"))).as("ccos"))
+        (dot(col("v"), col("c")) / col("nrm")).as("ccos")) // centroids are unit
       .withColumn("pr", row_number().over(pw))
       .filter(col("pr") <= nProbe)
       .select("query_id", "cid")
 
-    // exact cosine over the probed inverted lists only
-    val cand = q.as("a")
-      .join(broadcast(probed.as("p")), col("a.vec_id") === col("p.query_id"))
+    // exact cosine over the probed inverted lists only. The (query ×
+    // probe) side is tiny by construction (nQueries × nProbe rows) and
+    // is broadcast, so the corpus-sized inverted-list table streams
+    // through a broadcast hash join on cid — it is never shuffled.
+    val qp = q.as("a")
+      .join(probed.as("p"), col("a.vec_id") === col("p.query_id"))
+    val cand = broadcast(qp)
       .join(assigned.as("b"),
         col("p.cid") === col("b.cid") && col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("cand_id"),
