@@ -64,6 +64,7 @@ object SparkEntry {
     "q_will_rain"       -> ((s, d) => TimeSeries.willRain(ev(s, d))),
     "q_daily_range"     -> ((s, d) => TimeSeries.dailyRange(ev(s, d))),
     "q_sessionize"      -> ((s, d) => TimeSeries.sessionize(ev(s, d))),
+    "q_asof_join"       -> ((s, d) => TimeSeries.asofJoin(ev(s, d))),
     "q_quantiles"       -> ((s, d) => TimeSeries.quantiles(ev(s, d))),
     // C. missing values / encoding / scaling
     "q_ffill"          -> ((s, d) => MissingValues.ffill(MissingValues.maskedView(ev(s, d)))),
@@ -393,6 +394,27 @@ object SparkEntry {
         |FROM sess
         |GROUP BY user_id, session_idx
         |ORDER BY user_id, session_idx""".stripMargin,
+    "q_asof_join" ->
+      """WITH tagged AS (
+        |  SELECT event_id, user_id, ts, value,
+        |         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_state
+        |  FROM events
+        |), merged AS (
+        |  SELECT event_id, user_id, ts, value, is_state,
+        |         last_value(CASE WHEN is_state = 1 THEN value END IGNORE NULLS)
+        |           OVER (PARTITION BY user_id ORDER BY ts, is_state DESC, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_value,
+        |         last_value(CASE WHEN is_state = 1 THEN CAST(floor(epoch(ts)) AS BIGINT) END IGNORE NULLS)
+        |           OVER (PARTITION BY user_id ORDER BY ts, is_state DESC, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_ts_s
+        |  FROM tagged
+        |)
+        |SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, value,
+        |       asof_value, asof_ts_s,
+        |       CAST(floor(epoch(ts)) AS BIGINT) - asof_ts_s AS asof_age_s
+        |FROM merged
+        |WHERE is_state = 0
+        |ORDER BY event_id""".stripMargin,
     "q_quantiles" ->
       """SELECT 0.25 AS quantile, round(quantile_cont(value, 0.25) + 1e-9, 4) AS value_q FROM events
         |UNION ALL

@@ -222,6 +222,34 @@ object TimeSeries {
       .orderBy("user_id", "session_idx")
   }
 
+  /** As-of join: each fact event carries the most recent state event
+    * (here: the user's latest 'purchase') with state.ts <= fact.ts —
+    * the dashboard's "latest reading at time t" generalized to every
+    * row (dashboard.py:163,292 latest-per-city analog). Realized as a
+    * union-merge: tag both streams, sort once per entity (states
+    * before facts on ts ties, ASOF >= semantics; event_id breaks
+    * exact-duplicate state ties deterministically), and carry the
+    * state forward with last(ignoreNulls). ONE shuffle on the entity
+    * key and a local sort — no range join, no per-row probe; at 100 TB
+    * this is the only as-of formulation that stays linear. */
+  def asofJoin(events: DataFrame, stateType: String = "purchase"): DataFrame = {
+    val epoch = col("ts").cast("long")
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("is_state").desc, col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    events
+      .withColumn("is_state", (col("event_type") === stateType).cast("int"))
+      .withColumn("asof_value",
+        last(when(col("is_state") === 1, col("value")), ignoreNulls = true).over(w))
+      .withColumn("asof_ts_s",
+        last(when(col("is_state") === 1, epoch), ignoreNulls = true).over(w))
+      .filter(col("is_state") === 0)
+      .select(col("event_id"), col("user_id"), epoch.as("ts_s"), col("value"),
+        col("asof_value"), col("asof_ts_s"),
+        (epoch - col("asof_ts_s")).as("asof_age_s"))
+      .orderBy("event_id")
+  }
+
   /** Exact interpolated quantiles of the measure (dashboard
     * distribution percentiles). NOTE: exact percentile requires a full
     * sort of the column — at 100 TB use percentile_approx (t-digest,

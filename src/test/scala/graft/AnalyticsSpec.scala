@@ -46,6 +46,17 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(row.getAs[Long]("n_entities") == 15L)
   }
 
+  test("asof join attaches only past-or-present state") {
+    val rows = SparkEntry.queries("q_asof_join")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      if (!r.isNullAt(r.fieldIndex("asof_ts_s"))) {
+        assert(r.getAs[Long]("asof_ts_s") <= r.getAs[Long]("ts_s"))
+        assert(r.getAs[Long]("asof_age_s") >= 0L)
+      } else assert(r.isNullAt(r.fieldIndex("asof_value")))
+    }
+  }
+
   test("dedup_key is idempotent") {
     import graft.operators.Analytics
     import graft.sources.Tables

@@ -48,6 +48,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!scan.contains("event_type"), s"lag features must not read event_type: $scan")
   }
 
+  test("asof join is one hash shuffle (union-merge window, no range join)") {
+    val p = planOf("q_asof_join")
+    assert(p.split("Exchange hashpartitioning").length - 1 == 1,
+      s"expected exactly one hash Exchange:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+  }
+
   test("partitioned lake writes create prunable directories") {
     val out = java.nio.file.Files.createTempDirectory("graft-lake").toString
     val ev = Tables.events(spark, sfDir)
