@@ -65,6 +65,7 @@ object SparkEntry {
     "q_daily_range"     -> ((s, d) => TimeSeries.dailyRange(ev(s, d))),
     "q_sessionize"      -> ((s, d) => TimeSeries.sessionize(ev(s, d))),
     "q_asof_join"       -> ((s, d) => TimeSeries.asofJoin(ev(s, d))),
+    "q_range_join"      -> ((s, d) => TimeSeries.rangeJoin(ev(s, d))),
     "q_quantiles"       -> ((s, d) => TimeSeries.quantiles(ev(s, d))),
     // C. missing values / encoding / scaling
     "q_ffill"          -> ((s, d) => MissingValues.ffill(MissingValues.maskedView(ev(s, d)))),
@@ -415,6 +416,21 @@ object SparkEntry {
         |FROM merged
         |WHERE is_state = 0
         |ORDER BY event_id""".stripMargin,
+    "q_range_join" ->
+      """WITH inc AS (
+        |  SELECT event_id AS incident_id, CAST(floor(epoch(ts)) AS BIGINT) AS start_s
+        |  FROM events WHERE event_type = 'error'
+        |)
+        |SELECT i.incident_id, i.start_s,
+        |       count(*) AS n_events,
+        |       count(DISTINCT e.user_id) AS n_users,
+        |       round(max(e.value) + 1e-9, 4) AS max_value
+        |FROM inc i
+        |JOIN events e
+        |  ON CAST(floor(epoch(e.ts)) AS BIGINT) >= i.start_s
+        | AND CAST(floor(epoch(e.ts)) AS BIGINT) < i.start_s + 1800
+        |GROUP BY i.incident_id, i.start_s
+        |ORDER BY i.incident_id""".stripMargin,
     "q_quantiles" ->
       """SELECT 0.25 AS quantile, round(quantile_cont(value, 0.25) + 1e-9, 4) AS value_q FROM events
         |UNION ALL

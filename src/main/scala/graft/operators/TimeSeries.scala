@@ -250,6 +250,36 @@ object TimeSeries {
       .orderBy("event_id")
   }
 
+  /** Range (interval) join: 'error' events open an incident window
+    * [ts, ts+W) and every event — any entity — inside the window is
+    * aggregated per incident (the alerting analog of the collector's
+    * error handling, weather_collector.py:219-253). A naive non-equi
+    * join is O(incidents × events); instead both sides map to
+    * fixed-width time buckets (a window of width W overlaps at most 2
+    * buckets of width W) and join on the bucket as a plain equi-join
+    * with a residual range filter — linear shuffle volume, AQE-salted
+    * if a hot bucket skews at 100 TB. */
+  def rangeJoin(events: DataFrame, windowSeconds: Long = 1800): DataFrame = {
+    val W = windowSeconds
+    val epoch = col("ts").cast("long")
+    val incidents = events.filter(col("event_type") === "error")
+      .select(col("event_id").as("incident_id"), epoch.as("start_s"))
+      .withColumn("bucket",
+        explode(expr(s"sequence(start_s div ${W}L, (start_s + ${W - 1}L) div ${W}L)")))
+    val facts = events
+      .select(col("user_id"), col("value"), epoch.as("ts_s"))
+      .withColumn("bucket", expr(s"ts_s div ${W}L"))
+    incidents.join(facts,
+        incidents("bucket") === facts("bucket") &&
+          col("ts_s") >= col("start_s") && col("ts_s") < col("start_s") + W)
+      .groupBy("incident_id", "start_s")
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        rnd(max(col("value")), 4).as("max_value"))
+      .orderBy("incident_id")
+  }
+
   /** Exact interpolated quantiles of the measure (dashboard
     * distribution percentiles). NOTE: exact percentile requires a full
     * sort of the column — at 100 TB use percentile_approx (t-digest,
