@@ -78,6 +78,33 @@ object EventsStream {
   def enrich(stream: DataFrame, dim: DataFrame, key: String = "user_id"): DataFrame =
     stream.join(broadcast(dim), Seq(key), "left")
 
+  /** Watermarked stream-stream interval join — click→purchase
+    * attribution: each purchase matches clicks of the same user at most
+    * `horizon` before it. Both sides are watermarked and the join
+    * condition bounds event-time distance, so Spark can evict join
+    * state once the watermark passes — state stays O(horizon × rate)
+    * per entity partition no matter how long the job runs. The join
+    * hash-partitions both streams on user_id (the same entity key every
+    * batch operator shuffles on). */
+  def attributionJoin(clicks: DataFrame, purchases: DataFrame,
+                      horizon: String = "1 hour",
+                      watermark: String = "2 hours"): DataFrame = {
+    val c = clicks
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    val p = purchases
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("purchase_user"), col("ts").as("purchase_ts"),
+        col("value").as("purchase_value"))
+      .withWatermark("purchase_ts", watermark)
+    c.join(p,
+      col("user_id") === col("purchase_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $horizon"))
+      .drop("purchase_user")
+  }
+
   /** Running per-entity stats via typed keyed state
     * (flatMapGroupsWithState) — the PerformanceTracker/APIMetrics
     * counters as distributed state. Emits updated stats per batch. */

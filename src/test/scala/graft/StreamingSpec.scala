@@ -95,6 +95,30 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream attribution join matches within horizon only") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[EventRow]
+    val purchases = MemoryStream[EventRow]
+    val q = EventsStream.attributionJoin(clicks.toDF(), purchases.toDF())
+      .writeStream.format("memory").queryName("attr").outputMode("append").start()
+    try {
+      clicks.addData(
+        EventRow(1, ts(10), 1, "click", 0.0),
+        EventRow(2, ts(10), 2, "click", 0.0))
+      purchases.addData(
+        EventRow(100, ts(40), 1, "purchase", 9.99),  // 30 min after → match
+        EventRow(101, ts(200), 2, "purchase", 5.0),  // >1h after → no match
+        EventRow(102, ts(5), 1, "purchase", 1.0))    // before click → no match
+      q.processAllAvailable()
+      val rows = spark.table("attr").collect()
+      assert(rows.length == 1)
+      assert(rows.head.getAs[Long]("click_id") == 1L)
+      assert(rows.head.getAs[Long]("purchase_id") == 100L)
+      assert(rows.head.getAs[Double]("purchase_value") == 9.99)
+    } finally q.stop()
+  }
+
   test("file-source stream reads the events table end-to-end") {
     val stream = EventsStream.readEvents(spark, sfDir)
     assert(stream.isStreaming)
