@@ -1,0 +1,138 @@
+#!/usr/bin/env python3
+"""Single-node pandas baseline for BASELINE.md.
+
+Re-creates the reference pipeline's core operations
+(Cabe22/weather-data-pipeline src/data_processing/data_processor.py,
+dashboard.py) with the same pandas idioms the reference uses
+(groupby().shift(), rolling(), drop_duplicates(), describe-style aggs),
+over the SAME test tables graft's Bench reads, so the two engines'
+wall-clock is directly comparable at equal scale factor.
+
+Usage: python3 tools/baseline_pandas.py [sf_dir]
+Prints one JSON line: {"queries": {name: sec}, "total": sec, "sf": dir}
+"""
+import json
+import sys
+import time
+
+import numpy as np
+import pandas as pd
+
+
+def load_events(sf_dir):
+    df = pd.read_parquet(f"{sf_dir}/events.parquet")
+    df["ts"] = pd.to_datetime(df["ts"])
+    return df.sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
+
+
+def feature_pipeline(df):
+    # data_processor.py:55-118,151,246-261 — time + cyclical + lag +
+    # rolling + diff + lead target, per entity (city≈user_id)
+    out = df[["event_id", "user_id", "value"]].copy()
+    h = df["ts"].dt.hour
+    out["hour"] = h
+    out["day_of_week"] = df["ts"].dt.dayofweek
+    out["hour_sin"] = np.sin(2 * np.pi * h / 24)
+    out["hour_cos"] = np.cos(2 * np.pi * h / 24)
+    g = df.groupby("user_id")["value"]
+    out["value_lag_1"] = g.shift(1)
+    out["value_lag_24"] = g.shift(24)
+    out["rolling_mean_24"] = g.rolling(24, min_periods=1).mean().reset_index(level=0, drop=True)
+    out["rolling_std_24"] = g.rolling(24, min_periods=2).std().reset_index(level=0, drop=True)
+    out["value_change"] = g.diff()
+    future = g.shift(-24)
+    out["value_future"] = future
+    change = future - df["value"]
+    out["change_category"] = pd.cut(change, bins=[-np.inf, -2, 2, np.inf],
+                                    labels=["Decrease", "Stable", "Increase"])
+    return out
+
+
+def dedup_key(df):
+    # weather_collector.py INSERT-dedup on (city, timestamp)
+    return df.drop_duplicates(subset=["user_id", "ts"], keep="first")
+
+
+def metrics(df):
+    # dashboard.py:160-176 key metrics
+    return {
+        "avg": df["value"].mean(), "max": df["value"].max(),
+        "min": df["value"].min(), "n": len(df),
+        "entities": df["user_id"].nunique(), "latest": df["ts"].max(),
+    }
+
+
+def latest_per_key(df):
+    # dashboard.py:163,292 latest row per city
+    return df.loc[df.groupby("user_id")["ts"].idxmax()]
+
+
+def corr_matrix(df):
+    # dashboard.py:178-207 correlation matrix over engineered measures
+    w = pd.DataFrame({
+        "temperature": df["value"],
+        "humidity": df["props"].str.extract(r'"k":\s*([0-9.+-eE]+)')[0].astype(float),
+        "wind_speed": (df["event_id"] % 30).astype(float) + 0.5,
+    })
+    return w.corr()
+
+
+def group_compare(df):
+    # dashboard.py:233-280 per-city means
+    return df.groupby("user_id")["value"].agg(["mean", "min", "max", "count"])
+
+
+def standard_scale(df):
+    # data_processor.py:228-244 StandardScaler parity (population std)
+    v = df["value"]
+    return (v - v.mean()) / v.std(ddof=0)
+
+
+def interpolate(df):
+    # data_processor.py:186-190 linear interpolation per entity
+    masked = df["value"].where(df["event_id"] % 7 != 0)
+    return masked.groupby(df["user_id"]).transform(lambda s: s.interpolate())
+
+
+def dedup_exact_docs(sf_dir):
+    # exact text dedup on the documents corpus (normalized-text hash)
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    norm = docs["text"].str.lower().str.split().str.join(" ")
+    return docs.loc[norm.groupby(norm).head(1).index]
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    timings = {}
+
+    t0 = time.perf_counter()
+    df = load_events(sf_dir)
+    timings["load_sort"] = time.perf_counter() - t0
+
+    for name, fn in [
+        ("feature_pipeline", feature_pipeline),
+        ("dedup_key", dedup_key),
+        ("metrics", metrics),
+        ("latest_per_key", latest_per_key),
+        ("corr_matrix", corr_matrix),
+        ("group_compare", group_compare),
+        ("standard_scale", standard_scale),
+        ("interpolate", interpolate),
+    ]:
+        t0 = time.perf_counter()
+        fn(df)
+        timings[name] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    dedup_exact_docs(sf_dir)
+    timings["dedup_exact_docs"] = time.perf_counter() - t0
+
+    print(json.dumps({
+        "queries": {k: round(v, 4) for k, v in timings.items()},
+        "total": round(sum(timings.values()), 4),
+        "sf": sf_dir,
+    }))
+
+
+if __name__ == "__main__":
+    main()
