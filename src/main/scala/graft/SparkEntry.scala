@@ -86,6 +86,7 @@ object SparkEntry {
     "q_text_quality" -> ((s, d) => TextAnalysis.textQuality(Tables.documents(s, d))),
     "q_lang_id"      -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
     "q_fingerprint"  -> ((s, d) => TextAnalysis.fingerprint(Tables.documents(s, d))),
+    "q_pack_sequences" -> ((s, d) => TextAnalysis.packSequences(Tables.documents(s, d))),
     // H. near-dup + similarity
     "q_dedup_minhash" -> ((s, d) => Dedup.minhashPairs(Tables.documents(s, d))),
     "q_dedup_simhash" -> ((s, d) => Dedup.simhashPairs(Tables.documents(s, d))),
@@ -575,6 +576,21 @@ object SparkEntry {
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS content_hash,
         |       min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
+    "q_pack_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |         CAST(len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, source, n_tokens,
+        |         COALESCE(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        |  FROM t
+        |)
+        |SELECT doc_id, source, n_tokens,
+        |       cum_before // 2048 AS pack_id,
+        |       cum_before % 2048 AS start_offset
+        |FROM c ORDER BY source, doc_id""".stripMargin,
     "q_token_count" ->
       """WITH norm AS (
         |  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS ntext

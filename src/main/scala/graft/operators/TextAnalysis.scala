@@ -102,6 +102,30 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Sequence packing (training-batch assembly): documents concatenate
+    * in (source, doc_id) order and split into fixed token-budget
+    * training sequences — the GPT-style "concatenate and chunk"
+    * regime. A document's pack is where its first token lands
+    * (`cum_before div budget`), so assignment is a pure function of
+    * the per-source exclusive running token count: ONE window cumsum
+    * per source partition, the same single-shuffle entity-window shape
+    * as the time-series features. At 100 TB, `source` shards the
+    * corpus (packing order within a shard is what training needs —
+    * there is no global order to maintain). */
+  def packSequences(docs: DataFrame, budget: Long = 2048L): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    docs
+      .select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        expr(s"cum_before div ${budget}L").as("pack_id"),
+        expr(s"cum_before % ${budget}L").as("start_offset"))
+      .orderBy("source", "doc_id")
+  }
+
   /** Content fingerprint: 64-bit polynomial rolling hash of the
     * normalized text via the custom codegen'd Catalyst expression. */
   def fingerprint(docs: DataFrame): DataFrame =

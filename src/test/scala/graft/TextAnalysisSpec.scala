@@ -61,6 +61,21 @@ class TextAnalysisSpec extends AnyFunSuite {
     out.foreach(r => assert(valid(r.getAs[String]("lang_pred"))))
   }
 
+  test("packSequences fills packs contiguously within each source") {
+    val out = TextAnalysis.packSequences(docs, budget = 512L).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Long]("start_offset") >= 0L)
+      assert(r.getAs[Long]("start_offset") < 512L)
+    }
+    // pack ids are monotone non-decreasing in doc order per source
+    out.groupBy(_.getAs[String]("source")).values.foreach { rows =>
+      val packs = rows.sortBy(_.getAs[Long]("doc_id")).map(_.getAs[Long]("pack_id"))
+      assert(packs.sameElements(packs.sorted))
+      assert(packs.head == 0L)
+    }
+  }
+
   test("textQuality n_chars matches the table's n_chars column") {
     val joined = TextAnalysis.textQuality(docs)
       .join(docs.select("doc_id", "n_chars"), "doc_id")
