@@ -35,6 +35,18 @@ object Models {
     "mlp_analog" -> new FMRegressor()
       .setFactorSize(8).setStepSize(0.05).setMaxIter(50).setSeed(seed))
 
+  /** Per-feature importances of a fitted tree-ensemble model, paired
+    * with the feature names in vector order (weather_predictor.py's
+    * feature_importance storage). Empty for non-tree models — the
+    * reference stores importances only where the estimator has them. */
+  def featureImportance(model: PredictionModel[_, _],
+                        features: Seq[String]): Seq[(String, Double)] =
+    model match {
+      case m: RandomForestRegressionModel => features.zip(m.featureImportances.toArray)
+      case m: GBTRegressionModel          => features.zip(m.featureImportances.toArray)
+      case _                              => Seq.empty
+    }
+
   /** Train every regressor on `train`, score on `test` → (name, model,
     * metrics). */
   def trainAll(train: DataFrame, test: DataFrame, seed: Long = 42L)

@@ -26,6 +26,23 @@ object Encoders {
       .orderBy("event_id")
   }
 
+  /** LabelEncoder fit/transform split: classes learned from `fitOn`
+    * only; categories unseen at fit time encode as -1
+    * (test_data_processor.py test_unseen_category_returns_minus_one
+    * parity), null categories keep a null code. Same broadcast-mapping
+    * shape as [[labelEncode]]. */
+  def labelEncodeApply(fitOn: DataFrame, applyTo: DataFrame,
+                       column: String = "event_type"): DataFrame = {
+    val classes = fitOn.select(col(column)).where(col(column).isNotNull).distinct()
+      .withColumn("type_code",
+        (dense_rank().over(Window.orderBy(col(column))) - 1).cast("long"))
+    applyTo.join(broadcast(classes), Seq(column), "left")
+      .select(col("event_id"), col(column),
+        when(col(column).isNull, lit(null).cast("long"))
+          .otherwise(coalesce(col("type_code"), lit(-1L))).as("type_code"))
+      .orderBy("event_id")
+  }
+
   /** StandardScaler parity: (x - mean)/std with POPULATION std
     * (sklearn ddof=0). The stats are a single-row aggregate broadcast
     * back via cross join — never a window over all rows. Stats are

@@ -63,6 +63,18 @@ class MLSpec extends AnyFunSuite {
     r2.values.foreach(v => assert(v > 0.3, s"some model failed badly: $r2"))
   }
 
+  test("feature importances are a distribution over the feature names") {
+    val (train, _) = splitPair
+    val rf = Models.regressors().toMap.apply("random_forest")
+    val model = rf.fit(train).asInstanceOf[org.apache.spark.ml.PredictionModel[_, _]]
+    val imp = Models.featureImportance(model,
+      Seq("temperature", "humidity", "wind_speed"))
+    assert(imp.map(_._1) == Seq("temperature", "humidity", "wind_speed"))
+    assert(math.abs(imp.map(_._2).sum - 1.0) < 1e-6)
+    // label is a function of temperature+humidity; wind_speed is noise
+    assert(imp.toMap.apply("temperature") > imp.toMap.apply("wind_speed"))
+  }
+
   test("rain classifier achieves high AUC on a separable label") {
     val labeled = frame.withColumn("label",
       (col("temperature") + col("humidity") > 100).cast("double"))

@@ -60,6 +60,22 @@ class MissingValuesSpec extends AnyFunSuite {
     assert(codes.map(_.getLong(1)).sameElements(codes.indices.map(_.toLong)))
   }
 
+  test("labelEncodeApply maps unseen categories to -1 and nulls to null") {
+    val ev = Tables.events(spark, sfDir)
+    val fitOn = ev.filter(col("event_type") =!= "view") // 'view' unseen at fit
+    val applyTo = ev.withColumn("event_type",
+      when(col("event_id") % 97 === 0, lit(null).cast("string"))
+        .otherwise(col("event_type")))
+    val out = Encoders.labelEncodeApply(fitOn, applyTo).collect()
+    val byType = out.filter(r => !r.isNullAt(r.fieldIndex("event_type")))
+      .groupBy(_.getAs[String]("event_type"))
+    assert(byType("view").forall(_.getAs[Long]("type_code") == -1L))
+    byType.filterKeys(_ != "view").values.flatten
+      .foreach(r => assert(r.getAs[Long]("type_code") >= 0L))
+    out.filter(r => r.isNullAt(r.fieldIndex("event_type")))
+      .foreach(r => assert(r.isNullAt(r.fieldIndex("type_code"))))
+  }
+
   test("standardScale output has ~0 mean and ~1 std") {
     val ev = Tables.events(spark, sfDir)
     val r = Encoders.standardScale(ev)
