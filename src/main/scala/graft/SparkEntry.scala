@@ -95,6 +95,7 @@ object SparkEntry {
     "q_ann_topk"      -> ((s, d) => Similarity.annTopK(Tables.embeddings(s, d))),
     "q_ann_lsh"       -> ((s, d) => Similarity.annLsh(Tables.embeddings(s, d))),
     "q_ann_ivf"       -> ((s, d) => Similarity.annIvf(Tables.embeddings(s, d))),
+    "q_dedup_embed_lsh" -> ((s, d) => Similarity.embedDedupLsh(Tables.embeddings(s, d))),
     // F. ML feature preparation (columnar, oracle-checkable)
     "q_ml_feature_prep" -> ((s, d) => {
       val masked = MissingValues.maskedView(ev(s, d))

@@ -90,6 +90,34 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** The 100 TB form of [[embedDedup]]: candidate pairs are restricted
+    * to vectors sharing a multi-table random-hyperplane bucket, then
+    * verified with exact cosine — the O(n²) pair space shrinks to the
+    * per-bucket blocks, shuffling on (table, bucket) like annLsh. A
+    * high-cosine duplicate collides in some table with probability
+    * →1 as cos→1 (recall vs the exact operator is pinned in
+    * SimilaritySpec); raise `tables` to push recall at a given τ. */
+  def embedDedupLsh(embeddings: DataFrame, tau: Double = 0.4,
+                    nPlanes: Int = 6, tables: Int = 8,
+                    seed: Long = 42L): DataFrame = {
+    val e = embeddings
+      .select(Seq(col("vec_id"), col("embedding")) ++
+        (0 until tables).map(t =>
+          GraftFunctions.rhpSig(col("embedding"), nPlanes, seed + t).as(s"b$t")): _*)
+      .select(col("vec_id"), col("embedding").as("v"),
+        posexplode(array((0 until tables).map(t => col(s"b$t")): _*)))
+      .withColumnRenamed("pos", "table").withColumnRenamed("col", "bucket")
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    e.as("a").join(e.as("b"),
+        col("a.table") === col("b.table") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        round(cosine + lit(1e-9), 6).as("cos"))
+      .filter(col("cos") >= tau)
+      .distinct()
+      .orderBy("vec_a", "vec_b")
+  }
+
   /** cid + centroid array (already unit norm) as a broadcastable frame. */
   private def centroidDF(spark: SparkSession, cents: Array[Array[Float]]): DataFrame = {
     import spark.implicits._

@@ -36,7 +36,7 @@ class AnalyticsSpec extends AnyFunSuite {
     val unoracled = SparkEntry.queries.keySet.diff(SparkEntry.oracleSql.keySet)
     // rows-only queries are intentional; just keep the list visible
     assert(unoracled.subsetOf(Set("q_fingerprint", "q_dedup_minhash",
-      "q_dedup_simhash", "q_ann_lsh", "q_ann_ivf")),
+      "q_dedup_simhash", "q_ann_lsh", "q_ann_ivf", "q_dedup_embed_lsh")),
       s"unexpected rows-only queries: $unoracled")
   }
 

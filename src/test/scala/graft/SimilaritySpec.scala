@@ -57,6 +57,17 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall > 0.05, s"recall $recall suspiciously low")
   }
 
+  test("embedDedupLsh finds a sound subset of the exact pairs") {
+    val exact = Similarity.embedDedup(emb).collect()
+      .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
+    val lsh = Similarity.embedDedupLsh(emb).collect()
+      .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
+    assert(lsh.nonEmpty)
+    assert(lsh.subsetOf(exact), s"LSH emitted non-pairs: ${lsh.diff(exact).take(5)}")
+    val recall = exact.intersect(lsh).size.toDouble / exact.size
+    assert(recall > 0.2, s"recall $recall suspiciously low")
+  }
+
   test("annIvf achieves nontrivial recall vs brute force") {
     val brute = Similarity.annTopK(emb, nQueries = 20, k = 5).collect()
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("cand_id"))).toSet
