@@ -37,6 +37,8 @@ object SparkEntry {
     "q_json_ingest"    -> ((s, d) => Analytics.jsonIngest(ev(s, d))),
     "q_dedup_key"      -> ((s, d) => Analytics.dedupByKey(ev(s, d))),
     "q_ingest_metrics" -> ((s, d) => Analytics.ingestMetrics(ev(s, d))),
+    "q_distinct_sketch" -> ((s, d) =>
+      Analytics.distinctSketchRollup(Analytics.distinctSketchDaily(ev(s, d)))),
     "q_validate_ingest" -> ((s, d) => Analytics.validateIngest(ev(s, d))),
     "q_recent_window"  -> ((s, d) => {
       GraftSession.tune(s)

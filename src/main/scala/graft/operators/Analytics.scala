@@ -309,4 +309,26 @@ object Analytics {
         count(lit(1)).as("n_items"))
       .orderBy(desc("revenue"), asc("l_orderkey"))
       .limit(k)
+
+  /** Mergeable-sketch rollup (the 100 TB incremental-aggregation
+    * shape): per-(day, type) DataSketches HLL sketches of the distinct
+    * entity set, then a rollup that UNIONS the sketches per type —
+    * never re-reading the raw rows. At scale the daily layer is what a
+    * lake job materializes incrementally; any time-range distinct
+    * count is then a cheap union over sketch rows. Estimate accuracy
+    * vs exact distinct is pinned in AnalyticsSpec. */
+  def distinctSketchDaily(events: DataFrame): DataFrame =
+    events
+      .groupBy(to_date(col("ts")).cast("string").as("day"), col("event_type"))
+      .agg(hll_sketch_agg(col("user_id")).as("users_sketch"),
+        count(lit(1)).as("n_events"))
+
+  /** Roll the daily sketches up to per-type totals: union-merge the
+    * sketch column and estimate. */
+  def distinctSketchRollup(daily: DataFrame): DataFrame =
+    daily
+      .groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_union_agg(col("users_sketch"))).as("approx_users"),
+        sum("n_events").as("n_events"))
+      .orderBy("event_type")
 }

@@ -36,7 +36,8 @@ class AnalyticsSpec extends AnyFunSuite {
     val unoracled = SparkEntry.queries.keySet.diff(SparkEntry.oracleSql.keySet)
     // rows-only queries are intentional; just keep the list visible
     assert(unoracled.subsetOf(Set("q_fingerprint", "q_dedup_minhash",
-      "q_dedup_simhash", "q_ann_lsh", "q_ann_ivf", "q_dedup_embed_lsh")),
+      "q_dedup_simhash", "q_ann_lsh", "q_ann_ivf", "q_dedup_embed_lsh",
+      "q_distinct_sketch")),
       s"unexpected rows-only queries: $unoracled")
   }
 
@@ -44,6 +45,23 @@ class AnalyticsSpec extends AnyFunSuite {
     val row = SparkEntry.queries("q_metrics")(spark, sfDir).collect()(0)
     assert(row.getAs[Long]("n_records") == 1000L)
     assert(row.getAs[Long]("n_entities") == 15L)
+  }
+
+  test("sketch rollup estimates distinct users within HLL error") {
+    import graft.operators.Analytics
+    import graft.sources.Tables
+    import org.apache.spark.sql.functions.countDistinct
+    val ev = Tables.events(spark, sfDir)
+    val exact = ev.groupBy("event_type")
+      .agg(countDistinct("user_id").as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val est = Analytics.distinctSketchRollup(Analytics.distinctSketchDaily(ev))
+      .collect().map(r => r.getAs[String]("event_type") -> r.getAs[Long]("approx_users")).toMap
+    assert(est.keySet == exact.keySet)
+    est.foreach { case (t, e) =>
+      val x = exact(t).toDouble
+      assert(math.abs(e - x) / x < 0.05, s"$t: est $e vs exact $x")
+    }
   }
 
   test("asof join attaches only past-or-present state") {
