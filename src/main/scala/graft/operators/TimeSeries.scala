@@ -239,14 +239,18 @@ object TimeSeries {
       .rowsBetween(Window.unboundedPreceding, 0)
     events
       .withColumn("is_state", (col("event_type") === stateType).cast("int"))
-      .withColumn("asof_value",
-        last(when(col("is_state") === 1, col("value")), ignoreNulls = true).over(w))
-      .withColumn("asof_ts_s",
-        last(when(col("is_state") === 1, epoch), ignoreNulls = true).over(w))
+      // both carries in ONE projection so they share a single Window
+      // operator (an interposed Project would block CollapseWindow)
+      .select(col("event_id"), col("user_id"), col("is_state"),
+        epoch.as("ts_s"), col("value"),
+        last(when(col("is_state") === 1, col("value")), ignoreNulls = true)
+          .over(w).as("asof_value"),
+        last(when(col("is_state") === 1, epoch), ignoreNulls = true)
+          .over(w).as("asof_ts_s"))
       .filter(col("is_state") === 0)
-      .select(col("event_id"), col("user_id"), epoch.as("ts_s"), col("value"),
+      .select(col("event_id"), col("user_id"), col("ts_s"), col("value"),
         col("asof_value"), col("asof_ts_s"),
-        (epoch - col("asof_ts_s")).as("asof_age_s"))
+        (col("ts_s") - col("asof_ts_s")).as("asof_age_s"))
       .orderBy("event_id")
   }
 

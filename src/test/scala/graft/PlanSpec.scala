@@ -48,10 +48,11 @@ class PlanSpec extends AnyFunSuite {
     assert(!scan.contains("event_type"), s"lag features must not read event_type: $scan")
   }
 
-  test("asof join is one hash shuffle (union-merge window, no range join)") {
+  test("asof join is one hash shuffle and one Window (union-merge, no range join)") {
     val p = planOf("q_asof_join")
     assert(p.split("Exchange hashpartitioning").length - 1 == 1,
       s"expected exactly one hash Exchange:\n$p")
+    assert(p.split("Window \\[").length - 1 == 1, s"expected 1 Window operator:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
   }
 
