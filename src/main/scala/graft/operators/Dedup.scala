@@ -32,9 +32,12 @@ object Dedup {
         .otherwise(array().cast("array<string>")).as("sh"))
   }
 
-  /** Distinct hashed n-gram shingles (array<long>, codegen'd). */
+  /** Distinct hashed n-gram shingles (array<long>, codegen'd). The
+    * input spreads to full parallelism first — tokenization + hashing
+    * is the corpus-wide per-row kernel, and a single-partition small
+    * table would run it on one core. */
   def shingleHashes(docs: DataFrame, n: Int = 3): DataFrame =
-    docs.select(
+    spreadToCores(docs).select(
       col("doc_id"),
       GraftFunctions.shingleHash64(TextAnalysis.tokens(col("text")), n).as("sh"))
 

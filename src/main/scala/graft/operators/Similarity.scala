@@ -33,10 +33,17 @@ object Similarity {
   /** Embedding-cosine near-dup pairs: all (i<j) pairs with
     * cosine >= tau. Locally a broadcast nested-loop block join; at
     * scale the candidate space would be bucket-restricted first (see
-    * annLsh) — this operator is the exact reference semantics. */
+    * [[embedDedupLsh]]) — this operator is the exact reference
+    * semantics. The stream side is repartitioned to the full
+    * parallelism first: NLJ parallelism equals the stream side's
+    * partition count, and a small parquet file arrives as ONE
+    * partition, which would serialize the O(n²) scoring onto a single
+    * core. Catalyst pushes the `cos >= tau` filter into the join
+    * condition, so sub-threshold pairs are never materialized. */
   def embedDedup(embeddings: DataFrame, tau: Double = 0.4): DataFrame = {
     val e = withNorm(embeddings)
-    e.as("a").join(broadcast(e.as("b")), col("a.vec_id") < col("b.vec_id"))
+    spreadToCores(e).as("a")
+      .join(broadcast(e.as("b")), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         round(cosine + lit(1e-9), 6).as("cos"))
       .filter(col("cos") >= tau)

@@ -31,4 +31,16 @@ package object operators {
     * and rounding run on bit-identical doubles in both engines). */
   def decAvg(c: Column, scale: Int): Column =
     rnd(decSum(c) / count(c), scale)
+
+  /** Raise a frame to at least the cluster's default parallelism when
+    * it is under-partitioned (a small parquet table arrives as ONE
+    * partition, which serializes downstream per-row kernels and
+    * nested-loop scoring onto a single core). Never coalesces: a
+    * well-partitioned 100 TB input passes through untouched — the
+    * repartition only triggers in the small-input regime where its
+    * shuffle is trivially cheap. */
+  def spreadToCores(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+  }
 }
