@@ -112,6 +112,25 @@ class KernelPropertySpec extends AnyFunSuite {
     assert(nearHits >= 10, s"near-duplicate vectors should often share the bucket: $nearHits")
   }
 
+  test("ivfAssign picks the argmax-dot centroid with ties to lowest id") {
+    import spark.implicits._
+    val cents = Array.fill(8)(Array.fill(16)(rng.nextFloat() * 2 - 1))
+    val vecs = Seq.fill(100)(Array.fill(16)(rng.nextFloat() * 2 - 1)) ++
+      cents.take(2).map(_.clone).toSeq // exact centroid hits
+    val out = vecs.toDF("v")
+      .select(col("v"), ivfAssign(col("v"), cents).as("cid")).collect()
+    out.foreach { r =>
+      val v = r.getAs[scala.collection.Seq[Float]]("v")
+      val scores = cents.map { c =>
+        var acc = 0.0
+        v.indices.foreach(i => acc += v(i).toDouble * c(i).toDouble)
+        acc
+      }
+      val best = scores.indices.minBy(i => (-scores(i), i))
+      assert(r.getAs[Int]("cid") == best)
+    }
+  }
+
   test("dotFD equals a strict left-to-right reference sum") {
     import spark.implicits._
     val pairs = Seq.fill(100)((Array.fill(64)(rng.nextFloat() * 2 - 1),
