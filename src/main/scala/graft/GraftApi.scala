@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.ml.{FeaturePrep, Models, TemporalSplit}
+import graft.operators._
+import graft.sources.Tables
+
+/** Migration facade: the reference pipeline's public API, name for
+  * name, over the graft operators — a user of
+  * Cabe22/weather-data-pipeline can switch by swapping the class for
+  * this object and keeping their call sites.
+  *
+  * | reference | here |
+  * | WeatherDataProcessor.load_data(start, end)        | loadData |
+  * | WeatherDataProcessor.create_time_features         | createTimeFeatures |
+  * | WeatherDataProcessor.create_lag_features          | createLagFeatures (lags + rolling) |
+  * | WeatherDataProcessor.create_weather_indices       | createWeatherIndices |
+  * | WeatherDataProcessor.create_interaction_features  | createInteractionFeatures |
+  * | WeatherDataProcessor.create_target_variable       | createTargetVariable |
+  * | WeatherDataProcessor.handle_missing_values        | handleMissingValues |
+  * | WeatherDataProcessor.encode_categorical_variables | encodeCategorical |
+  * | WeatherDataProcessor.scale_features               | scaleFeatures |
+  * | WeatherDataProcessor.process_pipeline             | processPipeline |
+  * | WeatherDataProcessor.run_quality_checks           | runQualityChecks |
+  * | WeatherPredictor.prepare_features                 | prepareFeatures |
+  * | WeatherPredictor.train_temperature_models         | trainModels |
+  * | WeatherPredictor (temporal split / CV)            | temporalSplit / walkForward |
+  * | dashboard key metrics / latest per city           | keyMetrics / latestPerEntity |
+  */
+object GraftApi {
+
+  def loadData(spark: SparkSession, dir: String,
+               start: String, end: String): DataFrame =
+    Analytics.loadTimerange(Tables.eventsRaw(spark, dir), start, end)
+
+  def createTimeFeatures(events: DataFrame): DataFrame = TimeSeries.timeFeatures(events)
+  def createLagFeatures(events: DataFrame): DataFrame = TimeSeries.lagFeatures(events)
+  def createRollingStats(events: DataFrame): DataFrame = TimeSeries.rollingStats(events)
+  def createWeatherIndices(weather: DataFrame): DataFrame = TimeSeries.weatherIndices(weather)
+  def createInteractionFeatures(weather: DataFrame): DataFrame = TimeSeries.interactions(weather)
+  def createTargetVariable(events: DataFrame): DataFrame = TimeSeries.targets(events)
+  def processPipeline(events: DataFrame): DataFrame = TimeSeries.featurePipeline(events)
+
+  /** ffill(limit 3) like the reference's numeric path; see
+    * MissingValues for interpolation and categorical mode fill. */
+  def handleMissingValues(events: DataFrame): DataFrame = MissingValues.ffill(events)
+  def encodeCategorical(events: DataFrame): DataFrame = Encoders.labelEncode(events)
+  def scaleFeatures(events: DataFrame): DataFrame = Encoders.standardScale(events)
+
+  /** The reference's quality report sections as one keyed frame union
+    * is intentionally NOT provided — each check keeps its own schema
+    * (duplicates / missing profile / range / high-null), as in
+    * run_quality_checks' dict. */
+  def runQualityChecks(events: DataFrame, weather: DataFrame, masked: DataFrame)
+      : Map[String, DataFrame] = Map(
+    "duplicates"   -> Quality.duplicateKeys(events),
+    "missing_data" -> Quality.missingProfile(masked),
+    "range_check"  -> Quality.rangeCheck(weather),
+    "high_null"    -> Quality.highNullRows(masked))
+
+  def prepareFeatures(df: DataFrame, keyCols: Seq[String],
+                      featureCols: Seq[String]): DataFrame =
+    FeaturePrep.prepare(df, keyCols, featureCols)
+
+  def temporalSplit(df: DataFrame): (DataFrame, DataFrame) = TemporalSplit.split(df)
+  def walkForward(df: DataFrame, k: Int): Seq[(DataFrame, DataFrame)] =
+    TemporalSplit.walkForward(df, k = k)
+  def trainModels(train: DataFrame, test: DataFrame)
+      : Seq[(String, org.apache.spark.ml.PredictionModel[_, _], Map[String, Double])] =
+    Models.trainAll(train, test)
+
+  def keyMetrics(events: DataFrame): DataFrame = Analytics.metrics(events)
+  def latestPerEntity(events: DataFrame): DataFrame = Analytics.latestPerKey(events)
+}

@@ -17,6 +17,19 @@ import graft.sources.Tables
 class IntegrationSpec extends AnyFunSuite {
   import TestSession._
 
+  test("migration facade mirrors the reference API end-to-end") {
+    val ev = Tables.events(spark, sfDir)
+    val weather = TimeSeries.weatherView(ev)
+    val masked = graft.operators.MissingValues.maskedView(ev)
+    assert(GraftApi.processPipeline(ev).count() == ev.count())
+    assert(GraftApi.createTimeFeatures(ev).columns.contains("hour_sin"))
+    assert(GraftApi.encodeCategorical(ev).columns.contains("type_code"))
+    val checks = GraftApi.runQualityChecks(ev, weather, masked)
+    assert(checks.keySet == Set("duplicates", "missing_data", "range_check", "high_null"))
+    checks.values.foreach(df => assert(df.count() > 0))
+    assert(GraftApi.keyMetrics(ev).count() == 1)
+  }
+
   test("ingest -> features -> train -> predict -> registry round-trip") {
     // process: engineered features off the raw table (one Window op)
     val feats = TimeSeries.featurePipeline(Tables.events(spark, sfDir))
