@@ -31,7 +31,11 @@ object Bench {
     def time(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
-      ((System.nanoTime() - t0) / 1e9, ok)
+      val dt = (System.nanoTime() - t0) / 1e9
+      // drop operator-internal caches so no query's footprint leaks
+      // into the next measurement (the shared-session pollution fix)
+      graft.operators.Caches.releaseAll()
+      (dt, ok)
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val (cold, okCold) = time(fn)

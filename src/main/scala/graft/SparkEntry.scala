@@ -196,7 +196,7 @@ object SparkEntry {
     "q_ingest_metrics" ->
       """SELECT user_id,
         |       count(*) AS n_calls,
-        |       sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_failed,
+        |       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_failed,
         |       round(1.0 - sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) * 1.0 / count(*) + 1e-9, 4) AS success_rate,
         |       round(CAST(sum(CAST(CASE WHEN event_type <> 'error' THEN value END AS DECIMAL(38,6))) AS DOUBLE)
         |             / count(CASE WHEN event_type <> 'error' THEN value END) + 1e-9, 4) AS avg_response_time
@@ -388,7 +388,7 @@ object SparkEntry {
         |  FROM events
         |), sess AS (
         |  SELECT user_id, ep,
-        |         sum(is_new) OVER ($duckWindow ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        |         CAST(sum(is_new) OVER ($duckWindow ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
         |  FROM marked
         |)
         |SELECT user_id, session_idx,
@@ -512,7 +512,7 @@ object SparkEntry {
         |FROM events CROSS JOIN stats ORDER BY event_id""".stripMargin,
     "q_quality_dups" ->
       """SELECT count(*) AS n_dup_keys,
-        |       coalesce(sum(c - 1), 0) AS n_dup_rows
+        |       CAST(coalesce(sum(c - 1), 0) AS BIGINT) AS n_dup_rows
         |FROM (SELECT user_id, ts, count(*) AS c
         |      FROM events GROUP BY user_id, ts HAVING count(*) > 1)""".stripMargin,
     "q_quality_missing" ->
@@ -532,28 +532,28 @@ object SparkEntry {
     "q_quality_range" ->
       s"""$duckWeatherView
         |SELECT 'temperature' AS column_name,
-        |       sum(CASE WHEN temperature < -50 THEN 1 ELSE 0 END) AS n_below,
-        |       sum(CASE WHEN temperature > 60 THEN 1 ELSE 0 END) AS n_above
+        |       CAST(sum(CASE WHEN temperature < -50 THEN 1 ELSE 0 END) AS BIGINT) AS n_below,
+        |       CAST(sum(CASE WHEN temperature > 60 THEN 1 ELSE 0 END) AS BIGINT) AS n_above
         |FROM weather
         |UNION ALL
         |SELECT 'humidity',
-        |       sum(CASE WHEN humidity < 0 THEN 1 ELSE 0 END),
-        |       sum(CASE WHEN humidity > 100 THEN 1 ELSE 0 END)
+        |       CAST(sum(CASE WHEN humidity < 0 THEN 1 ELSE 0 END) AS BIGINT),
+        |       CAST(sum(CASE WHEN humidity > 100 THEN 1 ELSE 0 END) AS BIGINT)
         |FROM weather
         |UNION ALL
         |SELECT 'wind_speed',
-        |       sum(CASE WHEN wind_speed < 0 THEN 1 ELSE 0 END),
-        |       sum(CASE WHEN wind_speed > 150 THEN 1 ELSE 0 END)
+        |       CAST(sum(CASE WHEN wind_speed < 0 THEN 1 ELSE 0 END) AS BIGINT),
+        |       CAST(sum(CASE WHEN wind_speed > 150 THEN 1 ELSE 0 END) AS BIGINT)
         |FROM weather
         |ORDER BY column_name""".stripMargin,
     "q_quality_highnull" ->
       s"""$duckMasked
-        |SELECT sum(CASE WHEN
+        |SELECT CAST(sum(CASE WHEN
         |         (CASE WHEN event_type IS NULL THEN 1 ELSE 0 END
         |          + CASE WHEN value IS NULL THEN 1 ELSE 0 END
         |          + CASE WHEN humidity IS NULL THEN 1 ELSE 0 END
         |          + CASE WHEN wind_speed IS NULL THEN 1 ELSE 0 END) > 2
-        |       THEN 1 ELSE 0 END) AS n_high_null_rows
+        |       THEN 1 ELSE 0 END) AS BIGINT) AS n_high_null_rows
         |FROM masked""".stripMargin,
     "q_feature_stats" ->
       s"""$duckWeatherView
@@ -586,8 +586,8 @@ object SparkEntry {
         |  FROM documents
         |), c AS (
         |  SELECT doc_id, source, n_tokens,
-        |         COALESCE(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
-        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        |         CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
         |  FROM t
         |)
         |SELECT doc_id, source, n_tokens,

@@ -97,7 +97,9 @@ object TextHash {
     * the summation the DuckDB oracle's list_sum-over-list_transform
     * computes, so cross-engine doubles are bit-identical. */
   def dotFD(a: ArrayData, b: ArrayData): Double = {
-    val n = a.numElements()
+    // clamp to the shorter vector: a length mismatch must not read
+    // past the end of b (extra tail elements contribute nothing)
+    val n = math.min(a.numElements(), b.numElements())
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -136,7 +138,17 @@ object TextHash {
     * bucket-join dramatically cheaper; counts match the string form
     * modulo 64-bit collisions (~(n_shingles)²/2^65 ≈ 0). */
   def shingleHash64(tokens: ArrayData, n: Int): ArrayData = {
-    val m = tokens.numElements()
+    // compact away null tokens first (consistent with simhash64 /
+    // minhash, which skip nulls) — shingles form over the non-null
+    // subsequence instead of NPE-ing the whole stage
+    val m0 = tokens.numElements()
+    val toks = new Array[UTF8String](m0)
+    var m = 0
+    var t = 0
+    while (t < m0) {
+      if (!tokens.isNullAt(t)) { toks(m) = tokens.getUTF8String(t); m += 1 }
+      t += 1
+    }
     if (m < n) return ArrayData.toArrayData(Array.empty[Long])
     val seen = new java.util.HashSet[java.lang.Long]()
     val out = new Array[Long](m - n + 1)
@@ -147,7 +159,7 @@ object TextHash {
       var j = 0
       while (j < n) {
         if (j > 0) h = h * 31L + ' '.toLong
-        val b = tokens.getUTF8String(i + j).getBytes
+        val b = toks(i + j).getBytes
         var k = 0
         while (k < b.length) { h = h * 31L + (b(k) & 0xffL); k += 1 }
         j += 1

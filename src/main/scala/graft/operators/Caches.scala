@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.storage.StorageLevel
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Lifecycle registry for operator-internal persisted frames.
+  *
+  * Operators like [[Dedup.minhashPairs]] cache an intermediate (the
+  * shingle-hash frame) because it feeds two plan branches; the returned
+  * DataFrame is lazy, so the operator itself can never know when the
+  * caller's terminal action has run and the cache can be dropped. In a
+  * long-lived session (a bench loop, a notebook, a service) caches that
+  * are never released accumulate executor storage and GC pressure.
+  *
+  * Entry points therefore drain this registry after each query's
+  * terminal action ([[graft.Bench]], [[graft.Verify]], and
+  * `GraftApi.releaseCaches` for library users).
+  */
+object Caches {
+  private val live = ArrayBuffer.empty[DataFrame]
+
+  /** Persist `df` at `level` and track it for later release. */
+  def persistTracked(df: DataFrame,
+                     level: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame =
+    synchronized {
+      df.persist(level)
+      live += df
+      df
+    }
+
+  /** Unpersist every tracked frame (non-blocking) and clear the
+    * registry. Safe to call at any time: a plan that still references a
+    * released cache simply recomputes. */
+  def releaseAll(): Unit = synchronized {
+    live.foreach(df => try df.unpersist(blocking = false) catch { case _: Throwable => () })
+    live.clear()
+  }
+
+  /** Number of currently tracked cached frames (for tests). */
+  def trackedCount: Int = synchronized(live.size)
+}

@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 import graft.functions.GraftFunctions
 
@@ -53,8 +52,7 @@ object Dedup {
     require(bands > 0 && k % bands == 0,
       s"bands ($bands) must evenly divide signature size ($k)")
     val rows = k / bands
-    val sh = shingleHashes(docs).filter(size(col("sh")) > 0)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sh = Caches.persistTracked(shingleHashes(docs).filter(size(col("sh")) > 0))
     val sig = sh.select(col("doc_id"),
       GraftFunctions.minhashSigL(col("sh"), k).as("sig"))
     val banded = sig.select(
@@ -90,9 +88,9 @@ object Dedup {
     * chunk value), then exact hamming verify <= maxHamming. */
   def simhashPairs(docs: DataFrame, chunks: Int = 8, maxHamming: Int = 6): DataFrame = {
     val bits = 64 / chunks
-    val sig = shingleHashes(docs).filter(size(col("sh")) > 0)
-      .select(col("doc_id"), GraftFunctions.simhash64L(col("sh")).as("sim"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sig = Caches.persistTracked(
+      shingleHashes(docs).filter(size(col("sh")) > 0)
+        .select(col("doc_id"), GraftFunctions.simhash64L(col("sh")).as("sim")))
     val chunked = sig.select(
       col("doc_id"), col("sim"),
       posexplode(array((0 until chunks).map(c =>
@@ -118,8 +116,7 @@ object Dedup {
     * and |A∪B| from the per-doc set sizes. Mirrors the string-based
     * DuckDB oracle exactly (counts are hash-collision-free here). */
   def ngramJaccardPairs(docs: DataFrame, tau: Double = 0.5): DataFrame = {
-    val sh = shingleHashes(docs).filter(size(col("sh")) > 0)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sh = Caches.persistTracked(shingleHashes(docs).filter(size(col("sh")) > 0))
     val sizes = sh.select(col("doc_id"), size(col("sh")).as("n_sh"))
     val exploded = sh.select(col("doc_id"), explode(col("sh")).as("s"))
     val shared = exploded.as("a")

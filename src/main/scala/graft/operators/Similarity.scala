@@ -65,16 +65,25 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
-  /** LSH-bucketed ANN (the 100 TB path): multi-table random-hyperplane
-    * LSH — `tables` independent seeded signatures of `nPlanes` bits
-    * each; a candidate is any vector sharing ANY table's bucket with
-    * the query. Candidates are deduped, then exact-cosine top-k runs
-    * over that restricted set only. The bucket join is one hash
+  /** LSH-bucketed ANN (the 100 TB path): multi-table multi-probe
+    * random-hyperplane LSH — `tables` independent seeded signatures of
+    * `nPlanes` bits each; a candidate is any vector whose bucket in
+    * some table is within hamming distance `probeRadius` of the
+    * query's bucket in that table (multi-probe: a near neighbour that
+    * just misses the query's bucket almost always differs in ONE
+    * plane's sign, so probing the nPlanes hamming-1 neighbours buys
+    * most of the recall of 2^nPlanes more tables at zero index cost —
+    * only the tiny QUERY side fans out, the corpus index is built and
+    * shuffled once). Candidates are deduped, then exact-cosine top-k
+    * runs over that restricted set only. The bucket join is one hash
     * shuffle on (table, bucket); per-bucket lists are ~n/2^nPlanes of
-    * the corpus, and recall grows with `tables` (tested against
-    * annTopK in SimilaritySpec). */
+    * the corpus, and recall grows with `tables`/`probeRadius` (pinned
+    * >0.5 against annTopK in SimilaritySpec). */
   def annLsh(embeddings: DataFrame, nQueries: Int = 20, k: Int = 5,
-             nPlanes: Int = 6, tables: Int = 4, seed: Long = 42L): DataFrame = {
+             nPlanes: Int = 6, tables: Int = 4, probeRadius: Int = 1,
+             seed: Long = 42L): DataFrame = {
+    require(probeRadius >= 0 && probeRadius <= 1,
+      "probeRadius > 1 multiplies probe fan-out combinatorially; use more tables instead")
     val e = embeddings
       .select(Seq(col("vec_id"), col("embedding")) ++
         (0 until tables).map(t =>
@@ -83,10 +92,14 @@ object Similarity {
         posexplode(array((0 until tables).map(t => col(s"b$t")): _*)))
       .withColumnRenamed("pos", "table").withColumnRenamed("col", "bucket")
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    // query-side probe fan-out: own bucket + each single-bit flip
+    val probeCols = col("bucket") +: (if (probeRadius >= 1)
+      (0 until nPlanes).map(p => col("bucket").bitwiseXOR(lit(1 << p))) else Seq.empty)
     val q = e.filter(col("vec_id") < nQueries)
+      .withColumn("pbucket", explode(array(probeCols: _*)))
     val cand = q.as("a")
       .join(e.as("b"),
-        col("a.table") === col("b.table") && col("a.bucket") === col("b.bucket") &&
+        col("a.table") === col("b.table") && col("a.pbucket") === col("b.bucket") &&
           col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("cand_id"),
         round(cosine + lit(1e-9), 6).as("cos"))
@@ -151,8 +164,7 @@ object Similarity {
              nList: Int = 16, nProbe: Int = 4, iters: Int = 3,
              seed: Long = 42L): DataFrame = {
     val spark = embeddings.sparkSession
-    val e = withNorm(embeddings)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val e = Caches.persistTracked(withNorm(embeddings))
 
     // The quantizer trains on a bounded seeded sample (~256 vectors per
     // centroid — ample for a coarse quantizer) fetched by ONE
@@ -170,21 +182,27 @@ object Similarity {
         val n = r.getDouble(1)
         r.getSeq[Float](0).map(x => (x / n).toFloat).toArray
       }
+    require(sample.nonEmpty,
+      "annIvf: embeddings input is empty — nothing to train the coarse quantizer on")
     val dim = sample.head.length
+    // a tiny corpus can yield fewer sample vectors than requested
+    // inverted lists; train only as many centroids as there are
+    // distinct init vectors (faiss clamps the same way)
+    val nL = math.min(nList, sample.length)
 
-    // init: first nList sample vectors (hash order = seeded random)
-    var cents: Array[Array[Float]] = sample.take(nList)
+    // init: first nL sample vectors (hash order = seeded random)
+    var cents: Array[Array[Float]] = sample.take(nL)
     for (_ <- 1 to iters) {
       // spherical update: mean of member unit vectors, renormalized;
       // assignment uses the same argmax-dot/ties-to-lowest rule as the
       // distributed TextHash.ivfAssign kernel
-      val sums = Array.fill(nList)(new Array[Double](dim))
-      val cnt = new Array[Int](nList)
+      val sums = Array.fill(nL)(new Array[Double](dim))
+      val cnt = new Array[Int](nL)
       sample.foreach { v =>
         var best = 0
         var bs = Double.NegativeInfinity
         var c = 0
-        while (c < nList) {
+        while (c < nL) {
           var acc = 0.0
           var i = 0
           while (i < dim) { acc += v(i).toDouble * cents(c)(i).toDouble; i += 1 }

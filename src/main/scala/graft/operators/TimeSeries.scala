@@ -45,11 +45,13 @@ object TimeSeries {
     val m = month(col("ts"))
     events.select(
       col("event_id"),
-      h.as("hour"),
-      dow.as("day_of_week"),
-      m.as("month"),
-      quarter(col("ts")).as("quarter"),
-      dayofyear(col("ts")).as("day_of_year"),
+      // long, not int: DuckDB's hour()/isodow()/etc are BIGINT and the
+      // oracle hash compare is typed — emit the same width
+      h.cast("long").as("hour"),
+      dow.cast("long").as("day_of_week"),
+      m.cast("long").as("month"),
+      quarter(col("ts")).cast("long").as("quarter"),
+      dayofyear(col("ts")).cast("long").as("day_of_year"),
       round(sin(twoPi * h / 24), 6).as("hour_sin"),
       round(cos(twoPi * h / 24), 6).as("hour_cos"),
       round(sin(twoPi * m / 12), 6).as("month_sin"),
@@ -182,8 +184,8 @@ object TimeSeries {
     val change = future - col("value")
     events.select(
       col("event_id"), col("user_id"), col("value"),
-      h.as("hour"),
-      dow.as("day_of_week"),
+      h.cast("long").as("hour"),
+      dow.cast("long").as("day_of_week"),
       round(sin(twoPi * h / 24), 6).as("hour_sin"),
       round(cos(twoPi * h / 24), 6).as("hour_cos"),
       lag(col("value"), 1).over(w).as("value_lag_1"),

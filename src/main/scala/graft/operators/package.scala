@@ -38,9 +38,18 @@ package object operators {
     * nested-loop scoring onto a single core). Never coalesces: a
     * well-partitioned 100 TB input passes through untouched — the
     * repartition only triggers in the small-input regime where its
-    * shuffle is trivially cheap. */
+    * shuffle is trivially cheap.
+    *
+    * The small-vs-large decision is purely plan-side (optimizer
+    * statistics vs `files.maxPartitionBytes`, the same ratio the file
+    * scan uses to split partitions) — no `df.rdd` probe, which would
+    * force a second physical-plan materialization per call. */
   def spreadToCores(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val par = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+    val spark = df.sparkSession
+    val par = spark.sparkContext.defaultParallelism
+    val maxPartitionBytes = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      spark.conf.get("spark.sql.files.maxPartitionBytes", "128m"))
+    val estBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (estBytes < BigInt(par) * maxPartitionBytes) df.repartition(par) else df
   }
 }

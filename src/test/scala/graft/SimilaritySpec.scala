@@ -54,7 +54,10 @@ class SimilaritySpec extends AnyFunSuite {
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("cand_id"))).toSet
     assert(lsh.nonEmpty)
     val recall = brute.intersect(lsh).size.toDouble / brute.size
-    assert(recall > 0.05, s"recall $recall suspiciously low")
+    // a broken bucket join collapses recall to near zero; the default
+    // 6-plane x 4-table config empirically sits well above 0.5 on this
+    // corpus (mirrors the 0.2/0.3 bars of embedDedupLsh/annIvf)
+    assert(recall > 0.5, s"recall $recall below the 6x4-config floor")
   }
 
   test("embedDedupLsh finds a sound subset of the exact pairs") {
