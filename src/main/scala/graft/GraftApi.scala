@@ -2,7 +2,9 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ml.{FeaturePrep, Models, TemporalSplit}
+import org.apache.spark.ml.PipelineModel
+
+import graft.ml.{FeaturePrep, Inference, ModelRegistry, Models, TemporalSplit}
 import graft.operators._
 import graft.sources.Tables
 
@@ -48,16 +50,18 @@ object GraftApi {
   def encodeCategorical(events: DataFrame): DataFrame = Encoders.labelEncode(events)
   def scaleFeatures(events: DataFrame): DataFrame = Encoders.standardScale(events)
 
-  /** The reference's quality report sections as one keyed frame union
-    * is intentionally NOT provided — each check keeps its own schema
-    * (duplicates / missing profile / range / high-null), as in
-    * run_quality_checks' dict. */
+  /** run_quality_checks' dict shape: each check with its own schema. */
   def runQualityChecks(events: DataFrame, weather: DataFrame, masked: DataFrame)
       : Map[String, DataFrame] = Map(
     "duplicates"   -> Quality.duplicateKeys(events),
     "missing_data" -> Quality.missingProfile(masked),
     "range_check"  -> Quality.rangeCheck(weather),
     "high_null"    -> Quality.highNullRows(masked))
+
+  /** data_quality_report.py's combined report as ONE persistable
+    * long-format frame; write with [[graft.operators.Quality.writeReport]]. */
+  def qualityReport(events: DataFrame, weather: DataFrame, masked: DataFrame): DataFrame =
+    Quality.report(events, weather, masked)
 
   def prepareFeatures(df: DataFrame, keyCols: Seq[String],
                       featureCols: Seq[String]): DataFrame =
@@ -72,4 +76,34 @@ object GraftApi {
 
   def keyMetrics(events: DataFrame): DataFrame = Analytics.metrics(events)
   def latestPerEntity(events: DataFrame): DataFrame = Analytics.latestPerKey(events)
+
+  /** Train the scoring pipeline on the engineered features of `events`
+    * and register it as the next version of `name`
+    * (WeatherPredictor.train + save_models). Returns (version,
+    * test metrics). */
+  def trainAndRegister(events: DataFrame, registry: ModelRegistry,
+                       name: String = "temperature"): (Int, Map[String, Double]) = {
+    val engineered = TimeSeries.featurePipeline(events, passthrough = Seq("ts"))
+    val (model, metrics) = Inference.train(engineered)
+    (registry.register(name, model, metrics), metrics)
+  }
+
+  /** Batch inference (WeatherPredictor.predict +
+    * dashboard.predict_temperature): load the LATEST registered version
+    * of `name`, engineer features for the newest row of every entity,
+    * and emit (entity, current_value, predicted_value,
+    * predicted_change). The loaded PipelineModel carries the
+    * train-time scaler, so fresh rows are scaled exactly as the
+    * training data was. */
+  def predict(events: DataFrame, registry: ModelRegistry,
+              name: String = "temperature"): DataFrame = {
+    val engineered = TimeSeries.featurePipeline(events, passthrough = Seq("ts"))
+    val model = registry.load(name, PipelineModel)
+    Inference.predictLatest(engineered, model)
+  }
+
+  /** Release every operator-internal cache registered during query
+    * construction (see [[graft.operators.Caches]]) — call after the
+    * terminal action in long-lived sessions. */
+  def releaseCaches(): Unit = Caches.releaseAll()
 }

@@ -82,6 +82,10 @@ object SparkEntry {
     "q_quality_range"    -> ((s, d) => Quality.rangeCheck(TimeSeries.weatherView(ev(s, d)))),
     "q_quality_highnull" -> ((s, d) => Quality.highNullRows(MissingValues.maskedView(ev(s, d)))),
     "q_feature_stats"    -> ((s, d) => Quality.featureStats(TimeSeries.weatherView(ev(s, d)))),
+    "q_quality_report"   -> ((s, d) => {
+      val e = ev(s, d)
+      Quality.report(e, TimeSeries.weatherView(e), MissingValues.maskedView(e))
+    }),
     // H. text analysis + exact dedup
     "q_dedup_exact"  -> ((s, d) => TextAnalysis.dedupExact(Tables.documents(s, d))),
     "q_token_count"  -> ((s, d) => TextAnalysis.tokenCount(Tables.documents(s, d))),
@@ -555,6 +559,64 @@ object SparkEntry {
         |          + CASE WHEN wind_speed IS NULL THEN 1 ELSE 0 END) > 2
         |       THEN 1 ELSE 0 END) AS BIGINT) AS n_high_null_rows
         |FROM masked""".stripMargin,
+    "q_quality_report" ->
+      s"""$duckMasked,
+        |weather AS (
+        |  SELECT event_id, user_id, ts,
+        |         value AS temperature,
+        |         CAST(json_extract_string(props, '$$.k') AS DOUBLE) AS humidity,
+        |         CAST(event_id % 30 AS DOUBLE) + 0.5 AS wind_speed
+        |  FROM events
+        |),
+        |ov AS (
+        |  SELECT count(*) AS n_records, count(DISTINCT user_id) AS n_entities,
+        |         min(CAST(floor(epoch(ts)) AS BIGINT)) AS min_ts_s,
+        |         max(CAST(floor(epoch(ts)) AS BIGINT)) AS max_ts_s
+        |  FROM events
+        |),
+        |dup AS (
+        |  SELECT count(*) AS n_dup_keys, coalesce(sum(c - 1), 0) AS n_dup_rows
+        |  FROM (SELECT user_id, ts, count(*) AS c
+        |        FROM events GROUP BY user_id, ts HAVING count(*) > 1)
+        |),
+        |mp AS (
+        |  SELECT 'event_type' AS column_name, count(*) - count(event_type) AS n_null, count(*) AS n_total FROM masked
+        |  UNION ALL SELECT 'value', count(*) - count(value), count(*) FROM masked
+        |  UNION ALL SELECT 'humidity', count(*) - count(humidity), count(*) FROM masked
+        |  UNION ALL SELECT 'wind_speed', count(*) - count(wind_speed), count(*) FROM masked
+        |),
+        |rc AS (
+        |  SELECT 'temperature' AS column_name,
+        |         sum(CASE WHEN temperature < -50 THEN 1 ELSE 0 END) AS n_below,
+        |         sum(CASE WHEN temperature > 60 THEN 1 ELSE 0 END) AS n_above FROM weather
+        |  UNION ALL SELECT 'humidity',
+        |         sum(CASE WHEN humidity < 0 THEN 1 ELSE 0 END),
+        |         sum(CASE WHEN humidity > 100 THEN 1 ELSE 0 END) FROM weather
+        |  UNION ALL SELECT 'wind_speed',
+        |         sum(CASE WHEN wind_speed < 0 THEN 1 ELSE 0 END),
+        |         sum(CASE WHEN wind_speed > 150 THEN 1 ELSE 0 END) FROM weather
+        |),
+        |hn AS (
+        |  SELECT sum(CASE WHEN
+        |           (CASE WHEN event_type IS NULL THEN 1 ELSE 0 END
+        |            + CASE WHEN value IS NULL THEN 1 ELSE 0 END
+        |            + CASE WHEN humidity IS NULL THEN 1 ELSE 0 END
+        |            + CASE WHEN wind_speed IS NULL THEN 1 ELSE 0 END) > 2
+        |         THEN 1 ELSE 0 END) AS n_high_null_rows
+        |  FROM masked
+        |)
+        |SELECT 'overview' AS check_name, 'dataset' AS item, 'n_records' AS metric, CAST(n_records AS DOUBLE) AS value FROM ov
+        |UNION ALL SELECT 'overview', 'dataset', 'n_entities', CAST(n_entities AS DOUBLE) FROM ov
+        |UNION ALL SELECT 'overview', 'dataset', 'min_ts_s', CAST(min_ts_s AS DOUBLE) FROM ov
+        |UNION ALL SELECT 'overview', 'dataset', 'max_ts_s', CAST(max_ts_s AS DOUBLE) FROM ov
+        |UNION ALL SELECT 'duplicates', 'user_id,ts', 'n_dup_keys', CAST(n_dup_keys AS DOUBLE) FROM dup
+        |UNION ALL SELECT 'duplicates', 'user_id,ts', 'n_dup_rows', CAST(n_dup_rows AS DOUBLE) FROM dup
+        |UNION ALL SELECT 'missing', column_name, 'n_null', CAST(n_null AS DOUBLE) FROM mp
+        |UNION ALL SELECT 'missing', column_name, 'pct_null', round(n_null * 1.0 / n_total + 1e-9, 4) FROM mp
+        |UNION ALL SELECT 'range', column_name, 'n_above', CAST(n_above AS DOUBLE) FROM rc
+        |UNION ALL SELECT 'range', column_name, 'n_below', CAST(n_below AS DOUBLE) FROM rc
+        |UNION ALL SELECT 'high_null', 'row', 'n_high_null_rows', CAST(n_high_null_rows AS DOUBLE) FROM hn
+        |ORDER BY check_name, item, metric""".stripMargin,
     "q_feature_stats" ->
       s"""$duckWeatherView
         |SELECT 'humidity' AS feature,

@@ -1,0 +1,102 @@
+package graft.ml
+
+import org.apache.spark.ml.{Pipeline, PipelineModel}
+import org.apache.spark.ml.feature.{StandardScaler, VectorAssembler}
+import org.apache.spark.ml.regression.RandomForestRegressor
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Batch inference — Spark realization of the reference's
+  * load-latest-model → engineer-features → emit-predictions chain
+  * (weather_predictor.py:495-508 predict, dashboard.py:282-310
+  * predict_temperature / engineer_features_for_prediction).
+  *
+  * The reference applies the TRAIN-time scaler to fresh rows
+  * (`self.scaler.transform`, never refit). Here that contract is
+  * carried by making scaling a stage of the persisted artifact: the
+  * registered model is a `PipelineModel` of
+  * VectorAssembler → StandardScaler → RandomForestRegressor, so
+  * `ModelRegistry.load` restores the scaler's fitted means/stds along
+  * with the trees and scoring fresh data is a single `transform` —
+  * no side-channel stats file to version or forget.
+  *
+  * Scale notes: training fits on the engineered frame (one entity
+  * window shuffle); scoring is a pure map over the input (assembler +
+  * scaler + forest are all per-row once the model is broadcast by
+  * MLlib's transform). The latest-per-entity selection is the same
+  * row_number window as Analytics.latestPerKey — one shuffle on the
+  * entity key.
+  */
+object Inference {
+
+  /** Feature columns of [[graft.operators.TimeSeries.featurePipeline]]
+    * used for temperature-style prediction (the reference's
+    * feature_columns metadata, fixed at train time). */
+  val defaultFeatures: Seq[String] = Seq(
+    "value", "hour", "day_of_week", "hour_sin", "hour_cos",
+    "value_lag_1", "value_lag_24", "rolling_mean_24", "rolling_std_24",
+    "value_change")
+
+  /** Null→0 fill on the feature columns (the reference's
+    * `X[feature_columns].fillna(0)` at both train and predict time). */
+  def fillZeros(df: DataFrame, featureCols: Seq[String]): DataFrame =
+    df.na.fill(0.0, featureCols)
+
+  /** Assembler → scaler → random-forest pipeline; everything a scorer
+    * needs persists inside the one artifact. */
+  def scoringPipeline(featureCols: Seq[String] = defaultFeatures,
+                      labelCol: String = "label", seed: Long = 42L): Pipeline = {
+    val assembler = new VectorAssembler()
+      .setInputCols(featureCols.toArray)
+      .setOutputCol("rawFeatures")
+      .setHandleInvalid("keep")
+    val scaler = new StandardScaler()
+      .setInputCol("rawFeatures").setOutputCol("features")
+      .setWithMean(true).setWithStd(true)
+    val rf = new RandomForestRegressor()
+      .setNumTrees(50).setMaxDepth(8).setSeed(seed)
+      .setLabelCol(labelCol).setFeaturesCol("features")
+    new Pipeline().setStages(Array(assembler, scaler, rf))
+  }
+
+  /** Train the scoring pipeline on the engineered frame: label rows
+    * with a defined target (the last horizon rows of each entity have
+    * none — the reference's dropna), split chronologically, fit, and
+    * evaluate on the held-out tail. Returns the fitted pipeline and
+    * its test metrics (mse/rmse/mae/r2). */
+  def train(engineered: DataFrame,
+            featureCols: Seq[String] = defaultFeatures,
+            targetCol: String = "value_future",
+            tsCol: String = "ts", seed: Long = 42L)
+      : (PipelineModel, Map[String, Double]) = {
+    val labeled = fillZeros(engineered, featureCols)
+      .filter(col(targetCol).isNotNull)
+      .withColumn("label", col(targetCol))
+    val (trainDf, testDf) = TemporalSplit.split(labeled, tsCol)
+    val model = scoringPipeline(featureCols, seed = seed).fit(trainDf)
+    val metrics = Models.regressionMetrics(model.transform(testDf))
+    (model, metrics)
+  }
+
+  /** Score the newest row of every entity with a fitted pipeline —
+    * dashboard.predict_temperature generalized from one city to all
+    * entities in one pass. Emits the reference's response fields:
+    * current value, predicted value, and the delta. */
+  def predictLatest(engineered: DataFrame, model: PipelineModel,
+                    featureCols: Seq[String] = defaultFeatures,
+                    keyCol: String = "user_id", orderCol: String = "ts")
+      : DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(desc(orderCol), desc("event_id"))
+    val latest = engineered
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+    model.transform(fillZeros(latest, featureCols))
+      .select(col(keyCol),
+        col("event_id"),
+        col("value").as("current_value"),
+        col("prediction").as("predicted_value"),
+        (col("prediction") - col("value")).as("predicted_change"))
+      .orderBy(keyCol)
+  }
+}

@@ -98,4 +98,45 @@ object Quality {
         col("st")(5).as("corr_target"))
       .orderBy("feature")
   }
+
+  /** The combined quality report (data_quality_report.py:1-42): the
+    * dataset overview plus every check, unified into ONE long-format
+    * keyed frame `(check_name, item, metric, value)` — the persistable
+    * lake-job artifact a user schedules, where run_quality_checks
+    * returns a dict of heterogeneous frames. Each section is a tiny
+    * aggregate output; the cost is the underlying scans, same as
+    * running the checks individually. */
+  def report(events: DataFrame, weather: DataFrame, masked: DataFrame): DataFrame = {
+    def melt(df: DataFrame, check: String, item: Column,
+             metrics: Seq[(String, Column)]): DataFrame = {
+      val entries = metrics.flatMap { case (m, c) => Seq(lit(m), c.cast("double")) }
+      df.select(lit(check).as("check_name"), item.as("item"),
+        explode(map(entries: _*)).as(Seq("metric", "value")))
+    }
+    val overview = melt(
+      events.agg(
+        count(lit(1)).as("n_records"),
+        countDistinct(col("user_id")).as("n_entities"),
+        min(col("ts").cast("long")).as("min_ts_s"),
+        max(col("ts").cast("long")).as("max_ts_s")),
+      "overview", lit("dataset"),
+      Seq("n_records" -> col("n_records"), "n_entities" -> col("n_entities"),
+        "min_ts_s" -> col("min_ts_s"), "max_ts_s" -> col("max_ts_s")))
+    val dup = melt(duplicateKeys(events), "duplicates", lit("user_id,ts"),
+      Seq("n_dup_keys" -> col("n_dup_keys"), "n_dup_rows" -> col("n_dup_rows")))
+    val miss = melt(missingProfile(masked), "missing", col("column_name"),
+      Seq("n_null" -> col("n_null"), "pct_null" -> col("pct_null")))
+    val rng = melt(rangeCheck(weather), "range", col("column_name"),
+      Seq("n_above" -> col("n_above"), "n_below" -> col("n_below")))
+    val hn = melt(highNullRows(masked), "high_null", lit("row"),
+      Seq("n_high_null_rows" -> col("n_high_null_rows")))
+    overview.union(dup).union(miss).union(rng).union(hn)
+      .orderBy("check_name", "item", "metric")
+  }
+
+  /** Persist a report partitioned by section — downstream consumers
+    * (alerting on `range`, dashboards on `overview`) prune to their
+    * partition. */
+  def writeReport(report: DataFrame, path: String): Unit =
+    report.write.mode("overwrite").partitionBy("check_name").parquet(path)
 }

@@ -172,8 +172,12 @@ object TimeSeries {
     * target features in ONE frame. Every windowed feature shares the
     * SAME window spec, so Catalyst plans a single Window operator —
     * one hash shuffle on the entity key and one per-partition sort
-    * produce all of them; `.explain` shows exactly one Exchange. */
-  def featurePipeline(events: DataFrame): DataFrame = {
+    * produce all of them; `.explain` shows exactly one Exchange.
+    *
+    * `passthrough` appends raw input columns (e.g. `ts` for the
+    * batch-inference latest-per-entity selection) without disturbing
+    * the oracle-pinned default output. */
+  def featurePipeline(events: DataFrame, passthrough: Seq[String] = Nil): DataFrame = {
     val twoPi = lit(2.0 * math.Pi)
     val h = hour(col("ts"))
     val dow = (dayofweek(col("ts")) + lit(5)) % 7
@@ -182,7 +186,7 @@ object TimeSeries {
     val nInWindow = count(lit(1)).over(wRoll)
     val future = lead(col("value"), 24).over(w)
     val change = future - col("value")
-    events.select(
+    val featureCols = Seq(
       col("event_id"), col("user_id"), col("value"),
       h.cast("long").as("hour"),
       dow.cast("long").as("day_of_week"),
@@ -199,6 +203,7 @@ object TimeSeries {
         .when(change <= -2, "Decrease")
         .when(change <= 2, "Stable")
         .otherwise("Increase").as("change_category"))
+    events.select(featureCols ++ passthrough.map(col): _*)
       .orderBy("event_id")
   }
 

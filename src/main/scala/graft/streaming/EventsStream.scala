@@ -116,6 +116,66 @@ object EventsStream {
         OutputMode.Update(), GroupStateTimeout.NoTimeout())(updateStats)
   }
 
+  /** Exponential-backoff retry (weather_collector.py:171-229
+    * _make_request_with_retry, the sink-side analog): run `op`, on
+    * failure sleep baseBackoffMs << attempt and retry, up to
+    * `maxRetries` retries; then rethrow. `sleep` is injectable so
+    * tests assert the backoff schedule without wall-clock waits. */
+  def withRetry[T](maxRetries: Int = 3, baseBackoffMs: Long = 50,
+                   sleep: Long => Unit = Thread.sleep)(op: => T): T = {
+    var attempt = 0
+    while (true) {
+      try return op
+      catch {
+        case e: Throwable =>
+          if (attempt >= maxRetries) throw e
+          sleep(baseBackoffMs << attempt)
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Classify-and-route resilient sink — the collector's retry +
+    * error-taxonomy handling (weather_collector.py:171-229 retry,
+    * :255-288 validate_api_response) as a streaming sink: each
+    * micro-batch validates rows, appends valid ones to the main table
+    * and invalid ones — annotated with the failing rule — to a
+    * dead-letter path, each write under exponential-backoff retry. A
+    * batch that still fails after the retries rethrows, failing the
+    * query so the batch redelivers on restart (at-least-once).
+    *
+    * Scale: classification is a pure per-row projection (no shuffle);
+    * both writes stream the batch partition-parallel. The DLQ keeps
+    * the full row plus `error_reason`, so quarantined data is
+    * replayable after a fix. */
+  def resilientSink(events: DataFrame, outDir: String, dlqDir: String,
+                    maxRetries: Int = 3, baseBackoffMs: Long = 50,
+                    sleep: Long => Unit = Thread.sleep)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val required = Seq("user_id", "ts", "event_type")
+    events.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val classified = batch.withColumn("error_reason",
+          when(required.map(col(_).isNull).reduce(_ || _), "missing_required")
+            .when(col("value").isNull || col("value") < -100 || col("value") > 1000,
+              "value_out_of_range"))
+          .persist()
+        try {
+          withRetry(maxRetries, baseBackoffMs, sleep) {
+            classified.filter(col("error_reason").isNull).drop("error_reason")
+              .write.mode("append").parquet(outDir)
+          }
+          val dead = classified.filter(col("error_reason").isNotNull)
+          if (!dead.isEmpty) {
+            withRetry(maxRetries, baseBackoffMs, sleep) {
+              dead.write.mode("append").parquet(dlqDir)
+            }
+          }
+        } finally { classified.unpersist(); () }
+    }
+  }
+
   private def updateStats(userId: Long, rows: Iterator[EventRow],
                           state: GroupState[EntityState]): Iterator[EntityStats] = {
     var s = state.getOption.getOrElse(EntityState(0L, 0.0, Double.MaxValue, Double.MinValue))

@@ -69,4 +69,57 @@ class IntegrationSpec extends AnyFunSuite {
     val b = loaded.transform(assembled).agg(sum("prediction")).collect()(0).getDouble(0)
     assert(math.abs(a - b) < 1e-6)
   }
+
+  test("quality report rolls all checks into one partitioned artifact") {
+    val ev = Tables.events(spark, sfDir)
+    val report = GraftApi.qualityReport(ev,
+      TimeSeries.weatherView(ev), graft.operators.MissingValues.maskedView(ev))
+    assert(report.columns.toSeq == Seq("check_name", "item", "metric", "value"))
+    val sections = report.select("check_name").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(sections == Set("overview", "duplicates", "missing", "range", "high_null"))
+    // overview agrees with the raw table
+    val n = report.filter(col("check_name") === "overview" && col("metric") === "n_records")
+      .collect()(0).getAs[Double]("value")
+    assert(n == ev.count().toDouble)
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-report").toString
+    graft.operators.Quality.writeReport(report, dir)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == report.count())
+    // partition pruning: reading one section touches one partition dir
+    assert(back.filter(col("check_name") === "range").count() == 6)
+  }
+
+  test("batch-inference facade: train, register, reload, score latest per entity") {
+    val ev = Tables.events(spark, sfDir)
+    val dir = java.nio.file.Files.createTempDirectory("graft-predict").toString
+    val reg = new graft.ml.ModelRegistry(dir)
+
+    // train + register (the reference's train_temperature_models +
+    // save_models chain); scaler lives inside the pipeline artifact
+    val (version, metrics) = GraftApi.trainAndRegister(ev, reg)
+    assert(version == 1)
+    assert(metrics.keySet == Set("mse", "rmse", "mae", "r2"))
+    assert(metrics("mse") >= 0 && !metrics("mse").isNaN)
+
+    // predict loads the LATEST registered version and scores the
+    // newest engineered row of every entity
+    val preds = GraftApi.predict(ev, reg)
+    val nEntities = ev.select("user_id").distinct().count()
+    assert(preds.count() == nEntities)
+    assert(preds.columns.toSeq == Seq("user_id", "event_id",
+      "current_value", "predicted_value", "predicted_change"))
+    preds.collect().foreach { r =>
+      val cur = r.getAs[Double]("current_value")
+      val pred = r.getAs[Double]("predicted_value")
+      assert(!pred.isNaN)
+      assert(math.abs(r.getAs[Double]("predicted_change") - (pred - cur)) < 1e-12)
+    }
+
+    // registering again bumps the version and predict picks it up
+    val (v2, _) = GraftApi.trainAndRegister(ev, reg)
+    assert(v2 == 2)
+    assert(GraftApi.predict(ev, reg).count() == nEntities)
+  }
 }

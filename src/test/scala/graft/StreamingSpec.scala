@@ -119,6 +119,57 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("withRetry backs off exponentially and rethrows when exhausted") {
+    val sleeps = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var calls = 0
+    val out = EventsStream.withRetry(maxRetries = 3, baseBackoffMs = 50, sleeps += _) {
+      calls += 1
+      if (calls < 3) throw new RuntimeException("transient")
+      "ok"
+    }
+    assert(out == "ok" && calls == 3)
+    assert(sleeps.toSeq == Seq(50L, 100L)) // base << attempt
+
+    sleeps.clear()
+    val ex = intercept[RuntimeException] {
+      EventsStream.withRetry(maxRetries = 2, baseBackoffMs = 10, sleeps += _) {
+        throw new RuntimeException("permanent")
+      }
+    }
+    assert(ex.getMessage == "permanent")
+    assert(sleeps.toSeq == Seq(10L, 20L)) // retried twice, then gave up
+  }
+
+  test("resilient sink routes corrupt rows to the dead-letter path and keeps going") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val outDir = java.nio.file.Files.createTempDirectory("graft-sink").toString
+    val dlqDir = java.nio.file.Files.createTempDirectory("graft-dlq").toString
+    val ms = MemoryStream[EventRow]
+    val q = EventsStream.resilientSink(ms.toDF(), outDir, dlqDir, sleep = _ => ()).start()
+    try {
+      // batch 1 injects two corrupt rows among valid ones
+      ms.addData(
+        EventRow(1, ts(10), 1, "view", 10.0),
+        EventRow(2, ts(11), 1, null, 11.0),     // missing required field
+        EventRow(3, ts(12), 2, "view", 5000.0), // value out of range
+        EventRow(4, ts(13), 2, "view", 12.0))
+      q.processAllAvailable()
+      assert(spark.read.parquet(outDir).count() == 2)
+      val dead = spark.read.parquet(dlqDir).collect()
+      assert(dead.length == 2)
+      val reasons = dead.map(r =>
+        r.getAs[Long]("event_id") -> r.getAs[String]("error_reason")).toMap
+      assert(reasons == Map(2L -> "missing_required", 3L -> "value_out_of_range"))
+
+      // the stream survives the corrupt batch and keeps ingesting
+      ms.addData(EventRow(5, ts(20), 1, "view", 13.0))
+      q.processAllAvailable()
+      assert(spark.read.parquet(outDir).count() == 3)
+      assert(spark.read.parquet(dlqDir).count() == 2)
+    } finally q.stop()
+  }
+
   test("file-source stream reads the events table end-to-end") {
     val stream = EventsStream.readEvents(spark, sfDir)
     assert(stream.isStreaming)
