@@ -48,7 +48,17 @@ object Bench {
       .mkString("[", ",", "]")
     val total = results.map(_._3).sum
     val coldTotal = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold_total":$coldTotal,"failed":$failed,"sf":"$sfDir"}""")
+    // LSH bucket-population probes: a skew regression in band/RHP
+    // bucketing (one hot bucket -> quadratic candidate blowup) shows
+    // up in these numbers long before a 100 TB straggler would
+    val lsh = try {
+      import graft.operators.{Dedup, Similarity}
+      import graft.sources.Tables
+      val m = Dedup.minhashBucketStats(Tables.documents(spark, sfDir)).collect()(0)
+      val r = Similarity.rhpBucketStats(Tables.embeddings(spark, sfDir)).collect()(0)
+      s""","lsh_buckets":{"minhash":{"n":${m.getLong(0)},"max":${m.getLong(1)},"cand_pairs":${m.getLong(2)}},"rhp":{"n":${r.getLong(0)},"max":${r.getLong(1)},"cand_pairs":${r.getLong(2)}}}"""
+    } catch { case _: Throwable => "" }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold_total":$coldTotal,"failed":$failed$lsh,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

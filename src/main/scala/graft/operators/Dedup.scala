@@ -47,19 +47,38 @@ object Dedup {
     * The band bucket key is (band index, hash of the slice) — a single
     * shuffle; bucket sizes are tiny because agreeing on 8 uniform
     * 64-bit minhashes is itself a strong filter. */
-  def minhashPairs(docs: DataFrame, k: Int = 128, bands: Int = 16,
-                   tau: Double = 0.8): DataFrame = {
+  /** (doc_id, band, bucket) — each doc's 16 band-bucket keys. Shared
+    * by the pair pipeline and the bucket-skew probe. */
+  private def bandBuckets(sh: DataFrame, k: Int, bands: Int): DataFrame = {
     require(bands > 0 && k % bands == 0,
       s"bands ($bands) must evenly divide signature size ($k)")
     val rows = k / bands
-    val sh = Caches.persistTracked(shingleHashes(docs).filter(size(col("sh")) > 0))
-    val sig = sh.select(col("doc_id"),
-      GraftFunctions.minhashSigL(col("sh"), k).as("sig"))
-    val banded = sig.select(
-      col("doc_id"), col("sig"),
-      posexplode(array((0 until bands).map(b =>
-        slice(col("sig"), b * rows + 1, rows)): _*)))
+    sh.select(col("doc_id"),
+        GraftFunctions.minhashSigL(col("sh"), k).as("sig"))
+      .select(
+        col("doc_id"), col("sig"),
+        posexplode(array((0 until bands).map(b =>
+          slice(col("sig"), b * rows + 1, rows)): _*)))
       .select(col("doc_id"), col("pos").as("band"), hash(col("col")).as("bucket"))
+  }
+
+  /** Band-bucket population profile: bucket count, largest bucket, and
+    * the pre-verify candidate-pair volume (Σ c·(c−1)/2). THE skew
+    * early-warning for the LSH join — a hot bucket shows up here long
+    * before it shows up as a straggler task at 100 TB. Logged per
+    * bench run (graft.Bench). */
+  def minhashBucketStats(docs: DataFrame, k: Int = 128, bands: Int = 16): DataFrame =
+    bandBuckets(shingleHashes(docs).filter(size(col("sh")) > 0), k, bands)
+      .groupBy("band", "bucket").agg(count(lit(1)).as("c"))
+      .agg(
+        count(lit(1)).as("n_buckets"),
+        max(col("c")).as("max_bucket"),
+        sum(col("c") * (col("c") - 1) / 2).cast("long").as("n_cand_pairs"))
+
+  def minhashPairs(docs: DataFrame, k: Int = 128, bands: Int = 16,
+                   tau: Double = 0.8): DataFrame = {
+    val sh = Caches.persistTracked(shingleHashes(docs).filter(size(col("sh")) > 0))
+    val banded = bandBuckets(sh, k, bands)
     val cand = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&

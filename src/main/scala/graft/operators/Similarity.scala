@@ -79,12 +79,12 @@ object Similarity {
     * shuffle on (table, bucket); per-bucket lists are ~n/2^nPlanes of
     * the corpus, and recall grows with `tables`/`probeRadius` (pinned
     * >0.5 against annTopK in SimilaritySpec). */
-  def annLsh(embeddings: DataFrame, nQueries: Int = 20, k: Int = 5,
-             nPlanes: Int = 6, tables: Int = 4, probeRadius: Int = 1,
-             seed: Long = 42L): DataFrame = {
-    require(probeRadius >= 0 && probeRadius <= 1,
-      "probeRadius > 1 multiplies probe fan-out combinatorially; use more tables instead")
-    val e = embeddings
+  /** (vec_id, v, table, bucket, nrm): the multi-table random-hyperplane
+    * bucket index, shared by [[annLsh]] / [[embedDedupLsh]] and the
+    * bucket-skew probe. */
+  def rhpBuckets(embeddings: DataFrame, nPlanes: Int, tables: Int,
+                 seed: Long): DataFrame =
+    embeddings
       .select(Seq(col("vec_id"), col("embedding")) ++
         (0 until tables).map(t =>
           GraftFunctions.rhpSig(col("embedding"), nPlanes, seed + t).as(s"b$t")): _*)
@@ -92,6 +92,25 @@ object Similarity {
         posexplode(array((0 until tables).map(t => col(s"b$t")): _*)))
       .withColumnRenamed("pos", "table").withColumnRenamed("col", "bucket")
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+
+  /** RHP bucket population profile (bucket count, largest bucket,
+    * pre-verify candidate-pair volume) — the skew early-warning for
+    * the embedding-LSH joins, logged per bench run (graft.Bench). */
+  def rhpBucketStats(embeddings: DataFrame, nPlanes: Int = 6, tables: Int = 8,
+                     seed: Long = 42L): DataFrame =
+    rhpBuckets(embeddings, nPlanes, tables, seed)
+      .groupBy("table", "bucket").agg(count(lit(1)).as("c"))
+      .agg(
+        count(lit(1)).as("n_buckets"),
+        max(col("c")).as("max_bucket"),
+        sum(col("c") * (col("c") - 1) / 2).cast("long").as("n_cand_pairs"))
+
+  def annLsh(embeddings: DataFrame, nQueries: Int = 20, k: Int = 5,
+             nPlanes: Int = 6, tables: Int = 4, probeRadius: Int = 1,
+             seed: Long = 42L): DataFrame = {
+    require(probeRadius >= 0 && probeRadius <= 1,
+      "probeRadius > 1 multiplies probe fan-out combinatorially; use more tables instead")
+    val e = rhpBuckets(embeddings, nPlanes, tables, seed)
     // query-side probe fan-out: own bucket + each single-bit flip
     val probeCols = col("bucket") +: (if (probeRadius >= 1)
       (0 until nPlanes).map(p => col("bucket").bitwiseXOR(lit(1 << p))) else Seq.empty)
@@ -120,14 +139,7 @@ object Similarity {
   def embedDedupLsh(embeddings: DataFrame, tau: Double = 0.4,
                     nPlanes: Int = 6, tables: Int = 8,
                     seed: Long = 42L): DataFrame = {
-    val e = embeddings
-      .select(Seq(col("vec_id"), col("embedding")) ++
-        (0 until tables).map(t =>
-          GraftFunctions.rhpSig(col("embedding"), nPlanes, seed + t).as(s"b$t")): _*)
-      .select(col("vec_id"), col("embedding").as("v"),
-        posexplode(array((0 until tables).map(t => col(s"b$t")): _*)))
-      .withColumnRenamed("pos", "table").withColumnRenamed("col", "bucket")
-      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    val e = rhpBuckets(embeddings, nPlanes, tables, seed)
     e.as("a").join(e.as("b"),
         col("a.table") === col("b.table") && col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))
