@@ -58,6 +58,30 @@ class ScaleSpec extends AnyFunSuite {
     assert(salted == direct)
   }
 
+  test("operator caches register and drain through the Caches registry") {
+    import graft.operators.{Caches, Dedup}
+    Caches.releaseAll()
+    val docs = Tables.documents(spark, sfDir)
+    Dedup.minhashPairs(docs).count()
+    assert(Caches.trackedCount == 1, "minhashPairs should track its shingle cache")
+    Caches.releaseAll()
+    assert(Caches.trackedCount == 0)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "no cached blocks may outlive releaseAll")
+  }
+
+  test("LSH bucket-skew probes report sane populations") {
+    import graft.operators.{Dedup, Similarity}
+    val m = Dedup.minhashBucketStats(Tables.documents(spark, sfDir)).collect()(0)
+    assert(m.getAs[Long]("n_buckets") > 0)
+    assert(m.getAs[Long]("max_bucket") >= 1)
+    val r = Similarity.rhpBucketStats(Tables.embeddings(spark, sfDir)).collect()(0)
+    assert(r.getAs[Long]("n_buckets") > 0)
+    // candidate volume stays far below the O(n^2) pair space
+    val n = Tables.embeddings(spark, sfDir).count()
+    assert(r.getAs[Long]("n_cand_pairs") < n * (n - 1) / 2)
+  }
+
   test("bucketed join runs without any Exchange (no shuffle, no sort)") {
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
     val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
