@@ -7,15 +7,18 @@ import org.apache.spark.sql.functions._
   * media as opaque binary columns + typed metadata, with decode /
   * resize / frame-sample as per-partition pipeline stages.
   *
-  * The Spark-side plumbing — schema, partitioning, per-partition
-  * batching, stage composition — is real and tested. The CODEC IS A
-  * DETERMINISTIC STUB (this container ships no image/audio libs): the
-  * "decoder" expands bytes by a pure function of the payload, so
-  * swapping in a real codec changes only [[StubCodec]]. At scale each
-  * stage is `mapPartitions` (no per-row JNI/process setup: a real
-  * decoder would be initialized once per partition), media stays
-  * binary end-to-end (never in driver memory), and partition counts
-  * are controlled by the caller before the expensive stage.
+  * Codecs: the self-describing formats are decoded FOR REAL in pure
+  * JVM code — binary P6 PPM images (header parse + RGB→luma) and
+  * RIFF/WAVE PCM16 audio (chunk walk + sample extraction), see
+  * [[Codec]] — so the decode path genuinely parses byte streams and
+  * is round-trip tested (MultimodalSpec encodes known images/waves
+  * and asserts exact recovery). Only the VIDEO codec is a
+  * DETERMINISTIC STUB (this container ships no ffmpeg); swapping in a
+  * real one changes only [[StubCodec]]. At scale each stage is
+  * `mapPartitions` (no per-row JNI/process setup: a heavyweight
+  * decoder initializes once per partition), media stays binary
+  * end-to-end (never in driver memory), and partition counts are
+  * controlled by the caller before the expensive stage.
   */
 object Multimodal {
 
@@ -23,11 +26,132 @@ object Multimodal {
   case class MediaRow(media_id: Long, kind: String, data: Array[Byte], meta: MediaMeta)
   case class DecodedFrame(media_id: Long, frame_idx: Int, width: Int, height: Int,
                           pixels: Array[Byte])
+  case class AudioClip(media_id: Long, sample_rate: Int, n_samples: Int,
+                       samples: Array[Float])
 
-  /** ==== STUB CODEC ==== deterministic fake decode: pixel (x,y) of
-    * frame f is a pure function of (payload hash, f, x, y). A real
-    * implementation would wrap libjpeg/ffmpeg here, initialized once
-    * per partition in the mapPartitions below. */
+  /** Real pure-JVM codecs for self-describing formats. */
+  object Codec {
+
+    /** Encode an RGB buffer (3 bytes/pixel, row-major) as binary PPM
+      * (P6). Used by synthMedia and the round-trip tests. */
+    def encodePpm(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
+      require(rgb.length == w * h * 3, s"rgb length ${rgb.length} != ${w * h * 3}")
+      val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+      val out = new Array[Byte](header.length + rgb.length)
+      System.arraycopy(header, 0, out, 0, header.length)
+      System.arraycopy(rgb, 0, out, header.length, rgb.length)
+      out
+    }
+
+    /** Decode binary PPM (P6): parse the ASCII header (whitespace and
+      * `#` comments per the spec), then map RGB to 8-bit luma
+      * (BT.601 integer weights). Returns (width, height, gray). */
+    def decodePpm(data: Array[Byte]): (Int, Int, Array[Byte]) = {
+      var pos = 0
+      def skipWs(): Unit = {
+        var going = true
+        while (going && pos < data.length) {
+          val c = data(pos).toChar
+          if (c == '#') { while (pos < data.length && data(pos) != '\n') pos += 1 }
+          else if (c.isWhitespace) pos += 1
+          else going = false
+        }
+      }
+      def token(): String = {
+        skipWs()
+        val start = pos
+        while (pos < data.length && !data(pos).toChar.isWhitespace) pos += 1
+        new String(data, start, pos - start, "US-ASCII")
+      }
+      require(token() == "P6", "not a binary PPM (P6) payload")
+      val w = token().toInt
+      val h = token().toInt
+      val maxVal = token().toInt
+      require(maxVal == 255, s"only 8-bit PPM supported, maxval=$maxVal")
+      pos += 1 // single whitespace after maxval, per spec
+      require(data.length - pos >= w * h * 3, "truncated PPM pixel data")
+      val gray = new Array[Byte](w * h)
+      var i = 0
+      while (i < w * h) {
+        val r = data(pos + 3 * i) & 0xff
+        val g = data(pos + 3 * i + 1) & 0xff
+        val b = data(pos + 3 * i + 2) & 0xff
+        gray(i) = ((299 * r + 587 * g + 114 * b) / 1000).toByte
+        i += 1
+      }
+      (w, h, gray)
+    }
+
+    /** Encode mono PCM16 samples as a minimal RIFF/WAVE payload. */
+    def encodeWavPcm16(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+      val dataLen = samples.length * 2
+      val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+        .put("WAVE".getBytes("US-ASCII"))
+      bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(1) // PCM, mono
+        .putInt(sampleRate).putInt(sampleRate * 2)
+        .putShort(2).putShort(16) // block align, bits
+      bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+      samples.foreach(bb.putShort)
+      bb.array()
+    }
+
+    /** Decode RIFF/WAVE PCM16: walk the chunk list (fmt before data,
+      * unknown chunks skipped per the RIFF spec), average channels to
+      * mono, normalize to [-1, 1]. Returns (sampleRate, channels,
+      * mono samples). */
+    def decodeWavPcm16(data: Array[Byte]): (Int, Int, Array[Float]) = {
+      val bb = java.nio.ByteBuffer.wrap(data).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def fourCC(): String = {
+        val b = new Array[Byte](4); bb.get(b); new String(b, "US-ASCII")
+      }
+      require(fourCC() == "RIFF", "not a RIFF payload")
+      bb.getInt // riff size
+      require(fourCC() == "WAVE", "not a WAVE payload")
+      var sampleRate = 0; var channels = 0; var bits = 0
+      var samples: Array[Float] = null
+      while (bb.remaining() >= 8 && samples == null) {
+        val id = fourCC()
+        val size = bb.getInt
+        id match {
+          case "fmt " =>
+            val fmtEnd = bb.position() + size
+            val audioFormat = bb.getShort
+            require(audioFormat == 1, s"only PCM supported, format=$audioFormat")
+            channels = bb.getShort.toInt
+            sampleRate = bb.getInt
+            bb.getInt; bb.getShort // byte rate, block align
+            bits = bb.getShort.toInt
+            require(bits == 16, s"only 16-bit PCM supported, bits=$bits")
+            bb.position(fmtEnd)
+          case "data" =>
+            require(sampleRate > 0, "data chunk before fmt chunk")
+            val n = size / 2 / channels
+            val out = new Array[Float](n)
+            var i = 0
+            while (i < n) {
+              var acc = 0.0f
+              var c = 0
+              while (c < channels) { acc += bb.getShort / 32768.0f; c += 1 }
+              out(i) = acc / channels
+              i += 1
+            }
+            samples = out
+          case _ => // skip unknown chunk (word-aligned)
+            bb.position(bb.position() + size + (size & 1))
+        }
+      }
+      require(samples != null, "no data chunk found")
+      (sampleRate, channels, samples)
+    }
+  }
+
+  /** ==== STUB CODEC (video only) ==== deterministic fake decode:
+    * pixel (x,y) of frame f is a pure function of (payload hash, f,
+    * x, y). A real implementation would wrap ffmpeg here, initialized
+    * once per partition in the mapPartitions below. */
   object StubCodec {
     def payloadHash(data: Array[Byte]): Long =
       data.foldLeft(1125899906842597L)((h, b) => h * 31L + (b & 0xff))
@@ -44,38 +168,56 @@ object Multimodal {
   }
 
   /** Deterministic synthetic media table (the testdata ships no binary
-    * media): payload bytes and metadata are pure functions of id. */
+    * media). Image rows carry REAL binary-PPM payloads and audio rows
+    * REAL RIFF/WAVE PCM16 payloads — the pipeline decodes actual byte
+    * streams; only video payloads are opaque stub bytes. */
   def synthMedia(spark: SparkSession, n: Int, partitions: Int = 8): Dataset[MediaRow] = {
     import spark.implicits._
     spark.range(0, n, 1, partitions).map { id =>
-      val kind = (id % 3) match {
-        case 0 => "image"; case 1 => "audio"; case _ => "video"
+      (id % 3) match {
+        case 0 =>
+          val w = 32 + (id % 32).toInt
+          val h = 24 + (id % 24).toInt
+          val rgb = Array.tabulate[Byte](w * h * 3)(i =>
+            (graft.functions.TextHash.mix64(id * 131L + i) & 0xff).toByte)
+          MediaRow(id, "image", Codec.encodePpm(w, h, rgb),
+            MediaMeta(w, h, 0L, "ppm"))
+        case 1 =>
+          val rate = 8000
+          val durMs = 1000L + (id % 9000)
+          val nSamp = (rate * durMs / 1000L).toInt
+          val samples = Array.tabulate[Short](nSamp)(i =>
+            (math.sin(2 * math.Pi * (100 + id % 50) * i / rate) * 16384).toShort)
+          MediaRow(id, "audio", Codec.encodeWavPcm16(rate, samples),
+            MediaMeta(0, 0, durMs, "wav-pcm16"))
+        case _ =>
+          val w = 16 + (id % 16).toInt
+          val len = 64 + (id % 191).toInt
+          val data = Array.tabulate[Byte](len)(i =>
+            (graft.functions.TextHash.mix64(id * 131L + i) & 0xff).toByte)
+          MediaRow(id, "video", data,
+            MediaMeta(w, 16, 2000L + (id % 8000), "stub-vid"))
       }
-      val len = 64 + (id % 191).toInt
-      val data = Array.tabulate[Byte](len)(i =>
-        (graft.functions.TextHash.mix64(id * 131L + i) & 0xff).toByte)
-      val meta = kind match {
-        case "image" => MediaMeta(32 + (id % 32).toInt, 24 + (id % 24).toInt, 0L, "stub-img")
-        case "audio" => MediaMeta(0, 0, 1000L + (id % 9000), "stub-pcm")
-        case _       => MediaMeta(16 + (id % 16).toInt, 16, 2000L + (id % 8000), "stub-vid")
-      }
-      MediaRow(id, kind, data, meta)
     }
   }
 
-  /** Decode stage: one decoded frame per image, n sampled frames per
-    * video (uniform by duration), none for audio. Per-partition
-    * iteration — codec state would be reused across rows. */
+  /** Decode stage: one decoded frame per image (REAL PPM parse), n
+    * sampled frames per video (stub codec), none for audio (see
+    * [[decodeAudio]]). Per-partition iteration — codec state is
+    * reused across rows. */
   def decode(media: Dataset[MediaRow], framesPerVideo: Int = 3): Dataset[DecodedFrame] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
-      // real codec: init native decoder here, once per partition
+      // heavyweight codecs initialize here, once per partition
       rows.flatMap { m =>
-        m.kind match {
-          case "image" =>
+        (m.kind, m.meta.codec) match {
+          case ("image", "ppm") =>
+            val (w, h, gray) = Codec.decodePpm(m.data)
+            Iterator.single(DecodedFrame(m.media_id, 0, w, h, gray))
+          case ("image", _) =>
             Iterator.single(DecodedFrame(m.media_id, 0, m.meta.width, m.meta.height,
               StubCodec.decodeFrame(m.data, 0, m.meta.width, m.meta.height)))
-          case "video" =>
+          case ("video", _) =>
             (0 until framesPerVideo).iterator.map { f =>
               DecodedFrame(m.media_id, f, m.meta.width, m.meta.height,
                 StubCodec.decodeFrame(m.data, f, m.meta.width, m.meta.height))
@@ -84,6 +226,39 @@ object Multimodal {
         }
       }
     }
+  }
+
+  /** Audio decode stage: REAL RIFF/WAVE PCM16 parse per clip —
+    * normalized mono samples, the input shape for waveform features. */
+  def decodeAudio(media: Dataset[MediaRow]): Dataset[AudioClip] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { m =>
+        if (m.kind == "audio" && m.meta.codec == "wav-pcm16") {
+          val (rate, _, samples) = Codec.decodeWavPcm16(m.data)
+          Iterator.single(AudioClip(m.media_id, rate, samples.length, samples))
+        } else Iterator.empty
+      }
+    }
+  }
+
+  /** Waveform features: per-clip fixed-length RMS-energy envelope
+    * (`dim` uniform windows) — the audio analog of [[features]],
+    * consumable by the ANN stack. */
+  def audioFeatures(clips: Dataset[AudioClip], dim: Int = 16): DataFrame = {
+    import clips.sparkSession.implicits._
+    clips.map { c =>
+      val n = c.samples.length
+      val vec = Array.tabulate(dim) { d =>
+        val lo = (n.toLong * d / dim).toInt
+        val hi = (n.toLong * (d + 1) / dim).toInt.max(lo + 1).min(n)
+        var acc = 0.0
+        var i = lo
+        while (i < hi) { val s = c.samples(i); acc += s * s; i += 1 }
+        math.sqrt(acc / (hi - lo)).toFloat
+      }
+      (c.media_id, c.sample_rate, vec)
+    }.toDF("media_id", "sample_rate", "embedding")
   }
 
   /** Resize stage: nearest-neighbour downsample of the stub pixel

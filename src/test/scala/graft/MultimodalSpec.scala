@@ -56,6 +56,56 @@ class MultimodalSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getAs[scala.collection.Seq[Float]]("embedding").length == 16))
   }
 
+  test("PPM codec round-trips a known image exactly") {
+    import Multimodal.Codec
+    // 2x2 image: red, green, blue, white
+    val rgb = Array[Byte](
+      255.toByte, 0, 0,  0, 255.toByte, 0,
+      0, 0, 255.toByte,  255.toByte, 255.toByte, 255.toByte)
+    val (w, h, gray) = Codec.decodePpm(Codec.encodePpm(2, 2, rgb))
+    assert(w == 2 && h == 2)
+    // BT.601 integer luma: r->76 (299*255/1000), g->149, b->29, white->255
+    assert(gray.map(_ & 0xff).toSeq == Seq(76, 149, 29, 255))
+  }
+
+  test("PPM header parse handles comments and whitespace") {
+    import Multimodal.Codec
+    val body = Array[Byte](10, 20, 30)
+    val payload = "P6 # binary pixmap\n# a comment line\n1 1\n255\n".getBytes("US-ASCII") ++ body
+    val (w, h, gray) = Codec.decodePpm(payload)
+    assert(w == 1 && h == 1)
+    assert((gray(0) & 0xff) == (299 * 10 + 587 * 20 + 114 * 30) / 1000)
+  }
+
+  test("WAV PCM16 codec round-trips a sine wave") {
+    import Multimodal.Codec
+    val rate = 8000
+    val samples = Array.tabulate[Short](800)(i =>
+      (math.sin(2 * math.Pi * 440 * i / rate) * 16384).toShort)
+    val (outRate, channels, mono) = Codec.decodeWavPcm16(Codec.encodeWavPcm16(rate, samples))
+    assert(outRate == rate && channels == 1 && mono.length == 800)
+    samples.zip(mono).foreach { case (s, f) =>
+      assert(math.abs(f - s / 32768.0f) < 1e-6f)
+    }
+  }
+
+  test("audio decode + waveform features run over real WAV payloads") {
+    val clips = Multimodal.decodeAudio(media).collect()
+    assert(clips.length == media.filter(_.kind == "audio").count())
+    clips.foreach { c =>
+      assert(c.sample_rate == 8000)
+      assert(c.n_samples == c.samples.length && c.n_samples > 0)
+      assert(c.samples.forall(s => s >= -1.0f && s <= 1.0f))
+    }
+    val feats = Multimodal.audioFeatures(Multimodal.decodeAudio(media))
+    feats.collect().foreach { r =>
+      val v = r.getAs[scala.collection.Seq[Float]]("embedding")
+      assert(v.length == 16)
+      // a sine wave has nonzero RMS energy in every window
+      assert(v.forall(x => x > 0f && !x.isNaN))
+    }
+  }
+
   test("media features compose with the ANN similarity stack") {
     import graft.operators.Similarity
     val feats = Multimodal.features(Multimodal.resize(Multimodal.decode(media), 8, 8))

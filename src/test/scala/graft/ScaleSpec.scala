@@ -60,14 +60,18 @@ class ScaleSpec extends AnyFunSuite {
 
   test("operator caches register and drain through the Caches registry") {
     import graft.operators.{Caches, Dedup}
+    // other suites share this session and may hold their own caches;
+    // assert on deltas, not absolutes
     Caches.releaseAll()
+    val baseline = spark.sparkContext.getPersistentRDDs.size
     val docs = Tables.documents(spark, sfDir)
     Dedup.minhashPairs(docs).count()
     assert(Caches.trackedCount == 1, "minhashPairs should track its shingle cache")
+    assert(spark.sparkContext.getPersistentRDDs.size == baseline + 1)
     Caches.releaseAll()
     assert(Caches.trackedCount == 0)
-    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
-      "no cached blocks may outlive releaseAll")
+    assert(spark.sparkContext.getPersistentRDDs.size == baseline,
+      "operator cache blocks may not outlive releaseAll")
   }
 
   test("LSH bucket-skew probes report sane populations") {
