@@ -102,6 +102,14 @@ object SparkEntry {
     "q_ann_lsh"       -> ((s, d) => Similarity.annLsh(Tables.embeddings(s, d))),
     "q_ann_ivf"       -> ((s, d) => Similarity.annIvf(Tables.embeddings(s, d))),
     "q_dedup_embed_lsh" -> ((s, d) => Similarity.embedDedupLsh(Tables.embeddings(s, d))),
+    // H. multimodal plumbing (synthetic media; REAL PPM decode + resize
+    // + per-frame features; rows-only — pinned by MultimodalSpec)
+    "q_media_features" -> ((s, _) => {
+      GraftSession.tune(s)
+      Multimodal.features(
+        Multimodal.resize(Multimodal.decode(Multimodal.synthMedia(s, 300)), 8, 8))
+        .orderBy("media_id", "frame_idx")
+    }),
     // F. ML feature preparation (columnar, oracle-checkable)
     "q_ml_feature_prep" -> ((s, d) => {
       val masked = MissingValues.maskedView(ev(s, d))

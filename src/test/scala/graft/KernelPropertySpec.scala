@@ -145,4 +145,28 @@ class KernelPropertySpec extends AnyFunSuite {
       assert(r.getAs[Double]("d") == acc) // bit-exact, not approx
     }
   }
+
+  test("discountedRevenueSum is bit-identical to the DECIMAL(38,6) path") {
+    import spark.implicits._
+    // random 2-decimal money values and discounts, grouped — both
+    // paths must emit the exact same double for every group
+    val rows = Seq.tabulate(5000) { i =>
+      val ext = math.floor(rng.nextDouble() * 9999999) / 100.0  // 0..99999.99
+      val disc = rng.nextInt(11) / 100.0                         // 0.00..0.10
+      (i % 137, ext, disc)
+    }
+    val df = rows.toDF("k", "ext", "disc")
+    val fast = df.groupBy("k")
+      .agg(graft.operators.discountedRevenueSum(col("ext"), col("disc")).as("rev"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val exact = df.groupBy("k")
+      .agg(sum(col("ext").cast("decimal(38,6)") *
+        (lit(1).cast("decimal(38,6)") - col("disc").cast("decimal(38,6)")))
+        .cast("double").as("rev"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(fast.keySet == exact.keySet)
+    fast.foreach { case (k, v) =>
+      assert(v == exact(k), s"group $k: long path $v != decimal path ${exact(k)}")
+    }
+  }
 }
