@@ -1,0 +1,91 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators._
+import graft.sources.Tables
+
+/** Empty-input behavior of every operator family: a 0-row (but
+  * correctly-schemed) frame must flow through without crashing — the
+  * partition-with-no-data case every operator hits at scale (a
+  * filtered-out partition, an empty source directory, a quiet
+  * entity). Aggregates emit their 1-row (zero/null) summary;
+  * row-level transforms emit 0 rows; the one documented exception
+  * (annIvf needs at least one vector to train a quantizer) fails
+  * with a clear require, not an internal error. */
+class EdgeCaseSpec extends AnyFunSuite {
+  import TestSession._
+
+  private lazy val noEvents = Tables.events(spark, sfDir).limit(0)
+  private lazy val noDocs = Tables.documents(spark, sfDir).limit(0)
+  private lazy val noEmb = Tables.embeddings(spark, sfDir).limit(0)
+  private lazy val noWeather = TimeSeries.weatherView(noEvents)
+  private lazy val noMasked = MissingValues.maskedView(noEvents)
+
+  test("row-level time-series transforms emit 0 rows on empty input") {
+    assert(TimeSeries.timeFeatures(noEvents).count() == 0)
+    assert(TimeSeries.lagFeatures(noEvents).count() == 0)
+    assert(TimeSeries.rollingStats(noEvents).count() == 0)
+    assert(TimeSeries.featurePipeline(noEvents).count() == 0)
+    assert(TimeSeries.diff(noEvents).count() == 0)
+    assert(TimeSeries.targets(noEvents).count() == 0)
+    assert(TimeSeries.willRain(noEvents).count() == 0)
+    assert(TimeSeries.sessionize(noEvents).count() == 0)
+    assert(TimeSeries.asofJoin(noEvents).count() == 0)
+    assert(TimeSeries.rangeJoin(noEvents).count() == 0)
+    assert(TimeSeries.dailyRange(noEvents).count() == 0)
+    assert(TimeSeries.weatherIndices(noWeather).count() == 0)
+    assert(TimeSeries.interactions(noWeather).count() == 0)
+  }
+
+  test("missing-value and encoding transforms handle empty input") {
+    assert(MissingValues.ffill(noMasked).count() == 0)
+    assert(MissingValues.interpolate(noMasked).count() == 0)
+    assert(MissingValues.modeFill(noMasked).count() == 0)
+    assert(MissingValues.nullFilter(noMasked).count() == 0)
+    assert(Encoders.labelEncode(noEvents).count() == 0)
+    assert(Encoders.standardScale(noEvents).count() == 0)
+  }
+
+  test("aggregates emit their summary shape on empty input") {
+    assert(Analytics.metrics(noEvents).count() == 1)
+    val dup = Quality.duplicateKeys(noEvents).collect()(0)
+    assert(dup.getAs[Long]("n_dup_keys") == 0 && dup.getAs[Long]("n_dup_rows") == 0)
+    assert(Quality.missingProfile(noMasked).count() == 4) // one row per column
+    assert(Quality.rangeCheck(noWeather).count() == 3)
+    assert(Quality.highNullRows(noMasked).count() == 1)
+    assert(Quality.report(noEvents, noWeather, noMasked).count() > 0)
+    assert(TimeSeries.quantiles(noEvents).count() == 4) // null quantile values
+    assert(Analytics.ingestMetrics(noEvents).count() == 0) // grouped: no groups
+    assert(Analytics.distribution(noEvents).count() == 0)
+  }
+
+  test("dedup and similarity pipelines emit 0 pairs on empty input") {
+    assert(TextAnalysis.dedupExact(noDocs).count() == 0)
+    assert(TextAnalysis.tokenCount(noDocs).count() == 0)
+    assert(TextAnalysis.packSequences(noDocs).count() == 0)
+    assert(Dedup.minhashPairs(noDocs).count() == 0)
+    assert(Dedup.simhashPairs(noDocs).count() == 0)
+    assert(Dedup.ngramJaccardPairs(noDocs).count() == 0)
+    assert(Similarity.embedDedup(noEmb).count() == 0)
+    assert(Similarity.annTopK(noEmb).count() == 0)
+    assert(Similarity.annLsh(noEmb).count() == 0)
+    assert(Similarity.embedDedupLsh(noEmb).count() == 0)
+    Caches.releaseAll()
+  }
+
+  test("annIvf refuses an empty corpus with a clear message") {
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.annIvf(noEmb).count()
+    }
+    assert(ex.getMessage.contains("empty"))
+    Caches.releaseAll()
+  }
+
+  test("single-row input flows through the window operators") {
+    val one = Tables.events(spark, sfDir).limit(1)
+    assert(TimeSeries.featurePipeline(one).count() == 1)
+    assert(TimeSeries.sessionize(one).count() == 1)
+    assert(MissingValues.interpolate(MissingValues.maskedView(one)).count() == 1)
+  }
+}
