@@ -103,34 +103,73 @@ object Quality {
     * dataset overview plus every check, unified into ONE long-format
     * keyed frame `(check_name, item, metric, value)` — the persistable
     * lake-job artifact a user schedules, where run_quality_checks
-    * returns a dict of heterogeneous frames. Each section is a tiny
-    * aggregate output; the cost is the underlying scans, same as
-    * running the checks individually. */
+    * returns a dict of heterogeneous frames.
+    *
+    * Scan economy (the 100 TB concern for a job that reads the whole
+    * lake): every GLOBAL section sharing an input is fused into one
+    * aggregate pass — the masked view yields missing-profile AND
+    * high-null-rows from a single scan, weather yields all range
+    * checks from one, events yields the overview from one. Only the
+    * duplicate-key check needs its own pass (it aggregates twice:
+    * per-key then global). Four scans total, each map-side combined
+    * to a 1-row partial. Values are pinned identical to the
+    * individual check functions by the SQL oracle. */
   def report(events: DataFrame, weather: DataFrame, masked: DataFrame): DataFrame = {
-    def melt(df: DataFrame, check: String, item: Column,
-             metrics: Seq[(String, Column)]): DataFrame = {
-      val entries = metrics.flatMap { case (m, c) => Seq(lit(m), c.cast("double")) }
-      df.select(lit(check).as("check_name"), item.as("item"),
-        explode(map(entries: _*)).as(Seq("metric", "value")))
-    }
+    // one exploded map per 1-row aggregate: key "check|item|metric" →
+    // every section of that scan melts out of a single projection
+    // (separate melts per section would recompute the aggregate —
+    // Catalyst does not share subtrees across union branches)
+    def melt(agg: DataFrame, entries: Seq[(String, String, String, Column)]): DataFrame =
+      agg.select(explode(map(entries.flatMap { case (c, i, m, v) =>
+          Seq(lit(s"$c|$i|$m"), v.cast("double")) }: _*)).as(Seq("k", "value")))
+        .select(
+          split(col("k"), "\\|")(0).as("check_name"),
+          split(col("k"), "\\|")(1).as("item"),
+          split(col("k"), "\\|")(2).as("metric"),
+          col("value"))
+
     val overview = melt(
       events.agg(
         count(lit(1)).as("n_records"),
         countDistinct(col("user_id")).as("n_entities"),
         min(col("ts").cast("long")).as("min_ts_s"),
         max(col("ts").cast("long")).as("max_ts_s")),
-      "overview", lit("dataset"),
-      Seq("n_records" -> col("n_records"), "n_entities" -> col("n_entities"),
-        "min_ts_s" -> col("min_ts_s"), "max_ts_s" -> col("max_ts_s")))
-    val dup = melt(duplicateKeys(events), "duplicates", lit("user_id,ts"),
-      Seq("n_dup_keys" -> col("n_dup_keys"), "n_dup_rows" -> col("n_dup_rows")))
-    val miss = melt(missingProfile(masked), "missing", col("column_name"),
-      Seq("n_null" -> col("n_null"), "pct_null" -> col("pct_null")))
-    val rng = melt(rangeCheck(weather), "range", col("column_name"),
-      Seq("n_above" -> col("n_above"), "n_below" -> col("n_below")))
-    val hn = melt(highNullRows(masked), "high_null", lit("row"),
-      Seq("n_high_null_rows" -> col("n_high_null_rows")))
-    overview.union(dup).union(miss).union(rng).union(hn)
+      Seq(("overview", "dataset", "n_records", col("n_records")),
+        ("overview", "dataset", "n_entities", col("n_entities")),
+        ("overview", "dataset", "min_ts_s", col("min_ts_s")),
+        ("overview", "dataset", "max_ts_s", col("max_ts_s"))))
+
+    val dup = melt(duplicateKeys(events),
+      Seq(("duplicates", "user_id,ts", "n_dup_keys", col("n_dup_keys")),
+        ("duplicates", "user_id,ts", "n_dup_rows", col("n_dup_rows"))))
+
+    // missing profile + high-null rows: ONE scan of the masked view
+    val maskedCols = Seq("event_type", "value", "humidity", "wind_speed")
+    val nNulls: Column = maskedCols.map(c => col(c).isNull.cast("int")).reduce(_ + _)
+    val maskedAggs =
+      (count(lit(1)).as("n_total") +:
+        maskedCols.map(c => sum(col(c).isNull.cast("long")).as(s"n_$c"))) :+
+        sum((nNulls > 2).cast("long")).as("n_high_null_rows")
+    val maskedAgg = masked.agg(maskedAggs.head, maskedAggs.tail: _*)
+    val missAndHighNull = melt(maskedAgg,
+      maskedCols.flatMap(c => Seq(
+        ("missing", c, "n_null", col(s"n_$c")),
+        ("missing", c, "pct_null", rnd(col(s"n_$c") / col("n_total"), 4)))) :+
+        ("high_null", "row", "n_high_null_rows", col("n_high_null_rows")))
+
+    // all range checks: ONE scan of the weather view
+    val bounds = Seq(
+      ("temperature", -50d, 60d), ("humidity", 0d, 100d), ("wind_speed", 0d, 150d))
+    val rangeAggs = bounds.flatMap { case (c, lo, hi) =>
+      Seq(sum((col(c) < lo).cast("long")).as(s"below_$c"),
+        sum((col(c) > hi).cast("long")).as(s"above_$c"))
+    }
+    val rng = melt(weather.agg(rangeAggs.head, rangeAggs.tail: _*),
+      bounds.flatMap { case (c, _, _) => Seq(
+        ("range", c, "n_above", col(s"above_$c")),
+        ("range", c, "n_below", col(s"below_$c"))) })
+
+    overview.union(dup).union(missAndHighNull).union(rng)
       .orderBy("check_name", "item", "metric")
   }
 
