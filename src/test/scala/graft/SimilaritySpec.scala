@@ -55,8 +55,9 @@ class SimilaritySpec extends AnyFunSuite {
     assert(lsh.nonEmpty)
     val recall = brute.intersect(lsh).size.toDouble / brute.size
     // a broken bucket join collapses recall to near zero; the default
-    // 6-plane x 4-table config empirically sits well above 0.5 on this
-    // corpus (mirrors the 0.2/0.3 bars of embedDedupLsh/annIvf)
+    // 6-plane x 4-table multi-probe config empirically sits well above
+    // 0.5 on this corpus (mirrors the 0.35/0.4 bars of
+    // embedDedupLsh/annIvf)
     assert(recall > 0.5, s"recall $recall below the 6x4-config floor")
   }
 
@@ -68,7 +69,10 @@ class SimilaritySpec extends AnyFunSuite {
     assert(lsh.nonEmpty)
     assert(lsh.subsetOf(exact), s"LSH emitted non-pairs: ${lsh.diff(exact).take(5)}")
     val recall = exact.intersect(lsh).size.toDouble / exact.size
-    assert(recall > 0.2, s"recall $recall suspiciously low")
+    // measured 0.485 at the default 6-plane x 8-table config (the
+    // misses are near-threshold cos~0.4 pairs, expected for RHP-LSH);
+    // 0.35 leaves margin while still catching a broken bucket join
+    assert(recall > 0.35, s"recall $recall below the 6x8-config floor")
   }
 
   test("annIvf achieves nontrivial recall vs brute force") {
@@ -81,7 +85,9 @@ class SimilaritySpec extends AnyFunSuite {
     // within its probed lists; recall vs global brute force must be
     // well above the nProbe/nList=25% random-lists floor
     val recall = brute.intersect(ivf).size.toDouble / brute.size
-    assert(recall > 0.3, s"recall $recall suspiciously low")
+    // measured 0.52 at nProbe=4/nList=16; 0.4 keeps margin while
+    // sitting well above the 25% random-lists floor
+    assert(recall > 0.4, s"recall $recall below the nProbe=4 floor")
   }
 
   test("annIvf is deterministic across runs") {
