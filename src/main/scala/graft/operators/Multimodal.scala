@@ -7,18 +7,20 @@ import org.apache.spark.sql.functions._
   * media as opaque binary columns + typed metadata, with decode /
   * resize / frame-sample as per-partition pipeline stages.
   *
-  * Codecs: the self-describing formats are decoded FOR REAL in pure
-  * JVM code — binary P6 PPM images (header parse + RGB→luma) and
-  * RIFF/WAVE PCM16 audio (chunk walk + sample extraction), see
-  * [[Codec]] — so the decode path genuinely parses byte streams and
-  * is round-trip tested (MultimodalSpec encodes known images/waves
-  * and asserts exact recovery). Only the VIDEO codec is a
-  * DETERMINISTIC STUB (this container ships no ffmpeg); swapping in a
-  * real one changes only [[StubCodec]]. At scale each stage is
-  * `mapPartitions` (no per-row JNI/process setup: a heavyweight
-  * decoder initializes once per partition), media stays binary
-  * end-to-end (never in driver memory), and partition counts are
-  * controlled by the caller before the expensive stage.
+  * Codecs: every self-describing format is decoded FOR REAL in pure
+  * JVM code — binary P6 PPM images (header parse + RGB→luma),
+  * RIFF/WAVE PCM16 audio (chunk walk + sample extraction), and
+  * YUV4MPEG2 video (stream-header parse + FRAME walk + uniform frame
+  * sampling), see [[Codec]] — so the whole decode path genuinely
+  * parses byte streams and is round-trip tested (MultimodalSpec
+  * encodes known images/waves/frame sequences and asserts exact
+  * recovery). [[StubCodec]] remains only as the documented swap-in
+  * point for compressed formats (JPEG/H.264) whose libraries this
+  * container does not ship. At scale each stage is `mapPartitions`
+  * (no per-row JNI/process setup: a heavyweight decoder initializes
+  * once per partition), media stays binary end-to-end (never in
+  * driver memory), and partition counts are controlled by the caller
+  * before the expensive stage.
   */
 object Multimodal {
 
@@ -98,6 +100,51 @@ object Multimodal {
       bb.array()
     }
 
+    /** Encode grayscale frames as YUV4MPEG2 (`Cmono` colorspace):
+      * parameterized ASCII stream header, then `FRAME\n` + the Y
+      * plane per frame. */
+    def encodeY4m(w: Int, h: Int, frames: Seq[Array[Byte]]): Array[Byte] = {
+      require(frames.forall(_.length == w * h), "frame size must be w*h")
+      val header = s"YUV4MPEG2 W$w H$h F25:1 Ip A1:1 Cmono\n".getBytes("US-ASCII")
+      val fm = "FRAME\n".getBytes("US-ASCII")
+      val out = new java.io.ByteArrayOutputStream(
+        header.length + frames.map(_.length + fm.length).sum)
+      out.write(header)
+      frames.foreach { f => out.write(fm); out.write(f) }
+      out.toByteArray
+    }
+
+    /** Decode YUV4MPEG2 (`Cmono`): parse the parameter header
+      * (unknown parameters skipped per spec), then walk FRAME markers
+      * (frame-level parameters ignored) collecting Y planes. Returns
+      * (width, height, frames). */
+    def decodeY4m(data: Array[Byte]): (Int, Int, Array[Array[Byte]]) = {
+      val nl0 = data.indexOf('\n'.toByte)
+      require(nl0 > 0, "missing Y4M stream header")
+      val header = new String(data, 0, nl0, "US-ASCII")
+      val toks = header.split(' ')
+      require(toks(0) == "YUV4MPEG2", "not a YUV4MPEG2 payload")
+      def param(p: Char): Option[String] =
+        toks.drop(1).find(t => t.nonEmpty && t.head == p).map(_.tail)
+      val w = param('W').getOrElse(sys.error("Y4M missing width")).toInt
+      val h = param('H').getOrElse(sys.error("Y4M missing height")).toInt
+      val cs = param('C').getOrElse("420")
+      require(cs == "mono", s"only Cmono Y4M supported, colorspace=$cs")
+      val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+      var pos = nl0 + 1
+      while (pos < data.length) {
+        val nl = data.indexOf('\n'.toByte, pos)
+        require(nl > 0, "truncated FRAME marker")
+        require(new String(data, pos, nl - pos, "US-ASCII").startsWith("FRAME"),
+          "expected FRAME marker")
+        pos = nl + 1
+        require(data.length - pos >= w * h, "truncated frame plane")
+        frames += java.util.Arrays.copyOfRange(data, pos, pos + w * h)
+        pos += w * h
+      }
+      (w, h, frames.toArray)
+    }
+
     /** Decode RIFF/WAVE PCM16: walk the chunk list (fmt before data,
       * unknown chunks skipped per the RIFF spec), average channels to
       * mono, normalize to [-1, 1]. Returns (sampleRate, channels,
@@ -148,10 +195,11 @@ object Multimodal {
     }
   }
 
-  /** ==== STUB CODEC (video only) ==== deterministic fake decode:
-    * pixel (x,y) of frame f is a pure function of (payload hash, f,
-    * x, y). A real implementation would wrap ffmpeg here, initialized
-    * once per partition in the mapPartitions below. */
+  /** ==== STUB CODEC (unknown/compressed formats only) ====
+    * deterministic fake decode: pixel (x,y) of frame f is a pure
+    * function of (payload hash, f, x, y). A real implementation would
+    * wrap libjpeg/ffmpeg here, initialized once per partition in the
+    * mapPartitions below. */
   object StubCodec {
     def payloadHash(data: Array[Byte]): Long =
       data.foldLeft(1125899906842597L)((h, b) => h * 31L + (b & 0xff))
@@ -168,9 +216,9 @@ object Multimodal {
   }
 
   /** Deterministic synthetic media table (the testdata ships no binary
-    * media). Image rows carry REAL binary-PPM payloads and audio rows
-    * REAL RIFF/WAVE PCM16 payloads — the pipeline decodes actual byte
-    * streams; only video payloads are opaque stub bytes. */
+    * media). Image rows carry REAL binary-PPM payloads, audio rows
+    * REAL RIFF/WAVE PCM16 payloads, and video rows REAL YUV4MPEG2
+    * streams — the whole pipeline decodes actual byte payloads. */
   def synthMedia(spark: SparkSession, n: Int, partitions: Int = 8): Dataset[MediaRow] = {
     import spark.implicits._
     spark.range(0, n, 1, partitions).map { id =>
@@ -192,19 +240,23 @@ object Multimodal {
             MediaMeta(0, 0, durMs, "wav-pcm16"))
         case _ =>
           val w = 16 + (id % 16).toInt
-          val len = 64 + (id % 191).toInt
-          val data = Array.tabulate[Byte](len)(i =>
-            (graft.functions.TextHash.mix64(id * 131L + i) & 0xff).toByte)
-          MediaRow(id, "video", data,
-            MediaMeta(w, 16, 2000L + (id % 8000), "stub-vid"))
+          val h = 16
+          val nFrames = 5 + (id % 4).toInt
+          val frames = Seq.tabulate(nFrames)(f =>
+            Array.tabulate[Byte](w * h)(i =>
+              (graft.functions.TextHash.mix64(id * 131L + f * 977L + i) & 0xff).toByte))
+          MediaRow(id, "video", Codec.encodeY4m(w, h, frames),
+            MediaMeta(w, h, 2000L + (id % 8000), "y4m"))
       }
     }
   }
 
   /** Decode stage: one decoded frame per image (REAL PPM parse), n
-    * sampled frames per video (stub codec), none for audio (see
-    * [[decodeAudio]]). Per-partition iteration — codec state is
-    * reused across rows. */
+    * uniformly-sampled frames per video (REAL Y4M parse), none for
+    * audio (see [[decodeAudio]]). Unknown codecs fall back to the
+    * stub — the swap-in point for codec-heavy formats (JPEG/H.264)
+    * absent in this container. Per-partition iteration — codec state
+    * is reused across rows. */
   def decode(media: Dataset[MediaRow], framesPerVideo: Int = 3): Dataset[DecodedFrame] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
@@ -217,6 +269,14 @@ object Multimodal {
           case ("image", _) =>
             Iterator.single(DecodedFrame(m.media_id, 0, m.meta.width, m.meta.height,
               StubCodec.decodeFrame(m.data, 0, m.meta.width, m.meta.height)))
+          case ("video", "y4m") =>
+            val (w, h, frames) = Codec.decodeY4m(m.data)
+            // uniform sampling over the actual frame count
+            val n = math.min(framesPerVideo, frames.length)
+            (0 until n).iterator.map { f =>
+              val src = if (n == 1) 0 else f * (frames.length - 1) / (n - 1)
+              DecodedFrame(m.media_id, f, w, h, frames(src))
+            }
           case ("video", _) =>
             (0 until framesPerVideo).iterator.map { f =>
               DecodedFrame(m.media_id, f, m.meta.width, m.meta.height,

@@ -77,6 +77,33 @@ class MultimodalSpec extends AnyFunSuite {
     assert((gray(0) & 0xff) == (299 * 10 + 587 * 20 + 114 * 30) / 1000)
   }
 
+  test("Y4M codec round-trips grayscale frames exactly") {
+    import Multimodal.Codec
+    val frames = Seq.tabulate(4)(f => Array.tabulate[Byte](6)(i => (f * 10 + i).toByte))
+    val (w, h, out) = Codec.decodeY4m(Codec.encodeY4m(3, 2, frames))
+    assert(w == 3 && h == 2 && out.length == 4)
+    frames.zip(out).foreach { case (a, b) => assert(a.sameElements(b)) }
+  }
+
+  test("video decode samples real frames uniformly from the Y4M stream") {
+    import Multimodal.Codec
+    val vids = media.filter(_.kind == "video").collect()
+    assert(vids.nonEmpty)
+    val decoded = Multimodal.decode(media, framesPerVideo = 3).collect()
+      .groupBy(_.media_id)
+    vids.foreach { v =>
+      val (w, h, srcFrames) = Codec.decodeY4m(v.data)
+      val sampled = decoded(v.media_id).sortBy(_.frame_idx)
+      assert(sampled.length == 3)
+      // first and last sampled frames are the stream's first and last
+      assert(sampled.head.pixels.sameElements(srcFrames.head))
+      assert(sampled.last.pixels.sameElements(srcFrames.last))
+      // every sampled frame is bit-identical to SOME source frame
+      sampled.foreach(s => assert(srcFrames.exists(_.sameElements(s.pixels))))
+      assert(sampled.forall(s => s.width == w && s.height == h))
+    }
+  }
+
   test("WAV PCM16 codec round-trips a sine wave") {
     import Multimodal.Codec
     val rate = 8000
