@@ -87,6 +87,15 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
   }
 
+  test("quality report costs one scan per derived view (4 total)") {
+    // the fused report melts every global section out of a single
+    // aggregate per input; a refactor back to per-check unions would
+    // reintroduce a 5th (or more) lake scan
+    val p = planOf("q_quality_report")
+    val scans = p.linesIterator.count(_.contains("FileScan parquet"))
+    assert(scans <= 4, s"expected <= 4 parquet scans, found $scans:\n$p")
+  }
+
   test("partitioned lake writes create prunable directories") {
     val out = java.nio.file.Files.createTempDirectory("graft-lake").toString
     val ev = Tables.events(spark, sfDir)
