@@ -162,6 +162,8 @@ object Multimodal {
       while (bb.remaining() >= 8 && samples == null) {
         val id = fourCC()
         val size = bb.getInt
+        require(size >= 0 && bb.remaining() >= size,
+          s"truncated WAV chunk '$id': declared $size bytes, ${bb.remaining()} left")
         id match {
           case "fmt " =>
             val fmtEnd = bb.position() + size

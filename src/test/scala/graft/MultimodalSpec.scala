@@ -116,6 +116,21 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("codecs reject truncated or foreign payloads with clear errors") {
+    import Multimodal.Codec
+    val ppm = Codec.encodePpm(4, 4, Array.fill[Byte](48)(7))
+    val wav = Codec.encodeWavPcm16(8000, Array.fill[Short](100)(5))
+    val y4m = Codec.encodeY4m(4, 4, Seq(Array.fill[Byte](16)(9)))
+    // truncated pixel/sample/frame data
+    intercept[IllegalArgumentException](Codec.decodePpm(ppm.dropRight(10)))
+    intercept[IllegalArgumentException](Codec.decodeWavPcm16(wav.dropRight(10)))
+    intercept[IllegalArgumentException](Codec.decodeY4m(y4m.dropRight(10)))
+    // wrong magic routes to a clear message, not a parse crash
+    intercept[IllegalArgumentException](Codec.decodePpm(wav))
+    intercept[IllegalArgumentException](Codec.decodeWavPcm16(ppm.take(44) ++ ppm))
+    intercept[IllegalArgumentException](Codec.decodeY4m(ppm))
+  }
+
   test("audio decode + waveform features run over real WAV payloads") {
     val clips = Multimodal.decodeAudio(media).collect()
     assert(clips.length == media.filter(_.kind == "audio").count())
