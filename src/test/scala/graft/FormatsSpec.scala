@@ -1,0 +1,63 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{Formats, Tables}
+
+class FormatsSpec extends AnyFunSuite {
+  import TestSession._
+
+  private val eventSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType)))
+
+  test("CSV round-trips the events table under an explicit schema") {
+    val dir = Files.createTempDirectory("graft-csv").toString
+    val ev = Tables.events(spark, sfDir)
+      .select("event_id", "user_id", "event_type", "value")
+    Formats.writeCsv(ev, dir)
+    val back = Formats.readCsv(spark, dir, eventSchema)
+    val (clean, bad) = Formats.quarantine(back)
+    assert(bad.count() == 0)
+    assert(clean.count() == ev.count())
+    // values survive the text round-trip exactly
+    val a = ev.agg(sum("value"), sum("event_id")).collect()(0)
+    val b = clean.agg(sum("value"), sum("event_id")).collect()(0)
+    assert(a.getDouble(0) == b.getDouble(0) && a.getLong(1) == b.getLong(1))
+  }
+
+  test("JSONL round-trips and quarantines malformed lines") {
+    val dir = Files.createTempDirectory("graft-jsonl").toString
+    val ev = Tables.events(spark, sfDir).limit(100)
+      .select("event_id", "user_id", "event_type", "value")
+    Formats.writeJsonl(ev, dir)
+    // inject corrupt lines alongside the good part files
+    Files.writeString(java.nio.file.Paths.get(dir, "part-corrupt.json"),
+      "{\"event_id\": 1, \"user_id\": \n{not json at all\n")
+    val (clean, bad) = Formats.quarantine(Formats.readJsonl(spark, dir, eventSchema))
+    assert(clean.count() == 100)
+    assert(bad.count() == 2)
+    // quarantined rows keep the raw line for replay
+    bad.collect().foreach(r => assert(r.getAs[String](Formats.corruptCol).nonEmpty))
+  }
+
+  test("CSV reader quarantines rows that cannot be parsed into the schema") {
+    val dir = Files.createTempDirectory("graft-badcsv").toString
+    Files.writeString(java.nio.file.Paths.get(dir, "data.csv"),
+      "event_id,user_id,event_type,value\n" +
+        "1,10,view,2.5\n" +
+        "not_a_long,10,view,2.5\n" +
+        "3,11,click,oops_not_a_double\n")
+    val (clean, bad) = Formats.quarantine(Formats.readCsv(spark, dir, eventSchema))
+    assert(clean.count() == 1)
+    assert(clean.collect()(0).getLong(0) == 1L)
+    assert(bad.count() == 2)
+    graft.operators.Caches.releaseAll()
+  }
+}
