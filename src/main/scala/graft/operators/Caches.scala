@@ -31,8 +31,13 @@ object Caches {
     }
 
   /** Unpersist every tracked frame (non-blocking) and clear the
-    * registry. Safe to call at any time: a plan that still references a
-    * released cache simply recomputes. */
+    * registry. A plan that still references a released cache
+    * recomputes from source — correct for every operator here with
+    * ONE exception: [[graft.sources.Formats.quarantine]]'s
+    * corrupt-rows branch cannot replan against raw text files (Spark
+    * refuses corrupt-column-only scans), so land both quarantine
+    * branches before draining. The registry is process-global: drain
+    * it between units of work, not mid-pipeline. */
   def releaseAll(): Unit = synchronized {
     live.foreach(df => try df.unpersist(blocking = false) catch { case _: Throwable => () })
     live.clear()

@@ -70,6 +70,10 @@ object Multimodal {
       val h = token().toInt
       val maxVal = token().toInt
       require(maxVal == 255, s"only 8-bit PPM supported, maxval=$maxVal")
+      // long arithmetic: a hostile 65536x65536 header would overflow
+      // w*h*3 as int and slip past the truncation guard
+      require(w > 0 && h > 0 && w.toLong * h * 3 <= Int.MaxValue,
+        s"implausible PPM dimensions ${w}x$h")
       pos += 1 // single whitespace after maxval, per spec
       require(data.length - pos >= w * h * 3, "truncated PPM pixel data")
       val gray = new Array[Byte](w * h)
@@ -177,6 +181,7 @@ object Multimodal {
             bb.position(fmtEnd)
           case "data" =>
             require(sampleRate > 0, "data chunk before fmt chunk")
+            require(channels > 0, s"invalid channel count $channels")
             val n = size / 2 / channels
             val out = new Array[Float](n)
             var i = 0
@@ -311,14 +316,18 @@ object Multimodal {
     import clips.sparkSession.implicits._
     clips.map { c =>
       val n = c.samples.length
-      val vec = Array.tabulate(dim) { d =>
-        val lo = (n.toLong * d / dim).toInt
-        val hi = (n.toLong * (d + 1) / dim).toInt.max(lo + 1).min(n)
-        var acc = 0.0
-        var i = lo
-        while (i < hi) { val s = c.samples(i); acc += s * s; i += 1 }
-        math.sqrt(acc / (hi - lo)).toFloat
-      }
+      // zero-sample clip (a valid WAV with an empty data chunk) →
+      // zero vector, not 0.0/0 = NaN poisoning downstream cosines
+      val vec =
+        if (n == 0) new Array[Float](dim)
+        else Array.tabulate(dim) { d =>
+          val lo = (n.toLong * d / dim).toInt
+          val hi = (n.toLong * (d + 1) / dim).toInt.max(lo + 1).min(n)
+          var acc = 0.0
+          var i = lo
+          while (i < hi) { val s = c.samples(i); acc += s * s; i += 1 }
+          math.sqrt(acc / (hi - lo)).toFloat
+        }
       (c.media_id, c.sample_rate, vec)
     }.toDF("media_id", "sample_rate", "embedding")
   }

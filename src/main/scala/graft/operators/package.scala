@@ -57,18 +57,24 @@ package object operators {
     sum(extC * (lit(100L) - discPct)).cast("double") / 1e4
   }
 
-  /** Raise a frame to at least the cluster's default parallelism when
-    * it is under-partitioned (a small parquet table arrives as ONE
-    * partition, which serializes downstream per-row kernels and
-    * nested-loop scoring onto a single core). Never coalesces: a
-    * well-partitioned 100 TB input passes through untouched — the
-    * repartition only triggers in the small-input regime where its
-    * shuffle is trivially cheap.
+  /** Normalize a small frame's partitioning to the cluster's default
+    * parallelism (a small parquet table arrives as ONE partition,
+    * which serializes downstream per-row kernels and nested-loop
+    * scoring onto a single core). A large input — one whose optimizer
+    * size estimate exceeds `parallelism × files.maxPartitionBytes`,
+    * the same ratio the file scan uses to split partitions — passes
+    * through untouched, so a well-partitioned 100 TB scan is never
+    * reshuffled or coalesced.
     *
-    * The small-vs-large decision is purely plan-side (optimizer
-    * statistics vs `files.maxPartitionBytes`, the same ratio the file
-    * scan uses to split partitions) — no `df.rdd` probe, which would
-    * force a second physical-plan materialization per call. */
+    * The decision is purely plan-side — no `df.rdd` probe, which
+    * would force a second physical-plan materialization per call. Two
+    * consequences to know: in the SMALL regime the frame is
+    * repartitioned to exactly `defaultParallelism` even if it already
+    * had more partitions (same cores either way; the shuffle is
+    * trivially cheap at that size), and a frame with UNKNOWN stats
+    * (e.g. an RDD-backed LogicalRDD reporting Long.MaxValue) is
+    * treated as large and passes through — callers feeding non-file
+    * sources to quadratic kernels should pre-partition explicitly. */
   def spreadToCores(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val spark = df.sparkSession
     val par = spark.sparkContext.defaultParallelism

@@ -58,8 +58,8 @@ object Formats {
     * column — corruptness is undefined without parsing the data
     * columns — and its documented remedy is to materialize the parsed
     * result. The cache registers with [[graft.operators.Caches]];
-    * entry points (or `GraftApi.releaseCaches`) drain it after the
-    * batch lands. */
+    * land BOTH branches before draining the registry — the quarantine
+    * branch cannot recompute from the raw files once released. */
   def quarantine(df: DataFrame): (DataFrame, DataFrame) = {
     val parsed = graft.operators.Caches.persistTracked(df)
     val c = parsed.col(corruptCol)

@@ -127,7 +127,10 @@ object EventsStream {
     while (true) {
       try return op
       catch {
-        case e: Throwable =>
+        // NonFatal only: OOM, thread interrupts, and query-stop
+        // cancellations must propagate immediately — retrying them
+        // delays shutdown and can duplicate batch writes
+        case scala.util.control.NonFatal(e) =>
           if (attempt >= maxRetries) throw e
           sleep(baseBackoffMs << attempt)
           attempt += 1

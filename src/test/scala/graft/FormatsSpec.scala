@@ -26,10 +26,12 @@ class FormatsSpec extends AnyFunSuite {
     val (clean, bad) = Formats.quarantine(back)
     assert(bad.count() == 0)
     assert(clean.count() == ev.count())
-    // values survive the text round-trip exactly
-    val a = ev.agg(sum("value"), sum("event_id")).collect()(0)
-    val b = clean.agg(sum("value"), sum("event_id")).collect()(0)
-    assert(a.getDouble(0) == b.getDouble(0) && a.getLong(1) == b.getLong(1))
+    // values survive the text round-trip exactly — sum in DECIMAL so
+    // the comparison is partition-order-independent
+    val exactSum = sum(col("value").cast("decimal(38,6)"))
+    val a = ev.agg(exactSum, sum("event_id")).collect()(0)
+    val b = clean.agg(exactSum, sum("event_id")).collect()(0)
+    assert(a.getDecimal(0) == b.getDecimal(0) && a.getLong(1) == b.getLong(1))
   }
 
   test("JSONL round-trips and quarantines malformed lines") {

@@ -129,6 +129,32 @@ class MultimodalSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Codec.decodePpm(wav))
     intercept[IllegalArgumentException](Codec.decodeWavPcm16(ppm.take(44) ++ ppm))
     intercept[IllegalArgumentException](Codec.decodeY4m(ppm))
+    // hostile PPM header whose w*h*3 overflows int must not slip past
+    // the truncation guard into a NegativeArraySizeException
+    val hostile = "P6\n65536 65536\n255\n".getBytes("US-ASCII") ++ Array.fill[Byte](16)(1)
+    intercept[IllegalArgumentException](Codec.decodePpm(hostile))
+    // fmt chunk declaring 0 channels: clear require, not / by zero
+    val zeroCh = {
+      val bb = java.nio.ByteBuffer.allocate(44).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36).put("WAVE".getBytes("US-ASCII"))
+      bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(0) // PCM, 0 channels
+        .putInt(8000).putInt(0).putShort(0).putShort(16)
+      bb.put("data".getBytes("US-ASCII")).putInt(0)
+      bb.array()
+    }
+    intercept[IllegalArgumentException](Codec.decodeWavPcm16(zeroCh))
+  }
+
+  test("zero-sample audio clips embed as zero vectors, not NaN") {
+    import Multimodal.Codec
+    val (_, _, empty) = Codec.decodeWavPcm16(Codec.encodeWavPcm16(8000, Array.empty[Short]))
+    assert(empty.isEmpty)
+    import spark.implicits._
+    val clips = Seq(Multimodal.AudioClip(1L, 8000, 0, Array.empty[Float])).toDS()
+    val vec = Multimodal.audioFeatures(clips).collect()(0)
+      .getAs[scala.collection.Seq[Float]]("embedding")
+    assert(vec.length == 16 && vec.forall(_ == 0f))
   }
 
   test("audio decode + waveform features run over real WAV payloads") {
