@@ -88,6 +88,7 @@ object SparkEntry {
     }),
     // H. text analysis + exact dedup
     "q_dedup_exact"  -> ((s, d) => TextAnalysis.dedupExact(Tables.documents(s, d))),
+    "q_dedup_keepbest" -> ((s, d) => TextAnalysis.dedupKeepBest(Tables.documents(s, d))),
     "q_token_count"  -> ((s, d) => TextAnalysis.tokenCount(Tables.documents(s, d))),
     "q_text_quality" -> ((s, d) => TextAnalysis.textQuality(Tables.documents(s, d))),
     "q_lang_id"      -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
@@ -95,6 +96,8 @@ object SparkEntry {
     "q_pack_sequences" -> ((s, d) => TextAnalysis.packSequences(Tables.documents(s, d))),
     // H. near-dup + similarity
     "q_dedup_minhash" -> ((s, d) => Dedup.minhashPairs(Tables.documents(s, d))),
+    "q_dedup_clusters" -> ((s, d) =>
+      Dedup.nearDupClusters(Dedup.minhashPairs(Tables.documents(s, d)))),
     "q_dedup_simhash" -> ((s, d) => Dedup.simhashPairs(Tables.documents(s, d))),
     "q_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(Tables.documents(s, d))),
     "q_dedup_embed"   -> ((s, d) => Similarity.embedDedup(Tables.embeddings(s, d))),
@@ -649,6 +652,33 @@ object SparkEntry {
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS content_hash,
         |       min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
+    "q_dedup_keepbest" ->
+      """WITH tok AS (
+        |  SELECT doc_id, text,
+        |         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks,
+        |         length(text) AS n_chars,
+        |         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS content_hash
+        |  FROM documents
+        |), m AS (
+        |  SELECT doc_id, content_hash,
+        |         CAST(len(toks) AS DOUBLE) AS n_tok,
+        |         CAST(n_chars AS DOUBLE) AS n_chars,
+        |         CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','is','in','to'))) AS DOUBLE) AS n_stop,
+        |         CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS DOUBLE) AS n_punct
+        |  FROM tok
+        |), q AS (
+        |  SELECT doc_id, content_hash,
+        |         round(least(n_tok / 200.0, 1.0) * 0.5 + (n_stop / greatest(n_tok, 1.0)) * 0.25
+        |               + (1.0 - n_punct / greatest(n_chars, 1.0)) * 0.25 + 1e-9, 4) AS quality_score
+        |  FROM m
+        |), s AS (
+        |  SELECT content_hash, doc_id, quality_score,
+        |         row_number() OVER (PARTITION BY content_hash ORDER BY quality_score DESC, doc_id) AS rn,
+        |         count(*) OVER (PARTITION BY content_hash) AS n_copies
+        |  FROM q
+        |)
+        |SELECT content_hash, doc_id AS keep_id, quality_score AS best_quality, n_copies
+        |FROM s WHERE rn = 1 ORDER BY keep_id""".stripMargin,
     "q_pack_sequences" ->
       """WITH t AS (
         |  SELECT doc_id, source,

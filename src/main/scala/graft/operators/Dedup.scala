@@ -129,6 +129,54 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Resolve a near-dup PAIR frame (doc_a, doc_b) into connected
+    * components — the step that turns pairwise matches into actual
+    * dedup decisions (one keeper per cluster). Min-label propagation:
+    * every doc starts labeled with its own id; each round, a doc
+    * takes the minimum label in its neighborhood; at fixpoint the
+    * label is the component's minimum doc id, which doubles as the
+    * canonical `cluster_id`.
+    *
+    * Scale: each round is one join + one aggregate, both
+    * hash-partitioned on doc id, and round count is bounded by the
+    * component DIAMETER — near-dup clusters are tiny dense blobs
+    * (pairs of a cluster mostly all co-exist), so 2-3 rounds converge
+    * in practice; `maxIters` caps adversarial chains. Rounds
+    * `localCheckpoint` their label frame — an iterative plan that is
+    * merely persisted keeps its full lineage and grows EXPONENTIALLY
+    * (each round references the previous twice); checkpointing
+    * truncates it to a scan of the materialized result, and the
+    * superseded round's blocks are reclaimed by the ContextCleaner.
+    * Output: (doc_id, cluster_id) for every doc appearing in some
+    * pair. */
+  def nearDupClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = pairs
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .select(col("doc_id"), col("doc_id").as("cluster_id"))
+      .localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val neighborMin = edges
+        .join(labels.select(col("doc_id").as("dst"), col("cluster_id").as("dst_label")), "dst")
+        .groupBy(col("src").as("doc_id"))
+        .agg(min("dst_label").as("neighbor_min"))
+      val next = labels.join(neighborMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_id"), coalesce(col("neighbor_min"), col("cluster_id")))
+            .as("cluster_id"),
+          (col("neighbor_min") < col("cluster_id")).as("changed"))
+        .localCheckpoint()
+      converged = next.filter(col("changed")).limit(1).isEmpty
+      labels = next
+      i += 1
+    }
+    labels.select("doc_id", "cluster_id").orderBy("doc_id")
+  }
+
   /** Exact n-gram Jaccard pairs via shingle bucket-join: only pairs
     * sharing at least one shingle are ever formed (the hashed shingle
     * IS the bucket key), then |A∩B| comes from the join group count

@@ -72,6 +72,42 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** The composite quality score of [[textQuality]] as a standalone
+    * Column (rounded 4dp — the deterministic ranking key for
+    * quality-aware dedup). */
+  def qualityScore(text: Column): Column = {
+    val toks = tokens(text)
+    val nTok = size(toks).cast("double")
+    val nChars = greatest(length(text).cast("double"), lit(1.0))
+    val nStop = size(filter(toks, t => t.isInCollection(stopwords))).cast("double")
+    val nPunct = regexp_count(text, lit("[^a-zA-Z0-9\\s]")).cast("double")
+    rnd(least(nTok / 200d, lit(1.0)) * 0.5 +
+      (nStop / greatest(nTok, lit(1.0))) * 0.25 +
+      (lit(1.0) - nPunct / nChars) * 0.25, 4)
+  }
+
+  /** Quality-aware exact dedup: of each group of content-identical
+    * documents, KEEP THE HIGHEST-QUALITY COPY (modern corpus-dedup
+    * practice — duplicates share normalized content but differ in raw
+    * casing/whitespace, so their quality scores differ), ties to the
+    * lowest doc_id. The ranking window and the multiplicity count
+    * share the content-hash partitioning — one shuffle, like
+    * [[dedupExact]]. */
+  def dedupKeepBest(docs: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("content_hash")
+    docs
+      .select(col("doc_id"),
+        md5(normalize(col("text")).cast("binary")).as("content_hash"),
+        qualityScore(col("text")).as("quality_score"))
+      .select(col("doc_id"), col("content_hash"), col("quality_score"),
+        row_number().over(w.orderBy(desc("quality_score"), asc("doc_id"))).as("rn"),
+        count(lit(1)).over(w).as("n_copies"))
+      .filter(col("rn") === 1)
+      .select(col("content_hash"), col("doc_id").as("keep_id"),
+        col("quality_score").as("best_quality"), col("n_copies"))
+      .orderBy("keep_id")
+  }
+
   /** Language-marker word lists (alphabetical by lang code); the
     * stopword-profile heuristic scores each language by marker-token
     * frequency and picks the argmax (ties → first alphabetically,

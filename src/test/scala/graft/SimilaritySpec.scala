@@ -96,6 +96,48 @@ class SimilaritySpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("nearDupClusters equals a local union-find on random pair graphs") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    // random sparse graph incl. chains (worst case for propagation depth)
+    val edges = (Seq.tabulate(12)(i => (i.toLong, (i + 1).toLong)) ++ // one 13-node chain
+      Seq.fill(60)((rng.nextInt(200) + 100L, rng.nextInt(200) + 100L)))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+    val out = Dedup.nearDupClusters(edges.toDF("doc_a", "doc_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // local union-find reference
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val ids = edges.flatMap { case (a, b) => Seq(a, b) }.distinct
+    // same membership: component-min label for every vertex
+    val refLabel = ids.map(v => v -> ids.filter(u => find(u) == find(v)).min).toMap
+    assert(out.keySet == ids.toSet)
+    ids.foreach(v => assert(out(v) == refLabel(v), s"vertex $v"))
+    graft.operators.Caches.releaseAll()
+  }
+
+  test("minhash pairs resolve into consistent clusters") {
+    val pairs = Dedup.minhashPairs(docs)
+    val clusters = Dedup.nearDupClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairRows = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairRows.nonEmpty)
+    pairRows.foreach { case (a, b) =>
+      assert(clusters(a) == clusters(b), s"pair ($a,$b) split across clusters")
+    }
+    // the cluster id is a member of its own cluster (the minimum doc)
+    clusters.values.foreach(cid => assert(clusters(cid) == cid))
+    graft.operators.Caches.releaseAll()
+  }
+
   test("shingles produce n-grams of the right shape") {
     val sh = Dedup.shingles(docs, 3).select(explode(col("sh")).as("s"))
       .select(size(split(col("s"), " ")).as("n")).distinct().collect()

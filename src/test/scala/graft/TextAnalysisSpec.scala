@@ -82,4 +82,26 @@ class TextAnalysisSpec extends AnyFunSuite {
       .filter(col("n_chars_m") =!= col("n_chars"))
     assert(joined.count() == 0)
   }
+
+  test("dedupKeepBest keeps the highest-quality copy of identical content") {
+    import spark.implicits._
+    // same normalized content, different raw forms: the extra internal
+    // whitespace lengthens the raw text, lowering punct_ratio and
+    // raising the quality score — that copy must win over the lower id
+    val corpus = Seq(
+      (1L, "the quick, brown fox!"),
+      (2L, "the   quick,   brown   fox!"), // same normalized text, higher quality
+      (3L, "an unrelated document entirely"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.dedupKeepBest(corpus).collect()
+    assert(out.length == 2) // 2 distinct contents
+    val dupGroup = out.find(_.getAs[Long]("n_copies") == 2).get
+    assert(dupGroup.getAs[Long]("keep_id") == 2L, "higher-quality copy must be kept")
+    val single = out.find(_.getAs[Long]("n_copies") == 1).get
+    assert(single.getAs[Long]("keep_id") == 3L)
+    // scores agree with textQuality's per-doc output
+    val q = TextAnalysis.textQuality(corpus).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("quality_score")).toMap
+    assert(dupGroup.getAs[Double]("best_quality") == q(2L))
+  }
 }
