@@ -174,6 +174,11 @@ object Dedup {
       labels = next
       i += 1
     }
+    // a partially-propagated labeling is silently WRONG dedup — refuse
+    // to return it; the caller raises maxIters (diameter exceeded it)
+    if (!converged) throw new IllegalStateException(
+      s"nearDupClusters did not converge in $maxIters rounds — component " +
+        s"diameter exceeds the cap; raise maxIters")
     labels.select("doc_id", "cluster_id").orderBy("doc_id")
   }
 

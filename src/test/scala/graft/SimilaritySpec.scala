@@ -124,6 +124,15 @@ class SimilaritySpec extends AnyFunSuite {
     graft.operators.Caches.releaseAll()
   }
 
+  test("nearDupClusters refuses to return a non-converged labeling") {
+    import spark.implicits._
+    val chain = Seq.tabulate(6)(i => (i.toLong, (i + 1).toLong)).toDF("doc_a", "doc_b")
+    val ex = intercept[IllegalStateException] {
+      Dedup.nearDupClusters(chain, maxIters = 2).count()
+    }
+    assert(ex.getMessage.contains("converge"))
+  }
+
   test("minhash pairs resolve into consistent clusters") {
     val pairs = Dedup.minhashPairs(docs)
     val clusters = Dedup.nearDupClusters(pairs)
