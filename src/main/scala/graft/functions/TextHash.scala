@@ -92,6 +92,22 @@ object TextHash {
   /** Hamming distance between two 64-bit signatures. */
   def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
 
+  /** Count of tokens (duplicates included, nulls skipped) present in
+    * a fixed word set — the codegen'd replacement for
+    * `size(filter(toks, _.isInCollection(set)))`, whose higher-order
+    * function form is CodegenFallback and breaks the whole-stage span
+    * on corpus-wide per-row paths (quality scoring, language-ID). */
+  def countInSet(tokens: ArrayData, set: java.util.HashSet[UTF8String]): Int = {
+    val n = tokens.numElements()
+    var cnt = 0
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i) && set.contains(tokens.getUTF8String(i))) cnt += 1
+      i += 1
+    }
+    cnt
+  }
+
   /** Left-to-right dot product of two float vectors in double
     * precision (each element widened BEFORE the multiply) — exactly
     * the summation the DuckDB oracle's list_sum-over-list_transform

@@ -128,6 +128,29 @@ case class IvfAssign(child: Expression, cents: Array[Array[Float]])
     copy(child = newChild)
 }
 
+/** Count of tokens present in a fixed word set (duplicates included).
+  * The set materializes once per executor (transient lazy) and rides
+  * into generated code as a reference object — the codegen'd form of
+  * `size(filter(toks, _.isInCollection(words)))`, whose HOF version
+  * is CodegenFallback. */
+case class CountInSet(child: Expression, words: Seq[String])
+    extends UnaryExpression {
+  @transient private lazy val set: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String](words.size * 2)
+    words.foreach(w => s.add(UTF8String.fromString(w)))
+    s
+  }
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(input: Any): Any =
+    TextHash.countInSet(input.asInstanceOf[ArrayData], set)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("wordSet", set, "java.util.HashSet")
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.countInSet($c, $ref)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): CountInSet =
+    copy(child = newChild)
+}
+
 /** Random-hyperplane LSH signature (int bucket) of a float vector. */
 case class RhpSig(child: Expression, nPlanes: Int, seed: Long)
     extends UnaryExpression {
@@ -157,4 +180,6 @@ object GraftFunctions {
   def simhash64L(hashes: Column): Column = Bridge.column(SimHash64L(e(hashes)))
   def minhashSigL(hashes: Column, k: Int): Column =
     Bridge.column(MinHashSigL(e(hashes), k))
+  def countInSet(tokens: Column, words: Seq[String]): Column =
+    Bridge.column(CountInSet(e(tokens), words))
 }

@@ -53,7 +53,7 @@ object TextAnalysis {
     // greatest(…,1) guards empty text: Spark's non-ANSI x/0 is NULL but
     // DuckDB's is NaN — the guard makes both engines emit 0 ratios
     val nChars = greatest(length(col("text")).cast("double"), lit(1.0))
-    val nStop = size(filter(toks, t => t.isInCollection(stopwords))).cast("double")
+    val nStop = GraftFunctions.countInSet(toks, stopwords).cast("double")
     val nPunct = regexp_count(col("text"), lit("[^a-zA-Z0-9\\s]")).cast("double")
     val nUpper = regexp_count(col("text"), lit("[A-Z]")).cast("double")
     val stopRatio = nStop / greatest(nTok, lit(1.0))
@@ -79,7 +79,7 @@ object TextAnalysis {
     val toks = tokens(text)
     val nTok = size(toks).cast("double")
     val nChars = greatest(length(text).cast("double"), lit(1.0))
-    val nStop = size(filter(toks, t => t.isInCollection(stopwords))).cast("double")
+    val nStop = GraftFunctions.countInSet(toks, stopwords).cast("double")
     val nPunct = regexp_count(text, lit("[^a-zA-Z0-9\\s]")).cast("double")
     rnd(least(nTok / 200d, lit(1.0)) * 0.5 +
       (nStop / greatest(nTok, lit(1.0))) * 0.25 +
@@ -122,7 +122,7 @@ object TextAnalysis {
     val scored = langMarkers.foldLeft(docs.withColumn("toks", tokens(col("text")))) {
       case (df, (lang, words)) =>
         df.withColumn(s"s_$lang",
-          size(filter(col("toks"), t => t.isInCollection(words))).cast("long"))
+          GraftFunctions.countInSet(col("toks"), words).cast("long"))
     }
     val langs = langMarkers.map(_._1)
     val allZero = langs.map(l => col(s"s_$l") === 0).reduce(_ && _)

@@ -146,6 +146,19 @@ class KernelPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("countInSet equals the HOF filter+size reference (codegen path)") {
+    import spark.implicits._
+    val words = Seq("the", "of", "and", "zq")
+    val rows = Seq.fill(200)(
+      Seq.fill(rng.nextInt(30))(randToken()) ++ Seq.fill(rng.nextInt(5))("the"))
+    val df = rows.map(_.mkString(" ")).toDF("text")
+      .select(split(col("text"), " ").as("toks"))
+    val out = df.select(
+      countInSet(col("toks"), words).as("c"),
+      size(filter(col("toks"), t => t.isInCollection(words))).as("ref")).collect()
+    out.foreach(r => assert(r.getInt(0) == r.getInt(1)))
+  }
+
   test("discountedRevenueSum is bit-identical to the DECIMAL(38,6) path") {
     import spark.implicits._
     // random 2-decimal money values and discounts, grouped — both
