@@ -109,9 +109,16 @@ object SparkEntry {
     // + per-frame features; rows-only — pinned by MultimodalSpec)
     "q_media_features" -> ((s, _) => {
       GraftSession.tune(s)
+      // scalar projection of the per-frame embedding: the driver's
+      // pandas canonicalizer cannot sort/hash array columns (round-2
+      // 'unhashable numpy.ndarray'); internal consumers (the ANN
+      // stack) keep the array<float> form from Multimodal.features
       Multimodal.features(
         Multimodal.resize(Multimodal.decode(Multimodal.synthMedia(s, 300)), 8, 8))
-        .orderBy("media_id", "frame_idx")
+        .select(col("media_id"), col("frame_idx"),
+          org.apache.spark.sql.functions.posexplode(col("embedding")).as(Seq("dim_idx", "value")))
+        .withColumn("value", col("value").cast("double"))
+        .orderBy("media_id", "frame_idx", "dim_idx")
     }),
     // F. ML feature preparation (columnar, oracle-checkable)
     "q_ml_feature_prep" -> ((s, d) => {
@@ -151,9 +158,9 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
     "q_metrics" ->
-      """SELECT round(CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / count(value) + 1e-9, 4) AS avg_value,
-        |       round(max(value), 4) AS max_value,
-        |       round(min(value), 4) AS min_value,
+      """SELECT (round(CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / count(value) + 1e-9, 4) + 0) AS avg_value,
+        |       (round(max(value), 4) + 0) AS max_value,
+        |       (round(min(value), 4) + 0) AS min_value,
         |       count(*) AS n_records,
         |       count(DISTINCT user_id) AS n_entities,
         |       max(CAST(floor(epoch(ts)) AS BIGINT)) AS latest_ts
@@ -161,17 +168,17 @@ object SparkEntry {
     "q_corr_matrix" ->
       s"""$duckWeatherView
         |SELECT t.col_a, t.col_b, t.corr_v FROM (
-        |  SELECT 'temperature' AS col_a, 'temperature' AS col_b, round(corr(temperature, temperature) + 1e-9, 4) AS corr_v FROM weather
+        |  SELECT 'temperature' AS col_a, 'temperature' AS col_b, (round(corr(temperature, temperature) + 1e-9, 4) + 0) AS corr_v FROM weather
         |  UNION ALL
-        |  SELECT 'temperature', 'humidity', round(corr(temperature, humidity) + 1e-9, 4) FROM weather
+        |  SELECT 'temperature', 'humidity', (round(corr(temperature, humidity) + 1e-9, 4) + 0) FROM weather
         |  UNION ALL
-        |  SELECT 'temperature', 'wind_speed', round(corr(temperature, wind_speed) + 1e-9, 4) FROM weather
+        |  SELECT 'temperature', 'wind_speed', (round(corr(temperature, wind_speed) + 1e-9, 4) + 0) FROM weather
         |  UNION ALL
-        |  SELECT 'humidity', 'humidity', round(corr(humidity, humidity) + 1e-9, 4) FROM weather
+        |  SELECT 'humidity', 'humidity', (round(corr(humidity, humidity) + 1e-9, 4) + 0) FROM weather
         |  UNION ALL
-        |  SELECT 'humidity', 'wind_speed', round(corr(humidity, wind_speed) + 1e-9, 4) FROM weather
+        |  SELECT 'humidity', 'wind_speed', (round(corr(humidity, wind_speed) + 1e-9, 4) + 0) FROM weather
         |  UNION ALL
-        |  SELECT 'wind_speed', 'wind_speed', round(corr(wind_speed, wind_speed) + 1e-9, 4) FROM weather
+        |  SELECT 'wind_speed', 'wind_speed', (round(corr(wind_speed, wind_speed) + 1e-9, 4) + 0) FROM weather
         |) t ORDER BY t.col_a, t.col_b""".stripMargin,
     "q_distribution" ->
       """SELECT event_type, count(*) AS cnt
@@ -179,9 +186,9 @@ object SparkEntry {
         |ORDER BY cnt DESC, event_type""".stripMargin,
     "q_group_compare" ->
       """SELECT user_id,
-        |       round(CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / count(value) + 1e-9, 4) AS avg_value,
-        |       round(min(value), 4) AS min_value,
-        |       round(max(value), 4) AS max_value,
+        |       (round(CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / count(value) + 1e-9, 4) + 0) AS avg_value,
+        |       (round(min(value), 4) + 0) AS min_value,
+        |       (round(max(value), 4) + 0) AS max_value,
         |       count(*) AS n_events
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_latest_per_key" ->
@@ -212,9 +219,9 @@ object SparkEntry {
       """SELECT user_id,
         |       count(*) AS n_calls,
         |       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_failed,
-        |       round(1.0 - sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) * 1.0 / count(*) + 1e-9, 4) AS success_rate,
-        |       round(CAST(sum(CAST(CASE WHEN event_type <> 'error' THEN value END AS DECIMAL(38,6))) AS DOUBLE)
-        |             / count(CASE WHEN event_type <> 'error' THEN value END) + 1e-9, 4) AS avg_response_time
+        |       (round(1.0 - sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) * 1.0 / count(*) + 1e-9, 4) + 0) AS success_rate,
+        |       (round(CAST(sum(CAST(CASE WHEN event_type <> 'error' THEN value END AS DECIMAL(38,6))) AS DOUBLE)
+        |             / count(CASE WHEN event_type <> 'error' THEN value END) + 1e-9, 4) + 0) AS avg_response_time
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_validate_ingest" ->
       """SELECT event_id,
@@ -235,15 +242,15 @@ object SparkEntry {
       s"""SELECT event_id, user_id, value,
         |       hour(ts) AS hour,
         |       isodow(ts) - 1 AS day_of_week,
-        |       round(sin(2 * pi() * hour(ts) / 24), 6) AS hour_sin,
-        |       round(cos(2 * pi() * hour(ts) / 24), 6) AS hour_cos,
+        |       (round(sin(2 * pi() * hour(ts) / 24), 6) + 0) AS hour_sin,
+        |       (round(cos(2 * pi() * hour(ts) / 24), 6) + 0) AS hour_cos,
         |       lag(value, 1)  OVER ($duckWindow) AS value_lag_1,
         |       lag(value, 24) OVER ($duckWindow) AS value_lag_24,
-        |       round(avg(value) OVER ($duckWindow ROWS BETWEEN 23 PRECEDING AND CURRENT ROW) + 1e-9, 4) AS rolling_mean_24,
+        |       (round(avg(value) OVER ($duckWindow ROWS BETWEEN 23 PRECEDING AND CURRENT ROW) + 1e-9, 4) + 0) AS rolling_mean_24,
         |       CASE WHEN count(*) OVER ($duckWindow ROWS BETWEEN 23 PRECEDING AND CURRENT ROW) >= 2
-        |            THEN round(stddev_samp(value) OVER ($duckWindow ROWS BETWEEN 23 PRECEDING AND CURRENT ROW) + 1e-9, 4)
+        |            THEN (round(stddev_samp(value) OVER ($duckWindow ROWS BETWEEN 23 PRECEDING AND CURRENT ROW) + 1e-9, 4) + 0)
         |       END AS rolling_std_24,
-        |       round(value - lag(value, 1) OVER ($duckWindow), 4) AS value_change,
+        |       (round(value - lag(value, 1) OVER ($duckWindow), 4) + 0) AS value_change,
         |       lead(value, 24) OVER ($duckWindow) AS value_future,
         |       CASE WHEN lead(value, 24) OVER ($duckWindow) IS NULL THEN NULL
         |            WHEN lead(value, 24) OVER ($duckWindow) - value <= -2 THEN 'Decrease'
@@ -252,12 +259,12 @@ object SparkEntry {
         |FROM events ORDER BY event_id""".stripMargin,
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
-        |       round(CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) + 1e-9, 2) AS sum_qty,
-        |       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) + 1e-9, 2) AS sum_base_price,
-        |       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6)) * (CAST(1 AS DECIMAL(38,6)) - CAST(l_discount AS DECIMAL(38,6)))) AS DOUBLE) + 1e-9, 2) AS sum_disc_price,
-        |       round(CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) / count(l_quantity) + 1e-9, 4) AS avg_qty,
-        |       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / count(l_extendedprice) + 1e-9, 4) AS avg_price,
-        |       round(CAST(sum(CAST(l_discount AS DECIMAL(38,6))) AS DOUBLE) / count(l_discount) + 1e-9, 6) AS avg_disc,
+        |       (round(CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) + 1e-9, 2) + 0) AS sum_qty,
+        |       (round(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) + 1e-9, 2) + 0) AS sum_base_price,
+        |       (round(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6)) * (CAST(1 AS DECIMAL(38,6)) - CAST(l_discount AS DECIMAL(38,6)))) AS DOUBLE) + 1e-9, 2) + 0) AS sum_disc_price,
+        |       (round(CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) / count(l_quantity) + 1e-9, 4) + 0) AS avg_qty,
+        |       (round(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / count(l_extendedprice) + 1e-9, 4) + 0) AS avg_price,
+        |       (round(CAST(sum(CAST(l_discount AS DECIMAL(38,6))) AS DOUBLE) / count(l_discount) + 1e-9, 6) + 0) AS avg_disc,
         |       count(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -265,7 +272,7 @@ object SparkEntry {
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q_join_enrich" ->
       """SELECT r_name, n_name, count(*) AS n_cust,
-        |       round(CAST(sum(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) / count(c_acctbal) + 1e-9, 4) AS avg_bal
+        |       (round(CAST(sum(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) / count(c_acctbal) + 1e-9, 4) + 0) AS avg_bal
         |FROM customer
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
@@ -273,7 +280,7 @@ object SparkEntry {
         |ORDER BY r_name, n_name""".stripMargin,
     "q_topk_revenue" ->
       """SELECT l_orderkey,
-        |       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6)) * (CAST(1 AS DECIMAL(38,6)) - CAST(l_discount AS DECIMAL(38,6)))) AS DOUBLE) + 1e-9, 2) AS revenue,
+        |       (round(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6)) * (CAST(1 AS DECIMAL(38,6)) - CAST(l_discount AS DECIMAL(38,6)))) AS DOUBLE) + 1e-9, 2) + 0) AS revenue,
         |       count(*) AS n_items
         |FROM lineitem
         |GROUP BY l_orderkey
@@ -283,7 +290,7 @@ object SparkEntry {
       """SELECT l_orderkey,
         |       CAST(floor(epoch(o_orderdate)) AS BIGINT) AS order_epoch,
         |       o_orderpriority,
-        |       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6)) * (CAST(1 AS DECIMAL(38,6)) - CAST(l_discount AS DECIMAL(38,6)))) AS DOUBLE) + 1e-9, 2) AS revenue
+        |       (round(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6)) * (CAST(1 AS DECIMAL(38,6)) - CAST(l_discount AS DECIMAL(38,6)))) AS DOUBLE) + 1e-9, 2) + 0) AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
         |  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
@@ -293,15 +300,15 @@ object SparkEntry {
     "q_brand_volume" ->
       """SELECT p_brand,
         |       count(*) AS n_lines,
-        |       round(CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) + 1e-9, 2) AS sum_qty,
-        |       round(CAST(sum(CAST(p_retailprice AS DECIMAL(38,6))) AS DOUBLE) / count(p_retailprice) + 1e-9, 4) AS avg_retail
+        |       (round(CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) + 1e-9, 2) + 0) AS sum_qty,
+        |       (round(CAST(sum(CAST(p_retailprice AS DECIMAL(38,6))) AS DOUBLE) / count(p_retailprice) + 1e-9, 4) + 0) AS avg_retail
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
     "q_supplier_stats" ->
       """SELECT n_name,
         |       count(*) AS n_suppliers,
-        |       round(CAST(sum(CAST(s_acctbal AS DECIMAL(38,6))) AS DOUBLE) / count(s_acctbal) + 1e-9, 4) AS avg_bal,
-        |       round(max(s_acctbal), 4) AS max_bal
+        |       (round(CAST(sum(CAST(s_acctbal AS DECIMAL(38,6))) AS DOUBLE) / count(s_acctbal) + 1e-9, 4) + 0) AS avg_bal,
+        |       (round(max(s_acctbal), 4) + 0) AS max_bal
         |FROM supplier JOIN nation ON s_nationkey = n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
     "q_time_features" ->
@@ -311,12 +318,12 @@ object SparkEntry {
         |       month(ts) AS month,
         |       quarter(ts) AS quarter,
         |       dayofyear(ts) AS day_of_year,
-        |       round(sin(2 * pi() * hour(ts) / 24), 6) AS hour_sin,
-        |       round(cos(2 * pi() * hour(ts) / 24), 6) AS hour_cos,
-        |       round(sin(2 * pi() * month(ts) / 12), 6) AS month_sin,
-        |       round(cos(2 * pi() * month(ts) / 12), 6) AS month_cos,
-        |       round(sin(2 * pi() * (isodow(ts) - 1) / 7), 6) AS day_sin,
-        |       round(cos(2 * pi() * (isodow(ts) - 1) / 7), 6) AS day_cos,
+        |       (round(sin(2 * pi() * hour(ts) / 24), 6) + 0) AS hour_sin,
+        |       (round(cos(2 * pi() * hour(ts) / 24), 6) + 0) AS hour_cos,
+        |       (round(sin(2 * pi() * month(ts) / 12), 6) + 0) AS month_sin,
+        |       (round(cos(2 * pi() * month(ts) / 12), 6) + 0) AS month_cos,
+        |       (round(sin(2 * pi() * (isodow(ts) - 1) / 7), 6) + 0) AS day_sin,
+        |       (round(cos(2 * pi() * (isodow(ts) - 1) / 7), 6) + 0) AS day_cos,
         |       CASE WHEN hour(ts) <= 6 THEN 'Night'
         |            WHEN hour(ts) <= 12 THEN 'Morning'
         |            WHEN hour(ts) <= 18 THEN 'Afternoon'
@@ -333,15 +340,15 @@ object SparkEntry {
         |FROM events ORDER BY event_id""".stripMargin,
     "q_rolling_stats" ->
       s"""SELECT event_id, user_id, value,
-        |       round(avg(value) OVER ($duckWindow ROWS BETWEEN 23 PRECEDING AND CURRENT ROW) + 1e-9, 4) AS rolling_mean_24,
+        |       (round(avg(value) OVER ($duckWindow ROWS BETWEEN 23 PRECEDING AND CURRENT ROW) + 1e-9, 4) + 0) AS rolling_mean_24,
         |       CASE WHEN count(*) OVER ($duckWindow ROWS BETWEEN 23 PRECEDING AND CURRENT ROW) >= 2
-        |            THEN round(stddev_samp(value) OVER ($duckWindow ROWS BETWEEN 23 PRECEDING AND CURRENT ROW) + 1e-9, 4)
+        |            THEN (round(stddev_samp(value) OVER ($duckWindow ROWS BETWEEN 23 PRECEDING AND CURRENT ROW) + 1e-9, 4) + 0)
         |       END AS rolling_std_24
         |FROM events ORDER BY event_id""".stripMargin,
     "q_weather_indices" ->
       s"""$duckWeatherView
         |SELECT event_id,
-        |       round(-8.78469475556
+        |       (round(-8.78469475556
         |             + 1.61139411 * temperature
         |             + 2.33854883889 * humidity
         |             - 0.14611605 * temperature * humidity
@@ -349,29 +356,29 @@ object SparkEntry {
         |             - 0.0164248277778 * humidity * humidity
         |             + 0.002211732 * temperature * temperature * humidity
         |             + 0.00072546 * temperature * humidity * humidity
-        |             - 0.000003582 * temperature * temperature * humidity * humidity + 1e-9, 4) AS heat_index,
-        |       round(CASE WHEN temperature < 10
+        |             - 0.000003582 * temperature * temperature * humidity * humidity + 1e-9, 4) + 0) AS heat_index,
+        |       (round(CASE WHEN temperature < 10
         |             THEN 13.12 + 0.6215 * temperature
         |                  - 11.37 * pow(wind_speed, 0.16)
         |                  + 0.3965 * temperature * pow(wind_speed, 0.16)
-        |             ELSE temperature END + 1e-9, 4) AS wind_chill,
-        |       round(temperature - 0.55 * (1 - 0.01 * humidity) * (temperature - 14.5) + 1e-9, 4) AS discomfort_index
+        |             ELSE temperature END + 1e-9, 4) + 0) AS wind_chill,
+        |       (round(temperature - 0.55 * (1 - 0.01 * humidity) * (temperature - 14.5) + 1e-9, 4) + 0) AS discomfort_index
         |FROM weather ORDER BY event_id""".stripMargin,
     "q_diff" ->
       s"""SELECT event_id, user_id, value,
-        |       round(value - lag(value, 1) OVER ($duckWindow), 4) AS value_change
+        |       (round(value - lag(value, 1) OVER ($duckWindow), 4) + 0) AS value_change
         |FROM events ORDER BY event_id""".stripMargin,
     "q_interactions" ->
       s"""$duckWeatherView
         |SELECT event_id,
-        |       round(temperature * humidity, 4) AS temp_humidity_interaction,
-        |       round(wind_speed * temperature, 4) AS wind_temp_interaction,
-        |       round(humidity * wind_speed, 4) AS humidity_wind_interaction
+        |       (round(temperature * humidity, 4) + 0) AS temp_humidity_interaction,
+        |       (round(wind_speed * temperature, 4) + 0) AS wind_temp_interaction,
+        |       (round(humidity * wind_speed, 4) + 0) AS humidity_wind_interaction
         |FROM weather ORDER BY event_id""".stripMargin,
     "q_target_shift" ->
       s"""SELECT event_id, user_id, value,
         |       lead(value, 24) OVER ($duckWindow) AS value_future,
-        |       round(lead(value, 24) OVER ($duckWindow) - value, 4) AS value_change,
+        |       (round(lead(value, 24) OVER ($duckWindow) - value, 4) + 0) AS value_change,
         |       CASE WHEN lead(value, 24) OVER ($duckWindow) IS NULL THEN NULL
         |            WHEN lead(value, 24) OVER ($duckWindow) - value <= -2 THEN 'Decrease'
         |            WHEN lead(value, 24) OVER ($duckWindow) - value <= 2 THEN 'Stable'
@@ -386,7 +393,7 @@ object SparkEntry {
         |FROM events ORDER BY event_id""".stripMargin,
     "q_daily_range" ->
       """SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
-        |       round(max(value) - min(value), 4) AS value_range,
+        |       (round(max(value) - min(value), 4) + 0) AS value_range,
         |       count(*) AS n_events
         |FROM events
         |GROUP BY user_id, strftime(ts, '%Y-%m-%d')
@@ -443,7 +450,7 @@ object SparkEntry {
         |SELECT i.incident_id, i.start_s,
         |       count(*) AS n_events,
         |       count(DISTINCT e.user_id) AS n_users,
-        |       round(max(e.value) + 1e-9, 4) AS max_value
+        |       (round(max(e.value) + 1e-9, 4) + 0) AS max_value
         |FROM inc i
         |JOIN events e
         |  ON CAST(floor(epoch(e.ts)) AS BIGINT) >= i.start_s
@@ -451,13 +458,13 @@ object SparkEntry {
         |GROUP BY i.incident_id, i.start_s
         |ORDER BY i.incident_id""".stripMargin,
     "q_quantiles" ->
-      """SELECT 0.25 AS quantile, round(quantile_cont(value, 0.25) + 1e-9, 4) AS value_q FROM events
+      """SELECT 0.25 AS quantile, (round(quantile_cont(value, 0.25) + 1e-9, 4) + 0) AS value_q FROM events
         |UNION ALL
-        |SELECT 0.5, round(quantile_cont(value, 0.5) + 1e-9, 4) FROM events
+        |SELECT 0.5, (round(quantile_cont(value, 0.5) + 1e-9, 4) + 0) FROM events
         |UNION ALL
-        |SELECT 0.75, round(quantile_cont(value, 0.75) + 1e-9, 4) FROM events
+        |SELECT 0.75, (round(quantile_cont(value, 0.75) + 1e-9, 4) + 0) FROM events
         |UNION ALL
-        |SELECT 0.95, round(quantile_cont(value, 0.95) + 1e-9, 4) FROM events
+        |SELECT 0.95, (round(quantile_cont(value, 0.95) + 1e-9, 4) + 0) FROM events
         |ORDER BY quantile""".stripMargin,
     "q_ffill" ->
       s"""$duckMasked
@@ -481,11 +488,11 @@ object SparkEntry {
         |  FROM base
         |)
         |SELECT event_id, user_id, value,
-        |       round(CASE WHEN value IS NOT NULL THEN value
+        |       (round(CASE WHEN value IS NOT NULL THEN value
         |                  WHEN pv IS NULL THEN NULL
         |                  WHEN nv IS NULL THEN pv
         |                  ELSE pv + (nv - pv) * (rn - pr) / CAST(nr - pr AS DOUBLE)
-        |             END + 1e-9, 4) AS value_interp
+        |             END + 1e-9, 4) + 0) AS value_interp
         |FROM ext ORDER BY event_id""".stripMargin,
     "q_mode_fill" ->
       s"""$duckMasked,
@@ -519,11 +526,11 @@ object SparkEntry {
         |FROM events ORDER BY event_id""".stripMargin,
     "q_standard_scale" ->
       """WITH stats AS (
-        |  SELECT round(avg(value) + 1e-9, 4) AS m,
-        |         round(stddev_pop(value) + 1e-9, 4) AS s
+        |  SELECT (round(avg(value) + 1e-9, 4) + 0) AS m,
+        |         (round(stddev_pop(value) + 1e-9, 4) + 0) AS s
         |  FROM events
         |)
-        |SELECT event_id, value, round((value - m) / s, 6) AS value_scaled
+        |SELECT event_id, value, (round((value - m) / s, 6) + 0) AS value_scaled
         |FROM events CROSS JOIN stats ORDER BY event_id""".stripMargin,
     "q_quality_dups" ->
       """SELECT count(*) AS n_dup_keys,
@@ -534,7 +541,7 @@ object SparkEntry {
       s"""$duckMasked
         |SELECT t.column_name,
         |       t.n_null,
-        |       round(t.n_null * 1.0 / t.n_total + 1e-9, 4) AS pct_null
+        |       (round(t.n_null * 1.0 / t.n_total + 1e-9, 4) + 0) AS pct_null
         |FROM (
         |  SELECT 'event_type' AS column_name, count(*) - count(event_type) AS n_null, count(*) AS n_total FROM masked
         |  UNION ALL
@@ -623,7 +630,7 @@ object SparkEntry {
         |UNION ALL SELECT 'duplicates', 'user_id,ts', 'n_dup_keys', CAST(n_dup_keys AS DOUBLE) FROM dup
         |UNION ALL SELECT 'duplicates', 'user_id,ts', 'n_dup_rows', CAST(n_dup_rows AS DOUBLE) FROM dup
         |UNION ALL SELECT 'missing', column_name, 'n_null', CAST(n_null AS DOUBLE) FROM mp
-        |UNION ALL SELECT 'missing', column_name, 'pct_null', round(n_null * 1.0 / n_total + 1e-9, 4) FROM mp
+        |UNION ALL SELECT 'missing', column_name, 'pct_null', (round(n_null * 1.0 / n_total + 1e-9, 4) + 0) FROM mp
         |UNION ALL SELECT 'range', column_name, 'n_above', CAST(n_above AS DOUBLE) FROM rc
         |UNION ALL SELECT 'range', column_name, 'n_below', CAST(n_below AS DOUBLE) FROM rc
         |UNION ALL SELECT 'high_null', 'row', 'n_high_null_rows', CAST(n_high_null_rows AS DOUBLE) FROM hn
@@ -631,21 +638,21 @@ object SparkEntry {
     "q_feature_stats" ->
       s"""$duckWeatherView
         |SELECT 'humidity' AS feature,
-        |       round(avg(humidity) + 1e-9, 4) AS mean,
-        |       round(stddev_samp(humidity) + 1e-9, 4) AS std,
-        |       round(min(humidity) + 1e-9, 4) AS min_v,
-        |       round(max(humidity) + 1e-9, 4) AS max_v,
+        |       (round(avg(humidity) + 1e-9, 4) + 0) AS mean,
+        |       (round(stddev_samp(humidity) + 1e-9, 4) + 0) AS std,
+        |       (round(min(humidity) + 1e-9, 4) + 0) AS min_v,
+        |       (round(max(humidity) + 1e-9, 4) + 0) AS max_v,
         |       count(*) - count(humidity) AS n_null,
-        |       round(corr(humidity, temperature) + 1e-9, 4) AS corr_target
+        |       (round(corr(humidity, temperature) + 1e-9, 4) + 0) AS corr_target
         |FROM weather
         |UNION ALL
         |SELECT 'wind_speed',
-        |       round(avg(wind_speed) + 1e-9, 4),
-        |       round(stddev_samp(wind_speed) + 1e-9, 4),
-        |       round(min(wind_speed) + 1e-9, 4),
-        |       round(max(wind_speed) + 1e-9, 4),
+        |       (round(avg(wind_speed) + 1e-9, 4) + 0),
+        |       (round(stddev_samp(wind_speed) + 1e-9, 4) + 0),
+        |       (round(min(wind_speed) + 1e-9, 4) + 0),
+        |       (round(max(wind_speed) + 1e-9, 4) + 0),
         |       count(*) - count(wind_speed),
-        |       round(corr(wind_speed, temperature) + 1e-9, 4)
+        |       (round(corr(wind_speed, temperature) + 1e-9, 4) + 0)
         |FROM weather
         |ORDER BY feature""".stripMargin,
     "q_dedup_exact" ->
@@ -668,8 +675,8 @@ object SparkEntry {
         |  FROM tok
         |), q AS (
         |  SELECT doc_id, content_hash,
-        |         round(least(n_tok / 200.0, 1.0) * 0.5 + (n_stop / greatest(n_tok, 1.0)) * 0.25
-        |               + (1.0 - n_punct / greatest(n_chars, 1.0)) * 0.25 + 1e-9, 4) AS quality_score
+        |         (round(least(n_tok / 200.0, 1.0) * 0.5 + (n_stop / greatest(n_tok, 1.0)) * 0.25
+        |               + (1.0 - n_punct / greatest(n_chars, 1.0)) * 0.25 + 1e-9, 4) + 0) AS quality_score
         |  FROM m
         |), s AS (
         |  SELECT content_hash, doc_id, quality_score,
@@ -721,11 +728,11 @@ object SparkEntry {
         |SELECT doc_id,
         |       CAST(n_chars AS BIGINT) AS n_chars_m,
         |       CAST(n_tok AS BIGINT) AS n_tokens,
-        |       round(n_stop / greatest(n_tok, 1.0) + 1e-9, 4) AS stopword_ratio,
-        |       round(n_punct / greatest(n_chars, 1.0) + 1e-9, 4) AS punct_ratio,
-        |       round(n_upper / greatest(n_chars, 1.0) + 1e-9, 4) AS upper_ratio,
-        |       round(least(n_tok / 200.0, 1.0) * 0.5 + (n_stop / greatest(n_tok, 1.0)) * 0.25
-        |             + (1.0 - n_punct / greatest(n_chars, 1.0)) * 0.25 + 1e-9, 4) AS quality_score
+        |       (round(n_stop / greatest(n_tok, 1.0) + 1e-9, 4) + 0) AS stopword_ratio,
+        |       (round(n_punct / greatest(n_chars, 1.0) + 1e-9, 4) + 0) AS punct_ratio,
+        |       (round(n_upper / greatest(n_chars, 1.0) + 1e-9, 4) + 0) AS upper_ratio,
+        |       (round(least(n_tok / 200.0, 1.0) * 0.5 + (n_stop / greatest(n_tok, 1.0)) * 0.25
+        |             + (1.0 - n_punct / greatest(n_chars, 1.0)) * 0.25 + 1e-9, 4) + 0) AS quality_score
         |FROM m ORDER BY doc_id""".stripMargin,
     "q_lang_id" ->
       """WITH tok AS (
@@ -767,9 +774,9 @@ object SparkEntry {
         |  GROUP BY a.doc_id, b.doc_id
         |)
         |SELECT doc_a, doc_b,
-        |       round(inter * 1.0 / (na + nb - inter) + 1e-9, 4) AS jaccard
+        |       (round(inter * 1.0 / (na + nb - inter) + 1e-9, 4) + 0) AS jaccard
         |FROM shared
-        |WHERE round(inter * 1.0 / (na + nb - inter) + 1e-9, 4) >= 0.5
+        |WHERE (round(inter * 1.0 / (na + nb - inter) + 1e-9, 4) + 0) >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin,
     "q_dedup_embed" ->
       """WITH e AS (
@@ -782,11 +789,11 @@ object SparkEntry {
         |  FROM e
         |)
         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-        |       round(list_sum(list_transform(range(1, len(a.v) + 1),
-        |               i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm) + 1e-9, 6) AS cos
+        |       (round(list_sum(list_transform(range(1, len(a.v) + 1),
+        |               i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm) + 1e-9, 6) + 0) AS cos
         |FROM n a JOIN n b ON a.vec_id < b.vec_id
-        |WHERE round(list_sum(list_transform(range(1, len(a.v) + 1),
-        |        i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm) + 1e-9, 6) >= 0.4
+        |WHERE (round(list_sum(list_transform(range(1, len(a.v) + 1),
+        |        i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm) + 1e-9, 6) + 0) >= 0.4
         |ORDER BY vec_a, vec_b""".stripMargin,
     "q_ann_topk" ->
       """WITH e AS (
@@ -799,8 +806,8 @@ object SparkEntry {
         |  FROM e
         |), scored AS (
         |  SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
-        |         round(list_sum(list_transform(range(1, len(a.v) + 1),
-        |                 i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm) + 1e-9, 6) AS cos
+        |         (round(list_sum(list_transform(range(1, len(a.v) + 1),
+        |                 i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm) + 1e-9, 6) + 0) AS cos
         |  FROM n a JOIN n b ON a.vec_id < 20 AND a.vec_id <> b.vec_id
         |)
         |SELECT query_id, cand_id, cos,
@@ -818,15 +825,15 @@ object SparkEntry {
         |  FROM masked
         |),
         |stats AS (
-        |  SELECT round(avg(value) + 1e-9, 4) AS m_v, round(stddev_pop(value) + 1e-9, 4) AS s_v,
-        |         round(avg(humidity) + 1e-9, 4) AS m_h, round(stddev_pop(humidity) + 1e-9, 4) AS s_h,
-        |         round(avg(wind_speed) + 1e-9, 4) AS m_w, round(stddev_pop(wind_speed) + 1e-9, 4) AS s_w
+        |  SELECT (round(avg(value) + 1e-9, 4) + 0) AS m_v, (round(stddev_pop(value) + 1e-9, 4) + 0) AS s_v,
+        |         (round(avg(humidity) + 1e-9, 4) + 0) AS m_h, (round(stddev_pop(humidity) + 1e-9, 4) + 0) AS s_h,
+        |         (round(avg(wind_speed) + 1e-9, 4) + 0) AS m_w, (round(stddev_pop(wind_speed) + 1e-9, 4) + 0) AS s_w
         |  FROM filled
         |)
         |SELECT event_id,
-        |       round((value - m_v) / s_v, 6) AS value_scaled,
-        |       round((humidity - m_h) / s_h, 6) AS humidity_scaled,
-        |       round((wind_speed - m_w) / s_w, 6) AS wind_speed_scaled
+        |       (round((value - m_v) / s_v, 6) + 0) AS value_scaled,
+        |       (round((humidity - m_h) / s_h, 6) + 0) AS humidity_scaled,
+        |       (round((wind_speed - m_w) / s_w, 6) + 0) AS wind_speed_scaled
         |FROM filled CROSS JOIN stats ORDER BY event_id""".stripMargin,
   )
 }

@@ -170,6 +170,10 @@ object Multimodal {
           s"truncated WAV chunk '$id': declared $size bytes, ${bb.remaining()} left")
         id match {
           case "fmt " =>
+            // the field reads below consume 16 bytes unconditionally; a
+            // smaller declared size would spill into the next chunk and
+            // then seek BACKWARDS to fmtEnd, yielding garbage fields
+            require(size >= 16, s"truncated fmt chunk: declared $size bytes, need 16")
             val fmtEnd = bb.position() + size
             val audioFormat = bb.getShort
             require(audioFormat == 1, s"only PCM supported, format=$audioFormat")

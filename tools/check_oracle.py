@@ -49,6 +49,25 @@ def main():
         a, b = canon(mine), canon(ref)
         if len(a) != len(b):
             print(f"FAIL {name}: rows {len(a)} != {len(b)}"); n_fail += 1; continue
+        # the driver's hash is byte-level: -0.0 vs 0.0 and NaN-vs-null
+        # placement differ even when pandas equality passes. Compare
+        # float columns bitwise (view as uint64) so this gate has the
+        # same sensitivity.
+        bit_fail = None
+        for c in a.columns:
+            if pd.api.types.is_float_dtype(a[c]):
+                av = a[c].to_numpy(dtype="float64", na_value=np.nan)
+                bv = b[c].to_numpy(dtype="float64", na_value=np.nan)
+                if not np.array_equal(av.view("uint64"), bv.view("uint64")):
+                    idx = np.where(av.view("uint64") != bv.view("uint64"))[0][:3]
+                    bit_fail = (c, [(i, av[i], np.signbit(av[i]), bv[i], np.signbit(bv[i])) for i in idx])
+                    break
+            if a[c].dtype == object and len(a) and isinstance(a[c].iloc[0], np.ndarray):
+                bit_fail = (c, "ARRAY COLUMN — driver canonicalizer cannot hash this; project to scalars")
+                break
+        if bit_fail:
+            print(f"FAIL {name}: bitwise float mismatch col {bit_fail[0]}: {bit_fail[1]}")
+            n_fail += 1; continue
         try:
             pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
             print(f"PASS {name} ({len(a)} rows)"); n_pass += 1
