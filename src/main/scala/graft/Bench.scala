@@ -7,13 +7,20 @@ import org.apache.spark.sql.SparkSession
   * first so JVM/codegen/parquet-reader initialization is not billed to
   * whichever query happens to run first.
   *
-  * Each query runs twice and reports the faster run — steady-state
-  * throughput, the TPC convention. The first execution of a query
-  * additionally pays one-time Catalyst planning + whole-stage-codegen
-  * javac compilation (~0.3–2 s, independent of data size — profiled
-  * with graft.Profile); that cost is amortized away in any real
-  * deployment and is excluded the same way the pandas baseline
-  * excludes interpreter startup and imports. The sum of first runs is
+  * Each query runs three times and reports the fastest run —
+  * steady-state throughput, the TPC convention. The passes are
+  * INTERLEAVED (the whole suite runs, then runs again), not
+  * back-to-back repeats of each query: a transient stall on a shared
+  * machine (co-tenant CPU burst, page-cache eviction) then lands in
+  * one pass and the min recovers, where back-to-back samples would
+  * both absorb it — exactly the round-2 artifact where an
+  * alphabetically contiguous window of queries reported 3-10× their
+  * reproducible times. The first execution of a query additionally
+  * pays one-time Catalyst planning + whole-stage-codegen javac
+  * compilation (~0.3–2 s, independent of data size — profiled with
+  * graft.Profile); that cost is amortized away in any real deployment
+  * and is excluded the same way the pandas baseline excludes
+  * interpreter startup and imports. The sum of first-pass runs is
   * still reported as `cold_total`. */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -37,10 +44,13 @@ object Bench {
       graft.operators.Caches.releaseAll()
       (dt, ok)
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val (cold, okCold) = time(fn)
-      val (warm, okWarm) = time(fn)
-      (name, cold, math.min(cold, warm), okCold && okWarm)
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    val passes = 3
+    // pass-major order: pass 0 = cold, passes 1..n-1 = steady samples
+    val samples = (0 until passes).map(_ => ordered.map { case (_, fn) => time(fn) })
+    val results = ordered.zipWithIndex.map { case ((name, _), qi) =>
+      val runs = samples.map(_(qi))
+      (name, runs.head._1, runs.map(_._1).min, runs.forall(_._2))
     }
     val qs = results.map { case (k, _, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

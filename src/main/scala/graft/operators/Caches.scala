@@ -20,6 +20,7 @@ import scala.collection.mutable.ArrayBuffer
   */
 object Caches {
   private val live = ArrayBuffer.empty[DataFrame]
+  private val pinnedFrames = ArrayBuffer.empty[DataFrame]
 
   /** Persist `df` at `level` and track it for later release. */
   def persistTracked(df: DataFrame,
@@ -30,19 +31,41 @@ object Caches {
       df
     }
 
-  /** Unpersist every tracked frame (non-blocking) and clear the
-    * registry. A plan that still references a released cache
-    * recomputes from source — correct for every operator here with
-    * ONE exception: [[graft.sources.Formats.quarantine]]'s
-    * corrupt-rows branch cannot replan against raw text files (Spark
-    * refuses corrupt-column-only scans), so land both quarantine
-    * branches before draining. The registry is process-global: drain
-    * it between units of work, not mid-pipeline. */
+  /** Persist `df` and PIN it: [[releaseAll]] refuses to drop pinned
+    * frames. For the rare frame whose consumers CANNOT recompute from
+    * source once the cache is gone ([[graft.sources.Formats.quarantine]]'s
+    * corrupt-rows branch — Spark refuses corrupt-column-only scans), so
+    * an interleaved pipeline's drain can't break it. Release explicitly
+    * with [[releasePinned]] after every branch has been consumed. */
+  def persistPinned(df: DataFrame,
+                    level: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame =
+    synchronized {
+      df.persist(level)
+      pinnedFrames += df
+      df
+    }
+
+  /** Unpersist every tracked (non-pinned) frame (non-blocking) and
+    * clear the registry. A plan that still references a released cache
+    * recomputes from source — correct for every operator here; frames
+    * that can't recompute are registered via [[persistPinned]] and
+    * survive this drain. The registry is process-global: drain it
+    * between units of work, not mid-pipeline. */
   def releaseAll(): Unit = synchronized {
     live.foreach(df => try df.unpersist(blocking = false) catch { case _: Throwable => () })
     live.clear()
   }
 
+  /** Unpersist every pinned frame. Call once every consumer of the
+    * pinned frames (e.g. both quarantine branches) has landed. */
+  def releasePinned(): Unit = synchronized {
+    pinnedFrames.foreach(df => try df.unpersist(blocking = false) catch { case _: Throwable => () })
+    pinnedFrames.clear()
+  }
+
   /** Number of currently tracked cached frames (for tests). */
   def trackedCount: Int = synchronized(live.size)
+
+  /** Number of currently pinned cached frames (for tests). */
+  def pinnedCount: Int = synchronized(pinnedFrames.size)
 }

@@ -57,11 +57,14 @@ object Formats {
     * plans whose required schema collapses to ONLY the corrupt
     * column — corruptness is undefined without parsing the data
     * columns — and its documented remedy is to materialize the parsed
-    * result. The cache registers with [[graft.operators.Caches]];
-    * land BOTH branches before draining the registry — the quarantine
-    * branch cannot recompute from the raw files once released. */
+    * result. The cache registers PINNED with
+    * [[graft.operators.Caches.persistPinned]] — `releaseAll()` from an
+    * interleaved pipeline cannot drop it mid-consumption (the
+    * quarantine branch can never recompute from the raw files). Call
+    * [[graft.operators.Caches.releasePinned]] after BOTH branches have
+    * landed. */
   def quarantine(df: DataFrame): (DataFrame, DataFrame) = {
-    val parsed = graft.operators.Caches.persistTracked(df)
+    val parsed = graft.operators.Caches.persistPinned(df)
     val c = parsed.col(corruptCol)
     (parsed.filter(c.isNull).drop(corruptCol), parsed.filter(c.isNotNull))
   }

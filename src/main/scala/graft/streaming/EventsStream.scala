@@ -139,14 +139,48 @@ object EventsStream {
     throw new IllegalStateException("unreachable")
   }
 
+  /** One micro-batch of [[resilientSink]], exposed for direct testing
+    * of redelivery. IDEMPOTENT per batch id: both outputs land under a
+    * `batch_id=<id>` partition directory with overwrite semantics, so
+    * a redelivered batch — restart replay, or the self-inflicted case
+    * where the main write committed but the DLQ write exhausted its
+    * retries and failed the query — REWRITES the same directories
+    * instead of appending duplicates. At-least-once delivery,
+    * exactly-once table contents; readers scan the root dir and see
+    * `batch_id` as a discovered partition column. */
+  def resilientBatch(batch: Dataset[org.apache.spark.sql.Row], batchId: Long,
+                     outDir: String, dlqDir: String,
+                     maxRetries: Int = 3, baseBackoffMs: Long = 50,
+                     sleep: Long => Unit = Thread.sleep): Unit = {
+    val required = Seq("user_id", "ts", "event_type")
+    val classified = batch.withColumn("error_reason",
+      when(required.map(col(_).isNull).reduce(_ || _), "missing_required")
+        .when(col("value").isNull || col("value") < -100 || col("value") > 1000,
+          "value_out_of_range"))
+      .persist()
+    try {
+      withRetry(maxRetries, baseBackoffMs, sleep) {
+        classified.filter(col("error_reason").isNull).drop("error_reason")
+          .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+      }
+      val dead = classified.filter(col("error_reason").isNotNull)
+      if (!dead.isEmpty) {
+        withRetry(maxRetries, baseBackoffMs, sleep) {
+          dead.write.mode("overwrite").parquet(s"$dlqDir/batch_id=$batchId")
+        }
+      }
+    } finally { classified.unpersist(); () }
+  }
+
   /** Classify-and-route resilient sink — the collector's retry +
     * error-taxonomy handling (weather_collector.py:171-229 retry,
     * :255-288 validate_api_response) as a streaming sink: each
-    * micro-batch validates rows, appends valid ones to the main table
+    * micro-batch validates rows, writes valid ones to the main table
     * and invalid ones — annotated with the failing rule — to a
-    * dead-letter path, each write under exponential-backoff retry. A
-    * batch that still fails after the retries rethrows, failing the
-    * query so the batch redelivers on restart (at-least-once).
+    * dead-letter path, each write under exponential-backoff retry
+    * keyed by batch id (see [[resilientBatch]] for the idempotence
+    * contract). A batch that still fails after the retries rethrows,
+    * failing the query so the batch redelivers on restart.
     *
     * Scale: classification is a pure per-row projection (no shuffle);
     * both writes stream the batch partition-parallel. The DLQ keeps
@@ -155,29 +189,11 @@ object EventsStream {
   def resilientSink(events: DataFrame, outDir: String, dlqDir: String,
                     maxRetries: Int = 3, baseBackoffMs: Long = 50,
                     sleep: Long => Unit = Thread.sleep)
-      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
-    val required = Seq("user_id", "ts", "event_type")
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     events.writeStream.foreachBatch {
-      (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val classified = batch.withColumn("error_reason",
-          when(required.map(col(_).isNull).reduce(_ || _), "missing_required")
-            .when(col("value").isNull || col("value") < -100 || col("value") > 1000,
-              "value_out_of_range"))
-          .persist()
-        try {
-          withRetry(maxRetries, baseBackoffMs, sleep) {
-            classified.filter(col("error_reason").isNull).drop("error_reason")
-              .write.mode("append").parquet(outDir)
-          }
-          val dead = classified.filter(col("error_reason").isNotNull)
-          if (!dead.isEmpty) {
-            withRetry(maxRetries, baseBackoffMs, sleep) {
-              dead.write.mode("append").parquet(dlqDir)
-            }
-          }
-        } finally { classified.unpersist(); () }
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        resilientBatch(batch, batchId, outDir, dlqDir, maxRetries, baseBackoffMs, sleep)
     }
-  }
 
   private def updateStats(userId: Long, rows: Iterator[EventRow],
                           state: GroupState[EntityState]): Iterator[EntityStats] = {

@@ -60,6 +60,23 @@ class FormatsSpec extends AnyFunSuite {
     assert(clean.count() == 1)
     assert(clean.collect()(0).getLong(0) == 1L)
     assert(bad.count() == 2)
+    graft.operators.Caches.releasePinned()
+  }
+
+  test("quarantine caches are pinned: releaseAll() cannot break an in-flight split") {
+    val dir = Files.createTempDirectory("graft-pincsv").toString
+    Files.writeString(java.nio.file.Paths.get(dir, "data.csv"),
+      "event_id,user_id,event_type,value\n" +
+        "1,10,view,2.5\n" +
+        "nope,10,view,2.5\n")
+    val (clean, bad) = Formats.quarantine(Formats.readCsv(spark, dir, eventSchema))
+    assert(graft.operators.Caches.pinnedCount == 1)
+    // an interleaved pipeline draining the global registry must NOT
+    // drop the quarantine cache — the corrupt branch cannot recompute
     graft.operators.Caches.releaseAll()
+    assert(clean.count() == 1)
+    assert(bad.count() == 1) // would throw if the cache had been dropped
+    graft.operators.Caches.releasePinned()
+    assert(graft.operators.Caches.pinnedCount == 0)
   }
 }

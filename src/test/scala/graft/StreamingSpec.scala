@@ -170,6 +170,25 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("resilient sink is idempotent per batch id: redelivery does not duplicate") {
+    import spark.implicits._
+    val outDir = java.nio.file.Files.createTempDirectory("graft-sink-idem").toString
+    val dlqDir = java.nio.file.Files.createTempDirectory("graft-dlq-idem").toString
+    val batch = Seq(
+      EventRow(1, ts(10), 1, "view", 10.0),
+      EventRow(2, ts(11), 1, null, 11.0)).toDF()
+    EventsStream.resilientBatch(batch, 7L, outDir, dlqDir, sleep = _ => ())
+    // redelivered batch (e.g. the DLQ write failed after the main
+    // write committed, or restart replay) — same batch id, rewritten
+    EventsStream.resilientBatch(batch, 7L, outDir, dlqDir, sleep = _ => ())
+    assert(spark.read.parquet(outDir).count() == 1)
+    assert(spark.read.parquet(dlqDir).count() == 1)
+    // a genuinely new batch still appends
+    EventsStream.resilientBatch(
+      Seq(EventRow(3, ts(12), 2, "view", 12.0)).toDF(), 8L, outDir, dlqDir, sleep = _ => ())
+    assert(spark.read.parquet(outDir).count() == 2)
+  }
+
   test("file-source stream reads the events table end-to-end") {
     val stream = EventsStream.readEvents(spark, sfDir)
     assert(stream.isStreaming)
