@@ -94,6 +94,9 @@ object SparkEntry {
     "q_lang_id"      -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
     "q_fingerprint"  -> ((s, d) => TextAnalysis.fingerprint(Tables.documents(s, d))),
     "q_pack_sequences" -> ((s, d) => TextAnalysis.packSequences(Tables.documents(s, d))),
+    "q_redact_pii"     -> ((s, d) => TextAnalysis.redactPii(Tables.documents(s, d))),
+    "q_quality_filter" -> ((s, d) => TextAnalysis.qualityFilter(Tables.documents(s, d))),
+    "q_stratified_sample" -> ((s, d) => TextAnalysis.stratifiedSample(Tables.documents(s, d))),
     // H. near-dup + similarity
     "q_dedup_minhash" -> ((s, d) => Dedup.minhashPairs(Tables.documents(s, d))),
     "q_dedup_clusters" -> ((s, d) =>
@@ -710,6 +713,59 @@ object SparkEntry {
         |       CAST(len(string_split(ntext, ' ')) AS BIGINT) AS n_ws_tokens,
         |       CAST(len(regexp_extract_all(ntext, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INT) AS n_bpe_tokens
         |FROM norm ORDER BY doc_id""".stripMargin,
+    // the PII patterns interpolate from TextAnalysis so both engines
+    // compile the exact same regex source (Java regex ∩ RE2 syntax)
+    "q_redact_pii" ->
+      s"""WITH t1 AS (
+        |  SELECT doc_id, text,
+        |         regexp_replace(text, '${TextAnalysis.emailPat}', '<EMAIL>', 'g') AS a
+        |  FROM documents
+        |), t2 AS (
+        |  SELECT doc_id, text, a,
+        |         regexp_replace(a, '${TextAnalysis.ipPat}', '<IP>', 'g') AS b
+        |  FROM t1
+        |)
+        |SELECT doc_id,
+        |       CAST(len(regexp_extract_all(text, '${TextAnalysis.emailPat}')) AS BIGINT) AS n_emails,
+        |       CAST(len(regexp_extract_all(a, '${TextAnalysis.ipPat}')) AS BIGINT) AS n_ips,
+        |       CAST(len(regexp_extract_all(b, '${TextAnalysis.phonePat}')) AS BIGINT) AS n_phones,
+        |       regexp_replace(b, '${TextAnalysis.phonePat}', '<PHONE>', 'g') AS text_redacted
+        |FROM t2 ORDER BY doc_id""".stripMargin,
+    "q_quality_filter" ->
+      """WITH tok AS (
+        |  SELECT doc_id, text,
+        |         regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm,
+        |         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+        |  FROM documents
+        |), m AS (
+        |  SELECT doc_id,
+        |         CAST(len(toks) AS DOUBLE) AS n_tok,
+        |         (CAST(length(norm) AS DOUBLE) - (CAST(len(toks) AS DOUBLE) - 1))
+        |           / greatest(CAST(len(toks) AS DOUBLE), 1.0) AS mean_wl,
+        |         CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS DOUBLE)
+        |           / greatest(CAST(length(text) AS DOUBLE), 1.0) AS punct_ratio,
+        |         len(list_filter(toks, t -> t IN ('the','a','of','and','is','in','to'))) AS n_stop
+        |  FROM tok
+        |)
+        |SELECT doc_id,
+        |       CAST(n_tok AS BIGINT) AS n_tokens,
+        |       (round(mean_wl + 1e-9, 4) + 0) AS mean_word_len,
+        |       CAST(CASE WHEN n_tok >= 20 AND n_tok <= 100000 THEN 1 ELSE 0 END AS BIGINT) AS pass_length,
+        |       CAST(CASE WHEN mean_wl >= 3.0 AND mean_wl <= 10.0 THEN 1 ELSE 0 END AS BIGINT) AS pass_word_len,
+        |       CAST(CASE WHEN punct_ratio <= 0.2 THEN 1 ELSE 0 END AS BIGINT) AS pass_punct,
+        |       CAST(CASE WHEN n_stop >= 1 THEN 1 ELSE 0 END AS BIGINT) AS pass_stopword,
+        |       CAST(CASE WHEN n_tok >= 20 AND n_tok <= 100000
+        |                  AND mean_wl >= 3.0 AND mean_wl <= 10.0
+        |                  AND punct_ratio <= 0.2 AND n_stop >= 1
+        |            THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM m ORDER BY doc_id""".stripMargin,
+    "q_stratified_sample" ->
+      """SELECT doc_id, source, CAST(rn AS BIGINT) AS sample_rank FROM (
+        |  SELECT doc_id, source,
+        |         row_number() OVER (PARTITION BY source
+        |           ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rn
+        |  FROM documents
+        |) WHERE rn <= 10 ORDER BY source, sample_rank""".stripMargin,
     "q_text_quality" ->
       """WITH tok AS (
         |  SELECT doc_id, text,

@@ -169,4 +169,94 @@ object TextAnalysis {
       col("doc_id"),
       GraftFunctions.fingerprint64(normalize(col("text"))).as("fp64"))
       .orderBy("doc_id")
+
+  // PII patterns restricted to syntax with IDENTICAL semantics in Java
+  // regex (Spark) and RE2 (DuckDB oracle): character classes, bounded
+  // repetition, \b word boundaries — no lookaround, no backreferences.
+  private[graft] val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[graft] val ipPat =
+    "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  private[graft] val phonePat = "\\+?[0-9][0-9()\\- ]{6,}[0-9]"
+
+  /** PII redaction (corpus-sanitization pass every training-data
+    * pipeline runs before release): emails, then IPv4 addresses, then
+    * phone-shaped digit runs are replaced with typed placeholders.
+    * Each count is taken on the text as it stands AFTER the previous
+    * redaction, so a string never double-counts (an all-digit email
+    * local part is an email, not a phone). Pure per-row regex
+    * projection — whole-stage codegen, no shuffle, embarrassingly
+    * parallel at any corpus size. */
+  def redactPii(docs: DataFrame): DataFrame = {
+    val t1 = regexp_replace(col("text"), emailPat, "<EMAIL>")
+    val t2 = regexp_replace(t1, ipPat, "<IP>")
+    val t3 = regexp_replace(t2, phonePat, "<PHONE>")
+    docs.select(
+      col("doc_id"),
+      regexp_count(col("text"), lit(emailPat)).cast("long").as("n_emails"),
+      regexp_count(t1, lit(ipPat)).cast("long").as("n_ips"),
+      regexp_count(t2, lit(phonePat)).cast("long").as("n_phones"),
+      t3.as("text_redacted"))
+      .orderBy("doc_id")
+  }
+
+  /** Gopher-style quality-rule filter (Rae et al. 2021 §A1.1 shape):
+    * per-document rule flags plus the conjunction `keep` — token count
+    * in range, mean word length in range, punctuation ratio bounded,
+    * at least one stopword. Emitting the individual flags (not just
+    * the verdict) is what corpus curation needs: rule ablations and
+    * drop-reason audits read them directly. Mean word length is
+    * derived from the normalized length and token count alone
+    * ((chars − separators) / tokens) — no per-token pass. Pure
+    * projection; the corpus scan is the entire cost. */
+  def qualityFilter(docs: DataFrame,
+                    minTokens: Int = 20, maxTokens: Int = 100000,
+                    minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+                    maxPunctRatio: Double = 0.2): DataFrame = {
+    val toks = tokens(col("text"))
+    val nTok = size(toks).cast("double")
+    val meanWl = (length(normalize(col("text"))).cast("double") - (nTok - 1)) /
+      greatest(nTok, lit(1.0))
+    val nChars = greatest(length(col("text")).cast("double"), lit(1.0))
+    val punctRatio = regexp_count(col("text"), lit("[^a-zA-Z0-9\\s]")).cast("double") / nChars
+    val nStop = GraftFunctions.countInSet(toks, stopwords)
+    val passLength = nTok >= minTokens && nTok <= maxTokens
+    val passWordLen = meanWl >= minMeanWordLen && meanWl <= maxMeanWordLen
+    val passPunct = punctRatio <= maxPunctRatio
+    val passStop = nStop >= 1
+    docs.select(
+      col("doc_id"),
+      nTok.cast("long").as("n_tokens"),
+      rnd(meanWl, 4).as("mean_word_len"),
+      passLength.cast("long").as("pass_length"),
+      passWordLen.cast("long").as("pass_word_len"),
+      passPunct.cast("long").as("pass_punct"),
+      passStop.cast("long").as("pass_stopword"),
+      (passLength && passWordLen && passPunct && passStop).cast("long").as("keep"))
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic per-source quota sample — the data-mixing primitive
+    * (cap every source at `perSource` documents, chosen pseudo-randomly
+    * but reproducibly): rank within source by a Knuth-multiplicative
+    * salt of doc_id and keep the first `perSource`. The salt is plain
+    * BIGINT arithmetic so any engine reproduces the exact same sample.
+    *
+    * Scale: one shuffle on `source`. Source cardinality is typically
+    * far below executor count, so at 100 TB the window becomes hot —
+    * the remedy is threshold refinement, which the uniform salt makes
+    * possible: prefilter `salt < approx_quantile(salt, perSource/n_src)`
+    * per source (one aggregate + a broadcast), then run this exact
+    * rank on the ~perSource survivors; same result, shuffle bounded by
+    * quota not corpus. */
+  def stratifiedSample(docs: DataFrame, perSource: Int = 10): DataFrame = {
+    val salt = (col("doc_id") * lit(2654435761L)) % lit(4294967296L)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("sample_key"), col("doc_id"))
+    docs
+      .select(col("doc_id"), col("source"), salt.as("sample_key"))
+      .withColumn("sample_rank", row_number().over(w).cast("long"))
+      .filter(col("sample_rank") <= perSource)
+      .select(col("doc_id"), col("source"), col("sample_rank"))
+      .orderBy("source", "sample_rank")
+  }
 }

@@ -104,4 +104,70 @@ class TextAnalysisSpec extends AnyFunSuite {
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("quality_score")).toMap
     assert(dupGroup.getAs[Double]("best_quality") == q(2L))
   }
+
+  test("redactPii replaces emails, IPs, and phones with typed placeholders") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "contact alice.smith+dev@example.co.uk or call +1 (555) 123-4567 now"),
+      (2L, "server at 192.168.0.1 responded; backup at 10.0.0.255"),
+      (3L, "digits-only local part 12345678@mail.com must count as email not phone"),
+      (4L, "nothing sensitive here at all"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.redactPii(corpus).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Long]("n_emails") == 1 && out(1L).getAs[Long]("n_phones") == 1)
+    assert(out(1L).getAs[String]("text_redacted") ==
+      "contact <EMAIL> or call <PHONE> now")
+    assert(out(2L).getAs[Long]("n_ips") == 2)
+    assert(out(2L).getAs[String]("text_redacted") ==
+      "server at <IP> responded; backup at <IP>")
+    // counted after the email redaction: no double count as phone
+    assert(out(3L).getAs[Long]("n_emails") == 1 && out(3L).getAs[Long]("n_phones") == 0)
+    assert(out(4L).getAs[String]("text_redacted") == "nothing sensitive here at all")
+  }
+
+  test("qualityFilter emits per-rule flags and their conjunction") {
+    import spark.implicits._
+    val longText = (1 to 30).map(i => s"word$i").mkString(" ") + " the end"
+    val corpus = Seq(
+      (1L, longText),                          // passes everything
+      (2L, "too short the end"),               // fails length
+      (3L, (1 to 30).map(_ => "somewhatlongishtokens").mkString(" ")), // no stopword, long words
+      (4L, (1 to 30).map(_ => "w !!!! ????").mkString(" ")))           // punct-heavy
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.qualityFilter(corpus).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Long]("keep") == 1)
+    assert(out(2L).getAs[Long]("pass_length") == 0 && out(2L).getAs[Long]("keep") == 0)
+    assert(out(3L).getAs[Long]("pass_stopword") == 0)
+    assert(out(3L).getAs[Long]("pass_word_len") == 0) // 21-char tokens
+    assert(out(4L).getAs[Long]("pass_punct") == 0 && out(4L).getAs[Long]("keep") == 0)
+    // flags are consistent with the conjunction on every row
+    out.values.foreach { r =>
+      val conj = Seq("pass_length", "pass_word_len", "pass_punct", "pass_stopword")
+        .map(r.getAs[Long]).min
+      assert(r.getAs[Long]("keep") == conj)
+    }
+  }
+
+  test("stratifiedSample caps every source at the quota, deterministically") {
+    val out = TextAnalysis.stratifiedSample(docs, perSource = 7).collect()
+    val bySource = out.groupBy(_.getAs[String]("source"))
+    assert(bySource.values.forall(_.length == 7)) // 25 docs per source in testdata
+    bySource.values.foreach { rows =>
+      assert(rows.map(_.getAs[Long]("sample_rank")).sorted.sameElements(1L to 7L))
+    }
+    // deterministic: the same call selects the same documents
+    val again = TextAnalysis.stratifiedSample(docs, perSource = 7).collect()
+    assert(out.map(_.getAs[Long]("doc_id")).sorted
+      .sameElements(again.map(_.getAs[Long]("doc_id")).sorted))
+    // and it is a genuine subsample, not a prefix: some doc_id ordering
+    // inversion exists within a source (salt reorders)
+    val someSource = bySource.values.head.sortBy(_.getAs[Long]("sample_rank"))
+    val ids = someSource.map(_.getAs[Long]("doc_id"))
+    assert(ids.sorted.toSeq != ids.toSeq || bySource.values.exists { rows =>
+      val seq = rows.sortBy(_.getAs[Long]("sample_rank")).map(_.getAs[Long]("doc_id"))
+      seq.sorted.toSeq != seq.toSeq
+    })
+  }
 }
