@@ -149,7 +149,47 @@ object Dedup {
     * superseded round's blocks are reclaimed by the ContextCleaner.
     * Output: (doc_id, cluster_id) for every doc appearing in some
     * pair. */
-  def nearDupClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+  def nearDupClusters(pairs: DataFrame, maxIters: Int = 20,
+                      driverMaxPairs: Long = 1L << 22): DataFrame = {
+    val p = Caches.persistTracked(pairs.select(col("doc_a"), col("doc_b")))
+    // Size-adaptive: verified near-dup PAIRS are a vanishing fraction
+    // of the corpus (dup-rate × docs, not docs²) — when they fit the
+    // driver comfortably (default 4M pairs ≈ 64 MB, the same bounded-
+    // driver-state pattern as the IVF centroids), a union-find resolves
+    // them in microseconds instead of 2-3 Spark rounds of ~0.5 s fixed
+    // scheduling cost each. Beyond the bound, distributed min-label
+    // propagation (below) is the path that scales to billions of pairs.
+    if (p.count() <= driverMaxPairs) driverUnionFind(p)
+    else distributedClusters(p, maxIters)
+  }
+
+  /** Driver-side union-find with min-label roots and path compression —
+    * exact connected components for pair sets within the driver bound. */
+  private def driverUnionFind(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+      r
+    }
+    pairs.collect().foreach { row =>
+      val (a, b) = (row.getLong(0), row.getLong(1))
+      parent.getOrElseUpdate(a, a)
+      parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      // union by MIN root: the component's root is its minimum doc id,
+      // the same canonical cluster_id contract as the distributed path
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.toSeq.sorted.map(d => (d, find(d)))
+      .toDF("doc_id", "cluster_id")
+  }
+
+  private def distributedClusters(pairs: DataFrame, maxIters: Int): DataFrame = {
     val edges = pairs
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))

@@ -124,13 +124,32 @@ class SimilaritySpec extends AnyFunSuite {
     graft.operators.Caches.releaseAll()
   }
 
-  test("nearDupClusters refuses to return a non-converged labeling") {
+  test("nearDupClusters refuses to return a non-converged labeling (distributed path)") {
     import spark.implicits._
     val chain = Seq.tabulate(6)(i => (i.toLong, (i + 1).toLong)).toDF("doc_a", "doc_b")
     val ex = intercept[IllegalStateException] {
-      Dedup.nearDupClusters(chain, maxIters = 2).count()
+      // driverMaxPairs = 0 forces the distributed propagation path,
+      // whose convergence-refusal contract this test pins
+      Dedup.nearDupClusters(chain, maxIters = 2, driverMaxPairs = 0).count()
     }
     assert(ex.getMessage.contains("converge"))
+  }
+
+  test("driver union-find and distributed propagation agree") {
+    import spark.implicits._
+    // two blobs + a chain + an isolated pair
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (1L, 3L),      // triangle
+      (10L, 11L), (11L, 12L),            // path
+      (20L, 21L)).toDF("doc_a", "doc_b")
+    val viaDriver = Dedup.nearDupClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaSpark = Dedup.nearDupClusters(pairs, driverMaxPairs = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaDriver == viaSpark)
+    assert(viaDriver == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+    graft.operators.Caches.releaseAll()
   }
 
   test("minhash pairs resolve into consistent clusters") {
