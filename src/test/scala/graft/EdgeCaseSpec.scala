@@ -64,6 +64,11 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(TextAnalysis.dedupExact(noDocs).count() == 0)
     assert(TextAnalysis.tokenCount(noDocs).count() == 0)
     assert(TextAnalysis.packSequences(noDocs).count() == 0)
+    assert(TextAnalysis.redactPii(noDocs).count() == 0)
+    assert(TextAnalysis.qualityFilter(noDocs).count() == 0)
+    assert(TextAnalysis.stratifiedSample(noDocs).count() == 0)
+    assert(Dedup.nearDupClusters(noDocs.select(
+      noDocs("doc_id").as("doc_a"), noDocs("doc_id").as("doc_b"))).count() == 0)
     assert(Dedup.minhashPairs(noDocs).count() == 0)
     assert(Dedup.simhashPairs(noDocs).count() == 0)
     assert(Dedup.ngramJaccardPairs(noDocs).count() == 0)

@@ -96,6 +96,36 @@ class PlanSpec extends AnyFunSuite {
     assert(scans <= 4, s"expected <= 4 parquet scans, found $scans:\n$p")
   }
 
+  test("curation projections plan no Exchange (redact/filter are scan-local)") {
+    // PII redaction and quality filtering are pure per-row projections:
+    // any Exchange here means a refactor added a shuffle to operators
+    // that must stream through the corpus scan untouched
+    Seq("q_redact_pii", "q_quality_filter").foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      // the only allowed Exchange is the output orderBy's range
+      // partitioning (driver-contract presentation); the operator body
+      // below it must be a shuffle-free codegen projection
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange hashpartitioning"), s"$name body shuffles:\n$p")
+      // the body is a Project directly over the parquet scan — no
+      // aggregate, no window, no join interposed (AQE's pre-execution
+      // string omits codegen markers, so lock the operator shape)
+      val body = p.split("Exchange rangepartitioning").last
+      assert(body.contains("Project") && body.contains("FileScan parquet"),
+        s"$name body is not a scan-local projection:\n$body")
+      assert(!body.contains("HashAggregate") && !body.contains("Window"),
+        s"$name body grew non-projection operators:\n$body")
+    }
+  }
+
+  test("stratified sample is one hash shuffle on source") {
+    val df = SparkEntry.queries("q_stratified_sample")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.split("Exchange hashpartitioning").length - 1 == 1,
+      s"expected exactly one hash Exchange:\n$p")
+    assert(p.split("Window \\[").length - 1 == 1, s"expected 1 Window operator:\n$p")
+  }
+
   test("partitioned lake writes create prunable directories") {
     val out = java.nio.file.Files.createTempDirectory("graft-lake").toString
     val ev = Tables.events(spark, sfDir)
