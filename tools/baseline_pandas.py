@@ -94,11 +94,50 @@ def interpolate(df):
     return masked.groupby(df["user_id"]).transform(lambda s: s.interpolate())
 
 
-def dedup_exact_docs(sf_dir):
+def dedup_exact_docs(docs):
     # exact text dedup on the documents corpus (normalized-text hash)
-    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
     norm = docs["text"].str.lower().str.split().str.join(" ")
     return docs.loc[norm.groupby(norm).head(1).index]
+
+
+EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4 = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+PHONE = r"\+?[0-9][0-9()\- ]{6,}[0-9]"
+
+
+def redact_pii(docs):
+    # PII scrub with the same patterns/ordering as TextAnalysis.redactPii
+    t = docs["text"]
+    n_e = t.str.count(EMAIL)
+    a = t.str.replace(EMAIL, "<EMAIL>", regex=True)
+    n_i = a.str.count(IPV4)
+    b = a.str.replace(IPV4, "<IP>", regex=True)
+    n_p = b.str.count(PHONE)
+    c = b.str.replace(PHONE, "<PHONE>", regex=True)
+    return pd.DataFrame({"doc_id": docs["doc_id"], "n_emails": n_e,
+                         "n_ips": n_i, "n_phones": n_p, "text_redacted": c})
+
+
+def quality_filter(docs):
+    # Gopher-style rule flags, same rules as TextAnalysis.qualityFilter
+    norm = docs["text"].str.lower().str.split().str.join(" ")
+    toks = norm.str.split(" ")
+    n_tok = toks.str.len().astype(float)
+    mean_wl = (norm.str.len() - (n_tok - 1)) / n_tok.clip(lower=1.0)
+    punct = docs["text"].str.count(r"[^a-zA-Z0-9\s]") / \
+        docs["text"].str.len().clip(lower=1).astype(float)
+    stop = toks.apply(lambda ts: any(t in ("the", "a", "of", "and", "is", "in", "to")
+                                     for t in ts))
+    keep = (n_tok.between(20, 100000) & mean_wl.between(3.0, 10.0)
+            & (punct <= 0.2) & stop)
+    return pd.DataFrame({"doc_id": docs["doc_id"], "n_tokens": n_tok, "keep": keep})
+
+
+def stratified_sample(docs):
+    # per-source quota sample with the same Knuth salt
+    salt = (docs["doc_id"] * 2654435761) % 4294967296
+    return docs.assign(salt=salt).sort_values(["source", "salt", "doc_id"]) \
+        .groupby("source").head(10)
 
 
 def main():
@@ -123,9 +162,16 @@ def main():
         fn(df)
         timings[name] = time.perf_counter() - t0
 
-    t0 = time.perf_counter()
-    dedup_exact_docs(sf_dir)
-    timings["dedup_exact_docs"] = time.perf_counter() - t0
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    for name, fn in [
+        ("dedup_exact_docs", dedup_exact_docs),
+        ("redact_pii", redact_pii),
+        ("quality_filter", quality_filter),
+        ("stratified_sample", stratified_sample),
+    ]:
+        t0 = time.perf_counter()
+        fn(docs)
+        timings[name] = time.perf_counter() - t0
 
     print(json.dumps({
         "queries": {k: round(v, 4) for k, v in timings.items()},
