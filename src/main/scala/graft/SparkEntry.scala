@@ -96,6 +96,7 @@ object SparkEntry {
     "q_pack_sequences" -> ((s, d) => TextAnalysis.packSequences(Tables.documents(s, d))),
     "q_redact_pii"     -> ((s, d) => TextAnalysis.redactPii(Tables.documents(s, d))),
     "q_quality_filter" -> ((s, d) => TextAnalysis.qualityFilter(Tables.documents(s, d))),
+    "q_repetition"     -> ((s, d) => TextAnalysis.repetitionRatio(Tables.documents(s, d))),
     "q_stratified_sample" -> ((s, d) => TextAnalysis.stratifiedSample(Tables.documents(s, d))),
     // H. near-dup + similarity
     "q_dedup_minhash" -> ((s, d) => Dedup.minhashPairs(Tables.documents(s, d))),
@@ -759,6 +760,27 @@ object SparkEntry {
         |                  AND punct_ratio <= 0.2 AND n_stop >= 1
         |            THEN 1 ELSE 0 END AS BIGINT) AS keep
         |FROM m ORDER BY doc_id""".stripMargin,
+    "q_repetition" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id,
+        |         greatest(len(toks) - 2, 0) AS n_ngrams,
+        |         CASE WHEN len(toks) >= 3 THEN
+        |           len(list_distinct(list_transform(range(1, len(toks) - 1),
+        |             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])))
+        |         ELSE 0 END AS n_distinct
+        |  FROM tok
+        |)
+        |SELECT doc_id,
+        |       CAST(n_ngrams AS BIGINT) AS n_ngrams,
+        |       CAST(n_distinct AS BIGINT) AS n_distinct,
+        |       CASE WHEN n_ngrams > 0
+        |            THEN (round(1.0 - n_distinct * 1.0 / n_ngrams + 1e-9, 4) + 0)
+        |            ELSE 0.0 END AS repetition_ratio
+        |FROM g ORDER BY doc_id""".stripMargin,
     "q_stratified_sample" ->
       """SELECT doc_id, source, CAST(rn AS BIGINT) AS sample_rank FROM (
         |  SELECT doc_id, source,

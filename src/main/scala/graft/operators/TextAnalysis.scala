@@ -235,6 +235,27 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Within-document repetition ratio (the Gopher duplicate-n-gram
+    * fraction, Rae et al. 2021 §A1.1): 1 − distinct/total word
+    * 3-grams — boilerplate and degenerate looping text score high and
+    * get filtered before training. Distinct counting rides the
+    * existing codegen'd [[graft.functions.GraftFunctions.shingleHash64]]
+    * kernel (counts match the string form modulo 64-bit collisions
+    * within ONE document, ~n²/2^65 ≈ 0). Pure projection, no shuffle. */
+  def repetitionRatio(docs: DataFrame, n: Int = 3): DataFrame = {
+    val toks = tokens(col("text"))
+    val total = greatest(size(toks) - (n - 1), lit(0)).cast("long")
+    val dist = size(GraftFunctions.shingleHash64(toks, n)).cast("long")
+    docs.select(
+      col("doc_id"),
+      total.as("n_ngrams"),
+      dist.as("n_distinct"),
+      when(total > 0,
+        rnd(lit(1.0) - dist.cast("double") / total.cast("double"), 4))
+        .otherwise(lit(0.0)).as("repetition_ratio"))
+      .orderBy("doc_id")
+  }
+
   /** Deterministic per-source quota sample — the data-mixing primitive
     * (cap every source at `perSource` documents, chosen pseudo-randomly
     * but reproducibly): rank within source by a Knuth-multiplicative

@@ -150,6 +150,21 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
   }
 
+  test("repetitionRatio flags looping text and passes varied text") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "spam spam spam spam spam spam spam spam"),   // 6 identical 3-grams
+      (2L, "one two three four five six seven eight"),    // all distinct
+      (3L, "ab cd"))                                      // < 3 tokens
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionRatio(corpus).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Long]("n_ngrams") == 6 && out(1L).getAs[Long]("n_distinct") == 1)
+    assert(out(1L).getAs[Double]("repetition_ratio") == 0.8333)
+    assert(out(2L).getAs[Double]("repetition_ratio") == 0.0)
+    assert(out(3L).getAs[Long]("n_ngrams") == 0 && out(3L).getAs[Double]("repetition_ratio") == 0.0)
+  }
+
   test("stratifiedSample caps every source at the quota, deterministically") {
     val out = TextAnalysis.stratifiedSample(docs, perSource = 7).collect()
     val bySource = out.groupBy(_.getAs[String]("source"))
