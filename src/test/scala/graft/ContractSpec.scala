@@ -1,0 +1,43 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Locks the driver contract's internal consistency: every oracle has
+  * a query, and every query without an oracle is on the DOCUMENTED
+  * rows-only list (hash-based operators pinned by recall/property
+  * specs instead). A typo'd key or a new operator landed without its
+  * oracle fails here instead of silently degrading the driver's
+  * correctness artifact to a rows-only check. */
+class ContractSpec extends AnyFunSuite {
+
+  private val rowsOnlyByDesign = Set(
+    "q_fingerprint", "q_dedup_minhash", "q_dedup_simhash", "q_ann_lsh",
+    "q_ann_ivf", "q_dedup_embed_lsh", "q_distinct_sketch",
+    "q_media_features", "q_dedup_clusters")
+
+  test("every oracle key names a registered query") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracles without queries: $orphans")
+  }
+
+  test("every query is oracled or documented rows-only") {
+    val unoracled = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(unoracled == rowsOnlyByDesign,
+      s"undocumented rows-only queries: ${unoracled -- rowsOnlyByDesign}; " +
+        s"stale rows-only entries: ${rowsOnlyByDesign -- unoracled}")
+  }
+
+  test("oracle SQL only references the driver's test tables") {
+    val tables = Set("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings")
+    val fromRe = "(?i)(?:FROM|JOIN)\\s+([A-Za-z_][A-Za-z0-9_]*)".r
+    SparkEntry.oracleSql.foreach { case (name, sql) =>
+      // CTE names declared in this statement are legitimate FROM targets
+      val ctes = "(?i)(?:WITH|\\),?)\\s*([A-Za-z_][A-Za-z0-9_]*)\\s+AS\\s*\\(".r
+        .findAllMatchIn(sql).map(_.group(1)).toSet
+      val refs = fromRe.findAllMatchIn(sql).map(_.group(1)).toSet
+      val unknown = refs -- tables -- ctes
+      assert(unknown.isEmpty, s"$name references unknown tables: $unknown")
+    }
+  }
+}

@@ -126,6 +126,29 @@ class PlanSpec extends AnyFunSuite {
     assert(p.split("Window \\[").length - 1 == 1, s"expected 1 Window operator:\n$p")
   }
 
+  test("whole-surface audit: no query plans a cartesian product or stray RDD boundary") {
+    // documented exceptions:
+    // - broadcast NLJ is the INTENTIONAL exact-semantics form for the
+    //   all-pairs cosine operators (scale path exists alongside)
+    // - typed mapPartitions stages (multimodal codecs, ML vector
+    //   assembly) necessarily cross the Dataset<->object boundary
+    // - eagerly-executing queries (IVF trains its quantizer, clusters
+    //   resolves components) are excluded from blind plan-building
+    //   here; their plan shapes are pinned by their own specs
+    val eager = Set("q_ann_ivf", "q_dedup_clusters")
+    val objectBoundaryOk = Set("q_media_features", "q_ml_feature_prep")
+    SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(eager).foreach { name =>
+        val p = planOf(name)
+        assert(!p.contains("CartesianProduct"), s"$name plans a cartesian:\n$p")
+        if (!objectBoundaryOk(name)) {
+          assert(!p.contains("DeserializeToObject") && !p.contains("Scan ExistingRDD"),
+            s"$name crosses an object/RDD boundary:\n$p")
+        }
+      }
+    graft.operators.Caches.releaseAll()
+  }
+
   test("partitioned lake writes create prunable directories") {
     val out = java.nio.file.Files.createTempDirectory("graft-lake").toString
     val ev = Tables.events(spark, sfDir)
