@@ -97,6 +97,7 @@ object SparkEntry {
     "q_redact_pii"     -> ((s, d) => TextAnalysis.redactPii(Tables.documents(s, d))),
     "q_quality_filter" -> ((s, d) => TextAnalysis.qualityFilter(Tables.documents(s, d))),
     "q_repetition"     -> ((s, d) => TextAnalysis.repetitionRatio(Tables.documents(s, d))),
+    "q_vocab_topk"     -> ((s, d) => TextAnalysis.vocabTopK(Tables.documents(s, d))),
     "q_stratified_sample" -> ((s, d) => TextAnalysis.stratifiedSample(Tables.documents(s, d))),
     // H. near-dup + similarity
     "q_dedup_minhash" -> ((s, d) => Dedup.minhashPairs(Tables.documents(s, d))),
@@ -781,6 +782,17 @@ object SparkEntry {
         |            THEN (round(1.0 - n_distinct * 1.0 / n_ngrams + 1e-9, 4) + 0)
         |            ELSE 0.0 END AS repetition_ratio
         |FROM g ORDER BY doc_id""".stripMargin,
+    "q_vocab_topk" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |         unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS token
+        |  FROM documents
+        |)
+        |SELECT token, count(*) AS n_total, count(DISTINCT doc_id) AS n_docs
+        |FROM tok WHERE token <> ''
+        |GROUP BY token
+        |ORDER BY n_total DESC, token ASC
+        |LIMIT 100""".stripMargin,
     "q_stratified_sample" ->
       """SELECT doc_id, source, CAST(rn AS BIGINT) AS sample_rank FROM (
         |  SELECT doc_id, source,

@@ -256,6 +256,22 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Corpus-wide vocabulary (tokenizer-building wordcount): token →
+    * document frequency and total frequency, top `topN` by total count
+    * with deterministic ties (count desc, token asc). The canonical
+    * map-side-combine aggregation: explode never leaves the scan
+    * stage, partial counts combine before the single hash shuffle on
+    * the token, and only `topN` rows survive to the driver — at 100 TB
+    * this is exactly the wordcount every tokenizer pipeline runs. */
+  def vocabTopK(docs: DataFrame, topN: Int = 100): DataFrame =
+    docs
+      .select(explode(tokens(col("text"))).as("token"), col("doc_id"))
+      .filter(col("token") =!= "")
+      .groupBy("token")
+      .agg(count(lit(1)).as("n_total"), countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(desc("n_total"), asc("token"))
+      .limit(topN)
+
   /** Deterministic per-source quota sample — the data-mixing primitive
     * (cap every source at `perSource` documents, chosen pseudo-randomly
     * but reproducibly): rank within source by a Knuth-multiplicative

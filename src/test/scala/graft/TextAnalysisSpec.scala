@@ -165,6 +165,18 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out(3L).getAs[Long]("n_ngrams") == 0 && out(3L).getAs[Double]("repetition_ratio") == 0.0)
   }
 
+  test("vocabTopK counts total and document frequency with deterministic ties") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "alpha beta alpha"),
+      (2L, "beta gamma"),
+      (3L, "alpha")).toDF("doc_id", "text")
+    val out = TextAnalysis.vocabTopK(corpus, topN = 2).collect()
+    assert(out.map(_.getAs[String]("token")).toSeq == Seq("alpha", "beta"))
+    assert(out(0).getAs[Long]("n_total") == 3 && out(0).getAs[Long]("n_docs") == 2)
+    assert(out(1).getAs[Long]("n_total") == 2 && out(1).getAs[Long]("n_docs") == 2)
+  }
+
   test("stratifiedSample caps every source at the quota, deterministically") {
     val out = TextAnalysis.stratifiedSample(docs, perSource = 7).collect()
     val bySource = out.groupBy(_.getAs[String]("source"))
