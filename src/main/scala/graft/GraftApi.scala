@@ -102,6 +102,47 @@ object GraftApi {
     Inference.predictLatest(engineered, model)
   }
 
+  /** End-to-end corpus curation — the LLM-training-data analog of
+    * [[processPipeline]], composing the §2H operators into the
+    * standard pre-training cleanup in the standard order:
+    *
+    *  1. quality-rule filter (drop degenerate documents FIRST — no
+    *     point fingerprinting what a length rule removes),
+    *  2. exact dedup keeping the highest-quality copy per content,
+    *  3. near-dup removal: MinHash+LSH pairs → connected components,
+    *     keep each cluster's canonical (minimum-id) member,
+    *  4. PII redaction of the surviving text,
+    *  5. optional per-source quota sampling (data mixing).
+    *
+    * Every inter-step handoff is a semi-join on doc_id (hash-partitioned
+    * at scale; the keeper sets are small and broadcast locally), so the
+    * full text column travels only through the final redaction
+    * projection — never through a shuffle. Returns (doc_id, source,
+    * text) with text redacted. */
+  def curateCorpus(docs: DataFrame, perSource: Int = Int.MaxValue): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val qualityKeep = TextAnalysis.qualityFilter(docs)
+      .filter(col("keep") === 1).select("doc_id")
+    val afterQuality = docs.join(qualityKeep, "doc_id")
+    val exactKeep = TextAnalysis.dedupKeepBest(afterQuality)
+      .select(col("keep_id").as("doc_id"))
+    val afterExact = afterQuality.join(exactKeep, "doc_id")
+    // near-dup clusters: survivors are each cluster's canonical member
+    // plus every unpaired document
+    val clusters = Dedup.nearDupClusters(Dedup.minhashPairs(afterExact))
+    val nearDupDrop = clusters.filter(col("doc_id") =!= col("cluster_id"))
+      .select("doc_id")
+    val afterNearDup = afterExact.join(nearDupDrop, Seq("doc_id"), "left_anti")
+    val redacted = afterNearDup
+      .join(TextAnalysis.redactPii(afterNearDup)
+        .select(col("doc_id"), col("text_redacted")), "doc_id")
+      .select(col("doc_id"), col("source"), col("text_redacted").as("text"))
+    if (perSource == Int.MaxValue) redacted.orderBy("doc_id")
+    else redacted
+      .join(TextAnalysis.stratifiedSample(redacted, perSource).select("doc_id"), "doc_id")
+      .orderBy("doc_id")
+  }
+
   /** Release every operator-internal cache registered during query
     * construction (see [[graft.operators.Caches]]) — call after the
     * terminal action in long-lived sessions. */

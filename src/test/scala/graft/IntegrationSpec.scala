@@ -122,4 +122,42 @@ class IntegrationSpec extends AnyFunSuite {
     assert(v2 == 2)
     assert(GraftApi.predict(ev, reg).count() == nEntities)
   }
+
+  test("corpus curation facade: filter -> dedup -> near-dup -> redact end-to-end") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val base = graft.sources.Tables.documents(spark, sfDir)
+      .select("doc_id", "source", "text")
+    val maxId = base.agg(org.apache.spark.sql.functions.max("doc_id"))
+      .collect()(0).getLong(0)
+    // inject rows exercising every stage: an exact duplicate of doc 0,
+    // a PII-bearing doc, and a degenerate short doc
+    val doc0 = base.filter(col("doc_id") === 0).collect()(0).getString(2)
+    val crafted = Seq(
+      (maxId + 1, "srcX", doc0),                                  // exact dup of doc 0
+      (maxId + 2, "srcX", (1 to 30).map(i => s"the word$i").mkString(" ")
+        + " mail me at bob@example.com"),                          // PII survivor
+      (maxId + 3, "srcX", "too short"))                            // quality drop
+      .toDF("doc_id", "source", "text")
+    val corpus = base.union(crafted)
+    val curated = GraftApi.curateCorpus(corpus)
+    val out = curated.collect()
+    val ids = out.map(_.getAs[Long]("doc_id")).toSet
+
+    assert(!ids.contains(maxId + 3), "degenerate doc must be quality-filtered")
+    // exact-dup group {0, maxId+1}: exactly one survivor
+    assert(Seq(0L, maxId + 1).count(ids.contains) == 1, "one copy per content")
+    assert(ids.contains(maxId + 2), "clean long doc survives")
+    val pii = out.find(_.getAs[Long]("doc_id") == maxId + 2).get.getAs[String]("text")
+    assert(pii.contains("<EMAIL>") && !pii.contains("bob@example.com"))
+    // no near-dup pair survives among the output
+    val survivors = corpus.join(curated.select("doc_id"), "doc_id")
+    assert(graft.operators.Dedup.minhashPairs(survivors).count() == 0,
+      "curated corpus must contain no near-dup pair")
+    // quota sampling composes
+    val sampled = GraftApi.curateCorpus(corpus, perSource = 3)
+    val bySource = sampled.collect().groupBy(_.getAs[String]("source"))
+    assert(bySource.values.forall(_.length <= 3))
+    GraftApi.releaseCaches()
+  }
 }
