@@ -67,6 +67,9 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(TextAnalysis.redactPii(noDocs).count() == 0)
     assert(TextAnalysis.qualityFilter(noDocs).count() == 0)
     assert(TextAnalysis.stratifiedSample(noDocs).count() == 0)
+    assert(TextAnalysis.repetitionRatio(noDocs).count() == 0)
+    assert(TextAnalysis.vocabTopK(noDocs).count() == 0)
+    assert(GraftApi.curateCorpus(noDocs.select("doc_id", "source", "text")).count() == 0)
     assert(Dedup.nearDupClusters(noDocs.select(
       noDocs("doc_id").as("doc_a"), noDocs("doc_id").as("doc_b"))).count() == 0)
     assert(Dedup.minhashPairs(noDocs).count() == 0)
