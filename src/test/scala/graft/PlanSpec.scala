@@ -149,6 +149,19 @@ class PlanSpec extends AnyFunSuite {
     graft.operators.Caches.releaseAll()
   }
 
+  test("composition eliminates interior presentation sorts") {
+    // operators end with an orderBy for driver-contract presentation;
+    // when operators COMPOSE (joins/aggregates between them), Catalyst's
+    // EliminateSorts must strip the interior sorts so a 100 TB pipeline
+    // pays at most the one terminal sort its consumer asked for
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val p = GraftApi.curateCorpus(docs).queryExecution.executedPlan.toString
+    val rangeExchanges = p.split("Exchange rangepartitioning").length - 1
+    assert(rangeExchanges <= 1,
+      s"expected at most the terminal sort, found $rangeExchanges range exchanges:\n$p")
+    graft.operators.Caches.releaseAll()
+  }
+
   test("partitioned lake writes create prunable directories") {
     val out = java.nio.file.Files.createTempDirectory("graft-lake").toString
     val ev = Tables.events(spark, sfDir)
