@@ -105,6 +105,13 @@ object SparkEntry {
       Dedup.nearDupClusters(Dedup.minhashPairs(Tables.documents(s, d)))),
     "q_dedup_simhash" -> ((s, d) => Dedup.simhashPairs(Tables.documents(s, d))),
     "q_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(Tables.documents(s, d))),
+    // decontamination: source 'src0' plays the held-out benchmark set
+    "q_decontaminate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.decontaminate(
+        docs.filter(col("source") =!= "src0"),
+        docs.filter(col("source") === "src0"))
+    }),
     "q_dedup_embed"   -> ((s, d) => Similarity.embedDedup(Tables.embeddings(s, d))),
     "q_ann_topk"      -> ((s, d) => Similarity.annTopK(Tables.embeddings(s, d))),
     "q_ann_lsh"       -> ((s, d) => Similarity.annLsh(Tables.embeddings(s, d))),
@@ -782,6 +789,30 @@ object SparkEntry {
         |            THEN (round(1.0 - n_distinct * 1.0 / n_ngrams + 1e-9, 4) + 0)
         |            ELSE 0.0 END AS repetition_ratio
         |FROM g ORDER BY doc_id""".stripMargin,
+    "q_decontaminate" ->
+      """WITH tok AS (
+        |  SELECT doc_id, source,
+        |         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id, source,
+        |         list_distinct(list_transform(range(1, len(toks) - 1),
+        |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+        |  FROM tok WHERE len(toks) >= 3
+        |), bench AS (
+        |  SELECT DISTINCT unnest(sh) AS s FROM sh WHERE source = 'src0'
+        |), corpus AS (
+        |  SELECT doc_id, unnest(sh) AS s FROM sh WHERE source <> 'src0'
+        |), hits AS (
+        |  SELECT c.doc_id, count(DISTINCT c.s) AS n_shared
+        |  FROM corpus c JOIN bench b ON c.s = b.s GROUP BY c.doc_id
+        |)
+        |SELECT d.doc_id,
+        |       CAST(coalesce(h.n_shared, 0) AS BIGINT) AS n_shared,
+        |       CAST(CASE WHEN coalesce(h.n_shared, 0) >= 3 THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+        |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+        |WHERE d.source <> 'src0'
+        |ORDER BY d.doc_id""".stripMargin,
     "q_vocab_topk" ->
       """WITH tok AS (
         |  SELECT doc_id,

@@ -222,6 +222,34 @@ object Dedup {
     labels.select("doc_id", "cluster_id").orderBy("doc_id")
   }
 
+  /** Benchmark decontamination — flag training documents whose n-gram
+    * overlap with an evaluation/benchmark set reaches `minShared`
+    * distinct shingles (the standard pre-training hygiene step: a
+    * benchmark item leaked into the corpus inflates eval scores).
+    *
+    * Scale shape: benchmark sets are TINY relative to the corpus
+    * (thousands of items vs billions of documents), so the benchmark's
+    * distinct shingle-hash set is broadcast and the corpus streams
+    * through a broadcast semi-join inside its own scan stage — the
+    * 100 TB side is never shuffled; the only aggregation is the
+    * per-doc match count, partial-combined on the corpus partitions.
+    * Output covers EVERY corpus document (unmatched → n_shared 0). */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+                    n: Int = 3, minShared: Int = 3): DataFrame = {
+    val bench = shingleHashes(benchmark, n)
+      .select(explode(col("sh")).as("s")).distinct()
+    val hits = shingleHashes(corpus, n)
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+      .join(broadcast(bench), "s")
+      .groupBy("doc_id").agg(countDistinct(col("s")).as("n_shared"))
+    corpus.select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        (coalesce(col("n_shared"), lit(0L)) >= minShared).cast("long").as("contaminated"))
+      .orderBy("doc_id")
+  }
+
   /** Exact n-gram Jaccard pairs via shingle bucket-join: only pairs
     * sharing at least one shingle are ever formed (the hashed shingle
     * IS the bucket key), then |A∩B| comes from the join group count

@@ -166,6 +166,25 @@ class SimilaritySpec extends AnyFunSuite {
     graft.operators.Caches.releaseAll()
   }
 
+  test("decontaminate flags benchmark overlap and covers every corpus doc") {
+    import spark.implicits._
+    val benchmark = Seq(
+      (100L, "the capital of france is paris and the capital of spain is madrid"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "quiz answer the capital of france is paris everyone knows"), // leaked
+      (2L, "an entirely unrelated training document about cooking pasta"),
+      (3L, "ab cd")) // too short for shingles — must still appear
+      .toDF("doc_id", "text")
+    val out = Dedup.decontaminate(corpus, benchmark, minShared = 3).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out.size == 3, "every corpus doc must appear")
+    assert(out(1L).getAs[Long]("contaminated") == 1 && out(1L).getAs[Long]("n_shared") >= 3)
+    assert(out(2L).getAs[Long]("contaminated") == 0)
+    assert(out(3L).getAs[Long]("n_shared") == 0 && out(3L).getAs[Long]("contaminated") == 0)
+    graft.operators.Caches.releaseAll()
+  }
+
   test("shingles produce n-grams of the right shape") {
     val sh = Dedup.shingles(docs, 3).select(explode(col("sh")).as("s"))
       .select(size(split(col("s"), " ")).as("n")).distinct().collect()
