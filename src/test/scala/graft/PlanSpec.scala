@@ -149,6 +149,12 @@ class PlanSpec extends AnyFunSuite {
     graft.operators.Caches.releaseAll()
   }
 
+  test("decontamination broadcasts the benchmark shingle set") {
+    val p = planOf("q_decontaminate")
+    assert(p.contains("BroadcastHashJoin"),
+      s"benchmark side must broadcast (corpus side must never shuffle for the match):\n$p")
+  }
+
   test("composition eliminates interior presentation sorts") {
     // operators end with an orderBy for driver-contract presentation;
     // when operators COMPOSE (joins/aggregates between them), Catalyst's
