@@ -121,12 +121,19 @@ object GraftApi {
     * text) with text redacted. */
   def curateCorpus(docs: DataFrame, perSource: Int = Int.MaxValue): DataFrame = {
     import org.apache.spark.sql.functions.col
+    // Stage outputs that feed MULTIPLE downstream branches persist via
+    // the cache registry (released by releaseCaches after the caller's
+    // terminal action) — without this, each handoff self-join would
+    // re-run the full upstream lineage (the regex passes twice, the
+    // quality scoring three times). NOTE: constructing this frame runs
+    // Spark jobs eagerly (near-dup cluster resolution is iterative by
+    // nature); treat a call as an action, not a free plan build.
     val qualityKeep = TextAnalysis.qualityFilter(docs)
       .filter(col("keep") === 1).select("doc_id")
-    val afterQuality = docs.join(qualityKeep, "doc_id")
+    val afterQuality = Caches.persistTracked(docs.join(qualityKeep, "doc_id"))
     val exactKeep = TextAnalysis.dedupKeepBest(afterQuality)
       .select(col("keep_id").as("doc_id"))
-    val afterExact = afterQuality.join(exactKeep, "doc_id")
+    val afterExact = Caches.persistTracked(afterQuality.join(exactKeep, "doc_id"))
     // near-dup clusters: survivors are each cluster's canonical member
     // plus every unpaired document
     val clusters = Dedup.nearDupClusters(Dedup.minhashPairs(afterExact))
@@ -138,13 +145,26 @@ object GraftApi {
         .select(col("doc_id"), col("text_redacted")), "doc_id")
       .select(col("doc_id"), col("source"), col("text_redacted").as("text"))
     if (perSource == Int.MaxValue) redacted.orderBy("doc_id")
-    else redacted
-      .join(TextAnalysis.stratifiedSample(redacted, perSource).select("doc_id"), "doc_id")
-      .orderBy("doc_id")
+    else {
+      // the sampling branch consumes `redacted` twice (rank + output)
+      val r = Caches.persistTracked(redacted)
+      r.join(TextAnalysis.stratifiedSample(r, perSource).select("doc_id"), "doc_id")
+        .orderBy("doc_id")
+    }
   }
 
-  /** Release every operator-internal cache registered during query
-    * construction (see [[graft.operators.Caches]]) — call after the
-    * terminal action in long-lived sessions. */
+  /** Release every NON-PINNED operator-internal cache registered
+    * during query construction (see [[graft.operators.Caches]]) — call
+    * after the terminal action in long-lived sessions. Quarantine
+    * caches ([[graft.sources.Formats.quarantine]]) are PINNED and
+    * survive this call because their corrupt-rows branch cannot
+    * recompute from source; release them with
+    * [[releasePinnedCaches]] once both quarantine branches have
+    * landed — a long-lived ingest loop that quarantines per batch MUST
+    * pair each batch with a releasePinnedCaches() or pinned blocks
+    * accumulate. */
   def releaseCaches(): Unit = Caches.releaseAll()
+
+  /** Release the pinned quarantine caches (see [[releaseCaches]]). */
+  def releasePinnedCaches(): Unit = Caches.releasePinned()
 }

@@ -150,15 +150,19 @@ object Dedup {
     * Output: (doc_id, cluster_id) for every doc appearing in some
     * pair. */
   def nearDupClusters(pairs: DataFrame, maxIters: Int = 20,
-                      driverMaxPairs: Long = 1L << 22): DataFrame = {
+                      driverMaxPairs: Long = 1L << 20): DataFrame = {
     val p = Caches.persistTracked(pairs.select(col("doc_a"), col("doc_b")))
     // Size-adaptive: verified near-dup PAIRS are a vanishing fraction
     // of the corpus (dup-rate × docs, not docs²) — when they fit the
-    // driver comfortably (default 4M pairs ≈ 64 MB, the same bounded-
-    // driver-state pattern as the IVF centroids), a union-find resolves
-    // them in microseconds instead of 2-3 Spark rounds of ~0.5 s fixed
-    // scheduling cost each. Beyond the bound, distributed min-label
-    // propagation (below) is the path that scales to billions of pairs.
+    // driver comfortably, a union-find resolves them in microseconds
+    // instead of 2-3 Spark rounds of ~0.5 s fixed scheduling cost
+    // each (the same bounded-driver-state pattern as the IVF
+    // centroids). The default bound is 1M pairs: the real driver cost
+    // is JVM object overhead, not the 16 raw bytes/pair — ~100 bytes
+    // per collected Row plus ~50 bytes per boxed HashMap entry ≈
+    // 300-400 MB at 1M pairs, safe for common 2-4 GB driver sizings.
+    // Beyond the bound, distributed min-label propagation (below) is
+    // the path that scales to billions of pairs.
     if (p.count() <= driverMaxPairs) driverUnionFind(p)
     else distributedClusters(p, maxIters)
   }

@@ -176,7 +176,15 @@ object TextAnalysis {
   private[graft] val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   private[graft] val ipPat =
     "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
-  private[graft] val phonePat = "\\+?[0-9][0-9()\\- ]{6,}[0-9]"
+  // two anchored shapes, NOT "any 8-char digit run": a bare digit-run
+  // pattern rewrites dates (2020-01-02), ISBNs, and numeric ranges to
+  // <PHONE> — silent corruption of clean text. Branch 1: international
+  // form, must start with '+'. Branch 2: separator-grouped 3-3-4
+  // (NANP) with optional parens. Unseparated 10-digit runs are left
+  // alone by design (indistinguishable from ids/ISBNs without
+  // context) — the documented precision-over-recall tradeoff.
+  private[graft] val phonePat =
+    "\\+[0-9][0-9()\\- ]{6,}[0-9]|\\(?[0-9]{3}\\)?[\\- ][0-9]{3}[\\- ][0-9]{4}"
 
   /** PII redaction (corpus-sanitization pass every training-data
     * pipeline runs before release): emails, then IPv4 addresses, then
@@ -286,7 +294,12 @@ object TextAnalysis {
     * rank on the ~perSource survivors; same result, shuffle bounded by
     * quota not corpus. */
   def stratifiedSample(docs: DataFrame, perSource: Int = 10): DataFrame = {
-    val salt = (col("doc_id") * lit(2654435761L)) % lit(4294967296L)
+    // doc_id is folded mod 2^31 BEFORE the Knuth multiply so the
+    // product stays below 2^63 for any BIGINT id (2^31 · 2654435761 ≈
+    // 5.7e18 < Long.Max) — no overflow wrap in non-ANSI Spark, no
+    // error in ANSI/DuckDB, same bits everywhere. Ids congruent mod
+    // 2^31 share a salt; the (salt, doc_id) order is still total.
+    val salt = ((col("doc_id") % lit(2147483648L)) * lit(2654435761L)) % lit(4294967296L)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("source").orderBy(col("sample_key"), col("doc_id"))
     docs

@@ -147,7 +147,13 @@ object EventsStream {
     * retries and failed the query — REWRITES the same directories
     * instead of appending duplicates. At-least-once delivery,
     * exactly-once table contents; readers scan the root dir and see
-    * `batch_id` as a discovered partition column. */
+    * `batch_id` as a discovered partition column.
+    *
+    * MIGRATION: this layout is partitioned where the pre-idempotence
+    * sink appended flat part files; Spark refuses a root dir mixing
+    * the two ("conflicting directory structures"). Point upgraded
+    * streams at a fresh output root, or move existing flat files into
+    * a `batch_id=-1/` subdirectory once. */
   def resilientBatch(batch: Dataset[org.apache.spark.sql.Row], batchId: Long,
                      outDir: String, dlqDir: String,
                      maxRetries: Int = 3, baseBackoffMs: Long = 50,

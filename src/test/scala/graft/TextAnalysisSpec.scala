@@ -126,6 +126,25 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out(4L).getAs[String]("text_redacted") == "nothing sensitive here at all")
   }
 
+  test("redactPii does not rewrite dates, ISBNs, or numeric ranges as phones") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "released 2020-01-02 and revised 1999-12-31"),
+      (2L, "ISBN 978-0-306-40615-7 covers pages 100 - 200 300"),
+      (3L, "call (555) 123-4567 or +44 20 7946 0958 today"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.redactPii(corpus).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // clean numeric text passes through untouched
+    assert(out(1L).getAs[Long]("n_phones") == 0)
+    assert(out(1L).getAs[String]("text_redacted") ==
+      "released 2020-01-02 and revised 1999-12-31")
+    assert(out(2L).getAs[Long]("n_phones") == 0)
+    // real phone shapes (separator-grouped NANP, +international) still match
+    assert(out(3L).getAs[Long]("n_phones") == 2)
+    assert(out(3L).getAs[String]("text_redacted") == "call <PHONE> or <PHONE> today")
+  }
+
   test("qualityFilter emits per-rule flags and their conjunction") {
     import spark.implicits._
     val longText = (1 to 30).map(i => s"word$i").mkString(" ") + " the end"

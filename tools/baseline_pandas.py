@@ -102,7 +102,7 @@ def dedup_exact_docs(docs):
 
 EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 IPV4 = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
-PHONE = r"\+?[0-9][0-9()\- ]{6,}[0-9]"
+PHONE = r"\+[0-9][0-9()\- ]{6,}[0-9]|\(?[0-9]{3}\)?[\- ][0-9]{3}[\- ][0-9]{4}"
 
 
 def redact_pii(docs):
@@ -135,7 +135,7 @@ def quality_filter(docs):
 
 def stratified_sample(docs):
     # per-source quota sample with the same Knuth salt
-    salt = (docs["doc_id"] * 2654435761) % 4294967296
+    salt = ((docs["doc_id"] % 2147483648) * 2654435761) % 4294967296
     return docs.assign(salt=salt).sort_values(["source", "salt", "doc_id"]) \
         .groupby("source").head(10)
 

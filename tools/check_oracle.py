@@ -49,10 +49,12 @@ def main():
         a, b = canon(mine), canon(ref)
         if len(a) != len(b):
             print(f"FAIL {name}: rows {len(a)} != {len(b)}"); n_fail += 1; continue
-        # the driver's hash is byte-level: -0.0 vs 0.0 and NaN-vs-null
-        # placement differ even when pandas equality passes. Compare
-        # float columns bitwise (view as uint64) so this gate has the
-        # same sensitivity.
+        # the driver's hash is byte-level: -0.0 vs 0.0 differs even
+        # when pandas equality passes. Compare float columns bitwise
+        # (view as uint64) for the same sensitivity. (NaN vs null is
+        # NOT distinguishable here: numpy float64 has no null mask, so
+        # both map to the same canonical-NaN bits — as they do in any
+        # pandas-float-based canonicalization.)
         bit_fail = None
         for c in a.columns:
             if pd.api.types.is_float_dtype(a[c]):
