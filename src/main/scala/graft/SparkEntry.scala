@@ -828,7 +828,7 @@ object SparkEntry {
       """SELECT doc_id, source, CAST(rn AS BIGINT) AS sample_rank FROM (
         |  SELECT doc_id, source,
         |         row_number() OVER (PARTITION BY source
-        |           ORDER BY ((doc_id % 2147483648) * 2654435761) % 4294967296, doc_id) AS rn
+        |           ORDER BY (((doc_id % 2147483648 + 2147483648) % 2147483648) * 2654435761) % 4294967296, doc_id) AS rn
         |  FROM documents
         |) WHERE rn <= 10 ORDER BY source, sample_rank""".stripMargin,
     "q_text_quality" ->

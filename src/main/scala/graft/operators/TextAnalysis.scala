@@ -179,12 +179,20 @@ object TextAnalysis {
   // two anchored shapes, NOT "any 8-char digit run": a bare digit-run
   // pattern rewrites dates (2020-01-02), ISBNs, and numeric ranges to
   // <PHONE> — silent corruption of clean text. Branch 1: international
-  // form, must start with '+'. Branch 2: separator-grouped 3-3-4
-  // (NANP) with optional parens. Unseparated 10-digit runs are left
-  // alone by design (indistinguishable from ids/ISBNs without
-  // context) — the documented precision-over-recall tradeoff.
+  // form, must start with '+'; the interior run is BOUNDED ({6,16},
+  // E.164's 15 digits plus separator headroom) and the final digit
+  // must sit on a word boundary, so an unbounded greedy run can no
+  // longer swallow an unrelated trailing digit group ('+44 20 7946
+  // 0958 1999' redacts the phone and leaves 1999 — the greedy match
+  // backtracks to the last in-bound digit followed by a non-word
+  // char). Branch 2: separator-grouped 3-3-4 (NANP) with optional
+  // parens. Unseparated 10-digit runs are left alone by design
+  // (indistinguishable from ids/ISBNs without context) — the
+  // documented precision-over-recall tradeoff. \b is ASCII-word in
+  // both Java regex and RE2, and both engines resolve greedy
+  // alternation leftmost-first, so parity holds.
   private[graft] val phonePat =
-    "\\+[0-9][0-9()\\- ]{6,}[0-9]|\\(?[0-9]{3}\\)?[\\- ][0-9]{3}[\\- ][0-9]{4}"
+    "\\+[0-9][0-9()\\- ]{6,16}[0-9]\\b|\\(?[0-9]{3}\\)?[\\- ][0-9]{3}[\\- ][0-9]{4}"
 
   /** PII redaction (corpus-sanitization pass every training-data
     * pipeline runs before release): emails, then IPv4 addresses, then
@@ -294,19 +302,26 @@ object TextAnalysis {
     * rank on the ~perSource survivors; same result, shuffle bounded by
     * quota not corpus. */
   def stratifiedSample(docs: DataFrame, perSource: Int = 10): DataFrame = {
-    // doc_id is folded mod 2^31 BEFORE the Knuth multiply so the
-    // product stays below 2^63 for any BIGINT id (2^31 · 2654435761 ≈
-    // 5.7e18 < Long.Max) — no overflow wrap in non-ANSI Spark, no
-    // error in ANSI/DuckDB, same bits everywhere. Ids congruent mod
-    // 2^31 share a salt; the (salt, doc_id) order is still total.
-    val salt = ((col("doc_id") % lit(2147483648L)) * lit(2654435761L)) % lit(4294967296L)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("source").orderBy(col("sample_key"), col("doc_id"))
     docs
-      .select(col("doc_id"), col("source"), salt.as("sample_key"))
+      .select(col("doc_id"), col("source"), sampleSalt.as("sample_key"))
       .withColumn("sample_rank", row_number().over(w).cast("long"))
       .filter(col("sample_rank") <= perSource)
       .select(col("doc_id"), col("source"), col("sample_rank"))
       .orderBy("source", "sample_rank")
   }
+
+  /** The Knuth-multiplicative sample salt of [[stratifiedSample]].
+    *
+    * doc_id is folded pmod 2^31 BEFORE the Knuth multiply so the
+    * product stays below 2^63 for any BIGINT id (2^31 · 2654435761 ≈
+    * 5.7e18 < Long.Max) — no overflow wrap in non-ANSI Spark, no
+    * error in ANSI/DuckDB, same bits everywhere. pmod (not %): for a
+    * NEGATIVE id Scala/Spark/DuckDB `%` keeps the dividend's sign
+    * while Python's `%` is non-negative — pmod makes all four engines
+    * agree without a precondition on id sign. Ids congruent mod 2^31
+    * share a salt; the (salt, doc_id) order is still total. */
+  private[graft] def sampleSalt: Column =
+    pmod(pmod(col("doc_id"), lit(2147483648L)) * lit(2654435761L), lit(4294967296L))
 }

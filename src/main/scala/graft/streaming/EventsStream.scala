@@ -169,11 +169,15 @@ object EventsStream {
         classified.filter(col("error_reason").isNull).drop("error_reason")
           .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
       }
+      // ALWAYS overwrite the DLQ partition, even when no rows are dead:
+      // a redelivered batch can legitimately reclassify to zero dead
+      // rows (validation rules changed across a restart), and skipping
+      // the write would leave the prior attempt's stale DLQ rows in
+      // place — breaking exactly-once table contents on the DLQ side.
+      // An empty overwrite is one cheap driver-side commit.
       val dead = classified.filter(col("error_reason").isNotNull)
-      if (!dead.isEmpty) {
-        withRetry(maxRetries, baseBackoffMs, sleep) {
-          dead.write.mode("overwrite").parquet(s"$dlqDir/batch_id=$batchId")
-        }
+      withRetry(maxRetries, baseBackoffMs, sleep) {
+        dead.write.mode("overwrite").parquet(s"$dlqDir/batch_id=$batchId")
       }
     } finally { classified.unpersist(); () }
   }

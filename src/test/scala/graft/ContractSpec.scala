@@ -32,8 +32,13 @@ class ContractSpec extends AnyFunSuite {
       "orders", "lineitem", "events", "documents", "embeddings")
     val fromRe = "(?i)(?:FROM|JOIN)\\s+([A-Za-z_][A-Za-z0-9_]*)".r
     SparkEntry.oracleSql.foreach { case (name, sql) =>
-      // CTE names declared in this statement are legitimate FROM targets
-      val ctes = "(?i)(?:WITH|\\),?)\\s*([A-Za-z_][A-Za-z0-9_]*)\\s+AS\\s*\\(".r
+      // CTE names declared in this statement are legitimate FROM
+      // targets. The scan is formatting-independent (any `name AS (`
+      // anywhere) — anchoring on WITH/`),` punctuation would false-fail
+      // on a validly reformatted oracle. Over-matching is harmless
+      // here: column aliases can't be followed by `(`, so the only
+      // captures are CTE declarations.
+      val ctes = "(?i)\\b([A-Za-z_][A-Za-z0-9_]*)\\s+AS\\s*\\(".r
         .findAllMatchIn(sql).map(_.group(1)).toSet
       val refs = fromRe.findAllMatchIn(sql).map(_.group(1)).toSet
       val unknown = refs -- tables -- ctes

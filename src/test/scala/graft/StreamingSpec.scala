@@ -189,6 +189,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(outDir).count() == 2)
   }
 
+  test("redelivered batch that reclassifies clean clears its stale DLQ partition") {
+    import spark.implicits._
+    val outDir = java.nio.file.Files.createTempDirectory("graft-sink-reclass").toString
+    val dlqDir = java.nio.file.Files.createTempDirectory("graft-dlq-reclass").toString
+    // first delivery: one row fails validation and lands in the DLQ
+    EventsStream.resilientBatch(
+      Seq(EventRow(1, ts(10), 1, "view", 10.0),
+        EventRow(2, ts(11), 1, "view", 5000.0)).toDF(),
+      7L, outDir, dlqDir, sleep = _ => ())
+    assert(spark.read.parquet(dlqDir).count() == 1)
+    // redelivery of the SAME batch id now classifies fully clean (the
+    // upstream fixed the row / validation rules changed across a
+    // restart): the stale DLQ partition must be overwritten to empty,
+    // not survive from the prior attempt
+    EventsStream.resilientBatch(
+      Seq(EventRow(1, ts(10), 1, "view", 10.0),
+        EventRow(2, ts(11), 1, "view", 11.0)).toDF(),
+      7L, outDir, dlqDir, sleep = _ => ())
+    assert(spark.read.parquet(outDir).count() == 2)
+    assert(spark.read.parquet(dlqDir).count() == 0)
+  }
+
   test("file-source stream reads the events table end-to-end") {
     val stream = EventsStream.readEvents(spark, sfDir)
     assert(stream.isStreaming)

@@ -131,7 +131,9 @@ class TextAnalysisSpec extends AnyFunSuite {
     val corpus = Seq(
       (1L, "released 2020-01-02 and revised 1999-12-31"),
       (2L, "ISBN 978-0-306-40615-7 covers pages 100 - 200 300"),
-      (3L, "call (555) 123-4567 or +44 20 7946 0958 today"))
+      (3L, "call (555) 123-4567 or +44 20 7946 0958 today"),
+      (4L, "ring +44 20 7946 0958 1999 was a good year"),
+      (5L, "fax +1 (555) 123-4567 1999 was a good year"))
       .toDF("doc_id", "text")
     val out = TextAnalysis.redactPii(corpus).collect()
       .map(r => r.getAs[Long]("doc_id") -> r).toMap
@@ -143,6 +145,16 @@ class TextAnalysisSpec extends AnyFunSuite {
     // real phone shapes (separator-grouped NANP, +international) still match
     assert(out(3L).getAs[Long]("n_phones") == 2)
     assert(out(3L).getAs[String]("text_redacted") == "call <PHONE> or <PHONE> today")
+    // the bounded international branch does not swallow a trailing
+    // unrelated digit group into the <PHONE> (ADVICE r3): the greedy
+    // match backtracks to the last digit on a word boundary within
+    // the {6,16} run
+    assert(out(4L).getAs[Long]("n_phones") == 1)
+    assert(out(4L).getAs[String]("text_redacted") ==
+      "ring <PHONE> 1999 was a good year")
+    assert(out(5L).getAs[Long]("n_phones") == 1)
+    assert(out(5L).getAs[String]("text_redacted") ==
+      "fax <PHONE> 1999 was a good year")
   }
 
   test("qualityFilter emits per-rule flags and their conjunction") {
@@ -215,5 +227,22 @@ class TextAnalysisSpec extends AnyFunSuite {
       val seq = rows.sortBy(_.getAs[Long]("sample_rank")).map(_.getAs[Long]("doc_id"))
       seq.sorted.toSeq != seq.toSeq
     })
+  }
+
+  test("sample salt is non-negative and engine-independent for negative doc ids") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // pmod semantics (ADVICE r3): Scala/Spark/DuckDB `%` keeps the
+    // dividend's sign, Python `%` does not — the salt uses pmod so all
+    // engines agree on negative ids. floorMod IS pmod, the ground truth.
+    val ids = Seq(-1L, -2147483647L, -2147483649L, -9999999999L, 0L, 42L)
+    val got = ids.toDF("doc_id")
+      .select(col("doc_id"), TextAnalysis.sampleSalt.as("salt"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    ids.foreach { id =>
+      val expected =
+        Math.floorMod(Math.floorMod(id, 2147483648L) * 2654435761L, 4294967296L)
+      assert(got(id) == expected && got(id) >= 0, s"id $id: got ${got(id)}")
+    }
   }
 }

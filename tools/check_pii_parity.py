@@ -21,6 +21,10 @@ EXPECTED = {
     2: ("server at <IP> responded; backup at <IP>", 0, 2, 0),
     3: ("digits-only local part <EMAIL> must count as email not phone", 1, 0, 0),
     4: ("nothing sensitive here at all", 0, 0, 0),
+    # bounded international branch: trailing unrelated digit group is
+    # NOT absorbed into the <PHONE> (ADVICE r3 fix)
+    5: ("ring <PHONE> 1999 was a good year", 0, 0, 1),
+    6: ("fax <PHONE> 1999 was a good year", 0, 0, 1),
 }
 
 ROWS = [
@@ -28,6 +32,8 @@ ROWS = [
     (2, "server at 192.168.0.1 responded; backup at 10.0.0.255"),
     (3, "digits-only local part 12345678@mail.com must count as email not phone"),
     (4, "nothing sensitive here at all"),
+    (5, "ring +44 20 7946 0958 1999 was a good year"),
+    (6, "fax +1 (555) 123-4567 1999 was a good year"),
 ]
 
 
