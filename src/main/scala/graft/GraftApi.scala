@@ -118,53 +118,98 @@ object GraftApi {
     * at scale; the keeper sets are small and broadcast locally), so the
     * full text column travels only through the final redaction
     * projection — never through a shuffle. Returns (doc_id, source,
-    * text) with text redacted. */
-  def curateCorpus(docs: DataFrame, perSource: Int = Int.MaxValue): DataFrame = {
-    import org.apache.spark.sql.functions.col
-    // Stage outputs that feed MULTIPLE downstream branches persist via
-    // the cache registry (released by releaseCaches after the caller's
-    // terminal action) — without this, each handoff self-join would
-    // re-run the full upstream lineage (the regex passes twice, the
-    // quality scoring three times). NOTE: constructing this frame runs
-    // Spark jobs eagerly (near-dup cluster resolution is iterative by
-    // nature); treat a call as an action, not a free plan build.
-    val qualityKeep = TextAnalysis.qualityFilter(docs)
-      .filter(col("keep") === 1).select("doc_id")
-    val afterQuality = Caches.persistTracked(docs.join(qualityKeep, "doc_id"))
-    val exactKeep = TextAnalysis.dedupKeepBest(afterQuality)
-      .select(col("keep_id").as("doc_id"))
-    val afterExact = Caches.persistTracked(afterQuality.join(exactKeep, "doc_id"))
-    // near-dup clusters: survivors are each cluster's canonical member
-    // plus every unpaired document
-    val clusters = Dedup.nearDupClusters(Dedup.minhashPairs(afterExact))
-    val nearDupDrop = clusters.filter(col("doc_id") =!= col("cluster_id"))
-      .select("doc_id")
-    val afterNearDup = afterExact.join(nearDupDrop, Seq("doc_id"), "left_anti")
-    val redacted = afterNearDup
-      .join(TextAnalysis.redactPii(afterNearDup)
-        .select(col("doc_id"), col("text_redacted")), "doc_id")
-      .select(col("doc_id"), col("source"), col("text_redacted").as("text"))
-    if (perSource == Int.MaxValue) redacted.orderBy("doc_id")
-    else {
-      // the sampling branch consumes `redacted` twice (rank + output)
-      val r = Caches.persistTracked(redacted)
-      r.join(TextAnalysis.stratifiedSample(r, perSource).select("doc_id"), "doc_id")
-        .orderBy("doc_id")
-    }
+    * text) with text redacted.
+    *
+    * CONVENIENCE WRAPPER: forces [[CorpusCuration.frame]] immediately,
+    * so calling it runs the near-dup resolution jobs — treat a call as
+    * an action. For composition into larger pipelines (and for a cache
+    * scope you can release without touching other pipelines' caches)
+    * use [[curatePlan]]. */
+  def curateCorpus(docs: DataFrame, perSource: Int = Int.MaxValue): DataFrame =
+    curatePlan(docs, perSource).frame
+
+  /** Build the corpus-curation unit of work WITHOUT running any Spark
+    * job: a pure plan-construction call returning the composed frame
+    * (behind `lazy val frame`) plus the cache scope the pipeline's
+    * internal persists register under. The one inherently-eager stage —
+    * near-dup connected components, iterative by nature (its round
+    * count depends on the data, so it cannot be a static Catalyst
+    * plan without unrolling an exponential-lineage join tree) — runs
+    * at FIRST ACCESS of `frame`, not at construction, so composing a
+    * curation into a larger program has no surprise side effects at
+    * build time and the caller decides when the resolution cost lands. */
+  def curatePlan(docs: DataFrame, perSource: Int = Int.MaxValue): CorpusCuration = {
+    val scope = Caches.newScope("curate")
+    new CorpusCuration(scope, () => Caches.in(scope) {
+      import org.apache.spark.sql.functions.col
+      // Stage outputs that feed MULTIPLE downstream branches persist via
+      // the cache registry under THIS curation's scope (released by
+      // CorpusCuration.release, or globally by releaseCaches) — without
+      // this, each handoff self-join would re-run the full upstream
+      // lineage (the regex passes twice, the quality scoring three times).
+      val qualityKeep = TextAnalysis.qualityFilter(docs)
+        .filter(col("keep") === 1).select("doc_id")
+      val afterQuality = Caches.persistTracked(docs.join(qualityKeep, "doc_id"))
+      val exactKeep = TextAnalysis.dedupKeepBest(afterQuality)
+        .select(col("keep_id").as("doc_id"))
+      val afterExact = Caches.persistTracked(afterQuality.join(exactKeep, "doc_id"))
+      // near-dup clusters: survivors are each cluster's canonical member
+      // plus every unpaired document
+      val clusters = Dedup.nearDupClusters(Dedup.minhashPairs(afterExact))
+      val nearDupDrop = clusters.filter(col("doc_id") =!= col("cluster_id"))
+        .select("doc_id")
+      val afterNearDup = afterExact.join(nearDupDrop, Seq("doc_id"), "left_anti")
+      val redacted = afterNearDup
+        .join(TextAnalysis.redactPii(afterNearDup)
+          .select(col("doc_id"), col("text_redacted")), "doc_id")
+        .select(col("doc_id"), col("source"), col("text_redacted").as("text"))
+      if (perSource == Int.MaxValue) redacted.orderBy("doc_id")
+      else {
+        // the sampling branch consumes `redacted` twice (rank + output)
+        val r = Caches.persistTracked(redacted)
+        r.join(TextAnalysis.stratifiedSample(r, perSource).select("doc_id"), "doc_id")
+          .orderBy("doc_id")
+      }
+    })
   }
 
   /** Release every NON-PINNED operator-internal cache registered
-    * during query construction (see [[graft.operators.Caches]]) — call
-    * after the terminal action in long-lived sessions. Quarantine
-    * caches ([[graft.sources.Formats.quarantine]]) are PINNED and
-    * survive this call because their corrupt-rows branch cannot
-    * recompute from source; release them with
-    * [[releasePinnedCaches]] once both quarantine branches have
-    * landed — a long-lived ingest loop that quarantines per batch MUST
-    * pair each batch with a releasePinnedCaches() or pinned blocks
-    * accumulate. */
+    * during query construction, across ALL scopes (see
+    * [[graft.operators.Caches]]) — the whole-session drain for callers
+    * that own the process; a pipeline sharing a session with others
+    * should release its own [[graft.operators.Caches.Scope]] instead
+    * ([[CorpusCuration.release]] does). Quarantine caches
+    * ([[graft.sources.Formats.quarantine]]) are PINNED and survive this
+    * call because their corrupt-rows branch cannot recompute from
+    * source; release them with [[releasePinnedCaches]] once both
+    * quarantine branches have landed — a long-lived ingest loop that
+    * quarantines per batch MUST pair each batch with a
+    * releasePinnedCaches() (or scope each batch and release that scope)
+    * or pinned blocks accumulate. */
   def releaseCaches(): Unit = Caches.releaseAll()
 
   /** Release the pinned quarantine caches (see [[releaseCaches]]). */
   def releasePinnedCaches(): Unit = Caches.releasePinned()
+}
+
+/** A corpus-curation unit of work ([[GraftApi.curatePlan]]): the
+  * composed output frame plus the cache [[graft.operators.Caches.Scope]]
+  * its internal persists register under.
+  *
+  * Constructing a CorpusCuration runs ZERO Spark jobs. The first access
+  * of [[frame]] resolves the near-dup clusters (iterative — runs Spark
+  * jobs) and memoizes the composed plan; downstream transformations on
+  * the returned frame stay lazy as usual. Call [[release]] after the
+  * terminal action — it drains only THIS curation's caches, so two
+  * pipelines interleaved in one session cannot evict each other's. */
+final class CorpusCuration private[graft] (
+    val scope: graft.operators.Caches.Scope,
+    build: () => DataFrame) {
+
+  /** The curated (doc_id, source, text) frame; first access runs the
+    * cluster-resolution jobs. */
+  lazy val frame: DataFrame = build()
+
+  /** Drop the caches this curation registered (and no others). */
+  def release(): Unit = graft.operators.Caches.release(scope)
 }

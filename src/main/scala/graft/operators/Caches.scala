@@ -4,6 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.storage.StorageLevel
 
 import scala.collection.mutable.ArrayBuffer
+import scala.util.DynamicVariable
 
 /** Lifecycle registry for operator-internal persisted frames.
   *
@@ -14,58 +15,111 @@ import scala.collection.mutable.ArrayBuffer
   * long-lived session (a bench loop, a notebook, a service) caches that
   * are never released accumulate executor storage and GC pressure.
   *
-  * Entry points therefore drain this registry after each query's
-  * terminal action ([[graft.Bench]], [[graft.Verify]], and
-  * `GraftApi.releaseCaches` for library users).
+  * Registration is SCOPED to a unit of work: frames register under the
+  * ambient [[Scope]] (the process-wide [[global]] scope unless the
+  * caller wrapped construction in [[in]]), and [[release]] drains ONE
+  * scope without touching frames another concurrent pipeline still
+  * consumes — the round-2/3 interleaved-pipeline hazard. Entry points
+  * that own the whole process ([[graft.Bench]], [[graft.Verify]])
+  * still drain every scope with [[releaseAll]] after each query's
+  * terminal action; library users compose pipelines under their own
+  * scopes (`GraftApi.curatePlan` does) and release per scope.
   */
 object Caches {
-  private val live = ArrayBuffer.empty[DataFrame]
-  private val pinnedFrames = ArrayBuffer.empty[DataFrame]
 
-  /** Persist `df` at `level` and track it for later release. */
+  /** A unit-of-work token: caches registered while a scope is ambient
+    * are released together — and only together. Identity-based: two
+    * scopes with the same name are distinct. */
+  final class Scope private[Caches] (val name: String) {
+    override def toString: String = s"Scope($name)"
+  }
+
+  /** The ambient scope when no [[in]] block is active. Process-wide:
+    * suitable for single-pipeline sessions and the Bench/Verify entry
+    * points, which drain everything between measurements anyway. */
+  val global: Scope = new Scope("global")
+
+  def newScope(name: String): Scope = new Scope(name)
+
+  // ambient scope is per-thread: operator construction (where
+  // persistTracked runs) happens on the caller's thread, so a
+  // DynamicVariable scopes exactly the frames built inside `in`
+  private val ambient = new DynamicVariable[Scope](global)
+
+  /** Run `body` with `scope` ambient: every persistTracked/persistPinned
+    * during construction inside `body` (on this thread) registers under
+    * `scope`. Nesting replaces the ambient scope for the inner block. */
+  def in[T](scope: Scope)(body: => T): T = ambient.withValue(scope)(body)
+
+  private val live = ArrayBuffer.empty[(Scope, DataFrame)]
+  private val pinnedFrames = ArrayBuffer.empty[(Scope, DataFrame)]
+
+  /** Persist `df` at `level` and track it under the ambient scope. */
   def persistTracked(df: DataFrame,
                      level: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame =
     synchronized {
       df.persist(level)
-      live += df
+      live += ((ambient.value, df))
       df
     }
 
-  /** Persist `df` and PIN it: [[releaseAll]] refuses to drop pinned
-    * frames. For the rare frame whose consumers CANNOT recompute from
-    * source once the cache is gone ([[graft.sources.Formats.quarantine]]'s
-    * corrupt-rows branch — Spark refuses corrupt-column-only scans), so
-    * an interleaved pipeline's drain can't break it. Release explicitly
-    * with [[releasePinned]] after every branch has been consumed. */
+  /** Persist `df` and PIN it: [[releaseAll]] and [[release]] refuse to
+    * drop pinned frames. For the rare frame whose consumers CANNOT
+    * recompute from source once the cache is gone
+    * ([[graft.sources.Formats.quarantine]]'s corrupt-rows branch —
+    * Spark refuses corrupt-column-only scans), so an interleaved
+    * pipeline's drain can't break it. Release explicitly with
+    * [[releasePinned(scope:Caches\.Scope)*]] (the caller's handle)
+    * after every branch has been consumed. */
   def persistPinned(df: DataFrame,
                     level: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame =
     synchronized {
       df.persist(level)
-      pinnedFrames += df
+      pinnedFrames += ((ambient.value, df))
       df
     }
 
-  /** Unpersist every tracked (non-pinned) frame (non-blocking) and
-    * clear the registry. A plan that still references a released cache
-    * recomputes from source — correct for every operator here; frames
-    * that can't recompute are registered via [[persistPinned]] and
-    * survive this drain. The registry is process-global: drain it
-    * between units of work, not mid-pipeline. */
-  def releaseAll(): Unit = synchronized {
-    live.foreach(df => try df.unpersist(blocking = false) catch { case _: Throwable => () })
-    live.clear()
+  private def drain(buf: ArrayBuffer[(Scope, DataFrame)], scope: Option[Scope]): Unit = {
+    val (drop, keep) = scope match {
+      case Some(s) => buf.partition(_._1 eq s)
+      case None    => (buf.clone(), ArrayBuffer.empty[(Scope, DataFrame)])
+    }
+    drop.foreach { case (_, df) =>
+      try df.unpersist(blocking = false) catch { case _: Throwable => () }
+    }
+    buf.clear()
+    buf ++= keep
   }
 
-  /** Unpersist every pinned frame. Call once every consumer of the
+  /** Unpersist the tracked (non-pinned) frames of ONE scope. Frames
+    * registered by other scopes — another pipeline interleaved in the
+    * same session — are untouched. A plan that still references a
+    * released cache recomputes from source. */
+  def release(scope: Scope): Unit = synchronized(drain(live, Some(scope)))
+
+  /** Unpersist every tracked (non-pinned) frame of EVERY scope and
+    * clear the registry — the whole-process drain for entry points
+    * that own the session (Bench, Verify) between units of work.
+    * Pinned frames survive (see [[persistPinned]]). */
+  def releaseAll(): Unit = synchronized(drain(live, None))
+
+  /** Unpersist the pinned frames of ONE scope — the release handle for
+    * a quarantine's caller. Call once every consumer of that scope's
     * pinned frames (e.g. both quarantine branches) has landed. */
-  def releasePinned(): Unit = synchronized {
-    pinnedFrames.foreach(df => try df.unpersist(blocking = false) catch { case _: Throwable => () })
-    pinnedFrames.clear()
-  }
+  def releasePinned(scope: Scope): Unit = synchronized(drain(pinnedFrames, Some(scope)))
+
+  /** Unpersist every pinned frame of every scope. */
+  def releasePinned(): Unit = synchronized(drain(pinnedFrames, None))
 
   /** Number of currently tracked cached frames (for tests). */
   def trackedCount: Int = synchronized(live.size)
 
+  /** Number of tracked frames registered under `scope` (for tests). */
+  def trackedCount(scope: Scope): Int = synchronized(live.count(_._1 eq scope))
+
   /** Number of currently pinned cached frames (for tests). */
   def pinnedCount: Int = synchronized(pinnedFrames.size)
+
+  /** Number of pinned frames registered under `scope` (for tests). */
+  def pinnedCount(scope: Scope): Int = synchronized(pinnedFrames.count(_._1 eq scope))
 }

@@ -60,9 +60,14 @@ object Formats {
     * result. The cache registers PINNED with
     * [[graft.operators.Caches.persistPinned]] — `releaseAll()` from an
     * interleaved pipeline cannot drop it mid-consumption (the
-    * quarantine branch can never recompute from the raw files). Call
-    * [[graft.operators.Caches.releasePinned]] after BOTH branches have
-    * landed. */
+    * quarantine branch can never recompute from the raw files). It
+    * registers under the AMBIENT scope: a caller that shares the
+    * session wraps the call in `Caches.in(myScope) { quarantine(df) }`
+    * and holds `myScope` as its release handle —
+    * `Caches.releasePinned(myScope)` after BOTH branches have landed
+    * drops this batch's cache and nobody else's; the zero-argument
+    * [[graft.operators.Caches.releasePinned()*]] remains the
+    * whole-process drain. */
   def quarantine(df: DataFrame): (DataFrame, DataFrame) = {
     val parsed = graft.operators.Caches.persistPinned(df)
     val c = parsed.col(corruptCol)

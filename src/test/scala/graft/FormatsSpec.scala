@@ -79,4 +79,33 @@ class FormatsSpec extends AnyFunSuite {
     graft.operators.Caches.releasePinned()
     assert(graft.operators.Caches.pinnedCount == 0)
   }
+
+  test("scoped quarantine release: one batch's handle leaves the other batch pinned") {
+    import graft.operators.Caches
+    def writeBatch(tag: String): String = {
+      val dir = Files.createTempDirectory(s"graft-scope$tag").toString
+      Files.writeString(java.nio.file.Paths.get(dir, "data.csv"),
+        "event_id,user_id,event_type,value\n" +
+          s"1,10,$tag,2.5\n" +
+          "nope,10,view,2.5\n")
+      dir
+    }
+    val scope1 = Caches.newScope("batch1")
+    val scope2 = Caches.newScope("batch2")
+    val (clean1, bad1) = Caches.in(scope1)(
+      Formats.quarantine(Formats.readCsv(spark, writeBatch("b1"), eventSchema)))
+    val (clean2, bad2) = Caches.in(scope2)(
+      Formats.quarantine(Formats.readCsv(spark, writeBatch("b2"), eventSchema)))
+    assert(Caches.pinnedCount(scope1) == 1 && Caches.pinnedCount(scope2) == 1)
+    // batch 1 lands and releases ITS handle; batch 2 is still in flight
+    assert(clean1.count() == 1 && bad1.count() == 1)
+    Caches.releasePinned(scope1)
+    assert(Caches.pinnedCount(scope1) == 0)
+    assert(Caches.pinnedCount(scope2) == 1,
+      "releasing batch 1's scope dropped batch 2's pinned cache")
+    // batch 2's corrupt branch still reads from its intact cache
+    assert(clean2.count() == 1 && bad2.count() == 1)
+    Caches.releasePinned(scope2)
+    assert(Caches.pinnedCount == 0)
+  }
 }

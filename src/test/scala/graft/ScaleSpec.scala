@@ -74,6 +74,41 @@ class ScaleSpec extends AnyFunSuite {
       "operator cache blocks may not outlive releaseAll")
   }
 
+  test("cache scopes isolate interleaved pipelines: releasing one keeps the other") {
+    import graft.operators.{Caches, Dedup}
+    Caches.releaseAll()
+    val baseline = spark.sparkContext.getPersistentRDDs.size
+    val docs = Tables.documents(spark, sfDir)
+    val scopeA = Caches.newScope("pipeA")
+    val scopeB = Caches.newScope("pipeB")
+    // two pipelines interleaved in the same session, each constructed
+    // under its own scope; the two persisted frames are DISTINCT plans
+    // (minhash caches the shingle frame, simhash its signature frame) —
+    // Spark's CacheManager dedupes identical ones
+    val pairsA = Caches.in(scopeA)(Dedup.minhashPairs(docs))
+    val pairsB = Caches.in(scopeB)(Dedup.simhashPairs(docs))
+    pairsA.count()
+    pairsB.count()
+    assert(Caches.trackedCount(scopeA) == 1 && Caches.trackedCount(scopeB) == 1)
+    assert(spark.sparkContext.getPersistentRDDs.size == baseline + 2)
+    // draining pipeline A must NOT evict pipeline B's cache mid-flight
+    Caches.release(scopeA)
+    assert(Caches.trackedCount(scopeA) == 0)
+    assert(Caches.trackedCount(scopeB) == 1,
+      "releasing scope A evicted scope B's cache")
+    assert(spark.sparkContext.getPersistentRDDs.size == baseline + 1)
+    // B still computes correctly on its intact cache
+    assert(pairsB.count() >= 0)
+    Caches.release(scopeB)
+    assert(Caches.trackedCount == 0)
+    assert(spark.sparkContext.getPersistentRDDs.size == baseline)
+    // releaseAll still drains scoped leftovers (the entry-point drain)
+    Caches.in(scopeA)(Caches.persistTracked(docs.limit(1))).count()
+    assert(Caches.trackedCount == 1)
+    Caches.releaseAll()
+    assert(Caches.trackedCount == 0)
+  }
+
   test("LSH bucket-skew probes report sane populations") {
     import graft.operators.{Dedup, Similarity}
     val m = Dedup.minhashBucketStats(Tables.documents(spark, sfDir)).collect()(0)
