@@ -237,14 +237,29 @@ object Dedup {
     * through a broadcast semi-join inside its own scan stage — the
     * 100 TB side is never shuffled; the only aggregation is the
     * per-doc match count, partial-combined on the corpus partitions.
-    * Output covers EVERY corpus document (unmatched → n_shared 0). */
+    * Output covers EVERY corpus document (unmatched → n_shared 0).
+    *
+    * The broadcast is GUARDED: an explicit `broadcast()` hint bypasses
+    * `spark.sql.autoBroadcastJoinThreshold`, so a "benchmark" that
+    * turns out corpus-sized would OOM every executor. The benchmark's
+    * distinct shingle set is persisted and counted first (one job over
+    * the SMALL side only — the frame is consumed by the join right
+    * after, so the count's work is not wasted), and past
+    * `maxBroadcastShingles` (default 16M hashes ≈ 128 MB of longs,
+    * comfortable for common 4 GB executors) the match degrades to a
+    * shuffled join: both sides hash-partition on the shingle — still
+    * candidate-restricted, never all-pairs. NOTE: the guard makes
+    * construction run that one counting job (the small side only;
+    * the corpus side stays lazy). */
   def decontaminate(corpus: DataFrame, benchmark: DataFrame,
-                    n: Int = 3, minShared: Int = 3): DataFrame = {
-    val bench = shingleHashes(benchmark, n)
-      .select(explode(col("sh")).as("s")).distinct()
+                    n: Int = 3, minShared: Int = 3,
+                    maxBroadcastShingles: Long = 16L * 1024 * 1024): DataFrame = {
+    val bench = Caches.persistTracked(
+      shingleHashes(benchmark, n).select(explode(col("sh")).as("s")).distinct())
+    val benchSide = if (bench.count() <= maxBroadcastShingles) broadcast(bench) else bench
     val hits = shingleHashes(corpus, n)
       .select(col("doc_id"), explode(col("sh")).as("s"))
-      .join(broadcast(bench), "s")
+      .join(benchSide, "s")
       .groupBy("doc_id").agg(countDistinct(col("s")).as("n_shared"))
     corpus.select(col("doc_id"))
       .join(hits, Seq("doc_id"), "left")

@@ -294,14 +294,38 @@ object TextAnalysis {
     * salt of doc_id and keep the first `perSource`. The salt is plain
     * BIGINT arithmetic so any engine reproduces the exact same sample.
     *
-    * Scale: one shuffle on `source`. Source cardinality is typically
-    * far below executor count, so at 100 TB the window becomes hot —
-    * the remedy is threshold refinement, which the uniform salt makes
-    * possible: prefilter `salt < approx_quantile(salt, perSource/n_src)`
-    * per source (one aggregate + a broadcast), then run this exact
-    * rank on the ~perSource survivors; same result, shuffle bounded by
-    * quota not corpus. */
+    * Scale: source cardinality is typically far below executor count,
+    * so a whole-corpus rank window on `source` hot-spots at 100 TB.
+    * This runs THRESHOLD REFINEMENT instead: [[sampleSaltBounds]]
+    * computes, per source, an exact salt upper bound guaranteed to
+    * cover the quota (a histogram prefilter — see there for the
+    * guarantee); the bound broadcasts back and only the ~quota
+    * surviving rows enter the rank window. The output is BIT-IDENTICAL
+    * to the plain whole-corpus rank ([[stratifiedSampleExact]], pinned
+    * by TextAnalysisSpec): every kept row's salt is strictly below the
+    * bound, every discarded row's salt is ≥ the bound and therefore
+    * sorts after ALL kept rows in the (salt, doc_id) order, so the
+    * survivors' row numbers equal their whole-corpus row numbers. */
   def stratifiedSample(docs: DataFrame, perSource: Int = 10): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("sample_key"), col("doc_id"))
+    docs
+      .select(col("doc_id"), col("source"), sampleSalt.as("sample_key"))
+      // sources whose row count never reaches the quota have no bound
+      // row (the cumulative count never crosses it) — keep all theirs
+      .join(broadcast(sampleSaltBounds(docs, perSource)), Seq("source"), "left")
+      .filter(col("salt_bound").isNull || col("sample_key") < col("salt_bound"))
+      .withColumn("sample_rank", row_number().over(w).cast("long"))
+      .filter(col("sample_rank") <= perSource)
+      .select(col("doc_id"), col("source"), col("sample_rank"))
+      .orderBy("source", "sample_rank")
+  }
+
+  /** The reference form of [[stratifiedSample]]: one rank window over
+    * the whole corpus. Kept as the oracle for the refined path's
+    * bit-identity test; prefer [[stratifiedSample]], whose window input
+    * is bounded by ~quota rows per source instead of the corpus. */
+  private[graft] def stratifiedSampleExact(docs: DataFrame, perSource: Int = 10): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("source").orderBy(col("sample_key"), col("doc_id"))
     docs
@@ -310,6 +334,35 @@ object TextAnalysis {
       .filter(col("sample_rank") <= perSource)
       .select(col("doc_id"), col("source"), col("sample_rank"))
       .orderBy("source", "sample_rank")
+  }
+
+  // 2^32 salt space split into 2^12 histogram buckets (shift by 20):
+  // the refinement's survivor slack is one bucket's occupancy,
+  // n_source/4096 rows in expectation for the uniform salt
+  private val saltBucketShift = 20
+
+  /** Per-source EXACT salt upper bound for [[stratifiedSample]]'s
+    * prefilter: bucket the salt space into 4096 equal ranges, count
+    * rows per (source, bucket), cumulate in bucket order, and take the
+    * first bucket where the running count reaches the quota; the
+    * bound is that bucket's exclusive upper edge. Because the
+    * cumulative count up to the bound's bucket is ≥ quota, the rows
+    * below the bound are a guaranteed SUPERSET of the quota's top
+    * ranks — exact, unlike an approx-quantile prefilter, whose rank
+    * error can silently drop a row the full rank would have kept.
+    * Cost: one aggregate over (source, bucket) pairs — the window that
+    * cumulates runs on ≤4096 rows per source, never on the corpus. */
+  private[graft] def sampleSaltBounds(docs: DataFrame, perSource: Int): DataFrame = {
+    val cumW = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("bucket")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    docs
+      .select(col("source"), shiftright(sampleSalt, saltBucketShift).as("bucket"))
+      .groupBy("source", "bucket").agg(count(lit(1)).as("c"))
+      .select(col("source"), col("bucket"), sum("c").over(cumW).as("cum"))
+      .filter(col("cum") >= perSource)
+      .groupBy("source")
+      .agg(((min("bucket") + 1) * lit(1L << saltBucketShift)).as("salt_bound"))
   }
 
   /** The Knuth-multiplicative sample salt of [[stratifiedSample]].

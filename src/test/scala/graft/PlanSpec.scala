@@ -118,12 +118,21 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
-  test("stratified sample is one hash shuffle on source") {
+  test("stratified sample: broadcast-refined prefilter, rank window on survivors only") {
     val df = SparkEntry.queries("q_stratified_sample")(spark, sfDir)
     val p = df.queryExecution.executedPlan.toString
-    assert(p.split("Exchange hashpartitioning").length - 1 == 1,
-      s"expected exactly one hash Exchange:\n$p")
-    assert(p.split("Window \\[").length - 1 == 1, s"expected 1 Window operator:\n$p")
+    // threshold refinement shape: the salt-bound aggregate (source,
+    // bucket) + its cumulation + the survivor rank window — three hash
+    // exchanges, two Windows (the cumulation window runs on ≤4096
+    // histogram rows per source, the rank window on ~quota survivors)
+    assert(p.split("Exchange hashpartitioning").length - 1 == 3,
+      s"expected exactly three hash Exchanges:\n$p")
+    assert(p.split("Window \\[").length - 1 == 2, s"expected 2 Window operators:\n$p")
+    // the per-source bounds come back as a BROADCAST, never a shuffle
+    // of the corpus side
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastNestedLoopJoin"),
+      s"salt bounds must broadcast back:\n$p")
   }
 
   test("whole-surface audit: no query plans a cartesian product or stray RDD boundary") {

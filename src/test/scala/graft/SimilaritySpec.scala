@@ -185,6 +185,43 @@ class SimilaritySpec extends AnyFunSuite {
     graft.operators.Caches.releaseAll()
   }
 
+  test("decontaminate broadcast guard: oversized benchmark falls back to a shuffled join") {
+    import spark.implicits._
+    val benchmark = Seq(
+      (100L, "the capital of france is paris and the capital of spain is madrid"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "quiz answer the capital of france is paris everyone knows"),
+      (2L, "an entirely unrelated training document about cooking pasta"))
+      .toDF("doc_id", "text")
+    // pin the statistics-based paths off so the two plans differ ONLY
+    // by the operator's own guard decision
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      def planOf(maxShingles: Long): String =
+        Dedup.decontaminate(corpus, benchmark, maxBroadcastShingles = maxShingles)
+          .queryExecution.executedPlan.toString
+      // under the bound: the hint forces the broadcast
+      assert(planOf(Long.MaxValue).contains("BroadcastHashJoin"),
+        "in-bound benchmark set must broadcast")
+      // past the bound: no forced broadcast anywhere in the plan — the
+      // shingle match degrades to a shuffled join instead of OOMing
+      val big = planOf(0L)
+      assert(!big.contains("BroadcastHashJoin"),
+        s"guard must drop the broadcast hint past the bound:\n$big")
+      // both paths agree on the answer
+      val viaBroadcast = Dedup.decontaminate(corpus, benchmark)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val viaShuffle = Dedup.decontaminate(corpus, benchmark, maxBroadcastShingles = 0L)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(viaBroadcast == viaShuffle)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      graft.operators.Caches.releaseAll()
+    }
+  }
+
   test("shingles produce n-grams of the right shape") {
     val sh = Dedup.shingles(docs, 3).select(explode(col("sh")).as("s"))
       .select(size(split(col("s"), " ")).as("n")).distinct().collect()

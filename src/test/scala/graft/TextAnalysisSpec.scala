@@ -229,6 +229,43 @@ class TextAnalysisSpec extends AnyFunSuite {
     })
   }
 
+  test("threshold-refined sample is bit-identical to the whole-corpus rank") {
+    import org.apache.spark.sql.functions.col
+    // both test tables, both a tiny and an over-quota perSource: the
+    // refined prefilter must reproduce the exact rank EXACTLY
+    for (dir <- Seq(sfDir, "/root/testdata/sf0.01"); quota <- Seq(1, 7, 100)) {
+      val d = graft.sources.Tables.documents(spark, dir)
+      val refined = TextAnalysis.stratifiedSample(d, quota)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq.sorted
+      val exact = TextAnalysis.stratifiedSampleExact(d, quota)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq.sorted
+      assert(refined == exact, s"refined != exact at $dir quota=$quota")
+    }
+  }
+
+  test("refinement prefilter bounds the rank window input to ~quota rows per source") {
+    import org.apache.spark.sql.functions.col
+    val d = graft.sources.Tables.documents(spark, "/root/testdata/sf0.01")
+    val quota = 5
+    val bounds = TextAnalysis.sampleSaltBounds(d, quota)
+    val survivors = d
+      .select(col("source"), TextAnalysis.sampleSalt.as("sample_key"))
+      .join(bounds, Seq("source"))
+      .filter(col("sample_key") < col("salt_bound"))
+      .groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = d.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    survivors.foreach { case (src, n) =>
+      assert(n >= math.min(quota.toLong, totals(src)),
+        s"$src: prefilter must keep at least the quota")
+      // slack is one histogram bucket's occupancy — far below the
+      // source's total row count (this is the 100 TB win)
+      assert(n < totals(src) / 2,
+        s"$src: prefilter kept $n of ${totals(src)} rows — not selective")
+    }
+  }
+
   test("sample salt is non-negative and engine-independent for negative doc ids") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
