@@ -7,15 +7,17 @@ import org.apache.spark.sql.functions._
   * media as opaque binary columns + typed metadata, with decode /
   * resize / frame-sample as per-partition pipeline stages.
   *
-  * Codecs: every self-describing format is decoded FOR REAL in pure
-  * JVM code — binary P6 PPM images (header parse + RGB→luma),
-  * RIFF/WAVE PCM16 audio (chunk walk + sample extraction), and
-  * YUV4MPEG2 video (stream-header parse + FRAME walk + uniform frame
-  * sampling), see [[Codec]] — so the whole decode path genuinely
-  * parses byte streams and is round-trip tested (MultimodalSpec
-  * encodes known images/waves/frame sequences and asserts exact
-  * recovery). [[StubCodec]] remains only as the documented swap-in
-  * point for compressed formats (JPEG/H.264) whose libraries this
+  * Codecs: every format a pure-JVM build can decode is decoded FOR
+  * REAL — binary P6 PPM images (header parse + RGB→luma), PNG and
+  * JPEG images (the JDK's own javax.imageio decoders, no external
+  * libraries), RIFF/WAVE PCM16 audio (chunk walk + sample
+  * extraction), and YUV4MPEG2 video (stream-header parse + FRAME walk
+  * + uniform frame sampling), see [[Codec]] — so the whole decode
+  * path genuinely parses byte streams and is round-trip tested
+  * (MultimodalSpec encodes known images/waves/frame sequences and
+  * asserts exact recovery; JPEG within quantization tolerance).
+  * [[StubCodec]] remains only as the documented swap-in point for
+  * compressed VIDEO (H.264/VP9), whose decoders (ffmpeg) this
   * container does not ship. At scale each stage is `mapPartitions`
   * (no per-row JNI/process setup: a heavyweight decoder initializes
   * once per partition), media stays binary end-to-end (never in
@@ -149,6 +151,71 @@ object Multimodal {
       (w, h, frames.toArray)
     }
 
+    // ImageIO defaults to a temp-FILE stream cache per decode — a
+    // silent disk-write amplifier inside mapPartitions at scale; flip
+    // it to the in-memory cache once, before the first imageio call
+    private lazy val imageIoNoDiskCache: Unit =
+      javax.imageio.ImageIO.setUseCache(false)
+
+    /** Encode an RGB buffer (3 bytes/pixel, row-major) as PNG —
+      * lossless, via the pure-JDK javax.imageio writer (no external
+      * codec libraries). */
+    def encodePng(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] =
+      encodeImageIo(w, h, rgb, "png")
+
+    /** Encode an RGB buffer as baseline JPEG (lossy) via javax.imageio. */
+    def encodeJpeg(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] =
+      encodeImageIo(w, h, rgb, "jpg")
+
+    private def encodeImageIo(w: Int, h: Int, rgb: Array[Byte], fmt: String): Array[Byte] = {
+      require(rgb.length == w * h * 3, s"rgb length ${rgb.length} != ${w * h * 3}")
+      imageIoNoDiskCache
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var i = 0
+      while (i < w * h) {
+        img.setRGB(i % w, i / w,
+          ((rgb(3 * i) & 0xff) << 16) | ((rgb(3 * i + 1) & 0xff) << 8) | (rgb(3 * i + 2) & 0xff))
+        i += 1
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      require(javax.imageio.ImageIO.write(img, fmt, out), s"no ImageIO writer for '$fmt'")
+      out.toByteArray
+    }
+
+    /** Decode a compressed PNG/JPEG payload to 8-bit luma via the
+      * pure-JDK javax.imageio decoders — the same (width, height,
+      * gray) contract and BT.601 integer weights as [[decodePpm]].
+      * Undecodable payloads raise IllegalArgumentException like every
+      * other codec here. */
+    def decodeImage(data: Array[Byte]): (Int, Int, Array[Byte]) = {
+      imageIoNoDiskCache
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(data))
+        catch {
+          case e: Exception =>
+            throw new IllegalArgumentException(s"undecodable image payload: ${e.getMessage}", e)
+        }
+      require(img != null, "no ImageIO decoder recognizes this payload")
+      val w = img.getWidth
+      val h = img.getHeight
+      val gray = new Array[Byte](w * h)
+      val row = new Array[Int](w) // batched getRGB: one color-model dispatch per row
+      var y = 0
+      while (y < h) {
+        img.getRGB(0, y, w, 1, row, 0, w)
+        var x = 0
+        while (x < w) {
+          val px = row(x)
+          gray(y * w + x) =
+            ((299 * ((px >> 16) & 0xff) + 587 * ((px >> 8) & 0xff) + 114 * (px & 0xff)) / 1000).toByte
+          x += 1
+        }
+        y += 1
+      }
+      (w, h, gray)
+    }
+
     /** Decode RIFF/WAVE PCM16: walk the chunk list (fmt before data,
       * unknown chunks skipped per the RIFF spec), average channels to
       * mono, normalize to [-1, 1]. Returns (sampleRate, channels,
@@ -206,11 +273,13 @@ object Multimodal {
     }
   }
 
-  /** ==== STUB CODEC (unknown/compressed formats only) ====
+  /** ==== STUB CODEC (formats no shipped decoder covers) ====
     * deterministic fake decode: pixel (x,y) of frame f is a pure
-    * function of (payload hash, f, x, y). A real implementation would
-    * wrap libjpeg/ffmpeg here, initialized once per partition in the
-    * mapPartitions below. */
+    * function of (payload hash, f, x, y). With PPM + PNG + JPEG images
+    * decoded for real ([[Codec.decodePpm]], [[Codec.decodeImage]]),
+    * this remains only for compressed VIDEO (H.264/VP9 — no ffmpeg in
+    * a pure-JVM build); a real implementation would wrap ffmpeg here,
+    * initialized once per partition in the mapPartitions below. */
   object StubCodec {
     def payloadHash(data: Array[Byte]): Long =
       data.foldLeft(1125899906842597L)((h, b) => h * 31L + (b & 0xff))
@@ -233,7 +302,7 @@ object Multimodal {
   def synthMedia(spark: SparkSession, n: Int, partitions: Int = 8): Dataset[MediaRow] = {
     import spark.implicits._
     spark.range(0, n, 1, partitions).map { id =>
-      (id % 3) match {
+      (id % 4) match {
         case 0 =>
           val w = 32 + (id % 32).toInt
           val h = 24 + (id % 24).toInt
@@ -241,6 +310,15 @@ object Multimodal {
             (graft.functions.TextHash.mix64(id * 131L + i) & 0xff).toByte)
           MediaRow(id, "image", Codec.encodePpm(w, h, rgb),
             MediaMeta(w, h, 0L, "ppm"))
+        case 3 =>
+          // compressed-image rows: REAL PNG payloads through the
+          // javax.imageio decode path
+          val w = 16 + (id % 16).toInt
+          val h = 12 + (id % 12).toInt
+          val rgb = Array.tabulate[Byte](w * h * 3)(i =>
+            (graft.functions.TextHash.mix64(id * 197L + i) & 0xff).toByte)
+          MediaRow(id, "image", Codec.encodePng(w, h, rgb),
+            MediaMeta(w, h, 0L, "png"))
         case 1 =>
           val rate = 8000
           val durMs = 1000L + (id % 9000)
@@ -262,12 +340,12 @@ object Multimodal {
     }
   }
 
-  /** Decode stage: one decoded frame per image (REAL PPM parse), n
-    * uniformly-sampled frames per video (REAL Y4M parse), none for
-    * audio (see [[decodeAudio]]). Unknown codecs fall back to the
-    * stub — the swap-in point for codec-heavy formats (JPEG/H.264)
-    * absent in this container. Per-partition iteration — codec state
-    * is reused across rows. */
+  /** Decode stage: one decoded frame per image (REAL PPM parse, or
+    * the JDK's javax.imageio for PNG/JPEG), n uniformly-sampled frames
+    * per video (REAL Y4M parse), none for audio (see [[decodeAudio]]).
+    * Unknown codecs fall back to the stub — the swap-in point for
+    * compressed video (H.264/VP9) absent in this container.
+    * Per-partition iteration — codec state is reused across rows. */
   def decode(media: Dataset[MediaRow], framesPerVideo: Int = 3): Dataset[DecodedFrame] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
@@ -276,6 +354,9 @@ object Multimodal {
         (m.kind, m.meta.codec) match {
           case ("image", "ppm") =>
             val (w, h, gray) = Codec.decodePpm(m.data)
+            Iterator.single(DecodedFrame(m.media_id, 0, w, h, gray))
+          case ("image", "png" | "jpeg" | "jpg") =>
+            val (w, h, gray) = Codec.decodeImage(m.data)
             Iterator.single(DecodedFrame(m.media_id, 0, w, h, gray))
           case ("image", _) =>
             Iterator.single(DecodedFrame(m.media_id, 0, m.meta.width, m.meta.height,

@@ -77,6 +77,53 @@ class MultimodalSpec extends AnyFunSuite {
     assert((gray(0) & 0xff) == (299 * 10 + 587 * 20 + 114 * 30) / 1000)
   }
 
+  test("PNG codec round-trips a known image exactly (javax.imageio)") {
+    import Multimodal.Codec
+    // same 2x2 image as the PPM test: PNG is lossless, so the decoded
+    // luma must be bit-identical to the PPM path's
+    val rgb = Array[Byte](
+      255.toByte, 0, 0,  0, 255.toByte, 0,
+      0, 0, 255.toByte,  255.toByte, 255.toByte, 255.toByte)
+    val (w, h, gray) = Codec.decodeImage(Codec.encodePng(2, 2, rgb))
+    assert(w == 2 && h == 2)
+    assert(gray.map(_ & 0xff).toSeq == Seq(76, 149, 29, 255))
+  }
+
+  test("JPEG codec recovers luma within quantization tolerance") {
+    import Multimodal.Codec
+    // flat color blocks survive JPEG's DCT almost exactly; assert the
+    // decoded luma stays within a tight tolerance of BT.601
+    val (r, g, b) = (100, 150, 200)
+    val rgb = Array.tabulate[Byte](16 * 16 * 3)(i =>
+      (i % 3 match { case 0 => r; case 1 => g; case _ => b }).toByte)
+    val expected = (299 * r + 587 * g + 114 * b) / 1000
+    val (w, h, gray) = Codec.decodeImage(Codec.encodeJpeg(16, 16, rgb))
+    assert(w == 16 && h == 16)
+    gray.foreach(px => assert(math.abs((px & 0xff) - expected) <= 4,
+      s"luma ${px & 0xff} deviates from $expected"))
+  }
+
+  test("decodeImage rejects foreign payloads with a clear error") {
+    import Multimodal.Codec
+    val wav = Codec.encodeWavPcm16(8000, Array.fill[Short](10)(5))
+    intercept[IllegalArgumentException](Codec.decodeImage(wav))
+  }
+
+  test("synthetic PNG rows flow through the real imageio decode path") {
+    import Multimodal.Codec
+    val pngs = media.filter(_.meta.codec == "png").collect()
+    assert(pngs.nonEmpty, "synthMedia must emit PNG rows")
+    val decoded = Multimodal.decode(media).collect().groupBy(_.media_id)
+    pngs.foreach { m =>
+      val f = decoded(m.media_id).head
+      // the distributed decode equals a local imageio decode, and the
+      // dims match the payload's own header (not just the metadata)
+      val (w, h, gray) = Codec.decodeImage(m.data)
+      assert(f.width == w && f.height == h && w == m.meta.width && h == m.meta.height)
+      assert(f.pixels.sameElements(gray))
+    }
+  }
+
   test("Y4M codec round-trips grayscale frames exactly") {
     import Multimodal.Codec
     val frames = Seq.tabulate(4)(f => Array.tabulate[Byte](6)(i => (f * 10 + i).toByte))
