@@ -2,6 +2,8 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
+import graft.monitoring.PerformanceTracker
+
 /** Benchmark surface: times every SparkEntry query at the SF dir from
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line. A warmup action runs
   * first so JVM/codegen/parquet-reader initialization is not billed to
@@ -21,8 +23,38 @@ import org.apache.spark.sql.SparkSession
   * graft.Profile); that cost is amortized away in any real deployment
   * and is excluded the same way the pandas baseline excludes
   * interpreter startup and imports. The sum of first-pass runs is
-  * still reported as `cold_total`. */
+  * still reported as `cold_total`.
+  *
+  * SCALING-SLOPE PROBE: after the primary passes the suite re-runs at
+  * one SF step down (sf0.1 → sf0.01 → sf0.001) and the JSON line
+  * carries per-query `slope_ratios` = t(primary)/t(small) of the
+  * steady-state mins. The step is 10× the data, so a ratio near 1
+  * means the query is still fixed-overhead-bound at this scale, a
+  * ratio up to ~10 is at-most-linear marginal cost, and a ratio well
+  * past the data ratio flags superlinear work — the measured form of
+  * the "would this survive 100×?" question, and self-diagnosing under
+  * driver-machine stalls (a stall inflates ABSOLUTE times on both
+  * SFs but leaves the ratios near their reproducible values).
+  *
+  * Each query also reports `exec_times`: the Spark-measured execution
+  * duration of its actions (QueryExecutionListener, summed per run,
+  * min across passes) — the executed-plan cost with this harness's
+  * plan-construction overhead excluded, mirroring the per-operation
+  * timing summary the reference's performance monitor logs. */
 object Bench {
+
+  /** One SF step down from `sfDir` for the slope probe; None when
+    * already at the smallest step (or an unrecognized layout). */
+  private def slopeDirFor(sfDir: String): Option[String] =
+    sys.env.get("SPARK_GRAFT_SLOPE_DIR").filter(_.nonEmpty)
+      .orElse(sfDir.replaceAll("/+$", "") match {
+        case d if d.endsWith("sf0.1")  => Some(d.stripSuffix("0.1") + "0.01")
+        case d if d.endsWith("sf0.01") => Some(d.stripSuffix("0.01") + "0.001")
+        case _ => None
+      })
+      .filter(_ != sfDir)
+      .filter(d => new java.io.File(d).isDirectory)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors.toString)
@@ -33,31 +65,65 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val tracker = PerformanceTracker.install(spark)
     // warmup: JIT + codegen + shuffle machinery on the smallest SF
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
-    def time(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
+
+    // (wall sec, spark-measured exec sec, ok)
+    def time(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+             dir: String): (Double, Double, Boolean) = {
+      val before = tracker.recorded.size
       val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+      val ok = try { fn(spark, dir).count(); true } catch { case _: Throwable => false }
       val dt = (System.nanoTime() - t0) / 1e9
       // drop operator-internal caches so no query's footprint leaks
       // into the next measurement (the shared-session pollution fix)
       graft.operators.Caches.releaseAll()
-      (dt, ok)
+      // the listener bus is async: give this run's execution events a
+      // bounded window to land (normally <10 ms), OUTSIDE the timed
+      // region, then attribute the delta to this run
+      val deadline = System.nanoTime() + 100000000L
+      while (tracker.recorded.size == before && System.nanoTime() < deadline)
+        Thread.sleep(2)
+      Thread.sleep(5) // grace for a second event right behind the first
+      val exec = tracker.recorded.drop(before).filterNot(_.failed).map(_.durationMs).sum / 1e3
+      (dt, exec, ok)
     }
-    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
-    val passes = 3
-    // pass-major order: pass 0 = cold, passes 1..n-1 = steady samples
-    val samples = (0 until passes).map(_ => ordered.map { case (_, fn) => time(fn) })
-    val results = ordered.zipWithIndex.map { case ((name, _), qi) =>
-      val runs = samples.map(_(qi))
-      (name, runs.head._1, runs.map(_._1).min, runs.forall(_._2))
+
+    def suite(dir: String, passes: Int): Seq[(String, Double, Double, Double, Boolean)] = {
+      val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      // pass-major order: pass 0 = cold, passes 1..n-1 = steady samples
+      val samples = (0 until passes).map(_ => ordered.map { case (_, fn) => time(fn, dir) })
+      ordered.zipWithIndex.map { case ((name, _), qi) =>
+        val runs = samples.map(_(qi))
+        (name, runs.head._1, runs.map(_._1).min, runs.map(_._2).min, runs.forall(_._3))
+      }
     }
-    val qs = results.map { case (k, _, v, _) => s"\"" + k + "\":" + v }
+
+    val results = suite(sfDir, passes = 3)
+    val qs = results.map { case (k, _, v, _, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, _, false) => s"\"$k\"" }
+    val execs = results.map { case (k, _, _, e, _) => s"\"" + k + "\":" + e }
+      .mkString("{", ",", "}")
+    val failed = results.collect { case (k, _, _, _, false) => s"\"$k\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._3).sum
     val coldTotal = results.map(_._2).sum
+
+    // slope probe: one SF step down, AFTER the primary passes so
+    // cold_total keeps measuring genuinely cold planning
+    val slope = slopeDirFor(sfDir).map { smallDir =>
+      val small = suite(smallDir, passes = 2).map(r => r._1 -> r._3).toMap
+      val ratios = results.map { case (k, _, v, _, _) =>
+        val s = small.getOrElse(k, 0.0)
+        s"\"" + k + "\":" + (if (s > 0) v / s else -1.0)
+      }.mkString("{", ",", "}")
+      val smallQs = results.map { case (k, _, _, _, _) =>
+        s"\"" + k + "\":" + small.getOrElse(k, -1.0)
+      }.mkString("{", ",", "}")
+      s""","slope_sf":"$smallDir","slope_queries":$smallQs,"slope_ratios":$ratios"""
+    }.getOrElse("")
+
     // LSH bucket-population probes: a skew regression in band/RHP
     // bucketing (one hot bucket -> quadratic candidate blowup) shows
     // up in these numbers long before a 100 TB straggler would
@@ -68,7 +134,7 @@ object Bench {
       val r = Similarity.rhpBucketStats(Tables.embeddings(spark, sfDir)).collect()(0)
       s""","lsh_buckets":{"minhash":{"n":${m.getLong(0)},"max":${m.getLong(1)},"cand_pairs":${m.getLong(2)}},"rhp":{"n":${r.getLong(0)},"max":${r.getLong(1)},"cand_pairs":${r.getLong(2)}}}"""
     } catch { case _: Throwable => "" }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold_total":$coldTotal,"failed":$failed$lsh,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"exec_times":$execs,"cold_total":$coldTotal,"failed":$failed$slope$lsh,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
