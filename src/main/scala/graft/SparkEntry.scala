@@ -722,8 +722,10 @@ object SparkEntry {
         |       CAST(len(string_split(ntext, ' ')) AS BIGINT) AS n_ws_tokens,
         |       CAST(len(regexp_extract_all(ntext, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INT) AS n_bpe_tokens
         |FROM norm ORDER BY doc_id""".stripMargin,
-    // the PII patterns interpolate from TextAnalysis so both engines
-    // compile the exact same regex source (Java regex ∩ RE2 syntax)
+    // the PII patterns AND boundary-restoring replacements interpolate
+    // from TextAnalysis so both engines compile the exact same regex
+    // source (Java regex ∩ RE2 syntax; boundaries are explicit
+    // captured classes, not \b — see TextAnalysis.ipPat)
     "q_redact_pii" ->
       s"""WITH t1 AS (
         |  SELECT doc_id, text,
@@ -731,14 +733,14 @@ object SparkEntry {
         |  FROM documents
         |), t2 AS (
         |  SELECT doc_id, text, a,
-        |         regexp_replace(a, '${TextAnalysis.ipPat}', '<IP>', 'g') AS b
+        |         regexp_replace(a, '${TextAnalysis.ipPat}', '${TextAnalysis.ipReplDuck}', 'g') AS b
         |  FROM t1
         |)
         |SELECT doc_id,
         |       CAST(len(regexp_extract_all(text, '${TextAnalysis.emailPat}')) AS BIGINT) AS n_emails,
         |       CAST(len(regexp_extract_all(a, '${TextAnalysis.ipPat}')) AS BIGINT) AS n_ips,
         |       CAST(len(regexp_extract_all(b, '${TextAnalysis.phonePat}')) AS BIGINT) AS n_phones,
-        |       regexp_replace(b, '${TextAnalysis.phonePat}', '<PHONE>', 'g') AS text_redacted
+        |       regexp_replace(b, '${TextAnalysis.phonePat}', '${TextAnalysis.phoneReplDuck}', 'g') AS text_redacted
         |FROM t2 ORDER BY doc_id""".stripMargin,
     "q_quality_filter" ->
       """WITH tok AS (

@@ -172,27 +172,41 @@ object TextAnalysis {
 
   // PII patterns restricted to syntax with IDENTICAL semantics in Java
   // regex (Spark) and RE2 (DuckDB oracle): character classes, bounded
-  // repetition, \b word boundaries — no lookaround, no backreferences.
+  // repetition — no lookaround, no backreferences, and NO \b. \b is a
+  // dialect trap the generative probe (tools/check_pii_parity.py +
+  // graft.PiiGen) caught in round 4: Java's \b is Unicode-aware (a
+  // Cyrillic letter after a digit is NOT a boundary) while RE2's is
+  // ASCII-only (it IS one), so '...4567-0токен' redacted differently
+  // per engine. Boundaries are instead encoded as EXPLICIT captured
+  // ASCII classes ([^0-9A-Za-z_]|$), restored in the replacement —
+  // the same codepoints in every engine by construction.
   private[graft] val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   private[graft] val ipPat =
-    "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+    "(^|[^0-9A-Za-z_])[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}([^0-9A-Za-z_]|$)"
   // two anchored shapes, NOT "any 8-char digit run": a bare digit-run
   // pattern rewrites dates (2020-01-02), ISBNs, and numeric ranges to
   // <PHONE> — silent corruption of clean text. Branch 1: international
   // form, must start with '+'; the interior run is BOUNDED ({6,16},
   // E.164's 15 digits plus separator headroom) and the final digit
-  // must sit on a word boundary, so an unbounded greedy run can no
-  // longer swallow an unrelated trailing digit group ('+44 20 7946
-  // 0958 1999' redacts the phone and leaves 1999 — the greedy match
-  // backtracks to the last in-bound digit followed by a non-word
-  // char). Branch 2: separator-grouped 3-3-4 (NANP) with optional
-  // parens. Unseparated 10-digit runs are left alone by design
-  // (indistinguishable from ids/ISBNs without context) — the
-  // documented precision-over-recall tradeoff. \b is ASCII-word in
-  // both Java regex and RE2, and both engines resolve greedy
-  // alternation leftmost-first, so parity holds.
+  // must sit on an explicit ASCII boundary, so an unbounded greedy run
+  // can no longer swallow an unrelated trailing digit group ('+44 20
+  // 7946 0958 1999' redacts the phone and leaves 1999 — the greedy
+  // match backtracks to the last in-bound digit followed by a
+  // non-word char). Branch 2: separator-grouped 3-3-4 (NANP) with
+  // optional parens. Unseparated 10-digit runs are left alone by
+  // design (indistinguishable from ids/ISBNs without context) — the
+  // documented precision-over-recall tradeoff. Both engines resolve
+  // greedy alternation leftmost-first, and an unmatched group
+  // reference in the replacement is the empty string in Java, RE2,
+  // and Python re alike, so parity holds.
   private[graft] val phonePat =
-    "\\+[0-9][0-9()\\- ]{6,16}[0-9]\\b|\\(?[0-9]{3}\\)?[\\- ][0-9]{3}[\\- ][0-9]{4}"
+    "\\+[0-9][0-9()\\- ]{6,16}[0-9]([^0-9A-Za-z_]|$)|\\(?[0-9]{3}\\)?[\\- ][0-9]{3}[\\- ][0-9]{4}"
+  // replacement templates restoring the captured boundary characters
+  // (Java $N ↔ RE2/DuckDB \N — interpolated into the oracle SQL)
+  private[graft] val ipReplSpark = "$1<IP>$2"
+  private[graft] val ipReplDuck = "\\1<IP>\\2"
+  private[graft] val phoneReplSpark = "<PHONE>$1"
+  private[graft] val phoneReplDuck = "<PHONE>\\1"
 
   /** PII redaction (corpus-sanitization pass every training-data
     * pipeline runs before release): emails, then IPv4 addresses, then
@@ -204,8 +218,8 @@ object TextAnalysis {
     * parallel at any corpus size. */
   def redactPii(docs: DataFrame): DataFrame = {
     val t1 = regexp_replace(col("text"), emailPat, "<EMAIL>")
-    val t2 = regexp_replace(t1, ipPat, "<IP>")
-    val t3 = regexp_replace(t2, phonePat, "<PHONE>")
+    val t2 = regexp_replace(t1, ipPat, ipReplSpark)
+    val t3 = regexp_replace(t2, phonePat, phoneReplSpark)
     docs.select(
       col("doc_id"),
       regexp_count(col("text"), lit(emailPat)).cast("long").as("n_emails"),

@@ -101,19 +101,23 @@ def dedup_exact_docs(docs):
 
 
 EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
-IPV4 = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
-PHONE = r"\+[0-9][0-9()\- ]{6,}[0-9]|\(?[0-9]{3}\)?[\- ][0-9]{3}[\- ][0-9]{4}"
+# explicit captured ASCII boundaries, not \b (Python's \b is
+# Unicode-aware like Java's; RE2's is ASCII — see TextAnalysis.ipPat)
+IPV4 = r"(^|[^0-9A-Za-z_])[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}([^0-9A-Za-z_]|$)"
+PHONE = r"\+[0-9][0-9()\- ]{6,16}[0-9]([^0-9A-Za-z_]|$)|\(?[0-9]{3}\)?[\- ][0-9]{3}[\- ][0-9]{4}"
 
 
 def redact_pii(docs):
     # PII scrub with the same patterns/ordering as TextAnalysis.redactPii
+    # (unmatched replacement group refs are '' in Python re >= 3.5,
+    # matching Java and RE2)
     t = docs["text"]
     n_e = t.str.count(EMAIL)
     a = t.str.replace(EMAIL, "<EMAIL>", regex=True)
     n_i = a.str.count(IPV4)
-    b = a.str.replace(IPV4, "<IP>", regex=True)
+    b = a.str.replace(IPV4, r"\1<IP>\2", regex=True)
     n_p = b.str.count(PHONE)
-    c = b.str.replace(PHONE, "<PHONE>", regex=True)
+    c = b.str.replace(PHONE, "<PHONE>\\1", regex=True)
     return pd.DataFrame({"doc_id": docs["doc_id"], "n_emails": n_e,
                          "n_ips": n_i, "n_phones": n_p, "text_redacted": c})
 

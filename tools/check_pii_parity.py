@@ -9,7 +9,14 @@ email/IP/phone shapes and pins the exact redacted strings that
 TextAnalysisSpec pins for the Spark side. If either engine's regex
 dialect drifts (lookaround, \\b semantics, class escaping), this fails.
 
-Usage: python3 tools/check_pii_parity.py <verifyOutDir>
+A second, GENERATIVE section closes the class of dialect drift rather
+than the known cases: if a PiiGen dump (sbt "runMain graft.PiiGen
+<genDir>") is passed as the second argument, this regenerates the
+identical seeded grammar corpus (mirrored LCG + atom table; a corpus
+mismatch fails loudly), runs the shipped oracle SQL over it in DuckDB,
+and diffs counts and redacted text per row against Spark's parquet.
+
+Usage: python3 tools/check_pii_parity.py <verifyOutDir> [<piiGenDir>]
 """
 import json
 import sys
@@ -37,9 +44,52 @@ ROWS = [
 ]
 
 
-def main():
-    out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/verify_out"
-    sql = json.load(open(f"{out_dir}/oracle_sql.json"))["q_redact_pii"]
+# ==== generative section: mirrors graft.PiiGen EXACTLY ====
+# (same MMIX LCG constants, same atom/separator tables — the corpus
+# equality check below fails loudly if the two generators drift)
+
+ATOMS = [
+    "alpha", "beta", "call", "now", "year", "was", "good",
+    "héllo", "naïve", "токен", "数字",
+    "7", "42", "555", "1234", "55512", "4155551234", "19991231",
+    "123456789012345", "0", "00",
+    "+", "-", "--", "(", ")", "@", ".", "..", "+1", "+44", "(555)",
+    "192.168.0.1", "999.999.999.999", "10.0.0.256", "1.2.3.4.5",
+    "user@example.com", "a@b.co", "@example.com", "user@",
+    "12345678@mail.com", "+1 (555) 123-4567", "+44 20 7946 0958",
+    "555-123-4567", "(555) 123-4567", "555 123 4567", "5551234567",
+    "2020-01-02", "1-10", "v2.0.1",
+]
+
+SEPS = [" ", " ", " ", "", "-", "."]
+
+MASK = (1 << 64) - 1
+
+
+def gen_corpus(n, seed=20260812):
+    state = seed
+
+    def nxt():
+        nonlocal state
+        state = (state * 6364136223846793005 + 1442695040888963407) & MASK
+        return state
+
+    def ni(bound):
+        return (nxt() >> 33) % bound
+
+    rows = []
+    for doc_id in range(n):
+        k = 3 + ni(13)
+        parts = []
+        for i in range(k):
+            if i > 0:
+                parts.append(SEPS[ni(len(SEPS))])
+            parts.append(ATOMS[ni(len(ATOMS))])
+        rows.append((doc_id, "".join(parts)))
+    return rows
+
+
+def check_crafted(sql):
     con = duckdb.connect()
     con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
     con.executemany("INSERT INTO documents VALUES (?, ?)", ROWS)
@@ -56,6 +106,43 @@ def main():
                   f"{redacted!r}, want ({exp_e},{exp_i},{exp_p}) {exp_text!r}")
         else:
             print(f"{status} doc {doc_id}")
+    return n_fail
+
+
+def check_generative(sql, gen_dir):
+    con = duckdb.connect()
+    spark_input = dict(con.execute(
+        f"SELECT doc_id, text FROM '{gen_dir}/input/*.parquet'").fetchall())
+    rows = gen_corpus(len(spark_input))
+    # generator-mirror sanity: both languages must emit the same corpus
+    drift = [i for i, t in rows if spark_input.get(i) != t]
+    if drift:
+        print(f"FAIL generative: corpus mismatch on docs {drift[:5]} — "
+              f"the Scala and Python generators have drifted")
+        return 1
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    duck = {r[0]: r[1:] for r in con.execute(sql).fetchall()}
+    spark = {r[0]: r[1:] for r in con.execute(
+        f"SELECT doc_id, n_emails, n_ips, n_phones, text_redacted "
+        f"FROM '{gen_dir}/redacted/*.parquet'").fetchall()}
+    n_fail = 0
+    for doc_id in sorted(spark):
+        if duck.get(doc_id) != spark[doc_id]:
+            n_fail += 1
+            if n_fail <= 10:
+                print(f"FAIL generative doc {doc_id}:\n  spark {spark[doc_id]!r}"
+                      f"\n  duck  {duck.get(doc_id)!r}")
+    print(f"generative: {len(spark) - n_fail}/{len(spark)} rows agree")
+    return n_fail
+
+
+def main():
+    out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/verify_out"
+    sql = json.load(open(f"{out_dir}/oracle_sql.json"))["q_redact_pii"]
+    n_fail = check_crafted(sql)
+    if len(sys.argv) > 2:
+        n_fail += check_generative(sql, sys.argv[2])
     sys.exit(1 if n_fail else 0)
 
 
