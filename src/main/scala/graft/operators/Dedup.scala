@@ -241,22 +241,36 @@ object Dedup {
     *
     * The broadcast is GUARDED: an explicit `broadcast()` hint bypasses
     * `spark.sql.autoBroadcastJoinThreshold`, so a "benchmark" that
-    * turns out corpus-sized would OOM every executor. The benchmark's
-    * distinct shingle set is persisted and counted first (one job over
-    * the SMALL side only — the frame is consumed by the join right
-    * after, so the count's work is not wasted), and past
-    * `maxBroadcastShingles` (default 16M hashes ≈ 128 MB of longs,
-    * comfortable for common 4 GB executors) the match degrades to a
-    * shuffled join: both sides hash-partition on the shingle — still
-    * candidate-restricted, never all-pairs. NOTE: the guard makes
-    * construction run that one counting job (the small side only;
-    * the corpus side stays lazy). */
+    * turns out corpus-sized would OOM every executor. The guard is
+    * two-tier to stay free on the common path:
+    *
+    *  - tier 0 (zero jobs): Catalyst's own size statistics for the
+    *    benchmark plan — the same signal Spark's auto-broadcast uses,
+    *    and conservative without CBO (a Filter keeps its child's
+    *    size). 8-byte shingle hashes number at most ~text_bytes/2
+    *    (one per word position), so stats × 4 bounds the broadcast
+    *    payload; within `maxBroadcastShingles` × 8 bytes (default
+    *    16M hashes ≈ 128 MB, comfortable for common 4 GB executors)
+    *    the hint is safe and construction stays fully lazy.
+    *  - tier 1 (one small-side job): stats blew the quick bound —
+    *    pay the exact distinct-shingle count; the counted frame
+    *    persists and feeds the join, so its work is not wasted.
+    *
+    * Past the bound the match degrades to a shuffled join: both sides
+    * hash-partition on the shingle — still candidate-restricted,
+    * never all-pairs. */
   def decontaminate(corpus: DataFrame, benchmark: DataFrame,
                     n: Int = 3, minShared: Int = 3,
                     maxBroadcastShingles: Long = 16L * 1024 * 1024): DataFrame = {
-    val bench = Caches.persistTracked(
-      shingleHashes(benchmark, n).select(explode(col("sh")).as("s")).distinct())
-    val benchSide = if (bench.count() <= maxBroadcastShingles) broadcast(bench) else bench
+    val bench = shingleHashes(benchmark, n)
+      .select(explode(col("sh")).as("s")).distinct()
+    val statsBytes = benchmark.queryExecution.optimizedPlan.stats.sizeInBytes
+    val benchSide =
+      if (statsBytes * 4 <= BigInt(maxBroadcastShingles) * 8) broadcast(bench)
+      else {
+        val cached = Caches.persistTracked(bench)
+        if (cached.count() <= maxBroadcastShingles) broadcast(cached) else cached
+      }
     val hits = shingleHashes(corpus, n)
       .select(col("doc_id"), explode(col("sh")).as("s"))
       .join(benchSide, "s")
