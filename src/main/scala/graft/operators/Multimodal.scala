@@ -311,14 +311,18 @@ object Multimodal {
           MediaRow(id, "image", Codec.encodePpm(w, h, rgb),
             MediaMeta(w, h, 0L, "ppm"))
         case 3 =>
-          // compressed-image rows: REAL PNG payloads through the
-          // javax.imageio decode path
+          // compressed-image rows: REAL PNG and JPEG payloads through
+          // the javax.imageio decode path
           val w = 16 + (id % 16).toInt
           val h = 12 + (id % 12).toInt
           val rgb = Array.tabulate[Byte](w * h * 3)(i =>
             (graft.functions.TextHash.mix64(id * 197L + i) & 0xff).toByte)
-          MediaRow(id, "image", Codec.encodePng(w, h, rgb),
-            MediaMeta(w, h, 0L, "png"))
+          if ((id / 4) % 2 == 0)
+            MediaRow(id, "image", Codec.encodePng(w, h, rgb),
+              MediaMeta(w, h, 0L, "png"))
+          else
+            MediaRow(id, "image", Codec.encodeJpeg(w, h, rgb),
+              MediaMeta(w, h, 0L, "jpeg"))
         case 1 =>
           val rate = 8000
           val durMs = 1000L + (id % 9000)

@@ -109,12 +109,13 @@ class MultimodalSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Codec.decodeImage(wav))
   }
 
-  test("synthetic PNG rows flow through the real imageio decode path") {
+  test("synthetic PNG and JPEG rows flow through the real imageio decode path") {
     import Multimodal.Codec
-    val pngs = media.filter(_.meta.codec == "png").collect()
-    assert(pngs.nonEmpty, "synthMedia must emit PNG rows")
+    val compressed = media.collect().filter(m => Set("png", "jpeg")(m.meta.codec))
+    assert(compressed.exists(_.meta.codec == "png"), "synthMedia must emit PNG rows")
+    assert(compressed.exists(_.meta.codec == "jpeg"), "synthMedia must emit JPEG rows")
     val decoded = Multimodal.decode(media).collect().groupBy(_.media_id)
-    pngs.foreach { m =>
+    compressed.foreach { m =>
       val f = decoded(m.media_id).head
       // the distributed decode equals a local imageio decode, and the
       // dims match the payload's own header (not just the metadata)
