@@ -99,6 +99,19 @@ object SparkEntry {
     "q_repetition"     -> ((s, d) => TextAnalysis.repetitionRatio(Tables.documents(s, d))),
     "q_vocab_topk"     -> ((s, d) => TextAnalysis.vocabTopK(Tables.documents(s, d))),
     "q_stratified_sample" -> ((s, d) => TextAnalysis.stratifiedSample(Tables.documents(s, d))),
+    "q_strip_markup" -> ((s, d) => TextAnalysis.stripMarkup(Tables.documents(s, d))),
+    // incremental ingest dedup: odd doc_ids play the arriving batch,
+    // even doc_ids the already-curated corpus
+    "q_dedup_incremental" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      TextAnalysis.dedupIncremental(
+        docs.filter(col("doc_id") % 2 === 1),
+        docs.filter(col("doc_id") % 2 === 0))
+    }),
+    "q_assign_ids" -> ((s, d) =>
+      GlobalIds.assignIds(
+        Tables.documents(s, d).select(col("doc_id"), col("source")), "doc_id")
+        .orderBy("doc_id")),
     // H. near-dup + similarity
     "q_dedup_minhash" -> ((s, d) => Dedup.minhashPairs(Tables.documents(s, d))),
     "q_dedup_clusters" -> ((s, d) =>
@@ -833,6 +846,38 @@ object SparkEntry {
         |           ORDER BY (((doc_id % 2147483648 + 2147483648) % 2147483648) * 2654435761) % 4294967296, doc_id) AS rn
         |  FROM documents
         |) WHERE rn <= 10 ORDER BY source, sample_rank""".stripMargin,
+    "q_strip_markup" -> {
+      // nested literal replaces generated from the SAME entity table
+      // the Spark side folds over (decode order preserved; SQL '' quote)
+      val decoded = TextAnalysis.entityMap.foldLeft("nt") { case (acc, (ent, repl)) =>
+        s"replace($acc, '$ent', '${repl.replace("'", "''")}')"
+      }
+      s"""WITH stripped AS (
+        |  SELECT doc_id, text,
+        |         regexp_replace(text, '${TextAnalysis.tagPat}', ' ', 'g') AS nt
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |       CAST(len(regexp_extract_all(text, '${TextAnalysis.tagPat}')) AS BIGINT) AS n_tags,
+        |       CAST(len(regexp_extract_all(nt, '${TextAnalysis.entityPat}')) AS BIGINT) AS n_entities,
+        |       trim(regexp_replace($decoded, '\\s+', ' ', 'g')) AS text_clean
+        |FROM stripped ORDER BY doc_id""".stripMargin
+    },
+    "q_dedup_incremental" ->
+      """WITH nh AS (
+        |  SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS content_hash
+        |  FROM documents WHERE doc_id % 2 = 1
+        |), ch AS (
+        |  SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS content_hash
+        |  FROM documents WHERE doc_id % 2 = 0
+        |)
+        |SELECT content_hash, min(doc_id) AS keep_id, count(*) AS n_batch_copies
+        |FROM nh WHERE content_hash NOT IN (SELECT content_hash FROM ch)
+        |GROUP BY 1 ORDER BY keep_id""".stripMargin,
+    "q_assign_ids" ->
+      """SELECT doc_id, source,
+        |       CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS global_id
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_text_quality" ->
       """WITH tok AS (
         |  SELECT doc_id, text,

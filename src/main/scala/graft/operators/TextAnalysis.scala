@@ -108,6 +108,66 @@ object TextAnalysis {
       .orderBy("keep_id")
   }
 
+  /** Incremental exact dedup — the batch-ingest form of [[dedupExact]]:
+    * dedup a NEW batch of documents against an already-curated corpus
+    * (and within itself), keeping the lowest-id new copy of each
+    * content not yet in the corpus. This is the operation every
+    * continuously-fed training corpus runs on arrival: the historical
+    * corpus is never rescanned per batch beyond its content hashes.
+    *
+    * Scale shape: both sides reduce to content hashes before any
+    * shuffle — the anti-join and the keep-best aggregation share ONE
+    * hash partitioning on `content_hash` (Catalyst reuses the
+    * exchange), and the corpus side would in production be a
+    * pre-materialized hash table (see [[graft.sources.Bucketed]] for
+    * the bucketed form that makes the anti-join exchange-free). Text
+    * never crosses a shuffle. */
+  def dedupIncremental(newDocs: DataFrame, corpus: DataFrame): DataFrame = {
+    val newHashed = newDocs.select(
+      col("doc_id"), md5(normalize(col("text")).cast("binary")).as("content_hash"))
+    val corpusHashes = corpus
+      .select(md5(normalize(col("text")).cast("binary")).as("content_hash"))
+      .distinct()
+    newHashed
+      .join(corpusHashes, Seq("content_hash"), "left_anti")
+      .groupBy("content_hash")
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_batch_copies"))
+      .orderBy("keep_id")
+  }
+
+  // Markup patterns share the PII discipline (identical Java/RE2
+  // semantics: ASCII classes, no lookaround, no \b). A tag is '<' +
+  // non-'>' run + '>' — the standard boilerplate-strip heuristic, not
+  // an HTML parser (malformed nesting degrades to leaving text, never
+  // to dropping it).
+  private[graft] val tagPat = "<[^>]*>"
+  private[graft] val entityPat = "&(?:amp|lt|gt|quot|nbsp|#39);"
+  // decode order matters: '&amp;' decodes LAST or '&amp;lt;' would
+  // double-decode to '<'
+  private[graft] val entityMap: Seq[(String, String)] = Seq(
+    "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'",
+    "&nbsp;" -> " ", "&amp;" -> "&")
+
+  /** Markup/boilerplate cleanup (the first pass every web-scraped
+    * training corpus runs): strip tags, decode the common HTML
+    * entities, collapse whitespace. Emits the per-document tag and
+    * entity counts (curation audits read them: a high tag density
+    * marks pages whose extraction failed upstream) plus the cleaned
+    * text. Pure per-row projection — whole-stage codegen, no shuffle,
+    * the corpus scan is the entire cost at any scale. */
+  def stripMarkup(docs: DataFrame): DataFrame = {
+    val noTags = regexp_replace(col("text"), tagPat, " ")
+    val decoded = entityMap.foldLeft(noTags) { case (c, (ent, repl)) =>
+      replace(c, lit(ent), lit(repl))
+    }
+    docs.select(
+      col("doc_id"),
+      regexp_count(col("text"), lit(tagPat)).cast("long").as("n_tags"),
+      regexp_count(noTags, lit(entityPat)).cast("long").as("n_entities"),
+      trim(regexp_replace(decoded, "\\s+", " ")).as("text_clean"))
+      .orderBy("doc_id")
+  }
+
   /** Language-marker word lists (alphabetical by lang code); the
     * stopword-profile heuristic scores each language by marker-token
     * frequency and picks the argmax (ties → first alphabetically,

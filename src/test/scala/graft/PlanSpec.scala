@@ -100,7 +100,7 @@ class PlanSpec extends AnyFunSuite {
     // PII redaction and quality filtering are pure per-row projections:
     // any Exchange here means a refactor added a shuffle to operators
     // that must stream through the corpus scan untouched
-    Seq("q_redact_pii", "q_quality_filter").foreach { name =>
+    Seq("q_redact_pii", "q_quality_filter", "q_strip_markup").foreach { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)
       // the only allowed Exchange is the output orderBy's range
       // partitioning (driver-contract presentation); the operator body
@@ -133,6 +133,26 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin") ||
       p.contains("BroadcastNestedLoopJoin"),
       s"salt bounds must broadcast back:\n$p")
+  }
+
+  test("assign_ids: rank window partitions by bucket, offsets broadcast back") {
+    val df = SparkEntry.queries("q_assign_ids")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    // the data-path rank window MUST be bucket-partitioned — an empty
+    // partition spec here is the single-task global sort this operator
+    // exists to avoid
+    assert("row_number\\(\\) windowspecdefinition\\(_bucket#\\d+L, ".r
+      .findFirstIn(p).isDefined,
+      s"rank window is not partitioned by _bucket:\n$p")
+    // exactly one SinglePartition exchange, and it belongs to the
+    // offset cumulation (over <= nBuckets aggregated rows, not data)
+    assert(p.split("Exchange SinglePartition").length - 1 == 1,
+      s"expected exactly one single-partition exchange (the offset table):\n$p")
+    // offsets come back as a broadcast, never a shuffle of the data side
+    assert(p.contains("BroadcastHashJoin"), s"offset join must broadcast:\n$p")
+    // two hash exchanges: the count aggregate and the rank window
+    assert(p.split("Exchange hashpartitioning").length - 1 == 2,
+      s"expected exactly two hash exchanges:\n$p")
   }
 
   test("whole-surface audit: no query plans a cartesian product or stray RDD boundary") {

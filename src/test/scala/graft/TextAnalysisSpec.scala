@@ -282,4 +282,46 @@ class TextAnalysisSpec extends AnyFunSuite {
       assert(got(id) == expected && got(id) >= 0, s"id $id: got ${got(id)}")
     }
   }
+
+  test("stripMarkup strips tags, decodes entities, collapses whitespace") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "<p>Hello <b>world</b></p>"),
+      (2L, "a &amp; b &lt;tag&gt; &quot;q&quot; &#39;s&#39; x&nbsp;y"),
+      // escaped-escape: '&amp;lt;' decodes to the LITERAL '&lt;', not '<'
+      (3L, "literal &amp;lt; stays"),
+      (4L, "no markup at all"),
+      (5L, "<div class=\"x\">spaced   out</div>  text"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.stripMarkup(rows).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((4L, 0L, "Hello world")))
+    assert(out(2L) == ((0L, 8L, "a & b <tag> \"q\" 's' x y")))
+    assert(out(3L) == ((0L, 1L, "literal &lt; stays")))
+    assert(out(4L) == ((0L, 0L, "no markup at all")))
+    assert(out(5L) == ((2L, 0L, "spaced out text")))
+  }
+
+  test("dedupIncremental keeps only batch content absent from the corpus") {
+    import spark.implicits._
+    val corpus = Seq((10L, "alpha beta"), (11L, "gamma delta")).toDF("doc_id", "text")
+    val batch = Seq(
+      (20L, "ALPHA   beta"),   // dup of corpus 10 after normalization
+      (21L, "epsilon zeta"),   // new
+      (22L, "Epsilon Zeta"),   // within-batch dup of 21
+      (23L, "eta theta"))      // new
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.dedupIncremental(batch, corpus).collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    // two surviving contents: (21, 2 copies) and (23, 1 copy)
+    assert(out.toSeq == Seq((21L, 2L), (23L, 1L)))
+  }
+
+  test("dedupIncremental of an empty batch is empty; empty corpus keeps all") {
+    import spark.implicits._
+    val docs = Seq((1L, "one"), (2L, "two")).toDF("doc_id", "text")
+    val none = docs.where(org.apache.spark.sql.functions.lit(false))
+    assert(TextAnalysis.dedupIncremental(none, docs).count() == 0)
+    assert(TextAnalysis.dedupIncremental(docs, none).count() == 2)
+  }
 }
