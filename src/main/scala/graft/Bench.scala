@@ -40,7 +40,17 @@ import graft.monitoring.PerformanceTracker
   * duration of its actions (QueryExecutionListener, summed per run,
   * min across passes) — the executed-plan cost with this harness's
   * plan-construction overhead excluded, mirroring the per-operation
-  * timing summary the reference's performance monitor logs. */
+  * timing summary the reference's performance monitor logs.
+  *
+  * SHUFFLE/SPILL PROBE: `shuffle_bytes` carries each query's measured
+  * exchange write volume (executed-plan SQL metrics, see
+  * [[graft.monitoring.PlanMetrics]]) and `spill_bytes_total` the
+  * suite-wide sort/agg spill (expected 0 at bench scale). With the
+  * slope probe this also emits `shuffle_ratios` =
+  * bytes(primary)/bytes(small) — unlike wall-clock ratios these are
+  * machine-independent, so the data-volume slope stays readable even
+  * through a driver-machine stall, and a query whose shuffle grows
+  * faster than its input is flagged by the artifact itself. */
 object Bench {
 
   /** One SF step down from `sfDir` for the slope probe; None when
@@ -69,9 +79,9 @@ object Bench {
     // warmup: JIT + codegen + shuffle machinery on the smallest SF
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
 
-    // (wall sec, spark-measured exec sec, ok)
+    // (wall sec, spark-measured exec sec, ok, shuffle stats)
     def time(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
-             dir: String): (Double, Double, Boolean) = {
+             dir: String): (Double, Double, Boolean, graft.monitoring.PlanMetrics.ShuffleStats) = {
       val before = tracker.recorded.size
       val t0 = System.nanoTime()
       val ok = try { fn(spark, dir).count(); true } catch { case _: Throwable => false }
@@ -86,42 +96,68 @@ object Bench {
       while (tracker.recorded.size == before && System.nanoTime() < deadline)
         Thread.sleep(2)
       Thread.sleep(5) // grace for a second event right behind the first
-      val exec = tracker.recorded.drop(before).filterNot(_.failed).map(_.durationMs).sum / 1e3
-      (dt, exec, ok)
+      val runOps = tracker.recorded.drop(before).filterNot(_.failed)
+      val exec = runOps.map(_.durationMs).sum / 1e3
+      // total shuffle the run caused, across EVERY action it fired
+      // (eager queries run construction jobs beyond the terminal count)
+      val shuffle = runOps.map(_.shuffle)
+        .foldLeft(graft.monitoring.PlanMetrics.zero)(_ + _)
+      (dt, exec, ok, shuffle)
     }
 
-    def suite(dir: String, passes: Int): Seq[(String, Double, Double, Double, Boolean)] = {
+    def suite(dir: String, passes: Int):
+        Seq[(String, Double, Double, Double, Boolean, graft.monitoring.PlanMetrics.ShuffleStats)] = {
       val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       // pass-major order: pass 0 = cold, passes 1..n-1 = steady samples
       val samples = (0 until passes).map(_ => ordered.map { case (_, fn) => time(fn, dir) })
       ordered.zipWithIndex.map { case ((name, _), qi) =>
         val runs = samples.map(_(qi))
-        (name, runs.head._1, runs.map(_._1).min, runs.map(_._2).min, runs.forall(_._3))
+        // shuffle volume is a property of the data, not the run — any
+        // pass's stats serve; take the max so a pass that short-circuits
+        // on an error cannot underreport
+        val shuffle = runs.map(_._4).maxBy(_.bytesWritten)
+        (name, runs.head._1, runs.map(_._1).min, runs.map(_._2).min, runs.forall(_._3), shuffle)
       }
     }
 
     val results = suite(sfDir, passes = 3)
-    val qs = results.map { case (k, _, v, _, _) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, _, v, _, _, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val execs = results.map { case (k, _, _, e, _) => s"\"" + k + "\":" + e }
+    val execs = results.map { case (k, _, _, e, _, _) => s"\"" + k + "\":" + e }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, _, _, false) => s"\"$k\"" }
+    val failed = results.collect { case (k, _, _, _, false, _) => s"\"$k\"" }
       .mkString("[", ",", "]")
+    // measured shuffle volume per query (exchange write side) and the
+    // total spill: THE direct scale signals — at a fixed plan shape,
+    // shuffle bytes grow linearly with data or something is wrong, and
+    // any nonzero spill means a partition outgrew executor memory
+    val shuffles = results.map { case (k, _, _, _, _, s) => s"\"" + k + "\":" + s.bytesWritten }
+      .mkString("{", ",", "}")
+    val spillTotal = results.map(_._6.spillBytes).sum
     val total = results.map(_._3).sum
     val coldTotal = results.map(_._2).sum
 
     // slope probe: one SF step down, AFTER the primary passes so
     // cold_total keeps measuring genuinely cold planning
     val slope = slopeDirFor(sfDir).map { smallDir =>
-      val small = suite(smallDir, passes = 2).map(r => r._1 -> r._3).toMap
-      val ratios = results.map { case (k, _, v, _, _) =>
+      val smallRes = suite(smallDir, passes = 2)
+      val small = smallRes.map(r => r._1 -> r._3).toMap
+      val smallShuffle = smallRes.map(r => r._1 -> r._6.bytesWritten).toMap
+      val ratios = results.map { case (k, _, v, _, _, _) =>
         val s = small.getOrElse(k, 0.0)
         s"\"" + k + "\":" + (if (s > 0) v / s else -1.0)
       }.mkString("{", ",", "}")
-      val smallQs = results.map { case (k, _, _, _, _) =>
+      val smallQs = results.map { case (k, _, _, _, _, _) =>
         s"\"" + k + "\":" + small.getOrElse(k, -1.0)
       }.mkString("{", ",", "}")
-      s""","slope_sf":"$smallDir","slope_queries":$smallQs,"slope_ratios":$ratios"""
+      // shuffle-volume slope: bytes(primary)/bytes(small) — unlike the
+      // time ratios this is machine-independent, so it stays readable
+      // even through a driver-machine stall
+      val shuffleRatios = results.map { case (k, _, _, _, _, s) =>
+        val sm = smallShuffle.getOrElse(k, 0L)
+        s"\"" + k + "\":" + (if (sm > 0) s.bytesWritten.toDouble / sm else -1.0)
+      }.mkString("{", ",", "}")
+      s""","slope_sf":"$smallDir","slope_queries":$smallQs,"slope_ratios":$ratios,"shuffle_ratios":$shuffleRatios"""
     }.getOrElse("")
 
     // LSH bucket-population probes: a skew regression in band/RHP
@@ -134,7 +170,7 @@ object Bench {
       val r = Similarity.rhpBucketStats(Tables.embeddings(spark, sfDir)).collect()(0)
       s""","lsh_buckets":{"minhash":{"n":${m.getLong(0)},"max":${m.getLong(1)},"cand_pairs":${m.getLong(2)}},"rhp":{"n":${r.getLong(0)},"max":${r.getLong(1)},"cand_pairs":${r.getLong(2)}}}"""
     } catch { case _: Throwable => "" }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"exec_times":$execs,"cold_total":$coldTotal,"failed":$failed$slope$lsh,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"exec_times":$execs,"shuffle_bytes":$shuffles,"spill_bytes_total":$spillTotal,"cold_total":$coldTotal,"failed":$failed$slope$lsh,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -18,12 +18,22 @@ import org.apache.spark.sql.util.QueryExecutionListener
   */
 class PerformanceTracker extends QueryExecutionListener {
 
-  final case class Op(name: String, durationMs: Double, failed: Boolean)
+  final case class Op(name: String, durationMs: Double, failed: Boolean,
+                      shuffle: PlanMetrics.ShuffleStats = PlanMetrics.zero)
 
   private val ops = new ConcurrentLinkedQueue[Op]()
 
-  override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
-    ops.add(Op(funcName, durationNs / 1e6, failed = false))
+  override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit = {
+    // roll up the executed plan's shuffle/spill accumulators here: the
+    // listener holds the QueryExecution the action ACTUALLY ran (for
+    // df.count() a derived one — reading df.queryExecution afterwards
+    // would see empty accumulators), and by action end the DAGScheduler
+    // has merged them synchronously, so the values are final
+    val shuffle =
+      try PlanMetrics.shuffleStats(qe.executedPlan)
+      catch { case _: Throwable => PlanMetrics.zero }
+    ops.add(Op(funcName, durationNs / 1e6, failed = false, shuffle))
+  }
 
   override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit =
     ops.add(Op(funcName, 0.0, failed = true))

@@ -30,6 +30,38 @@ class MonitoringSpec extends AnyFunSuite {
     assert(t.summary("boom")._5 == 1)
   }
 
+  test("PlanMetrics reads executed shuffle volume; projections shuffle zero") {
+    import org.apache.spark.sql.functions._
+    import graft.monitoring.PlanMetrics
+    // a groupBy must write shuffle bytes and records. The action must
+    // execute the frame's OWN plan: df.count() builds a derived
+    // QueryExecution and would leave these accumulators at zero
+    val agg = Tables.events(spark, sfDir).groupBy("user_id").count()
+    agg.queryExecution.toRdd.count()
+    val s = PlanMetrics.shuffleStats(agg)
+    assert(s.bytesWritten > 0, s"aggregate wrote no shuffle bytes: $s")
+    assert(s.recordsWritten > 0, s)
+    // a pure projection must report exactly zero
+    val proj = Tables.events(spark, sfDir).select(col("event_id"), col("value") * 2)
+    proj.queryExecution.toRdd.count()
+    val p = PlanMetrics.shuffleStats(proj)
+    assert(p.bytesWritten == 0 && p.recordsWritten == 0, s"projection shuffled: $p")
+    // before any action the rollup is all zeros, not an error
+    val unrun = Tables.events(spark, sfDir).groupBy("user_id").count()
+    assert(PlanMetrics.shuffleStats(unrun).bytesWritten == 0)
+  }
+
+  test("tracker attaches shuffle stats to whatever plan each action executed") {
+    val t = PerformanceTracker.install(spark)
+    try {
+      // df.count() executes a DERIVED QueryExecution — exactly the case
+      // where reading df.queryExecution would see nothing; the listener
+      // sees the real one
+      Tables.events(spark, sfDir).groupBy("user_id").count().count()
+      eventually(t.recorded.exists(o => o.name == "count" && o.shuffle.bytesWritten > 0))
+    } finally spark.listenerManager.unregister(t)
+  }
+
   private def eventually(cond: => Boolean, tries: Int = 50): Unit = {
     var i = 0
     while (i < tries && !cond) { Thread.sleep(100); i += 1 }
