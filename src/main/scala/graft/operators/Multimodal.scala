@@ -11,11 +11,13 @@ import org.apache.spark.sql.functions._
   * REAL — binary P6 PPM images (header parse + RGB→luma), PNG and
   * JPEG images (the JDK's own javax.imageio decoders, no external
   * libraries), RIFF/WAVE PCM16 audio (chunk walk + sample
-  * extraction), and YUV4MPEG2 video (stream-header parse + FRAME walk
-  * + uniform frame sampling), see [[Codec]] — so the whole decode
-  * path genuinely parses byte streams and is round-trip tested
-  * (MultimodalSpec encodes known images/waves/frame sequences and
-  * asserts exact recovery; JPEG within quantization tolerance).
+  * extraction), YUV4MPEG2 video (stream-header parse + FRAME walk +
+  * uniform frame sampling), and animated GIF (the javax.imageio
+  * sequence reader — a genuinely COMPRESSED multi-frame container
+  * through the same frame-sampling stage), see [[Codec]] — so the
+  * whole decode path genuinely parses byte streams and is round-trip
+  * tested (MultimodalSpec encodes known images/waves/frame sequences
+  * and asserts exact recovery; JPEG within quantization tolerance).
   * [[StubCodec]] remains only as the documented swap-in point for
   * compressed VIDEO (H.264/VP9), whose decoders (ffmpeg) this
   * container does not ship. At scale each stage is `mapPartitions`
@@ -197,6 +199,10 @@ object Multimodal {
             throw new IllegalArgumentException(s"undecodable image payload: ${e.getMessage}", e)
         }
       require(img != null, "no ImageIO decoder recognizes this payload")
+      toLuma(img)
+    }
+
+    private def toLuma(img: java.awt.image.BufferedImage): (Int, Int, Array[Byte]) = {
       val w = img.getWidth
       val h = img.getHeight
       val gray = new Array[Byte](w * h)
@@ -214,6 +220,85 @@ object Multimodal {
         y += 1
       }
       (w, h, gray)
+    }
+
+    /** Encode grayscale frames as an animated GIF via the pure-JDK
+      * javax.imageio sequence writer. GIF palettes hold 256 colors, so
+      * an 8-bit grayscale frame encodes LOSSLESSLY (256-gray palette)
+      * — the round-trip through [[decodeGifFrames]] is exact, unlike
+      * JPEG. */
+    def encodeGif(w: Int, h: Int, frames: Seq[Array[Byte]]): Array[Byte] = {
+      require(frames.nonEmpty, "GIF needs at least one frame")
+      require(frames.forall(_.length == w * h), "frame size must be w*h")
+      // the JDK's GIF writer emits corrupt LZW for frames with very few
+      // pixels (observed: everything past the first row lost at w*h <=
+      // ~35 on JDK 17); real media is far above this floor, refuse the
+      // pathological sizes rather than silently corrupt
+      require(w * h >= 64, s"frame ${w}x$h too small for the JDK GIF writer (needs >= 64 px)")
+      imageIoNoDiskCache
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+      val out = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+      try {
+        writer.setOutput(ios)
+        writer.prepareWriteSequence(null)
+        // an EXPLICIT 256-gray palette: handing the writer a
+        // non-indexed image lets it re-quantize (the JDK picks a color
+        // cube, silently corrupting gray levels); an indexed image's
+        // palette is written verbatim, making the encode lossless
+        val cmap = Array.tabulate(256)(v => (0xff << 24) | (v << 16) | (v << 8) | v)
+        val icm = new java.awt.image.IndexColorModel(
+          8, 256, cmap, 0, false, -1, java.awt.image.DataBuffer.TYPE_BYTE)
+        frames.foreach { f =>
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+          val raster = img.getRaster
+          var i = 0
+          while (i < w * h) { raster.setSample(i % w, i / w, 0, f(i) & 0xff); i += 1 }
+          writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+        }
+        writer.endWriteSequence()
+      } finally { writer.dispose(); ios.close() }
+      out.toByteArray
+    }
+
+    /** Decode an animated GIF's frames to 8-bit luma — the compressed
+      * multi-frame container the frame-sampling stage exercises for
+      * real (ImageIO reads each stored frame; full-frame GIFs like
+      * [[encodeGif]]'s are recovered exactly, coalescing of
+      * partial-frame optimized GIFs is out of scope and raises on the
+      * size check below). Returns (width, height, frames). */
+    def decodeGifFrames(data: Array[Byte]): (Int, Int, Array[Array[Byte]]) = {
+      imageIoNoDiskCache
+      val readers = javax.imageio.ImageIO.getImageReadersByFormatName("gif")
+      require(readers.hasNext, "no ImageIO GIF reader available")
+      val reader = readers.next()
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(data))
+      try {
+        // seekForwardOnly must stay FALSE: counting frames up front
+        // (getNumImages(allowSearch=true)) requires a searchable stream
+        reader.setInput(iis, false)
+        val n =
+          try reader.getNumImages(true)
+          catch {
+            case e: Exception =>
+              throw new IllegalArgumentException(s"undecodable GIF payload: ${e.getMessage}", e)
+          }
+        require(n > 0, "no frames in GIF payload")
+        val (w, h, first) = toLuma(reader.read(0))
+        val frames = Array.ofDim[Array[Byte]](n)
+        frames(0) = first
+        var i = 1
+        while (i < n) {
+          val (fw, fh, px) = toLuma(reader.read(i))
+          require(fw == w && fh == h,
+            s"partial-frame GIF unsupported: frame $i is ${fw}x$fh, screen ${w}x$h")
+          frames(i) = px
+          i += 1
+        }
+        (w, h, frames)
+      } finally { reader.dispose(); iis.close() }
     }
 
     /** Decode RIFF/WAVE PCM16: walk the chunk list (fmt before data,
@@ -276,10 +361,11 @@ object Multimodal {
   /** ==== STUB CODEC (formats no shipped decoder covers) ====
     * deterministic fake decode: pixel (x,y) of frame f is a pure
     * function of (payload hash, f, x, y). With PPM + PNG + JPEG images
-    * decoded for real ([[Codec.decodePpm]], [[Codec.decodeImage]]),
-    * this remains only for compressed VIDEO (H.264/VP9 — no ffmpeg in
-    * a pure-JVM build); a real implementation would wrap ffmpeg here,
-    * initialized once per partition in the mapPartitions below. */
+    * and animated GIF decoded for real ([[Codec.decodePpm]],
+    * [[Codec.decodeImage]], [[Codec.decodeGifFrames]]), this remains
+    * only for H.264/VP9-class VIDEO (no ffmpeg in a pure-JVM build); a
+    * real implementation would wrap ffmpeg here, initialized once per
+    * partition in the mapPartitions below. */
   object StubCodec {
     def payloadHash(data: Array[Byte]): Long =
       data.foldLeft(1125899906842597L)((h, b) => h * 31L + (b & 0xff))
@@ -338,8 +424,14 @@ object Multimodal {
           val frames = Seq.tabulate(nFrames)(f =>
             Array.tabulate[Byte](w * h)(i =>
               (graft.functions.TextHash.mix64(id * 131L + f * 977L + i) & 0xff).toByte))
-          MediaRow(id, "video", Codec.encodeY4m(w, h, frames),
-            MediaMeta(w, h, 2000L + (id % 8000), "y4m"))
+          // alternate raw (Y4M) and compressed (animated GIF) video
+          // rows so both multi-frame decode paths run end-to-end
+          if ((id / 4) % 2 == 0)
+            MediaRow(id, "video", Codec.encodeY4m(w, h, frames),
+              MediaMeta(w, h, 2000L + (id % 8000), "y4m"))
+          else
+            MediaRow(id, "video", Codec.encodeGif(w, h, frames),
+              MediaMeta(w, h, 2000L + (id % 8000), "gif"))
       }
     }
   }
@@ -350,6 +442,17 @@ object Multimodal {
     * Unknown codecs fall back to the stub — the swap-in point for
     * compressed video (H.264/VP9) absent in this container.
     * Per-partition iteration — codec state is reused across rows. */
+  /** Uniform frame sampling over a decoded frame array (first and last
+    * frames always included when n > 1). */
+  private def sampleFrames(mediaId: Long, w: Int, h: Int,
+                           frames: Array[Array[Byte]], nWant: Int): Iterator[DecodedFrame] = {
+    val n = math.min(nWant, frames.length)
+    (0 until n).iterator.map { f =>
+      val src = if (n == 1) 0 else f * (frames.length - 1) / (n - 1)
+      DecodedFrame(mediaId, f, w, h, frames(src))
+    }
+  }
+
   def decode(media: Dataset[MediaRow], framesPerVideo: Int = 3): Dataset[DecodedFrame] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
@@ -367,12 +470,10 @@ object Multimodal {
               StubCodec.decodeFrame(m.data, 0, m.meta.width, m.meta.height)))
           case ("video", "y4m") =>
             val (w, h, frames) = Codec.decodeY4m(m.data)
-            // uniform sampling over the actual frame count
-            val n = math.min(framesPerVideo, frames.length)
-            (0 until n).iterator.map { f =>
-              val src = if (n == 1) 0 else f * (frames.length - 1) / (n - 1)
-              DecodedFrame(m.media_id, f, w, h, frames(src))
-            }
+            sampleFrames(m.media_id, w, h, frames, framesPerVideo)
+          case ("video", "gif") =>
+            val (w, h, frames) = Codec.decodeGifFrames(m.data)
+            sampleFrames(m.media_id, w, h, frames, framesPerVideo)
           case ("video", _) =>
             (0 until framesPerVideo).iterator.map { f =>
               DecodedFrame(m.media_id, f, m.meta.width, m.meta.height,

@@ -133,14 +133,33 @@ class MultimodalSpec extends AnyFunSuite {
     frames.zip(out).foreach { case (a, b) => assert(a.sameElements(b)) }
   }
 
-  test("video decode samples real frames uniformly from the Y4M stream") {
+  test("GIF codec round-trips grayscale frames exactly (javax.imageio sequence)") {
+    import Multimodal.Codec
+    val frames = Seq.tabulate(4)(f =>
+      Array.tabulate[Byte](64)(i => ((f * 40 + i * 3) & 0xff).toByte))
+    val (w, h, out) = Codec.decodeGifFrames(Codec.encodeGif(8, 8, frames))
+    assert(w == 8 && h == 8 && out.length == 4)
+    // 256-gray palette: GIF is lossless for 8-bit grayscale
+    frames.zip(out).foreach { case (a, b) => assert(a.sameElements(b)) }
+    intercept[IllegalArgumentException](
+      Codec.decodeGifFrames("GIF89a then garbage".getBytes("US-ASCII")))
+    // tiny frames hit a JDK GIF-writer LZW bug — refused, not corrupted
+    intercept[IllegalArgumentException](
+      Codec.encodeGif(3, 2, Seq(Array.fill[Byte](6)(1))))
+  }
+
+  test("video decode samples real frames uniformly from Y4M and GIF streams") {
     import Multimodal.Codec
     val vids = media.filter(_.kind == "video").collect()
     assert(vids.nonEmpty)
+    assert(vids.exists(_.meta.codec == "y4m") && vids.exists(_.meta.codec == "gif"),
+      "synthetic media must exercise both the raw and the compressed video path")
     val decoded = Multimodal.decode(media, framesPerVideo = 3).collect()
       .groupBy(_.media_id)
     vids.foreach { v =>
-      val (w, h, srcFrames) = Codec.decodeY4m(v.data)
+      val (w, h, srcFrames) =
+        if (v.meta.codec == "gif") Codec.decodeGifFrames(v.data)
+        else Codec.decodeY4m(v.data)
       val sampled = decoded(v.media_id).sortBy(_.frame_idx)
       assert(sampled.length == 3)
       // first and last sampled frames are the stream's first and last
