@@ -106,6 +106,9 @@ object GraftApi {
     * [[processPipeline]], composing the §2H operators into the
     * standard pre-training cleanup in the standard order:
     *
+    *  0. markup strip (tags/entities/whitespace — quality metrics and
+    *     dedup hashes must see the text a model would train on, not
+    *     extraction residue; a pure projection fused into the scan),
     *  1. quality-rule filter (drop degenerate documents FIRST — no
     *     point fingerprinting what a length rule removes),
     *  2. exact dedup keeping the highest-quality copy per content,
@@ -147,9 +150,10 @@ object GraftApi {
       // CorpusCuration.release, or globally by releaseCaches) — without
       // this, each handoff self-join would re-run the full upstream
       // lineage (the regex passes twice, the quality scoring three times).
-      val qualityKeep = TextAnalysis.qualityFilter(docs)
+      val cleaned = docs.withColumn("text", TextAnalysis.cleanMarkup(col("text")))
+      val qualityKeep = TextAnalysis.qualityFilter(cleaned)
         .filter(col("keep") === 1).select("doc_id")
-      val afterQuality = Caches.persistTracked(docs.join(qualityKeep, "doc_id"))
+      val afterQuality = Caches.persistTracked(cleaned.join(qualityKeep, "doc_id"))
       val exactKeep = TextAnalysis.dedupKeepBest(afterQuality)
         .select(col("keep_id").as("doc_id"))
       val afterExact = Caches.persistTracked(afterQuality.join(exactKeep, "doc_id"))

@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Generative regex-dialect probe for q_redact_pii (the Spark half).
+/** Generative regex-dialect probe for q_redact_pii and q_strip_markup
+  * (the Spark half).
   *
   * The crafted-rows check (tools/check_pii_parity.py) pins the known
   * dialect hazards; this closes the CLASS of drift: a seeded grammar
@@ -30,7 +31,11 @@ object PiiGen {
     "user@example.com", "a@b.co", "@example.com", "user@",
     "12345678@mail.com", "+1 (555) 123-4567", "+44 20 7946 0958",
     "555-123-4567", "(555) 123-4567", "555 123 4567", "5551234567",
-    "2020-01-02", "1-10", "v2.0.1")
+    "2020-01-02", "1-10", "v2.0.1",
+    // markup shapes for the q_strip_markup half of the probe (tags,
+    // entities, escaped escapes, malformed fragments, stray brackets)
+    "<b>", "</p>", "<div class=\"x\">", "<br/>", "<notclosed",
+    "a<b", ">stray", "&amp;", "&lt;", "&nbsp;", "&amp;lt;", "&bogus;")
 
   private val seps = Array(" ", " ", " ", "", "-", ".")
 
@@ -67,6 +72,10 @@ object PiiGen {
     docs.coalesce(1).write.mode("overwrite").parquet(s"$outDir/input")
     graft.operators.TextAnalysis.redactPii(docs)
       .coalesce(1).write.mode("overwrite").parquet(s"$outDir/redacted")
+    // the markup half of the dialect probe (tag/entity patterns share
+    // the PII patterns' Java∩RE2 discipline and the same drift class)
+    graft.operators.TextAnalysis.stripMarkup(docs)
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/stripped")
     spark.stop()
   }
 }

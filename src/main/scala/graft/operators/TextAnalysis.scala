@@ -148,6 +148,18 @@ object TextAnalysis {
     "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'",
     "&nbsp;" -> " ", "&amp;" -> "&")
 
+  /** The markup-cleaning transform as a standalone Column (tag strip →
+    * entity decode → whitespace collapse + trim) — composable into
+    * larger projections ([[graft.GraftApi.curatePlan]] stage 0) without
+    * a join-back. */
+  def cleanMarkup(text: Column): Column = {
+    val noTags = regexp_replace(text, tagPat, " ")
+    val decoded = entityMap.foldLeft(noTags) { case (c, (ent, repl)) =>
+      replace(c, lit(ent), lit(repl))
+    }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
   /** Markup/boilerplate cleanup (the first pass every web-scraped
     * training corpus runs): strip tags, decode the common HTML
     * entities, collapse whitespace. Emits the per-document tag and
@@ -155,18 +167,14 @@ object TextAnalysis {
     * marks pages whose extraction failed upstream) plus the cleaned
     * text. Pure per-row projection — whole-stage codegen, no shuffle,
     * the corpus scan is the entire cost at any scale. */
-  def stripMarkup(docs: DataFrame): DataFrame = {
-    val noTags = regexp_replace(col("text"), tagPat, " ")
-    val decoded = entityMap.foldLeft(noTags) { case (c, (ent, repl)) =>
-      replace(c, lit(ent), lit(repl))
-    }
+  def stripMarkup(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id"),
       regexp_count(col("text"), lit(tagPat)).cast("long").as("n_tags"),
-      regexp_count(noTags, lit(entityPat)).cast("long").as("n_entities"),
-      trim(regexp_replace(decoded, "\\s+", " ")).as("text_clean"))
+      regexp_count(regexp_replace(col("text"), tagPat, " "), lit(entityPat))
+        .cast("long").as("n_entities"),
+      cleanMarkup(col("text")).as("text_clean"))
       .orderBy("doc_id")
-  }
 
   /** Language-marker word lists (alphabetical by lang code); the
     * stopword-profile heuristic scores each language by marker-token

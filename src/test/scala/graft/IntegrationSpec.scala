@@ -137,7 +137,9 @@ class IntegrationSpec extends AnyFunSuite {
       (maxId + 1, "srcX", doc0),                                  // exact dup of doc 0
       (maxId + 2, "srcX", (1 to 30).map(i => s"the word$i").mkString(" ")
         + " mail me at bob@example.com"),                          // PII survivor
-      (maxId + 3, "srcX", "too short"))                            // quality drop
+      (maxId + 3, "srcX", "too short"),                            // quality drop
+      (maxId + 4, "srcX", "<p>" + (1 to 30).map(i => s"the tagged$i").mkString(" ")
+        + "</p> &amp; done"))                                      // markup survivor
       .toDF("doc_id", "source", "text")
     val corpus = base.union(crafted)
     val curated = GraftApi.curateCorpus(corpus)
@@ -150,6 +152,11 @@ class IntegrationSpec extends AnyFunSuite {
     assert(ids.contains(maxId + 2), "clean long doc survives")
     val pii = out.find(_.getAs[Long]("doc_id") == maxId + 2).get.getAs[String]("text")
     assert(pii.contains("<EMAIL>") && !pii.contains("bob@example.com"))
+    // markup strip runs first: tags gone, entities decoded, text kept
+    val tagged = out.find(_.getAs[Long]("doc_id") == maxId + 4).get.getAs[String]("text")
+    assert(!tagged.contains("<p>") && !tagged.contains("&amp;"),
+      s"markup must be stripped before curation: $tagged")
+    assert(tagged.contains("the tagged1") && tagged.endsWith("& done"))
     // no near-dup pair survives among the output
     val survivors = corpus.join(curated.select("doc_id"), "doc_id")
     assert(graft.operators.Dedup.minhashPairs(survivors).count() == 0,

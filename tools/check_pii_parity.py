@@ -59,6 +59,8 @@ ATOMS = [
     "12345678@mail.com", "+1 (555) 123-4567", "+44 20 7946 0958",
     "555-123-4567", "(555) 123-4567", "555 123 4567", "5551234567",
     "2020-01-02", "1-10", "v2.0.1",
+    "<b>", "</p>", '<div class="x">', "<br/>", "<notclosed",
+    "a<b", ">stray", "&amp;", "&lt;", "&nbsp;", "&amp;lt;", "&bogus;",
 ]
 
 SEPS = [" ", " ", " ", "", "-", "."]
@@ -137,12 +139,42 @@ def check_generative(sql, gen_dir):
     return n_fail
 
 
+def check_generative_markup(sql, gen_dir):
+    """Same generative corpus, q_strip_markup's oracle SQL vs Spark's
+    stripped parquet — closes the markup patterns' dialect class the
+    same way the redaction check closes PII's."""
+    import os
+    if not os.path.isdir(f"{gen_dir}/stripped"):
+        print("generative markup: SKIPPED (no stripped/ dump in gen dir)")
+        return 0
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT doc_id, text FROM '{gen_dir}/input/*.parquet'").fetchall()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    duck = {r[0]: r[1:] for r in con.execute(sql).fetchall()}
+    spark = {r[0]: r[1:] for r in con.execute(
+        f"SELECT doc_id, n_tags, n_entities, text_clean "
+        f"FROM '{gen_dir}/stripped/*.parquet'").fetchall()}
+    n_fail = 0
+    for doc_id in sorted(spark):
+        if duck.get(doc_id) != spark[doc_id]:
+            n_fail += 1
+            if n_fail <= 10:
+                print(f"FAIL generative markup doc {doc_id}:\n"
+                      f"  spark {spark[doc_id]!r}\n  duck  {duck.get(doc_id)!r}")
+    print(f"generative markup: {len(spark) - n_fail}/{len(spark)} rows agree")
+    return n_fail
+
+
 def main():
     out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/verify_out"
-    sql = json.load(open(f"{out_dir}/oracle_sql.json"))["q_redact_pii"]
+    oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    sql = oracles["q_redact_pii"]
     n_fail = check_crafted(sql)
     if len(sys.argv) > 2:
         n_fail += check_generative(sql, sys.argv[2])
+        n_fail += check_generative_markup(oracles["q_strip_markup"], sys.argv[2])
     sys.exit(1 if n_fail else 0)
 
 
