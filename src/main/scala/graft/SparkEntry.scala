@@ -112,6 +112,8 @@ object SparkEntry {
       GlobalIds.assignIds(
         Tables.documents(s, d).select(col("doc_id"), col("source")), "doc_id")
         .orderBy("doc_id")),
+    "q_dedup_lines" -> ((s, d) => TextAnalysis.dedupLines(Tables.documents(s, d))),
+    "q_corpus_stats" -> ((s, d) => TextAnalysis.corpusStats(Tables.documents(s, d))),
     // H. near-dup + similarity
     "q_dedup_minhash" -> ((s, d) => Dedup.minhashPairs(Tables.documents(s, d))),
     "q_dedup_clusters" -> ((s, d) =>
@@ -878,6 +880,52 @@ object SparkEntry {
       """SELECT doc_id, source,
         |       CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS global_id
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_dedup_lines" ->
+      """WITH ls AS (
+        |  SELECT doc_id, string_split(text, chr(10)) AS arr FROM documents
+        |), lines AS (
+        |  SELECT doc_id, unnest(range(1, len(arr) + 1)) AS line_no, unnest(arr) AS line FROM ls
+        |), freq AS (
+        |  SELECT line FROM lines WHERE trim(line) <> ''
+        |  GROUP BY line HAVING count(DISTINCT doc_id) > 2
+        |), kept AS (
+        |  SELECT doc_id, line_no, line FROM lines
+        |  WHERE line NOT IN (SELECT line FROM freq)
+        |), rebuilt AS (
+        |  SELECT doc_id, count(*) AS n_kept,
+        |         string_agg(line, chr(10) ORDER BY line_no) AS text_clean
+        |  FROM kept GROUP BY doc_id
+        |)
+        |SELECT d.doc_id,
+        |       CAST(len(string_split(d.text, chr(10))) AS BIGINT) AS n_lines,
+        |       CAST(len(string_split(d.text, chr(10))) - coalesce(n_kept, 0) AS BIGINT) AS n_removed,
+        |       coalesce(text_clean, '') AS text_clean
+        |FROM documents d LEFT JOIN rebuilt USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+    "q_corpus_stats" ->
+      """WITH tok AS (
+        |  SELECT source, text,
+        |         len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS n_tok_i,
+        |         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks,
+        |         length(text) AS n_chars,
+        |         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h
+        |  FROM documents
+        |), m AS (
+        |  SELECT source, n_tok_i, h,
+        |         (round(least(CAST(n_tok_i AS DOUBLE) / 200.0, 1.0) * 0.5
+        |            + (CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','is','in','to'))) AS DOUBLE)
+        |               / greatest(CAST(n_tok_i AS DOUBLE), 1.0)) * 0.25
+        |            + (1.0 - CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS DOUBLE)
+        |               / greatest(CAST(n_chars AS DOUBLE), 1.0)) * 0.25 + 1e-9, 4) + 0) AS q
+        |  FROM tok
+        |)
+        |SELECT source,
+        |       count(*) AS n_docs,
+        |       CAST(sum(n_tok_i) AS BIGINT) AS n_tokens,
+        |       (round(CAST(sum(n_tok_i) AS DOUBLE) / count(*) + 1e-9, 4) + 0) AS avg_tokens,
+        |       (round(CAST(sum(CAST(q AS DECIMAL(38,6))) AS DOUBLE) / count(*) + 1e-9, 4) + 0) AS avg_quality,
+        |       count(DISTINCT h) AS n_distinct_contents
+        |FROM m GROUP BY source ORDER BY source""".stripMargin,
     "q_text_quality" ->
       """WITH tok AS (
         |  SELECT doc_id, text,

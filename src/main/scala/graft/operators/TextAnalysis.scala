@@ -176,6 +176,70 @@ object TextAnalysis {
       cleanMarkup(col("text")).as("text_clean"))
       .orderBy("doc_id")
 
+  /** Line-level boilerplate removal (the CCNet/RefinedWeb pass):
+    * drop every line that appears VERBATIM in more than `maxDocFreq`
+    * distinct documents — navigation chrome, cookie banners, footer
+    * text — and reassemble each document from its surviving lines in
+    * order. Whitespace-only lines never count as boilerplate (they are
+    * structure, not content).
+    *
+    * Scale shape: lines travel as 64-bit xxhash values into the
+    * document-frequency aggregate (map-side combined; the per-line
+    * string leaves the scan only inside its own document's rows), the
+    * frequent-line set is a heavy-hitter set — small by nature — and
+    * the anti-join against it restricts candidates by hash. The one
+    * unavoidable shuffle is the per-document reassembly groupBy.
+    * Collision risk of hashing: two different lines colliding in 64
+    * bits AND one being boilerplate (~n_distinct²/2⁶⁴) — accepted and
+    * documented, as with the shingle hashes. */
+  def dedupLines(docs: DataFrame, maxDocFreq: Int = 2): DataFrame = {
+    val lines = docs.select(col("doc_id"),
+        posexplode(split(col("text"), "\n")).as(Seq("line_no", "line")))
+      .withColumn("lh", xxhash64(col("line")))
+    val frequent = lines
+      .filter(trim(col("line")) =!= "")
+      .groupBy("lh").agg(countDistinct(col("doc_id")).as("line_df"))
+      .filter(col("line_df") > maxDocFreq)
+    val kept = lines.join(frequent.select("lh"), Seq("lh"), "left_anti")
+    // ordered reassembly: sort (line_no, line) structs, project the
+    // line field (GetArrayStructFields — no lambda), join with \n
+    val rebuilt = kept
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          sort_array(collect_list(struct(col("line_no"), col("line"))))
+            .getField("line"), "\n").as("text_clean"))
+    docs.select(col("doc_id"),
+        size(split(col("text"), "\n")).cast("long").as("n_lines"))
+      // a document whose every line was boilerplate vanishes from the
+      // reassembly — keep it, with empty text
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_lines"),
+        (col("n_lines") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
+      .orderBy("doc_id")
+  }
+
+  /** Corpus composition datasheet — the per-source rollup every corpus
+    * release publishes: document and token volumes, mean document
+    * length, mean quality, and distinct-content count (the dedup
+    * headroom). One scan, one small per-source aggregate; the quality
+    * mean sums exactly in DECIMAL (see [[graft.operators.decAvg]] —
+    * summing rounded doubles is order-dependent across engines). */
+  def corpusStats(docs: DataFrame): DataFrame =
+    docs.select(col("source"),
+        size(tokens(col("text"))).cast("long").as("n_tok"),
+        qualityScore(col("text")).as("q"),
+        md5(normalize(col("text")).cast("binary")).as("h"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tok").as("n_tokens"),
+        rnd(sum("n_tok").cast("double") / count(lit(1)), 4).as("avg_tokens"),
+        decAvg(col("q"), 4).as("avg_quality"),
+        countDistinct(col("h")).as("n_distinct_contents"))
+      .orderBy("source")
+
   /** Language-marker word lists (alphabetical by lang code); the
     * stopword-profile heuristic scores each language by marker-token
     * frequency and picks the argmax (ties → first alphabetically,

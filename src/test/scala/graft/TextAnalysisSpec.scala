@@ -317,6 +317,42 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((21L, 2L), (23L, 1L)))
   }
 
+  test("dedupLines removes frequent lines, keeps order, preserves blanks") {
+    import spark.implicits._
+    val boiler = "accept cookies to continue"
+    val docs = Seq(
+      (1L, s"$boiler\nunique one\n\nkeep me"),
+      (2L, s"$boiler\nunique two"),
+      (3L, s"unique three\n$boiler"),
+      (4L, boiler),                       // all-boilerplate doc -> empty
+      (5L, "shared twice\nsolo"),
+      (6L, "shared twice\nother solo"))   // df=2 <= maxDocFreq: kept
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.dedupLines(docs, maxDocFreq = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((4L, 1L, "unique one\n\nkeep me"))) // blank line survives
+    assert(out(2L) == ((2L, 1L, "unique two")))
+    assert(out(3L) == ((2L, 1L, "unique three")))
+    assert(out(4L) == ((1L, 1L, "")))
+    assert(out(5L) == ((2L, 0L, "shared twice\nsolo")))
+    assert(out(6L) == ((2L, 0L, "shared twice\nother solo")))
+  }
+
+  test("corpusStats aggregates per source consistently with the corpus") {
+    val stats = TextAnalysis.corpusStats(docs).collect()
+    val bySource = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(stats.map(_.getString(0)).toSet == bySource.keySet)
+    stats.foreach { r =>
+      val (src, nDocs) = (r.getString(0), r.getLong(1))
+      assert(nDocs == bySource(src))
+      assert(r.getLong(2) > 0, "n_tokens")
+      val q = r.getDouble(4)
+      assert(q >= 0.0 && q <= 1.0, s"avg_quality $q out of range")
+      assert(r.getLong(5) <= nDocs, "distinct contents cannot exceed docs")
+    }
+  }
+
   test("dedupIncremental of an empty batch is empty; empty corpus keeps all") {
     import spark.implicits._
     val docs = Seq((1L, "one"), (2L, "two")).toDF("doc_id", "text")
