@@ -69,6 +69,10 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(TextAnalysis.stratifiedSample(noDocs).count() == 0)
     assert(TextAnalysis.repetitionRatio(noDocs).count() == 0)
     assert(TextAnalysis.vocabTopK(noDocs).count() == 0)
+    assert(TextAnalysis.stripMarkup(noDocs).count() == 0)
+    assert(TextAnalysis.dedupLines(noDocs).count() == 0)
+    assert(TextAnalysis.corpusStats(noDocs).count() == 0)
+    assert(TextAnalysis.dedupIncremental(noDocs, noDocs).count() == 0)
     assert(GraftApi.curateCorpus(noDocs.select("doc_id", "source", "text")).count() == 0)
     assert(Dedup.nearDupClusters(noDocs.select(
       noDocs("doc_id").as("doc_a"), noDocs("doc_id").as("doc_b"))).count() == 0)
