@@ -45,12 +45,17 @@ import graft.monitoring.PerformanceTracker
   * SHUFFLE/SPILL PROBE: `shuffle_bytes` carries each query's measured
   * exchange write volume (executed-plan SQL metrics, see
   * [[graft.monitoring.PlanMetrics]]) and `spill_bytes_total` the
-  * suite-wide sort/agg spill (expected 0 at bench scale). With the
-  * slope probe this also emits `shuffle_ratios` =
-  * bytes(primary)/bytes(small) — unlike wall-clock ratios these are
-  * machine-independent, so the data-volume slope stays readable even
-  * through a driver-machine stall, and a query whose shuffle grows
-  * faster than its input is flagged by the artifact itself. */
+  * suite-wide sort/agg spill (expected 0 at bench scale). The volume
+  * is that of the plan the bench ACTUALLY times — the `count()` form,
+  * where Catalyst prunes unreferenced columns and eliminates the
+  * terminal presentation sort — so a scan-local projection correctly
+  * reports near-zero and an aggregation/join query reports the bytes
+  * its exchanges really moved. With the slope probe this also emits
+  * `shuffle_ratios` = bytes(primary)/bytes(small) — unlike wall-clock
+  * ratios these are machine-independent, so the data-volume slope
+  * stays readable even through a driver-machine stall, and a query
+  * whose shuffle grows faster than its input is flagged by the
+  * artifact itself. */
 object Bench {
 
   /** One SF step down from `sfDir` for the slope probe; None when

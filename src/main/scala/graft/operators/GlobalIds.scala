@@ -38,9 +38,11 @@ import org.apache.spark.sql.functions._
 object GlobalIds {
 
   /** Assign `global_id` ∈ [0, n) by ascending `key` order. `key` must
-    * be a unique integral column (ties would get arbitrary but still
-    * contiguous ids); its value range must fit in a signed 64-bit
-    * span, which `require`s below. `nBuckets` bounds the offset
+    * be a unique NON-NULL integral column (ties would get arbitrary
+    * but still contiguous ids; null-key rows have no position in the
+    * order and are dropped by the inner offset join — filter or
+    * coalesce them first); its value range must fit in a signed
+    * 64-bit span, which `require`s below. `nBuckets` bounds the offset
     * table (driver/broadcast state) — 4096 buckets address ~4096
     * executor cores; raise it for larger clusters, the offset table
     * is 16 bytes/bucket either way. */
