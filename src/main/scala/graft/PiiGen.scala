@@ -35,7 +35,12 @@ object PiiGen {
     // markup shapes for the q_strip_markup half of the probe (tags,
     // entities, escaped escapes, malformed fragments, stray brackets)
     "<b>", "</p>", "<div class=\"x\">", "<br/>", "<notclosed",
-    "a<b", ">stray", "&amp;", "&lt;", "&nbsp;", "&amp;lt;", "&bogus;")
+    "a<b", ">stray", "&amp;", "&lt;", "&nbsp;", "&amp;lt;", "&bogus;",
+    // URL shapes for the q_url_stats half (and they stress the IP/phone
+    // boundary classes: hosts are dotted digit-letter runs)
+    "https://www.Example.COM/path", "http://example.com:8080/x?y=1",
+    "http://other.org", "https://192.168.0.1/admin", "ftp://nope.net",
+    "http://", "https://sub.domain.co.uk/a,b.(c)")
 
   private val seps = Array(" ", " ", " ", "", "-", ".")
 
@@ -76,6 +81,8 @@ object PiiGen {
     // the PII patterns' Java∩RE2 discipline and the same drift class)
     graft.operators.TextAnalysis.stripMarkup(docs)
       .coalesce(1).write.mode("overwrite").parquet(s"$outDir/stripped")
+    graft.operators.TextAnalysis.urlStats(docs)
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/urls")
     spark.stop()
   }
 }

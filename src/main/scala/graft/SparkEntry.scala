@@ -114,6 +114,7 @@ object SparkEntry {
         .orderBy("doc_id")),
     "q_dedup_lines" -> ((s, d) => TextAnalysis.dedupLines(Tables.documents(s, d))),
     "q_corpus_stats" -> ((s, d) => TextAnalysis.corpusStats(Tables.documents(s, d))),
+    "q_url_stats" -> ((s, d) => TextAnalysis.urlStats(Tables.documents(s, d))),
     // H. near-dup + similarity
     "q_dedup_minhash" -> ((s, d) => Dedup.minhashPairs(Tables.documents(s, d))),
     "q_dedup_clusters" -> ((s, d) =>
@@ -902,6 +903,17 @@ object SparkEntry {
         |       coalesce(text_clean, '') AS text_clean
         |FROM documents d LEFT JOIN rebuilt USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+    "q_url_stats" ->
+      s"""WITH u AS (
+        |  SELECT doc_id,
+        |         unnest(regexp_extract_all(text, '${TextAnalysis.urlPat}', 1)) AS host
+        |  FROM documents
+        |), d AS (
+        |  SELECT doc_id, regexp_replace(lower(host), '^www\\.', '') AS domain FROM u
+        |)
+        |SELECT domain, count(*) AS n_urls, count(DISTINCT doc_id) AS n_docs
+        |FROM d WHERE domain <> ''
+        |GROUP BY domain ORDER BY n_urls DESC, domain ASC""".stripMargin,
     "q_corpus_stats" ->
       """WITH tok AS (
         |  SELECT source, text,

@@ -220,6 +220,28 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  // URL pattern under the same Java∩RE2 discipline: scheme + captured
+  // host (group 1) + optional port + optional path-to-whitespace.
+  private[graft] val urlPat =
+    "https?://([A-Za-z0-9.-]+)(?::[0-9]+)?(?:/[^\\s]*)?"
+
+  /** Corpus URL/domain statistics — the input to domain blocklists and
+    * source-mix audits every web-scale corpus maintains: extract every
+    * http(s) URL, normalize its host (lowercase, strip leading www.),
+    * and roll up URL count and document frequency per domain. The
+    * extraction is a scan-local projection; only (domain, doc_id)
+    * pairs leave the scan, map-side combined into the one small
+    * aggregate shuffle. Deterministic ties (count desc, domain asc). */
+  def urlStats(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        explode(regexp_extract_all(col("text"), lit(urlPat), lit(1))).as("host"))
+      .select(col("doc_id"),
+        regexp_replace(lower(col("host")), "^www\\.", "").as("domain"))
+      .filter(col("domain") =!= "")
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_urls"), countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(desc("n_urls"), asc("domain"))
+
   /** Corpus composition datasheet — the per-source rollup every corpus
     * release publishes: document and token volumes, mean document
     * length, mean quality, and distinct-content count (the dedup

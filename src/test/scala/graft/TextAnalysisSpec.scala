@@ -338,6 +338,19 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out(6L) == ((2L, 0L, "shared twice\nother solo")))
   }
 
+  test("urlStats extracts, normalizes, and rolls up domains") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "see https://www.Example.COM/path and http://example.com:8080/x?y=1"),
+      (2L, "plain http://other.org text https://example.com"),
+      (3L, "no urls here; ftp://nope.net and http:// are not matches"),
+      (4L, "trailing https://other.org/a,b.(c) then words"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.urlStats(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq(("example.com", 3L, 2L), ("other.org", 2L, 2L)))
+  }
+
   test("corpusStats aggregates per source consistently with the corpus") {
     val stats = TextAnalysis.corpusStats(docs).collect()
     val bySource = docs.groupBy("source").count().collect()

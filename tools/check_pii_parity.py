@@ -61,6 +61,9 @@ ATOMS = [
     "2020-01-02", "1-10", "v2.0.1",
     "<b>", "</p>", '<div class="x">', "<br/>", "<notclosed",
     "a<b", ">stray", "&amp;", "&lt;", "&nbsp;", "&amp;lt;", "&bogus;",
+    "https://www.Example.COM/path", "http://example.com:8080/x?y=1",
+    "http://other.org", "https://192.168.0.1/admin", "ftp://nope.net",
+    "http://", "https://sub.domain.co.uk/a,b.(c)",
 ]
 
 SEPS = [" ", " ", " ", "", "-", "."]
@@ -167,6 +170,32 @@ def check_generative_markup(sql, gen_dir):
     return n_fail
 
 
+def check_generative_urls(sql, gen_dir):
+    """Same generative corpus, q_url_stats' oracle SQL vs Spark's
+    domain rollup — URL pattern dialect parity (keyed by domain)."""
+    import os
+    if not os.path.isdir(f"{gen_dir}/urls"):
+        print("generative urls: SKIPPED (no urls/ dump in gen dir)")
+        return 0
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT doc_id, text FROM '{gen_dir}/input/*.parquet'").fetchall()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    duck = {r[0]: r[1:] for r in con.execute(sql).fetchall()}
+    spark = {r[0]: r[1:] for r in con.execute(
+        f"SELECT domain, n_urls, n_docs FROM '{gen_dir}/urls/*.parquet'").fetchall()}
+    n_fail = 0
+    for key in sorted(set(duck) | set(spark)):
+        if duck.get(key) != spark.get(key):
+            n_fail += 1
+            if n_fail <= 10:
+                print(f"FAIL generative url domain {key!r}:\n"
+                      f"  spark {spark.get(key)!r}\n  duck  {duck.get(key)!r}")
+    print(f"generative urls: {len(spark)} domains, {n_fail} disagree")
+    return n_fail
+
+
 def main():
     out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/verify_out"
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
@@ -175,6 +204,7 @@ def main():
     if len(sys.argv) > 2:
         n_fail += check_generative(sql, sys.argv[2])
         n_fail += check_generative_markup(oracles["q_strip_markup"], sys.argv[2])
+        n_fail += check_generative_urls(oracles["q_url_stats"], sys.argv[2])
     sys.exit(1 if n_fail else 0)
 
 
