@@ -81,7 +81,9 @@ object PiiGen {
     // the PII patterns' Java∩RE2 discipline and the same drift class)
     graft.operators.TextAnalysis.stripMarkup(docs)
       .coalesce(1).write.mode("overwrite").parquet(s"$outDir/stripped")
-    graft.operators.TextAnalysis.urlStats(docs)
+    // the same injection view the driver query + oracle use, so the
+    // domain rollups compare over identical text
+    graft.operators.TextAnalysis.urlStats(SparkEntry.urlView(docs))
       .coalesce(1).write.mode("overwrite").parquet(s"$outDir/urls")
     spark.stop()
   }

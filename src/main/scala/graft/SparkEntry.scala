@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, lit, when}
+import org.apache.spark.sql.functions.{col, concat, lit, pmod, when}
 
 import graft.operators._
 import graft.sources.Tables
@@ -20,6 +20,19 @@ object SparkEntry {
   private def ev(s: SparkSession, dir: String): DataFrame = {
     GraftSession.tune(s); Tables.events(s, dir)
   }
+
+  /** Deterministic URL-injection view for q_url_stats (the synthetic
+    * corpus carries no URLs — same pattern as maskedView's null
+    * injection): every doc gains one URL on a doc_id-derived domain,
+    * so extraction, normalization (the www. strip), and the rollup are
+    * exercised against a non-vacuous oracle. Mirrored in the oracle
+    * SQL's `urldocs` CTE and used by graft.PiiGen so the generative
+    * dialect probe sees the same text both engines roll up. */
+  private[graft] def urlView(docs: DataFrame): DataFrame =
+    docs.withColumn("text",
+      concat(col("text"), lit(" https://www.src"),
+        pmod(col("doc_id"), lit(7L)).cast("string"),
+        lit(".example.com/doc/"), col("doc_id").cast("string")))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -114,7 +127,7 @@ object SparkEntry {
         .orderBy("doc_id")),
     "q_dedup_lines" -> ((s, d) => TextAnalysis.dedupLines(Tables.documents(s, d))),
     "q_corpus_stats" -> ((s, d) => TextAnalysis.corpusStats(Tables.documents(s, d))),
-    "q_url_stats" -> ((s, d) => TextAnalysis.urlStats(Tables.documents(s, d))),
+    "q_url_stats" -> ((s, d) => TextAnalysis.urlStats(urlView(Tables.documents(s, d)))),
     // H. near-dup + similarity
     "q_dedup_minhash" -> ((s, d) => Dedup.minhashPairs(Tables.documents(s, d))),
     "q_dedup_clusters" -> ((s, d) =>
@@ -743,18 +756,26 @@ object SparkEntry {
     // source (Java regex ∩ RE2 syntax; boundaries are explicit
     // captured classes, not \b — see TextAnalysis.ipPat)
     "q_redact_pii" ->
+      // the IP replace runs twice (pass-1 consumes the boundary char
+      // the next adjacent IP needed — see TextAnalysis.redactPii); the
+      // count sums both passes' matches
       s"""WITH t1 AS (
         |  SELECT doc_id, text,
         |         regexp_replace(text, '${TextAnalysis.emailPat}', '<EMAIL>', 'g') AS a
         |  FROM documents
-        |), t2 AS (
+        |), t2a AS (
         |  SELECT doc_id, text, a,
-        |         regexp_replace(a, '${TextAnalysis.ipPat}', '${TextAnalysis.ipReplDuck}', 'g') AS b
+        |         regexp_replace(a, '${TextAnalysis.ipPat}', '${TextAnalysis.ipReplDuck}', 'g') AS b1
         |  FROM t1
+        |), t2 AS (
+        |  SELECT doc_id, text, a, b1,
+        |         regexp_replace(b1, '${TextAnalysis.ipPat}', '${TextAnalysis.ipReplDuck}', 'g') AS b
+        |  FROM t2a
         |)
         |SELECT doc_id,
         |       CAST(len(regexp_extract_all(text, '${TextAnalysis.emailPat}')) AS BIGINT) AS n_emails,
-        |       CAST(len(regexp_extract_all(a, '${TextAnalysis.ipPat}')) AS BIGINT) AS n_ips,
+        |       CAST(len(regexp_extract_all(a, '${TextAnalysis.ipPat}'))
+        |            + len(regexp_extract_all(b1, '${TextAnalysis.ipPat}')) AS BIGINT) AS n_ips,
         |       CAST(len(regexp_extract_all(b, '${TextAnalysis.phonePat}')) AS BIGINT) AS n_phones,
         |       regexp_replace(b, '${TextAnalysis.phonePat}', '${TextAnalysis.phoneReplDuck}', 'g') AS text_redacted
         |FROM t2 ORDER BY doc_id""".stripMargin,
@@ -904,10 +925,15 @@ object SparkEntry {
         |FROM documents d LEFT JOIN rebuilt USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
     "q_url_stats" ->
-      s"""WITH u AS (
+      s"""WITH urldocs AS (
+        |  SELECT doc_id,
+        |         text || ' https://www.src' || ((doc_id % 7 + 7) % 7)
+        |              || '.example.com/doc/' || doc_id AS text
+        |  FROM documents
+        |), u AS (
         |  SELECT doc_id,
         |         unnest(regexp_extract_all(text, '${TextAnalysis.urlPat}', 1)) AS host
-        |  FROM documents
+        |  FROM urldocs
         |), d AS (
         |  SELECT doc_id, regexp_replace(lower(host), '^www\\.', '') AS domain FROM u
         |)

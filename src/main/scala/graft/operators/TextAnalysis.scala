@@ -369,15 +369,30 @@ object TextAnalysis {
     * redaction, so a string never double-counts (an all-digit email
     * local part is an email, not a phone). Pure per-row regex
     * projection — whole-stage codegen, no shuffle, embarrassingly
-    * parallel at any corpus size. */
+    * parallel at any corpus size.
+    *
+    * The IP replace runs TWICE. Its pattern CONSUMES its boundary
+    * characters (RE2 has no lookaround, so zero-width boundaries are
+    * not expressible cross-engine), and a consumed trailing boundary
+    * is exactly the leading boundary the next IP needed: in
+    * "1.2.3.4 5.6.7.8" the first match eats the separating space and
+    * the second IP goes unredacted — a silent PII leak on IP lists and
+    * log lines. One extra pass is sufficient, not just helpful: pass
+    * one can only skip an IP whose leading separator was consumed by
+    * the match before it, so skipped IPs are never adjacent to each
+    * other, and every one of them sits next to restored boundary text
+    * (`$1<IP>$2` puts the separators back) when pass two scans. The
+    * per-pass match counts sum to the true IP count the same way. */
   def redactPii(docs: DataFrame): DataFrame = {
     val t1 = regexp_replace(col("text"), emailPat, "<EMAIL>")
-    val t2 = regexp_replace(t1, ipPat, ipReplSpark)
+    val t2a = regexp_replace(t1, ipPat, ipReplSpark)
+    val t2 = regexp_replace(t2a, ipPat, ipReplSpark)
     val t3 = regexp_replace(t2, phonePat, phoneReplSpark)
     docs.select(
       col("doc_id"),
       regexp_count(col("text"), lit(emailPat)).cast("long").as("n_emails"),
-      regexp_count(t1, lit(ipPat)).cast("long").as("n_ips"),
+      (regexp_count(t1, lit(ipPat)) + regexp_count(t2a, lit(ipPat)))
+        .cast("long").as("n_ips"),
       regexp_count(t2, lit(phonePat)).cast("long").as("n_phones"),
       t3.as("text_redacted"))
       .orderBy("doc_id")

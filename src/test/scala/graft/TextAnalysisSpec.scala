@@ -111,7 +111,9 @@ class TextAnalysisSpec extends AnyFunSuite {
       (1L, "contact alice.smith+dev@example.co.uk or call +1 (555) 123-4567 now"),
       (2L, "server at 192.168.0.1 responded; backup at 10.0.0.255"),
       (3L, "digits-only local part 12345678@mail.com must count as email not phone"),
-      (4L, "nothing sensitive here at all"))
+      (4L, "nothing sensitive here at all"),
+      (5L, "ips 1.2.3.4 5.6.7.8 9.10.11.12 end"),   // single-space adjacency
+      (6L, "list 1.2.3.4,5.6.7.8"))                 // single-comma adjacency
       .toDF("doc_id", "text")
     val out = TextAnalysis.redactPii(corpus).collect()
       .map(r => r.getAs[Long]("doc_id") -> r).toMap
@@ -124,6 +126,12 @@ class TextAnalysisSpec extends AnyFunSuite {
     // counted after the email redaction: no double count as phone
     assert(out(3L).getAs[Long]("n_emails") == 1 && out(3L).getAs[Long]("n_phones") == 0)
     assert(out(4L).getAs[String]("text_redacted") == "nothing sensitive here at all")
+    // adjacent IPs: the boundary-consuming pattern needs the second
+    // pass to catch the ones whose leading separator was eaten
+    assert(out(5L).getAs[Long]("n_ips") == 3)
+    assert(out(5L).getAs[String]("text_redacted") == "ips <IP> <IP> <IP> end")
+    assert(out(6L).getAs[Long]("n_ips") == 2)
+    assert(out(6L).getAs[String]("text_redacted") == "list <IP>,<IP>")
   }
 
   test("redactPii does not rewrite dates, ISBNs, or numeric ranges as phones") {

@@ -114,8 +114,11 @@ def redact_pii(docs):
     t = docs["text"]
     n_e = t.str.count(EMAIL)
     a = t.str.replace(EMAIL, "<EMAIL>", regex=True)
-    n_i = a.str.count(IPV4)
-    b = a.str.replace(IPV4, r"\1<IP>\2", regex=True)
+    # two IP passes: the consumed trailing boundary is the next
+    # adjacent IP's leading boundary (see TextAnalysis.redactPii)
+    b1 = a.str.replace(IPV4, r"\1<IP>\2", regex=True)
+    n_i = a.str.count(IPV4) + b1.str.count(IPV4)
+    b = b1.str.replace(IPV4, r"\1<IP>\2", regex=True)
     n_p = b.str.count(PHONE)
     c = b.str.replace(PHONE, "<PHONE>\\1", regex=True)
     return pd.DataFrame({"doc_id": docs["doc_id"], "n_emails": n_e,

@@ -32,6 +32,9 @@ EXPECTED = {
     # NOT absorbed into the <PHONE> (ADVICE r3 fix)
     5: ("ring <PHONE> 1999 was a good year", 0, 0, 1),
     6: ("fax <PHONE> 1999 was a good year", 0, 0, 1),
+    # adjacent IPs: the boundary-consuming pattern runs a second pass
+    7: ("ips <IP> <IP> <IP> end", 0, 3, 0),
+    8: ("list <IP>,<IP>", 0, 2, 0),
 }
 
 ROWS = [
@@ -41,6 +44,8 @@ ROWS = [
     (4, "nothing sensitive here at all"),
     (5, "ring +44 20 7946 0958 1999 was a good year"),
     (6, "fax +1 (555) 123-4567 1999 was a good year"),
+    (7, "ips 1.2.3.4 5.6.7.8 9.10.11.12 end"),
+    (8, "list 1.2.3.4,5.6.7.8"),
 ]
 
 
@@ -114,86 +119,63 @@ def check_crafted(sql):
     return n_fail
 
 
-def check_generative(sql, gen_dir):
+def _diff_generative(sql, gen_dir, subdir, select, label, verify_corpus=False):
+    """Shared generative-diff core: load the gen corpus into DuckDB, run
+    the shipped oracle `sql`, and key-diff its rows against Spark's
+    parquet dump at `{gen_dir}/{subdir}` read via `select`. Rows are
+    keyed by their first selected column."""
+    import os
+    if not os.path.isdir(f"{gen_dir}/{subdir}"):
+        print(f"{label}: SKIPPED (no {subdir}/ dump in gen dir)")
+        return 0
     con = duckdb.connect()
     spark_input = dict(con.execute(
         f"SELECT doc_id, text FROM '{gen_dir}/input/*.parquet'").fetchall())
     rows = gen_corpus(len(spark_input))
-    # generator-mirror sanity: both languages must emit the same corpus
-    drift = [i for i, t in rows if spark_input.get(i) != t]
-    if drift:
-        print(f"FAIL generative: corpus mismatch on docs {drift[:5]} — "
-              f"the Scala and Python generators have drifted")
-        return 1
+    if verify_corpus:
+        # generator-mirror sanity: both languages must emit the same corpus
+        drift = [i for i, t in rows if spark_input.get(i) != t]
+        if drift:
+            print(f"FAIL {label}: corpus mismatch on docs {drift[:5]} — "
+                  f"the Scala and Python generators have drifted")
+            return 1
     con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
     con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
     duck = {r[0]: r[1:] for r in con.execute(sql).fetchall()}
     spark = {r[0]: r[1:] for r in con.execute(
-        f"SELECT doc_id, n_emails, n_ips, n_phones, text_redacted "
-        f"FROM '{gen_dir}/redacted/*.parquet'").fetchall()}
+        f"SELECT {select} FROM '{gen_dir}/{subdir}/*.parquet'").fetchall()}
     n_fail = 0
-    for doc_id in sorted(spark):
-        if duck.get(doc_id) != spark[doc_id]:
+    for key in sorted(set(duck) | set(spark)):
+        if duck.get(key) != spark.get(key):
             n_fail += 1
             if n_fail <= 10:
-                print(f"FAIL generative doc {doc_id}:\n  spark {spark[doc_id]!r}"
-                      f"\n  duck  {duck.get(doc_id)!r}")
-    print(f"generative: {len(spark) - n_fail}/{len(spark)} rows agree")
+                print(f"FAIL {label} {key!r}:\n  spark {spark.get(key)!r}"
+                      f"\n  duck  {duck.get(key)!r}")
+    print(f"{label}: {len(spark) - n_fail}/{len(spark)} rows agree")
     return n_fail
+
+
+def check_generative(sql, gen_dir):
+    return _diff_generative(
+        sql, gen_dir, "redacted",
+        "doc_id, n_emails, n_ips, n_phones, text_redacted",
+        "generative", verify_corpus=True)
 
 
 def check_generative_markup(sql, gen_dir):
     """Same generative corpus, q_strip_markup's oracle SQL vs Spark's
     stripped parquet — closes the markup patterns' dialect class the
     same way the redaction check closes PII's."""
-    import os
-    if not os.path.isdir(f"{gen_dir}/stripped"):
-        print("generative markup: SKIPPED (no stripped/ dump in gen dir)")
-        return 0
-    con = duckdb.connect()
-    rows = con.execute(
-        f"SELECT doc_id, text FROM '{gen_dir}/input/*.parquet'").fetchall()
-    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
-    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
-    duck = {r[0]: r[1:] for r in con.execute(sql).fetchall()}
-    spark = {r[0]: r[1:] for r in con.execute(
-        f"SELECT doc_id, n_tags, n_entities, text_clean "
-        f"FROM '{gen_dir}/stripped/*.parquet'").fetchall()}
-    n_fail = 0
-    for doc_id in sorted(spark):
-        if duck.get(doc_id) != spark[doc_id]:
-            n_fail += 1
-            if n_fail <= 10:
-                print(f"FAIL generative markup doc {doc_id}:\n"
-                      f"  spark {spark[doc_id]!r}\n  duck  {duck.get(doc_id)!r}")
-    print(f"generative markup: {len(spark) - n_fail}/{len(spark)} rows agree")
-    return n_fail
+    return _diff_generative(
+        sql, gen_dir, "stripped",
+        "doc_id, n_tags, n_entities, text_clean", "generative markup")
 
 
 def check_generative_urls(sql, gen_dir):
     """Same generative corpus, q_url_stats' oracle SQL vs Spark's
     domain rollup — URL pattern dialect parity (keyed by domain)."""
-    import os
-    if not os.path.isdir(f"{gen_dir}/urls"):
-        print("generative urls: SKIPPED (no urls/ dump in gen dir)")
-        return 0
-    con = duckdb.connect()
-    rows = con.execute(
-        f"SELECT doc_id, text FROM '{gen_dir}/input/*.parquet'").fetchall()
-    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
-    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
-    duck = {r[0]: r[1:] for r in con.execute(sql).fetchall()}
-    spark = {r[0]: r[1:] for r in con.execute(
-        f"SELECT domain, n_urls, n_docs FROM '{gen_dir}/urls/*.parquet'").fetchall()}
-    n_fail = 0
-    for key in sorted(set(duck) | set(spark)):
-        if duck.get(key) != spark.get(key):
-            n_fail += 1
-            if n_fail <= 10:
-                print(f"FAIL generative url domain {key!r}:\n"
-                      f"  spark {spark.get(key)!r}\n  duck  {duck.get(key)!r}")
-    print(f"generative urls: {len(spark)} domains, {n_fail} disagree")
-    return n_fail
+    return _diff_generative(
+        sql, gen_dir, "urls", "domain, n_urls, n_docs", "generative urls")
 
 
 def main():
