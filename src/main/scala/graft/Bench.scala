@@ -81,8 +81,27 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val tracker = PerformanceTracker.install(spark)
-    // warmup: JIT + codegen + shuffle machinery on the smallest SF
+
+    // bus-quiescence wait: returns once no new listener event has
+    // arrived for `idleMs`, or at `maxMs` (normal case: one ~8ms idle
+    // check). Shared by warmup and every measurement.
+    def quiesce(idleMs: Long = 8, maxMs: Long = 300): Unit = {
+      val deadline = System.nanoTime() + maxMs * 1000000L
+      var last = tracker.recorded.size
+      var idleSince = System.nanoTime()
+      while (System.nanoTime() < deadline &&
+             System.nanoTime() - idleSince < idleMs * 1000000L) {
+        Thread.sleep(2)
+        val cur = tracker.recorded.size
+        if (cur != last) { last = cur; idleSince = System.nanoTime() }
+      }
+    }
+
+    // warmup: JIT + codegen + shuffle machinery on the smallest SF;
+    // drain its listener events so they are not attributed to the
+    // alphabetically-first query's delta
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    quiesce()
 
     // (wall sec, spark-measured exec sec, ok, shuffle stats)
     def time(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
@@ -94,13 +113,13 @@ object Bench {
       // drop operator-internal caches so no query's footprint leaks
       // into the next measurement (the shared-session pollution fix)
       graft.operators.Caches.releaseAll()
-      // the listener bus is async: give this run's execution events a
-      // bounded window to land (normally <10 ms), OUTSIDE the timed
-      // region, then attribute the delta to this run
-      val deadline = System.nanoTime() + 100000000L
-      while (tracker.recorded.size == before && System.nanoTime() < deadline)
-        Thread.sleep(2)
-      Thread.sleep(5) // grace for a second event right behind the first
+      // the listener bus is async: wait until it goes QUIET (no new
+      // event for an idle window), not merely until ONE event lands —
+      // eager queries fire several actions and waiting for the first
+      // would undercount exec/shuffle for the rest and misattribute
+      // the stragglers to the NEXT query's delta. Outside the timed
+      // region; bounded so a wedged bus cannot hang the bench.
+      quiesce()
       val runOps = tracker.recorded.drop(before).filterNot(_.failed)
       val exec = runOps.map(_.durationMs).sum / 1e3
       // total shuffle the run caused, across EVERY action it fired

@@ -84,11 +84,24 @@ object Caches {
       case Some(s) => buf.partition(_._1 eq s)
       case None    => (buf.clone(), ArrayBuffer.empty[(Scope, DataFrame)])
     }
-    drop.foreach { case (_, df) =>
-      try df.unpersist(blocking = false) catch { case _: Throwable => () }
+    // Spark's CacheManager keys cache entries by PLAN, not by Dataset
+    // handle: if a surviving registration (either registry, any scope)
+    // holds the same analyzed plan, unpersisting this handle would
+    // evict the other pipeline's data mid-flight — exactly the hazard
+    // scoping exists to prevent. Such shared entries stay cached until
+    // their LAST registration drains.
+    def sharedElsewhere(df: DataFrame): Boolean = {
+      val plan = df.queryExecution.analyzed
+      (live.iterator ++ pinnedFrames.iterator).exists { case (_, other) =>
+        (other ne df) && other.queryExecution.analyzed.sameResult(plan)
+      }
     }
     buf.clear()
     buf ++= keep
+    drop.foreach { case (_, df) =>
+      try if (!sharedElsewhere(df)) df.unpersist(blocking = false)
+      catch { case _: Throwable => () }
+    }
   }
 
   /** Unpersist the tracked (non-pinned) frames of ONE scope. Frames

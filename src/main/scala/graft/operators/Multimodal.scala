@@ -279,19 +279,23 @@ object Multimodal {
         // seekForwardOnly must stay FALSE: counting frames up front
         // (getNumImages(allowSearch=true)) requires a searchable stream
         reader.setInput(iis, false)
-        val n =
-          try reader.getNumImages(true)
+        // frame-count AND per-frame reads both surface IIOException on
+        // corrupt payloads — normalize to IllegalArgumentException, the
+        // error contract every codec here shares
+        def orReject[T](body: => T): T =
+          try body
           catch {
             case e: Exception =>
               throw new IllegalArgumentException(s"undecodable GIF payload: ${e.getMessage}", e)
           }
+        val n = orReject(reader.getNumImages(true))
         require(n > 0, "no frames in GIF payload")
-        val (w, h, first) = toLuma(reader.read(0))
+        val (w, h, first) = toLuma(orReject(reader.read(0)))
         val frames = Array.ofDim[Array[Byte]](n)
         frames(0) = first
         var i = 1
         while (i < n) {
-          val (fw, fh, px) = toLuma(reader.read(i))
+          val (fw, fh, px) = toLuma(orReject(reader.read(i)))
           require(fw == w && fh == h,
             s"partial-frame GIF unsupported: frame $i is ${fw}x$fh, screen ${w}x$h")
           frames(i) = px
@@ -442,17 +446,6 @@ object Multimodal {
     * Unknown codecs fall back to the stub — the swap-in point for
     * compressed video (H.264/VP9) absent in this container.
     * Per-partition iteration — codec state is reused across rows. */
-  /** Uniform frame sampling over a decoded frame array (first and last
-    * frames always included when n > 1). */
-  private def sampleFrames(mediaId: Long, w: Int, h: Int,
-                           frames: Array[Array[Byte]], nWant: Int): Iterator[DecodedFrame] = {
-    val n = math.min(nWant, frames.length)
-    (0 until n).iterator.map { f =>
-      val src = if (n == 1) 0 else f * (frames.length - 1) / (n - 1)
-      DecodedFrame(mediaId, f, w, h, frames(src))
-    }
-  }
-
   def decode(media: Dataset[MediaRow], framesPerVideo: Int = 3): Dataset[DecodedFrame] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
@@ -482,6 +475,17 @@ object Multimodal {
           case _ => Iterator.empty
         }
       }
+    }
+  }
+
+  /** Uniform frame sampling over a decoded frame array (first and last
+    * frames always included when n > 1). */
+  private def sampleFrames(mediaId: Long, w: Int, h: Int,
+                           frames: Array[Array[Byte]], nWant: Int): Iterator[DecodedFrame] = {
+    val n = math.min(nWant, frames.length)
+    (0 until n).iterator.map { f =>
+      val src = if (n == 1) 0 else f * (frames.length - 1) / (n - 1)
+      DecodedFrame(mediaId, f, w, h, frames(src))
     }
   }
 

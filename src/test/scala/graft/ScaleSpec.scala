@@ -109,6 +109,29 @@ class ScaleSpec extends AnyFunSuite {
     assert(Caches.trackedCount == 0)
   }
 
+  test("cache scopes survive SHARED plans: CacheManager is plan-keyed, release is not") {
+    import graft.operators.Caches
+    Caches.releaseAll()
+    val docs = Tables.documents(spark, sfDir)
+    val scopeA = Caches.newScope("sharedA")
+    val scopeB = Caches.newScope("sharedB")
+    // two scopes persist the SAME logical plan — Spark's CacheManager
+    // holds ONE cache entry for both handles, so a naive plan-keyed
+    // unpersist from scope A would evict B's data mid-flight
+    val fA = Caches.in(scopeA)(Caches.persistTracked(docs.select("doc_id", "source")))
+    val fB = Caches.in(scopeB)(Caches.persistTracked(docs.select("doc_id", "source")))
+    fA.count(); fB.count()
+    def cached(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    assert(cached(fB))
+    Caches.release(scopeA)
+    assert(Caches.trackedCount(scopeA) == 0 && Caches.trackedCount(scopeB) == 1)
+    assert(cached(fB), "releasing scope A evicted B's shared-plan cache")
+    // the LAST registration's release really drops the entry
+    Caches.release(scopeB)
+    assert(!cached(fB))
+  }
+
   test("LSH bucket-skew probes report sane populations") {
     import graft.operators.{Dedup, Similarity}
     val m = Dedup.minhashBucketStats(Tables.documents(spark, sfDir)).collect()(0)
