@@ -128,6 +128,7 @@ object SparkEntry {
     "q_dedup_lines" -> ((s, d) => TextAnalysis.dedupLines(Tables.documents(s, d))),
     "q_corpus_stats" -> ((s, d) => TextAnalysis.corpusStats(Tables.documents(s, d))),
     "q_url_stats" -> ((s, d) => TextAnalysis.urlStats(urlView(Tables.documents(s, d)))),
+    "q_chunk_docs" -> ((s, d) => TextAnalysis.chunkDocs(Tables.documents(s, d))),
     // H. near-dup + similarity
     "q_dedup_minhash" -> ((s, d) => Dedup.minhashPairs(Tables.documents(s, d))),
     "q_dedup_clusters" -> ((s, d) =>
@@ -940,6 +941,20 @@ object SparkEntry {
         |SELECT domain, count(*) AS n_urls, count(DISTINCT doc_id) AS n_docs
         |FROM d WHERE domain <> ''
         |GROUP BY domain ORDER BY n_urls DESC, domain ASC""".stripMargin,
+    "q_chunk_docs" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, toks,
+        |         unnest(range(0, CAST(1 + ceil(greatest(len(toks) - 64, 0) / 48.0) AS BIGINT))) AS k
+        |  FROM tok
+        |)
+        |SELECT doc_id, CAST(k AS BIGINT) AS chunk_idx,
+        |       CAST(len(toks[(k*48+1):(k*48+64)]) AS BIGINT) AS n_chunk_tokens,
+        |       array_to_string(toks[(k*48+1):(k*48+64)], ' ') AS chunk_text
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
     "q_corpus_stats" ->
       """WITH tok AS (
         |  SELECT source, text,

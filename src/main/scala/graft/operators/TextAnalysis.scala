@@ -220,6 +220,37 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Fixed-size token chunking with overlap — the unit-of-retrieval
+    * splitter every embedding/RAG pipeline runs before vectorizing:
+    * chunk k covers tokens [k·stride, k·stride + size) with
+    * stride = size − overlap, so consecutive chunks share `overlap`
+    * tokens of context; the tail chunk may be short, and a chunk that
+    * would start at or past the end is never emitted (a doc with
+    * ≤ size tokens yields exactly one chunk). Pure per-row expansion —
+    * sequence + posexplode + slice stay inside the scan stage, no
+    * shuffle but the terminal presentation sort; downstream embedding
+    * consumes (doc_id, chunk_idx, chunk_text) partition-locally. */
+  def chunkDocs(docs: DataFrame, chunkSize: Int = 64, overlap: Int = 16): DataFrame = {
+    require(chunkSize > 0 && overlap >= 0 && overlap < chunkSize,
+      s"need 0 <= overlap ($overlap) < chunkSize ($chunkSize)")
+    val stride = chunkSize - overlap
+    val toks = tokens(col("text"))
+    // chunk count: 1 + ceil(max(0, n - chunkSize) / stride); the
+    // ceil-div runs on exact small integers through double floor
+    val extra = greatest(size(toks) - chunkSize, lit(0))
+    val nChunks =
+      lit(1L) + floor((extra + (stride - 1)).cast("double") / stride).cast("long")
+    docs
+      .select(col("doc_id"), toks.as("toks"),
+        posexplode(sequence(lit(0L), nChunks - 1)).as(Seq("pos", "k")))
+      .select(col("doc_id"), col("k").cast("long").as("chunk_idx"),
+        slice(col("toks"), (col("k").cast("int") * stride) + 1, lit(chunkSize)).as("ctoks"))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(col("ctoks")).cast("long").as("n_chunk_tokens"),
+        array_join(col("ctoks"), " ").as("chunk_text"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   // URL pattern under the same Java∩RE2 discipline: scheme + captured
   // host (group 1) + optional port + optional path-to-whitespace.
   private[graft] val urlPat =

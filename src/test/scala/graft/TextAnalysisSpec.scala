@@ -346,6 +346,27 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out(6L) == ((2L, 0L, "shared twice\nother solo")))
   }
 
+  test("chunkDocs covers every token with the declared overlap") {
+    import spark.implicits._
+    val mk = (n: Int) => (1 to n).map(i => s"t$i").mkString(" ")
+    val docs = Seq((1L, mk(10)), (2L, mk(11)), (3L, mk(4)), (4L, mk(3)), (5L, ""))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.chunkDocs(docs, chunkSize = 4, overlap = 1).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.sortBy(_.getLong(1))).toMap
+    // n=10, stride=3: chunks at 0/3/6 -> t1-4, t4-7, t7-10
+    assert(out(1L).map(_.getString(3)).toSeq ==
+      Seq("t1 t2 t3 t4", "t4 t5 t6 t7", "t7 t8 t9 t10"))
+    // n=11: a fourth, short tail chunk picks up t10 t11
+    assert(out(2L).map(_.getString(3)).toSeq ==
+      Seq("t1 t2 t3 t4", "t4 t5 t6 t7", "t7 t8 t9 t10", "t10 t11"))
+    assert(out(2L).last.getLong(2) == 2)
+    // exactly one chunk when the doc fits
+    assert(out(3L).map(_.getString(3)).toSeq == Seq("t1 t2 t3 t4"))
+    assert(out(4L).map(_.getString(3)).toSeq == Seq("t1 t2 t3"))
+    // empty text: one chunk of the single empty token
+    assert(out(5L).length == 1 && out(5L).head.getString(3) == "")
+  }
+
   test("urlStats extracts, normalizes, and rolls up domains") {
     import spark.implicits._
     val docs = Seq(
