@@ -122,18 +122,25 @@ object TextAnalysis {
     * pre-materialized hash table (see [[graft.sources.Bucketed]] for
     * the bucketed form that makes the anti-join exchange-free). Text
     * never crosses a shuffle. */
-  def dedupIncremental(newDocs: DataFrame, corpus: DataFrame): DataFrame = {
-    val newHashed = newDocs.select(
-      col("doc_id"), md5(normalize(col("text")).cast("binary")).as("content_hash"))
-    val corpusHashes = corpus
-      .select(md5(normalize(col("text")).cast("binary")).as("content_hash"))
-      .distinct()
-    newHashed
-      .join(corpusHashes, Seq("content_hash"), "left_anti")
+  def dedupIncremental(newDocs: DataFrame, corpus: DataFrame): DataFrame =
+    dedupIncrementalPrehashed(newDocs,
+      corpus.select(md5(normalize(col("text")).cast("binary")).as("content_hash"))
+        .distinct())
+
+  /** The production form of [[dedupIncremental]]: the corpus side is a
+    * PRE-MATERIALIZED `content_hash` table, maintained once per ingest
+    * instead of rehashed per batch. Written bucketed+sorted on
+    * `content_hash` ([[graft.sources.Bucketed.writeBucketed]]), the
+    * anti-join reads its bucket layout from the catalog and the
+    * 100 TB side neither shuffles nor sorts — only the arriving batch
+    * does (ScaleSpec plan-locks the single-Exchange shape). */
+  def dedupIncrementalPrehashed(newDocs: DataFrame, corpusHashes: DataFrame): DataFrame =
+    newDocs
+      .select(col("doc_id"), md5(normalize(col("text")).cast("binary")).as("content_hash"))
+      .join(corpusHashes.select("content_hash"), Seq("content_hash"), "left_anti")
       .groupBy("content_hash")
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_batch_copies"))
       .orderBy("keep_id")
-  }
 
   // Markup patterns share the PII discipline (identical Java/RE2
   // semantics: ASCII classes, no lookaround, no \b). A tag is '<' +

@@ -169,4 +169,40 @@ class ScaleSpec extends AnyFunSuite {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
     }
   }
+
+  test("incremental dedup vs a bucketed corpus-hash table: only the batch shuffles") {
+    import graft.operators.TextAnalysis
+    import org.apache.spark.sql.functions.{md5, regexp_replace, lower, trim}
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val docs = Tables.documents(spark, sfDir)
+      val corpus = docs.filter(col("doc_id") % 2 === 0)
+      val batch = docs.filter(col("doc_id") % 2 === 1)
+      Bucketed.dropTable(spark, "corpus_hashes_b")
+      Bucketed.writeBucketed(
+        corpus.select(md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+          .cast("binary")).as("content_hash")).distinct(),
+        "corpus_hashes_b", "content_hash")
+      val out = TextAnalysis.dedupIncrementalPrehashed(
+        batch, Bucketed.readBucketed(spark, "corpus_hashes_b"))
+      val plan = out.queryExecution.executedPlan.toString
+      // the catalog's bucket layout satisfies the anti-join's corpus-
+      // side distribution: exactly ONE hash exchange (the batch side);
+      // the keep-best aggregate reuses the join's partitioning
+      assert(plan.split("Exchange hashpartitioning").length - 1 == 1,
+        s"expected only the batch-side exchange:\n$plan")
+      // same answer as the self-contained form
+      val expect = TextAnalysis.dedupIncremental(batch, corpus).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      val got = out.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(got == expect)
+    } finally {
+      Bucketed.dropTable(spark, "corpus_hashes_b")
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    }
+  }
 }
