@@ -82,11 +82,18 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     val tracker = PerformanceTracker.install(spark)
 
-    // bus-quiescence wait: returns once no new listener event has
-    // arrived for `idleMs`, or at `maxMs` (normal case: one ~8ms idle
-    // check). Shared by warmup and every measurement.
-    def quiesce(idleMs: Long = 8, maxMs: Long = 300): Unit = {
+    // bus-quiescence wait: give the FIRST event after `floor` a longer
+    // window (the async bus can lag behind the returned action by tens
+    // of ms under load — the pre-round-4 wait allowed 100 ms), then
+    // drain until no further event arrives for `idleMs`. Bounded by
+    // `maxMs` so a wedged bus cannot hang the bench. Normal case: one
+    // first-event poll plus one ~8 ms idle check.
+    def quiesce(floor: Int, idleMs: Long = 8,
+                firstMs: Long = 150, maxMs: Long = 500): Unit = {
       val deadline = System.nanoTime() + maxMs * 1000000L
+      val firstDeadline = System.nanoTime() + firstMs * 1000000L
+      while (tracker.recorded.size == floor && System.nanoTime() < firstDeadline)
+        Thread.sleep(2)
       var last = tracker.recorded.size
       var idleSince = System.nanoTime()
       while (System.nanoTime() < deadline &&
@@ -101,7 +108,7 @@ object Bench {
     // drain its listener events so they are not attributed to the
     // alphabetically-first query's delta
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
-    quiesce()
+    quiesce(floor = 0)
 
     // (wall sec, spark-measured exec sec, ok, shuffle stats)
     def time(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
@@ -119,7 +126,7 @@ object Bench {
       // would undercount exec/shuffle for the rest and misattribute
       // the stragglers to the NEXT query's delta. Outside the timed
       // region; bounded so a wedged bus cannot hang the bench.
-      quiesce()
+      quiesce(floor = before)
       val runOps = tracker.recorded.drop(before).filterNot(_.failed)
       val exec = runOps.map(_.durationMs).sum / 1e3
       // total shuffle the run caused, across EVERY action it fired

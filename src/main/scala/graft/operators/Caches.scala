@@ -90,10 +90,15 @@ object Caches {
     // evict the other pipeline's data mid-flight — exactly the hazard
     // scoping exists to prevent. Such shared entries stay cached until
     // their LAST registration drains.
+    // the drained entries are already removed from both registries when
+    // this runs, so ANY surviving registration with the same plan —
+    // including the very same Dataset handle registered under another
+    // scope — must block the unpersist (no identity exclusion: the
+    // handle doesn't matter, the plan-keyed cache entry does)
     def sharedElsewhere(df: DataFrame): Boolean = {
       val plan = df.queryExecution.analyzed
       (live.iterator ++ pinnedFrames.iterator).exists { case (_, other) =>
-        (other ne df) && other.queryExecution.analyzed.sameResult(plan)
+        other.queryExecution.analyzed.sameResult(plan)
       }
     }
     buf.clear()

@@ -130,6 +130,18 @@ class ScaleSpec extends AnyFunSuite {
     // the LAST registration's release really drops the entry
     Caches.release(scopeB)
     assert(!cached(fB))
+    // the SAME handle registered under two scopes: releasing one scope
+    // must not evict it either (the registries share the Dataset object)
+    val scopeC = Caches.newScope("sharedC")
+    val scopeD = Caches.newScope("sharedD")
+    val same = docs.select("doc_id")
+    Caches.in(scopeC)(Caches.persistTracked(same))
+    Caches.in(scopeD)(Caches.persistTracked(same))
+    same.count()
+    Caches.release(scopeC)
+    assert(cached(same), "releasing scope C evicted the same-handle cache scope D tracks")
+    Caches.release(scopeD)
+    assert(!cached(same))
   }
 
   test("LSH bucket-skew probes report sane populations") {
@@ -172,7 +184,7 @@ class ScaleSpec extends AnyFunSuite {
 
   test("incremental dedup vs a bucketed corpus-hash table: only the batch shuffles") {
     import graft.operators.TextAnalysis
-    import org.apache.spark.sql.functions.{md5, regexp_replace, lower, trim}
+    import org.apache.spark.sql.functions.md5
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
     val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
@@ -182,9 +194,11 @@ class ScaleSpec extends AnyFunSuite {
       val corpus = docs.filter(col("doc_id") % 2 === 0)
       val batch = docs.filter(col("doc_id") % 2 === 1)
       Bucketed.dropTable(spark, "corpus_hashes_b")
+      // the hash table is built with the SAME normalize the operator
+      // uses — a drifting inline copy would silently anti-join nothing
       Bucketed.writeBucketed(
-        corpus.select(md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")
-          .cast("binary")).as("content_hash")).distinct(),
+        corpus.select(md5(TextAnalysis.normalize(col("text")).cast("binary"))
+          .as("content_hash")).distinct(),
         "corpus_hashes_b", "content_hash")
       val out = TextAnalysis.dedupIncrementalPrehashed(
         batch, Bucketed.readBucketed(spark, "corpus_hashes_b"))

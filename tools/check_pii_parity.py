@@ -119,28 +119,37 @@ def check_crafted(sql):
     return n_fail
 
 
-def _diff_generative(sql, gen_dir, subdir, select, label, verify_corpus=False):
-    """Shared generative-diff core: load the gen corpus into DuckDB, run
-    the shipped oracle `sql`, and key-diff its rows against Spark's
-    parquet dump at `{gen_dir}/{subdir}` read via `select`. Rows are
-    keyed by their first selected column."""
+def _diff_generative(sql, gen_dir, subdir, select, label,
+                     verify_corpus=False, required=False):
+    """Shared generative-diff core: load SPARK'S OWN input parquet into
+    DuckDB (so the diff is a same-text dialect comparison even if the
+    Python generator mirror drifts), run the shipped oracle `sql`, and
+    key-diff its rows against Spark's parquet dump at
+    `{gen_dir}/{subdir}` read via `select`. Rows are keyed by their
+    first selected column. `required` dumps hard-fail when missing
+    (a typo'd gen dir must not turn the gate green); optional ones
+    skip, for gen dirs produced before their operator existed."""
     import os
     if not os.path.isdir(f"{gen_dir}/{subdir}"):
+        if required:
+            print(f"FAIL {label}: required dump {subdir}/ missing in {gen_dir}")
+            return 1
         print(f"{label}: SKIPPED (no {subdir}/ dump in gen dir)")
         return 0
     con = duckdb.connect()
     spark_input = dict(con.execute(
         f"SELECT doc_id, text FROM '{gen_dir}/input/*.parquet'").fetchall())
-    rows = gen_corpus(len(spark_input))
     if verify_corpus:
         # generator-mirror sanity: both languages must emit the same corpus
+        rows = gen_corpus(len(spark_input))
         drift = [i for i, t in rows if spark_input.get(i) != t]
         if drift:
             print(f"FAIL {label}: corpus mismatch on docs {drift[:5]} — "
                   f"the Scala and Python generators have drifted")
             return 1
     con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
-    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    con.executemany("INSERT INTO documents VALUES (?, ?)",
+                    sorted(spark_input.items()))
     duck = {r[0]: r[1:] for r in con.execute(sql).fetchall()}
     spark = {r[0]: r[1:] for r in con.execute(
         f"SELECT {select} FROM '{gen_dir}/{subdir}/*.parquet'").fetchall()}
@@ -151,7 +160,8 @@ def _diff_generative(sql, gen_dir, subdir, select, label, verify_corpus=False):
             if n_fail <= 10:
                 print(f"FAIL {label} {key!r}:\n  spark {spark.get(key)!r}"
                       f"\n  duck  {duck.get(key)!r}")
-    print(f"{label}: {len(spark) - n_fail}/{len(spark)} rows agree")
+    print(f"{label}: {len(spark)} spark rows vs {len(duck)} oracle rows, "
+          f"{n_fail} disagree")
     return n_fail
 
 
@@ -159,7 +169,7 @@ def check_generative(sql, gen_dir):
     return _diff_generative(
         sql, gen_dir, "redacted",
         "doc_id, n_emails, n_ips, n_phones, text_redacted",
-        "generative", verify_corpus=True)
+        "generative", verify_corpus=True, required=True)
 
 
 def check_generative_markup(sql, gen_dir):
