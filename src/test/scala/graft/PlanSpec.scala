@@ -155,6 +155,25 @@ class PlanSpec extends AnyFunSuite {
       s"expected exactly two hash exchanges:\n$p")
   }
 
+  test("chunking and markup expansion stay scan-local (no hash exchange)") {
+    // chunkDocs expands in-row (sequence+posexplode+slice) — any hash
+    // exchange means a refactor moved the expansion off the scan
+    Seq("q_chunk_docs").foreach { name =>
+      val p = planOf(name)
+      assert(!p.contains("Exchange hashpartitioning"), s"$name body shuffles:\n$p")
+    }
+  }
+
+  test("corpus stats is one partial-combined aggregate") {
+    val p = planOf("q_corpus_stats")
+    // one hash exchange (the per-source agg; countDistinct rewrites to
+    // expand+two-phase agg but still one data exchange on source)
+    assert(p.split("Exchange hashpartitioning").length - 1 <= 2,
+      s"corpus stats grew extra exchanges:\n$p")
+    assert(p.split("HashAggregate").length - 1 >= 2,
+      s"expected partial aggregation:\n$p")
+  }
+
   test("whole-surface audit: no query plans a cartesian product or stray RDD boundary") {
     // documented exceptions:
     // - broadcast NLJ is the INTENTIONAL exact-semantics form for the
