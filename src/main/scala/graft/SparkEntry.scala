@@ -129,6 +129,7 @@ object SparkEntry {
     "q_corpus_stats" -> ((s, d) => TextAnalysis.corpusStats(Tables.documents(s, d))),
     "q_url_stats" -> ((s, d) => TextAnalysis.urlStats(urlView(Tables.documents(s, d)))),
     "q_chunk_docs" -> ((s, d) => TextAnalysis.chunkDocs(Tables.documents(s, d))),
+    "q_token_entropy" -> ((s, d) => TextAnalysis.tokenEntropy(Tables.documents(s, d))),
     // H. near-dup + similarity
     "q_dedup_minhash" -> ((s, d) => Dedup.minhashPairs(Tables.documents(s, d))),
     "q_dedup_clusters" -> ((s, d) =>
@@ -941,6 +942,23 @@ object SparkEntry {
         |SELECT domain, count(*) AS n_urls, count(DISTINCT doc_id) AS n_docs
         |FROM d WHERE domain <> ''
         |GROUP BY domain ORDER BY n_urls DESC, domain ASC""".stripMargin,
+    "q_token_entropy" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |         unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS token
+        |  FROM documents
+        |), tc AS (
+        |  SELECT doc_id, token, count(*) AS c FROM tok GROUP BY doc_id, token
+        |), agg AS (
+        |  SELECT doc_id,
+        |         CAST(sum(c) AS BIGINT) AS n_tokens,
+        |         count(*) AS n_distinct,
+        |         CAST(sum(CAST(round(c * log2(c) + 1e-9, 6) AS DECIMAL(38,6))) AS DOUBLE) AS clogc
+        |  FROM tc GROUP BY doc_id
+        |)
+        |SELECT doc_id, n_tokens, n_distinct,
+        |       (round(log2(n_tokens) - clogc / n_tokens + 1e-9, 4) + 0) AS entropy_bits
+        |FROM agg ORDER BY doc_id""".stripMargin,
     "q_chunk_docs" ->
       """WITH tok AS (
         |  SELECT doc_id,

@@ -258,6 +258,30 @@ object TextAnalysis {
       .orderBy("doc_id", "chunk_idx")
   }
 
+  /** Per-document token entropy in bits — H = −Σ p_t·log2(p_t) over
+    * the document's token distribution, computed as
+    * log2(n) − (Σ c·log2 c)/n. Low entropy flags degenerate text
+    * (keyword stuffing, template loops) that raw repetition ratios can
+    * miss when the repeats are interleaved. The c·log2 c addends round
+    * to 6dp before the exact DECIMAL sum (see [[graft.operators.decSum]]
+    * — double summation order differs per engine; the last-ulp
+    * difference of each engine's log2 sits far inside the tie nudge).
+    * Shape: the wordcount explode (map-side combined) then a per-doc
+    * rollup — two hash shuffles carrying only (doc, token-count)
+    * rows. */
+  def tokenEntropy(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(
+        sum("c").as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        decSum(rnd(col("c").cast("double") * log2(col("c")), 6)).as("clogc"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        rnd(log2(col("n_tokens")) - col("clogc") / col("n_tokens"), 4)
+          .as("entropy_bits"))
+      .orderBy("doc_id")
+
   // URL pattern under the same Java∩RE2 discipline: scheme + captured
   // host (group 1) + optional port + optional path-to-whitespace.
   private[graft] val urlPat =

@@ -367,6 +367,24 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out(5L).length == 1 && out(5L).head.getString(3) == "")
   }
 
+  test("tokenEntropy matches hand-computed distributions") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a a a a"),          // uniform single token: H = 0
+      (2L, "a b c d"),          // 4 distinct: H = 2 bits
+      (3L, "a a b b"),          // two tokens at 1/2: H = 1 bit
+      (4L, "a a b"),            // H = log2(3) - (2*1)/3 = 0.9183
+      (5L, ""))                 // single empty token: H = 0
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.tokenEntropy(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L) == ((4L, 1L, 0.0)))
+    assert(out(2L) == ((4L, 4L, 2.0)))
+    assert(out(3L) == ((4L, 2L, 1.0)))
+    assert(out(4L) == ((3L, 2L, 0.9183)))
+    assert(out(5L) == ((1L, 1L, 0.0)))
+  }
+
   test("urlStats extracts, normalizes, and rolls up domains") {
     import spark.implicits._
     val docs = Seq(
