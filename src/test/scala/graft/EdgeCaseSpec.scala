@@ -75,6 +75,7 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(TextAnalysis.dedupIncremental(noDocs, noDocs).count() == 0)
     assert(TextAnalysis.urlStats(noDocs).count() == 0)
     assert(TextAnalysis.chunkDocs(noDocs).count() == 0)
+    assert(TextAnalysis.tokenEntropy(noDocs).count() == 0)
     assert(GraftApi.curateCorpus(noDocs.select("doc_id", "source", "text")).count() == 0)
     assert(Dedup.nearDupClusters(noDocs.select(
       noDocs("doc_id").as("doc_a"), noDocs("doc_id").as("doc_b"))).count() == 0)
