@@ -211,6 +211,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(dlqDir).count() == 0)
   }
 
+  test("corpus ingest: cross-batch dedup, within-batch keep-min, idempotent redelivery") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.CorpusIngest
+    val corpusDir = java.nio.file.Files.createTempDirectory("graft-corpus").toString
+    val hashDir = java.nio.file.Files.createTempDirectory("graft-corpus-h").toString
+    val ms = MemoryStream[(Long, String, String)]
+    val docs = ms.toDF().toDF("doc_id", "source", "text")
+    val q = CorpusIngest.sink(docs, corpusDir, hashDir)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-corpus-ck").toString)
+      .start()
+    try {
+      // batch 0: an in-batch duplicate pair plus one unique doc
+      ms.addData((10L, "s", "alpha beta"), (11L, "s", "ALPHA   beta"), (12L, "s", "gamma"))
+      q.processAllAvailable()
+      val after0 = spark.read.parquet(corpusDir).collect()
+      assert(after0.map(_.getAs[Long]("doc_id")).toSet == Set(10L, 12L),
+        "within-batch dedup keeps the lowest id")
+      // batch 1: one cross-batch duplicate, one genuinely new doc
+      ms.addData((20L, "s", "alpha beta"), (21L, "s", "delta"))
+      q.processAllAvailable()
+      val after1 = spark.read.parquet(corpusDir).collect()
+      assert(after1.map(_.getAs[Long]("doc_id")).toSet == Set(10L, 12L, 21L),
+        "cross-batch duplicate must not be re-admitted")
+    } finally q.stop()
+    // redelivery of batch 1 (same id, same rows) replaces its own
+    // partitions instead of double-admitting — and its OWN prior hashes
+    // must not block the re-admission of doc 21
+    CorpusIngest.ingestBatch(
+      Seq((20L, "s", "alpha beta"), (21L, "s", "delta")).toDF("doc_id", "source", "text"),
+      1L, corpusDir, hashDir)
+    val redelivered = spark.read.parquet(corpusDir).collect()
+    assert(redelivered.map(_.getAs[Long]("doc_id")).toSet == Set(10L, 12L, 21L))
+    assert(redelivered.length == 3, "redelivery double-admitted rows")
+  }
+
   test("file-source stream reads the events table end-to-end") {
     val stream = EventsStream.readEvents(spark, sfDir)
     assert(stream.isStreaming)
