@@ -23,12 +23,19 @@ object TextAnalysis {
 
   def tokens(text: Column): Column = split(normalize(text), " ")
 
+  /** THE content identity of a document — every exact-dedup surface
+    * (batch, incremental, streaming ingest, keep-best) must share this
+    * one expression: hash stores written by one operator are
+    * anti-joined by another, so a drifting copy would silently split
+    * the hash space and break cross-operator dedup. */
+  def contentHash(text: Column): Column = md5(normalize(text).cast("binary"))
+
   /** Exact dedup (normalized-content hash, keep lowest doc_id):
     * one row per distinct content with its representative and
     * multiplicity. */
   def dedupExact(docs: DataFrame): DataFrame =
     docs
-      .select(col("doc_id"), md5(normalize(col("text")).cast("binary")).as("content_hash"))
+      .select(col("doc_id"), contentHash(col("text")).as("content_hash"))
       .groupBy("content_hash")
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
       .orderBy("keep_id")
@@ -97,7 +104,7 @@ object TextAnalysis {
     val w = org.apache.spark.sql.expressions.Window.partitionBy("content_hash")
     docs
       .select(col("doc_id"),
-        md5(normalize(col("text")).cast("binary")).as("content_hash"),
+        contentHash(col("text")).as("content_hash"),
         qualityScore(col("text")).as("quality_score"))
       .select(col("doc_id"), col("content_hash"), col("quality_score"),
         row_number().over(w.orderBy(desc("quality_score"), asc("doc_id"))).as("rn"),
@@ -124,7 +131,7 @@ object TextAnalysis {
     * never crosses a shuffle. */
   def dedupIncremental(newDocs: DataFrame, corpus: DataFrame): DataFrame =
     dedupIncrementalPrehashed(newDocs,
-      corpus.select(md5(normalize(col("text")).cast("binary")).as("content_hash"))
+      corpus.select(contentHash(col("text")).as("content_hash"))
         .distinct())
 
   /** The production form of [[dedupIncremental]]: the corpus side is a
@@ -136,7 +143,7 @@ object TextAnalysis {
     * does (ScaleSpec plan-locks the single-Exchange shape). */
   def dedupIncrementalPrehashed(newDocs: DataFrame, corpusHashes: DataFrame): DataFrame =
     newDocs
-      .select(col("doc_id"), md5(normalize(col("text")).cast("binary")).as("content_hash"))
+      .select(col("doc_id"), contentHash(col("text")).as("content_hash"))
       .join(corpusHashes.select("content_hash"), Seq("content_hash"), "left_anti")
       .groupBy("content_hash")
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_batch_copies"))
@@ -314,7 +321,7 @@ object TextAnalysis {
     docs.select(col("source"),
         size(tokens(col("text"))).cast("long").as("n_tok"),
         qualityScore(col("text")).as("q"),
-        md5(normalize(col("text")).cast("binary")).as("h"))
+        contentHash(col("text")).as("h"))
       .groupBy("source")
       .agg(
         count(lit(1)).as("n_docs"),

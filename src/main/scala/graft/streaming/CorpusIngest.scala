@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{AnalysisException, DataFrame, Dataset, Row}
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -36,16 +36,25 @@ object CorpusIngest {
     val spark = batch.sparkSession
     val hashed = batch.select(
       col("doc_id"), col("source"), col("text"),
-      md5(TextAnalysis.normalize(col("text")).cast("binary")).as("content_hash"))
+      TextAnalysis.contentHash(col("text")).as("content_hash"))
     // hashes admitted by OTHER batches (own prior attempt excluded —
-    // a redelivery must be able to re-admit what it admitted before)
+    // a redelivery must be able to re-admit what it admitted before).
+    // The first-batch case is an EXPLICIT existence check, not a
+    // swallowed read exception: treating any AnalysisException as
+    // "first batch" would fail OPEN — a deleted/misconfigured hash
+    // store would silently disable cross-batch dedup forever. Here a
+    // missing store admits everything ONCE (genuinely first batch);
+    // any other read failure propagates, fails the batch, and the
+    // stream retries it.
+    val hashPath = new org.apache.hadoop.fs.Path(hashDir)
+    val fs = hashPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val storeExists = fs.exists(hashPath) &&
+      fs.listStatus(hashPath).exists(_.getPath.getName.startsWith("batch_id="))
     val prior =
-      try spark.read.parquet(hashDir)
-        .filter(col("batch_id") =!= batchId).select("content_hash")
-      catch {
-        // first batch: the hash store does not exist yet
-        case _: AnalysisException => hashed.select("content_hash").where(lit(false))
-      }
+      if (storeExists)
+        spark.read.parquet(hashDir)
+          .filter(col("batch_id") =!= batchId).select("content_hash")
+      else hashed.select("content_hash").where(lit(false))
     val w = Window.partitionBy("content_hash").orderBy("doc_id")
     val survivors = hashed
       .join(prior, Seq("content_hash"), "left_anti")

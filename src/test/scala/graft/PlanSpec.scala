@@ -155,21 +155,22 @@ class PlanSpec extends AnyFunSuite {
       s"expected exactly two hash exchanges:\n$p")
   }
 
-  test("chunking and markup expansion stay scan-local (no hash exchange)") {
+  test("chunk expansion stays scan-local (no hash exchange)") {
     // chunkDocs expands in-row (sequence+posexplode+slice) — any hash
     // exchange means a refactor moved the expansion off the scan
-    Seq("q_chunk_docs").foreach { name =>
-      val p = planOf(name)
-      assert(!p.contains("Exchange hashpartitioning"), s"$name body shuffles:\n$p")
-    }
+    // (markup's scan-local shape is locked by the stricter projection
+    // test above)
+    val p = planOf("q_chunk_docs")
+    assert(!p.contains("Exchange hashpartitioning"), s"chunk body shuffles:\n$p")
   }
 
-  test("corpus stats is one partial-combined aggregate") {
+  test("corpus stats is one partial-combined countDistinct aggregate") {
     val p = planOf("q_corpus_stats")
-    // one hash exchange (the per-source agg; countDistinct rewrites to
-    // expand+two-phase agg but still one data exchange on source)
-    assert(p.split("Exchange hashpartitioning").length - 1 <= 2,
-      s"corpus stats grew extra exchanges:\n$p")
+    // EXACTLY the two hash exchanges of Spark's two-phase countDistinct
+    // rewrite (partial on (source, hash) → merge on source); a third
+    // means a refactor split the rollup into separate aggregations
+    assert(p.split("Exchange hashpartitioning").length - 1 == 2,
+      s"corpus stats changed its exchange count:\n$p")
     assert(p.split("HashAggregate").length - 1 >= 2,
       s"expected partial aggregation:\n$p")
   }

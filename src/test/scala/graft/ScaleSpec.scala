@@ -184,7 +184,6 @@ class ScaleSpec extends AnyFunSuite {
 
   test("incremental dedup vs a bucketed corpus-hash table: only the batch shuffles") {
     import graft.operators.TextAnalysis
-    import org.apache.spark.sql.functions.md5
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
     val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
@@ -194,11 +193,11 @@ class ScaleSpec extends AnyFunSuite {
       val corpus = docs.filter(col("doc_id") % 2 === 0)
       val batch = docs.filter(col("doc_id") % 2 === 1)
       Bucketed.dropTable(spark, "corpus_hashes_b")
-      // the hash table is built with the SAME normalize the operator
+      // the hash table is built with the SAME contentHash the operator
       // uses — a drifting inline copy would silently anti-join nothing
       Bucketed.writeBucketed(
-        corpus.select(md5(TextAnalysis.normalize(col("text")).cast("binary"))
-          .as("content_hash")).distinct(),
+        corpus.select(TextAnalysis.contentHash(col("text")).as("content_hash"))
+          .distinct(),
         "corpus_hashes_b", "content_hash")
       val out = TextAnalysis.dedupIncrementalPrehashed(
         batch, Bucketed.readBucketed(spark, "corpus_hashes_b"))
