@@ -147,6 +147,108 @@ def stratified_sample(docs):
         .groupby("source").head(10)
 
 
+# ==== round-4 LLM-data operators (same semantics as the graft queries,
+# idiomatic pandas/numpy forms for honest single-node comparison) ====
+
+import hashlib
+import re as _re
+
+_TAG = r"<[^>]*>"
+_ENTPAT = r"&(?:amp|lt|gt|quot|nbsp|#39);"
+_ENTS = [("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+         ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&")]
+
+
+def strip_markup(docs):
+    no_tags = docs["text"].str.replace(_TAG, " ", regex=True)
+    out = pd.DataFrame({
+        "doc_id": docs["doc_id"],
+        "n_tags": docs["text"].str.count(_TAG),
+        "n_entities": no_tags.str.count(_ENTPAT),
+    })
+    t = no_tags
+    for e, r in _ENTS:
+        t = t.str.replace(e, r, regex=False)
+    out["text_clean"] = t.str.replace(r"\s+", " ", regex=True).str.strip()
+    return out
+
+
+def _content_hash(text):
+    norm = text.str.lower().str.strip().str.replace(r"\s+", " ", regex=True)
+    return norm.map(lambda s: hashlib.md5(s.encode("utf-8")).hexdigest())
+
+
+def dedup_incremental(docs):
+    h = _content_hash(docs["text"])
+    d = docs.assign(h=h)
+    batch = d[d["doc_id"] % 2 == 1]
+    corpus_hashes = set(d.loc[d["doc_id"] % 2 == 0, "h"])
+    survivors = batch[~batch["h"].isin(corpus_hashes)]
+    return survivors.groupby("h").agg(
+        keep_id=("doc_id", "min"), n=("doc_id", "size")).reset_index()
+
+
+def assign_ids(docs):
+    out = docs[["doc_id", "source"]].sort_values("doc_id").reset_index(drop=True)
+    out["global_id"] = np.arange(len(out), dtype=np.int64)
+    return out
+
+
+def dedup_lines(docs):
+    lines = docs[["doc_id"]].assign(line=docs["text"].str.split("\n")).explode("line")
+    nonblank = lines[lines["line"].str.strip() != ""]
+    df_counts = nonblank.groupby("line")["doc_id"].nunique()
+    frequent = set(df_counts[df_counts > 2].index)
+    kept = lines[~lines["line"].isin(frequent)]
+    return kept.groupby("doc_id")["line"].apply("\n".join).reset_index()
+
+
+def token_entropy(docs):
+    toks = docs[["doc_id"]].assign(
+        token=docs["text"].str.lower().str.strip()
+        .str.replace(r"\s+", " ", regex=True).str.split(" ")).explode("token")
+    tc = toks.groupby(["doc_id", "token"]).size().rename("c").reset_index()
+    g = tc.groupby("doc_id")["c"]
+    n = g.sum()
+    clogc = tc.assign(x=tc["c"] * np.log2(tc["c"])).groupby("doc_id")["x"].sum()
+    return pd.DataFrame({"n_tokens": n, "entropy": np.log2(n) - clogc / n})
+
+
+def url_stats(docs):
+    injected = docs["text"] + " https://www.src" + \
+        (docs["doc_id"] % 7).astype(str) + ".example.com/doc/" + docs["doc_id"].astype(str)
+    hosts = injected.str.extractall(
+        r"https?://([A-Za-z0-9.-]+)(?::[0-9]+)?(?:/[^\s]*)?")[0]
+    dom = hosts.str.lower().str.replace(r"^www\.", "", regex=True)
+    d = dom.reset_index(level=0).rename(columns={"level_0": "row", 0: "domain"})
+    d["doc_id"] = docs["doc_id"].iloc[d["row"]].values
+    return d.groupby("domain").agg(
+        n_urls=("doc_id", "size"), n_docs=("doc_id", "nunique")).reset_index()
+
+
+def chunk_docs(docs, size=64, overlap=16):
+    stride = size - overlap
+    toks = docs["text"].str.lower().str.strip() \
+        .str.replace(r"\s+", " ", regex=True).str.split(" ")
+    rows = []
+    for doc_id, t in zip(docs["doc_id"], toks):
+        n = len(t)
+        n_chunks = 1 + max(0, -(-(max(0, n - size)) // stride))
+        for k in range(n_chunks):
+            rows.append((doc_id, k, " ".join(t[k * stride:k * stride + size])))
+    return pd.DataFrame(rows, columns=["doc_id", "chunk_idx", "chunk_text"])
+
+
+def corpus_stats(docs):
+    norm = docs["text"].str.lower().str.strip().str.replace(r"\s+", " ", regex=True)
+    n_tok = norm.str.split(" ").str.len()
+    h = _content_hash(docs["text"])
+    d = docs.assign(n_tok=n_tok, h=h)
+    return d.groupby("source").agg(
+        n_docs=("doc_id", "size"), n_tokens=("n_tok", "sum"),
+        avg_tokens=("n_tok", "mean"), n_distinct=("h", "nunique")).reset_index()
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     timings = {}
@@ -175,6 +277,14 @@ def main():
         ("redact_pii", redact_pii),
         ("quality_filter", quality_filter),
         ("stratified_sample", stratified_sample),
+        ("strip_markup", strip_markup),
+        ("dedup_incremental", dedup_incremental),
+        ("assign_ids", assign_ids),
+        ("dedup_lines", dedup_lines),
+        ("token_entropy", token_entropy),
+        ("url_stats", url_stats),
+        ("chunk_docs", chunk_docs),
+        ("corpus_stats", corpus_stats),
     ]:
         t0 = time.perf_counter()
         fn(docs)
