@@ -145,8 +145,13 @@ object Bench {
         val runs = samples.map(_(qi))
         // shuffle volume is a property of the data, not the run — any
         // pass's stats serve; take the max so a pass that short-circuits
-        // on an error cannot underreport
-        val shuffle = runs.map(_._4).maxBy(_.bytesWritten)
+        // on an error cannot underreport. Spill is NOT: it's transient
+        // memory pressure that can land in any pass, including one with
+        // lower shuffle bytes — aggregate it independently (max across
+        // passes) so the max-bytes pass selection can never drop it
+        val byBytes = runs.map(_._4)
+        val shuffle = byBytes.maxBy(_.bytesWritten)
+          .copy(spillBytes = byBytes.map(_.spillBytes).max)
         (name, runs.head._1, runs.map(_._1).min, runs.map(_._2).min, runs.forall(_._3), shuffle)
       }
     }

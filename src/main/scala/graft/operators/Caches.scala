@@ -104,8 +104,13 @@ object Caches {
     buf.clear()
     buf ++= keep
     drop.foreach { case (_, df) =>
-      try if (!sharedElsewhere(df)) df.unpersist(blocking = false)
-      catch { case _: Throwable => () }
+      // the guard and the unpersist fail independently: a plan-analysis
+      // failure in sharedElsewhere must default to "not shared" (still
+      // unpersist — leaking the entry is the worse outcome), so only
+      // the unpersist itself gets the swallow-and-continue treatment
+      val shared = try sharedElsewhere(df) catch { case _: Throwable => false }
+      if (!shared)
+        try df.unpersist(blocking = false) catch { case _: Throwable => () }
     }
   }
 

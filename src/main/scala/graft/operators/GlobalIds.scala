@@ -45,7 +45,16 @@ object GlobalIds {
     * 64-bit span, which `require`s below. `nBuckets` bounds the offset
     * table (driver/broadcast state) — 4096 buckets address ~4096
     * executor cores; raise it for larger clusters, the offset table
-    * is 16 bytes/bucket either way. */
+    * is 16 bytes/bucket either way.
+    *
+    * `df` must be DETERMINISTIC across re-evaluation: the plan is
+    * scanned three times (bounds, per-bucket counts, the final ranked
+    * join), and a source whose rows can differ between scans — a
+    * `sample`/`limit` without a seed-stable lineage, a shuffled RDD
+    * conversion, a changing external table — can make the branches
+    * disagree, yielding silently non-contiguous or duplicate ids.
+    * Persist such an input (or write it out) before calling; parquet
+    * scans and deterministic transformations over them are fine. */
   def assignIds(df: DataFrame, key: String, nBuckets: Int = 4096): DataFrame = {
     val bounds = df.agg(min(col(key)).cast("long"), max(col(key)).cast("long")).head()
     if (bounds.isNullAt(0)) {

@@ -73,32 +73,38 @@ object Similarity {
     * just misses the query's bucket almost always differs in ONE
     * plane's sign, so probing the nPlanes hamming-1 neighbours buys
     * most of the recall of 2^nPlanes more tables at zero index cost —
-    * only the tiny QUERY side fans out, the corpus index is built and
-    * shuffled once). Candidates are deduped, then exact-cosine top-k
-    * runs over that restricted set only. The bucket join is one hash
-    * shuffle on (table, bucket); per-bucket lists are ~n/2^nPlanes of
-    * the corpus, and recall grows with `tables`/`probeRadius` (pinned
-    * >0.5 against annTopK in SimilaritySpec). */
-  /** (vec_id, v, table, bucket, nrm): the multi-table random-hyperplane
-    * bucket index, shared by [[annLsh]] / [[embedDedupLsh]] and the
-    * bucket-skew probe. */
-  def rhpBuckets(embeddings: DataFrame, nPlanes: Int, tables: Int,
-                 seed: Long): DataFrame =
+    * only the tiny QUERY side fans out, the corpus index is built
+    * once). Candidate ids are deduped FIRST, then exact-cosine top-k
+    * runs once per surviving pair over joined-back vectors. The probe
+    * side is broadcast, so the corpus-sized index streams map-side;
+    * per-bucket lists are ~n/2^nPlanes of the corpus, and recall grows
+    * with `tables`/`probeRadius` (pinned >0.5 against annTopK in
+    * SimilaritySpec). */
+  /** (vec_id, table, bucket): the lean multi-table random-hyperplane
+    * bucket index shared by [[annLsh]] / [[embedDedupLsh]] and the
+    * bucket-skew probe — ids only, so whatever exchange the candidate
+    * join plans never carries vectors (`tables` copies of every
+    * embedding through a shuffle would dominate the exchange at high
+    * dim; vectors are joined back exactly once per DEDUPED pair
+    * instead, so a pair colliding in m tables pays one dot product,
+    * not m). */
+  def rhpIndex(embeddings: DataFrame, nPlanes: Int, tables: Int,
+               seed: Long): DataFrame =
     embeddings
-      .select(Seq(col("vec_id"), col("embedding")) ++
+      .select(Seq(col("vec_id")) ++
         (0 until tables).map(t =>
           GraftFunctions.rhpSig(col("embedding"), nPlanes, seed + t).as(s"b$t")): _*)
-      .select(col("vec_id"), col("embedding").as("v"),
+      .select(col("vec_id"),
         posexplode(array((0 until tables).map(t => col(s"b$t")): _*)))
       .withColumnRenamed("pos", "table").withColumnRenamed("col", "bucket")
-      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
 
   /** RHP bucket population profile (bucket count, largest bucket,
     * pre-verify candidate-pair volume) — the skew early-warning for
-    * the embedding-LSH joins, logged per bench run (graft.Bench). */
+    * the embedding-LSH joins, logged per bench run (graft.Bench) and
+    * bound-asserted in ScaleSpec. */
   def rhpBucketStats(embeddings: DataFrame, nPlanes: Int = 6, tables: Int = 8,
                      seed: Long = 42L): DataFrame =
-    rhpBuckets(embeddings, nPlanes, tables, seed)
+    rhpIndex(embeddings, nPlanes, tables, seed)
       .groupBy("table", "bucket").agg(count(lit(1)).as("c"))
       .agg(
         count(lit(1)).as("n_buckets"),
@@ -110,19 +116,33 @@ object Similarity {
              seed: Long = 42L): DataFrame = {
     require(probeRadius >= 0 && probeRadius <= 1,
       "probeRadius > 1 multiplies probe fan-out combinatorially; use more tables instead")
-    val e = rhpBuckets(embeddings, nPlanes, tables, seed)
+    val idx = rhpIndex(embeddings, nPlanes, tables, seed)
     // query-side probe fan-out: own bucket + each single-bit flip
     val probeCols = col("bucket") +: (if (probeRadius >= 1)
       (0 until nPlanes).map(p => col("bucket").bitwiseXOR(lit(1 << p))) else Seq.empty)
-    val q = e.filter(col("vec_id") < nQueries)
+    val q = idx.filter(col("vec_id") < nQueries)
       .withColumn("pbucket", explode(array(probeCols: _*)))
-    val cand = q.as("a")
-      .join(e.as("b"),
+    // the probe side is nQueries × tables × (1+nPlanes) id rows —
+    // broadcast it, so the corpus index is probed map-side and the
+    // only exchange in candidate generation is the small id-pair
+    // distinct (multi-table collisions collapse BEFORE any vector
+    // work)
+    val candIds = broadcast(q.as("a"))
+      .join(idx.as("b"),
         col("a.table") === col("b.table") && col("a.pbucket") === col("b.bucket") &&
           col("a.vec_id") =!= col("b.vec_id"))
-      .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("cand_id"),
-        round(cosine + lit(1e-9), 6).as("cos"))
+      .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("cand_id"))
       .distinct()
+    // exact verify: one cosine per surviving pair. Query vectors are
+    // nQueries rows — pin them on the pair side and broadcast it, so
+    // the corpus vector table streams through map-side
+    val eN = withNorm(embeddings)
+    val qv = eN.filter(col("vec_id") < nQueries)
+    val cand = broadcast(candIds
+        .join(broadcast(qv.as("a")), col("query_id") === col("a.vec_id")))
+      .join(eN.as("b"), col("cand_id") === col("b.vec_id"))
+      .select(col("query_id"), col("cand_id"),
+        round(cosine + lit(1e-9), 6).as("cos"))
     val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("cand_id"))
     cand.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -139,14 +159,23 @@ object Similarity {
   def embedDedupLsh(embeddings: DataFrame, tau: Double = 0.4,
                     nPlanes: Int = 6, tables: Int = 8,
                     seed: Long = 42L): DataFrame = {
-    val e = rhpBuckets(embeddings, nPlanes, tables, seed)
-    e.as("a").join(e.as("b"),
+    val idx = rhpIndex(embeddings, nPlanes, tables, seed)
+    // candidate generation over ids only: the (table, bucket) self-join
+    // shuffles 24-byte index rows, not `tables` copies of each vector,
+    // and the distinct collapses multi-table collisions BEFORE the
+    // verify — a pair colliding in m tables pays one dot product
+    val candIds = idx.as("a").join(idx.as("b"),
         col("a.table") === col("b.table") && col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
+    val eN = withNorm(embeddings)
+    candIds
+      .join(eN.as("a"), col("vec_a") === col("a.vec_id"))
+      .join(eN.as("b"), col("vec_b") === col("b.vec_id"))
+      .select(col("vec_a"), col("vec_b"),
         round(cosine + lit(1e-9), 6).as("cos"))
       .filter(col("cos") >= tau)
-      .distinct()
       .orderBy("vec_a", "vec_b")
   }
 

@@ -62,10 +62,18 @@ object CorpusIngest {
       .filter(col("rn") === 1).drop("rn")
       .persist()
     try {
-      survivors.drop("content_hash")
-        .write.mode("overwrite").parquet(s"$corpusDir/batch_id=$batchId")
+      // hash partition FIRST: the two writes are not atomic, and the
+      // failure window between them must err toward over-blocking, not
+      // double-admission. Hashes-without-rows is safe — a retry of the
+      // SAME batch id excludes its own partition (and overwrites both),
+      // and the engine redelivers an uncommitted batch under the same
+      // id from the checkpoint. Rows-without-hashes (the old order)
+      // would let a permanently abandoned stream re-admit the same
+      // content under a fresh batch id on a later restart.
       survivors.select("content_hash")
         .write.mode("overwrite").parquet(s"$hashDir/batch_id=$batchId")
+      survivors.drop("content_hash")
+        .write.mode("overwrite").parquet(s"$corpusDir/batch_id=$batchId")
     } finally { survivors.unpersist(); () }
   }
 

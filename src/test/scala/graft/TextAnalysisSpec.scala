@@ -367,6 +367,18 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out(5L).length == 1 && out(5L).head.getString(3) == "")
   }
 
+  test("chunkDocs is bit-identical to the one-row expansion shape") {
+    // the shape decision (see chunkDocs scaladoc) is performance-only;
+    // the two expansions must agree row-for-row
+    import spark.implicits._
+    val mk = (n: Int, s: String) => (1 to n).map(i => s"$s$i").mkString(" ")
+    val docs = Seq((1L, mk(200, "a")), (2L, mk(64, "b")), (3L, mk(65, "c")),
+      (4L, mk(1, "d")), (5L, "")).toDF("doc_id", "text")
+    val a = TextAnalysis.chunkDocs(docs).collect().map(_.toSeq)
+    val b = TextAnalysis.chunkDocsOneRow(docs).collect().map(_.toSeq)
+    assert(a.toSeq == b.toSeq)
+  }
+
   test("tokenEntropy matches hand-computed distributions") {
     import spark.implicits._
     val docs = Seq(
