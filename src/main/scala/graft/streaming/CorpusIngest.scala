@@ -1,10 +1,12 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.operators.TextAnalysis
+import graft.sources.Bucketed
 
 /** Continuous corpus construction — the streaming form of
   * [[graft.operators.TextAnalysis.dedupIncremental]]: documents arrive
@@ -13,30 +15,92 @@ import graft.operators.TextAnalysis
   * earlier batches, and the survivors append to the corpus lake.
   *
   * Exactly-once contract (the [[EventsStream.resilientBatch]] layout):
-  * batch N writes BOTH its corpus rows and its admitted content hashes
+  * batch N writes BOTH its admitted content hashes and its corpus rows
   * under `batch_id=N` partitions with mode-overwrite, so a redelivered
   * batch replaces its own prior attempt instead of double-admitting —
-  * and the cross-batch membership check reads every hash partition
-  * EXCEPT its own, so its prior attempt can never block its retry.
+  * and the cross-batch membership check reads every admitted hash
+  * EXCEPT its own batch's, so its prior attempt can never block its
+  * retry.
   *
-  * Scale shape: the membership anti-join touches content hashes only
-  * (32 hex chars + id per admitted doc), never corpus text; the
-  * within-batch rank windows on the batch side alone. At 100 TB of
-  * ACCUMULATED corpus the hash store is the bucketed table of
-  * [[graft.operators.TextAnalysis.dedupIncrementalPrehashed]] (the
-  * anti-join then shuffles only the arriving batch); the plain
-  * partitioned-parquet store here keeps the streaming semantics
-  * testable without catalog state. */
+  * Two membership-store forms:
+  *
+  *  - [[sink]]/[[ingestBatch]]: plain batch_id-partitioned parquet,
+  *    re-read whole every micro-batch. Correct and catalog-free, but
+  *    at years of accumulated batches it is a full-store scan per
+  *    trigger and a directory per batch — the testing/bootstrap form.
+  *
+  *  - [[sinkBucketed]]/[[ingestBatchBucketed]]: the 100 TB form. The
+  *    store is two-tier: a bucketed+sorted BASE table of
+  *    (content_hash, batch_id) ([[graft.sources.Bucketed]] — the
+  *    catalog's bucket layout satisfies the anti-join's distribution,
+  *    so the accumulated side never shuffles OR sorts, plan-locked in
+  *    ScaleSpec) plus small per-batch DELTA partitions that
+  *    [[compact]] periodically folds into the base. Each trigger
+  *    anti-joins the batch against the base (one batch-side exchange)
+  *    and then against the broadcast delta tail — membership cost per
+  *    trigger is bounded by the batch and the tail, not by corpus
+  *    age, and the store never exceeds `compactEvery` small files.
+  *
+  * Scale shape: the membership anti-joins touch content hashes only
+  * (32 hex chars + batch id per admitted doc), never corpus text; the
+  * within-batch rank windows on the batch side alone, reusing the
+  * anti-join's hash partitioning. */
 object CorpusIngest {
 
-  /** One micro-batch: admit new content, idempotently. Exposed for
-    * direct redelivery testing. */
+  /** Marker: set once [[compact]] has successfully built the base
+    * table. Its presence makes a missing base table an ERROR (mid-
+    * compaction crash — fail CLOSED and recover) rather than "never
+    * compacted yet". Underscore prefix: parquet readers ignore it. */
+  private def markerPath(deltaDir: String) = new Path(deltaDir, "_base_compacted")
+
+  private def stagingName(hashTable: String) = hashTable + "_staging"
+
+  private def fs(spark: SparkSession, dir: String) =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** batch_id=N partition dirs currently present under `dir`. */
+  private def batchPartitions(spark: SparkSession, dir: String): Seq[Path] = {
+    val p = new Path(dir)
+    val f = fs(spark, dir)
+    if (!f.exists(p)) Seq.empty
+    else f.listStatus(p).map(_.getPath).filter(_.getName.startsWith("batch_id=")).toSeq
+  }
+
+  /** Within-batch keep-lowest-id per content + the hash projection —
+    * shared by both store forms. */
+  private def hashedBatch(batch: Dataset[Row]): DataFrame =
+    batch.select(
+      col("doc_id"), col("source"), col("text"),
+      TextAnalysis.contentHash(col("text")).as("content_hash"))
+
+  private def keepMinPerContent(df: DataFrame): DataFrame = {
+    val w = Window.partitionBy("content_hash").orderBy("doc_id")
+    df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+  }
+
+  /** Write one batch's survivors: hash partition FIRST — the two
+    * writes are not atomic, and the failure window between them must
+    * err toward over-blocking, not double-admission. Hashes-without-
+    * rows is safe: a retry of the SAME batch id excludes its own
+    * partition (and overwrites both), and the engine redelivers an
+    * uncommitted batch under the same id from the checkpoint. The
+    * reverse order would let a permanently abandoned stream re-admit
+    * the same content under a fresh batch id on a later restart. */
+  private def writeSurvivors(survivors: DataFrame, batchId: Long,
+                             corpusDir: String, hashDir: String): Unit = {
+    survivors.select("content_hash")
+      .write.mode("overwrite").parquet(s"$hashDir/batch_id=$batchId")
+    survivors.drop("content_hash")
+      .write.mode("overwrite").parquet(s"$corpusDir/batch_id=$batchId")
+  }
+
+  /** One micro-batch against the plain parquet store: admit new
+    * content, idempotently. Exposed for direct redelivery testing. */
   def ingestBatch(batch: Dataset[Row], batchId: Long,
                   corpusDir: String, hashDir: String): Unit = {
     val spark = batch.sparkSession
-    val hashed = batch.select(
-      col("doc_id"), col("source"), col("text"),
-      TextAnalysis.contentHash(col("text")).as("content_hash"))
+    val hashed = hashedBatch(batch)
     // hashes admitted by OTHER batches (own prior attempt excluded —
     // a redelivery must be able to re-admit what it admitted before).
     // The first-batch case is an EXPLICIT existence check, not a
@@ -46,41 +110,159 @@ object CorpusIngest {
     // missing store admits everything ONCE (genuinely first batch);
     // any other read failure propagates, fails the batch, and the
     // stream retries it.
-    val hashPath = new org.apache.hadoop.fs.Path(hashDir)
-    val fs = hashPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val storeExists = fs.exists(hashPath) &&
-      fs.listStatus(hashPath).exists(_.getPath.getName.startsWith("batch_id="))
     val prior =
-      if (storeExists)
+      if (batchPartitions(spark, hashDir).nonEmpty)
         spark.read.parquet(hashDir)
           .filter(col("batch_id") =!= batchId).select("content_hash")
       else hashed.select("content_hash").where(lit(false))
-    val w = Window.partitionBy("content_hash").orderBy("doc_id")
-    val survivors = hashed
-      .join(prior, Seq("content_hash"), "left_anti")
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1).drop("rn")
-      .persist()
-    try {
-      // hash partition FIRST: the two writes are not atomic, and the
-      // failure window between them must err toward over-blocking, not
-      // double-admission. Hashes-without-rows is safe — a retry of the
-      // SAME batch id excludes its own partition (and overwrites both),
-      // and the engine redelivers an uncommitted batch under the same
-      // id from the checkpoint. Rows-without-hashes (the old order)
-      // would let a permanently abandoned stream re-admit the same
-      // content under a fresh batch id on a later restart.
-      survivors.select("content_hash")
-        .write.mode("overwrite").parquet(s"$hashDir/batch_id=$batchId")
-      survivors.drop("content_hash")
-        .write.mode("overwrite").parquet(s"$corpusDir/batch_id=$batchId")
-    } finally { survivors.unpersist(); () }
+    val survivors = keepMinPerContent(
+      hashed.join(prior, Seq("content_hash"), "left_anti")).persist()
+    try writeSurvivors(survivors, batchId, corpusDir, hashDir)
+    finally { survivors.unpersist(); () }
   }
 
-  /** The streaming sink: `docs` must carry (doc_id, source, text). */
+  /** The streaming sink over the plain parquet store: `docs` must
+    * carry (doc_id, source, text). */
   def sink(docs: DataFrame, corpusDir: String, hashDir: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[Row] =
     docs.writeStream.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
       ingestBatch(batch, batchId, corpusDir, hashDir)
     }
+
+  /** The membership-filtered, within-batch-deduped survivor frame of
+    * one batch against the two-tier store — factored out so ScaleSpec
+    * can plan-lock it: ONE hash exchange (the batch side; the bucketed
+    * base satisfies its distribution from the catalog, the delta tail
+    * joins broadcast, and the keep-min window reuses the anti-join's
+    * partitioning). */
+  private[graft] def survivorsBucketed(batch: Dataset[Row], batchId: Long,
+                                       hashTable: String, deltaDir: String): DataFrame = {
+    val spark = batch.sparkSession
+    val hashed = hashedBatch(batch)
+    val none = hashed.select("content_hash").where(lit(false))
+
+    val baseExists = spark.catalog.tableExists(hashTable)
+    if (!baseExists && fs(spark, deltaDir).exists(markerPath(deltaDir)))
+      // fail CLOSED: the base was built at least once (marker) but the
+      // table is gone — admitting against a partial store would
+      // double-admit years of corpus. compact() recovers from its
+      // staging table; sinkBucketed runs that recovery automatically.
+      throw new IllegalStateException(
+        s"corpus hash base table '$hashTable' is missing but its compaction " +
+          s"marker exists under $deltaDir — mid-compaction crash; run " +
+          "CorpusIngest.compact() to recover before ingesting")
+    // own-batch exclusion works tier-by-tier: the base keeps each
+    // hash's admitting batch_id, the delta keeps it as the partition
+    val base =
+      if (baseExists)
+        spark.table(hashTable)
+          .filter(col("batch_id") =!= batchId).select("content_hash")
+      else none
+    val delta =
+      if (batchPartitions(spark, deltaDir).nonEmpty)
+        spark.read.parquet(deltaDir)
+          .filter(col("batch_id") =!= batchId).select("content_hash")
+      else none
+
+    keepMinPerContent(
+      hashed
+        .join(base, Seq("content_hash"), "left_anti")
+        .join(broadcast(delta), Seq("content_hash"), "left_anti"))
+  }
+
+  /** One micro-batch against the two-tier bucketed store. */
+  def ingestBatchBucketed(batch: Dataset[Row], batchId: Long, corpusDir: String,
+                          hashTable: String, deltaDir: String): Unit = {
+    val survivors =
+      survivorsBucketed(batch, batchId, hashTable, deltaDir).persist()
+    try writeSurvivors(survivors, batchId, corpusDir, deltaDir)
+    finally { survivors.unpersist(); () }
+  }
+
+  /** Fold the delta partitions into the bucketed base table. Safe to
+    * run at any point between batches, idempotent, and self-recovering:
+    *
+    *  1. recover: a staging table beside a missing base (crash between
+    *     drop and rename) is renamed into place; a staging table
+    *     beside a LIVE base (crash before drop) is discarded.
+    *  2. merge: base rows belonging to batches present in the delta
+    *     tail are superseded by the delta (the tail is the newer truth
+    *     for its own batch — a redelivered batch may have admitted
+    *     different content than the compacted prior attempt), union
+    *     the tail, keep one row per content_hash (lowest batch_id).
+    *  3. swap: write merged → staging (bucketed+sorted on
+    *     content_hash), drop base, rename staging → base, set the
+    *     marker, and only THEN delete exactly the delta partitions
+    *     that were read — a crash at any step either leaves the old
+    *     state fully readable or is repaired by step 1 on the next
+    *     run, and hashes present in both base and tail over-block
+    *     nothing (the anti-joins are set-semantics).
+    *
+    * The corpus rows themselves are append-only lake partitions and
+    * are not compacted here — they are never re-read on the ingest
+    * path. */
+  def compact(spark: SparkSession, hashTable: String, deltaDir: String): Unit = {
+    val staging = stagingName(hashTable)
+    if (!spark.catalog.tableExists(hashTable) && spark.catalog.tableExists(staging)) {
+      spark.sql(s"ALTER TABLE $staging RENAME TO $hashTable")
+    } else if (spark.catalog.tableExists(staging)) {
+      Bucketed.dropTable(spark, staging)
+    }
+    if (!spark.catalog.tableExists(hashTable) &&
+        fs(spark, deltaDir).exists(markerPath(deltaDir)))
+      // outside the crash model (a crash always leaves base or a
+      // complete staging): the store was externally deleted. Rebuilding
+      // from the delta tail alone would silently forget every compacted
+      // hash — refuse instead.
+      throw new IllegalStateException(
+        s"corpus hash base '$hashTable' and its staging table are both " +
+          s"missing despite the compaction marker under $deltaDir — " +
+          "membership state lost; restore the table or remove the marker " +
+          "to explicitly accept a rebuild from the delta tail alone")
+
+    val parts = batchPartitions(spark, deltaDir)
+    if (parts.isEmpty) return
+    // partition values are inferred as the narrowest integral type —
+    // cast to the base's long before merging
+    val deltas = spark.read.parquet(deltaDir)
+      .select(col("content_hash"), col("batch_id").cast("long").as("batch_id"))
+    val base =
+      if (spark.catalog.tableExists(hashTable)) spark.table(hashTable)
+      else deltas.where(lit(false))
+    val deltaIds = deltas.select("batch_id").distinct()
+    val merged = base
+      .join(deltaIds, Seq("batch_id"), "left_anti")
+      .unionByName(deltas.select("batch_id", "content_hash"))
+      .groupBy("content_hash").agg(min("batch_id").as("batch_id"))
+
+    Bucketed.writeBucketed(merged, staging, "content_hash")
+    Bucketed.dropTable(spark, hashTable)
+    spark.sql(s"ALTER TABLE $staging RENAME TO $hashTable")
+    val f = fs(spark, deltaDir)
+    f.create(markerPath(deltaDir), true).close()
+    parts.foreach(f.delete(_, true))
+  }
+
+  /** The streaming sink over the two-tier store: every `compactEvery`
+    * batches the delta tail folds into the bucketed base, so the
+    * per-trigger membership cost and the store's file count stay
+    * bounded regardless of stream age. A mid-compaction crash is
+    * repaired by the recovery step on the next trigger's compaction
+    * (and until then ingest fails CLOSED rather than double-admit). */
+  def sinkBucketed(docs: DataFrame, corpusDir: String, hashTable: String,
+                   deltaDir: String, compactEvery: Int = 16)
+      : org.apache.spark.sql.streaming.DataStreamWriter[Row] = {
+    require(compactEvery > 0, s"compactEvery must be positive: $compactEvery")
+    docs.writeStream.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+      val spark = batch.sparkSession
+      // repair a mid-compaction crash BEFORE the fail-closed membership
+      // check sees the missing base
+      if (!spark.catalog.tableExists(hashTable) &&
+          fs(spark, deltaDir).exists(markerPath(deltaDir)))
+        compact(spark, hashTable, deltaDir)
+      ingestBatchBucketed(batch, batchId, corpusDir, hashTable, deltaDir)
+      if ((batchId + 1) % compactEvery == 0)
+        compact(spark, hashTable, deltaDir)
+    }
+  }
 }

@@ -156,6 +156,37 @@ class ScaleSpec extends AnyFunSuite {
     assert(r.getAs[Long]("n_cand_pairs") < n * (n - 1) / 2)
   }
 
+  test("LSH bucket-skew stays within enforced bounds at the bench SFs") {
+    // the bench logs these populations (`lsh_buckets`) but a JSON
+    // nobody diffs is not a gate — a hashing/banding regression that
+    // concentrates one hot bucket (quadratic candidate blowup, the
+    // 100 TB straggler) must FAIL the suite. Bounds are set from the
+    // round-5 measurements with explicit headroom; if a legitimate
+    // change trips them, re-measure and move them consciously.
+    //   minhash (k=128, bands=16): max_bucket 3-4 and cand_pairs
+    //     ~0.65n at every SF -> bounds 32 (8x) and 4n (6x).
+    //   rhp (nPlanes=6, tables=8): max_bucket ~2.5x the n/2^6 mean
+    //     (80 at n=2000), cand_pairs ~14% of the n(n-1)/2 brute-force
+    //     space -> bounds 8x the mean (3x headroom) and 35% (2.5x).
+    import graft.operators.{Dedup, Similarity}
+    for (dir <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")
+         if new java.io.File(dir).isDirectory) {
+      val nDocs = Tables.documents(spark, dir).count()
+      val m = Dedup.minhashBucketStats(Tables.documents(spark, dir)).collect()(0)
+      assert(m.getAs[Long]("max_bucket") <= 32,
+        s"$dir minhash hot bucket: ${m.getAs[Long]("max_bucket")} > 32")
+      assert(m.getAs[Long]("n_cand_pairs") <= 4 * nDocs,
+        s"$dir minhash candidate blowup: ${m.getAs[Long]("n_cand_pairs")} > 4n")
+      val nEmb = Tables.embeddings(spark, dir).count()
+      val r = Similarity.rhpBucketStats(Tables.embeddings(spark, dir)).collect()(0)
+      val meanBucket = math.max(1L, nEmb / 64) // n / 2^nPlanes
+      assert(r.getAs[Long]("max_bucket") <= 8 * meanBucket,
+        s"$dir rhp hot bucket: ${r.getAs[Long]("max_bucket")} > 8*mean($meanBucket)")
+      assert(r.getAs[Long]("n_cand_pairs") <= (0.35 * nEmb * (nEmb - 1) / 2).toLong,
+        s"$dir rhp candidates: ${r.getAs[Long]("n_cand_pairs")} > 35% of brute force")
+    }
+  }
+
   test("bucketed join runs without any Exchange (no shuffle, no sort)") {
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
     val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
@@ -177,6 +208,57 @@ class ScaleSpec extends AnyFunSuite {
       assert(!plan.contains("Exchange"), s"bucketed join still shuffles:\n$plan")
       assert(joined.count() > 0)
     } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    }
+  }
+
+  test("streaming membership vs the two-tier store: only the batch shuffles") {
+    import graft.operators.TextAnalysis
+    import graft.streaming.CorpusIngest
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val table = "corpus_hashes_tier_t"
+    val deltaDir = java.nio.file.Files.createTempDirectory("graft-tier-d").toString
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val docs = Tables.documents(spark, sfDir)
+      Bucketed.dropTable(spark, table)
+      // base: "compacted" hashes of half the corpus; delta: one
+      // uncompacted batch partition of a quarter
+      Bucketed.writeBucketed(
+        docs.filter(col("doc_id") % 2 === 0)
+          .select(TextAnalysis.contentHash(col("text")).as("content_hash"),
+            (col("doc_id") % 3).as("batch_id")).distinct(),
+        table, "content_hash")
+      docs.filter(col("doc_id") % 4 === 1)
+        .select(TextAnalysis.contentHash(col("text")).as("content_hash"))
+        .write.mode("overwrite").parquet(s"$deltaDir/batch_id=100")
+      val batch = docs.filter(col("doc_id") % 4 === 3)
+      val out = CorpusIngest.survivorsBucketed(batch, 200L, table, deltaDir)
+      val plan = out.queryExecution.executedPlan.toString
+      // the bucketed base satisfies its anti-join distribution from the
+      // catalog and the delta tail joins broadcast: the only hash
+      // exchange is the batch side's, and the keep-min window reuses it
+      assert(plan.split("Exchange hashpartitioning").length - 1 == 1,
+        s"expected only the batch-side exchange:\n$plan")
+      assert(plan.contains("BroadcastExchange"),
+        s"delta tail must join broadcast:\n$plan")
+      // semantics: survivors = batch content absent from base and
+      // delta, lowest doc_id per content
+      val baseH = spark.table(table).collect().map(_.getString(0)).toSet
+      val deltaH = spark.read.parquet(deltaDir).collect().map(_.getString(0)).toSet
+      val expect = batch
+        .select(col("doc_id"), TextAnalysis.contentHash(col("text")).as("h"))
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+        .filterNot(x => baseH(x._2) || deltaH(x._2))
+        .groupBy(_._2).map { case (h, xs) => (h, xs.map(_._1).min) }.toMap
+      val got = out.collect()
+        .map(r => (r.getAs[String]("content_hash"), r.getAs[Long]("doc_id"))).toMap
+      assert(got == expect)
+    } finally {
+      Bucketed.dropTable(spark, table)
       spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
     }

@@ -248,6 +248,107 @@ class StreamingSpec extends AnyFunSuite {
     assert(redelivered.length == 3, "redelivery double-admitted rows")
   }
 
+  test("bucketed corpus ingest: dedup across compaction, no double-admit on redelivery") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.CorpusIngest
+    import graft.sources.Bucketed
+    val corpusDir = java.nio.file.Files.createTempDirectory("graft-bcorpus").toString
+    val deltaDir = java.nio.file.Files.createTempDirectory("graft-bcorpus-d").toString
+    val table = "corpus_hashes_stream_t"
+    Bucketed.dropTable(spark, table)
+    Bucketed.dropTable(spark, table + "_staging")
+    def deltaParts() = new java.io.File(deltaDir).list().count(_.startsWith("batch_id="))
+    def corpusIds() = spark.read.parquet(corpusDir)
+      .collect().map(_.getAs[Long]("doc_id")).toSeq.sorted
+    try {
+      val ms = MemoryStream[(Long, String, String)]
+      val docs = ms.toDF().toDF("doc_id", "source", "text")
+      // compactEvery=2: batches 0,1 -> compaction folds both deltas
+      val q = CorpusIngest.sinkBucketed(docs, corpusDir, table, deltaDir, compactEvery = 2)
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft-bcorpus-ck").toString)
+        .start()
+      try {
+        // batch 0: in-batch duplicate pair + one unique
+        ms.addData((10L, "s", "alpha beta"), (11L, "s", "ALPHA   beta"), (12L, "s", "gamma"))
+        q.processAllAvailable()
+        assert(corpusIds() == Seq(10L, 12L), "within-batch dedup keeps the lowest id")
+        // batch 1: cross-batch duplicate vs batch 0's delta + one new;
+        // after it, (batchId+1) % 2 == 0 triggers compaction
+        ms.addData((20L, "s", "alpha beta"), (21L, "s", "delta"))
+        q.processAllAvailable()
+        assert(corpusIds() == Seq(10L, 12L, 21L), "delta-tail duplicate re-admitted")
+        assert(deltaParts() == 0, "compaction must remove the folded delta partitions")
+        assert(spark.catalog.tableExists(table), "compaction must build the base table")
+        // batch 2: duplicates of COMPACTED content now blocked by the
+        // bucketed base alone (no delta partitions exist)
+        ms.addData((30L, "s", "gamma"), (31L, "s", "epsilon"))
+        q.processAllAvailable()
+        assert(corpusIds() == Seq(10L, 12L, 21L, 31L),
+          "base-table duplicate must not be re-admitted after compaction")
+      } finally q.stop()
+      // redelivery of batch 2 AFTER its hashes sit in the delta tail:
+      // own-batch exclusion must keep working (batch_id travels into
+      // the store), and the retry must not double-admit
+      CorpusIngest.ingestBatchBucketed(
+        Seq((30L, "s", "gamma"), (31L, "s", "epsilon")).toDF("doc_id", "source", "text"),
+        2L, corpusDir, table, deltaDir)
+      assert(corpusIds() == Seq(10L, 12L, 21L, 31L), "redelivery double-admitted")
+      // redelivery of a batch whose hashes were already COMPACTED into
+      // the base: the base's batch_id column carries the own-batch
+      // exclusion, so the retry re-admits its own content exactly once
+      CorpusIngest.ingestBatchBucketed(
+        Seq((20L, "s", "alpha beta"), (21L, "s", "delta")).toDF("doc_id", "source", "text"),
+        1L, corpusDir, table, deltaDir)
+      assert(corpusIds() == Seq(10L, 12L, 21L, 31L),
+        "post-compaction redelivery double-admitted")
+      // compacting again folds the redelivered deltas; still no dup
+      CorpusIngest.compact(spark, table, deltaDir)
+      assert(deltaParts() == 0)
+      CorpusIngest.ingestBatchBucketed(
+        Seq((40L, "s", "delta"), (41L, "s", "zeta")).toDF("doc_id", "source", "text"),
+        3L, corpusDir, table, deltaDir)
+      assert(corpusIds() == Seq(10L, 12L, 21L, 31L, 41L))
+    } finally {
+      Bucketed.dropTable(spark, table)
+      Bucketed.dropTable(spark, table + "_staging")
+    }
+  }
+
+  test("bucketed corpus ingest fails closed when the base table vanishes") {
+    import spark.implicits._
+    import graft.streaming.CorpusIngest
+    import graft.sources.Bucketed
+    val corpusDir = java.nio.file.Files.createTempDirectory("graft-fcorpus").toString
+    val deltaDir = java.nio.file.Files.createTempDirectory("graft-fcorpus-d").toString
+    val table = "corpus_hashes_lost_t"
+    Bucketed.dropTable(spark, table)
+    try {
+      CorpusIngest.ingestBatchBucketed(
+        Seq((1L, "s", "alpha")).toDF("doc_id", "source", "text"),
+        0L, corpusDir, table, deltaDir)
+      CorpusIngest.compact(spark, table, deltaDir)
+      assert(spark.catalog.tableExists(table))
+      // simulate the base disappearing AFTER a successful compaction
+      Bucketed.dropTable(spark, table)
+      val e = intercept[IllegalStateException] {
+        CorpusIngest.ingestBatchBucketed(
+          Seq((2L, "s", "beta")).toDF("doc_id", "source", "text"),
+          1L, corpusDir, table, deltaDir)
+      }
+      assert(e.getMessage.contains("compaction marker"))
+      // compact refuses to rebuild from the (empty) tail alone, too
+      val e2 = intercept[IllegalStateException] {
+        CorpusIngest.compact(spark, table, deltaDir)
+      }
+      assert(e2.getMessage.contains("membership state lost"))
+    } finally {
+      Bucketed.dropTable(spark, table)
+      Bucketed.dropTable(spark, table + "_staging")
+    }
+  }
+
   test("file-source stream reads the events table end-to-end") {
     val stream = EventsStream.readEvents(spark, sfDir)
     assert(stream.isStreaming)
