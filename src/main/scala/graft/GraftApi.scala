@@ -114,6 +114,12 @@ object GraftApi {
     *  2. exact dedup keeping the highest-quality copy per content,
     *  3. near-dup removal: MinHash+LSH pairs → connected components,
     *     keep each cluster's canonical (minimum-id) member,
+    *  3b. optional repeated-SPAN cut (`spanDedupK = Some(k)`):
+    *     boilerplate runs of ≥ k tokens shared across surviving
+    *     documents are excised ([[graft.operators.TextAnalysis.cutSpans]])
+    *     — the substring-granularity dedup that document-level stages
+    *     2-3 cannot see; runs after them so spans repeated only among
+    *     dropped duplicates don't trigger cuts,
     *  4. PII redaction of the surviving text,
     *  5. optional per-source quota sampling (data mixing).
     *
@@ -128,8 +134,9 @@ object GraftApi {
     * an action. For composition into larger pipelines (and for a cache
     * scope you can release without touching other pipelines' caches)
     * use [[curatePlan]]. */
-  def curateCorpus(docs: DataFrame, perSource: Int = Int.MaxValue): DataFrame =
-    curatePlan(docs, perSource).frame
+  def curateCorpus(docs: DataFrame, perSource: Int = Int.MaxValue,
+                   spanDedupK: Option[Int] = None): DataFrame =
+    curatePlan(docs, perSource, spanDedupK).frame
 
   /** Build the corpus-curation unit of work WITHOUT running any Spark
     * job: a pure plan-construction call returning the composed frame
@@ -141,7 +148,8 @@ object GraftApi {
     * at FIRST ACCESS of `frame`, not at construction, so composing a
     * curation into a larger program has no surprise side effects at
     * build time and the caller decides when the resolution cost lands. */
-  def curatePlan(docs: DataFrame, perSource: Int = Int.MaxValue): CorpusCuration = {
+  def curatePlan(docs: DataFrame, perSource: Int = Int.MaxValue,
+                 spanDedupK: Option[Int] = None): CorpusCuration = {
     val scope = Caches.newScope("curate")
     new CorpusCuration(scope, () => Caches.in(scope) {
       import org.apache.spark.sql.functions.col
@@ -162,7 +170,14 @@ object GraftApi {
       val clusters = Dedup.nearDupClusters(Dedup.minhashPairs(afterExact))
       val nearDupDrop = clusters.filter(col("doc_id") =!= col("cluster_id"))
         .select("doc_id")
-      val afterNearDup = afterExact.join(nearDupDrop, Seq("doc_id"), "left_anti")
+      val survivors = afterExact.join(nearDupDrop, Seq("doc_id"), "left_anti")
+      // optional span stage consumes its input twice (interval mining +
+      // the cut projection) — persist the handoff under this scope
+      val afterNearDup = spanDedupK match {
+        case Some(sk) =>
+          TextAnalysis.cutSpans(Caches.persistTracked(survivors), k = sk)
+        case None => survivors
+      }
       val redacted = afterNearDup
         .join(TextAnalysis.redactPii(afterNearDup)
           .select(col("doc_id"), col("text_redacted")), "doc_id")

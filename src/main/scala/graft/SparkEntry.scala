@@ -126,6 +126,10 @@ object SparkEntry {
         Tables.documents(s, d).select(col("doc_id"), col("source")), "doc_id")
         .orderBy("doc_id")),
     "q_dedup_lines" -> ((s, d) => TextAnalysis.dedupLines(Tables.documents(s, d))),
+    // k=20 rather than the production default 50: the synthetic docs
+    // are short; 20 keeps the repeated-boilerplate set non-vacuous at
+    // every test SF (hundreds of repeated windows)
+    "q_dedup_spans" -> ((s, d) => TextAnalysis.dedupSpans(Tables.documents(s, d), k = 20)),
     "q_corpus_stats" -> ((s, d) => TextAnalysis.corpusStats(Tables.documents(s, d))),
     "q_url_stats" -> ((s, d) => TextAnalysis.urlStats(urlView(Tables.documents(s, d)))),
     "q_chunk_docs" -> ((s, d) => TextAnalysis.chunkDocs(Tables.documents(s, d))),
@@ -926,6 +930,52 @@ object SparkEntry {
         |       coalesce(text_clean, '') AS text_clean
         |FROM documents d LEFT JOIN rebuilt USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+    // span-dedup oracle: DuckDB compares window CONTENT where Spark
+    // compares the positional 64-bit window hash — identical semantics
+    // modulo ~n²/2⁶⁵ hash collisions (the dedup_lines discipline)
+    "q_dedup_spans" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+        |  FROM documents
+        |), wins AS (
+        |  SELECT doc_id, CAST(unnest(range(0, greatest(len(toks) - 19, 0))) AS INT) AS pos, toks
+        |  FROM tok
+        |), w2 AS (
+        |  SELECT doc_id, pos, array_to_string(list_slice(toks, pos + 1, pos + 20), ' ') AS w
+        |  FROM wins
+        |), freq AS (
+        |  SELECT w FROM w2 GROUP BY w HAVING count(DISTINCT doc_id) > 1
+        |), starts AS (
+        |  SELECT doc_id, pos FROM w2 WHERE w IN (SELECT w FROM freq)
+        |), isl AS (
+        |  SELECT doc_id, pos,
+        |         CASE WHEN pos > coalesce(max(pos + 20) OVER (
+        |           PARTITION BY doc_id ORDER BY pos
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+        |         THEN 1 ELSE 0 END AS ni
+        |  FROM starts
+        |), isl2 AS (
+        |  SELECT doc_id, pos, sum(ni) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        |  FROM isl
+        |), ivs AS (
+        |  SELECT doc_id, min(pos) AS s, max(pos) + 20 AS e FROM isl2 GROUP BY doc_id, island
+        |), te AS (
+        |  SELECT doc_id, CAST(unnest(range(0, len(toks))) AS INT) AS i, toks FROM tok
+        |), keep AS (
+        |  SELECT te.doc_id, te.i, te.toks[te.i + 1] AS t FROM te
+        |  WHERE NOT EXISTS (SELECT 1 FROM ivs
+        |                    WHERE ivs.doc_id = te.doc_id AND te.i >= ivs.s AND te.i < ivs.e)
+        |), rebuilt AS (
+        |  SELECT doc_id, count(*) AS n_kept,
+        |         string_agg(t, ' ' ORDER BY i) AS text_clean
+        |  FROM keep GROUP BY doc_id
+        |)
+        |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+        |       CAST(len(t.toks) - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed,
+        |       coalesce(r.text_clean, '') AS text_clean
+        |FROM tok t LEFT JOIN rebuilt r USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin,
     "q_url_stats" ->
       s"""WITH urldocs AS (
         |  SELECT doc_id,

@@ -186,6 +186,36 @@ object TextHash {
     ArrayData.toArrayData(java.util.Arrays.copyOf(out, cnt))
   }
 
+  /** POSITIONAL hashed word n-gram shingles: out(i) = hash of the
+    * window tokens[i, i+n) — one hash per start position, duplicates
+    * KEPT (unlike [[shingleHash64]], whose distinct set serves
+    * membership joins; span dedup needs to map a repeated window back
+    * to the exact token range it covers). Null tokens hash as empty
+    * (the tokenizer never emits them; compacting like the distinct
+    * form would desynchronize positions from the source array). */
+  def shingleHashPos(tokens: ArrayData, n: Int): ArrayData = {
+    val m = tokens.numElements()
+    if (m < n) return ArrayData.toArrayData(Array.empty[Long])
+    val out = new Array[Long](m - n + 1)
+    var i = 0
+    while (i <= m - n) {
+      var h = 1125899906842597L
+      var j = 0
+      while (j < n) {
+        if (j > 0) h = h * 31L + ' '.toLong
+        if (!tokens.isNullAt(i + j)) {
+          val b = tokens.getUTF8String(i + j).getBytes
+          var k = 0
+          while (k < b.length) { h = h * 31L + (b(k) & 0xffL); k += 1 }
+        }
+        j += 1
+      }
+      out(i) = h
+      i += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
   /** SimHash over pre-hashed shingles (bit votes on mix64 of each). */
   def simhashL(hashes: ArrayData): Long = {
     val votes = new Array[Int](64)

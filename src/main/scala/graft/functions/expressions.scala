@@ -87,6 +87,19 @@ case class ShingleHash64(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** Positional hashed word n-gram shingles (one hash per start
+  * position, duplicates kept — the span-dedup kernel). */
+case class ShingleHashPos(child: Expression, n: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    TextHash.shingleHashPos(input.asInstanceOf[ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.shingleHashPos($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashPos =
+    copy(child = newChild)
+}
+
 /** SimHash64 over pre-hashed shingles (array<long>). */
 case class SimHash64L(child: Expression)
     extends UnaryExpression {
@@ -177,6 +190,8 @@ object GraftFunctions {
     Bridge.column(IvfAssign(e(vec), cents))
   def shingleHash64(tokens: Column, n: Int): Column =
     Bridge.column(ShingleHash64(e(tokens), n))
+  def shingleHashPos(tokens: Column, n: Int): Column =
+    Bridge.column(ShingleHashPos(e(tokens), n))
   def simhash64L(hashes: Column): Column = Bridge.column(SimHash64L(e(hashes)))
   def minhashSigL(hashes: Column, k: Int): Column =
     Bridge.column(MinHashSigL(e(hashes), k))

@@ -234,6 +234,113 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Merged [s, e) token intervals per document covered by some
+    * k-token window whose content appears in more than `maxDocFreq`
+    * documents — the candidate-marking half of [[dedupSpans]].
+    *
+    * Shape: windows travel as positional 64-bit hashes
+    * ([[graft.functions.TextHash.shingleHashPos]] — codegen'd, one
+    * hash per start position) into a document-frequency aggregate and
+    * a start-position join, both keyed on the hash; the overlapping
+    * starts merge into disjoint intervals with one gaps-and-islands
+    * window per doc. Only (hash, doc_id, pos) rows ever shuffle —
+    * text stays in the scan. Window equality is hash equality: two
+    * different k-windows colliding in 64 bits AND one being
+    * boilerplate (~n_windows²/2⁶⁴) — accepted and documented, as with
+    * every shingle-hash surface. */
+  private[graft] def spanIntervals(docs: DataFrame, k: Int,
+                                   maxDocFreq: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val whs = docs.select(col("doc_id"),
+      GraftFunctions.shingleHashPos(tokens(col("text")), k).as("whs"))
+    val wins = whs.select(col("doc_id"), posexplode(col("whs")).as(Seq("pos", "wh")))
+    // window-content document frequency; > maxDocFreq = boilerplate.
+    // NOT broadcast back: at corpus scale the repeated-window set is
+    // unbounded (every duplicated license block), so the start join
+    // shuffles on the hash instead — hash+pos rows only
+    val frequent = wins.select("doc_id", "wh").distinct()
+      .groupBy("wh").agg(count(lit(1)).as("w_df"))
+      .filter(col("w_df") > maxDocFreq)
+    val starts = wins.join(frequent.select("wh"), Seq("wh"))
+    // gaps-and-islands: a start opens a new island iff it clears every
+    // earlier window's end (starts ascend, so the running max end is
+    // prev_pos + k); [s, e) intervals merge overlap AND adjacency
+    val byPos = Window.partitionBy("doc_id").orderBy("pos")
+    val prevEnd = max(col("pos") + k).over(byPos.rowsBetween(Window.unboundedPreceding, -1))
+    starts
+      .select(col("doc_id"), col("pos"),
+        when(prevEnd.isNull || col("pos") > prevEnd, 1).otherwise(0).as("ni"))
+      .select(col("doc_id"), col("pos"), sum("ni").over(byPos).as("island"))
+      .groupBy("doc_id", "island")
+      .agg(min("pos").as("s"), (max("pos") + k).as("e"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("ivs"))
+  }
+
+  /** Repeated-span dedup — the substring-granularity member of the
+    * dedup family (document-level exact/near dedup misses boilerplate
+    * PARAGRAPHS inside otherwise-distinct documents; line-level
+    * [[dedupLines]] misses anything spanning or avoiding line breaks).
+    * The fixed-k approximation of suffix-array exact-substring dedup:
+    * any repeated run of ≥ k tokens is covered by repeated k-windows
+    * and is cut exactly; runs shorter than k survive (choose k = the
+    * shortest boilerplate worth cutting). Emits per document the
+    * normalized token count, tokens removed, and the text with
+    * repeated spans cut.
+    *
+    * Scale shape: see [[spanIntervals]] (hashes shuffle, text does
+    * not); the interval table joins back BROADCAST by default — it
+    * carries only affected docs, bounded by the boilerplate volume.
+    * Set `broadcastIntervals = false` when marked docs outgrow the
+    * broadcast budget: the join becomes a hash join and the text pays
+    * its one shuffle, the [[dedupLines]] reassembly shape. The cut
+    * itself is a per-row filter over (token, index) against ≤
+    * n_tokens/k merged intervals — no explode, no reassembly
+    * aggregation. */
+  def dedupSpans(docs: DataFrame, k: Int = 50, maxDocFreq: Int = 1,
+                 broadcastIntervals: Boolean = true): DataFrame = {
+    require(k >= 2, s"window size must be at least 2 tokens: $k")
+    require(maxDocFreq >= 1, s"maxDocFreq must be at least 1: $maxDocFreq")
+    val ivs = spanIntervals(docs, k, maxDocFreq)
+    val ivSide = if (broadcastIntervals) broadcast(ivs) else ivs
+    val noIvs = array().cast("array<struct<s:int,e:int>>")
+    val covered = (i: Column) =>
+      exists(col("ivs"), iv => iv.getField("s") <= i && i < iv.getField("e"))
+    docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .join(ivSide, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("toks"),
+        coalesce(col("ivs"), noIvs).as("ivs"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        filter(col("toks"), (t, i) => !covered(i)).as("kept"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - size(col("kept"))).cast("long").as("n_removed"),
+        array_join(col("kept"), " ").as("text_clean"))
+      .orderBy("doc_id")
+  }
+
+  /** [[dedupSpans]] shaped for pipeline composition
+    * ([[graft.GraftApi.curatePlan]]'s optional span stage): returns
+    * (doc_id, source, text) with repeated spans cut, preserving the
+    * input contract of every downstream stage — and no interior
+    * presentation sort (built from [[spanIntervals]] directly, not by
+    * joining the sorted stats frame). */
+  def cutSpans(docs: DataFrame, k: Int = 50, maxDocFreq: Int = 1,
+               broadcastIntervals: Boolean = true): DataFrame = {
+    require(k >= 2, s"window size must be at least 2 tokens: $k")
+    val ivs = spanIntervals(docs, k, maxDocFreq)
+    val ivSide = if (broadcastIntervals) broadcast(ivs) else ivs
+    val noIvs = array().cast("array<struct<s:int,e:int>>")
+    val covered = (i: Column) =>
+      exists(col("ivs"), iv => iv.getField("s") <= i && i < iv.getField("e"))
+    docs.select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
+      .join(ivSide, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"), col("toks"),
+        coalesce(col("ivs"), noIvs).as("ivs"))
+      .select(col("doc_id"), col("source"),
+        array_join(filter(col("toks"), (t, i) => !covered(i)), " ").as("text"))
+  }
+
   /** Fixed-size token chunking with overlap — the unit-of-retrieval
     * splitter every embedding/RAG pipeline runs before vectorizing:
     * chunk k covers tokens [k·stride, k·stride + size) with

@@ -168,6 +168,32 @@ class IntegrationSpec extends AnyFunSuite {
     GraftApi.releaseCaches()
   }
 
+  test("curation span stage cuts shared boilerplate from otherwise-distinct docs") {
+    import spark.implicits._
+    // two long docs, distinct bodies, sharing a 6-token license block —
+    // they survive quality/exact/near-dup stages; only the span stage
+    // can excise the shared run
+    val license = "licensed under the demo terms only"
+    val mkBody = (s: String) => (1 to 30).map(i => s"the $s$i").mkString(" ")
+    val docs = Seq(
+      (1L, "web", mkBody("alpha") + " " + license),
+      (2L, "web", license + " " + mkBody("beta")),
+      (3L, "web", mkBody("gamma")))
+      .toDF("doc_id", "source", "text")
+    val out = GraftApi.curateCorpus(docs, spanDedupK = Some(6)).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    assert(out.keySet == Set(1L, 2L, 3L))
+    assert(out(1L) == mkBody("alpha") && out(2L) == mkBody("beta"),
+      s"license block must be cut: ${out(1L)} / ${out(2L)}")
+    assert(out(3L) == mkBody("gamma"), "unaffected doc must pass through unchanged")
+    // without the flag the shared block survives (document-level dedup
+    // cannot see it)
+    val off = GraftApi.curateCorpus(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    assert(off(1L).contains(license) && off(2L).contains(license))
+    GraftApi.releaseCaches()
+  }
+
   test("curatePlan construction runs zero Spark jobs; frame access owns its cache scope") {
     import java.util.concurrent.atomic.AtomicInteger
     import org.apache.spark.sql.execution.QueryExecution

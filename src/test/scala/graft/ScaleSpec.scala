@@ -264,6 +264,42 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("span dedup: hashes shuffle, text never enters a hash exchange") {
+    import graft.operators.TextAnalysis
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val out = TextAnalysis.dedupSpans(Tables.documents(spark, sfDir), k = 20)
+      val plan = out.queryExecution.executedPlan
+      // every WORK exchange (hash-partitioned: the window-df aggregate,
+      // the start join, the islands window) moves hash/position rows
+      // only; the single text-bearing exchange is the terminal
+      // presentation sort (range), which a count/write plan elides
+      val hashShuffles = plan.collect {
+        case e: ShuffleExchangeExec
+          if e.outputPartitioning.isInstanceOf[HashPartitioning] => e
+      }
+      assert(hashShuffles.nonEmpty)
+      hashShuffles.foreach { e =>
+        val names = e.output.map(_.name.toLowerCase)
+        assert(!names.exists(n =>
+            n.contains("text") || n.contains("toks") || n.contains("kept")),
+          s"text-bearing column crossed a hash shuffle: ${names.mkString(", ")}")
+      }
+      // the interval table joins back broadcast, so the corpus text
+      // streams map-side through the cut
+      assert(plan.toString.contains("BroadcastHashJoin"),
+        s"interval join-back must broadcast:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    }
+  }
+
   test("incremental dedup vs a bucketed corpus-hash table: only the batch shuffles") {
     import graft.operators.TextAnalysis
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")

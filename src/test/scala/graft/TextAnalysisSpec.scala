@@ -346,6 +346,49 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out(6L) == ((2L, 0L, "shared twice\nother solo")))
   }
 
+  test("dedupSpans cuts cross-doc repeated windows, merges overlaps, keeps unique text") {
+    import spark.implicits._
+    val docs = Seq(
+      // 4-token boilerplate shared by docs 1 and 2 (different contexts)
+      (1L, "aaa bbb ccc ddd x1 y1 z1"),
+      (2L, "q2 aaa bbb ccc ddd w2"),
+      // 6-token shared run: windows at 0,1,2 must merge into ONE [0,6) cut
+      (3L, "s1 s2 s3 s4 s5 s6 tail3"),
+      (4L, "s1 s2 s3 s4 s5 s6 tail4"),
+      // within-doc repetition only: df=1, never cut
+      (5L, "m1 m2 m3 m4 m1 m2 m3 m4"),
+      // unique doc and empty doc: untouched
+      (6L, "u1 u2 u3 u4 u5"),
+      (7L, ""))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.dedupSpans(docs, k = 4).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((7L, 4L, "x1 y1 z1")))
+    assert(out(2L) == ((6L, 4L, "q2 w2")))
+    assert(out(3L) == ((7L, 6L, "tail3")))
+    assert(out(4L) == ((7L, 6L, "tail4")))
+    assert(out(5L) == ((8L, 0L, "m1 m2 m3 m4 m1 m2 m3 m4")))
+    assert(out(6L) == ((5L, 0L, "u1 u2 u3 u4 u5")))
+    assert(out(7L) == ((1L, 0L, "")))
+    // the non-broadcast join path computes the identical answer
+    val shuffled = TextAnalysis.dedupSpans(docs, k = 4, broadcastIntervals = false)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(shuffled == out)
+  }
+
+  test("cutSpans preserves the (doc_id, source, text) pipeline contract") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "web", "aaa bbb ccc ddd x1"),
+      (2L, "web", "q2 aaa bbb ccc ddd"),
+      (3L, "book", "solo text here"))
+      .toDF("doc_id", "source", "text")
+    val out = TextAnalysis.cutSpans(docs, k = 4).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).sortBy(_._1).toSeq
+    assert(out == Seq((1L, "web", "x1"), (2L, "web", "q2"),
+      (3L, "book", "solo text here")))
+  }
+
   test("chunkDocs covers every token with the declared overlap") {
     import spark.implicits._
     val mk = (n: Int) => (1 to n).map(i => s"t$i").mkString(" ")
