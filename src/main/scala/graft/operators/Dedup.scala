@@ -305,4 +305,53 @@ object Dedup {
       .filter(col("jaccard") >= tau)
       .orderBy("doc_a", "doc_b")
   }
+
+  /** Prefix-filtered form of [[ngramJaccardPairs]] — same EXACT output
+    * (verification computes the true intersection), polynomially fewer
+    * candidates. The prefix bound (Chaudhuri et al. SSJoin / Bayardo
+    * et al. all-pairs): under ANY global element order, two sets with
+    * J ≥ τ share an element within each set's first
+    * `n − ceil(τ·n) + 1` elements — because J ≥ τ forces
+    * |A∩B| ≥ ceil(τ·|A|), and if no intersection element sat in A's
+    * prefix the whole intersection would fit in the ceil(τ|A|)−1
+    * trailing positions. Hash order is the free choice here (shingles
+    * are already 64-bit hashes; `sort_array` makes the order global),
+    * so only the ~(1−τ) smallest-hash fraction of each doc's shingles
+    * generates candidate pairs, and the candidate join's output volume
+    * drops by ~(1−τ)² with zero false negatives. Verification then
+    * joins the candidate ids back to the per-doc shingle arrays and
+    * computes the exact intersection per pair (`array_intersect`,
+    * codegen'd) — no exploded group-count, so a candidate pair costs
+    * one array op instead of |A∩B| joined rows.
+    *
+    * vs the exact operator at scale: the exact form's shuffle volume
+    * is the full shared-shingle pair expansion (measured 40.8× for a
+    * 10× data step at sf0.1 — superlinear BY DESIGN, documented in
+    * BASELINE.md); this form shuffles the prefix expansion plus one
+    * array-carrying verify join, trading peak pair volume for a
+    * second pass over the shingle arrays. Measured at the bench SFs
+    * (BASELINE.md records which form is the default where). */
+  def ngramJaccardPairsPrefix(docs: DataFrame, tau: Double = 0.5): DataFrame = {
+    require(tau > 0.0 && tau <= 1.0, s"tau must be in (0, 1]: $tau")
+    val sh = Caches.persistTracked(
+      shingleHashes(docs).filter(size(col("sh")) > 0)
+        .select(col("doc_id"), sort_array(col("sh")).as("sh")))
+    val pLen = (size(col("sh")) - ceil(lit(tau) * size(col("sh"))) + 1).cast("int")
+    val prefix = sh.select(col("doc_id"), explode(slice(col("sh"), lit(1), pLen)).as("s"))
+    val cand = prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sa")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("sa"), col("sb"))).as("inter"),
+        size(col("sa")).as("na"), size(col("sb")).as("nb"))
+      .select(col("doc_a"), col("doc_b"),
+        rnd(col("inter") / (col("na") + col("nb") - col("inter")), 4).as("jaccard"))
+      .filter(col("jaccard") >= tau)
+      .orderBy("doc_a", "doc_b")
+  }
 }

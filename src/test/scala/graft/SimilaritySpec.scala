@@ -22,6 +22,20 @@ class SimilaritySpec extends AnyFunSuite {
     assert(mh == exact, s"minhash missed ${exact.diff(mh)}")
   }
 
+  test("prefix-filtered jaccard pairs equal the exact operator") {
+    // the prefix bound guarantees zero false negatives at the given
+    // tau, and verification is exact — outputs must be IDENTICAL
+    for (tau <- Seq(0.5, 0.8)) {
+      val exact = Dedup.ngramJaccardPairs(docs, tau = tau).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val pref = Dedup.ngramJaccardPairsPrefix(docs, tau = tau).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(pref == exact,
+        s"tau=$tau: missing=${exact.diff(pref)} extra=${pref.diff(exact)}")
+    }
+    graft.operators.Caches.releaseAll()
+  }
+
   test("simhash pairs are near-dups under exact hamming") {
     val out = Dedup.simhashPairs(docs).collect()
     assert(out.nonEmpty)
