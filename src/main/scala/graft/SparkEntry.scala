@@ -126,6 +126,11 @@ object SparkEntry {
         Tables.documents(s, d).select(col("doc_id"), col("source")), "doc_id")
         .orderBy("doc_id")),
     "q_dedup_lines" -> ((s, d) => TextAnalysis.dedupLines(Tables.documents(s, d))),
+    // real greedy-BPE counts (codegen'd merge-table expression; no SQL
+    // oracle — a merge loop is not expressible in DuckDB — pinned
+    // instead row-by-row against the independent tools/bpe_reference.py
+    // fixture in BpeSpec)
+    "q_token_count_bpe" -> ((s, d) => TextAnalysis.tokenCountBpe(Tables.documents(s, d))),
     // k=20 rather than the production default 50: the synthetic docs
     // are short; 20 keeps the repeated-boilerplate set non-vacuous at
     // every test SF (hundreds of repeated windows)

@@ -8,6 +8,24 @@ import org.apache.spark.unsafe.types.UTF8String
   * paths cannot drift). Standalone object (no companion class) →
   * static forwarders exist for Janino-generated code to call.
   */
+/** A BPE merge table plus its word→count memo. Top-level class (not
+  * nested in the [[TextHash]] object) so generated Java can name its
+  * type directly as a codegen reference object. The memo lives WITH
+  * the table — not JVM-global — so two expressions over different
+  * merge tables can never cross-contaminate; it is bounded (see
+  * [[TextHash.bpeCount]]) so adversarial vocabularies cannot grow it
+  * without limit, and transient: rebuilt empty after executor
+  * deserialization. */
+final class BpeTable(merges: Seq[(String, String)]) extends Serializable {
+  val ranks: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer](merges.size * 2)
+    merges.zipWithIndex.foreach { case ((a, b), i) => m.put(a + " " + b, i) }
+    m
+  }
+  @transient lazy val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+}
+
 object TextHash {
 
   /** 64-bit polynomial rolling hash over UTF-8 bytes (base 31, odd
@@ -214,6 +232,74 @@ object TextHash {
       i += 1
     }
     ArrayData.toArrayData(out)
+  }
+
+  /** Greedy BPE token count of ONE word (symbols start as code
+    * points; each round merges every left-to-right occurrence of the
+    * lowest-ranked adjacent pair until none remains) — the apply
+    * algorithm of the public GPT-2 merges.txt format. Byte-for-byte
+    * mirrored by tools/bpe_reference.py: any drift between the two
+    * fails the BpeSpec fixture comparison. `ranks` keys are "a b"
+    * (the merges-file line), values the line rank. */
+  def bpeWord(word: String, ranks: java.util.HashMap[String, Integer]): Int = {
+    if (word.isEmpty) return 0
+    // split by code point (Python's list(word) semantics, surrogate-safe)
+    var syms = {
+      val cps = word.codePoints().toArray
+      val a = new Array[String](cps.length)
+      var i = 0
+      while (i < cps.length) { a(i) = new String(Character.toChars(cps(i))); i += 1 }
+      a
+    }
+    var done = false
+    while (!done && syms.length >= 2) {
+      var bestRank = Int.MaxValue
+      var bestA: String = null
+      var bestB: String = null
+      var i = 0
+      while (i < syms.length - 1) {
+        val r = ranks.get(syms(i) + " " + syms(i + 1))
+        if (r != null && r < bestRank) { bestRank = r; bestA = syms(i); bestB = syms(i + 1) }
+        i += 1
+      }
+      if (bestA == null) done = true
+      else {
+        val out = new Array[String](syms.length)
+        var n = 0
+        var j = 0
+        while (j < syms.length) {
+          if (j < syms.length - 1 && syms(j) == bestA && syms(j + 1) == bestB) {
+            out(n) = bestA + bestB; n += 1; j += 2
+          } else { out(n) = syms(j); n += 1; j += 1 }
+        }
+        syms = java.util.Arrays.copyOf(out, n)
+      }
+    }
+    syms.length
+  }
+
+  private val BpeCacheMax = 1 << 16
+
+  /** Total greedy-BPE token count of a token array (sum of per-word
+    * counts; null tokens and empty strings contribute 0). */
+  def bpeCount(tokens: ArrayData, table: graft.functions.BpeTable): Long = {
+    var total = 0L
+    val n = tokens.numElements()
+    var t = 0
+    while (t < n) {
+      if (!tokens.isNullAt(t)) {
+        val w = tokens.getUTF8String(t).toString
+        val cached = table.cache.get(w)
+        if (cached != null) total += cached.intValue()
+        else {
+          val c = bpeWord(w, table.ranks)
+          if (table.cache.size() < BpeCacheMax) table.cache.put(w, c)
+          total += c
+        }
+      }
+      t += 1
+    }
+    total
   }
 
   /** SimHash over pre-hashed shingles (bit votes on mix64 of each). */

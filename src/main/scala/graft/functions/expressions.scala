@@ -164,6 +164,26 @@ case class CountInSet(child: Expression, words: Seq[String])
     copy(child = newChild)
 }
 
+/** Greedy-BPE token count of a token array under a fixed merge table
+  * (public GPT-2 merges.txt semantics; see
+  * [[TextHash.bpeWord]]/tools/bpe_reference.py for the mirrored apply
+  * algorithm). The table+memo object rides into generated code as a
+  * reference object, so counting is a pure codegen'd map over the
+  * scan. */
+case class BpeCount(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression {
+  @transient private lazy val table = new BpeTable(merges)
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    TextHash.bpeCount(input.asInstanceOf[ArrayData], table)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val t = ctx.addReferenceObj("bpeTable", table, "graft.functions.BpeTable")
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.bpeCount($c, $t)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): BpeCount =
+    copy(child = newChild)
+}
+
 /** Random-hyperplane LSH signature (int bucket) of a float vector. */
 case class RhpSig(child: Expression, nPlanes: Int, seed: Long)
     extends UnaryExpression {
@@ -197,4 +217,6 @@ object GraftFunctions {
     Bridge.column(MinHashSigL(e(hashes), k))
   def countInSet(tokens: Column, words: Seq[String]): Column =
     Bridge.column(CountInSet(e(tokens), words))
+  def bpeCount(tokens: Column, merges: Seq[(String, String)]): Column =
+    Bridge.column(BpeCount(e(tokens), merges))
 }

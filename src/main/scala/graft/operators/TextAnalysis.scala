@@ -49,6 +49,35 @@ object TextAnalysis {
       regexp_count(normalize(col("text")), lit("[a-z]+|[0-9]+|[^a-z0-9 ]")).as("n_bpe_tokens"))
       .orderBy("doc_id")
 
+  /** The default BPE merge table: trained on the sf0.001 documents
+    * corpus by tools/gen_bpe_merges.py (the public GPT-2 merges.txt
+    * format — rank = line order), shipped as a classpath resource.
+    * Swap in any merges.txt-format table (e.g. a published model's)
+    * via [[tokenCountBpe]]'s parameter. */
+  lazy val defaultBpeMerges: Seq[(String, String)] = {
+    val in = getClass.getResourceAsStream("/graft/bpe_merges.txt")
+    require(in != null, "classpath resource /graft/bpe_merges.txt is missing")
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .filterNot(l => l.isEmpty || l.startsWith("#"))
+      .map { l => val sp = l.split(" ", 2); (sp(0), sp(1)) }.toSeq
+    finally in.close()
+  }
+
+  /** REAL tokenizer counts — greedy BPE under a merges.txt-format
+    * table ([[graft.functions.BpeCount]], a codegen'd scan-local
+    * projection; the whitespace proxy in [[tokenCount]] misprices
+    * long/rare words exactly where training-data budgeting cares).
+    * Parity with an independent Python implementation
+    * (tools/bpe_reference.py) is pinned fixture-row-by-row in BpeSpec;
+    * the empty document counts 0. */
+  def tokenCountBpe(docs: DataFrame,
+                    merges: Seq[(String, String)] = defaultBpeMerges): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("n_ws_tokens"),
+      GraftFunctions.bpeCount(tokens(col("text")), merges).as("n_bpe_tokens"))
+      .orderBy("doc_id")
+
   private val stopwords = Seq("the", "a", "of", "and", "is", "in", "to")
 
   /** Quality scoring: length, token stats, stopword/punctuation/
