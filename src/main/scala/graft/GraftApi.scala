@@ -153,42 +153,55 @@ object GraftApi {
     val scope = Caches.newScope("curate")
     new CorpusCuration(scope, () => Caches.in(scope) {
       import org.apache.spark.sql.functions.col
+      val stages = Seq.newBuilder[(String, DataFrame)]
+      stages += ("input" -> docs)
       // Stage outputs that feed MULTIPLE downstream branches persist via
       // the cache registry under THIS curation's scope (released by
       // CorpusCuration.release, or globally by releaseCaches) — without
       // this, each handoff self-join would re-run the full upstream
       // lineage (the regex passes twice, the quality scoring three times).
       val cleaned = docs.withColumn("text", TextAnalysis.cleanMarkup(col("text")))
+      stages += ("strip_markup" -> cleaned)
       val qualityKeep = TextAnalysis.qualityFilter(cleaned)
         .filter(col("keep") === 1).select("doc_id")
       val afterQuality = Caches.persistTracked(cleaned.join(qualityKeep, "doc_id"))
+      stages += ("quality_filter" -> afterQuality)
       val exactKeep = TextAnalysis.dedupKeepBest(afterQuality)
         .select(col("keep_id").as("doc_id"))
       val afterExact = Caches.persistTracked(afterQuality.join(exactKeep, "doc_id"))
+      stages += ("exact_dedup" -> afterExact)
       // near-dup clusters: survivors are each cluster's canonical member
       // plus every unpaired document
       val clusters = Dedup.nearDupClusters(Dedup.minhashPairs(afterExact))
       val nearDupDrop = clusters.filter(col("doc_id") =!= col("cluster_id"))
         .select("doc_id")
       val survivors = afterExact.join(nearDupDrop, Seq("doc_id"), "left_anti")
+      stages += ("near_dup" -> survivors)
       // optional span stage consumes its input twice (interval mining +
       // the cut projection) — persist the handoff under this scope
       val afterNearDup = spanDedupK match {
         case Some(sk) =>
-          TextAnalysis.cutSpans(Caches.persistTracked(survivors), k = sk)
+          val cut = TextAnalysis.cutSpans(Caches.persistTracked(survivors), k = sk)
+          stages += ("span_dedup" -> cut)
+          cut
         case None => survivors
       }
       val redacted = afterNearDup
         .join(TextAnalysis.redactPii(afterNearDup)
           .select(col("doc_id"), col("text_redacted")), "doc_id")
         .select(col("doc_id"), col("source"), col("text_redacted").as("text"))
-      if (perSource == Int.MaxValue) redacted.orderBy("doc_id")
-      else {
-        // the sampling branch consumes `redacted` twice (rank + output)
-        val r = Caches.persistTracked(redacted)
-        r.join(TextAnalysis.stratifiedSample(r, perSource).select("doc_id"), "doc_id")
-          .orderBy("doc_id")
-      }
+      stages += ("redact_pii" -> redacted)
+      val out =
+        if (perSource == Int.MaxValue) redacted.orderBy("doc_id")
+        else {
+          // the sampling branch consumes `redacted` twice (rank + output)
+          val r = Caches.persistTracked(redacted)
+          val sampled = r
+            .join(TextAnalysis.stratifiedSample(r, perSource).select("doc_id"), "doc_id")
+          stages += ("stratified_sample" -> sampled)
+          sampled.orderBy("doc_id")
+        }
+      (out, stages.result())
     })
   }
 
@@ -223,11 +236,45 @@ object GraftApi {
   * pipelines interleaved in one session cannot evict each other's. */
 final class CorpusCuration private[graft] (
     val scope: graft.operators.Caches.Scope,
-    build: () => DataFrame) {
+    build: () => (DataFrame, Seq[(String, DataFrame)])) {
+
+  private lazy val built: (DataFrame, Seq[(String, DataFrame)]) = build()
 
   /** The curated (doc_id, source, text) frame; first access runs the
     * cluster-resolution jobs. */
-  lazy val frame: DataFrame = build()
+  lazy val frame: DataFrame = built._1
+
+  /** The per-stage attrition datasheet — the corpus_stats analog for
+    * the pipeline itself, what a real curation run publishes beside
+    * its output: one row per stage in order with the document count
+    * entering and leaving it and the drop it caused. Stages that
+    * rewrite text without dropping documents (markup strip, span cut,
+    * redaction) show docs_dropped 0 — their presence in the datasheet
+    * is the point (the run's full provenance, not just its filters).
+    *
+    * Lazy like [[frame]] (first access resolves near-dup clusters);
+    * collecting it runs one counting job per stage, each over the
+    * pipeline's own scope-cached intermediates, so the marginal cost
+    * after the frame has materialized is small. IntegrationSpec pins
+    * the reconciliation invariants: chained docs_in/docs_out, input
+    * row = source count, last row = output count. */
+  lazy val manifest: DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val counts = built._2.zipWithIndex.map { case ((name, df), i) =>
+      df.agg(count(lit(1)).as("docs_out"))
+        .select(lit(i).as("stage_idx"), lit(name).as("stage"), col("docs_out"))
+    }.reduce(_ unionByName _)
+    // the window runs over one row per stage — single-partition by
+    // construction and bounded by the stage count, not the data
+    val prev = Window.orderBy("stage_idx").rowsBetween(-1, -1)
+    counts
+      .select(col("stage_idx"), col("stage"),
+        coalesce(max("docs_out").over(prev), col("docs_out")).as("docs_in"),
+        col("docs_out"))
+      .withColumn("docs_dropped", col("docs_in") - col("docs_out"))
+      .orderBy("stage_idx")
+  }
 
   /** Drop the caches this curation registered (and no others). */
   def release(): Unit = graft.operators.Caches.release(scope)

@@ -168,6 +168,40 @@ class IntegrationSpec extends AnyFunSuite {
     GraftApi.releaseCaches()
   }
 
+  test("curation manifest reconciles with the stage outputs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val base = graft.sources.Tables.documents(spark, sfDir)
+      .select("doc_id", "source", "text")
+    val nIn = base.count()
+    val curation = GraftApi.curatePlan(base, perSource = 3, spanDedupK = Some(20))
+    try {
+      val nOut = curation.frame.count()
+      val m = curation.manifest.collect()
+        .map(r => (r.getAs[Int]("stage_idx"), r.getAs[String]("stage"),
+          r.getAs[Long]("docs_in"), r.getAs[Long]("docs_out"),
+          r.getAs[Long]("docs_dropped")))
+      // every configured stage present, in pipeline order
+      assert(m.map(_._2).toSeq == Seq("input", "strip_markup", "quality_filter",
+        "exact_dedup", "near_dup", "span_dedup", "redact_pii", "stratified_sample"))
+      // reconciliation: the chain is gapless and bounds the run
+      assert(m.head._3 == nIn && m.head._4 == nIn)
+      assert(m.last._4 == nOut, "manifest tail must equal the output count")
+      m.sliding(2).foreach { case Array(a, b) =>
+        assert(b._3 == a._4, s"docs_in of ${b._2} != docs_out of ${a._2}")
+      }
+      m.foreach { case (_, stage, in, out, dropped) =>
+        assert(dropped == in - out && dropped >= 0, s"$stage attrition inconsistent")
+      }
+      // text-rewriting stages drop nothing; filters are the only drops
+      Seq("strip_markup", "span_dedup", "redact_pii").foreach { s =>
+        assert(m.find(_._2 == s).get._5 == 0L, s"$s must not drop documents")
+      }
+      assert(m.find(_._2 == "stratified_sample").get._5 > 0,
+        "perSource=3 must actually sample at this corpus size")
+    } finally curation.release()
+  }
+
   test("curation span stage cuts shared boilerplate from otherwise-distinct docs") {
     import spark.implicits._
     // two long docs, distinct bodies, sharing a 6-token license block —
