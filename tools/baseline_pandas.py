@@ -249,6 +249,87 @@ def corpus_stats(docs):
         avg_tokens=("n_tok", "mean"), n_distinct=("h", "nunique")).reset_index()
 
 
+def dedup_spans(docs, k=20, max_df=1):
+    # repeated k-token windows across docs -> merged intervals -> cut
+    toks = docs["text"].str.lower().str.strip() \
+        .str.replace(r"\s+", " ", regex=True).str.split(" ")
+    wins = []
+    for doc_id, t in zip(docs["doc_id"], toks):
+        for i in range(max(0, len(t) - k + 1)):
+            wins.append((doc_id, i, " ".join(t[i:i + k])))
+    w = pd.DataFrame(wins, columns=["doc_id", "pos", "w"])
+    df_counts = w.groupby("w")["doc_id"].nunique()
+    frequent = set(df_counts[df_counts > max_df].index)
+    starts = w[w["w"].isin(frequent)]
+    by_doc = starts.groupby("doc_id")["pos"].apply(list).to_dict()
+    rows = []
+    for doc_id, t in zip(docs["doc_id"], toks):
+        ps = sorted(by_doc.get(doc_id, []))
+        ivs, cur = [], None
+        for p in ps:
+            if cur is not None and p <= cur[1]:
+                cur = (cur[0], max(cur[1], p + k))
+            else:
+                if cur:
+                    ivs.append(cur)
+                cur = (p, p + k)
+        if cur:
+            ivs.append(cur)
+        kept = [tok for i, tok in enumerate(t)
+                if not any(s <= i < e for s, e in ivs)]
+        rows.append((doc_id, len(t), len(t) - len(kept), " ".join(kept)))
+    return pd.DataFrame(rows, columns=["doc_id", "n_tokens", "n_removed", "text_clean"])
+
+
+def _load_bpe_ranks():
+    ranks = {}
+    with open("src/main/resources/graft/bpe_merges.txt") as f:
+        for line in f:
+            line = line.rstrip("\n")
+            if line and not line.startswith("#"):
+                a, b = line.split(" ")
+                ranks[(a, b)] = len(ranks)
+    return ranks
+
+
+def token_count_bpe(docs):
+    # greedy BPE apply per word, memoized like the engine's kernel
+    ranks = _load_bpe_ranks()
+    cache = {}
+
+    def word_count(word):
+        if word in cache:
+            return cache[word]
+        syms = list(word)
+        while len(syms) >= 2:
+            best, best_rank = None, None
+            for i in range(len(syms) - 1):
+                r = ranks.get((syms[i], syms[i + 1]))
+                if r is not None and (best_rank is None or r < best_rank):
+                    best, best_rank = (syms[i], syms[i + 1]), r
+            if best is None:
+                break
+            a, b = best
+            out, i = [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        cache[word] = len(syms)
+        return cache[word]
+
+    norm = docs["text"].str.lower().str.strip().str.replace(r"\s+", " ", regex=True)
+    return pd.DataFrame({
+        "doc_id": docs["doc_id"],
+        "n_bpe_tokens": norm.map(
+            lambda s: sum(word_count(w) for w in s.split(" "))),
+    })
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     timings = {}
@@ -285,6 +366,8 @@ def main():
         ("url_stats", url_stats),
         ("chunk_docs", chunk_docs),
         ("corpus_stats", corpus_stats),
+        ("dedup_spans", dedup_spans),
+        ("token_count_bpe", token_count_bpe),
     ]:
         t0 = time.perf_counter()
         fn(docs)
