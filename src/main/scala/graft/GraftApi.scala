@@ -175,13 +175,16 @@ object GraftApi {
       val clusters = Dedup.nearDupClusters(Dedup.minhashPairs(afterExact))
       val nearDupDrop = clusters.filter(col("doc_id") =!= col("cluster_id"))
         .select("doc_id")
-      val survivors = afterExact.join(nearDupDrop, Seq("doc_id"), "left_anti")
+      // the near-dup handoff ALWAYS has two consumers (redactPii input
+      // + the redaction join-back; three with the span stage's interval
+      // mining) — persist it under this scope so the anti-join lineage
+      // does not re-run per consumer
+      val survivors = Caches.persistTracked(
+        afterExact.join(nearDupDrop, Seq("doc_id"), "left_anti"))
       stages += ("near_dup" -> survivors)
-      // optional span stage consumes its input twice (interval mining +
-      // the cut projection) — persist the handoff under this scope
       val afterNearDup = spanDedupK match {
         case Some(sk) =>
-          val cut = TextAnalysis.cutSpans(Caches.persistTracked(survivors), k = sk)
+          val cut = TextAnalysis.cutSpans(survivors, k = sk)
           stages += ("span_dedup" -> cut)
           cut
         case None => survivors
@@ -253,11 +256,19 @@ final class CorpusCuration private[graft] (
     * is the point (the run's full provenance, not just its filters).
     *
     * Lazy like [[frame]] (first access resolves near-dup clusters);
-    * collecting it runs one counting job per stage, each over the
-    * pipeline's own scope-cached intermediates, so the marginal cost
-    * after the frame has materialized is small. IntegrationSpec pins
-    * the reconciliation invariants: chained docs_in/docs_out, input
-    * row = source count, last row = output count. */
+    * collecting it runs one counting job per stage. What those jobs
+    * actually cost: the filtering handoffs (quality, exact, near-dup,
+    * sample) count their scope-cached frames; the text-rewriting
+    * stages' counts prune the rewrite projection away entirely
+    * (Catalyst column pruning — counting `strip_markup` never runs
+    * the regexes), leaving a row-count of the same cached upstream or
+    * the raw scan. The counts MEASURE each stage rather than deriving
+    * "rewriters drop nothing" arithmetically — a stage that starts
+    * dropping rows by accident (a join that stops being
+    * count-preserving) shows up here, which is the audit value.
+    * IntegrationSpec pins the reconciliation invariants: chained
+    * docs_in/docs_out, input row = source count, last row = output
+    * count. */
   lazy val manifest: DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._

@@ -133,13 +133,17 @@ object Similarity {
           col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("cand_id"))
       .distinct()
-    // exact verify: one cosine per surviving pair. Query vectors are
-    // nQueries rows — pin them on the pair side and broadcast it, so
-    // the corpus vector table streams through map-side
+    // exact verify: one cosine per surviving pair. Only the QUERY
+    // VECTOR side gets a broadcast hint (bounded by nQueries); the
+    // pair table is ~nQueries x bucket-population rows — LINEAR in
+    // corpus size — so hinting it broadcast would bypass the size
+    // threshold and OOM at exactly the scale this operator targets.
+    // Locally AQE broadcasts the small pair side on its own; at scale
+    // the verify is one hash join on cand_id
     val eN = withNorm(embeddings)
     val qv = eN.filter(col("vec_id") < nQueries)
-    val cand = broadcast(candIds
-        .join(broadcast(qv.as("a")), col("query_id") === col("a.vec_id")))
+    val cand = candIds
+      .join(broadcast(qv.as("a")), col("query_id") === col("a.vec_id"))
       .join(eN.as("b"), col("cand_id") === col("b.vec_id"))
       .select(col("query_id"), col("cand_id"),
         round(cosine + lit(1e-9), 6).as("cos"))

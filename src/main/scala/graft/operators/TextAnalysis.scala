@@ -326,48 +326,66 @@ object TextAnalysis {
     * itself is a per-row filter over (token, index) against ≤
     * n_tokens/k merged intervals — no explode, no reassembly
     * aggregation. */
-  def dedupSpans(docs: DataFrame, k: Int = 50, maxDocFreq: Int = 1,
-                 broadcastIntervals: Boolean = true): DataFrame = {
+  /** Attach each doc's (coalesced, possibly empty) repeated-span
+    * interval array: the shared join half of [[dedupSpans]] /
+    * [[cutSpans]] — one definition of the join/coalesce/threshold
+    * discipline so the two projections cannot drift. */
+  private def withSpanIvs(docs: DataFrame, extra: Seq[Column], k: Int,
+                          maxDocFreq: Int, broadcastIntervals: Boolean): DataFrame = {
     require(k >= 2, s"window size must be at least 2 tokens: $k")
     require(maxDocFreq >= 1, s"maxDocFreq must be at least 1: $maxDocFreq")
     val ivs = spanIntervals(docs, k, maxDocFreq)
     val ivSide = if (broadcastIntervals) broadcast(ivs) else ivs
     val noIvs = array().cast("array<struct<s:int,e:int>>")
-    val covered = (i: Column) =>
-      exists(col("ivs"), iv => iv.getField("s") <= i && i < iv.getField("e"))
-    docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+    docs.select(col("doc_id") +: extra: _*)
       .join(ivSide, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("toks"),
-        coalesce(col("ivs"), noIvs).as("ivs"))
+      .withColumn("ivs", coalesce(col("ivs"), noIvs))
+  }
+
+  /** filter() predicate: token index i not covered by any interval. */
+  private def keptByIvs(arr: Column): Column =
+    filter(arr, (t, i) =>
+      !exists(col("ivs"), iv => iv.getField("s") <= i && i < iv.getField("e")))
+
+  def dedupSpans(docs: DataFrame, k: Int = 50, maxDocFreq: Int = 1,
+                 broadcastIntervals: Boolean = true): DataFrame =
+    withSpanIvs(docs, Seq(tokens(col("text")).as("toks")), k, maxDocFreq,
+        broadcastIntervals)
       .select(col("doc_id"),
         size(col("toks")).cast("long").as("n_tokens"),
-        filter(col("toks"), (t, i) => !covered(i)).as("kept"))
+        keptByIvs(col("toks")).as("kept"))
       .select(col("doc_id"), col("n_tokens"),
         (col("n_tokens") - size(col("kept"))).cast("long").as("n_removed"),
         array_join(col("kept"), " ").as("text_clean"))
       .orderBy("doc_id")
-  }
 
   /** [[dedupSpans]] shaped for pipeline composition
     * ([[graft.GraftApi.curatePlan]]'s optional span stage): returns
     * (doc_id, source, text) with repeated spans cut, preserving the
     * input contract of every downstream stage — and no interior
     * presentation sort (built from [[spanIntervals]] directly, not by
-    * joining the sorted stats frame). */
+    * joining the sorted stats frame).
+    *
+    * CASE/WHITESPACE CONTRACT: span MATCHING runs on normalized tokens
+    * (boilerplate detection should be case-insensitive), but the CUT
+    * applies to the ORIGINAL text's whitespace tokens — normalization
+    * never changes the token count, so positions align 1:1 — and a
+    * document with no repeated span passes through BYTE-IDENTICAL. A
+    * cut document keeps its surviving tokens' original case; only
+    * their inter-token whitespace collapses to single spaces (the
+    * price of token-level reassembly, same as [[dedupLines]] within a
+    * line). */
   def cutSpans(docs: DataFrame, k: Int = 50, maxDocFreq: Int = 1,
                broadcastIntervals: Boolean = true): DataFrame = {
-    require(k >= 2, s"window size must be at least 2 tokens: $k")
-    val ivs = spanIntervals(docs, k, maxDocFreq)
-    val ivSide = if (broadcastIntervals) broadcast(ivs) else ivs
-    val noIvs = array().cast("array<struct<s:int,e:int>>")
-    val covered = (i: Column) =>
-      exists(col("ivs"), iv => iv.getField("s") <= i && i < iv.getField("e"))
-    docs.select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
-      .join(ivSide, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("source"), col("toks"),
-        coalesce(col("ivs"), noIvs).as("ivs"))
+    // original-case tokens: trim + split on whitespace runs — same
+    // count and positions as tokens() (which only adds lowercasing)
+    val otoks = split(trim(col("text")), "\\s+")
+    withSpanIvs(docs,
+        Seq(col("source"), col("text"), otoks.as("otoks")), k, maxDocFreq,
+        broadcastIntervals)
       .select(col("doc_id"), col("source"),
-        array_join(filter(col("toks"), (t, i) => !covered(i)), " ").as("text"))
+        when(size(col("ivs")) === 0, col("text"))
+          .otherwise(array_join(keptByIvs(col("otoks")), " ")).as("text"))
   }
 
   /** Fixed-size token chunking with overlap — the unit-of-retrieval

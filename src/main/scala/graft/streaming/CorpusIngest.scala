@@ -55,6 +55,18 @@ object CorpusIngest {
 
   private def stagingName(hashTable: String) = hashTable + "_staging"
 
+  /** Hash-store schema, shared by the writer and the restart
+    * re-registration DDL. */
+  private val HashStoreSchema = "content_hash STRING, batch_id BIGINT"
+
+  /** The base table is "live" if the catalog has it OR its warehouse
+    * data survived a session restart (default in-memory catalog: every
+    * entry dies with the JVM while the parquet + bucket files persist)
+    * and could be re-registered over its existing location. */
+  private def baseLive(spark: SparkSession, hashTable: String): Boolean =
+    spark.catalog.tableExists(hashTable) ||
+      Bucketed.reRegister(spark, hashTable, HashStoreSchema, "content_hash")
+
   private def fs(spark: SparkSession, dir: String) =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -141,12 +153,13 @@ object CorpusIngest {
     val hashed = hashedBatch(batch)
     val none = hashed.select("content_hash").where(lit(false))
 
-    val baseExists = spark.catalog.tableExists(hashTable)
+    val baseExists = baseLive(spark, hashTable)
     if (!baseExists && fs(spark, deltaDir).exists(markerPath(deltaDir)))
-      // fail CLOSED: the base was built at least once (marker) but the
-      // table is gone — admitting against a partial store would
-      // double-admit years of corpus. compact() recovers from its
-      // staging table; sinkBucketed runs that recovery automatically.
+      // fail CLOSED: the base was built at least once (marker) but
+      // neither its catalog entry nor its warehouse data can be found —
+      // admitting against a partial store would double-admit years of
+      // corpus. compact() recovers from its staging table/directory;
+      // sinkBucketed runs that recovery automatically.
       throw new IllegalStateException(
         s"corpus hash base table '$hashTable' is missing but its compaction " +
           s"marker exists under $deltaDir — mid-compaction crash; run " +
@@ -203,17 +216,43 @@ object CorpusIngest {
     * path. */
   def compact(spark: SparkSession, hashTable: String, deltaDir: String): Unit = {
     val staging = stagingName(hashTable)
-    if (!spark.catalog.tableExists(hashTable) && spark.catalog.tableExists(staging)) {
-      spark.sql(s"ALTER TABLE $staging RENAME TO $hashTable")
+    // Recovery handles two distinct loss modes:
+    //  - same-session crash between drop and rename: the catalog still
+    //    holds the MANAGED staging table; finish the swap with a
+    //    catalog rename (which moves the managed directory).
+    //  - session restart (default in-memory catalog): every catalog
+    //    entry died with the JVM while the warehouse directories
+    //    survived; operate on the DIRECTORIES — move a completed
+    //    staging dir into the base slot if the base dir is gone, then
+    //    re-register the base over its location.
+    if (!spark.catalog.tableExists(hashTable)) {
+      if (spark.catalog.tableExists(staging)) {
+        spark.sql(s"ALTER TABLE $staging RENAME TO $hashTable")
+      } else {
+        val baseDir = Bucketed.warehousePath(spark, hashTable)
+        val stagingDir = Bucketed.warehousePath(spark, staging)
+        if (!java.nio.file.Files.exists(baseDir) &&
+            java.nio.file.Files.exists(stagingDir))
+          java.nio.file.Files.move(stagingDir, baseDir)
+        Bucketed.reRegister(spark, hashTable, HashStoreSchema, "content_hash")
+        ()
+      }
     } else if (spark.catalog.tableExists(staging)) {
       Bucketed.dropTable(spark, staging)
     }
+    // a stale staging DIRECTORY with no catalog entry (restart after a
+    // crash before the old base was dropped) would fail the next
+    // staging write with LOCATION_ALREADY_EXISTS — clear it now that
+    // the base is settled
+    if (spark.catalog.tableExists(hashTable) && !spark.catalog.tableExists(staging))
+      Bucketed.dropTable(spark, staging)
     if (!spark.catalog.tableExists(hashTable) &&
         fs(spark, deltaDir).exists(markerPath(deltaDir)))
       // outside the crash model (a crash always leaves base or a
-      // complete staging): the store was externally deleted. Rebuilding
-      // from the delta tail alone would silently forget every compacted
-      // hash — refuse instead.
+      // complete staging, as catalog entry or warehouse directory):
+      // the store was externally deleted. Rebuilding from the delta
+      // tail alone would silently forget every compacted hash —
+      // refuse instead.
       throw new IllegalStateException(
         s"corpus hash base '$hashTable' and its staging table are both " +
           s"missing despite the compaction marker under $deltaDir — " +

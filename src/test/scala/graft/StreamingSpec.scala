@@ -316,6 +316,53 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("bucketed corpus ingest survives catalog loss when the warehouse data is intact") {
+    import spark.implicits._
+    import graft.streaming.CorpusIngest
+    import graft.sources.Bucketed
+    val corpusDir = java.nio.file.Files.createTempDirectory("graft-rcorpus").toString
+    val deltaDir = java.nio.file.Files.createTempDirectory("graft-rcorpus-d").toString
+    val table = "corpus_hashes_restart_t"
+    Bucketed.dropTable(spark, table)
+    try {
+      CorpusIngest.ingestBatchBucketed(
+        Seq((1L, "s", "alpha"), (2L, "s", "beta")).toDF("doc_id", "source", "text"),
+        0L, corpusDir, table, deltaDir)
+      CorpusIngest.compact(spark, table, deltaDir)
+      // simulate a session restart under the in-memory catalog: the
+      // catalog entry dies with the JVM, the warehouse directory does
+      // not — move the data aside, drop (which deletes the managed
+      // dir), move it back
+      val wh = Bucketed.warehousePath(spark, table)
+      val aside = java.nio.file.Files.createTempDirectory("graft-wh-aside")
+        .resolve("data")
+      org.apache.commons.io.FileUtils.copyDirectory(wh.toFile, aside.toFile)
+      Bucketed.dropTable(spark, table)
+      org.apache.commons.io.FileUtils.copyDirectory(aside.toFile, wh.toFile)
+      assert(!spark.catalog.tableExists(table))
+      // next batch re-registers the base from disk and keeps deduping
+      // against the compacted membership — no brick, no double-admit
+      CorpusIngest.ingestBatchBucketed(
+        Seq((3L, "s", "alpha"), (4L, "s", "gamma")).toDF("doc_id", "source", "text"),
+        1L, corpusDir, table, deltaDir)
+      val ids = spark.read.parquet(corpusDir).collect()
+        .map(_.getAs[Long]("doc_id")).toSet
+      assert(ids == Set(1L, 2L, 4L),
+        s"restart must not re-admit compacted content: $ids")
+      // and the re-registered (external) base still compacts cleanly
+      CorpusIngest.compact(spark, table, deltaDir)
+      CorpusIngest.ingestBatchBucketed(
+        Seq((5L, "s", "gamma"), (6L, "s", "delta")).toDF("doc_id", "source", "text"),
+        2L, corpusDir, table, deltaDir)
+      val ids2 = spark.read.parquet(corpusDir).collect()
+        .map(_.getAs[Long]("doc_id")).toSet
+      assert(ids2 == Set(1L, 2L, 4L, 6L))
+    } finally {
+      Bucketed.dropTable(spark, table)
+      Bucketed.dropTable(spark, table + "_staging")
+    }
+  }
+
   test("bucketed corpus ingest fails closed when the base table vanishes") {
     import spark.implicits._
     import graft.streaming.CorpusIngest

@@ -376,17 +376,21 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(shuffled == out)
   }
 
-  test("cutSpans preserves the (doc_id, source, text) pipeline contract") {
+  test("cutSpans preserves case and the (doc_id, source, text) pipeline contract") {
     import spark.implicits._
+    // matching is case-insensitive (normalized tokens) but the cut
+    // applies to the ORIGINAL text: kept tokens keep their case, and a
+    // doc with no repeated span passes through byte-identical —
+    // including its internal whitespace
     val docs = Seq(
-      (1L, "web", "aaa bbb ccc ddd x1"),
-      (2L, "web", "q2 aaa bbb ccc ddd"),
-      (3L, "book", "solo text here"))
+      (1L, "web", "AAA bbb CCC ddd X1"),
+      (2L, "web", "q2 aaa BBB ccc DDD"),
+      (3L, "book", "Solo  Text\nHere"))
       .toDF("doc_id", "source", "text")
     val out = TextAnalysis.cutSpans(docs, k = 4).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2))).sortBy(_._1).toSeq
-    assert(out == Seq((1L, "web", "x1"), (2L, "web", "q2"),
-      (3L, "book", "solo text here")))
+    assert(out == Seq((1L, "web", "X1"), (2L, "web", "q2"),
+      (3L, "book", "Solo  Text\nHere")))
   }
 
   test("chunkDocs covers every token with the declared overlap") {

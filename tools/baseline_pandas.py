@@ -281,45 +281,22 @@ def dedup_spans(docs, k=20, max_df=1):
     return pd.DataFrame(rows, columns=["doc_id", "n_tokens", "n_removed", "text_clean"])
 
 
-def _load_bpe_ranks():
-    ranks = {}
-    with open("src/main/resources/graft/bpe_merges.txt") as f:
-        for line in f:
-            line = line.rstrip("\n")
-            if line and not line.startswith("#"):
-                a, b = line.split(" ")
-                ranks[(a, b)] = len(ranks)
-    return ranks
-
-
 def token_count_bpe(docs):
-    # greedy BPE apply per word, memoized like the engine's kernel
-    ranks = _load_bpe_ranks()
+    # greedy BPE apply, reusing the ONE reference implementation
+    # (tools/bpe_reference.py — the same module the BpeSpec fixture is
+    # generated from, so the baseline cannot drift from the pinned
+    # semantics), memoized per word like the engine's kernel
+    import os
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import bpe_reference as ref
+    ranks = ref.load_ranks(os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "..", "src", "main", "resources", "graft", "bpe_merges.txt"))
     cache = {}
 
     def word_count(word):
-        if word in cache:
-            return cache[word]
-        syms = list(word)
-        while len(syms) >= 2:
-            best, best_rank = None, None
-            for i in range(len(syms) - 1):
-                r = ranks.get((syms[i], syms[i + 1]))
-                if r is not None and (best_rank is None or r < best_rank):
-                    best, best_rank = (syms[i], syms[i + 1]), r
-            if best is None:
-                break
-            a, b = best
-            out, i = [], 0
-            while i < len(syms):
-                if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
-                    out.append(a + b)
-                    i += 2
-                else:
-                    out.append(syms[i])
-                    i += 1
-            syms = out
-        cache[word] = len(syms)
+        if word not in cache:
+            cache[word] = ref.bpe_word(word, ranks)
         return cache[word]
 
     norm = docs["text"].str.lower().str.strip().str.replace(r"\s+", " ", regex=True)
