@@ -41,6 +41,51 @@ class KernelPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("shingleHashPos aligns positions and agrees with the distinct kernel") {
+    import spark.implicits._
+    val docs = Seq.fill(100)(Seq.fill(rng.nextInt(60))(randToken()))
+    val out = docs.map(_.mkString(" ")).toDF("text")
+      .select(col("text"),
+        shingleHashPos(split(col("text"), " "), 3).as("pos"),
+        shingleHash64(split(col("text"), " "), 3).as("dist"))
+      .collect()
+    out.foreach { r =>
+      val toks = r.getString(0).split(" ")
+      val pos = r.getAs[scala.collection.Seq[Long]]("pos")
+      val dist = r.getAs[scala.collection.Seq[Long]]("dist")
+      // one hash per start position (m - n + 1, or none when m < n)
+      assert(pos.length == math.max(0, toks.length - 3 + 1))
+      // positional hashes are the same poly64 of the joined window, so
+      // their distinct set IS the distinct kernel's output set
+      assert(pos.toSet == dist.toSet)
+      // spot-check position alignment against the reference fold
+      if (pos.nonEmpty) {
+        val i = rng.nextInt(pos.length)
+        assert(pos(i) == refPoly64(toks.slice(i, i + 3).mkString(" ")))
+      }
+    }
+  }
+
+  test("bpeCount through codegen equals the direct kernel word sum") {
+    import spark.implicits._
+    import graft.functions.{BpeTable, TextHash}
+    val merges = Seq(("a", "b"), ("ab", "c"), ("d", "e"), ("de", "f"), ("x", "y"))
+    val table = new BpeTable(merges)
+    val docs = Seq.fill(100)(
+      Seq.fill(rng.nextInt(20))(
+        Seq.fill(1 + rng.nextInt(8))("abcdefxy".charAt(rng.nextInt(8))).mkString)
+        .mkString(" "))
+    val out = docs.toDF("text")
+      .select(col("text"),
+        bpeCount(split(lower(trim(col("text"))), "\\s+"), merges).as("n"))
+      .collect()
+    out.foreach { r =>
+      val ref = r.getString(0).toLowerCase.trim.split("\\s+")
+        .map(w => TextHash.bpeWord(w, table.ranks).toLong).sum
+      assert(r.getLong(1) == ref, s"text='${r.getString(0)}'")
+    }
+  }
+
   test("hamming64 is a metric on random longs") {
     import spark.implicits._
     val pairs = Seq.fill(200)((rng.nextLong(), rng.nextLong()))
