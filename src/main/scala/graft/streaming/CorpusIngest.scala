@@ -214,27 +214,29 @@ object CorpusIngest {
     * The corpus rows themselves are append-only lake partitions and
     * are not compacted here — they are never re-read on the ingest
     * path. */
-  def compact(spark: SparkSession, hashTable: String, deltaDir: String): Unit = {
-    val staging = stagingName(hashTable)
-    // Recovery handles two distinct loss modes:
-    //  - same-session crash between drop and rename: the catalog still
-    //    holds the MANAGED staging table; finish the swap with a
-    //    catalog rename (which moves the managed directory).
-    //  - session restart (default in-memory catalog): every catalog
-    //    entry died with the JVM while the warehouse directories
-    //    survived; operate on the DIRECTORIES — move a completed
-    //    staging dir into the base slot if the base dir is gone, then
-    //    re-register the base over its location.
-    if (!spark.catalog.tableExists(hashTable)) {
+  /** Recovery half of the staging-table swap, shared by the hash and
+    * corpus compactions. Handles two distinct loss modes:
+    *  - same-session crash between drop and rename: the catalog still
+    *    holds the MANAGED staging table; finish the swap with a
+    *    catalog rename (which moves the managed directory).
+    *  - session restart (default in-memory catalog): every catalog
+    *    entry died with the JVM while the warehouse directories
+    *    survived; operate on the DIRECTORIES — move a completed
+    *    staging dir into the base slot if the base dir is gone, then
+    *    re-register the base over its location. */
+  private def recoverSwap(spark: SparkSession, table: String,
+                          schemaDdl: String, keyCol: String): Unit = {
+    val staging = stagingName(table)
+    if (!spark.catalog.tableExists(table)) {
       if (spark.catalog.tableExists(staging)) {
-        spark.sql(s"ALTER TABLE $staging RENAME TO $hashTable")
+        spark.sql(s"ALTER TABLE $staging RENAME TO $table")
       } else {
-        val baseDir = Bucketed.warehousePath(spark, hashTable)
+        val baseDir = Bucketed.warehousePath(spark, table)
         val stagingDir = Bucketed.warehousePath(spark, staging)
         if (!java.nio.file.Files.exists(baseDir) &&
             java.nio.file.Files.exists(stagingDir))
           java.nio.file.Files.move(stagingDir, baseDir)
-        Bucketed.reRegister(spark, hashTable, HashStoreSchema, "content_hash")
+        Bucketed.reRegister(spark, table, schemaDdl, keyCol)
         ()
       }
     } else if (spark.catalog.tableExists(staging)) {
@@ -244,8 +246,23 @@ object CorpusIngest {
     // crash before the old base was dropped) would fail the next
     // staging write with LOCATION_ALREADY_EXISTS — clear it now that
     // the base is settled
-    if (spark.catalog.tableExists(hashTable) && !spark.catalog.tableExists(staging))
+    if (spark.catalog.tableExists(table) && !spark.catalog.tableExists(staging))
       Bucketed.dropTable(spark, staging)
+  }
+
+  /** Commit half of the swap: write `merged` bucketed to the staging
+    * table, drop the base, rename staging into place. A crash at any
+    * step is repaired by [[recoverSwap]] on the next run. */
+  private def swapInTable(spark: SparkSession, table: String,
+                          merged: DataFrame, keyCol: String): Unit = {
+    val staging = stagingName(table)
+    Bucketed.writeBucketed(merged, staging, keyCol)
+    Bucketed.dropTable(spark, table)
+    spark.sql(s"ALTER TABLE $staging RENAME TO $table")
+  }
+
+  def compact(spark: SparkSession, hashTable: String, deltaDir: String): Unit = {
+    recoverSwap(spark, hashTable, HashStoreSchema, "content_hash")
     if (!spark.catalog.tableExists(hashTable) &&
         fs(spark, deltaDir).exists(markerPath(deltaDir)))
       // outside the crash model (a crash always leaves base or a
@@ -274,12 +291,104 @@ object CorpusIngest {
       .unionByName(deltas.select("batch_id", "content_hash"))
       .groupBy("content_hash").agg(min("batch_id").as("batch_id"))
 
-    Bucketed.writeBucketed(merged, staging, "content_hash")
-    Bucketed.dropTable(spark, hashTable)
-    spark.sql(s"ALTER TABLE $staging RENAME TO $hashTable")
+    swapInTable(spark, hashTable, merged, "content_hash")
     val f = fs(spark, deltaDir)
     f.create(markerPath(deltaDir), true).close()
     parts.foreach(f.delete(_, true))
+  }
+
+  /** Corpus-ROW schema of the consolidated lake table. */
+  private val CorpusSchema = "doc_id BIGINT, source STRING, text STRING, batch_id BIGINT"
+
+  /** Parse a `batch_id=N` partition directory's id. */
+  private def partId(p: Path): Long = p.getName.stripPrefix("batch_id=").toLong
+
+  /** Fold corpus-row batch partitions with id ≤ `upToBatch` into a
+    * consolidated bucketed table (bucketed by doc_id, batch_id kept as
+    * a provenance column) — the lake half of the small-files story:
+    * the hash-store [[compact]] bounds the MEMBERSHIP file count, this
+    * bounds the corpus itself, which otherwise grows one directory per
+    * micro-batch forever.
+    *
+    * CONTRACT — `upToBatch` must be at or below the stream's COMMITTED
+    * horizon: the engine never redelivers a committed batch, so
+    * folding those partitions can no longer race an
+    * overwrite-own-partition retry. Compacting an UNcommitted batch
+    * would let its redelivery re-create the partition beside the
+    * already-folded rows (a duplicate [[readCorpus]] cannot see past).
+    * The ingest path never reads corpus rows, so this can run any time
+    * the horizon allows.
+    *
+    * Idempotent and crash-safe with the same staging-swap machinery as
+    * the hash store: only partitions ABOVE the table's current horizon
+    * (max folded batch_id) merge in — leftover dirs at or below it
+    * (the crash window between rename and dir deletion) are deleted
+    * without re-merging, and [[readCorpus]] ignores them meanwhile. */
+  def compactCorpus(spark: SparkSession, corpusDir: String,
+                    corpusTable: String, upToBatch: Long): Unit = {
+    recoverSwap(spark, corpusTable, CorpusSchema, "doc_id")
+    val f = fs(spark, corpusDir)
+    val tableLive = spark.catalog.tableExists(corpusTable)
+    val horizon: Long =
+      if (tableLive)
+        spark.table(corpusTable).agg(max("batch_id")).head() match {
+          case r if r.isNullAt(0) => Long.MinValue
+          case r                  => r.getLong(0)
+        }
+      else Long.MinValue
+    val parts = batchPartitions(spark, corpusDir).filter(partId(_) <= upToBatch)
+    val (stale, fresh) = parts.partition(partId(_) <= horizon)
+    if (fresh.nonEmpty) {
+      // basePath keeps the batch_id partition column visible when
+      // reading a SUBSET of the partition directories
+      val incoming = spark.read.option("basePath", corpusDir)
+        .parquet(fresh.map(_.toString): _*)
+        .withColumn("batch_id", col("batch_id").cast("long"))
+        .select("doc_id", "source", "text", "batch_id")
+      val base =
+        if (tableLive) spark.table(corpusTable)
+          .select("doc_id", "source", "text", "batch_id")
+        else incoming.where(lit(false))
+      swapInTable(spark, corpusTable, base.unionByName(incoming), "doc_id")
+    }
+    (stale ++ fresh).foreach(f.delete(_, true))
+  }
+
+  /** The unified corpus view: the consolidated table (when it exists)
+    * plus every batch partition ABOVE its horizon. Leftover partitions
+    * at or below the horizon — the compaction crash window — are
+    * excluded, so a reader never sees a folded batch twice. */
+  def readCorpus(spark: SparkSession, corpusDir: String,
+                 corpusTable: String): DataFrame = {
+    recoverSwap(spark, corpusTable, CorpusSchema, "doc_id")
+    val tableLive = spark.catalog.tableExists(corpusTable)
+    val horizon: Long =
+      if (tableLive)
+        spark.table(corpusTable).agg(max("batch_id")).head() match {
+          case r if r.isNullAt(0) => Long.MinValue
+          case r                  => r.getLong(0)
+        }
+      else Long.MinValue
+    val tail = batchPartitions(spark, corpusDir).filter(partId(_) > horizon)
+    val tailDf =
+      if (tail.nonEmpty)
+        Some(spark.read.option("basePath", corpusDir)
+          .parquet(tail.map(_.toString): _*)
+          .withColumn("batch_id", col("batch_id").cast("long"))
+          .select("doc_id", "source", "text", "batch_id"))
+      else None
+    (tableLive, tailDf) match {
+      case (true, Some(t)) =>
+        spark.table(corpusTable).select("doc_id", "source", "text", "batch_id")
+          .unionByName(t)
+      case (true, None)  =>
+        spark.table(corpusTable).select("doc_id", "source", "text", "batch_id")
+      case (false, Some(t)) => t
+      case (false, None) =>
+        throw new IllegalArgumentException(
+          s"no corpus found: table '$corpusTable' absent and no batch " +
+            s"partitions under $corpusDir")
+    }
   }
 
   /** The streaming sink over the two-tier store: every `compactEvery`

@@ -316,6 +316,51 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("corpus-row compaction folds committed batches; readCorpus never sees a row twice") {
+    import spark.implicits._
+    import graft.streaming.CorpusIngest
+    import graft.sources.Bucketed
+    val corpusDir = java.nio.file.Files.createTempDirectory("graft-ccorpus").toString
+    val hashDir = java.nio.file.Files.createTempDirectory("graft-ccorpus-h").toString
+    val table = "corpus_rows_t"
+    Bucketed.dropTable(spark, table)
+    Bucketed.dropTable(spark, table + "_staging")
+    def allRows() = CorpusIngest.readCorpus(spark, corpusDir, table).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text"),
+        r.getAs[Long]("batch_id"))).toSet
+    def dirCount() = new java.io.File(corpusDir).list().count(_.startsWith("batch_id="))
+    try {
+      for ((docs, bid) <- Seq(
+          Seq((1L, "s", "alpha"), (2L, "s", "beta")) -> 0L,
+          Seq((3L, "s", "gamma")) -> 1L,
+          Seq((4L, "s", "delta")) -> 2L))
+        CorpusIngest.ingestBatch(docs.toDF("doc_id", "source", "text"),
+          bid, corpusDir, hashDir)
+      val before = allRows()
+      assert(before.map(_._1) == Set(1L, 2L, 3L, 4L) && dirCount() == 3)
+      // fold batches 0..1; batch 2 stays a lake partition
+      CorpusIngest.compactCorpus(spark, corpusDir, table, upToBatch = 1L)
+      assert(dirCount() == 1, "folded partitions must be deleted")
+      assert(allRows() == before, "compaction must not change the corpus view")
+      // idempotent re-run at the same horizon
+      CorpusIngest.compactCorpus(spark, corpusDir, table, upToBatch = 1L)
+      assert(allRows() == before)
+      // crash window: a folded partition dir reappears (rename done,
+      // deletes lost) — the reader must ignore it, the next compaction
+      // must delete it WITHOUT re-merging
+      Seq((1L, "s", "alpha")).toDF("doc_id", "source", "text")
+        .write.mode("overwrite").parquet(s"$corpusDir/batch_id=0")
+      assert(allRows() == before, "reader must ignore partitions at/below the horizon")
+      CorpusIngest.compactCorpus(spark, corpusDir, table, upToBatch = 2L)
+      assert(dirCount() == 0)
+      assert(allRows() == before)
+      assert(spark.table(table).count() == 4, "stale dir re-merged as duplicate")
+    } finally {
+      Bucketed.dropTable(spark, table)
+      Bucketed.dropTable(spark, table + "_staging")
+    }
+  }
+
   test("bucketed corpus ingest survives catalog loss when the warehouse data is intact") {
     import spark.implicits._
     import graft.streaming.CorpusIngest
