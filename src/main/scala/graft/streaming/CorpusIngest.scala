@@ -396,9 +396,17 @@ object CorpusIngest {
     * per-trigger membership cost and the store's file count stay
     * bounded regardless of stream age. A mid-compaction crash is
     * repaired by the recovery step on the next trigger's compaction
-    * (and until then ingest fails CLOSED rather than double-admit). */
+    * (and until then ingest fails CLOSED rather than double-admit).
+    *
+    * With `corpusTable` set, the CORPUS ROWS compact on the same
+    * cadence: while batch N is processing, every batch ≤ N−1 is
+    * committed by the engine's serial micro-batch contract, so the
+    * sink itself knows a safe [[compactCorpus]] horizon — the lake's
+    * file count then stays bounded too, and downstream readers use
+    * [[readCorpus]] for the unified view. */
   def sinkBucketed(docs: DataFrame, corpusDir: String, hashTable: String,
-                   deltaDir: String, compactEvery: Int = 16)
+                   deltaDir: String, compactEvery: Int = 16,
+                   corpusTable: Option[String] = None)
       : org.apache.spark.sql.streaming.DataStreamWriter[Row] = {
     require(compactEvery > 0, s"compactEvery must be positive: $compactEvery")
     docs.writeStream.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
@@ -409,8 +417,14 @@ object CorpusIngest {
           fs(spark, deltaDir).exists(markerPath(deltaDir)))
         compact(spark, hashTable, deltaDir)
       ingestBatchBucketed(batch, batchId, corpusDir, hashTable, deltaDir)
-      if ((batchId + 1) % compactEvery == 0)
+      if ((batchId + 1) % compactEvery == 0) {
         compact(spark, hashTable, deltaDir)
+        // batchId itself is NOT yet committed (this foreachBatch is
+        // still running) — its partition must stay overwritable for a
+        // redelivery, so the horizon stops one short
+        corpusTable.foreach(t =>
+          compactCorpus(spark, corpusDir, t, upToBatch = batchId - 1))
+      }
     }
   }
 }

@@ -316,6 +316,49 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("sinkBucketed with corpusTable keeps both stores bounded") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.CorpusIngest
+    import graft.sources.Bucketed
+    val corpusDir = java.nio.file.Files.createTempDirectory("graft-wcorpus").toString
+    val deltaDir = java.nio.file.Files.createTempDirectory("graft-wcorpus-d").toString
+    val hashT = "corpus_hashes_wired_t"
+    val rowsT = "corpus_rows_wired_t"
+    Seq(hashT, rowsT).foreach { t =>
+      Bucketed.dropTable(spark, t); Bucketed.dropTable(spark, t + "_staging")
+    }
+    def dirs(d: String) = new java.io.File(d).list().count(_.startsWith("batch_id="))
+    try {
+      val ms = MemoryStream[(Long, String, String)]
+      val q = CorpusIngest.sinkBucketed(ms.toDF().toDF("doc_id", "source", "text"),
+          corpusDir, hashT, deltaDir, compactEvery = 2, corpusTable = Some(rowsT))
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft-wcorpus-ck").toString)
+        .start()
+      try {
+        for (batch <- Seq(
+            Seq((10L, "s", "alpha"), (11L, "s", "beta")),
+            Seq((20L, "s", "alpha"), (21L, "s", "gamma")),  // 20 is a cross-batch dup
+            Seq((30L, "s", "beta"), (31L, "s", "delta")),   // 30 dups folded content
+            Seq((40L, "s", "gamma"), (41L, "s", "eps")))) {
+          ms.addData(batch: _*)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      // compactions fired after batches 1 and 3: hash deltas all folded,
+      // corpus rows folded up to batch 2 — only batch 3's dir remains
+      assert(dirs(deltaDir) == 0, "hash delta tail must be folded")
+      assert(dirs(corpusDir) == 1, "corpus lake must be bounded by the horizon")
+      val rows = CorpusIngest.readCorpus(spark, corpusDir, rowsT).collect()
+        .map(_.getAs[Long]("doc_id")).toSet
+      assert(rows == Set(10L, 11L, 21L, 31L, 41L),
+        s"unified view wrong (dups against folded content?): $rows")
+    } finally Seq(hashT, rowsT).foreach { t =>
+      Bucketed.dropTable(spark, t); Bucketed.dropTable(spark, t + "_staging")
+    }
+  }
+
   test("corpus-row compaction folds committed batches; readCorpus never sees a row twice") {
     import spark.implicits._
     import graft.streaming.CorpusIngest
