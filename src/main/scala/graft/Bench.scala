@@ -207,6 +207,16 @@ object Bench {
       s""","lsh_buckets":{"minhash":{"n":${m.getLong(0)},"max":${m.getLong(1)},"cand_pairs":${m.getLong(2)}},"rhp":{"n":${r.getLong(0)},"max":${r.getLong(1)},"cand_pairs":${r.getLong(2)}}}"""
     } catch { case _: Throwable => "" }
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"exec_times":$execs,"shuffle_bytes":$shuffles,"spill_bytes_total":$spillTotal,"cold_total":$coldTotal,"failed":$failed$slope$lsh,"sf":"$sfDir"}""")
+    // Second, COMPACT totals line, printed LAST: the driver's capture
+    // keeps a bounded tail of stdout, and the full line above is tens
+    // of KB — truncation was eating the headline totals (BENCH_r04/r05
+    // recorded `parsed: null`). This line stays well under any
+    // plausible tail bound so the official record always carries
+    // wall-clock evidence.
+    val slowest = results.sortBy(-_._3).take(5)
+      .map { case (k, _, v, _, _, _) => s"\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"n_queries":${results.size},"failed":$failed,"spill_bytes_total":$spillTotal,"slowest5":$slowest,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

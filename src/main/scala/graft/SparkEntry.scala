@@ -82,6 +82,7 @@ object SparkEntry {
     "q_asof_join"       -> ((s, d) => TimeSeries.asofJoin(ev(s, d))),
     "q_range_join"      -> ((s, d) => TimeSeries.rangeJoin(ev(s, d))),
     "q_quantiles"       -> ((s, d) => TimeSeries.quantiles(ev(s, d))),
+    "q_quantiles_approx" -> ((s, d) => TimeSeries.quantilesApprox(ev(s, d))),
     // C. missing values / encoding / scaling
     "q_ffill"          -> ((s, d) => MissingValues.ffill(MissingValues.maskedView(ev(s, d)))),
     "q_interpolate"    -> ((s, d) => MissingValues.interpolate(MissingValues.maskedView(ev(s, d)))),

@@ -292,10 +292,15 @@ object TimeSeries {
   }
 
   /** Exact interpolated quantiles of the measure (dashboard
-    * distribution percentiles). NOTE: exact percentile requires a full
-    * sort of the column — at 100 TB use percentile_approx (t-digest,
-    * mergeable, one pass); this exact form is the oracle-checkable
-    * reference semantics. */
+    * distribution percentiles, dashboard.py:209-231). `percentile` is
+    * Spark's EXACT aggregate: its merge buffer holds a value→count map
+    * for the single global group on one reducer — with
+    * high-cardinality doubles that buffer approaches the dataset.
+    * This form exists as the oracle-checkable reference semantics.
+    *
+    * @note 100TB: use [[quantilesApprox]] — mergeable sketch, bounded
+    *       memory, rank error ≤ 1/accuracy.
+    */
   def quantiles(events: DataFrame,
                 qs: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.95)): DataFrame = {
     val entries = qs.zipWithIndex.flatMap { case (q, i) =>
@@ -303,6 +308,31 @@ object TimeSeries {
     }
     events
       .agg(percentile(col("value"), lit(qs.toArray)).as("qv"))
+      .select(explode(map(entries: _*)).as(Seq("quantile", "v")))
+      .select(col("quantile"), rnd(col("v"), 4).as("value_q"))
+      .orderBy("quantile")
+  }
+
+  /** Approximate quantiles — the 100 TB form of [[quantiles]].
+    * `approx_percentile` (Greenwald-Khanna sketch) keeps a bounded
+    * summary per partial aggregate (O(accuracy·log n) entries, ~KBs at
+    * the default accuracy) and merges associatively, so the single
+    * global group costs one tiny final merge instead of materializing
+    * the column on a reducer. Guarantee: the returned value's RANK is
+    * within n/accuracy of the true rank — QuantilesApproxSpec pins
+    * exact-vs-approx divergence against that bound at sf0.01.
+    * Same output schema as [[quantiles]] so the two are drop-in
+    * interchangeable; values are NOT rounded-identical to exact (the
+    * sketch returns an observed sample, not an interpolation), which
+    * is why the exact form remains the oracle path. */
+  def quantilesApprox(events: DataFrame,
+                      qs: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.95),
+                      accuracy: Int = 10000): DataFrame = {
+    val entries = qs.zipWithIndex.flatMap { case (q, i) =>
+      Seq(lit(q), col("qv")(i))
+    }
+    events
+      .agg(percentile_approx(col("value"), lit(qs.toArray), lit(accuracy)).as("qv"))
       .select(explode(map(entries: _*)).as(Seq("quantile", "v")))
       .select(col("quantile"), rnd(col("v"), 4).as("value_q"))
       .orderBy("quantile")

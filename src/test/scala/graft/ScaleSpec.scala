@@ -187,6 +187,40 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("approx quantiles honor the GK rank-error bound vs exact data") {
+    // q_quantiles' exact percentile buffers the whole column on one
+    // reducer — quantilesApprox is the 100 TB path. Its contract is a
+    // RANK guarantee (returned value's rank within n/accuracy of the
+    // true rank), so that is what we pin: for each q, the target rank
+    // q·n must fall inside [rank_lo, rank_hi] of the returned value,
+    // widened by ε·n plus a few ranks of slack for the 4dp
+    // presentation rounding.
+    import graft.operators.TimeSeries
+    val accuracy = 10000
+    for (dir <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")
+         if new java.io.File(dir).isDirectory) {
+      val ev = Tables.events(spark, dir).select("value").cache()
+      try {
+        val n = ev.count().toDouble
+        val slack = n / accuracy + 4 // ε·n + rounding ties
+        val approx = TimeSeries.quantilesApprox(
+            ev, accuracy = accuracy)
+          .collect().map(r => r.getDouble(0) -> r.getDouble(1))
+        assert(approx.length == 4)
+        approx.foreach { case (q, v) =>
+          val Array(lo, hi) = ev.agg(
+            sum(when(col("value") < v, 1L).otherwise(0L)),
+            sum(when(col("value") <= v, 1L).otherwise(0L)))
+            .collect()(0).toSeq.map(_.asInstanceOf[Long].toDouble).toArray
+          val target = q * n
+          assert(target >= lo - slack && target <= hi + slack,
+            s"$dir q=$q: approx value $v has rank [$lo,$hi], " +
+              s"target $target outside ±$slack")
+        }
+      } finally ev.unpersist()
+    }
+  }
+
   test("bucketed join runs without any Exchange (no shuffle, no sort)") {
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
     val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
