@@ -112,6 +112,14 @@ object GraftApi {
     *  1. quality-rule filter (drop degenerate documents FIRST — no
     *     point fingerprinting what a length rule removes),
     *  2. exact dedup keeping the highest-quality copy per content,
+    *  2b. optional eval-set decontamination (`benchmark = Some(df)`):
+    *     documents sharing ≥ `decontamMinShared` distinct n-gram
+    *     shingles with the benchmark are dropped
+    *     ([[graft.operators.Dedup.decontaminate]] — guarded-broadcast
+    *     semi-join; the corpus side never shuffles). Runs after exact
+    *     dedup (no point shingling copies a hash rule removes) and
+    *     before near-dup so contaminated docs can't become a cluster's
+    *     surviving canonical,
     *  3. near-dup removal: MinHash+LSH pairs → connected components,
     *     keep each cluster's canonical (minimum-id) member,
     *  3b. optional repeated-SPAN cut (`spanDedupK = Some(k)`):
@@ -135,8 +143,10 @@ object GraftApi {
     * scope you can release without touching other pipelines' caches)
     * use [[curatePlan]]. */
   def curateCorpus(docs: DataFrame, perSource: Int = Int.MaxValue,
-                   spanDedupK: Option[Int] = None): DataFrame =
-    curatePlan(docs, perSource, spanDedupK).frame
+                   spanDedupK: Option[Int] = None,
+                   benchmark: Option[DataFrame] = None,
+                   decontamMinShared: Int = 3): DataFrame =
+    curatePlan(docs, perSource, spanDedupK, benchmark, decontamMinShared).frame
 
   /** Build the corpus-curation unit of work WITHOUT running any Spark
     * job: a pure plan-construction call returning the composed frame
@@ -149,7 +159,9 @@ object GraftApi {
     * curation into a larger program has no surprise side effects at
     * build time and the caller decides when the resolution cost lands. */
   def curatePlan(docs: DataFrame, perSource: Int = Int.MaxValue,
-                 spanDedupK: Option[Int] = None): CorpusCuration = {
+                 spanDedupK: Option[Int] = None,
+                 benchmark: Option[DataFrame] = None,
+                 decontamMinShared: Int = 3): CorpusCuration = {
     val scope = Caches.newScope("curate")
     new CorpusCuration(scope, () => Caches.in(scope) {
       import org.apache.spark.sql.functions.col
@@ -170,9 +182,24 @@ object GraftApi {
         .select(col("keep_id").as("doc_id"))
       val afterExact = Caches.persistTracked(afterQuality.join(exactKeep, "doc_id"))
       stages += ("exact_dedup" -> afterExact)
+      // optional eval-set decontamination: a filtering stage like the
+      // dedups — its keep set comes from the shingle-overlap scorer,
+      // whose corpus side never shuffles (the benchmark side is the
+      // broadcast/shuffled one, and it is the small side by contract)
+      val afterDecontam = benchmark match {
+        case Some(bench) =>
+          val leaked = Dedup.decontaminate(afterExact, bench,
+              minShared = decontamMinShared)
+            .filter(col("contaminated") === 1L).select("doc_id")
+          val kept = Caches.persistTracked(
+            afterExact.join(leaked, Seq("doc_id"), "left_anti"))
+          stages += ("decontaminate" -> kept)
+          kept
+        case None => afterExact
+      }
       // near-dup clusters: survivors are each cluster's canonical member
       // plus every unpaired document
-      val clusters = Dedup.nearDupClusters(Dedup.minhashPairs(afterExact))
+      val clusters = Dedup.nearDupClusters(Dedup.minhashPairs(afterDecontam))
       val nearDupDrop = clusters.filter(col("doc_id") =!= col("cluster_id"))
         .select("doc_id")
       // the near-dup handoff ALWAYS has two consumers (redactPii input
@@ -180,7 +207,7 @@ object GraftApi {
       // mining) — persist it under this scope so the anti-join lineage
       // does not re-run per consumer
       val survivors = Caches.persistTracked(
-        afterExact.join(nearDupDrop, Seq("doc_id"), "left_anti"))
+        afterDecontam.join(nearDupDrop, Seq("doc_id"), "left_anti"))
       stages += ("near_dup" -> survivors)
       val afterNearDup = spanDedupK match {
         case Some(sk) =>

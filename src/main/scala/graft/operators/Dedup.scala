@@ -262,8 +262,13 @@ object Dedup {
   def decontaminate(corpus: DataFrame, benchmark: DataFrame,
                     n: Int = 3, minShared: Int = 3,
                     maxBroadcastShingles: Long = 16L * 1024 * 1024): DataFrame = {
-    val bench = shingleHashes(benchmark, n)
-      .select(explode(col("sh")).as("s")).distinct()
+    // only the shingle set matters on the benchmark side — accept any
+    // frame with a `text` column (an eval set rarely shares the
+    // corpus's id scheme)
+    val bench = spreadToCores(benchmark.select(col("text")))
+      .select(explode(
+        GraftFunctions.shingleHash64(TextAnalysis.tokens(col("text")), n)).as("s"))
+      .distinct()
     val statsBytes = benchmark.queryExecution.optimizedPlan.stats.sizeInBytes
     val benchSide =
       if (statsBytes * 4 <= BigInt(maxBroadcastShingles) * 8) broadcast(bench)
@@ -336,7 +341,13 @@ object Dedup {
     val sh = Caches.persistTracked(
       shingleHashes(docs).filter(size(col("sh")) > 0)
         .select(col("doc_id"), sort_array(col("sh")).as("sh")))
-    val pLen = (size(col("sh")) - ceil(lit(tau) * size(col("sh"))) + 1).cast("int")
+    // the 1e-9 nudge keeps FP round-UP from shortening the prefix when
+    // τ·n is mathematically an integer (e.g. τ=0.07, n=100: the double
+    // product is 7.000000000000001, ceil=8, one element too few) —
+    // under-long prefixes break the zero-false-negative guarantee for
+    // pairs with J exactly at τ
+    val pLen = (size(col("sh")) -
+      ceil(lit(tau) * size(col("sh")) - lit(1e-9)) + 1).cast("int")
     val prefix = sh.select(col("doc_id"), explode(slice(col("sh"), lit(1), pLen)).as("s"))
     val cand = prefix.as("a")
       .join(prefix.as("b"),

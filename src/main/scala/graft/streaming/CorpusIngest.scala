@@ -233,9 +233,9 @@ object CorpusIngest {
       } else {
         val baseDir = Bucketed.warehousePath(spark, table)
         val stagingDir = Bucketed.warehousePath(spark, staging)
-        if (!java.nio.file.Files.exists(baseDir) &&
-            java.nio.file.Files.exists(stagingDir))
-          java.nio.file.Files.move(stagingDir, baseDir)
+        val f = baseDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!f.exists(baseDir) && f.exists(stagingDir))
+          f.rename(stagingDir, baseDir)
         Bucketed.reRegister(spark, table, schemaDdl, keyCol)
         ()
       }
@@ -357,18 +357,46 @@ object CorpusIngest {
   /** The unified corpus view: the consolidated table (when it exists)
     * plus every batch partition ABOVE its horizon. Leftover partitions
     * at or below the horizon — the compaction crash window — are
-    * excluded, so a reader never sees a folded batch twice. */
+    * excluded, so a reader never sees a folded batch twice.
+    *
+    * READ-ONLY by contract: a reader racing the sink's compaction must
+    * never rename directories or drop staging tables out from under
+    * the writer, so — unlike [[compact]]/[[compactCorpus]], which own
+    * swap repair — this resolves the base through NON-mutating
+    * fallbacks, in order:
+    *
+    *  1. the catalog's table (normal case),
+    *  2. the base table's surviving data directory (session restart:
+    *     catalog entry died with the JVM; read as plain parquet — the
+    *     catalog's bucket metadata is a join optimization the union
+    *     with the tail discards anyway),
+    *  3. a completed staging table or directory (crash between the
+    *     swap's drop and rename: the staging IS the merged truth, and
+    *     the horizon computed from it excludes exactly the partitions
+    *     it already folded),
+    *  4. tail partitions only (never compacted).
+    *
+    * Repair of the swap state itself stays with the compaction path
+    * ([[sinkBucketed]] runs it on its next trigger). */
   def readCorpus(spark: SparkSession, corpusDir: String,
                  corpusTable: String): DataFrame = {
-    recoverSwap(spark, corpusTable, CorpusSchema, "doc_id")
-    val tableLive = spark.catalog.tableExists(corpusTable)
-    val horizon: Long =
-      if (tableLive)
-        spark.table(corpusTable).agg(max("batch_id")).head() match {
-          case r if r.isNullAt(0) => Long.MinValue
-          case r                  => r.getLong(0)
-        }
-      else Long.MinValue
+    val hconf = spark.sparkContext.hadoopConfiguration
+    def dirDf(table: String): Option[DataFrame] = {
+      val d = Bucketed.warehousePath(spark, table)
+      val f = d.getFileSystem(hconf)
+      if (f.exists(d)) Some(spark.read.parquet(d.toString)) else None
+    }
+    def tableDf(table: String): Option[DataFrame] =
+      if (spark.catalog.tableExists(table)) Some(spark.table(table))
+      else dirDf(table)
+    val base = tableDf(corpusTable).orElse(tableDf(stagingName(corpusTable)))
+      .map(_.select("doc_id", "source", "text", "batch_id"))
+    val horizon: Long = base.map {
+      _.agg(max("batch_id")).head() match {
+        case r if r.isNullAt(0) => Long.MinValue
+        case r                  => r.getLong(0)
+      }
+    }.getOrElse(Long.MinValue)
     val tail = batchPartitions(spark, corpusDir).filter(partId(_) > horizon)
     val tailDf =
       if (tail.nonEmpty)
@@ -377,16 +405,14 @@ object CorpusIngest {
           .withColumn("batch_id", col("batch_id").cast("long"))
           .select("doc_id", "source", "text", "batch_id"))
       else None
-    (tableLive, tailDf) match {
-      case (true, Some(t)) =>
-        spark.table(corpusTable).select("doc_id", "source", "text", "batch_id")
-          .unionByName(t)
-      case (true, None)  =>
-        spark.table(corpusTable).select("doc_id", "source", "text", "batch_id")
-      case (false, Some(t)) => t
-      case (false, None) =>
+    (base, tailDf) match {
+      case (Some(b), Some(t)) => b.unionByName(t)
+      case (Some(b), None)    => b
+      case (None, Some(t))    => t
+      case (None, None) =>
         throw new IllegalArgumentException(
-          s"no corpus found: table '$corpusTable' absent and no batch " +
+          s"no corpus found: table '$corpusTable' absent (no catalog entry, " +
+            s"no surviving base or staging directory) and no batch " +
             s"partitions under $corpusDir")
     }
   }

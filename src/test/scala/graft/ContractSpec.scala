@@ -16,7 +16,11 @@ class ContractSpec extends AnyFunSuite {
     "q_media_features", "q_dedup_clusters",
     // a BPE merge loop is not expressible in DuckDB SQL; pinned
     // row-by-row against tools/bpe_reference.py's fixture in BpeSpec
-    "q_token_count_bpe")
+    "q_token_count_bpe",
+    // a GK sketch returns an observed sample, not DuckDB's
+    // interpolation — pinned against its rank-error contract in
+    // ScaleSpec; the exact q_quantiles stays the oracle path
+    "q_quantiles_approx")
 
   test("every oracle key names a registered query") {
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet

@@ -202,6 +202,54 @@ class IntegrationSpec extends AnyFunSuite {
     } finally curation.release()
   }
 
+  test("curation decontamination stage drops a planted benchmark leak") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val base = graft.sources.Tables.documents(spark, sfDir)
+      .select("doc_id", "source", "text")
+    val maxId = base.agg(org.apache.spark.sql.functions.max("doc_id"))
+      .collect()(0).getLong(0)
+    // the benchmark: an eval question, verbatim; the leak: a long
+    // otherwise-clean doc embedding that question (shares every
+    // benchmark shingle); the control: same shape, no overlap
+    val evalQ = "what is the boiling point of water at sea level pressure"
+    val filler = (s: String) => (1 to 30).map(i => s"the $s$i").mkString(" ")
+    val crafted = Seq(
+      (maxId + 1, "srcL", filler("leak") + " " + evalQ),
+      (maxId + 2, "srcC", filler("ctrl")))
+      .toDF("doc_id", "source", "text")
+    val corpus = base.union(crafted)
+    val bench = Seq((1L, evalQ)).toDF("q_id", "text")
+
+    val curation = GraftApi.curatePlan(corpus, benchmark = Some(bench))
+    try {
+      val ids = curation.frame.collect().map(_.getAs[Long]("doc_id")).toSet
+      assert(!ids.contains(maxId + 1), "benchmark leak must be decontaminated")
+      assert(ids.contains(maxId + 2), "non-overlapping control must survive")
+
+      // the stage appears in the manifest, in order, owning the drop;
+      // the reconciliation invariants hold with the stage inserted
+      val m = curation.manifest.collect()
+        .map(r => (r.getAs[String]("stage"), r.getAs[Long]("docs_in"),
+          r.getAs[Long]("docs_out"), r.getAs[Long]("docs_dropped")))
+      assert(m.map(_._1).toSeq == Seq("input", "strip_markup", "quality_filter",
+        "exact_dedup", "decontaminate", "near_dup", "redact_pii"))
+      assert(m.find(_._1 == "decontaminate").get._4 >= 1,
+        "decontaminate must own at least the planted drop")
+      m.sliding(2).foreach { case Array(a, b) =>
+        assert(b._2 == a._3, s"docs_in of ${b._1} != docs_out of ${a._1}")
+      }
+      m.foreach { case (stage, in, out, dropped) =>
+        assert(dropped == in - out && dropped >= 0, s"$stage attrition inconsistent")
+      }
+      // without the benchmark the leak survives — the stage, not some
+      // other filter, is what drops it
+      val off = GraftApi.curateCorpus(corpus)
+      assert(off.collect().map(_.getAs[Long]("doc_id")).toSet.contains(maxId + 1),
+        "leak doc must pass every other stage when decontamination is off")
+    } finally { curation.release(); GraftApi.releaseCaches() }
+  }
+
   test("curation span stage cuts shared boilerplate from otherwise-distinct docs") {
     import spark.implicits._
     // two long docs, distinct bodies, sharing a 6-token license block —

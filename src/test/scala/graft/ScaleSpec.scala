@@ -247,6 +247,52 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("reRegister derives the bucket spec from the data's marker, not the caller") {
+    import org.apache.spark.sql.catalyst.TableIdentifier
+    val table = "bucket_marker_t"
+    Bucketed.dropTable(spark, table)
+    try {
+      // written with a NON-default bucket count
+      Bucketed.writeBucketed(
+        Tables.orders(spark, sfDir).select("o_orderkey", "o_totalprice"),
+        table, "o_orderkey", buckets = 4)
+      // simulate the restart: catalog entry gone, directory intact
+      val wh = new java.io.File(
+        Bucketed.warehousePath(spark, table).toUri.getPath)
+      val aside = java.nio.file.Files.createTempDirectory("graft-bm-aside")
+        .resolve("data").toFile
+      org.apache.commons.io.FileUtils.copyDirectory(wh, aside)
+      Bucketed.dropTable(spark, table)
+      org.apache.commons.io.FileUtils.copyDirectory(aside, wh)
+      // re-registration passes the DEFAULT (8) — the marker must win,
+      // or every bucket-trusting join against this table is silently
+      // wrong
+      assert(Bucketed.reRegister(spark, table,
+        "o_orderkey BIGINT, o_totalprice DOUBLE", "o_orderkey"))
+      val spec = spark.sessionState.catalog
+        .getTableMetadata(TableIdentifier(table)).bucketSpec
+      assert(spec.map(_.numBuckets).contains(4),
+        s"re-registered bucket spec must come from the marker: $spec")
+      assert(Bucketed.readBucketed(spark, table).count() ==
+        Tables.orders(spark, sfDir).count())
+
+      // a marker contradicting the part files must refuse to register
+      Bucketed.dropTable(spark, table)
+      org.apache.commons.io.FileUtils.copyDirectory(aside, wh)
+      // write through the Hadoop FS (the local FS keeps .crc sidecars;
+      // a raw java.nio overwrite would trip ChecksumException instead
+      // of exercising the validation)
+      val mp = new org.apache.hadoop.fs.Path(wh.toString, "_graft_buckets")
+      val hf = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val out = hf.create(mp, true)
+      try out.write("2 o_orderkey\n".getBytes("UTF-8")) finally out.close()
+      intercept[IllegalArgumentException] {
+        Bucketed.reRegister(spark, table,
+          "o_orderkey BIGINT, o_totalprice DOUBLE", "o_orderkey")
+      }
+    } finally Bucketed.dropTable(spark, table)
+  }
+
   test("streaming membership vs the two-tier store: only the batch shuffles") {
     import graft.operators.TextAnalysis
     import graft.streaming.CorpusIngest

@@ -24,8 +24,12 @@ class SimilaritySpec extends AnyFunSuite {
 
   test("prefix-filtered jaccard pairs equal the exact operator") {
     // the prefix bound guarantees zero false negatives at the given
-    // tau, and verification is exact — outputs must be IDENTICAL
-    for (tau <- Seq(0.5, 0.8)) {
+    // tau, and verification is exact — outputs must be IDENTICAL.
+    // 0.07 is the FP-knife-edge class: τ·n rounds UP in double
+    // arithmetic when τ·n is mathematically integral (0.07·100 =
+    // 7.000000000000001), which without the epsilon guard would
+    // shorten the prefix by one and drop pairs sitting exactly at τ
+    for (tau <- Seq(0.07, 0.5, 0.8)) {
       val exact = Dedup.ngramJaccardPairs(docs, tau = tau).collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
       val pref = Dedup.ngramJaccardPairsPrefix(docs, tau = tau).collect()

@@ -404,6 +404,62 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("readCorpus is read-only: crash states are readable and left for compact() to repair") {
+    import spark.implicits._
+    import graft.streaming.CorpusIngest
+    import graft.sources.Bucketed
+    val corpusDir = java.nio.file.Files.createTempDirectory("graft-rocorpus").toString
+    val hashDir = java.nio.file.Files.createTempDirectory("graft-rocorpus-h").toString
+    val table = "corpus_rows_ro_t"
+    val staging = table + "_staging"
+    Bucketed.dropTable(spark, table)
+    Bucketed.dropTable(spark, staging)
+    def allRows() = CorpusIngest.readCorpus(spark, corpusDir, table).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("batch_id"))).toSet
+    try {
+      for ((docs, bid) <- Seq(
+          Seq((1L, "s", "alpha"), (2L, "s", "beta")) -> 0L,
+          Seq((3L, "s", "gamma")) -> 1L,
+          Seq((4L, "s", "delta")) -> 2L))
+        CorpusIngest.ingestBatch(docs.toDF("doc_id", "source", "text"),
+          bid, corpusDir, hashDir)
+      CorpusIngest.compactCorpus(spark, corpusDir, table, upToBatch = 1L)
+      val expect = allRows()
+      assert(expect.map(_._1) == Set(1L, 2L, 3L, 4L))
+
+      // crash window between the swap's drop and rename: the catalog
+      // holds only the staging table. The reader must serve the merged
+      // truth from staging WITHOUT renaming it into place — repair
+      // belongs to the compaction path, and a reader racing a live
+      // compaction must not mutate its state.
+      spark.sql(s"ALTER TABLE $table RENAME TO $staging")
+      assert(allRows() == expect, "staging fallback must serve the merged truth")
+      assert(!spark.catalog.tableExists(table) && spark.catalog.tableExists(staging),
+        "readCorpus must not repair the swap")
+      // the owning path still recovers from exactly this state
+      CorpusIngest.compactCorpus(spark, corpusDir, table, upToBatch = 1L)
+      assert(spark.catalog.tableExists(table) && !spark.catalog.tableExists(staging))
+      assert(allRows() == expect)
+
+      // session restart: catalog entries gone, base directory intact —
+      // the reader serves the directory as plain parquet and does NOT
+      // re-register the table (a read API must not mutate the catalog)
+      val wh = new java.io.File(
+        Bucketed.warehousePath(spark, table).toUri.getPath)
+      val aside = java.nio.file.Files.createTempDirectory("graft-ro-aside")
+        .resolve("data").toFile
+      org.apache.commons.io.FileUtils.copyDirectory(wh, aside)
+      Bucketed.dropTable(spark, table)
+      org.apache.commons.io.FileUtils.copyDirectory(aside, wh)
+      assert(allRows() == expect, "directory fallback must serve the base")
+      assert(!spark.catalog.tableExists(table),
+        "readCorpus must not re-register the table")
+    } finally {
+      Bucketed.dropTable(spark, table)
+      Bucketed.dropTable(spark, staging)
+    }
+  }
+
   test("bucketed corpus ingest survives catalog loss when the warehouse data is intact") {
     import spark.implicits._
     import graft.streaming.CorpusIngest
@@ -421,7 +477,8 @@ class StreamingSpec extends AnyFunSuite {
       // catalog entry dies with the JVM, the warehouse directory does
       // not — move the data aside, drop (which deletes the managed
       // dir), move it back
-      val wh = Bucketed.warehousePath(spark, table)
+      val wh = new java.io.File(
+        Bucketed.warehousePath(spark, table).toUri.getPath).toPath
       val aside = java.nio.file.Files.createTempDirectory("graft-wh-aside")
         .resolve("data")
       org.apache.commons.io.FileUtils.copyDirectory(wh.toFile, aside.toFile)
