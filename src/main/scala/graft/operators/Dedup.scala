@@ -62,6 +62,21 @@ object Dedup {
       .select(col("doc_id"), col("pos").as("band"), hash(col("col")).as("bucket"))
   }
 
+  /** (doc_id, band, bb) — each document's LSH band keys with the band
+    * index folded into ONE 64-bit join key (`bb = xxhash64(band,
+    * bucket)`), the storable form of [[bandBuckets]]: the streaming
+    * near-dup membership store ([[graft.streaming.CorpusIngest]])
+    * keeps exactly these keys per admitted document, bucketed by bb,
+    * so a batch's keys semi-join the store on a single column with
+    * the catalog's bucket layout satisfying the store side. Documents
+    * too short to shingle (< n tokens) emit no keys — they can never
+    * be near-dup-rejected, by design. */
+  private[graft] def bandKeys(docs: DataFrame, k: Int = 128,
+                              bands: Int = 16): DataFrame =
+    bandBuckets(shingleHashes(docs).filter(size(col("sh")) > 0), k, bands)
+      .select(col("doc_id"), col("band"),
+        xxhash64(col("band"), col("bucket")).as("bb"))
+
   /** Band-bucket population profile: bucket count, largest bucket, and
     * the pre-verify candidate-pair volume (Σ c·(c−1)/2). THE skew
     * early-warning for the LSH join — a hot bucket shows up here long
@@ -292,7 +307,14 @@ object Dedup {
     * sharing at least one shingle are ever formed (the hashed shingle
     * IS the bucket key), then |A∩B| comes from the join group count
     * and |A∪B| from the per-doc set sizes. Mirrors the string-based
-    * DuckDB oracle exactly (counts are hash-collision-free here). */
+    * DuckDB oracle exactly (counts are hash-collision-free here).
+    *
+    * @note 100TB: use [[minhashPairs]] — the shared-shingle pair
+    *       expansion is superlinear BY SEMANTICS (measured 40.8×
+    *       shuffle growth for a 10× data step, BASELINE.md); minhash
+    *       restricts candidates to band buckets at linear slope.
+    *       [[ngramJaccardPairsPrefix]] halves this form's candidate
+    *       space with identical output when exactness is required. */
   def ngramJaccardPairs(docs: DataFrame, tau: Double = 0.5): DataFrame = {
     val sh = Caches.persistTracked(shingleHashes(docs).filter(size(col("sh")) > 0))
     val sizes = sh.select(col("doc_id"), size(col("sh")).as("n_sh"))

@@ -31,15 +31,18 @@ object Similarity {
     dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))
 
   /** Embedding-cosine near-dup pairs: all (i<j) pairs with
-    * cosine >= tau. Locally a broadcast nested-loop block join; at
-    * scale the candidate space would be bucket-restricted first (see
-    * [[embedDedupLsh]]) — this operator is the exact reference
-    * semantics. The stream side is repartitioned to the full
-    * parallelism first: NLJ parallelism equals the stream side's
+    * cosine >= tau. Locally a broadcast nested-loop block join — this
+    * operator is the exact reference semantics, and it BROADCASTS THE
+    * FULL EMBEDDINGS TABLE. The stream side is repartitioned to the
+    * full parallelism first: NLJ parallelism equals the stream side's
     * partition count, and a small parquet file arrives as ONE
     * partition, which would serialize the O(n²) scoring onto a single
     * core. Catalyst pushes the `cos >= tau` filter into the join
-    * condition, so sub-threshold pairs are never materialized. */
+    * condition, so sub-threshold pairs are never materialized.
+    *
+    * @note 100TB: use [[embedDedupLsh]] — bucket-restricted candidates,
+    *       id-only exchanges; this exact form is O(n²) scoring with a
+    *       corpus-sized broadcast and exists as the oracle path. */
   def embedDedup(embeddings: DataFrame, tau: Double = 0.4): DataFrame = {
     val e = withNorm(embeddings)
     spreadToCores(e).as("a")
@@ -52,7 +55,13 @@ object Similarity {
 
   /** Brute-force cosine top-k: for each query vector (vec_id <
     * nQueries), the k nearest other vectors by rounded cosine,
-    * tie-broken by candidate id — deterministic across engines. */
+    * tie-broken by candidate id — deterministic across engines.
+    * Broadcasts the full embeddings table as the candidate side.
+    *
+    * @note 100TB: use [[annLsh]] (hyperplane buckets) or [[annIvf]]
+    *       (coarse quantizer) — both score ~bucket-sized candidate
+    *       slices instead of the whole corpus per query; this exact
+    *       form is the recall baseline and the oracle path. */
   def annTopK(embeddings: DataFrame, nQueries: Int = 20, k: Int = 5): DataFrame = {
     val e = withNorm(embeddings)
     val q = e.filter(col("vec_id") < nQueries)

@@ -562,20 +562,42 @@ object TextAnalysis {
     * per source partition, the same single-shuffle entity-window shape
     * as the time-series features. At 100 TB, `source` shards the
     * corpus (packing order within a shard is what training needs —
-    * there is no global order to maintain). */
-  def packSequences(docs: DataFrame, budget: Long = 2048L): DataFrame = {
+    * there is no global order to maintain).
+    *
+    * `tokenCounter` prices each document against the budget. The
+    * default (whitespace tokens) is the SQL-oracle-checkable form; a
+    * real training run budgets in MODEL tokens — pass
+    * [[packSequencesBpe]]'s counter (or any Column → Column) and the
+    * same one-window plan packs in those units. Mis-budgeting in
+    * whitespace units is off by the corpus's BPE/ws token ratio
+    * (~1.3-1.5× for English prose, worse for code). */
+  def packSequences(docs: DataFrame, budget: Long = 2048L,
+                    tokenCounter: Column => Column =
+                      c => size(tokens(c)).cast("long")): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("source").orderBy("doc_id")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     docs
       .select(col("doc_id"), col("source"),
-        size(tokens(col("text"))).cast("long").as("n_tokens"))
+        tokenCounter(col("text")).as("n_tokens"))
       .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       .select(col("doc_id"), col("source"), col("n_tokens"),
         expr(s"cum_before div ${budget}L").as("pack_id"),
         expr(s"cum_before % ${budget}L").as("start_offset"))
       .orderBy("source", "doc_id")
   }
+
+  /** [[packSequences]] budgeted in REAL model tokens: greedy BPE under
+    * a merges.txt-format table ([[graft.functions.BpeCount]], codegen'd
+    * and scan-local, so the plan shape is identical to the whitespace
+    * form — one window shuffle, the counter fused into the scan).
+    * The pack invariants (assignment = cum_before div budget, offsets
+    * = cum_before % budget, counts = [[tokenCountBpe]]'s) are pinned in
+    * TextAnalysisSpec; the ws form stays the DuckDB-oracle entry. */
+  def packSequencesBpe(docs: DataFrame, budget: Long = 2048L,
+                       merges: Seq[(String, String)] = defaultBpeMerges): DataFrame =
+    packSequences(docs, budget,
+      c => GraftFunctions.bpeCount(tokens(c), merges).cast("long"))
 
   /** Content fingerprint: 64-bit polynomial rolling hash of the
     * normalized text via the custom codegen'd Catalyst expression. */

@@ -5,8 +5,35 @@ import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.TextAnalysis
+import graft.operators.{Dedup, TextAnalysis}
 import graft.sources.Bucketed
+
+/** Configuration of the OPTIONAL streaming near-dup membership store
+  * ([[CorpusIngest.sinkBucketed]]'s `nearDup`): a second two-tier
+  * store (bucketed base + per-batch delta partitions, the same
+  * compaction machinery as the content-hash store) holding the LSH
+  * band keys ([[graft.operators.Dedup.bandKeys]]) of every admitted
+  * document, so a streamed batch can reject near-duplicates of the
+  * ACCUMULATED corpus — not just exact re-sends.
+  *
+  * Rejection is PROBABILISTIC and conservative, by design: a batch
+  * document matching the store in ≥ `minBands` distinct bands is
+  * dropped without exact verification — the admitted documents' text
+  * is never re-read on the ingest path (that's what makes the store
+  * linear in keys, not corpus bytes: ~`bands`·24 B per admitted doc).
+  * Where the batch near-dup operators verify candidates with exact
+  * Jaccard, here over-blocking is the chosen failure direction, the
+  * same philosophy as the hash store's crash window.
+  *
+  * Tuning (k=128, bands=16 ⇒ 8-row bands; P(band)=J⁸): at J≈0.97
+  * (one-sentence edits) a doc matches ~11 bands — rejection is near
+  * certain; at J=0.8 P(≥2 bands)≈0.78; at J=0.5 false rejection is
+  * ≈0.2%. `minBands`=1 maximizes recall at the cost of rejecting on
+  * any single band collision; 2 (default) suppresses those
+  * singletons. Documents too short to shingle (< 3 tokens) emit no
+  * keys and are never near-dup-rejected. */
+final case class NearDupStore(table: String, deltaDir: String,
+                              minBands: Int = 2, k: Int = 128, bands: Int = 16)
 
 /** Continuous corpus construction — the streaming form of
   * [[graft.operators.TextAnalysis.dedupIncremental]]: documents arrive
@@ -58,6 +85,9 @@ object CorpusIngest {
   /** Hash-store schema, shared by the writer and the restart
     * re-registration DDL. */
   private val HashStoreSchema = "content_hash STRING, batch_id BIGINT"
+
+  /** Near-dup band-key store schema (see [[NearDupStore]]). */
+  private val BandStoreSchema = "bb BIGINT, band INT, batch_id BIGINT"
 
   /** The base table is "live" if the catalog has it OR its warehouse
     * data survived a session restart (default in-memory catalog: every
@@ -183,13 +213,77 @@ object CorpusIngest {
         .join(broadcast(delta), Seq("content_hash"), "left_anti"))
   }
 
-  /** One micro-batch against the two-tier bucketed store. */
+  /** Drop from `exact` (a batch's exact-membership survivors) every
+    * document matching the accumulated near-dup store in ≥ minBands
+    * distinct bands — see [[NearDupStore]] for the semantics. Same
+    * two-tier read as the hash store: bucketed base (catalog layout ⇒
+    * the store side never shuffles; plan-locked in ScaleSpec),
+    * broadcast delta tail, own-batch partitions excluded so a
+    * redelivery can re-admit its own rows. The per-doc matched-band
+    * count and the reject set are bounded by the BATCH, so the reject
+    * side broadcasts back into the anti-join. */
+  private[graft] def nearDupFilter(exact: DataFrame, batchId: Long,
+                                   nd: NearDupStore): DataFrame = {
+    val spark = exact.sparkSession
+    val keys = Dedup.bandKeys(exact, nd.k, nd.bands) // (doc_id, band, bb)
+    val none = keys.select("bb").where(lit(false))
+
+    val baseExists = spark.catalog.tableExists(nd.table) ||
+      Bucketed.reRegister(spark, nd.table, BandStoreSchema, "bb")
+    if (!baseExists && fs(spark, nd.deltaDir).exists(markerPath(nd.deltaDir)))
+      throw new IllegalStateException(
+        s"near-dup band base table '${nd.table}' is missing but its " +
+          s"compaction marker exists under ${nd.deltaDir} — mid-compaction " +
+          "crash; run CorpusIngest.compactBands() to recover before ingesting")
+    val base =
+      if (baseExists)
+        spark.table(nd.table).filter(col("batch_id") =!= batchId).select("bb")
+      else none
+    val delta =
+      if (batchPartitions(spark, nd.deltaDir).nonEmpty)
+        spark.read.parquet(nd.deltaDir)
+          .filter(col("batch_id") =!= batchId).select("bb")
+      else none
+
+    // a key row matches when EITHER tier holds its bb; rows are one
+    // per (doc, band) by construction, and a band matching both tiers
+    // must count once — hence the distinct before the per-doc count
+    val matched = keys.join(base, Seq("bb"), "left_semi")
+      .unionByName(keys.join(broadcast(delta), Seq("bb"), "left_semi"))
+      .select("doc_id", "band").distinct()
+    val reject = matched.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bands"))
+      .filter(col("n_bands") >= nd.minBands)
+      .select("doc_id")
+    exact.join(broadcast(reject), Seq("doc_id"), "left_anti")
+  }
+
+  /** One micro-batch against the two-tier bucketed store(s). */
   def ingestBatchBucketed(batch: Dataset[Row], batchId: Long, corpusDir: String,
-                          hashTable: String, deltaDir: String): Unit = {
-    val survivors =
-      survivorsBucketed(batch, batchId, hashTable, deltaDir).persist()
-    try writeSurvivors(survivors, batchId, corpusDir, deltaDir)
-    finally { survivors.unpersist(); () }
+                          hashTable: String, deltaDir: String,
+                          nearDup: Option[NearDupStore] = None): Unit = {
+    val exact = survivorsBucketed(batch, batchId, hashTable, deltaDir)
+    val survivors = nearDup match {
+      case None     => exact.persist()
+      case Some(nd) =>
+        // the exact survivors feed BOTH the band-key projection and
+        // the final anti-join — persist so the membership window does
+        // not run twice
+        nearDupFilter(exact.persist(), batchId, nd).persist()
+    }
+    try {
+      // band keys land with the content hashes, BEFORE corpus rows —
+      // the same over-block-on-crash direction as writeSurvivors
+      nearDup.foreach { nd =>
+        Dedup.bandKeys(survivors, nd.k, nd.bands).select("bb", "band")
+          .write.mode("overwrite").parquet(s"${nd.deltaDir}/batch_id=$batchId")
+      }
+      writeSurvivors(survivors, batchId, corpusDir, deltaDir)
+    } finally {
+      survivors.unpersist()
+      nearDup.foreach(_ => exact.unpersist())
+      ()
+    }
   }
 
   /** Fold the delta partitions into the bucketed base table. Safe to
@@ -261,17 +355,27 @@ object CorpusIngest {
     spark.sql(s"ALTER TABLE $staging RENAME TO $table")
   }
 
-  def compact(spark: SparkSession, hashTable: String, deltaDir: String): Unit = {
-    recoverSwap(spark, hashTable, HashStoreSchema, "content_hash")
-    if (!spark.catalog.tableExists(hashTable) &&
+  /** The shared two-tier fold: recover any interrupted swap, then
+    * merge the delta partitions into the bucketed base — rows of
+    * batches present in the tail are superseded by the tail (the
+    * newer truth for their own batch), one row survives per
+    * `groupKeys` (lowest batch_id), and only after the swap commits
+    * are exactly the read partitions deleted. `dataCols` are the
+    * store's key columns (everything but batch_id); `keyCol` is the
+    * bucket key the base is clustered on. */
+  private def compactKeyed(spark: SparkSession, table: String, deltaDir: String,
+                           schemaDdl: String, keyCol: String,
+                           dataCols: Seq[String]): Unit = {
+    recoverSwap(spark, table, schemaDdl, keyCol)
+    if (!spark.catalog.tableExists(table) &&
         fs(spark, deltaDir).exists(markerPath(deltaDir)))
       // outside the crash model (a crash always leaves base or a
       // complete staging, as catalog entry or warehouse directory):
       // the store was externally deleted. Rebuilding from the delta
-      // tail alone would silently forget every compacted hash —
+      // tail alone would silently forget every compacted key —
       // refuse instead.
       throw new IllegalStateException(
-        s"corpus hash base '$hashTable' and its staging table are both " +
+        s"membership base '$table' and its staging table are both " +
           s"missing despite the compaction marker under $deltaDir — " +
           "membership state lost; restore the table or remove the marker " +
           "to explicitly accept a rebuild from the delta tail alone")
@@ -281,21 +385,32 @@ object CorpusIngest {
     // partition values are inferred as the narrowest integral type —
     // cast to the base's long before merging
     val deltas = spark.read.parquet(deltaDir)
-      .select(col("content_hash"), col("batch_id").cast("long").as("batch_id"))
+      .select(dataCols.map(col) :+ col("batch_id").cast("long").as("batch_id"): _*)
     val base =
-      if (spark.catalog.tableExists(hashTable)) spark.table(hashTable)
+      if (spark.catalog.tableExists(table)) spark.table(table)
       else deltas.where(lit(false))
     val deltaIds = deltas.select("batch_id").distinct()
     val merged = base
       .join(deltaIds, Seq("batch_id"), "left_anti")
-      .unionByName(deltas.select("batch_id", "content_hash"))
-      .groupBy("content_hash").agg(min("batch_id").as("batch_id"))
+      .unionByName(deltas.select("batch_id", dataCols: _*))
+      .groupBy(dataCols.map(col): _*).agg(min("batch_id").as("batch_id"))
 
-    swapInTable(spark, hashTable, merged, "content_hash")
+    swapInTable(spark, table, merged, keyCol)
     val f = fs(spark, deltaDir)
     f.create(markerPath(deltaDir), true).close()
     parts.foreach(f.delete(_, true))
   }
+
+  def compact(spark: SparkSession, hashTable: String, deltaDir: String): Unit =
+    compactKeyed(spark, hashTable, deltaDir, HashStoreSchema,
+      "content_hash", Seq("content_hash"))
+
+  /** Fold the near-dup band-key delta partitions into their bucketed
+    * base — [[compact]]'s machinery over the [[NearDupStore]] layout
+    * (one surviving row per (bb, band), lowest admitting batch). */
+  def compactBands(spark: SparkSession, nd: NearDupStore): Unit =
+    compactKeyed(spark, nd.table, nd.deltaDir, BandStoreSchema,
+      "bb", Seq("bb", "band"))
 
   /** Corpus-ROW schema of the consolidated lake table. */
   private val CorpusSchema = "doc_id BIGINT, source STRING, text STRING, batch_id BIGINT"
@@ -429,10 +544,15 @@ object CorpusIngest {
     * committed by the engine's serial micro-batch contract, so the
     * sink itself knows a safe [[compactCorpus]] horizon — the lake's
     * file count then stays bounded too, and downstream readers use
-    * [[readCorpus]] for the unified view. */
+    * [[readCorpus]] for the unified view.
+    *
+    * With `nearDup` set, batches are additionally filtered against the
+    * accumulated near-dup band-key store (see [[NearDupStore]] for the
+    * probabilistic semantics), which compacts on the same cadence. */
   def sinkBucketed(docs: DataFrame, corpusDir: String, hashTable: String,
                    deltaDir: String, compactEvery: Int = 16,
-                   corpusTable: Option[String] = None)
+                   corpusTable: Option[String] = None,
+                   nearDup: Option[NearDupStore] = None)
       : org.apache.spark.sql.streaming.DataStreamWriter[Row] = {
     require(compactEvery > 0, s"compactEvery must be positive: $compactEvery")
     docs.writeStream.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
@@ -442,9 +562,15 @@ object CorpusIngest {
       if (!spark.catalog.tableExists(hashTable) &&
           fs(spark, deltaDir).exists(markerPath(deltaDir)))
         compact(spark, hashTable, deltaDir)
-      ingestBatchBucketed(batch, batchId, corpusDir, hashTable, deltaDir)
+      nearDup.foreach { nd =>
+        if (!spark.catalog.tableExists(nd.table) &&
+            fs(spark, nd.deltaDir).exists(markerPath(nd.deltaDir)))
+          compactBands(spark, nd)
+      }
+      ingestBatchBucketed(batch, batchId, corpusDir, hashTable, deltaDir, nearDup)
       if ((batchId + 1) % compactEvery == 0) {
         compact(spark, hashTable, deltaDir)
+        nearDup.foreach(compactBands(spark, _))
         // batchId itself is NOT yet committed (this foreachBatch is
         // still running) — its partition must stay overwritable for a
         // redelivery, so the horizon stops one short

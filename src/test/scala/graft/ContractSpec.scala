@@ -52,4 +52,28 @@ class ContractSpec extends AnyFunSuite {
       assert(unknown.isEmpty, s"$name references unknown tables: $unknown")
     }
   }
+
+  test("exact-reference operators carry the @note 100TB scale pointer") {
+    // the discipline: every operator kept as the exact/oracle form of
+    // a scale family must tell a 100 TB user which operator to run
+    // instead, in a greppable convention (`@note 100TB:`). The list is
+    // maintained here; a new exact-reference form joins it.
+    val mustCarry = Seq(
+      ("src/main/scala/graft/operators/Similarity.scala", "embedDedup"),
+      ("src/main/scala/graft/operators/Similarity.scala", "annTopK"),
+      ("src/main/scala/graft/operators/Dedup.scala", "ngramJaccardPairs"),
+      ("src/main/scala/graft/operators/TimeSeries.scala", "quantiles"))
+    mustCarry.foreach { case (file, name) =>
+      val src = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(file)), "UTF-8")
+      val defIdx = src.indexOf(s"def $name(")
+      assert(defIdx >= 0, s"$file: def $name not found")
+      val docStart = src.lastIndexOf("/**", defIdx)
+      assert(docStart >= 0, s"$file: $name has no scaladoc")
+      val doc = src.substring(docStart, defIdx)
+      assert(doc.contains("@note 100TB:"),
+        s"$file: $name's scaladoc must carry an `@note 100TB:` pointer " +
+          "to its scale-path counterpart")
+    }
+  }
 }

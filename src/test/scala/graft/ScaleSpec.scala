@@ -344,6 +344,92 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("embed-LSH shuffle volume slope stays within its candidate-growth envelope") {
+    // round-5 bench measured q_dedup_embed_lsh's exchange bytes at
+    // 13.9× for the sf0.01→sf0.1 step (10× vectors): superlinear
+    // because candidate pairs grow with bucket occupancy (fixed
+    // 2^nPlanes buckets per table ⇒ pair space trends toward n²/2^k
+    // as buckets fill), but FAR below quadratic at these occupancies,
+    // and — the load-bearing property — the exchanges carry 24-byte
+    // id rows, never vectors. The bound (25×, ~1.8× headroom over
+    // measured) catches both a bucketing regression (hot buckets →
+    // candidate blowup) and a plan regression that puts the ~KB
+    // vectors back on the candidate exchange, either of which jumps
+    // the byte slope far past it.
+    import graft.monitoring.PlanMetrics
+    import graft.operators.Similarity
+    val dirs = Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")
+    assume(dirs.forall(new java.io.File(_).isDirectory))
+    val bytes = dirs.map { dir =>
+      val out = Similarity.embedDedupLsh(Tables.embeddings(spark, dir))
+      out.collect()
+      val b = PlanMetrics.shuffleStats(out).bytesWritten
+      graft.operators.Caches.releaseAll()
+      assert(b > 0, s"$dir: no shuffle bytes recorded — measurement broke")
+      b
+    }
+    val slope = bytes(1).toDouble / bytes(0)
+    assert(slope <= 25.0,
+      s"embed-LSH shuffle slope $slope (${bytes(0)} -> ${bytes(1)} bytes) " +
+        "exceeds the 25x envelope for a 10x data step")
+  }
+
+  test("near-dup membership vs the band store: only the batch shuffles") {
+    import graft.operators.Dedup
+    import graft.streaming.{CorpusIngest, NearDupStore}
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val bandDir = java.nio.file.Files.createTempDirectory("graft-band-d").toString
+    val nd = NearDupStore("corpus_bands_tier_t", bandDir)
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val docs = Tables.documents(spark, sfDir)
+      Bucketed.dropTable(spark, nd.table)
+      // base: band keys of half the corpus; delta: one uncompacted batch
+      Bucketed.writeBucketed(
+        Dedup.bandKeys(docs.filter(col("doc_id") % 2 === 0))
+          .select(col("bb"), col("band"), (col("doc_id") % 3).as("batch_id")),
+        nd.table, "bb")
+      Dedup.bandKeys(docs.filter(col("doc_id") % 4 === 1))
+        .select("bb", "band")
+        .write.mode("overwrite").parquet(s"$bandDir/batch_id=100")
+      val batch = docs.filter(col("doc_id") % 4 === 3)
+        .select("doc_id", "source", "text")
+      val out = CorpusIngest.nearDupFilter(batch, 200L, nd)
+      val plan = out.queryExecution.executedPlan.toString
+      // the bucketed base satisfies the semi-join's distribution from
+      // the catalog and the delta tail + reject set join broadcast:
+      // every hash exchange is batch-side — (1) the keys for the base
+      // semi-join on bb, (2) the matched distinct on (doc_id, band),
+      // (3) the per-doc band count on doc_id. The store never shuffles.
+      assert(plan.split("Exchange hashpartitioning").length - 1 == 3,
+        s"expected only the three batch-side exchanges:\n$plan")
+      assert(plan.contains("BroadcastExchange"),
+        s"delta tail and reject set must join broadcast:\n$plan")
+      // semantics: a doc is dropped iff >= minBands of its band keys
+      // hit the base or delta key set
+      val storeKeys = spark.table(nd.table).select("bb").collect()
+        .map(_.getLong(0)).toSet ++
+        spark.read.parquet(bandDir).select("bb").collect().map(_.getLong(0))
+      val expectDrop = Dedup.bandKeys(batch).collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("bb")))
+        .groupBy(_._1).collect {
+          // one bandKeys row per (doc, band): the matched-row count IS
+          // the distinct matched-band count
+          case (id, ks) if ks.count(k => storeKeys(k._2)) >= nd.minBands => id
+        }.toSet
+      val kept = out.collect().map(_.getAs[Long]("doc_id")).toSet
+      val all = batch.collect().map(_.getAs[Long]("doc_id")).toSet
+      assert(kept == all.diff(expectDrop),
+        s"membership semantics drifted: dropped=${all.diff(kept)} expected=$expectDrop")
+    } finally {
+      Bucketed.dropTable(spark, nd.table)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    }
+  }
+
   test("span dedup: hashes shuffle, text never enters a hash exchange") {
     import graft.operators.TextAnalysis
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec

@@ -404,6 +404,63 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("near-dup membership rejects near-dups of the accumulated corpus across batches and restarts") {
+    import spark.implicits._
+    import graft.streaming.{CorpusIngest, NearDupStore}
+    import graft.sources.Bucketed
+    val corpusDir = java.nio.file.Files.createTempDirectory("graft-nd").toString
+    val deltaDir = java.nio.file.Files.createTempDirectory("graft-nd-h").toString
+    val bandDir = java.nio.file.Files.createTempDirectory("graft-nd-b").toString
+    val hashTable = "corpus_hashes_nd_t"
+    val nd = NearDupStore("corpus_bands_nd_t", bandDir)
+    def drop(): Unit = Seq(hashTable, hashTable + "_staging",
+      nd.table, nd.table + "_staging").foreach(Bucketed.dropTable(spark, _))
+    drop()
+    val bodyA = (1 to 40).map(i => s"alpha$i token$i").mkString(" ")
+    val bodyB = (1 to 40).map(i => s"beta$i word$i").mkString(" ")
+    val bodyC = (1 to 40).map(i => s"gamma$i item$i").mkString(" ")
+    def admitted() = spark.read.parquet(corpusDir).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    def ingest(docs: Seq[(Long, String)], bid: Long): Unit =
+      CorpusIngest.ingestBatchBucketed(
+        docs.map { case (id, t) => (id, "s", t) }.toDF("doc_id", "source", "text"),
+        bid, corpusDir, hashTable, deltaDir, Some(nd))
+    try {
+      ingest(Seq(1L -> bodyA), 0L)
+      assert(admitted() == Set(1L))
+      // batch 1: one near-dup of batch 0's content (one token appended
+      // -> J≈0.975, expected band matches ~13 of 16), one genuinely
+      // new doc. Near-dup REJECTED, exact-new ADMITTED.
+      ingest(Seq(2L -> (bodyA + " extra"), 3L -> bodyB), 1L)
+      assert(admitted() == Set(1L, 3L),
+        s"near-dup must be rejected, new content admitted: ${admitted()}")
+      // redelivery of batch 1: own-batch exclusion lets it re-admit
+      // its own rows; the near-dup of OLD content stays rejected
+      ingest(Seq(2L -> (bodyA + " extra"), 3L -> bodyB), 1L)
+      assert(admitted() == Set(1L, 3L))
+
+      // fold both stores, then simulate a restart (catalog entries
+      // die, warehouse dirs survive)
+      CorpusIngest.compact(spark, hashTable, deltaDir)
+      CorpusIngest.compactBands(spark, nd)
+      for (t <- Seq(hashTable, nd.table)) {
+        val wh = new java.io.File(
+          Bucketed.warehousePath(spark, t).toUri.getPath)
+        val aside = java.nio.file.Files.createTempDirectory("graft-nd-aside")
+          .resolve("data").toFile
+        org.apache.commons.io.FileUtils.copyDirectory(wh, aside)
+        Bucketed.dropTable(spark, t)
+        org.apache.commons.io.FileUtils.copyDirectory(aside, wh)
+        assert(!spark.catalog.tableExists(t))
+      }
+      // post-restart: near-dup of COMPACTED content (prefix edit of
+      // bodyA) rejected, fresh content admitted
+      ingest(Seq(4L -> ("prefix " + bodyA), 5L -> bodyC), 2L)
+      assert(admitted() == Set(1L, 3L, 5L),
+        s"restart must not forget near-dup membership: ${admitted()}")
+    } finally drop()
+  }
+
   test("readCorpus is read-only: crash states are readable and left for compact() to repair") {
     import spark.implicits._
     import graft.streaming.CorpusIngest

@@ -76,6 +76,57 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
   }
 
+  test("packSequencesBpe packs in real BPE tokens with consistent assignment") {
+    // the BPE-budgeted form must satisfy the same pack algebra as the
+    // ws form, with counts in MODEL tokens: recompute the running sum
+    // from tokenCountBpe independently and demand identical
+    // assignment — pack = cum_before div budget, offset = cum_before
+    // % budget. A drifting counter (ws vs bpe mixup) or a broken
+    // window order fails this reconciliation.
+    import spark.implicits._
+    val budget = 512L
+    // the shipped merge table was trained on THIS corpus, so its
+    // frequent words merge all the way back to one token and ws==bpe
+    // on natural rows — plant documents with out-of-vocabulary words
+    // (no applicable merges → one token per CHARACTER) so the two
+    // budgets measurably diverge and the test can tell the counters
+    // apart
+    val oov = (1 to 40).map(i => s"zqxj${i}kvw").mkString(" ")
+    val crafted = Seq(
+      (100001L, "web", oov),
+      (100002L, "web", s"the quick $oov brown fox"))
+      .toDF("doc_id", "source", "text")
+    val packDocs = docs.select("doc_id", "source", "text").union(crafted)
+    val out = TextAnalysis.packSequencesBpe(packDocs, budget = budget).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[Long]("n_tokens"), r.getAs[Long]("pack_id"),
+        r.getAs[Long]("start_offset")))
+    assert(out.nonEmpty)
+    val bpe = TextAnalysis.tokenCountBpe(packDocs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_bpe_tokens")).toMap
+    out.groupBy(_._2).values.foreach { rows =>
+      var cum = 0L
+      rows.sortBy(_._1).foreach { case (id, _, n, pack, off) =>
+        assert(n == bpe(id), s"doc $id: packed $n tokens, tokenCountBpe says ${bpe(id)}")
+        assert(pack == cum / budget, s"doc $id pack_id")
+        assert(off == cum % budget, s"doc $id start_offset")
+        cum += n
+      }
+    }
+    // the two budgets genuinely differ where merges don't cover the
+    // words — if they coincided everywhere this test would pin nothing
+    val ws = TextAnalysis.packSequences(packDocs, budget = budget).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_tokens")).toMap
+    Seq(100001L, 100002L).foreach { id =>
+      assert(bpe(id) > ws(id),
+        s"planted OOV doc $id: bpe ${bpe(id)} must exceed ws ${ws(id)}")
+    }
+    // and the planted divergence shifted downstream assignment: every
+    // doc after the first planted one in its source would get a
+    // different pack under the ws budget (cum diverges by >budget)
+    assert(bpe(100001L) - ws(100001L) > 0)
+  }
+
   test("textQuality n_chars matches the table's n_chars column") {
     val joined = TextAnalysis.textQuality(docs)
       .join(docs.select("doc_id", "n_chars"), "doc_id")
