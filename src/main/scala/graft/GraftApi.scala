@@ -79,12 +79,24 @@ object GraftApi {
 
   /** Train the scoring pipeline on the engineered features of `events`
     * and register it as the next version of `name`
-    * (WeatherPredictor.train + save_models). Returns (version,
-    * test metrics). */
+    * (WeatherPredictor.train + save_models). The registered entry
+    * records the holdout metrics (mse/rmse/mae/r2 on the
+    * chronological test tail) AND, with `cvFolds` > 0, walk-forward
+    * cross-validation metrics (`cv_<m>` mean / `cv_<m>_std` across
+    * expanding-window folds, weather_predictor.py:107-172) — a model
+    * picked from the registry by holdout alone can be a lucky split;
+    * the CV columns are what version comparison should read. Returns
+    * (version, all recorded metrics). */
   def trainAndRegister(events: DataFrame, registry: ModelRegistry,
-                       name: String = "temperature"): (Int, Map[String, Double]) = {
+                       name: String = "temperature",
+                       cvFolds: Int = 3): (Int, Map[String, Double]) = {
     val engineered = TimeSeries.featurePipeline(events, passthrough = Seq("ts"))
-    val (model, metrics) = Inference.train(engineered)
+    val (model, holdout) = Inference.train(engineered)
+    val cv =
+      if (cvFolds > 0)
+        Inference.walkForwardCvMetrics(Inference.labeled(engineered), cvFolds)
+      else Map.empty[String, Double]
+    val metrics = holdout ++ cv
     (registry.register(name, model, metrics), metrics)
   }
 

@@ -70,13 +70,52 @@ object Inference {
             targetCol: String = "value_future",
             tsCol: String = "ts", seed: Long = 42L)
       : (PipelineModel, Map[String, Double]) = {
-    val labeled = fillZeros(engineered, featureCols)
-      .filter(col(targetCol).isNotNull)
-      .withColumn("label", col(targetCol))
-    val (trainDf, testDf) = TemporalSplit.split(labeled, tsCol)
+    val lab = labeled(engineered, featureCols, targetCol)
+    val (trainDf, testDf) = TemporalSplit.split(lab, tsCol)
     val model = scoringPipeline(featureCols, seed = seed).fit(trainDf)
     val metrics = Models.regressionMetrics(model.transform(testDf))
     (model, metrics)
+  }
+
+  /** The labeled training frame [[train]] fits on — rows with a
+    * defined target (the reference's dropna), zero-filled features,
+    * target aliased to `label`. Shared with the CV folds so both
+    * evaluate the same population. */
+  private[graft] def labeled(engineered: DataFrame,
+                             featureCols: Seq[String] = defaultFeatures,
+                             targetCol: String = "value_future"): DataFrame =
+    fillZeros(engineered, featureCols)
+      .filter(col(targetCol).isNotNull)
+      .withColumn("label", col(targetCol))
+
+  /** Walk-forward cross-validation of the scoring pipeline
+    * (weather_predictor.py:107-172's time-respecting CV): fit one
+    * model per expanding-window fold ([[TemporalSplit.walkForward]] —
+    * each test window FOLLOWS its train window, so no fold ever
+    * trains on the future), evaluate on the fold's test window, and
+    * report each regression metric's mean (`cv_<m>`) and population
+    * std (`cv_<m>_std`) across folds. NaN folds (e.g. r² on a
+    * zero-variance window) are excluded from that metric's
+    * aggregation; a metric NaN in every fold is omitted. */
+  def walkForwardCvMetrics(labeled: DataFrame, k: Int = 3,
+                           featureCols: Seq[String] = defaultFeatures,
+                           tsCol: String = "ts", seed: Long = 42L)
+      : Map[String, Double] = {
+    require(k > 0, s"cv folds must be positive: $k")
+    val perFold = TemporalSplit.walkForward(labeled, tsCol, k).map {
+      case (tr, te) =>
+        val m = scoringPipeline(featureCols, seed = seed).fit(tr)
+        Models.regressionMetrics(m.transform(te))
+    }
+    perFold.flatMap(_.keySet).distinct.flatMap { key =>
+      val vs = perFold.flatMap(_.get(key)).filterNot(_.isNaN)
+      if (vs.isEmpty) Seq.empty
+      else {
+        val mean = vs.sum / vs.size
+        val std = math.sqrt(vs.map(v => (v - mean) * (v - mean)).sum / vs.size)
+        Seq(s"cv_$key" -> mean, s"cv_${key}_std" -> std)
+      }
+    }.toMap
   }
 
   /** Score the newest row of every entity with a fitted pipeline —

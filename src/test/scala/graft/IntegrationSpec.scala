@@ -100,8 +100,16 @@ class IntegrationSpec extends AnyFunSuite {
     // save_models chain); scaler lives inside the pipeline artifact
     val (version, metrics) = GraftApi.trainAndRegister(ev, reg)
     assert(version == 1)
-    assert(metrics.keySet == Set("mse", "rmse", "mae", "r2"))
+    // holdout metrics plus the walk-forward CV pair per metric
+    assert(Set("mse", "rmse", "mae", "r2").subsetOf(metrics.keySet))
+    assert(Set("cv_rmse", "cv_rmse_std").subsetOf(metrics.keySet),
+      s"registry entry must carry CV metrics beside holdout: ${metrics.keySet}")
     assert(metrics("mse") >= 0 && !metrics("mse").isNaN)
+    assert(metrics("cv_rmse") >= 0 && !metrics("cv_rmse").isNaN)
+    // the registry round-trips both metric sets
+    val recorded = reg.metricsOf("temperature", 1)
+    assert(Set("rmse", "cv_rmse", "cv_rmse_std").subsetOf(recorded.keySet))
+    assert(math.abs(recorded("cv_rmse") - metrics("cv_rmse")) < 1e-12)
 
     // predict loads the LATEST registered version and scores the
     // newest engineered row of every entity
@@ -118,8 +126,10 @@ class IntegrationSpec extends AnyFunSuite {
     }
 
     // registering again bumps the version and predict picks it up
-    val (v2, _) = GraftApi.trainAndRegister(ev, reg)
+    // (cvFolds=0: the version-bump path doesn't need 3 more fits)
+    val (v2, m2) = GraftApi.trainAndRegister(ev, reg, cvFolds = 0)
     assert(v2 == 2)
+    assert(!m2.keySet.exists(_.startsWith("cv_")), "cvFolds=0 must skip CV")
     assert(GraftApi.predict(ev, reg).count() == nEntities)
   }
 

@@ -51,6 +51,26 @@ class MLSpec extends AnyFunSuite {
     }
   }
 
+  test("walk-forward CV metrics: a mean and std per regression metric") {
+    import graft.ml.Inference
+    import graft.operators.TimeSeries
+    val engineered = TimeSeries.featurePipeline(
+      graft.sources.Tables.events(spark, sfDir), passthrough = Seq("ts"))
+    val cv = Inference.walkForwardCvMetrics(Inference.labeled(engineered), k = 2)
+    Seq("mse", "rmse", "mae").foreach { m =>
+      assert(cv.contains(s"cv_$m") && cv.contains(s"cv_${m}_std"),
+        s"missing cv pair for $m: ${cv.keySet}")
+      assert(cv(s"cv_$m") >= 0 && !cv(s"cv_$m").isNaN)
+      assert(cv(s"cv_${m}_std") >= 0)
+    }
+    // the CV estimate is a real error on held-out future windows —
+    // same order of magnitude as a plain chronological holdout, not a
+    // training-set echo
+    val (_, holdout) = Inference.train(engineered)
+    assert(cv("cv_rmse") > 0)
+    assert(cv("cv_rmse") < holdout("rmse") * 10 + 10)
+  }
+
   test("all six regressors train; linear family is near-exact") {
     val (train, test) = splitPair
     val results = Models.trainAll(train, test)
