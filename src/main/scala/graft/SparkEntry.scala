@@ -132,6 +132,7 @@ object SparkEntry {
     // instead row-by-row against the independent tools/bpe_reference.py
     // fixture in BpeSpec)
     "q_token_count_bpe" -> ((s, d) => TextAnalysis.tokenCountBpe(Tables.documents(s, d))),
+    "q_tokenize_bpe"    -> ((s, d) => TextAnalysis.tokenizeBpe(Tables.documents(s, d))),
     // k=20 rather than the production default 50: the synthetic docs
     // are short; 20 keeps the repeated-boilerplate set non-vacuous at
     // every test SF (hundreds of repeated windows)

@@ -24,6 +24,10 @@ final class BpeTable(merges: Seq[(String, String)]) extends Serializable {
   }
   @transient lazy val cache =
     new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+  /** word→final-symbols memo for the tokenizing form ([[TextHash
+    * .bpeTokens]]) — same bound and locality story as `cache`. */
+  @transient lazy val symsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[String]]()
 }
 
 object TextHash {
@@ -241,8 +245,16 @@ object TextHash {
     * mirrored by tools/bpe_reference.py: any drift between the two
     * fails the BpeSpec fixture comparison. `ranks` keys are "a b"
     * (the merges-file line), values the line rank. */
-  def bpeWord(word: String, ranks: java.util.HashMap[String, Integer]): Int = {
-    if (word.isEmpty) return 0
+  def bpeWord(word: String, ranks: java.util.HashMap[String, Integer]): Int =
+    bpeWordSyms(word, ranks).length
+
+  /** The final symbol array [[bpeWord]] counts — factored out so
+    * [[bpeTokens]] can emit the actual pieces. The merge loop below IS
+    * the mirrored apply algorithm; keep it byte-for-byte in step with
+    * tools/bpe_reference.py. */
+  def bpeWordSyms(word: String,
+                  ranks: java.util.HashMap[String, Integer]): Array[String] = {
+    if (word.isEmpty) return Array.empty
     // split by code point (Python's list(word) semantics, surrogate-safe)
     var syms = {
       val cps = word.codePoints().toArray
@@ -275,7 +287,7 @@ object TextHash {
         syms = java.util.Arrays.copyOf(out, n)
       }
     }
-    syms.length
+    syms
   }
 
   private val BpeCacheMax = 1 << 16
@@ -300,6 +312,31 @@ object TextHash {
       t += 1
     }
     total
+  }
+
+  /** Concatenated greedy-BPE pieces of a token array, in document
+    * order — the tokenizing sibling of [[bpeCount]] (by construction
+    * `bpeTokens(x).length == bpeCount(x)` for the same table; the
+    * spec pins it). Null tokens and empty strings contribute no
+    * pieces. */
+  def bpeTokens(tokens: ArrayData, table: graft.functions.BpeTable): ArrayData = {
+    val buf = new java.util.ArrayList[AnyRef]()
+    val n = tokens.numElements()
+    var t = 0
+    while (t < n) {
+      if (!tokens.isNullAt(t)) {
+        val w = tokens.getUTF8String(t).toString
+        var syms = table.symsCache.get(w)
+        if (syms == null) {
+          syms = bpeWordSyms(w, table.ranks)
+          if (table.symsCache.size() < BpeCacheMax) table.symsCache.put(w, syms)
+        }
+        var i = 0
+        while (i < syms.length) { buf.add(UTF8String.fromString(syms(i))); i += 1 }
+      }
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(buf.toArray)
   }
 
   /** SimHash over pre-hashed shingles (bit votes on mix64 of each). */

@@ -184,6 +184,24 @@ case class BpeCount(child: Expression, merges: Seq[(String, String)])
     copy(child = newChild)
 }
 
+/** Greedy-BPE TOKENIZATION under a fixed merge table — the pieces
+  * [[BpeCount]] counts, concatenated across the input tokens in
+  * document order ([[TextHash.bpeTokens]]; same kernel loop, same
+  * bounded per-table memo, array-of-symbols flavored). */
+case class BpeTokens(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression {
+  @transient private lazy val table = new BpeTable(merges)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    TextHash.bpeTokens(input.asInstanceOf[ArrayData], table)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val t = ctx.addReferenceObj("bpeTable", table, "graft.functions.BpeTable")
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.bpeTokens($c, $t)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): BpeTokens =
+    copy(child = newChild)
+}
+
 /** Random-hyperplane LSH signature (int bucket) of a float vector. */
 case class RhpSig(child: Expression, nPlanes: Int, seed: Long)
     extends UnaryExpression {
@@ -219,4 +237,6 @@ object GraftFunctions {
     Bridge.column(CountInSet(e(tokens), words))
   def bpeCount(tokens: Column, merges: Seq[(String, String)]): Column =
     Bridge.column(BpeCount(e(tokens), merges))
+  def bpeTokens(tokens: Column, merges: Seq[(String, String)]): Column =
+    Bridge.column(BpeTokens(e(tokens), merges))
 }

@@ -78,6 +78,27 @@ object TextAnalysis {
       GraftFunctions.bpeCount(tokens(col("text")), merges).as("n_bpe_tokens"))
       .orderBy("doc_id")
 
+  /** REAL tokenization — the pieces [[tokenCountBpe]] counts, one row
+    * per piece in document order: (doc_id, pos, piece). What the
+    * training pipeline actually feeds a model after packing; counting
+    * alone cannot drive an embedding lookup. The merge loop runs
+    * codegen'd inside the scan ([[graft.functions.BpeTokens]]), and
+    * the posexplode is a Generate over the scan-local array — no
+    * shuffle except the presentation sort. BpeSpec pins: pieces
+    * re-concatenate to each normalized word, per-doc piece count
+    * equals [[tokenCountBpe]], and the output is a greedy-merge fixed
+    * point (no adjacent in-word pair still holds a merge rank).
+    *
+    * @note 100TB: this is already the scale shape (scan-local
+    *       projection + Generate); drop the terminal orderBy when
+    *       feeding a downstream job rather than a human. */
+  def tokenizeBpe(docs: DataFrame,
+                  merges: Seq[(String, String)] = defaultBpeMerges): DataFrame =
+    docs.select(col("doc_id"),
+        posexplode(GraftFunctions.bpeTokens(tokens(col("text")), merges))
+          .as(Seq("pos", "piece")))
+      .orderBy("doc_id", "pos")
+
   private val stopwords = Seq("the", "a", "of", "and", "is", "in", "to")
 
   /** Quality scoring: length, token stats, stopword/punctuation/

@@ -41,6 +41,82 @@ class BpeSpec extends AnyFunSuite {
     assert(out(3L) == ((1L, 1L)))
   }
 
+  test("bpeTokens emits the pieces bpeWord counts") {
+    import spark.implicits._
+    import graft.functions.GraftFunctions
+    import org.apache.spark.sql.functions.col
+    val merges = Seq(("l", "o"), ("lo", "w"), ("e", "r"))
+    val docs = Seq((1L, "LOWER  low"), (2L, ""), (3L, "wool q"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.tokenizeBpe(docs, merges).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    // "lower low" -> low er | low ; empty doc emits nothing;
+    // "wool q" has no applicable merge -> code points
+    assert(got.toSeq == Seq(
+      (1L, 0, "low"), (1L, 1, "er"), (1L, 2, "low"),
+      (3L, 0, "w"), (3L, 1, "o"), (3L, 2, "o"), (3L, 3, "l"), (3L, 4, "q")))
+    // count agreement with the counting expression, via SQL-level
+    // size() so the array form is exercised too
+    val both = docs.select(col("doc_id"),
+      org.apache.spark.sql.functions.size(
+        GraftFunctions.bpeTokens(TextAnalysis.tokens(col("text")), merges)).as("np"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(both == Map(1L -> 3, 2L -> 0, 3L -> 5))
+  }
+
+  test("Spark pieces match the independent Python reference tokens fixture") {
+    import org.apache.spark.sql.functions.col
+    val in = getClass.getResourceAsStream("/graft/bpe_tokens_sf0.001.json")
+    assert(in != null, "tokens fixture missing — run tools/bpe_reference.py " +
+      "with the 4th arg")
+    val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    // {"0": ["the", "fast", ...], ...}
+    val expected = "\"(\\d+)\":\\s*\\[([^\\]]*)\\]".r.findAllMatchIn(json).map { m =>
+      m.group(1).toLong ->
+        "\"([^\"]*)\"".r.findAllMatchIn(m.group(2)).map(_.group(1)).toVector
+    }.toMap
+    assert(expected.size == 50, s"fixture should carry 50 docs: ${expected.size}")
+    val got = TextAnalysis.tokenizeBpe(
+        Tables.documents(spark, sfDir).filter(col("doc_id") < 50))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toVector).toMap
+    assert(got.keySet == expected.keySet)
+    val bad = expected.collect {
+      case (id, ps) if got(id) != ps =>
+        (id, ps.zip(got(id)).indexWhere { case (a, b) => a != b })
+    }
+    assert(bad.isEmpty, s"piece drift at (doc, first diff pos): ${bad.take(5)}")
+  }
+
+  test("tokenization reconstructs the normalized text and counts agree corpus-wide") {
+    import org.apache.spark.sql.functions.{col, collect_list, concat_ws, struct}
+    val docs = Tables.documents(spark, sfDir)
+    // per-doc piece concatenation == normalized text with spaces
+    // removed (BPE only ever splits within words), and piece count ==
+    // the counting expression — both over ALL 500 docs
+    val pieces = TextAnalysis.tokenizeBpe(docs)
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("pos"), col("piece"))).as("ps"))
+      .collect().map { r =>
+        val ps = r.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("ps")
+          .sortBy(_.getInt(0)).map(_.getString(1))
+        r.getAs[Long]("doc_id") -> ps
+      }.toMap
+    val norm = docs.select(col("doc_id"),
+        TextAnalysis.normalize(col("text")).as("nt"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val counts = TextAnalysis.tokenCountBpe(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    norm.foreach { case (id, nt) =>
+      val ps = pieces.getOrElse(id, Seq.empty)
+      assert(ps.mkString == nt.replace(" ", ""),
+        s"doc $id: pieces do not reconstruct the normalized text")
+      assert(ps.length.toLong == counts(id),
+        s"doc $id: ${ps.length} pieces vs count ${counts(id)}")
+    }
+  }
+
   test("Spark counts match the independent Python reference fixture") {
     val in = getClass.getResourceAsStream("/graft/bpe_expected_sf0.001.json")
     assert(in != null, "fixture resource missing — run tools/bpe_reference.py")

@@ -17,6 +17,9 @@ class ContractSpec extends AnyFunSuite {
     // a BPE merge loop is not expressible in DuckDB SQL; pinned
     // row-by-row against tools/bpe_reference.py's fixture in BpeSpec
     "q_token_count_bpe",
+    // the tokenizing sibling: same merge loop, emits the pieces; the
+    // fixture + invariants live in BpeSpec
+    "q_tokenize_bpe",
     // a GK sketch returns an observed sample, not DuckDB's
     // interpolation — pinned against its rank-error contract in
     // ScaleSpec; the exact q_quantiles stays the oracle path

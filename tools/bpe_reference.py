@@ -62,8 +62,42 @@ def bpe_word(word: str, ranks) -> int:
     return len(syms)
 
 
+def bpe_word_syms(word: str, ranks):
+    """The final symbol list bpe_word counts — same loop, kept in
+    lockstep with graft.functions.TextHash.bpeWordSyms."""
+    if not word:
+        return []
+    syms = list(word)
+    while len(syms) >= 2:
+        best, best_rank = None, None
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best, best_rank = (syms[i], syms[i + 1]), r
+        if best is None:
+            break
+        a, b = best
+        out, i = [], 0
+        while i < len(syms):
+            if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
 def count(text: str, ranks) -> int:
     return sum(bpe_word(w, ranks) for w in normalize(text).split(" "))
+
+
+def pieces(text: str, ranks):
+    out = []
+    for w in normalize(text).split(" "):
+        out.extend(bpe_word_syms(w, ranks))
+    return out
 
 
 def main():
@@ -75,6 +109,16 @@ def main():
     with open(out, "w") as f:
         json.dump(counts, f, indent=0, sort_keys=True)
     print(f"wrote {len(counts)} doc counts to {out}")
+    # optional 4th/5th args: dump the PIECES of the first N docs — the
+    # tokenization fixture for graft's BpeTokens (BpeSpec)
+    if len(sys.argv) > 4:
+        tokens_out = sys.argv[4]
+        n_docs = int(sys.argv[5]) if len(sys.argv) > 5 else 50
+        toks = {str(doc_id): pieces(text, ranks)
+                for doc_id, text in rows[:n_docs]}
+        with open(tokens_out, "w") as f:
+            json.dump(toks, f, indent=0, sort_keys=True)
+        print(f"wrote pieces of {len(toks)} docs to {tokens_out}")
 
 
 if __name__ == "__main__":
