@@ -133,6 +133,7 @@ object SparkEntry {
     // fixture in BpeSpec)
     "q_token_count_bpe" -> ((s, d) => TextAnalysis.tokenCountBpe(Tables.documents(s, d))),
     "q_tokenize_bpe"    -> ((s, d) => TextAnalysis.tokenizeBpe(Tables.documents(s, d))),
+    "q_cluster_embed"   -> ((s, d) => Similarity.clusterEmbed(Tables.embeddings(s, d))),
     // k=20 rather than the production default 50: the synthetic docs
     // are short; 20 keeps the repeated-boilerplate set non-vacuous at
     // every test SF (hundreds of repeated windows)

@@ -198,36 +198,19 @@ object Similarity {
     cents.toSeq.zipWithIndex.map { case (c, i) => (i, c) }.toDF("cid", "c")
   }
 
-  /** IVF ANN (the k-means counterpart to annLsh's hyperplane buckets):
-    * a spherical k-means coarse quantizer of nList centroids is trained
-    * distributed; only the nList×dim centroid matrix — KBs by design —
-    * ever lands on the driver, the standard IVF shape. Nearest-centroid
-    * assignment is the codegen'd [[graft.functions.TextHash.ivfAssign]]
-    * expression with the centroid matrix baked in, so both training
-    * assignment and the final inverted-list labeling are pure map-side
-    * work (no join, no shuffle); each Lloyd iteration shuffles only the
-    * tiny (cid, dim) partial sums, summed in DECIMAL so centroids are
-    * bit-identical regardless of partition order. A query then scores
-    * only the vectors in its nProbe closest lists; that candidate join
-    * hash-partitions on the list id, so at 100 TB each list is a
-    * co-located slice and the pair space is ~nProbe/nList of brute
-    * force (train the quantizer on a sample there rather than the full
-    * corpus). Deterministic end-to-end: seeded xxhash64 init, ties to
-    * the lowest cid. */
-  def annIvf(embeddings: DataFrame, nQueries: Int = 20, k: Int = 5,
-             nList: Int = 16, nProbe: Int = 4, iters: Int = 3,
-             seed: Long = 42L): DataFrame = {
-    val spark = embeddings.sparkSession
-    val e = Caches.persistTracked(withNorm(embeddings))
-
-    // The quantizer trains on a bounded seeded sample (~256 vectors per
-    // centroid — ample for a coarse quantizer) fetched by ONE
-    // distributed top-k-by-hash job; at dim 64 that's ~1 MB of driver
-    // memory regardless of corpus size, and Lloyd's over it is
-    // microseconds of driver CPU (the faiss shape: quantizer training
-    // is sample-sized by design). All corpus-sized work stays in the
-    // cluster — labeling is the codegen'd ivfAssign map, candidate
-    // scoring a broadcast join.
+  /** Sample-trained spherical k-means centroids (unit norm) — the
+    * bounded-driver-state quantizer shared by [[annIvf]] and
+    * [[clusterEmbed]]. Trains on a bounded seeded sample (~256
+    * vectors per centroid — ample for a coarse quantizer) fetched by
+    * ONE distributed top-k-by-hash job; at dim 64 that's ~1 MB of
+    * driver memory regardless of corpus size, and Lloyd's over it is
+    * microseconds of driver CPU (the faiss shape: quantizer training
+    * is sample-sized by design). All corpus-sized work stays in the
+    * cluster. Deterministic: seeded hash order, ties to the lowest
+    * cid — same data + seed ⇒ bit-identical centroids. `e` must be
+    * the [[withNorm]] frame. */
+  private[graft] def trainQuantizer(e: DataFrame, nList: Int, iters: Int,
+                                    seed: Long): Array[Array[Float]] = {
     val sample: Array[Array[Float]] = e
       .withColumn("h", xxhash64(col("vec_id"), lit(seed)))
       .orderBy("h", "vec_id").limit(nList * 256)
@@ -237,11 +220,11 @@ object Similarity {
         r.getSeq[Float](0).map(x => (x / n).toFloat).toArray
       }
     require(sample.nonEmpty,
-      "annIvf: embeddings input is empty — nothing to train the coarse quantizer on")
+      "trainQuantizer: embeddings input is empty — nothing to train on")
     val dim = sample.head.length
     // a tiny corpus can yield fewer sample vectors than requested
-    // inverted lists; train only as many centroids as there are
-    // distinct init vectors (faiss clamps the same way)
+    // clusters; train only as many centroids as there are init
+    // vectors (faiss clamps the same way)
     val nL = math.min(nList, sample.length)
 
     // init: first nL sample vectors (hash order = seeded random)
@@ -277,6 +260,67 @@ object Similarity {
         }
       }
     }
+    cents
+  }
+
+  /** Topic/domain clustering for data mixing — per-vector spherical
+    * k-means assignment plus the cosine to the owning centroid (the
+    * membership confidence a mixing policy thresholds on). The
+    * pre-training corpus use: cluster the embedding space, then
+    * sample/weight per cluster (cluster-balanced mixing, semantic
+    * dedup domains) — the per-cluster datasheet is [[clusterStats]].
+    *
+    * Same scale shape as [[annIvf]]'s quantizer: training state is a
+    * bounded driver sample (~1 MB), corpus labeling is the codegen'd
+    * `ivfAssign` map over the scan, and the centroid join for the
+    * confidence column broadcasts KBs. One presentation sort aside,
+    * nothing corpus-sized shuffles. Deterministic: same data + seed ⇒
+    * identical assignment (ties to the lowest cid). */
+  def clusterEmbed(embeddings: DataFrame, k: Int = 16, iters: Int = 3,
+                   seed: Long = 42L): DataFrame = {
+    val spark = embeddings.sparkSession
+    val e = Caches.persistTracked(withNorm(embeddings))
+    val cents = trainQuantizer(e, k, iters, seed)
+    e.withColumn("cid", GraftFunctions.ivfAssign(col("v"), cents))
+      .join(broadcast(centroidDF(spark, cents)), "cid")
+      .select(col("vec_id"), col("cid"),
+        round(dot(col("v"), col("c")) / col("nrm") + lit(1e-9), 6).as("ccos"))
+      .orderBy("vec_id")
+  }
+
+  /** Per-cluster datasheet over [[clusterEmbed]]'s assignment: size
+    * and cohesion (mean/min cosine-to-centroid) per cluster — what a
+    * mixing policy reads to set per-cluster quotas. One partial-agg
+    * shuffle on the bounded cid key. */
+  def clusterStats(assigned: DataFrame): DataFrame =
+    assigned.groupBy("cid")
+      .agg(count(lit(1)).as("n_vectors"),
+        rnd(avg(col("ccos")), 6).as("mean_ccos"),
+        rnd(min(col("ccos")), 6).as("min_ccos"))
+      .orderBy("cid")
+
+  /** IVF ANN (the k-means counterpart to annLsh's hyperplane buckets):
+    * a spherical k-means coarse quantizer of nList centroids is trained
+    * distributed; only the nList×dim centroid matrix — KBs by design —
+    * ever lands on the driver, the standard IVF shape. Nearest-centroid
+    * assignment is the codegen'd [[graft.functions.TextHash.ivfAssign]]
+    * expression with the centroid matrix baked in, so both training
+    * assignment and the final inverted-list labeling are pure map-side
+    * work (no join, no shuffle); each Lloyd iteration shuffles only the
+    * tiny (cid, dim) partial sums, summed in DECIMAL so centroids are
+    * bit-identical regardless of partition order. A query then scores
+    * only the vectors in its nProbe closest lists; that candidate join
+    * hash-partitions on the list id, so at 100 TB each list is a
+    * co-located slice and the pair space is ~nProbe/nList of brute
+    * force (train the quantizer on a sample there rather than the full
+    * corpus). Deterministic end-to-end: seeded xxhash64 init, ties to
+    * the lowest cid. */
+  def annIvf(embeddings: DataFrame, nQueries: Int = 20, k: Int = 5,
+             nList: Int = 16, nProbe: Int = 4, iters: Int = 3,
+             seed: Long = 42L): DataFrame = {
+    val spark = embeddings.sparkSession
+    val e = Caches.persistTracked(withNorm(embeddings))
+    val cents = trainQuantizer(e, nList, iters, seed)
 
     // final inverted-list labels: a pure map over the corpus
     val assigned = e.withColumn("cid", GraftFunctions.ivfAssign(col("v"), cents))

@@ -46,6 +46,47 @@ class SimilaritySpec extends AnyFunSuite {
     out.foreach(r => assert(r.getAs[Int]("hamming") <= 6))
   }
 
+  test("clusterEmbed assigns every vector to its argmax centroid") {
+    val k = 8
+    val assigned = Similarity.clusterEmbed(emb, k = k).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("cid"),
+        r.getAs[Double]("ccos")))
+    val n = emb.count()
+    assert(assigned.length == n, "every vector gets exactly one cluster")
+    assert(assigned.map(_._1).distinct.length == n)
+    assert(assigned.forall { case (_, cid, c) =>
+      cid >= 0 && cid < k && c >= -1.0 && c <= 1.0 + 1e-9 })
+    assert(assigned.map(_._2).distinct.length > 1,
+      "a one-cluster outcome on this corpus means training collapsed")
+
+    // re-train the quantizer with the same seed (deterministic by
+    // contract) and verify the ASSIGNMENT SEMANTICS independently:
+    // each vector's cid is the argmax-dot centroid, ties to lowest cid
+    val cents = Similarity.trainQuantizer(
+      Similarity.withNorm(emb), k, iters = 3, seed = 42L)
+    val vecs = emb.collect().map { r =>
+      r.getAs[Long]("vec_id") -> r.getAs[scala.collection.Seq[Float]]("embedding").toArray
+    }.toMap
+    assigned.foreach { case (id, cid, _) =>
+      val v = vecs(id)
+      val nrm = math.sqrt(v.map(x => x.toDouble * x.toDouble).sum)
+      val dots = cents.map(c =>
+        v.zip(c).map { case (a, b) => a.toDouble * b.toDouble }.sum)
+      val best = dots.zipWithIndex.maxBy { case (d, i) => (d, -i) }._2
+      assert(cid == best, s"vec $id: assigned $cid, argmax is $best")
+      val _ = nrm // cosine order == dot order for a fixed vector
+    }
+
+    // the datasheet rollup reconciles with the assignment
+    val stats = Similarity.clusterStats(
+        Similarity.clusterEmbed(emb, k = k)).collect()
+      .map(r => r.getAs[Int]("cid") -> r.getAs[Long]("n_vectors")).toMap
+    assert(stats.values.sum == n)
+    val byCid = assigned.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    assert(stats == byCid)
+    graft.operators.Caches.releaseAll()
+  }
+
   test("embedDedup pairs are symmetric-free and above threshold") {
     val out = Similarity.embedDedup(emb).collect()
     assert(out.nonEmpty)
