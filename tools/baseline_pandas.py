@@ -307,6 +307,73 @@ def token_count_bpe(docs):
     })
 
 
+def quantiles(df):
+    # dashboard.py:209-231 distribution percentiles (pandas exact
+    # linear interpolation — the analog of graft's exact q_quantiles;
+    # graft's quantilesApprox trades exactness for mergeable state,
+    # which pandas has no notion of)
+    return df["value"].quantile([0.25, 0.5, 0.75, 0.95])
+
+
+def _bpe_ranks():
+    import os
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import bpe_reference as ref
+    return ref, ref.load_ranks(os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "..", "src", "main", "resources", "graft", "bpe_merges.txt"))
+
+
+def tokenize_bpe(docs):
+    # the pieces, not just counts (graft q_tokenize_bpe): per-word
+    # greedy merge via the one reference implementation, memoized,
+    # exploded to (doc_id, pos, piece) rows
+    ref, ranks = _bpe_ranks()
+    cache = {}
+
+    def word_syms(word):
+        if word not in cache:
+            cache[word] = ref.bpe_word_syms(word, ranks)
+        return cache[word]
+
+    norm = docs["text"].str.lower().str.strip().str.replace(r"\s+", " ", regex=True)
+    rows = []
+    for doc_id, s in zip(docs["doc_id"], norm):
+        pos = 0
+        for w in s.split(" "):
+            for p in word_syms(w):
+                rows.append((doc_id, pos, p))
+                pos += 1
+    return pd.DataFrame(rows, columns=["doc_id", "pos", "piece"])
+
+
+def cluster_embed(emb):
+    # graft q_cluster_embed's shape in numpy: spherical k-means on a
+    # bounded sample (3 Lloyd iterations, argmax-dot assignment, ties
+    # to lowest cid), then full-corpus assignment + cosine confidence
+    k, iters = 16, 3
+    v = np.stack(emb["embedding"].to_numpy())
+    nrm = np.linalg.norm(v, axis=1, keepdims=True)
+    unit = v / np.where(nrm == 0, 1, nrm)
+    sample = unit[: k * 256]
+    cents = sample[:k].copy()
+    for _ in range(iters):
+        a = np.argmax(sample @ cents.T, axis=1)
+        for c in range(k):
+            m = sample[a == c]
+            if len(m):
+                s = m.sum(axis=0)
+                n = np.linalg.norm(s)
+                if n > 0:
+                    cents[c] = s / n
+    dots = unit @ cents.T
+    cid = np.argmax(dots, axis=1)
+    return pd.DataFrame({
+        "vec_id": emb["vec_id"], "cid": cid,
+        "ccos": np.round(dots[np.arange(len(cid)), cid] + 1e-9, 6),
+    })
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     timings = {}
@@ -324,6 +391,7 @@ def main():
         ("group_compare", group_compare),
         ("standard_scale", standard_scale),
         ("interpolate", interpolate),
+        ("quantiles", quantiles),
     ]:
         t0 = time.perf_counter()
         fn(df)
@@ -345,10 +413,16 @@ def main():
         ("corpus_stats", corpus_stats),
         ("dedup_spans", dedup_spans),
         ("token_count_bpe", token_count_bpe),
+        ("tokenize_bpe", tokenize_bpe),
     ]:
         t0 = time.perf_counter()
         fn(docs)
         timings[name] = time.perf_counter() - t0
+
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    t0 = time.perf_counter()
+    cluster_embed(emb)
+    timings["cluster_embed"] = time.perf_counter() - t0
 
     print(json.dumps({
         "queries": {k: round(v, 4) for k, v in timings.items()},
