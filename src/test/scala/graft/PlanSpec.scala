@@ -118,6 +118,34 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("tokenizeBpe plans as scan-local Generate: no hash exchange, no join") {
+    // the merge loop runs inside the scan projection and the
+    // posexplode is a Generate over its array — a refactor that makes
+    // tokenization shuffle (e.g. a merge-table join) breaks the 100 TB
+    // shape
+    val df = SparkEntry.queries("q_tokenize_bpe")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange hashpartitioning"), s"tokenize body shuffles:\n$p")
+    val body = p.split("Exchange rangepartitioning").last
+    assert(body.contains("Generate") && body.contains("FileScan parquet"),
+      s"body is not a scan-local Generate:\n$body")
+    assert(!body.contains("HashAggregate") && !body.contains("Join"),
+      s"body grew non-projection operators:\n$body")
+  }
+
+  test("clusterEmbed: corpus side is a map + broadcast join, never hash-shuffled") {
+    // training state is a bounded driver sample; the corpus-sized
+    // stages must stay a codegen'd assignment map plus a broadcast
+    // centroid join — any hash exchange means vectors started riding
+    // a shuffle
+    val df = SparkEntry.queries("q_cluster_embed")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"cluster assignment shuffles the corpus:\n$p")
+    assert(p.contains("BroadcastExchange"),
+      s"centroid join must broadcast:\n$p")
+  }
+
   test("stratified sample: broadcast-refined prefilter, rank window on survivors only") {
     val df = SparkEntry.queries("q_stratified_sample")(spark, sfDir)
     val p = df.queryExecution.executedPlan.toString
