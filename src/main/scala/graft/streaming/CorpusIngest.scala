@@ -14,7 +14,10 @@ import graft.sources.Bucketed
   * compaction machinery as the content-hash store) holding the LSH
   * band keys ([[graft.operators.Dedup.bandKeys]]) of every admitted
   * document, so a streamed batch can reject near-duplicates of the
-  * ACCUMULATED corpus — not just exact re-sends.
+  * ACCUMULATED corpus — not just exact re-sends. The same band test
+  * also runs WITHIN the batch against earlier-id documents (keep-min,
+  * mirroring the exact path), so a burst of near-identical docs in
+  * one trigger admits only its first.
   *
   * Rejection is PROBABILISTIC and conservative, by design: a batch
   * document matching the store in ≥ `minBands` distinct bands is
@@ -245,12 +248,29 @@ object CorpusIngest {
           .filter(col("batch_id") =!= batchId).select("bb")
       else none
 
-    // a key row matches when EITHER tier holds its bb; rows are one
-    // per (doc, band) by construction, and a band matching both tiers
-    // must count once — hence the distinct before the per-doc count
+    // within-batch: the same band test against EARLIER-id batch
+    // documents (keep-min, mirroring the exact path's tie rule) — a
+    // burst of near-identical docs landing in ONE trigger must not all
+    // admit. Like the cross-batch test this is unverified band
+    // collision, and it is transitive-over-blocking by design: doc C
+    // matching only rejected doc B still drops (B's keys are in the
+    // comparison even though B never reaches the store) — the
+    // over-block failure direction again. Batch-side rows only.
+    val selfHits = keys.as("a")
+      .join(keys.as("b"),
+        col("a.bb") === col("b.bb") && col("b.doc_id") < col("a.doc_id"))
+      .select(col("a.doc_id").as("doc_id"), col("a.band").as("band"))
+
+    // a key row matches when ANY tier (or an earlier in-batch doc)
+    // holds its bb; rows are one per (doc, band) by construction, and
+    // a band matching several tiers must count once — hence the
+    // distinct before the per-doc count
     val matched = keys.join(base, Seq("bb"), "left_semi")
-      .unionByName(keys.join(broadcast(delta), Seq("bb"), "left_semi"))
-      .select("doc_id", "band").distinct()
+      .select("doc_id", "band")
+      .unionByName(keys.join(broadcast(delta), Seq("bb"), "left_semi")
+        .select("doc_id", "band"))
+      .unionByName(selfHits)
+      .distinct()
     val reject = matched.groupBy("doc_id")
       .agg(count(lit(1)).as("n_bands"))
       .filter(col("n_bands") >= nd.minBands)

@@ -401,23 +401,29 @@ class ScaleSpec extends AnyFunSuite {
       // the bucketed base satisfies the semi-join's distribution from
       // the catalog and the delta tail + reject set join broadcast:
       // every hash exchange is batch-side — (1) the keys for the base
-      // semi-join on bb, (2) the matched distinct on (doc_id, band),
-      // (3) the per-doc band count on doc_id. The store never shuffles.
-      assert(plan.split("Exchange hashpartitioning").length - 1 == 3,
-        s"expected only the three batch-side exchanges:\n$plan")
+      // semi-join on bb, (2)+(3) the two sides of the within-batch
+      // self-join on bb, (4) the matched distinct on (doc_id, band),
+      // (5) the per-doc band count on doc_id. All five are bounded by
+      // the TRIGGER, not the corpus. The store never shuffles.
+      assert(plan.split("Exchange hashpartitioning").length - 1 == 5,
+        s"expected only the five batch-side exchanges:\n$plan")
       assert(plan.contains("BroadcastExchange"),
         s"delta tail and reject set must join broadcast:\n$plan")
       // semantics: a doc is dropped iff >= minBands of its band keys
-      // hit the base or delta key set
+      // hit the base, the delta, or an EARLIER-id batch document
       val storeKeys = spark.table(nd.table).select("bb").collect()
         .map(_.getLong(0)).toSet ++
         spark.read.parquet(bandDir).select("bb").collect().map(_.getLong(0))
-      val expectDrop = Dedup.bandKeys(batch).collect()
+      val batchKeys = Dedup.bandKeys(batch).collect()
         .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("bb")))
+      val bbOwners = batchKeys.groupBy(_._2).view
+        .mapValues(_.map(_._1).min).toMap // lowest doc carrying each bb
+      val expectDrop = batchKeys
         .groupBy(_._1).collect {
           // one bandKeys row per (doc, band): the matched-row count IS
           // the distinct matched-band count
-          case (id, ks) if ks.count(k => storeKeys(k._2)) >= nd.minBands => id
+          case (id, ks) if ks.count { k =>
+            storeKeys(k._2) || bbOwners(k._2) < id } >= nd.minBands => id
         }.toSet
       val kept = out.collect().map(_.getAs[Long]("doc_id")).toSet
       val all = batch.collect().map(_.getAs[Long]("doc_id")).toSet

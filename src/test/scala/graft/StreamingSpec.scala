@@ -454,10 +454,14 @@ class StreamingSpec extends AnyFunSuite {
         assert(!spark.catalog.tableExists(t))
       }
       // post-restart: near-dup of COMPACTED content (prefix edit of
-      // bodyA) rejected, fresh content admitted
-      ingest(Seq(4L -> ("prefix " + bodyA), 5L -> bodyC), 2L)
+      // bodyA) rejected; fresh content admitted; a WITHIN-batch
+      // near-dup pair keeps only its lowest id (doc 6 is a tail edit
+      // of doc 5, both arriving in this trigger)
+      ingest(Seq(4L -> ("prefix " + bodyA), 5L -> bodyC,
+        6L -> (bodyC + " postfix")), 2L)
       assert(admitted() == Set(1L, 3L, 5L),
-        s"restart must not forget near-dup membership: ${admitted()}")
+        s"restart must not forget membership and within-batch " +
+          s"near-dups must keep-min: ${admitted()}")
     } finally drop()
   }
 
