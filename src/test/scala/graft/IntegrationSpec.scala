@@ -260,6 +260,33 @@ class IntegrationSpec extends AnyFunSuite {
     } finally { curation.release(); GraftApi.releaseCaches() }
   }
 
+  test("curation with every optional stage on: full order, gapless manifest") {
+    import spark.implicits._
+    val base = graft.sources.Tables.documents(spark, sfDir)
+      .select("doc_id", "source", "text")
+    val bench = Seq((1L, "what is the boiling point of water at sea level"))
+      .toDF("q_id", "text")
+    val curation = GraftApi.curatePlan(base, perSource = 3,
+      spanDedupK = Some(20), benchmark = Some(bench))
+    try {
+      val nOut = curation.frame.count()
+      val m = curation.manifest.collect()
+        .map(r => (r.getAs[String]("stage"), r.getAs[Long]("docs_in"),
+          r.getAs[Long]("docs_out"), r.getAs[Long]("docs_dropped")))
+      assert(m.map(_._1).toSeq == Seq("input", "strip_markup",
+        "quality_filter", "exact_dedup", "decontaminate", "near_dup",
+        "span_dedup", "redact_pii", "stratified_sample"),
+        s"full stage order drifted: ${m.map(_._1).toSeq}")
+      assert(m.last._3 == nOut)
+      m.sliding(2).foreach { case Array(a, b) =>
+        assert(b._2 == a._3, s"docs_in of ${b._1} != docs_out of ${a._1}")
+      }
+      m.foreach { case (stage, in, out, dropped) =>
+        assert(dropped == in - out && dropped >= 0, s"$stage attrition inconsistent")
+      }
+    } finally { curation.release(); GraftApi.releaseCaches() }
+  }
+
   test("curation span stage cuts shared boilerplate from otherwise-distinct docs") {
     import spark.implicits._
     // two long docs, distinct bodies, sharing a 6-token license block —
