@@ -569,6 +569,38 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("near-dup band store fails closed when its base vanishes post-compaction") {
+    import spark.implicits._
+    import graft.streaming.{CorpusIngest, NearDupStore}
+    import graft.sources.Bucketed
+    val corpusDir = java.nio.file.Files.createTempDirectory("graft-fband").toString
+    val deltaDir = java.nio.file.Files.createTempDirectory("graft-fband-h").toString
+    val bandDir = java.nio.file.Files.createTempDirectory("graft-fband-b").toString
+    val hashTable = "corpus_hashes_bl_t"
+    val nd = NearDupStore("corpus_bands_lost_t", bandDir)
+    def drop(): Unit = Seq(hashTable, hashTable + "_staging",
+      nd.table, nd.table + "_staging").foreach(Bucketed.dropTable(spark, _))
+    drop()
+    try {
+      val body = (1 to 40).map(i => s"alpha$i token$i").mkString(" ")
+      CorpusIngest.ingestBatchBucketed(
+        Seq((1L, "s", body)).toDF("doc_id", "source", "text"),
+        0L, corpusDir, hashTable, deltaDir, Some(nd))
+      CorpusIngest.compactBands(spark, nd)
+      assert(spark.catalog.tableExists(nd.table))
+      // the band base disappearing after a successful compaction must
+      // block ingest — admitting against a partial near-dup store
+      // would quietly re-admit near-dups of years of corpus
+      Bucketed.dropTable(spark, nd.table)
+      val e = intercept[IllegalStateException] {
+        CorpusIngest.ingestBatchBucketed(
+          Seq((2L, "s", "fresh doc " + body.take(20))).toDF("doc_id", "source", "text"),
+          1L, corpusDir, hashTable, deltaDir, Some(nd))
+      }
+      assert(e.getMessage.contains("compactBands"))
+    } finally drop()
+  }
+
   test("bucketed corpus ingest fails closed when the base table vanishes") {
     import spark.implicits._
     import graft.streaming.CorpusIngest
