@@ -134,6 +134,15 @@ object SparkEntry {
     "q_token_count_bpe" -> ((s, d) => TextAnalysis.tokenCountBpe(Tables.documents(s, d))),
     "q_tokenize_bpe"    -> ((s, d) => TextAnalysis.tokenizeBpe(Tables.documents(s, d))),
     "q_cluster_embed"   -> ((s, d) => Similarity.clusterEmbed(Tables.embeddings(s, d))),
+    "q_hash_embed"      -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, posexplode, round}
+      // posexploded to scalar rows: the driver canonicalizer cannot
+      // hash array columns
+      Similarity.hashEmbedDocs(Tables.documents(s, d))
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
+        .select(col("vec_id"), col("i"), round(col("x").cast("double") + lit(1e-9), 6).as("x"))
+        .orderBy("vec_id", "i")
+    }),
     // k=20 rather than the production default 50: the synthetic docs
     // are short; 20 keeps the repeated-boilerplate set non-vacuous at
     // every test SF (hundreds of repeated windows)

@@ -339,6 +339,42 @@ object TextHash {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(buf.toArray)
   }
 
+  /** Feature-hashing document embedding (the hashing trick): each
+    * token's mixed hash picks a bucket and a ±1 sign, signed counts
+    * accumulate, and the vector is L2-normalized — a model-free
+    * embedding whose cosine approximates token-multiset similarity
+    * (Weinberger et al.'s signed feature hashing keeps the inner
+    * product unbiased). Empty/all-null input yields the zero vector.
+    * One pass, no allocation beyond the output. */
+  def hashEmbed(tokens: ArrayData, dim: Int): ArrayData = {
+    val acc = new Array[Float](dim)
+    val n = tokens.numElements()
+    var t = 0
+    while (t < n) {
+      if (!tokens.isNullAt(t)) {
+        val u = tokens.getUTF8String(t)
+        // the split of an empty text yields one "" token — not a
+        // feature; skip so the empty document embeds to zero
+        if (u.numBytes > 0) {
+          val h = mix64(poly64(u))
+          // low bit = sign, rest picks the bucket (both uniform under mix64)
+          val b = (((h >>> 1) % dim).toInt + dim) % dim
+          acc(b) += (if ((h & 1L) == 0L) 1f else -1f)
+        }
+      }
+      t += 1
+    }
+    var ss = 0.0
+    var i = 0
+    while (i < dim) { ss += acc(i).toDouble * acc(i).toDouble; i += 1 }
+    if (ss > 0) {
+      val inv = 1.0 / math.sqrt(ss)
+      i = 0
+      while (i < dim) { acc(i) = (acc(i) * inv).toFloat; i += 1 }
+    }
+    ArrayData.toArrayData(acc)
+  }
+
   /** SimHash over pre-hashed shingles (bit votes on mix64 of each). */
   def simhashL(hashes: ArrayData): Long = {
     val votes = new Array[Int](64)

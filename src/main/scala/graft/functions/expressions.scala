@@ -202,6 +202,22 @@ case class BpeTokens(child: Expression, merges: Seq[(String, String)])
     copy(child = newChild)
 }
 
+/** Feature-hashing document embedding of a token array
+  * ([[TextHash.hashEmbed]]): model-free signed-bucket counts,
+  * L2-normalized — text in, `array<float>` out, directly consumable
+  * by the [[graft.operators.Similarity]] family. */
+case class HashEmbed(child: Expression, dim: Int)
+    extends UnaryExpression {
+  require(dim > 0, s"embedding dim must be positive: $dim")
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    TextHash.hashEmbed(input.asInstanceOf[ArrayData], dim)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.hashEmbed($c, $dim)")
+  override protected def withNewChildInternal(newChild: Expression): HashEmbed =
+    copy(child = newChild)
+}
+
 /** Random-hyperplane LSH signature (int bucket) of a float vector. */
 case class RhpSig(child: Expression, nPlanes: Int, seed: Long)
     extends UnaryExpression {
@@ -239,4 +255,6 @@ object GraftFunctions {
     Bridge.column(BpeCount(e(tokens), merges))
   def bpeTokens(tokens: Column, merges: Seq[(String, String)]): Column =
     Bridge.column(BpeTokens(e(tokens), merges))
+  def hashEmbed(tokens: Column, dim: Int): Column =
+    Bridge.column(HashEmbed(e(tokens), dim))
 }

@@ -27,8 +27,31 @@ object Similarity {
     embeddings.select(col("vec_id"), col("embedding").as("v"))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
 
-  private def cosine: Column =
-    dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))
+  /** Model-free document embeddings via the hashing trick
+    * ([[graft.functions.HashEmbed]]): token multiset → signed-bucket
+    * counts → L2-normalized `array<float>`, emitted in this module's
+    * (vec_id, embedding) shape so every similarity operator —
+    * [[embedDedup]], [[embedDedupLsh]], [[annTopK]]/[[annLsh]]/
+    * [[annIvf]], [[clusterEmbed]] — runs directly on a TEXT corpus
+    * with no external model. Cosine here approximates token-multiset
+    * cosine (signed hashing keeps the inner product unbiased;
+    * collision noise ~1/√dim), which is exactly the granularity
+    * lexical near-dup detection and topic clustering want. Scan-local
+    * codegen'd projection — the embedding never costs a shuffle. */
+  def hashEmbedDocs(docs: DataFrame, dim: Int = 64): DataFrame =
+    docs.select(col("doc_id").as("vec_id"),
+      GraftFunctions.hashEmbed(TextAnalysis.tokens(col("text")), dim)
+        .as("embedding"))
+
+  /** Pair cosine, null on a zero-norm side (cosine is undefined
+    * there, and ANSI mode makes the bare division an error — zero
+    * vectors exist once [[hashEmbedDocs]] embeds empty documents).
+    * Null propagates through `>= tau` filters and sorts last in
+    * top-k, so degenerate vectors never form pairs. */
+  private def cosine: Column = {
+    val d = col("a.nrm") * col("b.nrm")
+    when(d > 0, dot(col("a.v"), col("b.v")) / d)
+  }
 
   /** Embedding-cosine near-dup pairs: all (i<j) pairs with
     * cosine >= tau. Locally a broadcast nested-loop block join — this
@@ -212,6 +235,9 @@ object Similarity {
   private[graft] def trainQuantizer(e: DataFrame, nList: Int, iters: Int,
                                     seed: Long): Array[Array[Float]] = {
     val sample: Array[Array[Float]] = e
+      // zero-norm vectors (empty docs under hashEmbedDocs) cannot be
+      // unit-scaled — a NaN sample row would poison every centroid
+      .filter(col("nrm") > 0)
       .withColumn("h", xxhash64(col("vec_id"), lit(seed)))
       .orderBy("h", "vec_id").limit(nList * 256)
       .select(col("v"), col("nrm")).collect()
@@ -284,7 +310,10 @@ object Similarity {
     e.withColumn("cid", GraftFunctions.ivfAssign(col("v"), cents))
       .join(broadcast(centroidDF(spark, cents)), "cid")
       .select(col("vec_id"), col("cid"),
-        round(dot(col("v"), col("c")) / col("nrm") + lit(1e-9), 6).as("ccos"))
+        // zero-norm vectors (empty docs under hashEmbedDocs) sit in
+        // cid 0 by the tie rule with confidence 0, not a divide error
+        round(when(col("nrm") > 0, dot(col("v"), col("c")) / col("nrm"))
+          .otherwise(0.0) + lit(1e-9), 6).as("ccos"))
       .orderBy("vec_id")
   }
 
@@ -331,7 +360,9 @@ object Similarity {
     val pw = Window.partitionBy("query_id").orderBy(desc("ccos"), asc("cid"))
     val probed = q.crossJoin(broadcast(cdf))
       .select(col("vec_id").as("query_id"), col("cid"),
-        (dot(col("v"), col("c")) / col("nrm")).as("ccos")) // centroids are unit
+        // centroids are unit; zero-norm queries get null ccos (sorts
+        // last) instead of an ANSI divide error
+        when(col("nrm") > 0, dot(col("v"), col("c")) / col("nrm")).as("ccos"))
       .withColumn("pr", row_number().over(pw))
       .filter(col("pr") <= nProbe)
       .select("query_id", "cid")

@@ -27,7 +27,10 @@ class ContractSpec extends AnyFunSuite {
     // iterative k-means training is not SQL-expressible; argmax
     // semantics re-verified against recomputed centroids in
     // SimilaritySpec
-    "q_cluster_embed")
+    "q_cluster_embed",
+    // the per-token 64-bit hash loop (poly64 mod 2^64) has no DuckDB
+    // form; kernel + properties pinned in SimilaritySpec
+    "q_hash_embed")
 
   test("every oracle key names a registered query") {
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet

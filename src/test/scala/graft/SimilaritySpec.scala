@@ -46,6 +46,41 @@ class SimilaritySpec extends AnyFunSuite {
     out.foreach(r => assert(r.getAs[Int]("hamming") <= 6))
   }
 
+  test("hashEmbedDocs: unit vectors whose cosine tracks token-multiset similarity") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val body = (1 to 40).map(i => s"alpha$i beta$i").mkString(" ")
+    val crafted = Seq(
+      (1L, body),                                   // original
+      (2L, body + " tail"),                         // near-dup: one token added
+      (3L, (1 to 40).map(i => s"gamma$i delta$i").mkString(" ")), // disjoint
+      (4L, ""))                                     // empty -> zero vector
+      .toDF("doc_id", "text")
+    val e = Similarity.hashEmbedDocs(crafted, dim = 64)
+    val vecs = e.collect().map(r =>
+      r.getAs[Long]("vec_id") ->
+        r.getAs[scala.collection.Seq[Float]]("embedding").toArray).toMap
+    assert(vecs.values.forall(_.length == 64))
+    def cos(a: Array[Float], b: Array[Float]) =
+      a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+    // L2-normalized (or zero for the empty doc)
+    Seq(1L, 2L, 3L).foreach { id =>
+      assert(math.abs(cos(vecs(id), vecs(id)) - 1.0) < 1e-6, s"doc $id not unit")
+    }
+    assert(vecs(4L).forall(_ == 0f), "empty doc must embed to the zero vector")
+    // cosine ordering: near-dup >> disjoint
+    val near = cos(vecs(1L), vecs(2L))
+    val far = cos(vecs(1L), vecs(3L))
+    assert(near > 0.9, s"near-dup cosine $near too low")
+    assert(far < 0.5, s"disjoint-vocabulary cosine $far too high")
+
+    // end-to-end: the embedding feeds the exact similarity operator
+    // directly and recovers exactly the planted near-dup pair
+    val pairs = Similarity.embedDedup(e, tau = 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)), s"expected the planted pair: $pairs")
+  }
+
   test("clusterEmbed assigns every vector to its argmax centroid") {
     val k = 8
     val assigned = Similarity.clusterEmbed(emb, k = k).collect()
