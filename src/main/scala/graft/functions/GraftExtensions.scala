@@ -59,7 +59,10 @@ object GraftExtensions {
     ("rhp_sig",
       info("rhp_sig", "rhp_sig(array<float>, nPlanes, seed) - random-hyperplane LSH bucket"),
       (args: Seq[Expression]) =>
-        RhpSig(args.head, intArg(args(1), "nPlanes"), longArg(args(2), "seed"))))
+        RhpSig(args.head, intArg(args(1), "nPlanes"), longArg(args(2), "seed"))),
+    ("hash_embed",
+      info("hash_embed", "hash_embed(array<string>, dim) - L2-normalized feature-hashing embedding"),
+      (args: Seq[Expression]) => HashEmbed(args.head, intArg(args(1), "dim"))))
 
   /** Register every graft function on a live session. */
   def register(spark: SparkSession): Unit =

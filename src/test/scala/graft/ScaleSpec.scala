@@ -16,18 +16,23 @@ class ScaleSpec extends AnyFunSuite {
       """SELECT fingerprint64('hello world') AS fp,
         |       hamming64(CAST(5 AS BIGINT), CAST(6 AS BIGINT)) AS h,
         |       shingle_hash64(array('a','b','c','d'), 3) AS sh,
-        |       simhash64(array('x','y')) AS sim""".stripMargin).collect()(0)
+        |       simhash64(array('x','y')) AS sim,
+        |       hash_embed(array('a','b'), 8) AS he""".stripMargin).collect()(0)
     val refFp = "hello world".getBytes("UTF-8")
       .foldLeft(1125899906842597L)((h, b) => h * 31L + (b & 0xff))
     assert(r.getAs[Long]("fp") == refFp)
     assert(r.getAs[Int]("h") == 2) // 101 vs 110
     assert(r.getAs[scala.collection.Seq[Long]]("sh").length == 2)
+    val he = r.getAs[scala.collection.Seq[Float]]("he")
+    assert(he.length == 8)
+    assert(math.abs(he.map(x => x.toDouble * x).sum - 1.0) < 1e-6,
+      "hash_embed must emit a unit vector")
   }
 
   test("extensions class injects the same functions at build time") {
     val fns = GraftExtensions.functions
     assert(fns.map(_._1).toSet == Set("fingerprint64", "simhash64", "minhash_sig",
-      "hamming64", "dot_fd", "shingle_hash64", "rhp_sig"))
+      "hamming64", "dot_fd", "shingle_hash64", "rhp_sig", "hash_embed"))
     // builders construct valid expressions from literal args
     import org.apache.spark.sql.catalyst.expressions.Literal
     val mh = fns.find(_._1 == "minhash_sig").get._3(
