@@ -260,6 +260,35 @@ class IntegrationSpec extends AnyFunSuite {
     } finally { curation.release(); GraftApi.releaseCaches() }
   }
 
+  test("cluster-balanced mixing: text -> hash embeddings -> k-means -> per-cluster quota") {
+    // the data-mixing composition the round-6 operators exist for: a
+    // raw text corpus gets model-free embeddings, clusters them, and
+    // samples a per-cluster quota — no external model, every stage an
+    // existing operator (stratifiedSample's stratum column is just
+    // the cluster id)
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    import graft.operators.{Similarity, TextAnalysis}
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .select("doc_id", "source", "text")
+    val quota = 5
+    val assigned = Similarity.clusterEmbed(Similarity.hashEmbedDocs(docs), k = 4)
+    val strata = docs.select("doc_id")
+      .join(assigned.withColumnRenamed("vec_id", "doc_id"), "doc_id")
+      .select(col("doc_id"), concat(lit("cluster_"), col("cid")).as("source"))
+    val mixed = TextAnalysis.stratifiedSample(strata, perSource = quota).collect()
+    val byCluster = mixed.groupBy(_.getAs[String]("source")).view
+      .mapValues(_.length).toMap
+    assert(byCluster.nonEmpty && byCluster.values.forall(_ <= quota))
+    // every populated cluster contributes min(quota, its population)
+    val pops = assigned.collect().groupBy(_.getAs[Int]("cid")).view
+      .mapValues(_.length).toMap
+    pops.foreach { case (cid, n) =>
+      assert(byCluster.getOrElse(s"cluster_$cid", 0) == math.min(quota, n),
+        s"cluster $cid: quota not filled from population $n")
+    }
+    graft.operators.Caches.releaseAll()
+  }
+
   test("curation with every optional stage on: full order, gapless manifest") {
     import spark.implicits._
     val base = graft.sources.Tables.documents(spark, sfDir)
