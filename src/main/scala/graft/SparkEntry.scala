@@ -133,6 +133,14 @@ object SparkEntry {
     // fixture in BpeSpec)
     "q_token_count_bpe" -> ((s, d) => TextAnalysis.tokenCountBpe(Tables.documents(s, d))),
     "q_tokenize_bpe"    -> ((s, d) => TextAnalysis.tokenizeBpe(Tables.documents(s, d))),
+    "q_unigram_logprob" -> ((s, d) => TextAnalysis.unigramLogprob(Tables.documents(s, d))),
+    // model trained on the src0-excluded slice, scoring ALL docs —
+    // src0 rows exercise the OOV/backoff paths a same-corpus model
+    // never reaches
+    "q_bigram_logprob" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      TextAnalysis.bigramLogprob(docs, docs.filter(col("source") =!= "src0"))
+    }),
     "q_cluster_embed"   -> ((s, d) => Similarity.clusterEmbed(Tables.embeddings(s, d))),
     "q_hash_embed"      -> ((s, d) => {
       import org.apache.spark.sql.functions.{col, posexplode, round}
@@ -875,6 +883,52 @@ object SparkEntry {
         |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
         |WHERE d.source <> 'src0'
         |ORDER BY d.doc_id""".stripMargin,
+    "q_unigram_logprob" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |         unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS token
+        |  FROM documents
+        |), t AS (SELECT doc_id, token FROM tok WHERE token <> ''),
+        |freq AS (SELECT token, count(*) AS n_tok FROM t GROUP BY token),
+        |tot AS (SELECT count(*) AS n_total FROM t)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |       (round(CAST(sum(CAST((round(-log2(n_tok * 1.0 / n_total) + 1e-9, 6) + 0) AS DECIMAL(38,6))) AS DOUBLE) / count(*) + 1e-9, 4) + 0) AS mean_nll
+        |FROM t JOIN freq USING (token) CROSS JOIN tot
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+    "q_bigram_logprob" ->
+      """WITH ta AS (
+        |  SELECT doc_id, source,
+        |         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+        |  FROM documents
+        |), ti AS (
+        |  SELECT doc_id, source, CAST(unnest(range(0, len(toks))) AS INT) AS pos, toks FROM ta
+        |), t AS (
+        |  SELECT doc_id, source, pos, toks[pos + 1] AS token,
+        |         CASE WHEN pos > 0 THEN toks[pos] END AS prev
+        |  FROM ti WHERE toks[pos + 1] <> ''
+        |), tr AS (SELECT * FROM t WHERE source <> 'src0'),
+        |f1 AS (SELECT token, count(*) AS c1 FROM tr GROUP BY token),
+        |sc AS (SELECT sum(c1) AS n_train, count(*) AS v_train FROM f1),
+        |f2 AS (
+        |  SELECT tr.prev, tr.token, count(*) * 1.0 / any_value(f1p.c1) AS p2
+        |  FROM tr JOIN f1 f1p ON tr.prev = f1p.token
+        |  WHERE tr.prev IS NOT NULL GROUP BY tr.prev, tr.token
+        |), scored AS (
+        |  SELECT t.doc_id, t.pos, f2.p2,
+        |         CASE WHEN t.pos = 0 THEN (coalesce(f1.c1, 0) + 1) * 1.0 / (sc.n_train + sc.v_train)
+        |              WHEN f2.p2 IS NOT NULL THEN f2.p2
+        |              ELSE 0.4 * ((coalesce(f1.c1, 0) + 1) * 1.0 / (sc.n_train + sc.v_train))
+        |         END AS score
+        |  FROM t LEFT JOIN f1 ON t.token = f1.token
+        |         LEFT JOIN f2 ON t.prev = f2.prev AND t.token = f2.token
+        |         CROSS JOIN sc
+        |)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |       (round(CAST(sum(CAST((round(-log2(score) + 1e-9, 6) + 0) AS DECIMAL(38,6))) AS DOUBLE) / count(*) + 1e-9, 4) + 0) AS mean_nll,
+        |       CAST(sum(CASE WHEN pos > 0 AND p2 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_backoff
+        |FROM scored GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
     "q_vocab_topk" ->
       """WITH tok AS (
         |  SELECT doc_id,

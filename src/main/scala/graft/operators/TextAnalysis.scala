@@ -775,6 +775,113 @@ object TextAnalysis {
       .orderBy(desc("n_total"), asc("token"))
       .limit(topN)
 
+  /** CCNet-style language-model quality proxy with a unigram model:
+    * per-document mean negative log2 probability of its tokens, with
+    * the unigram distribution trained on THIS corpus in the same job
+    * (the wordcount aggregate [[vocabTopK]] already runs). Low
+    * mean_nll ⇒ common-word prose; high ⇒ rare-token noise (mojibake,
+    * hashes, code dumps) — the standard corpus-filtering axis next to
+    * the rule-based [[qualityFilter]]. CCNet proper scores with a
+    * 5-gram KenLM; the unigram form keeps the exact same pipeline
+    * shape (score → threshold/bucket) while staying SQL-oracle-able.
+    *
+    * FP discipline: each token's −log2 p rounds to 6dp BEFORE the
+    * per-doc DECIMAL sum (engines' log2 differ in the last ulp, and
+    * double summation is order-dependent — the [[tokenEntropy]]
+    * pattern), then the mean rounds to 4dp.
+    *
+    * Shape: wordcount aggregate (one token shuffle, map-side
+    * combined), token→freq equi-join (token-partitioned both sides;
+    * Zipf keeps the vocabulary side orders of magnitude below the
+    * corpus — AQE broadcasts it when it fits), scalar total
+    * cross-joined broadcast, one per-doc rollup. */
+  def unigramLogprob(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+    val freq = toks.groupBy("token").agg(count(lit(1)).as("n_tok"))
+    val total = freq.agg(sum("n_tok").as("n_total"))
+    toks
+      .join(freq, "token")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"),
+        rnd(-log2(col("n_tok").cast("double") / col("n_total")), 6).as("nll"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        rnd(decSum(col("nll")) / count(lit(1)), 4).as("mean_nll"))
+      .orderBy("doc_id")
+  }
+
+  /** Bigram language model with Stupid Backoff — one rung up from
+    * [[unigramLogprob]] toward CCNet's 5-gram KenLM scoring, and the
+    * form that exercises the REAL deployment shape: the model is
+    * trained on `train` (a held-out/reference slice), then scores
+    * EVERY document of `docs`, so out-of-vocabulary tokens and unseen
+    * bigrams actually occur (a same-corpus unigram can never back
+    * off). Score of token w_i:
+    *   - position 0: p_uni(w_i)
+    *   - seen bigram: c2(w_{i-1}, w_i) / c1(w_{i-1})
+    *   - else (unseen bigram or unseen prev): alpha · p_uni(w_i)
+    * with Laplace unigrams p_uni(w) = (c1(w)+1)/(N+V) so OOV tokens
+    * score finitely. Output per doc: token count, mean −log2 score
+    * (the filtering axis), and the backoff-position count (a model-
+    * coverage diagnostic).
+    *
+    * FP discipline: per-token nll rounds to 6dp before the DECIMAL
+    * per-doc sum; probabilities divide as doubles from exact longs on
+    * both engines (same per-row inputs ⇒ bit-identical quotients).
+    *
+    * Shape: model build is two map-side-combined aggregates over the
+    * train slice (token shuffle + bigram shuffle) plus a vocab-sized
+    * equi-join for the bigram denominator and a 1-row scalar
+    * broadcast; scoring is the corpus token stream joined against the
+    * two Zipf-distributed model tables (orders of magnitude smaller
+    * than the corpus — AQE broadcasts them at bench scale, and at
+    * 100 TB they are token-partitioned shuffled joins with uniform
+    * key distribution), then one per-doc rollup. Bigram pairs are
+    * formed IN-SCAN from the retained token array (element_at on the
+    * posexploded position) — no self-join, no window. */
+  def bigramLogprob(docs: DataFrame, train: DataFrame,
+                    alpha: Double = 0.4): DataFrame = {
+    def stream(d: DataFrame): DataFrame = d
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        posexplode(col("toks")).as(Seq("pos", "token")))
+      .filter(col("token") =!= "")
+      .select(col("doc_id"), col("pos"), col("token"),
+        when(col("pos") > 0, element_at(col("toks"), col("pos"))).as("prev"))
+
+    val trainToks = stream(train)
+    val freq1 = trainToks.groupBy("token").agg(count(lit(1)).as("c1"))
+    val scalars = freq1.agg(sum("c1").as("n_train"),
+      count(lit(1)).as("v_train"))
+    // bigram table with its denominator folded in at build time
+    // (vocab-sized join, not corpus-sized): p2 = c2 / c1(prev)
+    val freq2 = trainToks.filter(col("prev").isNotNull)
+      .groupBy("prev", "token").agg(count(lit(1)).as("c2"))
+      .join(freq1.select(col("token").as("prev"), col("c1").as("c1_prev")), "prev")
+      .select(col("prev"), col("token"),
+        (col("c2").cast("double") / col("c1_prev")).as("p2"))
+
+    val puni = (coalesce(col("c1"), lit(0L)) + lit(1L)).cast("double") /
+      (col("n_train") + col("v_train"))
+    val score = when(col("pos") === 0, puni)
+      .when(col("p2").isNotNull, col("p2"))
+      .otherwise(lit(alpha) * puni)
+    stream(docs)
+      .join(freq1, Seq("token"), "left")
+      .join(freq2, Seq("prev", "token"), "left")
+      .crossJoin(broadcast(scalars))
+      .select(col("doc_id"), col("pos"), col("p2"),
+        rnd(-log2(score), 6).as("nll"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        rnd(decSum(col("nll")) / count(lit(1)), 4).as("mean_nll"),
+        sum(when(col("pos") > 0 && col("p2").isNull, 1L).otherwise(0L))
+          .as("n_backoff"))
+      .orderBy("doc_id")
+  }
+
   /** Deterministic per-source quota sample — the data-mixing primitive
     * (cap every source at `perSource` documents, chosen pseudo-randomly
     * but reproducibly): rank within source by a Knuth-multiplicative

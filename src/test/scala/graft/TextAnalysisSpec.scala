@@ -127,6 +127,52 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(bpe(100001L) - ws(100001L) > 0)
   }
 
+  test("unigramLogprob scores rare-token docs above common-word docs") {
+    import spark.implicits._
+    // 10 docs of common words + one doc of corpus-unique tokens: the
+    // rare doc must carry the highest mean NLL, and a hand-computable
+    // two-token corpus pins the arithmetic
+    val common = (1 to 10).map(i => (i.toLong, "the cat sat on the mat"))
+    val rare = Seq((11L, "zqx9 vbnm7 wyk3"))
+    val out = TextAnalysis.unigramLogprob((common ++ rare).toDF("doc_id", "text"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Double]("mean_nll")))).toMap
+    assert(out.size == 11)
+    val rareNll = out(11L)._2
+    assert(common.forall { case (id, _) => out(id)._2 < rareNll },
+      s"rare-token doc must score highest: $out")
+    assert(out(11L)._1 == 3L)
+    // hand-check: corpus = 63 tokens; each rare token has p = 1/63 ->
+    // nll = log2(63); mean over 3 identical values = log2(63)
+    val expected = math.round((math.log(63.0) / math.log(2.0) + 1e-9) * 1e6) / 1e6
+    assert(math.abs(rareNll - (math.round((expected + 1e-9) * 1e4) / 1e4)) < 1e-9,
+      s"rare doc mean_nll $rareNll != hand-computed $expected")
+  }
+
+  test("bigramLogprob: seen bigram / backoff / OOV arms hand-checked") {
+    import spark.implicits._
+    // train: freq1 = {a:2, b:1, c:1}, N=4, V=3; bigrams (a,b),(a,c) each
+    // once -> p2 = 1/2. Scored docs hit each arm exactly once.
+    val train = Seq((100L, "a b"), (101L, "a c")).toDF("doc_id", "text")
+    val score = Seq(
+      (1L, "a b"), // pos0 unigram 3/7, pos1 seen bigram 1/2
+      (2L, "b a"), // pos1 bigram (b,a) unseen -> 0.4 * 3/7
+      (3L, "z z")  // OOV: pos0 1/7, pos1 prev unseen -> 0.4 * 1/7
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramLogprob(score, train).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Double]("mean_nll"),
+          r.getAs[Long]("n_backoff")))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L))
+    def nll6(p: Double): Double =
+      math.round((-math.log(p) / math.log(2.0) + 1e-9) * 1e6) / 1e6
+    def mean4(xs: Seq[Double]): Double =
+      math.round((xs.sum / xs.size + 1e-9) * 1e4) / 1e4
+    assert(out(1L) == ((2L, mean4(Seq(nll6(3.0 / 7), nll6(0.5))), 0L)))
+    assert(out(2L) == ((2L, mean4(Seq(nll6(1.0 / 7 * 2), nll6(0.4 * (3.0 / 7)))), 1L)))
+    assert(out(3L) == ((2L, mean4(Seq(nll6(1.0 / 7), nll6(0.4 * (1.0 / 7)))), 1L)))
+  }
+
   test("textQuality n_chars matches the table's n_chars column") {
     val joined = TextAnalysis.textQuality(docs)
       .join(docs.select("doc_id", "n_chars"), "doc_id")
