@@ -172,6 +172,13 @@ object SparkEntry {
         docs.filter(col("source") =!= "src0"),
         docs.filter(col("source") === "src0"))
     }),
+    // per-ITEM containment form (best-matching benchmark item per doc)
+    "q_decontaminate_fuzzy" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.decontaminateFuzzy(
+        docs.filter(col("source") =!= "src0"),
+        docs.filter(col("source") === "src0"))
+    }),
     "q_dedup_embed"   -> ((s, d) => Similarity.embedDedup(Tables.embeddings(s, d))),
     "q_ann_topk"      -> ((s, d) => Similarity.annTopK(Tables.embeddings(s, d))),
     "q_ann_lsh"       -> ((s, d) => Similarity.annLsh(Tables.embeddings(s, d))),
@@ -881,6 +888,37 @@ object SparkEntry {
         |       CAST(coalesce(h.n_shared, 0) AS BIGINT) AS n_shared,
         |       CAST(CASE WHEN coalesce(h.n_shared, 0) >= 3 THEN 1 ELSE 0 END AS BIGINT) AS contaminated
         |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+        |WHERE d.source <> 'src0'
+        |ORDER BY d.doc_id""".stripMargin,
+    "q_decontaminate_fuzzy" ->
+      """WITH tok AS (
+        |  SELECT doc_id, source,
+        |         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id, source,
+        |         list_distinct(list_transform(range(1, len(toks) - 1),
+        |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+        |  FROM tok WHERE len(toks) >= 3
+        |), bench AS (
+        |  SELECT doc_id AS bench_id, len(sh) AS nb, unnest(sh) AS s FROM sh
+        |  WHERE source = 'src0' AND len(sh) > 0
+        |), corpus AS (
+        |  SELECT doc_id, unnest(sh) AS s FROM sh WHERE source <> 'src0'
+        |), hits AS (
+        |  SELECT c.doc_id, b.bench_id, count(*) * 1.0 / any_value(b.nb) AS cont
+        |  FROM corpus c JOIN bench b ON c.s = b.s
+        |  GROUP BY c.doc_id, b.bench_id
+        |), best AS (
+        |  SELECT doc_id, bench_id, cont,
+        |         row_number() OVER (PARTITION BY doc_id ORDER BY cont DESC, bench_id) AS rn
+        |  FROM hits
+        |)
+        |SELECT d.doc_id,
+        |       CAST(coalesce(b.bench_id, -1) AS BIGINT) AS best_bench,
+        |       (round(coalesce(b.cont, 0) + 1e-9, 4) + 0) AS containment,
+        |       CAST(CASE WHEN b.cont >= 0.8 THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+        |FROM documents d LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON d.doc_id = b.doc_id
         |WHERE d.source <> 'src0'
         |ORDER BY d.doc_id""".stripMargin,
     "q_unigram_logprob" ->

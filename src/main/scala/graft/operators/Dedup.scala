@@ -303,6 +303,57 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Per-benchmark-ITEM fuzzy decontamination by shingle containment:
+    * for every corpus doc, the best-matching benchmark item and the
+    * containment |S_item ∩ S_doc| / |S_item| of that item's shingle
+    * set in the doc. [[decontaminate]] counts shingles shared with the
+    * benchmark as a WHOLE — a doc that swallowed one eval item
+    * verbatim but matches only `minShared` global shingles scores the
+    * same as scattered noise. Containment per item is the
+    * paraphrase-robust form (a doc containing ≥ `tau` of one item's
+    * n-grams is flagged no matter how large the benchmark is).
+    *
+    * Deterministic: best item = max containment, ties to the lowest
+    * bench id; containment compares RAW (quotients of exact longs are
+    * bit-identical cross-engine), rounds 4dp only for output.
+    *
+    * Shape: benchmark shingle sets (eval-set-bounded — MBs against a
+    * corpus of TBs) broadcast to a candidate equi-join on the shingle
+    * hash; only (doc, item) pairs sharing ≥ 1 shingle ever exist. One
+    * partial-agg shuffle on (doc_id, bench_id), one per-doc window
+    * over the hit set (hit docs only, not the corpus), and the final
+    * left join back to corpus ids. The corpus never self-joins and
+    * text never shuffles — shingles travel as int64. */
+  def decontaminateFuzzy(corpus: DataFrame, benchmark: DataFrame,
+                         n: Int = 3, tau: Double = 0.8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val benchSh = spreadToCores(
+      benchmark.select(col("doc_id").as("bench_id"), col("text")))
+      .select(col("bench_id"),
+        GraftFunctions.shingleHash64(TextAnalysis.tokens(col("text")), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("bench_id"), size(col("sh")).as("nb"), explode(col("sh")).as("s"))
+    val hits = shingleHashes(corpus, n)
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+      .join(broadcast(benchSh), "s")
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(count(lit(1)).as("inter"), first(col("nb")).as("nb"))
+      .select(col("doc_id"), col("bench_id"),
+        (col("inter").cast("double") / col("nb")).as("cont"))
+    val best = hits
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("cont").desc, col("bench_id").asc)))
+      .filter(col("rn") === 1)
+    corpus.select(col("doc_id"))
+      .join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("bench_id"), lit(-1L)).as("best_bench"),
+        rnd(coalesce(col("cont"), lit(0.0)), 4).as("containment"),
+        coalesce(col("cont") >= tau, lit(false)).cast("long").as("contaminated"))
+      .orderBy("doc_id")
+  }
+
   /** Exact n-gram Jaccard pairs via shingle bucket-join: only pairs
     * sharing at least one shingle are ever formed (the hashed shingle
     * IS the bucket key), then |A∩B| comes from the join group count

@@ -852,7 +852,11 @@ object TextAnalysis {
         when(col("pos") > 0, element_at(col("toks"), col("pos"))).as("prev"))
 
     val trainToks = stream(train)
-    val freq1 = trainToks.groupBy("token").agg(count(lit(1)).as("c1"))
+    // vocab-sized, reused by three consumers (score join, bigram
+    // denominator, scalar totals) — persist via the scoped registry so
+    // the train slice scans once, not four times
+    val freq1 = Caches.persistTracked(
+      trainToks.groupBy("token").agg(count(lit(1)).as("c1")))
     val scalars = freq1.agg(sum("c1").as("n_train"),
       count(lit(1)).as("v_train"))
     // bigram table with its denominator folded in at build time

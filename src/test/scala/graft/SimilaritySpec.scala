@@ -279,6 +279,36 @@ class SimilaritySpec extends AnyFunSuite {
     graft.operators.Caches.releaseAll()
   }
 
+  test("decontaminateFuzzy: per-item containment with deterministic best-match") {
+    import spark.implicits._
+    // item 100 has shingles from an 8-token sentence (6 shingles);
+    // item 101 is disjoint. doc 1 contains item 100 verbatim inside
+    // extra prose -> containment 1.0 of the BEST item even though the
+    // benchmark as a whole is much larger.
+    val benchmark = Seq(
+      (100L, "the capital of france is paris quiz answer"),
+      (101L, "cooking pasta requires salted boiling water tonight"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "prefix words the capital of france is paris quiz answer suffix words"),
+      (2L, "the capital of france is lyon says nobody serious here"), // partial
+      (3L, "completely unrelated text about gardening and sunshine today"),
+      (4L, "ab")) // shingle-free — must still appear with zeros
+      .toDF("doc_id", "text")
+    val out = Dedup.decontaminateFuzzy(corpus, benchmark).collect()
+      .map(r => (r.getAs[Long]("doc_id"),
+        (r.getAs[Long]("best_bench"), r.getAs[Double]("containment"),
+         r.getAs[Long]("contaminated")))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L))
+    assert(out(1L) == ((100L, 1.0, 1L)), s"verbatim inclusion: ${out(1L)}")
+    // doc 2 shares {the capital of, capital of france, of france is}
+    // -> 3 of item 100's 6 shingles = 0.5, under tau
+    assert(out(2L) == ((100L, 0.5, 0L)), s"partial overlap: ${out(2L)}")
+    assert(out(3L) == ((-1L, 0.0, 0L)))
+    assert(out(4L) == ((-1L, 0.0, 0L)))
+    graft.operators.Caches.releaseAll()
+  }
+
   test("decontaminate broadcast guard: oversized benchmark falls back to a shuffled join") {
     import spark.implicits._
     val benchmark = Seq(
