@@ -141,6 +141,11 @@ object SparkEntry {
       val docs = Tables.documents(s, d)
       TextAnalysis.bigramLogprob(docs, docs.filter(col("source") =!= "src0"))
     }),
+    // thresholds bracket the corpus's observed nll band (median ~4.91
+    // at every SF) so all three buckets are inhabited; quotas cap the
+    // mid band and keep under-quota tails whole
+    "q_mix_quality" -> ((s, d) => TextAnalysis.mixByQuality(
+      Tables.documents(s, d), Seq(4.90, 4.92), Seq(50, 100, 30))),
     "q_cluster_embed"   -> ((s, d) => Similarity.clusterEmbed(Tables.embeddings(s, d))),
     "q_hash_embed"      -> ((s, d) => {
       import org.apache.spark.sql.functions.{col, posexplode, round}
@@ -934,6 +939,34 @@ object SparkEntry {
         |FROM t JOIN freq USING (token) CROSS JOIN tot
         |GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
+    "q_mix_quality" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |         unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS token
+        |  FROM documents
+        |), t AS (SELECT doc_id, token FROM tok WHERE token <> ''),
+        |freq AS (SELECT token, count(*) AS n_tok FROM t GROUP BY token),
+        |tot AS (SELECT count(*) AS n_total FROM t),
+        |scored AS (
+        |  SELECT doc_id,
+        |         (round(CAST(sum(CAST((round(-log2(n_tok * 1.0 / n_total) + 1e-9, 6) + 0) AS DECIMAL(38,6))) AS DOUBLE) / count(*) + 1e-9, 4) + 0) AS mean_nll
+        |  FROM t JOIN freq USING (token) CROSS JOIN tot
+        |  GROUP BY doc_id
+        |), bucketed AS (
+        |  SELECT doc_id, mean_nll,
+        |         CAST(CASE WHEN mean_nll >= CAST(4.90 AS DOUBLE) THEN 1 ELSE 0 END
+        |            + CASE WHEN mean_nll >= CAST(4.92 AS DOUBLE) THEN 1 ELSE 0 END AS BIGINT) AS bucket
+        |  FROM scored
+        |), ranked AS (
+        |  SELECT doc_id, bucket, mean_nll,
+        |         row_number() OVER (PARTITION BY bucket
+        |           ORDER BY (((doc_id % 2147483648 + 2147483648) % 2147483648) * 2654435761) % 4294967296, doc_id) AS rn
+        |  FROM bucketed
+        |)
+        |SELECT doc_id, bucket, mean_nll, CAST(rn AS BIGINT) AS sample_rank
+        |FROM ranked
+        |WHERE rn <= CASE bucket WHEN 0 THEN 50 WHEN 1 THEN 100 ELSE 30 END
+        |ORDER BY bucket, sample_rank""".stripMargin,
     "q_bigram_logprob" ->
       """WITH ta AS (
         |  SELECT doc_id, source,

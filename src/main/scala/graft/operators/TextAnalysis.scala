@@ -934,6 +934,69 @@ object TextAnalysis {
       .orderBy("source", "sample_rank")
   }
 
+  /** Quality-bucketed data mixing (the DCLM/quality-curriculum
+    * primitive): score every document with the corpus-unigram LM
+    * ([[unigramLogprob]]), cut the score axis at `thresholds` into
+    * `thresholds.size + 1` buckets (bucket = number of thresholds at
+    * or below the doc's mean_nll — bucket 0 is the most-fluent band),
+    * and keep a deterministic per-bucket quota — upweight fluent
+    * prose, cap noise, without discarding the axis entirely.
+    * Thresholds are explicit (from a prior quantile job or a fixed
+    * spec): an operator that derives them from the same corpus would
+    * weld the mixing policy to the data.
+    *
+    * Bucketing reads the ROUNDED (4dp) mean_nll, which is already
+    * cross-engine exact; the quota rank reuses the Knuth-salt order
+    * ([[sampleSalt]]), so the kept set is reproducible anywhere.
+    *
+    * Scale: bucket cardinality is tiny (quotas.size), so the rank
+    * window runs threshold-refined exactly like [[stratifiedSample]]
+    * — [[saltBoundsByKey]] bounds each bucket's window input to
+    * ~quota rows; the scoring side is [[unigramLogprob]]'s shape. */
+  def mixByQuality(docs: DataFrame, thresholds: Seq[Double],
+                   quotas: Seq[Int]): DataFrame = {
+    require(quotas.size == thresholds.size + 1,
+      s"need ${thresholds.size + 1} quotas for ${thresholds.size} thresholds")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("bucket").orderBy(col("sample_key"), col("doc_id"))
+    val bucketed = bucketsByQuality(docs, thresholds)
+    val quotaOfKey = element_at(
+      array(quotas.map(q => lit(q.toLong)): _*), (col("bucket") + 1).cast("int"))
+    bucketed
+      .select(col("doc_id"), col("bucket"), col("mean_nll"), sampleSalt.as("sample_key"))
+      .join(broadcast(saltBoundsByKey(bucketed, "bucket", quotaOfKey)),
+        Seq("bucket"), "left")
+      .filter(col("salt_bound").isNull || col("sample_key") < col("salt_bound"))
+      .withColumn("sample_rank", row_number().over(w).cast("long"))
+      .filter(col("sample_rank") <= quotaOfKey)
+      .select(col("doc_id"), col("bucket"), col("mean_nll"), col("sample_rank"))
+      .orderBy("bucket", "sample_rank")
+  }
+
+  /** (doc_id, bucket, mean_nll) under `thresholds` — [[mixByQuality]]'s
+    * scoring+bucketing stage, shared with its whole-window test oracle. */
+  private[graft] def bucketsByQuality(docs: DataFrame,
+                                      thresholds: Seq[Double]): DataFrame =
+    unigramLogprob(docs).select(col("doc_id"), col("mean_nll"),
+      thresholds.foldLeft(lit(0L))((acc, t) =>
+        acc + when(col("mean_nll") >= lit(t), 1L).otherwise(0L)).as("bucket"))
+
+  /** Whole-window reference form of [[mixByQuality]] (no salt-bound
+    * prefilter); the refined path must be bit-identical. */
+  private[graft] def mixByQualityExact(docs: DataFrame, thresholds: Seq[Double],
+                                       quotas: Seq[Int]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("bucket").orderBy(col("sample_key"), col("doc_id"))
+    val quotaOfKey = element_at(
+      array(quotas.map(q => lit(q.toLong)): _*), (col("bucket") + 1).cast("int"))
+    bucketsByQuality(docs, thresholds)
+      .select(col("doc_id"), col("bucket"), col("mean_nll"), sampleSalt.as("sample_key"))
+      .withColumn("sample_rank", row_number().over(w).cast("long"))
+      .filter(col("sample_rank") <= quotaOfKey)
+      .select(col("doc_id"), col("bucket"), col("mean_nll"), col("sample_rank"))
+      .orderBy("bucket", "sample_rank")
+  }
+
   // 2^32 salt space split into 2^12 histogram buckets (shift by 20):
   // the refinement's survivor slack is one bucket's occupancy,
   // n_source/4096 rows in expectation for the uniform salt
@@ -950,17 +1013,24 @@ object TextAnalysis {
     * error can silently drop a row the full rank would have kept.
     * Cost: one aggregate over (source, bucket) pairs — the window that
     * cumulates runs on ≤4096 rows per source, never on the corpus. */
-  private[graft] def sampleSaltBounds(docs: DataFrame, perSource: Int): DataFrame = {
+  private[graft] def sampleSaltBounds(docs: DataFrame, perSource: Int): DataFrame =
+    saltBoundsByKey(docs, "source", lit(perSource))
+
+  /** [[sampleSaltBounds]] generalized to any stratum key and a
+    * PER-KEY quota expression (evaluated against the key column):
+    * same exact-superset guarantee, same ≤4096-rows-per-key window. */
+  private[graft] def saltBoundsByKey(rows: DataFrame, keyCol: String,
+                                     quota: Column): DataFrame = {
     val cumW = org.apache.spark.sql.expressions.Window
-      .partitionBy("source").orderBy("bucket")
+      .partitionBy(keyCol).orderBy("salt_bucket")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    docs
-      .select(col("source"), shiftright(sampleSalt, saltBucketShift).as("bucket"))
-      .groupBy("source", "bucket").agg(count(lit(1)).as("c"))
-      .select(col("source"), col("bucket"), sum("c").over(cumW).as("cum"))
-      .filter(col("cum") >= perSource)
-      .groupBy("source")
-      .agg(((min("bucket") + 1) * lit(1L << saltBucketShift)).as("salt_bound"))
+    rows
+      .select(col(keyCol), shiftright(sampleSalt, saltBucketShift).as("salt_bucket"))
+      .groupBy(keyCol, "salt_bucket").agg(count(lit(1)).as("c"))
+      .select(col(keyCol), col("salt_bucket"), sum("c").over(cumW).as("cum"))
+      .filter(col("cum") >= quota)
+      .groupBy(keyCol)
+      .agg(((min("salt_bucket") + 1) * lit(1L << saltBucketShift)).as("salt_bound"))
   }
 
   /** The Knuth-multiplicative sample salt of [[stratifiedSample]].

@@ -348,6 +348,32 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
   }
 
+  test("mixByQuality: per-bucket quotas enforced, refined path bit-identical to exact") {
+    import org.apache.spark.sql.functions.col
+    val thresholds = Seq(4.90, 4.92)
+    for (dir <- Seq(sfDir, "/root/testdata/sf0.01")) {
+      val d = graft.sources.Tables.documents(spark, dir)
+      val quotas = Seq(5, 20, 7)
+      val out = TextAnalysis.mixByQuality(d, thresholds, quotas).collect()
+      val byBucket = out.groupBy(_.getAs[Long]("bucket"))
+      byBucket.foreach { case (b, rows) =>
+        assert(rows.length <= quotas(b.toInt), s"bucket $b over quota at $dir")
+        // ranks are contiguous from 1 (a dropped row would leave a gap)
+        assert(rows.map(_.getAs[Long]("sample_rank")).sorted.toSeq ==
+          (1L to rows.length).toSeq, s"rank gap in bucket $b at $dir")
+        // every member belongs to its bucket by score
+        rows.foreach { r =>
+          val nll = r.getAs[Double]("mean_nll")
+          assert(thresholds.count(nll >= _) == b, s"doc in wrong bucket at $dir")
+        }
+      }
+      val refined = out.map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSeq.sorted
+      val exact = TextAnalysis.mixByQualityExact(d, thresholds, quotas).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSeq.sorted
+      assert(refined == exact, s"refined != exact at $dir")
+    }
+  }
+
   test("refinement prefilter bounds the rank window input to ~quota rows per source") {
     import org.apache.spark.sql.functions.col
     val d = graft.sources.Tables.documents(spark, "/root/testdata/sf0.01")
