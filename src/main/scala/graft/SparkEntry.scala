@@ -146,6 +146,11 @@ object SparkEntry {
     // mid band and keep under-quota tails whole
     "q_mix_quality" -> ((s, d) => TextAnalysis.mixByQuality(
       Tables.documents(s, d), Seq(4.90, 4.92), Seq(50, 100, 30))),
+    // lang is the naturally skewed axis (en ~40%, others ~15%); budget
+    // 600 exercises the n_key cap arm at sf0.001/0.01 and the
+    // proportional arm everywhere
+    "q_mix_temperature" -> ((s, d) => TextAnalysis.mixTemperature(
+      Tables.documents(s, d), "lang", 600L)),
     "q_cluster_embed"   -> ((s, d) => Similarity.clusterEmbed(Tables.embeddings(s, d))),
     "q_hash_embed"      -> ((s, d) => {
       import org.apache.spark.sql.functions.{col, posexplode, round}
@@ -967,6 +972,29 @@ object SparkEntry {
         |FROM ranked
         |WHERE rn <= CASE bucket WHEN 0 THEN 50 WHEN 1 THEN 100 ELSE 30 END
         |ORDER BY bucket, sample_rank""".stripMargin,
+    // sqrt (IEEE-exact in both engines) + 6dp DECIMAL weights make the
+    // quota division's operands bit-identical — see mixTemperature
+    "q_mix_temperature" ->
+      """WITH counts AS (SELECT lang, count(*) AS n_key FROM documents GROUP BY lang),
+        |w AS (
+        |  SELECT lang, n_key,
+        |         CAST((round(sqrt(CAST(n_key AS DOUBLE)) + 1e-9, 6) + 0) AS DECIMAL(38,6)) AS w
+        |  FROM counts
+        |), tot AS (SELECT CAST(sum(w) AS DECIMAL(38,6)) AS w_tot FROM w),
+        |quotas AS (
+        |  SELECT lang,
+        |         least(n_key, greatest(1, CAST(floor(CAST(w * 600 AS DOUBLE) / CAST(w_tot AS DOUBLE)) AS BIGINT))) AS quota
+        |  FROM w CROSS JOIN tot
+        |), ranked AS (
+        |  SELECT doc_id, lang,
+        |         row_number() OVER (PARTITION BY lang
+        |           ORDER BY (((doc_id % 2147483648 + 2147483648) % 2147483648) * 2654435761) % 4294967296, doc_id) AS rn
+        |  FROM documents
+        |)
+        |SELECT r.doc_id, r.lang, CAST(rn AS BIGINT) AS sample_rank
+        |FROM ranked r JOIN quotas q USING (lang)
+        |WHERE rn <= quota
+        |ORDER BY lang, sample_rank""".stripMargin,
     "q_bigram_logprob" ->
       """WITH ta AS (
         |  SELECT doc_id, source,

@@ -959,7 +959,11 @@ object TextAnalysis {
       s"need ${thresholds.size + 1} quotas for ${thresholds.size} thresholds")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("bucket").orderBy(col("sample_key"), col("doc_id"))
-    val bucketed = bucketsByQuality(docs, thresholds)
+    // (doc_id, mean_nll, bucket) — id-sized, but the LM scoring behind
+    // it is a full token-shuffle pass; both the salt-bounds branch and
+    // the rank branch consume it, so persist via the scoped registry
+    // (one scoring pass, not two)
+    val bucketed = Caches.persistTracked(bucketsByQuality(docs, thresholds))
     val quotaOfKey = element_at(
       array(quotas.map(q => lit(q.toLong)): _*), (col("bucket") + 1).cast("int"))
     bucketed
@@ -997,6 +1001,72 @@ object TextAnalysis {
       .orderBy("bucket", "sample_rank")
   }
 
+  /** Temperature-flattened source mixing (the mT5/XLM-R multilingual
+    * sampling primitive): per-key quotas proportional to n_key^alpha
+    * scaled to a total `budget` — alpha=1 keeps the corpus mix,
+    * alpha=0 gives uniform keys, alpha=0.5 (temperature 2) upweights
+    * low-resource keys without drowning high-resource ones. Quota =
+    * min(n_key, max(1, floor(budget * w_key / Σw))); the kept rows are
+    * the deterministic Knuth-salt rank prefix ([[stratifiedSample]]'s
+    * order), so the sample is reproducible anywhere.
+    *
+    * Cross-engine exactness: alpha=0.5 computes the weight as
+    * `sqrt` — IEEE-correctly-rounded in both JVM and C engines, unlike
+    * `pow` — then 6dp-rounds into DECIMAL(38,6) so the weight SUM is
+    * exact; the quota division's operands are therefore bit-identical
+    * everywhere and the floor boundary is deterministic. Non-0.5
+    * alphas use `pow` (last-ulp cross-engine risk at the floor edge —
+    * fine for production, not for a hash oracle).
+    *
+    * Scale: weights/quotas are key-cardinality-sized (broadcast);
+    * the rank window runs threshold-refined ([[saltBoundsCarried]])
+    * so each key's window reads ~quota rows, never the corpus. */
+  def mixTemperature(docs: DataFrame, keyCol: String, budget: Long,
+                     alpha: Double = 0.5): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCol).orderBy(col("sample_key"), col("doc_id"))
+    val base = withTemperatureQuota(docs, keyCol, budget, alpha)
+    base
+      .join(broadcast(saltBoundsCarried(base, keyCol)), Seq(keyCol), "left")
+      .filter(col("salt_bound").isNull || col("sample_key") < col("salt_bound"))
+      .withColumn("sample_rank", row_number().over(w).cast("long"))
+      .filter(col("sample_rank") <= col("quota"))
+      .select(col("doc_id"), col(keyCol), col("sample_rank"))
+      .orderBy(keyCol, "sample_rank")
+  }
+
+  /** (doc_id, keyCol, sample_key, quota): [[mixTemperature]]'s quota
+    * assignment, shared with its whole-window test oracle. */
+  private[graft] def withTemperatureQuota(docs: DataFrame, keyCol: String,
+                                          budget: Long, alpha: Double): DataFrame = {
+    val wExpr = if (alpha == 0.5) sqrt(col("n_key").cast("double"))
+                else org.apache.spark.sql.functions.pow(col("n_key").cast("double"), lit(alpha))
+    val weights = docs.groupBy(keyCol).agg(count(lit(1)).as("n_key"))
+      .select(col(keyCol), col("n_key"),
+        rnd(wExpr, 6).cast("decimal(38,6)").as("w"))
+    val wTot = weights.agg(sum("w").as("w_tot"))
+    val quotas = weights.crossJoin(broadcast(wTot))
+      .select(col(keyCol),
+        least(col("n_key"), greatest(lit(1L),
+          floor((col("w") * lit(budget)).cast("double") /
+            col("w_tot").cast("double")).cast("long"))).as("quota"))
+    docs.select(col("doc_id"), col(keyCol), sampleSalt.as("sample_key"))
+      .join(broadcast(quotas), Seq(keyCol))
+  }
+
+  /** Whole-window reference form of [[mixTemperature]] (no salt-bound
+    * prefilter); the refined path must be bit-identical. */
+  private[graft] def mixTemperatureExact(docs: DataFrame, keyCol: String,
+                                         budget: Long, alpha: Double = 0.5): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCol).orderBy(col("sample_key"), col("doc_id"))
+    withTemperatureQuota(docs, keyCol, budget, alpha)
+      .withColumn("sample_rank", row_number().over(w).cast("long"))
+      .filter(col("sample_rank") <= col("quota"))
+      .select(col("doc_id"), col(keyCol), col("sample_rank"))
+      .orderBy(keyCol, "sample_rank")
+  }
+
   // 2^32 salt space split into 2^12 histogram buckets (shift by 20):
   // the refinement's survivor slack is one bucket's occupancy,
   // n_source/4096 rows in expectation for the uniform salt
@@ -1029,6 +1099,28 @@ object TextAnalysis {
       .groupBy(keyCol, "salt_bucket").agg(count(lit(1)).as("c"))
       .select(col(keyCol), col("salt_bucket"), sum("c").over(cumW).as("cum"))
       .filter(col("cum") >= quota)
+      .groupBy(keyCol)
+      .agg(((min("salt_bucket") + 1) * lit(1L << saltBucketShift)).as("salt_bound"))
+  }
+
+  /** [[saltBoundsByKey]] for rows that CARRY their quota (a `quota`
+    * column joined in from a data-derived quota table, constant per
+    * key — [[mixTemperature]]'s shape, where the quota is a function
+    * of per-key counts, not of the key value): same exact-superset
+    * guarantee, same ≤4096-rows-per-key cumulate. Expects the
+    * `sample_key` salt precomputed on the rows. */
+  private[graft] def saltBoundsCarried(rows: DataFrame, keyCol: String): DataFrame = {
+    val cumW = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCol).orderBy("salt_bucket")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    rows
+      .select(col(keyCol), col("quota"),
+        shiftright(col("sample_key"), saltBucketShift).as("salt_bucket"))
+      .groupBy(keyCol, "salt_bucket")
+      .agg(count(lit(1)).as("c"), first("quota").as("q"))
+      .select(col(keyCol), col("salt_bucket"), col("q"),
+        sum("c").over(cumW).as("cum"))
+      .filter(col("cum") >= col("q"))
       .groupBy(keyCol)
       .agg(((min("salt_bucket") + 1) * lit(1L << saltBucketShift)).as("salt_bound"))
   }

@@ -374,6 +374,38 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
   }
 
+  test("mixTemperature: quota law sqrt(n)-proportional capped at n, refined ≡ exact") {
+    for (dir <- Seq(sfDir, "/root/testdata/sf0.01")) {
+      val d = graft.sources.Tables.documents(spark, dir)
+      val out = TextAnalysis.mixTemperature(d, "lang", 600L).collect()
+      // independently recompute the quota law from raw counts
+      val counts = d.groupBy("lang").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val wts = counts.map { case (k, n) =>
+        k -> BigDecimal(math.sqrt(n.toDouble) + 1e-9)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP) }
+      val wTot = wts.values.sum
+      val expectQuota = counts.map { case (k, n) =>
+        k -> math.min(n,
+          math.max(1L, math.floor((wts(k) * 600).toDouble / wTot.toDouble).toLong)) }
+      val byLang = out.groupBy(_.getAs[String]("lang"))
+      expectQuota.foreach { case (k, q) =>
+        assert(byLang(k).length.toLong == q, s"lang $k quota at $dir")
+        assert(byLang(k).map(_.getAs[Long]("sample_rank")).sorted.toSeq ==
+          (1L to q).toSeq, s"rank gap for $k at $dir")
+      }
+      // the skewed axis actually flattens: en keeps a SMALLER fraction
+      // of its docs than any low-resource lang (until the cap binds)
+      val enFrac = expectQuota("en").toDouble / counts("en")
+      counts.keys.filter(_ != "en").foreach { k =>
+        assert(expectQuota(k).toDouble / counts(k) >= enFrac, s"$k not upweighted") }
+      val refined = out.map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq.sorted
+      val exact = TextAnalysis.mixTemperatureExact(d, "lang", 600L).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq.sorted
+      assert(refined == exact, s"refined != exact at $dir")
+    }
+  }
+
   test("refinement prefilter bounds the rank window input to ~quota rows per source") {
     import org.apache.spark.sql.functions.col
     val d = graft.sources.Tables.documents(spark, "/root/testdata/sf0.01")

@@ -347,6 +347,107 @@ def tokenize_bpe(docs):
     return pd.DataFrame(rows, columns=["doc_id", "pos", "piece"])
 
 
+def _norm_tokens(docs):
+    return docs["text"].str.lower().str.strip() \
+        .str.replace(r"\s+", " ", regex=True).str.split(" ")
+
+
+def unigram_logprob(docs):
+    # graft q_unigram_logprob: per-doc mean -log2 p(token) under the
+    # corpus-trained unigram ML model (6dp-rounded addends, 4dp mean)
+    ex = docs[["doc_id"]].assign(token=_norm_tokens(docs)).explode("token")
+    ex = ex[ex["token"] != ""]
+    freq = ex["token"].value_counts()
+    nll = np.round(-np.log2(ex["token"].map(freq).to_numpy() / len(ex)) + 1e-9, 6)
+    g = ex.assign(nll=nll).groupby("doc_id")["nll"].agg(["size", "mean"])
+    return pd.DataFrame({"doc_id": g.index, "n_tokens": g["size"],
+                         "mean_nll": np.round(g["mean"].to_numpy() + 1e-9, 4)})
+
+
+def bigram_logprob(docs, alpha=0.4):
+    # graft q_bigram_logprob: Stupid Backoff bigram + Laplace unigrams
+    # trained on the held-out source != 'src0' slice, scoring ALL docs
+    ex = docs[["doc_id", "source"]].assign(token=_norm_tokens(docs)) \
+        .explode("token")
+    ex = ex[ex["token"] != ""].reset_index(drop=True)
+    ex["prev"] = ex.groupby("doc_id")["token"].shift(1)
+    train = ex[ex["source"] != "src0"]
+    c1 = train["token"].value_counts()
+    n_train, v_train = len(train), len(c1)
+    p2 = (train.dropna(subset=["prev"]).groupby(["prev", "token"]).size()
+          .rename("c2").reset_index())
+    p2["p2"] = p2["c2"] / p2["prev"].map(c1)
+    sc = ex.merge(p2[["prev", "token", "p2"]], on=["prev", "token"], how="left")
+    puni = (sc["token"].map(c1).fillna(0).to_numpy() + 1) / (n_train + v_train)
+    first = sc["prev"].isna().to_numpy()
+    backoff = (~first) & sc["p2"].isna().to_numpy()
+    score = np.where(first, puni, np.where(~sc["p2"].isna(), sc["p2"], alpha * puni))
+    g = sc.assign(nll=np.round(-np.log2(score) + 1e-9, 6), bo=backoff) \
+        .groupby("doc_id").agg(n_tokens=("nll", "size"),
+                               mean_nll=("nll", "mean"), n_backoff=("bo", "sum"))
+    g["mean_nll"] = np.round(g["mean_nll"] + 1e-9, 4)
+    return g.reset_index()
+
+
+def decontaminate_fuzzy(docs, tau=0.8):
+    # graft q_decontaminate_fuzzy: best-matching benchmark item
+    # (source == src0) per corpus doc by 3-gram shingle containment
+    sh = _norm_tokens(docs).map(lambda ts: list(dict.fromkeys(
+        " ".join(ts[i:i + 3]) for i in range(len(ts) - 2))))
+    d = docs[["doc_id", "source"]].assign(s=sh)
+    bench = d[(d["source"] == "src0") & (d["s"].str.len() > 0)]
+    nb = bench.set_index("doc_id")["s"].str.len()
+    bex = bench[["doc_id", "s"]].rename(columns={"doc_id": "bench_id"}).explode("s")
+    corpus = d[d["source"] != "src0"]
+    hits = corpus[["doc_id", "s"]].explode("s").dropna().merge(bex, on="s") \
+        .groupby(["doc_id", "bench_id"]).size().rename("inter").reset_index()
+    hits["cont"] = hits["inter"] / hits["bench_id"].map(nb)
+    best = hits.sort_values(["doc_id", "cont", "bench_id"],
+                            ascending=[True, False, True]).groupby("doc_id").head(1)
+    out = corpus[["doc_id"]].merge(best, on="doc_id", how="left")
+    return pd.DataFrame({
+        "doc_id": out["doc_id"],
+        "best_bench": out["bench_id"].fillna(-1).astype("int64"),
+        "containment": np.round(out["cont"].fillna(0) + 1e-9, 4),
+        "contaminated": (out["cont"] >= tau).fillna(False).astype("int64"),
+    })
+
+
+def mix_quality(docs, thresholds=(4.90, 4.92), quotas=(50, 100, 30)):
+    # graft q_mix_quality: unigram-LM score cut at explicit thresholds,
+    # deterministic per-bucket quota via the same Knuth salt rank as
+    # stratified_sample
+    sc = unigram_logprob(docs).reset_index(drop=True)
+    bucket = sum((sc["mean_nll"] >= t).astype(int) for t in thresholds)
+    salt = ((sc["doc_id"] % 2147483648) * 2654435761) % 4294967296
+    out = sc.assign(bucket=bucket, salt=salt,
+                    q=bucket.map(lambda b: quotas[b])) \
+        .sort_values(["bucket", "salt", "doc_id"])
+    out["sample_rank"] = out.groupby("bucket").cumcount() + 1
+    return out[out["sample_rank"] <= out["q"]][
+        ["doc_id", "bucket", "mean_nll", "sample_rank"]]
+
+
+def mix_temperature(docs, budget=600, alpha=0.5):
+    # graft q_mix_temperature: per-lang quotas proportional to sqrt(n)
+    # scaled to the budget, capped at n, same Knuth salt rank (exact
+    # decimal weight sum mirroring the engines' DECIMAL(38,6) path)
+    import math
+    from decimal import Decimal
+    counts = docs["lang"].value_counts().to_dict()
+    w = {k: Decimal(str(round(math.sqrt(n) + 1e-9, 6)))
+         for k, n in counts.items()}
+    wtot = sum(w.values())
+    quota = {k: min(counts[k],
+                    max(1, int(float(w[k] * budget) / float(wtot))))
+             for k in counts}
+    salt = ((docs["doc_id"] % 2147483648) * 2654435761) % 4294967296
+    out = docs.assign(salt=salt).sort_values(["lang", "salt", "doc_id"])
+    out["sample_rank"] = out.groupby("lang").cumcount() + 1
+    return out[out["sample_rank"] <= out["lang"].map(quota)][
+        ["doc_id", "lang", "sample_rank"]]
+
+
 def cluster_embed(emb):
     # graft q_cluster_embed's shape in numpy: spherical k-means on a
     # bounded sample (3 Lloyd iterations, argmax-dot assignment, ties
@@ -414,6 +515,11 @@ def main():
         ("dedup_spans", dedup_spans),
         ("token_count_bpe", token_count_bpe),
         ("tokenize_bpe", tokenize_bpe),
+        ("unigram_logprob", unigram_logprob),
+        ("bigram_logprob", bigram_logprob),
+        ("decontaminate_fuzzy", decontaminate_fuzzy),
+        ("mix_quality", mix_quality),
+        ("mix_temperature", mix_temperature),
     ]:
         t0 = time.perf_counter()
         fn(docs)
