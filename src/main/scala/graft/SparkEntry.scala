@@ -190,6 +190,14 @@ object SparkEntry {
         docs.filter(col("source") === "src0"))
     }),
     "q_dedup_embed"   -> ((s, d) => Similarity.embedDedup(Tables.embeddings(s, d))),
+    // every 20th vector plays the benchmark (same split law as the
+    // documents-side src0 convention)
+    "q_semantic_decontaminate" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.semanticDecontaminate(
+        e.filter(pmod(col("vec_id"), lit(20)) =!= 0),
+        e.filter(pmod(col("vec_id"), lit(20)) === 0))
+    }),
     "q_ann_topk"      -> ((s, d) => Similarity.annTopK(Tables.embeddings(s, d))),
     "q_ann_lsh"       -> ((s, d) => Similarity.annLsh(Tables.embeddings(s, d))),
     "q_ann_ivf"       -> ((s, d) => Similarity.annIvf(Tables.embeddings(s, d))),
@@ -1302,6 +1310,38 @@ object SparkEntry {
         |WHERE (round(list_sum(list_transform(range(1, len(a.v) + 1),
         |        i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm) + 1e-9, 6) + 0) >= 0.4
         |ORDER BY vec_a, vec_b""".stripMargin,
+    // the rounded cos carries "+ 0" INSIDE scored so DuckDB's ORDER BY
+    // never sees a -0.0 (Spark's round can't emit one)
+    "q_semantic_decontaminate" ->
+      """WITH e AS (
+        |  SELECT vec_id,
+        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings
+        |), n AS (
+        |  SELECT vec_id, v,
+        |         sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+        |  FROM e
+        |), bench AS (
+        |  SELECT vec_id AS bench_id, v AS bv, nrm AS bnrm FROM n WHERE vec_id % 20 = 0
+        |), corpus AS (
+        |  SELECT vec_id, v, nrm FROM n WHERE vec_id % 20 <> 0
+        |), scored AS (
+        |  SELECT c.vec_id, b.bench_id,
+        |         (round(list_sum(list_transform(range(1, len(c.v) + 1),
+        |                 i -> c.v[i] * b.bv[i])) / (c.nrm * b.bnrm) + 1e-9, 6) + 0) AS cos
+        |  FROM corpus c CROSS JOIN bench b
+        |  WHERE c.nrm > 0 AND b.bnrm > 0
+        |), best AS (
+        |  SELECT vec_id, bench_id, cos,
+        |         row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, bench_id) AS rn
+        |  FROM scored
+        |)
+        |SELECT c.vec_id,
+        |       CAST(coalesce(b.bench_id, -1) AS BIGINT) AS best_bench,
+        |       coalesce(b.cos, 0.0) AS cosine,
+        |       CAST(CASE WHEN b.cos >= 0.4 THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+        |FROM corpus c LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (vec_id)
+        |ORDER BY c.vec_id""".stripMargin,
     "q_ann_topk" ->
       """WITH e AS (
         |  SELECT vec_id,

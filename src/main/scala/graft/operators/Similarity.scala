@@ -185,6 +185,57 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** Semantic (embedding-space) decontamination — the third member of
+    * the decontamination family ([[Dedup.decontaminate]] exact global
+    * shingles, [[Dedup.decontaminateFuzzy]] per-item containment):
+    * for every corpus vector, the best-matching benchmark vector and
+    * its cosine, flagged at `tau`. Catches reworded eval items that
+    * share no n-grams at all (the embedding is the paraphrase-robust
+    * axis); compose with [[hashEmbedDocs]] to run it straight off a
+    * text corpus with no external model.
+    *
+    * Deterministic: best = max by 6dp-ROUNDED cosine, ties to the
+    * lowest bench id. The rounded compare is the cross-engine-stable
+    * one — raw dot-product sums differ in the last ulp between
+    * engines, so a raw argmax could flip where two benchmark items
+    * land within an ulp; after rounding both engines agree and the id
+    * tiebreak resolves exact ties. Zero-norm corpus vectors (cosine
+    * undefined — [[cosine]] yields null) surface as (-1, 0.0, 0).
+    *
+    * Shape: the benchmark is eval-set-bounded (MBs vs a corpus of
+    * TBs) → broadcast; corpus vectors never shuffle — the only
+    * exchange is the partial-aggregated (vec_id, best, cos) rollup,
+    * one row per corpus vector. Per-row cost is |bench| dot products,
+    * embarrassingly parallel across the scan.
+    * @note 100TB: if the benchmark itself outgrows broadcast size,
+    * bucket both sides with [[rhpIndex]] (the [[embedDedupLsh]]
+    * shape) and verify only bucket-colliding pairs. */
+  def semanticDecontaminate(corpus: DataFrame, benchmark: DataFrame,
+                            tau: Double = 0.4): DataFrame = {
+    val c = spreadToCores(withNorm(corpus)).as("a")
+    val b = withNorm(benchmark)
+      .select(col("vec_id").as("bench_id"), col("v"), col("nrm")).as("b")
+    val scored = c.join(broadcast(b))
+      .select(col("a.vec_id").as("vec_id"), col("bench_id"),
+        round(cosine + lit(1e-9), 6).as("cos"))
+      .filter(col("cos").isNotNull)
+    // max(struct) keeps the rollup partial-aggregable (map-side
+    // combine collapses the |bench| fan-out before the exchange); the
+    // negated id makes the struct order "highest cos, lowest id"
+    val best = scored
+      .groupBy("vec_id")
+      .agg(max(struct(col("cos"), (-col("bench_id")).as("nb"))).as("m"))
+      .select(col("vec_id"), (-col("m.nb")).as("best_bench"),
+        col("m.cos").as("cosine"))
+    corpus.select(col("vec_id"))
+      .join(best, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("best_bench"), lit(-1L)).as("best_bench"),
+        coalesce(col("cosine"), lit(0.0)).as("cosine"),
+        coalesce(col("cosine") >= tau, lit(false)).cast("long").as("contaminated"))
+      .orderBy("vec_id")
+  }
+
   /** The 100 TB form of [[embedDedup]]: candidate pairs are restricted
     * to vectors sharing a multi-table random-hyperplane bucket, then
     * verified with exact cosine — the O(n²) pair space shrinks to the

@@ -163,6 +163,31 @@ class PlanSpec extends AnyFunSuite {
       s"salt bounds must broadcast back:\n$p")
   }
 
+  test("mix_temperature: quota/bound joins broadcast, rank window per key, no sort-merge") {
+    val p = planOf("q_mix_temperature")
+    // the rank window must partition by the mix key (a global window
+    // here would be the single-task sort the refinement exists to avoid)
+    assert("row_number\\(\\) windowspecdefinition\\(lang#\\d+".r.findFirstIn(p).isDefined,
+      s"rank window is not partitioned by lang:\n$p")
+    // both small sides — the count-derived quota table and the salt
+    // bounds — come back as broadcasts, never a shuffle of the corpus
+    assert(p.split("BroadcastHashJoin").length - 1 >= 2,
+      s"quota and salt-bound joins must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus side must never sort-merge:\n$p")
+  }
+
+  test("mix_quality: ONE LM scoring pass feeds both branches via the cached scored frame") {
+    val p = planOf("q_mix_quality")
+    // bucketsByQuality is persistTracked: the salt-bounds branch and
+    // the rank branch must BOTH read the cache, not re-run the token
+    // shuffle (bench showed 2x the unigram cost before the persist)
+    assert(p.split("InMemoryTableScan").length - 1 >= 2,
+      s"scored frame must be read from cache by both branches:\n$p")
+    assert("row_number\\(\\) windowspecdefinition\\(bucket#\\d+L".r.findFirstIn(p).isDefined,
+      s"rank window is not partitioned by bucket:\n$p")
+    graft.operators.Caches.releaseAll()
+  }
+
   test("assign_ids: rank window partitions by bucket, offsets broadcast back") {
     val df = SparkEntry.queries("q_assign_ids")(spark, sfDir)
     val p = df.queryExecution.executedPlan.toString

@@ -309,6 +309,30 @@ class SimilaritySpec extends AnyFunSuite {
     graft.operators.Caches.releaseAll()
   }
 
+  test("semanticDecontaminate: argmax cosine with rounded-tie determinism and zero-norm guard") {
+    import spark.implicits._
+    val benchmark = Seq(
+      (100L, Array(1f, 0f)),
+      (120L, Array(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (1L, Array(2f, 0f)),     // cos 1.0 with 100 -> contaminated
+      (2L, Array(1f, 1f)),     // 0.707107 with BOTH -> tie to 100, contaminated
+      (3L, Array(-1f, 0.1f)),  // best is 120 at ~0.0995 -> clean
+      (4L, Array(0f, 0f)))     // zero norm -> (-1, 0.0, 0)
+      .toDF("vec_id", "embedding")
+    val out = graft.operators.Similarity.semanticDecontaminate(corpus, benchmark)
+      .collect()
+      .map(r => (r.getAs[Long]("vec_id"),
+        (r.getAs[Long]("best_bench"), r.getAs[Double]("cosine"),
+         r.getAs[Long]("contaminated")))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L))
+    assert(out(1L) == ((100L, 1.0, 1L)), s"exact match: ${out(1L)}")
+    assert(out(2L) == ((100L, 0.707107, 1L)), s"tie to lowest id: ${out(2L)}")
+    assert(out(3L)._1 == 120L && out(3L)._3 == 0L, s"clean doc: ${out(3L)}")
+    assert(out(4L) == ((-1L, 0.0, 0L)), s"zero-norm: ${out(4L)}")
+  }
+
   test("decontaminate broadcast guard: oversized benchmark falls back to a shuffled join") {
     import spark.implicits._
     val benchmark = Seq(

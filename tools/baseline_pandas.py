@@ -448,6 +448,29 @@ def mix_temperature(docs, budget=600, alpha=0.5):
         ["doc_id", "lang", "sample_rank"]]
 
 
+def semantic_decontaminate(emb, tau=0.4):
+    # graft q_semantic_decontaminate: per-corpus-vector best-matching
+    # benchmark vector (vec_id % 20 == 0) by 6dp-rounded cosine,
+    # ties to the lowest bench id
+    ids = emb["vec_id"].to_numpy()
+    v = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    nrm = np.linalg.norm(v, axis=1, keepdims=True)
+    u = v / np.where(nrm == 0, 1, nrm)
+    bmask = ids % 20 == 0
+    bench_ids, bench = ids[bmask], u[bmask]
+    order = np.argsort(bench_ids)
+    bench_ids, bench = bench_ids[order], bench[order]
+    corpus_ids, corpus = ids[~bmask], u[~bmask]
+    cos = np.round(corpus @ bench.T + 1e-9, 6)
+    # argmax takes the FIRST max -> lowest bench id after the sort
+    best = np.argmax(cos, axis=1)
+    bc = cos[np.arange(len(best)), best]
+    return pd.DataFrame({
+        "vec_id": corpus_ids, "best_bench": bench_ids[best],
+        "cosine": bc, "contaminated": (bc >= tau).astype("int64"),
+    })
+
+
 def cluster_embed(emb):
     # graft q_cluster_embed's shape in numpy: spherical k-means on a
     # bounded sample (3 Lloyd iterations, argmax-dot assignment, ties
@@ -529,6 +552,9 @@ def main():
     t0 = time.perf_counter()
     cluster_embed(emb)
     timings["cluster_embed"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    semantic_decontaminate(emb)
+    timings["semantic_decontaminate"] = time.perf_counter() - t0
 
     print(json.dumps({
         "queries": {k: round(v, 4) for k, v in timings.items()},
