@@ -157,8 +157,9 @@ object GraftApi {
   def curateCorpus(docs: DataFrame, perSource: Int = Int.MaxValue,
                    spanDedupK: Option[Int] = None,
                    benchmark: Option[DataFrame] = None,
-                   decontamMinShared: Int = 3): DataFrame =
-    curatePlan(docs, perSource, spanDedupK, benchmark, decontamMinShared).frame
+                   decontamMinShared: Int = 3,
+                   mix: Option[MixStage] = None): DataFrame =
+    curatePlan(docs, perSource, spanDedupK, benchmark, decontamMinShared, mix).frame
 
   /** Build the corpus-curation unit of work WITHOUT running any Spark
     * job: a pure plan-construction call returning the composed frame
@@ -173,7 +174,8 @@ object GraftApi {
   def curatePlan(docs: DataFrame, perSource: Int = Int.MaxValue,
                  spanDedupK: Option[Int] = None,
                  benchmark: Option[DataFrame] = None,
-                 decontamMinShared: Int = 3): CorpusCuration = {
+                 decontamMinShared: Int = 3,
+                 mix: Option[MixStage] = None): CorpusCuration = {
     val scope = Caches.newScope("curate")
     new CorpusCuration(scope, () => Caches.in(scope) {
       import org.apache.spark.sql.functions.col
@@ -233,16 +235,29 @@ object GraftApi {
           .select(col("doc_id"), col("text_redacted")), "doc_id")
         .select(col("doc_id"), col("source"), col("text_redacted").as("text"))
       stages += ("redact_pii" -> redacted)
-      val out =
-        if (perSource == Int.MaxValue) redacted.orderBy("doc_id")
-        else {
+      // legacy perSource parameter maps onto the generalized mix stage
+      val mixStage = mix.orElse(
+        if (perSource == Int.MaxValue) None else Some(MixStage.PerSource(perSource)))
+      val out = mixStage match {
+        case None => redacted.orderBy("doc_id")
+        case Some(m) =>
           // the sampling branch consumes `redacted` twice (rank + output)
           val r = Caches.persistTracked(redacted)
-          val sampled = r
-            .join(TextAnalysis.stratifiedSample(r, perSource).select("doc_id"), "doc_id")
-          stages += ("stratified_sample" -> sampled)
+          val (label, keepIds) = m match {
+            case MixStage.PerSource(q) =>
+              ("stratified_sample",
+                TextAnalysis.stratifiedSample(r, q).select("doc_id"))
+            case MixStage.Temperature(budget, keyCol, alpha) =>
+              ("mix_temperature",
+                TextAnalysis.mixTemperature(r, keyCol, budget, alpha).select("doc_id"))
+            case MixStage.TokenWeighted(k) =>
+              ("weighted_sample",
+                TextAnalysis.weightedSampleByTokens(r, k).select("doc_id"))
+          }
+          val sampled = r.join(keepIds, "doc_id")
+          stages += (label -> sampled)
           sampled.orderBy("doc_id")
-        }
+      }
       (out, stages.result())
     })
   }
@@ -264,6 +279,25 @@ object GraftApi {
 
   /** Release the pinned quarantine caches (see [[releaseCaches]]). */
   def releasePinnedCaches(): Unit = Caches.releasePinned()
+}
+
+/** Which deterministic sampler closes a [[GraftApi.curatePlan]]
+  * pipeline as its final data-mixing stage. All three reuse the
+  * Knuth-salt machinery in [[graft.operators.TextAnalysis]], so the
+  * kept set is reproducible across engines and runs. */
+sealed trait MixStage
+object MixStage {
+  /** Fixed per-source quota ([[graft.operators.TextAnalysis.stratifiedSample]]). */
+  final case class PerSource(quota: Int) extends MixStage
+  /** n^α-proportional budget over `keyCol`
+    * ([[graft.operators.TextAnalysis.mixTemperature]]); keyCol must
+    * survive curation's (doc_id, source, text) projection. */
+  final case class Temperature(budget: Long, keyCol: String = "source",
+                               alpha: Double = 0.5) extends MixStage
+  /** Token-count-weighted A-ES top-k
+    * ([[graft.operators.TextAnalysis.weightedSampleByTokens]]) —
+    * a total token budget rather than per-stratum quotas. */
+  final case class TokenWeighted(k: Int) extends MixStage
 }
 
 /** A corpus-curation unit of work ([[GraftApi.curatePlan]]): the

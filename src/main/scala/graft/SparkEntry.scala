@@ -151,6 +151,8 @@ object SparkEntry {
     // proportional arm everywhere
     "q_mix_temperature" -> ((s, d) => TextAnalysis.mixTemperature(
       Tables.documents(s, d), "lang", 600L)),
+    "q_weighted_sample" -> ((s, d) => TextAnalysis.weightedSampleByTokens(
+      Tables.documents(s, d), 100)),
     "q_cluster_embed"   -> ((s, d) => Similarity.clusterEmbed(Tables.embeddings(s, d))),
     "q_hash_embed"      -> ((s, d) => {
       import org.apache.spark.sql.functions.{col, posexplode, round}
@@ -980,6 +982,20 @@ object SparkEntry {
         |FROM ranked
         |WHERE rn <= CASE bucket WHEN 0 THEN 50 WHEN 1 THEN 100 ELSE 30 END
         |ORDER BY bucket, sample_rank""".stripMargin,
+    // A-ES keys: u is an exact dyadic double in both engines; ln is
+    // the one inexact step, absorbed by the 9dp round + doc_id tie
+    "q_weighted_sample" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS n_tokens,
+        |         ((((doc_id % 2147483648 + 2147483648) % 2147483648) * 2654435761) % 4294967296) AS salt
+        |  FROM documents
+        |)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |       (round(-ln((salt + 0.5) / 4294967296.0) / CAST(n_tokens AS DOUBLE) + 1e-9, 9) + 0) AS sample_key
+        |FROM t
+        |ORDER BY sample_key, doc_id
+        |LIMIT 100""".stripMargin,
     // sqrt (IEEE-exact in both engines) + 6dp DECIMAL weights make the
     // quota division's operands bit-identical — see mixTemperature
     "q_mix_temperature" ->

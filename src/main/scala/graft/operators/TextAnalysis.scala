@@ -1001,6 +1001,36 @@ object TextAnalysis {
       .orderBy("bucket", "sample_rank")
   }
 
+  /** Deterministic weighted sampling WITHOUT replacement
+    * (Efraimidis–Spirakis A-ES): each row draws its uniform from the
+    * Knuth salt — u = (salt + 0.5)/2^32, an exact dyadic double,
+    * identical in every engine — and keeps key = −ln(u)/w; the k
+    * smallest keys are the sample. Selection probability rises with
+    * w (exactly proportional at k=1); equal weights degenerate to the
+    * plain salt order ([[stratifiedSample]]'s). Weight here is the
+    * whitespace token count: length-proportional sampling is UNIFORM
+    * OVER TOKENS — the budget-correct way to subsample a training
+    * corpus (sampling doc-uniform underweights long documents' share
+    * of the token budget).
+    *
+    * Keys round to 9dp before ranking: ln is the one step that is not
+    * IEEE-exact across engines (last-ulp differences); at 9dp both
+    * engines agree and the doc_id tiebreak absorbs any rounding
+    * collision.
+    *
+    * Scale: orderBy+limit plans TakeOrderedAndProject — per-partition
+    * top-k then one k-row merge. No global sort, no rank window, no
+    * driver state; the scan stays whole-stage-codegen. */
+  def weightedSampleByTokens(docs: DataFrame, k: Int): DataFrame = {
+    val w = size(tokens(col("text"))).cast("double")
+    val u = (sampleSalt.cast("double") + lit(0.5)) / lit(4294967296.0)
+    docs.select(col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"),
+        rnd(-log(u) / w, 9).as("sample_key"))
+      .orderBy("sample_key", "doc_id")
+      .limit(k)
+  }
+
   /** Temperature-flattened source mixing (the mT5/XLM-R multilingual
     * sampling primitive): per-key quotas proportional to n_key^alpha
     * scaled to a total `budget` — alpha=1 keeps the corpus mix,

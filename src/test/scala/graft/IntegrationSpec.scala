@@ -316,6 +316,31 @@ class IntegrationSpec extends AnyFunSuite {
     } finally { curation.release(); GraftApi.releaseCaches() }
   }
 
+  test("curation closes with the selected mix stage: temperature and token-weighted") {
+    val base = graft.sources.Tables.documents(spark, sfDir)
+      .select("doc_id", "source", "text")
+    // temperature mixing over source as the final stage
+    val temp = GraftApi.curatePlan(base,
+      mix = Some(MixStage.Temperature(budget = 60L)))
+    try {
+      val nOut = temp.frame.count()
+      val m = temp.manifest.collect()
+        .map(r => (r.getAs[String]("stage"), r.getAs[Long]("docs_out")))
+      assert(m.map(_._1).last == "mix_temperature",
+        s"stage order drifted: ${m.map(_._1).toSeq}")
+      assert(m.last._2 == nOut && nOut <= 60 + 20, // floor slack: <=1 per key
+        s"temperature mix output $nOut out of budget envelope")
+    } finally { temp.release(); GraftApi.releaseCaches() }
+    // token-weighted A-ES as the final stage
+    val tw = GraftApi.curatePlan(base, mix = Some(MixStage.TokenWeighted(25)))
+    try {
+      val nOut = tw.frame.count()
+      val m = tw.manifest.collect().map(_.getAs[String]("stage"))
+      assert(m.last == "weighted_sample", s"stage order drifted: ${m.toSeq}")
+      assert(nOut == 25, s"token-weighted sample must keep exactly k: $nOut")
+    } finally { tw.release(); GraftApi.releaseCaches() }
+  }
+
   test("curation span stage cuts shared boilerplate from otherwise-distinct docs") {
     import spark.implicits._
     // two long docs, distinct bodies, sharing a 6-token license block —

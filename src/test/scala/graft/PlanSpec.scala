@@ -176,6 +176,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), s"corpus side must never sort-merge:\n$p")
   }
 
+  test("weighted sample plans per-partition top-k (TakeOrdered), not a global sort") {
+    val p = planOf("q_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"orderBy+limit must plan TakeOrderedAndProject:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"a range-partitioned global sort defeats the top-k shape:\n$p")
+  }
+
   test("mix_quality: ONE LM scoring pass feeds both branches via the cached scored frame") {
     val p = planOf("q_mix_quality")
     // bucketsByQuality is persistTracked: the salt-bounds branch and

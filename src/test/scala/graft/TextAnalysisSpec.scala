@@ -406,6 +406,32 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
   }
 
+  test("weightedSampleByTokens: A-ES keys match an independent recomputation, top-k exact") {
+    for (dir <- Seq(sfDir, "/root/testdata/sf0.01")) {
+      val d = graft.sources.Tables.documents(spark, dir)
+      val out = TextAnalysis.weightedSampleByTokens(d, 50).collect()
+        .map(r => (r.getAs[Double]("sample_key"), r.getAs[Long]("doc_id"),
+          r.getAs[Long]("n_tokens"))).toSeq
+      val expect = d.select("doc_id", "text").collect().map { r =>
+        val id = r.getLong(0)
+        val n = r.getString(1).toLowerCase.trim
+          .replaceAll("\\s+", " ").split(" ", -1).length
+        val salt = (((id % 2147483648L) + 2147483648L) % 2147483648L) *
+          2654435761L % 4294967296L
+        val key = BigDecimal(-math.log((salt + 0.5) / 4294967296.0) / n + 1e-9)
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (key, id, n.toLong)
+      }.sortBy(t => (t._1, t._2)).take(50).toSeq
+      assert(out == expect, s"A-ES top-50 mismatch at $dir")
+      // long docs are upweighted: mean tokens in the sample exceeds
+      // the corpus mean (length-proportional selection)
+      val sampleMean = out.map(_._3).sum.toDouble / out.size
+      val allMean = d.select(avg(size(split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " "))))
+        .collect()(0).getDouble(0)
+      assert(sampleMean > allMean, s"sample not length-biased: $sampleMean <= $allMean at $dir")
+    }
+  }
+
   test("refinement prefilter bounds the rank window input to ~quota rows per source") {
     import org.apache.spark.sql.functions.col
     val d = graft.sources.Tables.documents(spark, "/root/testdata/sf0.01")

@@ -448,6 +448,17 @@ def mix_temperature(docs, budget=600, alpha=0.5):
         ["doc_id", "lang", "sample_rank"]]
 
 
+def weighted_sample(docs, k=100):
+    # graft q_weighted_sample: A-ES with the Knuth-salt uniform,
+    # weight = whitespace token count, k smallest keys
+    n = _norm_tokens(docs).str.len()
+    salt = ((docs["doc_id"] % 2147483648) * 2654435761) % 4294967296
+    key = np.round(-np.log((salt + 0.5) / 4294967296.0) / n + 1e-9, 9)
+    return docs.assign(n_tokens=n, sample_key=key) \
+        .sort_values(["sample_key", "doc_id"]).head(k)[
+        ["doc_id", "n_tokens", "sample_key"]]
+
+
 def semantic_decontaminate(emb, tau=0.4):
     # graft q_semantic_decontaminate: per-corpus-vector best-matching
     # benchmark vector (vec_id % 20 == 0) by 6dp-rounded cosine,
@@ -543,6 +554,7 @@ def main():
         ("decontaminate_fuzzy", decontaminate_fuzzy),
         ("mix_quality", mix_quality),
         ("mix_temperature", mix_temperature),
+        ("weighted_sample", weighted_sample),
     ]:
         t0 = time.perf_counter()
         fn(docs)
