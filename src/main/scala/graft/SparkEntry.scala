@@ -153,6 +153,10 @@ object SparkEntry {
       Tables.documents(s, d), "lang", 600L)),
     "q_weighted_sample" -> ((s, d) => TextAnalysis.weightedSampleByTokens(
       Tables.documents(s, d), 100)),
+    // "dup" hits ~5% of docs at every SF; "stall" exercises the
+    // zero-hit term
+    "q_blocklist_filter" -> ((s, d) => TextAnalysis.blocklistFilter(
+      Tables.documents(s, d), Seq("dup", "stall"))),
     "q_cluster_embed"   -> ((s, d) => Similarity.clusterEmbed(Tables.embeddings(s, d))),
     "q_hash_embed"      -> ((s, d) => {
       import org.apache.spark.sql.functions.{col, posexplode, round}
@@ -982,6 +986,17 @@ object SparkEntry {
         |FROM ranked
         |WHERE rn <= CASE bucket WHEN 0 THEN 50 WHEN 1 THEN 100 ELSE 30 END
         |ORDER BY bucket, sample_rank""".stripMargin,
+    "q_blocklist_filter" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         list_distinct(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS toks
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |       CAST(len(list_intersect(toks, ['dup', 'stall'])) AS BIGINT) AS n_blocked_terms,
+        |       CAST(CASE WHEN len(list_intersect(toks, ['dup', 'stall'])) = 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM t
+        |ORDER BY doc_id""".stripMargin,
     // A-ES keys: u is an exact dyadic double in both engines; ln is
     // the one inexact step, absorbed by the 9dp round + doc_id tie
     "q_weighted_sample" ->

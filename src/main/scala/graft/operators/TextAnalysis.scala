@@ -711,6 +711,28 @@ object TextAnalysis {
     * derived from the normalized length and token count alone
     * ((chars − separators) / tokens) — no per-token pass. Pure
     * projection; the corpus scan is the entire cost. */
+  /** C4-style blocklist document filtering: drop any document whose
+    * token set intersects the blocklist (C4 applied the public
+    * "bad words" list this way — presence of ANY listed token kills
+    * the doc). n_blocked_terms counts DISTINCT blocklisted tokens
+    * present, the audit column a curation datasheet wants.
+    *
+    * Scale: the blocklist folds into the plan as a LITERAL array —
+    * no broadcast, no join, no shuffle; the whole operator is a
+    * scan-local codegen projection (plan-locked alongside
+    * [[qualityFilter]]). Real blocklists are O(100s) of terms; if one
+    * ever outgrows a literal, switch to [[GraftFunctions.countInSet]]
+    * (the stopword machinery) or a broadcast semi-join on tokens. */
+  def blocklistFilter(docs: DataFrame, blocklist: Seq[String]): DataFrame = {
+    val hits = size(array_intersect(array_distinct(tokens(col("text"))),
+      array(blocklist.map(lit): _*))).cast("long")
+    docs.select(
+      col("doc_id"),
+      hits.as("n_blocked_terms"),
+      (hits === 0L).cast("long").as("keep"))
+      .orderBy("doc_id")
+  }
+
   def qualityFilter(docs: DataFrame,
                     minTokens: Int = 20, maxTokens: Int = 100000,
                     minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,

@@ -100,7 +100,8 @@ class PlanSpec extends AnyFunSuite {
     // PII redaction and quality filtering are pure per-row projections:
     // any Exchange here means a refactor added a shuffle to operators
     // that must stream through the corpus scan untouched
-    Seq("q_redact_pii", "q_quality_filter", "q_strip_markup").foreach { name =>
+    Seq("q_redact_pii", "q_quality_filter", "q_strip_markup",
+        "q_blocklist_filter").foreach { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)
       // the only allowed Exchange is the output orderBy's range
       // partitioning (driver-contract presentation); the operator body

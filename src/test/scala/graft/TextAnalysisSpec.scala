@@ -406,6 +406,28 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
   }
 
+  test("blocklistFilter: any listed token kills the doc; distinct-term count is the audit") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "clean text about joins and scans"),
+      (2L, "this mentions dup once"),
+      (3L, "dup and stall and dup again"),  // repeated terms count once each
+      (4L, "DUP uppercase still matches"),  // normalize lowercases
+      (5L, "duplicate is a different token"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.blocklistFilter(d, Seq("dup", "stall")).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(out(1L) == ((0L, 1L)))
+    assert(out(2L) == ((1L, 0L)))
+    assert(out(3L) == ((2L, 0L)), s"distinct blocked terms: ${out(3L)}")
+    assert(out(4L) == ((1L, 0L)))
+    assert(out(5L) == ((0L, 1L)), "substring must not match — token-level filter")
+    // corpus spot check: the flagged fraction is the 'dup' doc share
+    val sf = TextAnalysis.blocklistFilter(docs, Seq("dup", "stall"))
+      .filter(col("keep") === 0).count()
+    assert(sf > 0 && sf < docs.count() / 10, s"implausible flag rate: $sf")
+  }
+
   test("weightedSampleByTokens: A-ES keys match an independent recomputation, top-k exact") {
     for (dir <- Seq(sfDir, "/root/testdata/sf0.01")) {
       val d = graft.sources.Tables.documents(spark, dir)

@@ -448,6 +448,17 @@ def mix_temperature(docs, budget=600, alpha=0.5):
         ["doc_id", "lang", "sample_rank"]]
 
 
+def blocklist_filter(docs, blocklist=("dup", "stall")):
+    # graft q_blocklist_filter: C4-style badword document filter,
+    # distinct blocked terms counted per doc
+    bl = set(blocklist)
+    hits = _norm_tokens(docs).map(lambda ts: len(bl & set(ts)))
+    return pd.DataFrame({
+        "doc_id": docs["doc_id"], "n_blocked_terms": hits,
+        "keep": (hits == 0).astype("int64"),
+    })
+
+
 def weighted_sample(docs, k=100):
     # graft q_weighted_sample: A-ES with the Knuth-salt uniform,
     # weight = whitespace token count, k smallest keys
@@ -555,6 +566,7 @@ def main():
         ("mix_quality", mix_quality),
         ("mix_temperature", mix_temperature),
         ("weighted_sample", weighted_sample),
+        ("blocklist_filter", blocklist_filter),
     ]:
         t0 = time.perf_counter()
         fn(docs)
