@@ -158,8 +158,10 @@ object GraftApi {
                    spanDedupK: Option[Int] = None,
                    benchmark: Option[DataFrame] = None,
                    decontamMinShared: Int = 3,
-                   mix: Option[MixStage] = None): DataFrame =
-    curatePlan(docs, perSource, spanDedupK, benchmark, decontamMinShared, mix).frame
+                   mix: Option[MixStage] = None,
+                   blocklist: Seq[String] = Nil): DataFrame =
+    curatePlan(docs, perSource, spanDedupK, benchmark, decontamMinShared,
+      mix, blocklist).frame
 
   /** Build the corpus-curation unit of work WITHOUT running any Spark
     * job: a pure plan-construction call returning the composed frame
@@ -175,7 +177,8 @@ object GraftApi {
                  spanDedupK: Option[Int] = None,
                  benchmark: Option[DataFrame] = None,
                  decontamMinShared: Int = 3,
-                 mix: Option[MixStage] = None): CorpusCuration = {
+                 mix: Option[MixStage] = None,
+                 blocklist: Seq[String] = Nil): CorpusCuration = {
     val scope = Caches.newScope("curate")
     new CorpusCuration(scope, () => Caches.in(scope) {
       import org.apache.spark.sql.functions.col
@@ -192,9 +195,18 @@ object GraftApi {
         .filter(col("keep") === 1).select("doc_id")
       val afterQuality = Caches.persistTracked(cleaned.join(qualityKeep, "doc_id"))
       stages += ("quality_filter" -> afterQuality)
-      val exactKeep = TextAnalysis.dedupKeepBest(afterQuality)
+      // optional C4-style kill-list: a pure filter over the cached
+      // quality survivors (single consumer — no persist needed)
+      val afterBlocklist =
+        if (blocklist.isEmpty) afterQuality
+        else {
+          val kept = afterQuality.filter(TextAnalysis.blocklistKeepExpr(blocklist))
+          stages += ("blocklist_filter" -> kept)
+          kept
+        }
+      val exactKeep = TextAnalysis.dedupKeepBest(afterBlocklist)
         .select(col("keep_id").as("doc_id"))
-      val afterExact = Caches.persistTracked(afterQuality.join(exactKeep, "doc_id"))
+      val afterExact = Caches.persistTracked(afterBlocklist.join(exactKeep, "doc_id"))
       stages += ("exact_dedup" -> afterExact)
       // optional eval-set decontamination: a filtering stage like the
       // dedups — its keep set comes from the shingle-overlap scorer,

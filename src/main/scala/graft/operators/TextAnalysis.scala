@@ -732,11 +732,22 @@ object TextAnalysis {
       (hits === 0L).cast("long").as("keep"))
       .orderBy("doc_id")
   }
+  // predicate form: blocklistKeepExpr (defined with qualityKeepExpr
+  // above) — the streaming-safe filter without the report projection
 
-  def qualityFilter(docs: DataFrame,
-                    minTokens: Int = 20, maxTokens: Int = 100000,
-                    minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
-                    maxPunctRatio: Double = 0.2): DataFrame = {
+  /** The per-row quality columns shared by the report form
+    * ([[qualityFilter]]) and the predicate form ([[qualityKeepExpr]] —
+    * usable on STREAMING frames, where the report's orderBy is
+    * illegal). Pure scan-local expressions over `text`. */
+  private[graft] final case class QualityCols(
+      nTok: Column, meanWl: Column, passLength: Column,
+      passWordLen: Column, passPunct: Column, passStop: Column) {
+    def keep: Column = passLength && passWordLen && passPunct && passStop
+  }
+
+  private[graft] def qualityCols(minTokens: Int, maxTokens: Int,
+                                 minMeanWordLen: Double, maxMeanWordLen: Double,
+                                 maxPunctRatio: Double): QualityCols = {
     val toks = tokens(col("text"))
     val nTok = size(toks).cast("double")
     val meanWl = (length(normalize(col("text"))).cast("double") - (nTok - 1)) /
@@ -744,19 +755,42 @@ object TextAnalysis {
     val nChars = greatest(length(col("text")).cast("double"), lit(1.0))
     val punctRatio = regexp_count(col("text"), lit("[^a-zA-Z0-9\\s]")).cast("double") / nChars
     val nStop = GraftFunctions.countInSet(toks, stopwords)
-    val passLength = nTok >= minTokens && nTok <= maxTokens
-    val passWordLen = meanWl >= minMeanWordLen && meanWl <= maxMeanWordLen
-    val passPunct = punctRatio <= maxPunctRatio
-    val passStop = nStop >= 1
+    QualityCols(nTok, meanWl,
+      nTok >= minTokens && nTok <= maxTokens,
+      meanWl >= minMeanWordLen && meanWl <= maxMeanWordLen,
+      punctRatio <= maxPunctRatio,
+      nStop >= 1)
+  }
+
+  /** [[qualityFilter]]'s keep decision as one Column — the form a
+    * streaming gate or an in-pipeline filter applies without the
+    * report projection (no orderBy, so it composes onto streams). */
+  def qualityKeepExpr(minTokens: Int = 20, maxTokens: Int = 100000,
+                      minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+                      maxPunctRatio: Double = 0.2): Column =
+    qualityCols(minTokens, maxTokens, minMeanWordLen, maxMeanWordLen,
+      maxPunctRatio).keep
+
+  /** [[blocklistFilter]]'s keep decision as one Column (see there). */
+  def blocklistKeepExpr(blocklist: Seq[String]): Column =
+    size(array_intersect(array_distinct(tokens(col("text"))),
+      array(blocklist.map(lit): _*))) === 0
+
+  def qualityFilter(docs: DataFrame,
+                    minTokens: Int = 20, maxTokens: Int = 100000,
+                    minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+                    maxPunctRatio: Double = 0.2): DataFrame = {
+    val q = qualityCols(minTokens, maxTokens, minMeanWordLen, maxMeanWordLen,
+      maxPunctRatio)
     docs.select(
       col("doc_id"),
-      nTok.cast("long").as("n_tokens"),
-      rnd(meanWl, 4).as("mean_word_len"),
-      passLength.cast("long").as("pass_length"),
-      passWordLen.cast("long").as("pass_word_len"),
-      passPunct.cast("long").as("pass_punct"),
-      passStop.cast("long").as("pass_stopword"),
-      (passLength && passWordLen && passPunct && passStop).cast("long").as("keep"))
+      q.nTok.cast("long").as("n_tokens"),
+      rnd(q.meanWl, 4).as("mean_word_len"),
+      q.passLength.cast("long").as("pass_length"),
+      q.passWordLen.cast("long").as("pass_word_len"),
+      q.passPunct.cast("long").as("pass_punct"),
+      q.passStop.cast("long").as("pass_stopword"),
+      q.keep.cast("long").as("keep"))
       .orderBy("doc_id")
   }
 

@@ -174,6 +174,25 @@ object CorpusIngest {
       ingestBatch(batch, batchId, corpusDir, hashDir)
     }
 
+  /** The scan-local curation gate for the STREAMING ingest path: the
+    * same per-row stages batch curation runs before its shuffling
+    * stages — markup strip → quality keep → optional blocklist keep —
+    * expressed as pure projections/filters (the predicate forms
+    * [[graft.operators.TextAnalysis.qualityKeepExpr]] /
+    * [[graft.operators.TextAnalysis.blocklistKeepExpr]], not the
+    * report operators, whose orderBy a streaming frame rejects).
+    * Compose it in front of [[sink]]/[[sinkBucketed]] so junk never
+    * reaches the membership store or the corpus:
+    * `sink(curationGate(stream, blocklist), ...)`. Streaming-safe by
+    * construction: stateless, no shuffle, no sort, no watermark. */
+  def curationGate(docs: DataFrame, blocklist: Seq[String] = Nil): DataFrame = {
+    val cleaned = docs.withColumn("text",
+      graft.operators.TextAnalysis.cleanMarkup(col("text")))
+    val gated = cleaned.filter(graft.operators.TextAnalysis.qualityKeepExpr())
+    if (blocklist.isEmpty) gated
+    else gated.filter(graft.operators.TextAnalysis.blocklistKeepExpr(blocklist))
+  }
+
   /** The membership-filtered, within-batch-deduped survivor frame of
     * one batch against the two-tier store — factored out so ScaleSpec
     * can plan-lock it: ONE hash exchange (the batch side; the bucketed

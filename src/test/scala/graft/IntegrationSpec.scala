@@ -296,16 +296,20 @@ class IntegrationSpec extends AnyFunSuite {
     val bench = Seq((1L, "what is the boiling point of water at sea level"))
       .toDF("q_id", "text")
     val curation = GraftApi.curatePlan(base, perSource = 3,
-      spanDedupK = Some(20), benchmark = Some(bench))
+      spanDedupK = Some(20), benchmark = Some(bench),
+      blocklist = Seq("dup"))
     try {
       val nOut = curation.frame.count()
       val m = curation.manifest.collect()
         .map(r => (r.getAs[String]("stage"), r.getAs[Long]("docs_in"),
           r.getAs[Long]("docs_out"), r.getAs[Long]("docs_dropped")))
       assert(m.map(_._1).toSeq == Seq("input", "strip_markup",
-        "quality_filter", "exact_dedup", "decontaminate", "near_dup",
-        "span_dedup", "redact_pii", "stratified_sample"),
+        "quality_filter", "blocklist_filter", "exact_dedup",
+        "decontaminate", "near_dup", "span_dedup", "redact_pii",
+        "stratified_sample"),
         s"full stage order drifted: ${m.map(_._1).toSeq}")
+      assert(m.find(_._1 == "blocklist_filter").exists(_._4 > 0),
+        "the kill-list must own a drop on this corpus ('dup' docs exist)")
       assert(m.last._3 == nOut)
       m.sliding(2).foreach { case Array(a, b) =>
         assert(b._2 == a._3, s"docs_in of ${b._1} != docs_out of ${a._1}")

@@ -248,6 +248,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(redelivered.length == 3, "redelivery double-admitted rows")
   }
 
+  test("streaming curation gate: junk and blocklisted docs never reach the corpus") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.CorpusIngest
+    val corpusDir = java.nio.file.Files.createTempDirectory("graft-gate-c").toString
+    val hashDir = java.nio.file.Files.createTempDirectory("graft-gate-h").toString
+    val ms = MemoryStream[(Long, String, String)]
+    val docs = ms.toDF().toDF("doc_id", "source", "text")
+    val good = "the quick brown horse walks over the quiet bridge and then " +
+      "returns home with the calm rider before dusk settles on the valley road"
+    val tagged = "<p>the tall grey tower stands over the quiet harbor and then " +
+      "greets ships with the calm keeper before dawn settles on the water line</p>"
+    val q = CorpusIngest.sink(
+        CorpusIngest.curationGate(docs, blocklist = Seq("dup")),
+        corpusDir, hashDir)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-gate-ck").toString)
+      .start()
+    try {
+      ms.addData(
+        (1L, "s", good),            // passes every gate
+        (2L, "s", "too short"),     // quality: under min tokens
+        (3L, "s", good + " dup"),   // blocklisted term
+        (4L, "s", tagged))          // markup strips, then passes
+      q.processAllAvailable()
+      val out = spark.read.parquet(corpusDir).collect()
+      assert(out.map(_.getAs[Long]("doc_id")).toSet == Set(1L, 4L),
+        s"gate admitted the wrong set: ${out.map(_.getAs[Long]("doc_id")).toSet}")
+      val t4 = out.find(_.getAs[Long]("doc_id") == 4L).get.getAs[String]("text")
+      assert(!t4.contains("<p>") && !t4.contains("</p>"),
+        "markup must be stripped before admission")
+    } finally q.stop()
+  }
+
   test("bucketed corpus ingest: dedup across compaction, no double-admit on redelivery") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
