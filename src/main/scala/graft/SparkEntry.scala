@@ -157,6 +157,16 @@ object SparkEntry {
     // zero-hit term
     "q_blocklist_filter" -> ((s, d) => TextAnalysis.blocklistFilter(
       Tables.documents(s, d), Seq("dup", "stall"))),
+    // synthetic version pair: %13 ids absent from OLD (-> added),
+    // %19 absent from NEW (-> removed), %17 texts revised (-> changed)
+    "q_corpus_diff" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val old = docs.filter(pmod(col("doc_id"), lit(13)) =!= 0)
+      val nw = docs.filter(pmod(col("doc_id"), lit(19)) =!= 0)
+        .withColumn("text", when(pmod(col("doc_id"), lit(17)) === 0,
+          concat(col("text"), lit(" revised"))).otherwise(col("text")))
+      TextAnalysis.corpusDiff(old, nw)
+    }),
     "q_cluster_embed"   -> ((s, d) => Similarity.clusterEmbed(Tables.embeddings(s, d))),
     "q_hash_embed"      -> ((s, d) => {
       import org.apache.spark.sql.functions.{col, posexplode, round}
@@ -986,6 +996,25 @@ object SparkEntry {
         |FROM ranked
         |WHERE rn <= CASE bucket WHEN 0 THEN 50 WHEN 1 THEN 100 ELSE 30 END
         |ORDER BY bucket, sample_rank""".stripMargin,
+    "q_corpus_diff" ->
+      """WITH o AS (
+        |  SELECT doc_id,
+        |         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h_old
+        |  FROM documents WHERE doc_id % 13 <> 0
+        |), n AS (
+        |  SELECT doc_id,
+        |         md5(regexp_replace(lower(trim(
+        |           CASE WHEN doc_id % 17 = 0 THEN text || ' revised' ELSE text END)),
+        |           '\s+', ' ', 'g')) AS h_new
+        |  FROM documents WHERE doc_id % 19 <> 0
+        |)
+        |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+        |       CASE WHEN o.doc_id IS NULL THEN 'added'
+        |            WHEN n.doc_id IS NULL THEN 'removed'
+        |            WHEN h_old <> h_new THEN 'changed'
+        |            ELSE 'unchanged' END AS status
+        |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+        |ORDER BY doc_id""".stripMargin,
     "q_blocklist_filter" ->
       """WITH t AS (
         |  SELECT doc_id,

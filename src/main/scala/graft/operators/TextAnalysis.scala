@@ -40,6 +40,29 @@ object TextAnalysis {
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
       .orderBy("keep_id")
 
+  /** Corpus snapshot diff (the dataset-versioning audit a corpus
+    * release publishes): classify every doc_id across two corpus
+    * versions as `added` (new only), `removed` (old only), `changed`
+    * (both, content hash differs) or `unchanged`. Content equality is
+    * [[contentHash]] over normalized text, so formatting-only edits
+    * (case, whitespace) do NOT count as changes — same normalization
+    * contract as exact dedup.
+    *
+    * Shape: each side ships (doc_id, md5) — text never shuffles —
+    * into one full-outer hash join on doc_id.
+    * @note 100TB: write both snapshots doc_id-bucketed
+    * ([[graft.sources.Bucketed]]) and the join is exchange-free. */
+  def corpusDiff(oldCorpus: DataFrame, newCorpus: DataFrame): DataFrame =
+    oldCorpus.select(col("doc_id"), contentHash(col("text")).as("h_old"))
+      .join(newCorpus.select(col("doc_id"), contentHash(col("text")).as("h_new")),
+        Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("h_old").isNull, lit("added"))
+          .when(col("h_new").isNull, lit("removed"))
+          .when(col("h_old") =!= col("h_new"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"))
+      .orderBy("doc_id")
+
   /** Token counting: whitespace tokens and a BPE-ish lexer count
     * (letter runs | digit runs | single non-alnum symbol). */
   def tokenCount(docs: DataFrame): DataFrame =

@@ -406,6 +406,26 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
   }
 
+  test("corpusDiff: added/removed/changed/unchanged; formatting-only edits are unchanged") {
+    import spark.implicits._
+    val old = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "delta epsilon"),
+      (3L, "kept exactly"),
+      (4L, "Spacing   And Case"))
+      .toDF("doc_id", "text")
+    val nw = Seq(
+      (1L, "alpha beta gamma REVISED"), // changed
+      (3L, "kept exactly"),             // unchanged
+      (4L, "spacing and case"),         // normalization-equal -> unchanged
+      (5L, "brand new doc"))            // added; 2L removed
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.corpusDiff(old, nw).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "changed", 2L -> "removed", 3L -> "unchanged",
+      4L -> "unchanged", 5L -> "added"), s"diff drifted: $out")
+  }
+
   test("blocklistFilter: any listed token kills the doc; distinct-term count is the audit") {
     import spark.implicits._
     val d = Seq(

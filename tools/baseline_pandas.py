@@ -448,6 +448,26 @@ def mix_temperature(docs, budget=600, alpha=0.5):
         ["doc_id", "lang", "sample_rank"]]
 
 
+def corpus_diff(docs):
+    # graft q_corpus_diff: added/removed/changed/unchanged between the
+    # same synthetic snapshot pair (%13 absent old, %19 absent new,
+    # %17 revised), content equality = md5 of normalized text
+    norm = docs["text"].str.lower().str.strip().str.replace(r"\s+", " ", regex=True)
+    ids = docs["doc_id"]
+    h_old = norm[ids % 13 != 0].map(lambda s: hashlib.md5(s.encode()).hexdigest())
+    new_norm = norm.where(ids % 17 != 0,
+                          (docs["text"] + " revised").str.lower().str.strip()
+                          .str.replace(r"\s+", " ", regex=True))
+    h_new = new_norm[ids % 19 != 0].map(lambda s: hashlib.md5(s.encode()).hexdigest())
+    o = pd.DataFrame({"doc_id": ids[ids % 13 != 0], "h_old": h_old})
+    n = pd.DataFrame({"doc_id": ids[ids % 19 != 0], "h_new": h_new})
+    m = o.merge(n, on="doc_id", how="outer")
+    status = np.where(m["h_old"].isna(), "added",
+             np.where(m["h_new"].isna(), "removed",
+             np.where(m["h_old"] != m["h_new"], "changed", "unchanged")))
+    return pd.DataFrame({"doc_id": m["doc_id"], "status": status})
+
+
 def blocklist_filter(docs, blocklist=("dup", "stall")):
     # graft q_blocklist_filter: C4-style badword document filter,
     # distinct blocked terms counted per doc
@@ -567,6 +587,7 @@ def main():
         ("mix_temperature", mix_temperature),
         ("weighted_sample", weighted_sample),
         ("blocklist_filter", blocklist_filter),
+        ("corpus_diff", corpus_diff),
     ]:
         t0 = time.perf_counter()
         fn(docs)
