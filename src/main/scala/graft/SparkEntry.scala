@@ -198,6 +198,7 @@ object SparkEntry {
         docs.filter(col("source") =!= "src0"),
         docs.filter(col("source") === "src0"))
     }),
+    "q_source_overlap" -> ((s, d) => Dedup.sourceOverlap(Tables.documents(s, d))),
     // per-ITEM containment form (best-matching benchmark item per doc)
     "q_decontaminate_fuzzy" -> ((s, d) => {
       val docs = Tables.documents(s, d)
@@ -996,6 +997,27 @@ object SparkEntry {
         |FROM ranked
         |WHERE rn <= CASE bucket WHEN 0 THEN 50 WHEN 1 THEN 100 ELSE 30 END
         |ORDER BY bucket, sample_rank""".stripMargin,
+    "q_source_overlap" ->
+      """WITH tok AS (
+        |  SELECT source,
+        |         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+        |  FROM documents
+        |), shx AS (
+        |  SELECT source, unnest(list_transform(range(1, len(toks) - 1),
+        |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
+        |  FROM tok WHERE len(toks) >= 3
+        |), sh AS (SELECT DISTINCT source, s FROM shx),
+        |totals AS (SELECT source, count(*) AS n_sh FROM sh GROUP BY source),
+        |shared AS (
+        |  SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
+        |  GROUP BY 1, 2
+        |)
+        |SELECT src_a, src_b, n_shared, ta.n_sh AS n_a, tb.n_sh AS n_b,
+        |       (round(n_shared * 1.0 / least(ta.n_sh, tb.n_sh) + 1e-9, 6) + 0) AS containment
+        |FROM shared JOIN totals ta ON shared.src_a = ta.source
+        |            JOIN totals tb ON shared.src_b = tb.source
+        |ORDER BY src_a, src_b""".stripMargin,
     "q_corpus_diff" ->
       """WITH o AS (
         |  SELECT doc_id,

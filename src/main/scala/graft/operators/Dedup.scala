@@ -303,6 +303,42 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Cross-source overlap matrix (the datasheet's inter-source
+    * leakage audit): for every source pair, how many DISTINCT n-gram
+    * shingles they share, plus each side's distinct-shingle total and
+    * the containment shared/min(n_a, n_b) — a mirrored corpus, a
+    * scraped re-post, or a shared boilerplate family shows up as a
+    * hot cell long before per-doc dedup finds the pairs.
+    *
+    * Shape: one distinct over (source, shingle-hash) — THE corpus-
+    * sized shuffle — then a self-equi-join on the hash whose fan-out
+    * per shingle is bounded by the SOURCE count (≤ nSources²/2 pair
+    * rows per shingle, map-side-combined into the ≤ nSources²/2-row
+    * matrix). Text never shuffles; shingles travel as int64 hashes
+    * (the oracle joins the n-gram strings — identical counts modulo
+    * a 2^-64 collision). */
+  def sourceOverlap(docs: DataFrame, n: Int = 3): DataFrame = {
+    val ss = Caches.persistTracked(
+      spreadToCores(docs)
+        .select(col("source"),
+          explode(GraftFunctions.shingleHash64(
+            TextAnalysis.tokens(col("text")), n)).as("sh"))
+        .distinct())
+    val totals = ss.groupBy("source").agg(count(lit(1)).as("n_sh"))
+    val shared = ss.as("a")
+      .join(ss.as("b"),
+        col("a.sh") === col("b.sh") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(broadcast(totals.select(col("source").as("src_a"), col("n_sh").as("n_a"))), "src_a")
+      .join(broadcast(totals.select(col("source").as("src_b"), col("n_sh").as("n_b"))), "src_b")
+      .select(col("src_a"), col("src_b"), col("n_shared"), col("n_a"), col("n_b"),
+        rnd(col("n_shared").cast("double") / least(col("n_a"), col("n_b")), 6)
+          .as("containment"))
+      .orderBy("src_a", "src_b")
+  }
+
   /** Per-benchmark-ITEM fuzzy decontamination by shingle containment:
     * for every corpus doc, the best-matching benchmark item and the
     * containment |S_item ∩ S_doc| / |S_item| of that item's shingle

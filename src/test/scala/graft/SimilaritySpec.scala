@@ -309,6 +309,22 @@ class SimilaritySpec extends AnyFunSuite {
     graft.operators.Caches.releaseAll()
   }
 
+  test("sourceOverlap: distinct-shingle sharing per source pair, zero-overlap pairs absent") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "A", "one two three four"),        // A: {1-2-3, 2-3-4}
+      (2L, "A", "two three four five"),       // A adds {3-4-5} -> n_a = 3
+      (3L, "B", "one two three four five"),   // B: same 3 shingles
+      (4L, "C", "alpha beta gamma delta"))    // C: disjoint
+      .toDF("doc_id", "source", "text")
+    val out = Dedup.sourceOverlap(docs).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))))
+    assert(out.length == 1, s"only the A-B cell overlaps: ${out.toSeq}")
+    assert(out.head == ((("A", "B"), (3L, 3L, 3L, 1.0))), s"A-B cell: ${out.head}")
+    graft.operators.Caches.releaseAll()
+  }
+
   test("semanticDecontaminate: argmax cosine with rounded-tie determinism and zero-norm guard") {
     import spark.implicits._
     val benchmark = Seq(

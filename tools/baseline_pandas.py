@@ -448,6 +448,25 @@ def mix_temperature(docs, budget=600, alpha=0.5):
         ["doc_id", "lang", "sample_rank"]]
 
 
+def source_overlap(docs):
+    # graft q_source_overlap: distinct 3-gram shingle sets per source,
+    # pairwise intersection counts + containment
+    from itertools import combinations
+    sets = {}
+    for src, ts in zip(docs["source"], _norm_tokens(docs)):
+        s = sets.setdefault(src, set())
+        for i in range(len(ts) - 2):
+            s.add((ts[i], ts[i + 1], ts[i + 2]))
+    rows = []
+    for a, b in combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        if inter:
+            rows.append((a, b, inter, len(sets[a]), len(sets[b]),
+                         round(inter / min(len(sets[a]), len(sets[b])) + 1e-9, 6)))
+    return pd.DataFrame(rows, columns=[
+        "src_a", "src_b", "n_shared", "n_a", "n_b", "containment"])
+
+
 def corpus_diff(docs):
     # graft q_corpus_diff: added/removed/changed/unchanged between the
     # same synthetic snapshot pair (%13 absent old, %19 absent new,
@@ -588,6 +607,7 @@ def main():
         ("weighted_sample", weighted_sample),
         ("blocklist_filter", blocklist_filter),
         ("corpus_diff", corpus_diff),
+        ("source_overlap", source_overlap),
     ]:
         t0 = time.perf_counter()
         fn(docs)
