@@ -133,6 +133,9 @@ object SparkEntry {
     // fixture in BpeSpec)
     "q_token_count_bpe" -> ((s, d) => TextAnalysis.tokenCountBpe(Tables.documents(s, d))),
     "q_tokenize_bpe"    -> ((s, d) => TextAnalysis.tokenizeBpe(Tables.documents(s, d))),
+    // rows-only (merge learning is not SQL-expressible); pinned in
+    // BpeSpec against the gen_bpe_merges.py-produced resource
+    "q_train_bpe"       -> ((s, d) => TextAnalysis.trainBpe(Tables.documents(s, d), 50)),
     "q_unigram_logprob" -> ((s, d) => TextAnalysis.unigramLogprob(Tables.documents(s, d))),
     // model trained on the src0-excluded slice, scoring ALL docs —
     // src0 rows exercise the OOV/backoff paths a same-corpus model

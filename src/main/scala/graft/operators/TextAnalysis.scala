@@ -86,6 +86,75 @@ object TextAnalysis {
     finally in.close()
   }
 
+  /** Distributed BPE tokenizer TRAINING (Sennrich et al. 2016, the
+    * textbook procedure): the corpus-sized work is ONE map-side-
+    * combined word-frequency aggregation; merge learning then runs on
+    * the BOUNDED word-frequency vocabulary on the driver — standard
+    * BPE training operates on the word-freq dict, never the corpus,
+    * so driver state is Zipf-bounded (capped at `maxVocab` rows taken
+    * in deterministic (freq desc, word) order — the same bounded-
+    * driver-state pattern as the IVF quantizer sample). Each round
+    * merges the globally most frequent adjacent symbol pair, ties to
+    * the lexicographically smallest pair, stopping below pair-count 2
+    * — semantics identical to tools/gen_bpe_merges.py, and BpeSpec
+    * pins this trainer's output against the shipped
+    * [[defaultBpeMerges]] resource that script produced.
+    *
+    * Output (rank, left, right) feeds [[tokenCountBpe]] /
+    * [[tokenizeBpe]] directly: train → count/tokenize end to end with
+    * no Python in the loop. */
+  def trainBpe(docs: DataFrame, nMerges: Int = 200,
+               maxVocab: Int = 1 << 20): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wf = docs.select(explode(tokens(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("f"))
+      .orderBy(col("f").desc, col("w").asc)
+      .limit(maxVocab)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val freq = wf.toMap
+    var seqs: Map[String, Vector[String]] =
+      wf.iterator.map { case (w, _) => w -> w.map(_.toString).toVector }.toMap
+    val merges = Vector.newBuilder[(String, String)]
+    var n = 0
+    var done = false
+    while (n < nMerges && !done) {
+      val pairs = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      for ((w, seq) <- seqs; i <- 0 until seq.length - 1) {
+        val p = (seq(i), seq(i + 1))
+        pairs.update(p, pairs.getOrElse(p, 0L) + freq(w))
+      }
+      if (pairs.isEmpty) done = true
+      else {
+        val (best, c) = pairs.minBy { case (p, cnt) => (-cnt, p) }
+        if (c < 2) done = true
+        else {
+          merges += best
+          n += 1
+          val (a, b) = best
+          val ab = a + b
+          seqs = seqs.map { case (w, seq) =>
+            if (!seq.contains(a)) w -> seq
+            else {
+              val out = Vector.newBuilder[String]
+              var i = 0
+              while (i < seq.length) {
+                if (i < seq.length - 1 && seq(i) == a && seq(i + 1) == b) {
+                  out += ab; i += 2
+                } else { out += seq(i); i += 1 }
+              }
+              w -> out.result()
+            }
+          }
+        }
+      }
+    }
+    merges.result().zipWithIndex
+      .map { case ((a, b), r) => (r.toLong, a, b) }
+      .toDF("rank", "left", "right")
+  }
+
   /** REAL tokenizer counts — greedy BPE under a merges.txt-format
     * table ([[graft.functions.BpeCount]], a codegen'd scan-local
     * projection; the whitespace proxy in [[tokenCount]] misprices

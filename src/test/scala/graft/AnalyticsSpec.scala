@@ -39,7 +39,7 @@ class AnalyticsSpec extends AnyFunSuite {
       "q_dedup_simhash", "q_ann_lsh", "q_ann_ivf", "q_dedup_embed_lsh",
       "q_distinct_sketch", "q_media_features", "q_dedup_clusters",
       "q_token_count_bpe", "q_quantiles_approx", "q_tokenize_bpe",
-      "q_cluster_embed", "q_hash_embed")),
+      "q_cluster_embed", "q_hash_embed", "q_train_bpe")),
       s"unexpected rows-only queries: $unoracled")
   }
 

@@ -117,6 +117,22 @@ class BpeSpec extends AnyFunSuite {
     }
   }
 
+  test("trainBpe reproduces the gen_bpe_merges.py-trained resource merge for merge") {
+    // the shipped /graft/bpe_merges.txt WAS trained on this sf0.001
+    // corpus by the independent Python script — the Spark trainer must
+    // reproduce it exactly, rank order included
+    val expected = TextAnalysis.defaultBpeMerges
+    val got = TextAnalysis.trainBpe(
+        Tables.documents(spark, "/root/testdata/sf0.001"), expected.size)
+      .collect()
+      .sortBy(_.getLong(0))
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(got.size == expected.size,
+      s"merge count drifted: ${got.size} vs ${expected.size}")
+    val firstBad = got.zip(expected).zipWithIndex.find { case ((g, e), _) => g != e }
+    assert(firstBad.isEmpty, s"first divergent merge: $firstBad")
+  }
+
   test("Spark counts match the independent Python reference fixture") {
     val in = getClass.getResourceAsStream("/graft/bpe_expected_sf0.001.json")
     assert(in != null, "fixture resource missing — run tools/bpe_reference.py")

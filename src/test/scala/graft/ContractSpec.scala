@@ -17,6 +17,9 @@ class ContractSpec extends AnyFunSuite {
     // a BPE merge loop is not expressible in DuckDB SQL; pinned
     // row-by-row against tools/bpe_reference.py's fixture in BpeSpec
     "q_token_count_bpe",
+    // merge LEARNING is not SQL-expressible; the trainer reproduces
+    // the gen_bpe_merges.py-trained resource merge-for-merge in BpeSpec
+    "q_train_bpe",
     // the tokenizing sibling: same merge loop, emits the pieces; the
     // fixture + invariants live in BpeSpec
     "q_tokenize_bpe",
