@@ -162,6 +162,8 @@ object SparkEntry {
       Tables.documents(s, d), Seq("dup", "stall"))),
     // synthetic version pair: %13 ids absent from OLD (-> added),
     // %19 absent from NEW (-> removed), %17 texts revised (-> changed)
+    "q_length_histogram" -> ((s, d) => TextAnalysis.lengthHistogram(
+      Tables.documents(s, d))),
     "q_corpus_diff" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val old = docs.filter(pmod(col("doc_id"), lit(13)) =!= 0)
@@ -1000,6 +1002,22 @@ object SparkEntry {
         |FROM ranked
         |WHERE rn <= CASE bucket WHEN 0 THEN 50 WHEN 1 THEN 100 ELSE 30 END
         |ORDER BY bucket, sample_rank""".stripMargin,
+    "q_length_histogram" ->
+      """WITH t AS (
+        |  SELECT len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS n
+        |  FROM documents
+        |), tot AS (SELECT sum(n) AS n_total FROM t)
+        |SELECT CAST(
+        |         CASE WHEN n >= 16 THEN 1 ELSE 0 END
+        |       + CASE WHEN n >= 64 THEN 1 ELSE 0 END
+        |       + CASE WHEN n >= 256 THEN 1 ELSE 0 END
+        |       + CASE WHEN n >= 1024 THEN 1 ELSE 0 END AS BIGINT) AS bucket,
+        |       count(*) AS n_docs,
+        |       CAST(sum(n) AS BIGINT) AS n_tokens,
+        |       (round(sum(n) * 1.0 / any_value(n_total) + 1e-9, 6) + 0) AS token_share
+        |FROM t CROSS JOIN tot
+        |GROUP BY 1
+        |ORDER BY bucket""".stripMargin,
     "q_source_overlap" ->
       """WITH tok AS (
         |  SELECT source,

@@ -40,6 +40,32 @@ object TextAnalysis {
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
       .orderBy("keep_id")
 
+  /** Token-length histogram over explicit INTEGER bucket boundaries
+    * (the datasheet view sequence-length planning reads: how much of
+    * the corpus fits a 1k context, how much needs chunking, what
+    * packing efficiency to expect). bucket = number of boundaries ≤
+    * n_tokens, so bucket 0 is (0, b₀) and bucket `boundaries.size` is
+    * [b_last, ∞); per bucket: doc count, token sum, token share.
+    * Integer compares only — no log2/width_bucket FP edge at the
+    * power-of-two boundaries (Spark's log2(8) != 3 exactly).
+    *
+    * Shape: one map-side-combined aggregate over a scan-local
+    * projection; output is boundaries.size + 1 rows. */
+  def lengthHistogram(docs: DataFrame,
+                      boundaries: Seq[Long] = Seq(16L, 64L, 256L, 1024L)): DataFrame = {
+    val n = size(tokens(col("text"))).cast("long")
+    val bucket = boundaries.foldLeft(lit(0L))((acc, b) =>
+      acc + when(n >= b, 1L).otherwise(0L))
+    val tot = docs.select(n.as("n")).agg(sum("n").as("n_total"))
+    docs.select(bucket.as("bucket"), n.as("n"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"), sum("n").as("n_tokens"))
+      .crossJoin(broadcast(tot))
+      .select(col("bucket"), col("n_docs"), col("n_tokens"),
+        rnd(col("n_tokens").cast("double") / col("n_total"), 6).as("token_share"))
+      .orderBy("bucket")
+  }
+
   /** Corpus snapshot diff (the dataset-versioning audit a corpus
     * release publishes): classify every doc_id across two corpus
     * versions as `added` (new only), `removed` (old only), `changed`

@@ -406,6 +406,27 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
   }
 
+  test("lengthHistogram: integer bucket edges, shares sum to 1, totals reconcile") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")),   // 10 -> bucket 0
+      (2L, (1 to 16).map(i => s"w$i").mkString(" ")),   // 16 -> bucket 1 (>= edge)
+      (3L, (1 to 63).map(i => s"w$i").mkString(" ")),   // 63 -> bucket 1
+      (4L, (1 to 300).map(i => s"w$i").mkString(" ")))  // 300 -> bucket 3
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.lengthHistogram(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out == Map(0L -> ((1L, 10L)), 1L -> ((2L, 79L)), 3L -> ((1L, 300L))),
+      s"bucket edges drifted: $out")
+    // corpus-level: shares sum to 1, totals reconcile with token_count
+    val h = TextAnalysis.lengthHistogram(docs).collect()
+    val share = h.map(_.getAs[Double]("token_share")).sum
+    assert(math.abs(share - 1.0) < 1e-4, s"shares must sum to ~1: $share")
+    val nTok = TextAnalysis.tokenCount(docs)
+      .agg(sum("n_ws_tokens")).collect()(0).getLong(0)
+    assert(h.map(_.getAs[Long]("n_tokens")).sum == nTok, "token totals reconcile")
+  }
+
   test("corpusDiff: added/removed/changed/unchanged; formatting-only edits are unchanged") {
     import spark.implicits._
     val old = Seq(

@@ -448,6 +448,18 @@ def mix_temperature(docs, budget=600, alpha=0.5):
         ["doc_id", "lang", "sample_rank"]]
 
 
+def length_histogram(docs, boundaries=(16, 64, 256, 1024)):
+    # graft q_length_histogram: integer-edge token-length buckets
+    n = _norm_tokens(docs).str.len()
+    bucket = sum((n >= b).astype(int) for b in boundaries)
+    g = pd.DataFrame({"bucket": bucket, "n": n}).groupby("bucket")["n"] \
+        .agg(["size", "sum"])
+    return pd.DataFrame({
+        "bucket": g.index, "n_docs": g["size"], "n_tokens": g["sum"],
+        "token_share": np.round(g["sum"] / n.sum() + 1e-9, 6),
+    })
+
+
 def source_overlap(docs):
     # graft q_source_overlap: distinct 3-gram shingle sets per source,
     # pairwise intersection counts + containment
@@ -608,6 +620,7 @@ def main():
         ("blocklist_filter", blocklist_filter),
         ("corpus_diff", corpus_diff),
         ("source_overlap", source_overlap),
+        ("length_histogram", length_histogram),
     ]:
         t0 = time.perf_counter()
         fn(docs)
