@@ -62,7 +62,22 @@ object GraftExtensions {
         RhpSig(args.head, intArg(args(1), "nPlanes"), longArg(args(2), "seed"))),
     ("hash_embed",
       info("hash_embed", "hash_embed(array<string>, dim) - L2-normalized feature-hashing embedding"),
-      (args: Seq[Expression]) => HashEmbed(args.head, intArg(args(1), "dim"))))
+      (args: Seq[Expression]) => HashEmbed(args.head, intArg(args(1), "dim"))),
+    ("bpe_count",
+      info("bpe_count", "bpe_count(array<string>) - greedy-BPE token count under the default merge table"),
+      (args: Seq[Expression]) =>
+        BpeCount(args.head, graft.operators.TextAnalysis.defaultBpeMerges)),
+    ("bpe_tokens",
+      info("bpe_tokens", "bpe_tokens(array<string>) - greedy-BPE pieces under the default merge table"),
+      (args: Seq[Expression]) =>
+        BpeTokens(args.head, graft.operators.TextAnalysis.defaultBpeMerges)),
+    ("count_in_set",
+      info("count_in_set", "count_in_set(array<string>, 'a,b,c') - tokens matching a comma-separated literal set"),
+      (args: Seq[Expression]) => CountInSet(args.head, args(1) match {
+        case Literal(s, _) if s != null => s.toString.split(",").toSeq
+        case other => throw new IllegalArgumentException(
+          s"count_in_set word list must be a string literal, got $other")
+      })))
 
   /** Register every graft function on a live session. */
   def register(spark: SparkSession): Unit =

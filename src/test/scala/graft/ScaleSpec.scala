@@ -27,12 +27,24 @@ class ScaleSpec extends AnyFunSuite {
     assert(he.length == 8)
     assert(math.abs(he.map(x => x.toDouble * x).sum - 1.0) < 1e-6,
       "hash_embed must emit a unit vector")
+    // the tokenizer + set-count surface: bpe under the DEFAULT merge
+    // table agrees with the operator, count_in_set parses its literal
+    val r2 = spark.sql(
+      """SELECT bpe_count(array('hello','world')) AS c,
+        |       bpe_tokens(array('hello')) AS t,
+        |       count_in_set(array('the','fox','a'), 'the,a,of') AS s""".stripMargin)
+      .collect()(0)
+    assert(r2.getAs[Long]("c") > 0)
+    assert(r2.getAs[scala.collection.Seq[String]]("t").mkString == "hello",
+      "pieces must reconstruct the word")
+    assert(r2.getAs[Int]("s") == 2)
   }
 
   test("extensions class injects the same functions at build time") {
     val fns = GraftExtensions.functions
     assert(fns.map(_._1).toSet == Set("fingerprint64", "simhash64", "minhash_sig",
-      "hamming64", "dot_fd", "shingle_hash64", "rhp_sig", "hash_embed"))
+      "hamming64", "dot_fd", "shingle_hash64", "rhp_sig", "hash_embed",
+      "bpe_count", "bpe_tokens", "count_in_set"))
     // builders construct valid expressions from literal args
     import org.apache.spark.sql.catalyst.expressions.Literal
     val mh = fns.find(_._1 == "minhash_sig").get._3(
