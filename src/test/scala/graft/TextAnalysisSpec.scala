@@ -469,6 +469,22 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(sf > 0 && sf < docs.count() / 10, s"implausible flag rate: $sf")
   }
 
+  test("mixTemperature: tiny keys keep >= 1 row (floor lift), alpha=1 is proportional") {
+    import spark.implicits._
+    val d = ((1L to 200L).map(i => (i, "big", s"document number $i")) ++
+      Seq((1000L, "tiny", "alpha"), (1001L, "tiny", "beta"))).toDF("doc_id", "src", "text")
+    // budget 10 at alpha=0.5: tiny's proportional share floors to 0 ->
+    // the greatest(1, .) arm must lift it to one kept row
+    val byKey = TextAnalysis.mixTemperature(d, "src", 10L).collect()
+      .groupBy(_.getString(1)).map { case (k, rs) => k -> rs.length }
+    assert(byKey("tiny") == 1, s"floor lift: $byKey")
+    assert(byKey("big") == 9, s"big quota floor(10*14.14/15.56): $byKey")
+    // alpha=1 (pow arm): quotas proportional to raw counts
+    val p = TextAnalysis.mixTemperature(d, "src", 101L, alpha = 1.0).collect()
+      .groupBy(_.getString(1)).map { case (k, rs) => k -> rs.length }
+    assert(p("big") == 100 && p("tiny") == 1, s"alpha=1 proportional: $p")
+  }
+
   test("weightedSampleByTokens: A-ES keys match an independent recomputation, top-k exact") {
     for (dir <- Seq(sfDir, "/root/testdata/sf0.01")) {
       val d = graft.sources.Tables.documents(spark, dir)
