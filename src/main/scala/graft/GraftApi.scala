@@ -159,9 +159,10 @@ object GraftApi {
                    benchmark: Option[DataFrame] = None,
                    decontamMinShared: Int = 3,
                    mix: Option[MixStage] = None,
-                   blocklist: Seq[String] = Nil): DataFrame =
+                   blocklist: Seq[String] = Nil,
+                   decontam: Option[DecontamStage] = None): DataFrame =
     curatePlan(docs, perSource, spanDedupK, benchmark, decontamMinShared,
-      mix, blocklist).frame
+      mix, blocklist, decontam).frame
 
   /** Build the corpus-curation unit of work WITHOUT running any Spark
     * job: a pure plan-construction call returning the composed frame
@@ -178,7 +179,8 @@ object GraftApi {
                  benchmark: Option[DataFrame] = None,
                  decontamMinShared: Int = 3,
                  mix: Option[MixStage] = None,
-                 blocklist: Seq[String] = Nil): CorpusCuration = {
+                 blocklist: Seq[String] = Nil,
+                 decontam: Option[DecontamStage] = None): CorpusCuration = {
     val scope = Caches.newScope("curate")
     new CorpusCuration(scope, () => Caches.in(scope) {
       import org.apache.spark.sql.functions.col
@@ -209,17 +211,32 @@ object GraftApi {
       val afterExact = Caches.persistTracked(afterBlocklist.join(exactKeep, "doc_id"))
       stages += ("exact_dedup" -> afterExact)
       // optional eval-set decontamination: a filtering stage like the
-      // dedups — its keep set comes from the shingle-overlap scorer,
-      // whose corpus side never shuffles (the benchmark side is the
-      // broadcast/shuffled one, and it is the small side by contract)
+      // dedups — its flag set comes from the selected family member
+      // (exact global shingles | per-item containment | embedding
+      // space); in every form the benchmark is the broadcast side and
+      // the corpus side never shuffles its text
       val afterDecontam = benchmark match {
         case Some(bench) =>
-          val leaked = Dedup.decontaminate(afterExact, bench,
-              minShared = decontamMinShared)
-            .filter(col("contaminated") === 1L).select("doc_id")
+          val stage = decontam.getOrElse(DecontamStage.Exact(decontamMinShared))
+          val (label, leaked) = stage match {
+            case DecontamStage.Exact(minShared) =>
+              ("decontaminate",
+                Dedup.decontaminate(afterExact, bench, minShared = minShared)
+                  .filter(col("contaminated") === 1L).select("doc_id"))
+            case DecontamStage.Fuzzy(tau) =>
+              ("decontaminate_fuzzy",
+                Dedup.decontaminateFuzzy(afterExact, bench, tau = tau)
+                  .filter(col("contaminated") === 1L).select("doc_id"))
+            case DecontamStage.Semantic(tau, embed) =>
+              ("decontaminate_semantic",
+                Similarity.semanticDecontaminate(
+                    embed(afterExact), embed(bench), tau)
+                  .filter(col("contaminated") === 1L)
+                  .select(col("vec_id").as("doc_id")))
+          }
           val kept = Caches.persistTracked(
             afterExact.join(leaked, Seq("doc_id"), "left_anti"))
-          stages += ("decontaminate" -> kept)
+          stages += (label -> kept)
           kept
         case None => afterExact
       }
@@ -310,6 +327,43 @@ object MixStage {
     * ([[graft.operators.TextAnalysis.weightedSampleByTokens]]) —
     * a total token budget rather than per-stratum quotas. */
   final case class TokenWeighted(k: Int) extends MixStage
+}
+
+/** Which member of the decontamination family a
+  * [[GraftApi.curatePlan]] pipeline runs against its `benchmark`
+  * frame. The three catch successively fuzzier leakage at
+  * successively higher cost, and a manifest row is emitted under the
+  * member's own stage label so the run's provenance records WHICH
+  * definition of "contaminated" filtered the corpus:
+  *
+  *  - [[DecontamStage.Exact]] — ≥ `minShared` distinct n-gram
+  *    shingles shared with the benchmark AS A WHOLE
+  *    ([[graft.operators.Dedup.decontaminate]]); catches verbatim
+  *    inclusions, cheapest (one semi-join on shingle hashes).
+  *  - [[DecontamStage.Fuzzy]] — per-ITEM shingle containment ≥ `tau`
+  *    ([[graft.operators.Dedup.decontaminateFuzzy]]); catches a doc
+  *    that swallowed one short eval item even when its global shared
+  *    count stays under Exact's radar, and partial paraphrases that
+  *    keep ≥ tau of an item's n-grams.
+  *  - [[DecontamStage.Semantic]] — embedding cosine vs the best
+  *    benchmark item ≥ `tau`
+  *    ([[graft.operators.Similarity.semanticDecontaminate]]);
+  *    catches rewordings sharing NO n-grams at all. `embed` maps a
+  *    (doc_id, text) frame to (vec_id, embedding) and is applied to
+  *    both sides — the default is the model-free
+  *    [[graft.operators.Similarity.hashEmbedDocs]] hashing-trick
+  *    embedder; swap in a real encoder's output for semantic-model
+  *    fidelity.
+  *
+  * Benchmark schema: Exact reads only `text`; Fuzzy and Semantic
+  * also need a `doc_id` (the per-item identity their scores key on). */
+sealed trait DecontamStage
+object DecontamStage {
+  final case class Exact(minShared: Int = 3) extends DecontamStage
+  final case class Fuzzy(tau: Double = 0.8) extends DecontamStage
+  final case class Semantic(tau: Double = 0.9,
+      embed: DataFrame => DataFrame = Similarity.hashEmbedDocs(_))
+    extends DecontamStage
 }
 
 /** A corpus-curation unit of work ([[GraftApi.curatePlan]]): the

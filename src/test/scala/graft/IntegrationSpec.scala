@@ -260,6 +260,81 @@ class IntegrationSpec extends AnyFunSuite {
     } finally { curation.release(); GraftApi.releaseCaches() }
   }
 
+  test("DecontamStage selects the family member: fuzzy and semantic catch what exact misses") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val base = graft.sources.Tables.documents(spark, sfDir)
+      .select("doc_id", "source", "text")
+    val maxId = base.agg(org.apache.spark.sql.functions.max("doc_id"))
+      .collect()(0).getLong(0)
+    val filler = (s: String) => (1 to 30).map(i => s"the $s$i").mkString(" ")
+    // three eval items, three planted leaks of increasing fuzziness:
+    //  - itemLong leaked VERBATIM into docV (8 shared shingles — Exact's case)
+    //  - itemShort (3 tokens = ONE shingle) swallowed by docF: 1 global
+    //    shared shingle stays under Exact's minShared=3 radar, but
+    //    per-item containment is 1.0 — Fuzzy's case
+    //  - itemRw's 24 words REVERSED in docS: zero shared forward
+    //    n-grams, identical unigram multiset (hash-embed cosine 1.0) —
+    //    Semantic's case
+    val itemShort = "alpha beta gamma"
+    val itemLong = "what is the boiling point of water at sea level pressure"
+    val rwWords = "the" +: (1 to 23).map(i => s"qvortex$i")
+    val itemRw = rwWords.mkString(" ")
+    val docV = maxId + 1; val docF = maxId + 2; val docS = maxId + 3
+    val docC = maxId + 4 // control: overlaps nothing, must survive all three
+    val crafted = Seq(
+      (docV, "srcV", filler("leak") + " " + itemLong),
+      (docF, "srcF", filler("para") + " " + itemShort),
+      (docS, "srcS", rwWords.reverse.mkString(" ")),
+      (docC, "srcC", filler("ctrl")))
+      .toDF("doc_id", "source", "text")
+    val corpus = base.union(crafted)
+    val bench = Seq((10L, itemShort), (20L, itemLong), (30L, itemRw))
+      .toDF("doc_id", "text")
+
+    def run(stage: DecontamStage, label: String): (Set[Long], Unit) = {
+      val curation = GraftApi.curatePlan(corpus, benchmark = Some(bench),
+        decontam = Some(stage))
+      try {
+        val ids = curation.frame.collect().map(_.getAs[Long]("doc_id")).toSet
+        // the member's own manifest row, with reconciliation gapless
+        val m = curation.manifest.collect()
+          .map(r => (r.getAs[String]("stage"), r.getAs[Long]("docs_in"),
+            r.getAs[Long]("docs_out"), r.getAs[Long]("docs_dropped")))
+        assert(m.exists(_._1 == label), s"manifest must carry a $label row")
+        m.sliding(2).foreach { case Array(a, b) =>
+          assert(b._2 == a._3, s"docs_in of ${b._1} != docs_out of ${a._1}")
+        }
+        m.foreach { case (s, in, out, dropped) =>
+          assert(dropped == in - out && dropped >= 0, s"$s attrition inconsistent")
+        }
+        (ids, ())
+      } finally { curation.release(); GraftApi.releaseCaches() }
+    }
+
+    val (exactIds, _) = run(DecontamStage.Exact(), "decontaminate")
+    assert(!exactIds.contains(docV), "exact must drop the verbatim leak")
+    assert(exactIds.contains(docF),
+      "1 shared global shingle stays under exact's radar — fuzzy's reason to exist")
+    assert(exactIds.contains(docS), "no shared n-gram: invisible to exact")
+
+    val (fuzzyIds, _) = run(DecontamStage.Fuzzy(tau = 0.8), "decontaminate_fuzzy")
+    assert(!fuzzyIds.contains(docF), "fuzzy must drop the swallowed short item")
+    assert(!fuzzyIds.contains(docV), "verbatim leak has containment 1.0 too")
+    assert(fuzzyIds.contains(docS), "no shared n-gram: invisible to fuzzy")
+
+    val (semIds, _) = run(DecontamStage.Semantic(tau = 0.9), "decontaminate_semantic")
+    assert(!semIds.contains(docS), "semantic must drop the reworded item")
+    assert(semIds.contains(docF), "filler-diluted doc stays under cosine 0.9")
+
+    // the non-overlapping control survives every form — each stage
+    // drops for ITS definition of contaminated, not for being crafted
+    Seq("exact" -> exactIds, "fuzzy" -> fuzzyIds, "semantic" -> semIds)
+      .foreach { case (name, ids) =>
+        assert(ids.contains(docC), s"control doc must survive the $name stage")
+      }
+  }
+
   test("cluster-balanced mixing: text -> hash embeddings -> k-means -> per-cluster quota") {
     // the data-mixing composition the round-6 operators exist for: a
     // raw text corpus gets model-free embeddings, clusters them, and
