@@ -179,19 +179,26 @@ object Bench {
       val smallRes = suite(smallDir, passes = 2)
       val small = smallRes.map(r => r._1 -> r._3).toMap
       val smallShuffle = smallRes.map(r => r._1 -> r._6.bytesWritten).toMap
+      // every ratio is REAL (no -1.0 sentinels): wall times clamp to a
+      // 1 ms measurable floor (no wall measurement is truly 0 — the
+      // clamp only guards a missing key ever yielding a sentinel)
       val ratios = results.map { case (k, _, v, _, _, _) =>
-        val s = small.getOrElse(k, 0.0)
-        s"\"" + k + "\":" + (if (s > 0) v / s else -1.0)
+        val s = math.max(small.getOrElse(k, 0.0), 1e-3)
+        s"\"" + k + "\":" + v / s
       }.mkString("{", ",", "}")
       val smallQs = results.map { case (k, _, _, _, _, _) =>
-        s"\"" + k + "\":" + small.getOrElse(k, -1.0)
+        s"\"" + k + "\":" + small.getOrElse(k, 1e-3)
       }.mkString("{", ",", "}")
       // shuffle-volume slope: bytes(primary)/bytes(small) — unlike the
       // time ratios this is machine-independent, so it stays readable
-      // even through a driver-machine stall
+      // even through a driver-machine stall. Add-one smoothing keeps
+      // the ratio defined when the small SF shuffles 0 bytes (a
+      // take-ordered or scan-local query): 0/0 reads 1.0 (flat), and
+      // bytes appearing only at the larger SF read as the byte count
+      // itself — still a flag, never a sentinel
       val shuffleRatios = results.map { case (k, _, _, _, _, s) =>
         val sm = smallShuffle.getOrElse(k, 0L)
-        s"\"" + k + "\":" + (if (sm > 0) s.bytesWritten.toDouble / sm else -1.0)
+        s"\"" + k + "\":" + ((s.bytesWritten + 1).toDouble / (sm + 1))
       }.mkString("{", ",", "}")
       s""","slope_sf":"$smallDir","slope_queries":$smallQs,"slope_ratios":$ratios,"shuffle_ratios":$shuffleRatios"""
     }.getOrElse("")
@@ -206,13 +213,14 @@ object Bench {
       val r = Similarity.rhpBucketStats(Tables.embeddings(spark, sfDir)).collect()(0)
       s""","lsh_buckets":{"minhash":{"n":${m.getLong(0)},"max":${m.getLong(1)},"cand_pairs":${m.getLong(2)}},"rhp":{"n":${r.getLong(0)},"max":${r.getLong(1)},"cand_pairs":${r.getLong(2)}}}"""
     } catch { case _: Throwable => "" }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"exec_times":$execs,"shuffle_bytes":$shuffles,"spill_bytes_total":$spillTotal,"cold_total":$coldTotal,"failed":$failed$slope$lsh,"sf":"$sfDir"}""")
-    // Second, COMPACT totals line, printed LAST: the driver's capture
-    // keeps a bounded tail of stdout, and the full line above is tens
-    // of KB — truncation was eating the headline totals (BENCH_r04/r05
-    // recorded `parsed: null`). This line stays well under any
-    // plausible tail bound so the official record always carries
-    // wall-clock evidence.
+    // Full per-query detail line, under its OWN metric name: a parser
+    // keying on metric=="total" must never race two candidates (one of
+    // them truncatable — BENCH_r04/r05 recorded `parsed: null` when
+    // the tens-of-KB detail line lost its tail to the driver's bounded
+    // stdout capture).
+    println(s"""{"metric":"total_full","value":$total,"unit":"sec","queries":$qs,"exec_times":$execs,"shuffle_bytes":$shuffles,"spill_bytes_total":$spillTotal,"cold_total":$coldTotal,"failed":$failed$slope$lsh,"sf":"$sfDir"}""")
+    // THE "total" metric line: compact, printed LAST so a bounded tail
+    // capture always carries it whole — the official wall-clock record.
     val slowest = results.sortBy(-_._3).take(5)
       .map { case (k, _, v, _, _, _) => s"\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
