@@ -1074,14 +1074,50 @@ object TextAnalysis {
     * train slice (token shuffle + bigram shuffle) plus a vocab-sized
     * equi-join for the bigram denominator and a 1-row scalar
     * broadcast; scoring is the corpus token stream joined against the
-    * two Zipf-distributed model tables (orders of magnitude smaller
-    * than the corpus — AQE broadcasts them at bench scale, and at
-    * 100 TB they are token-partitioned shuffled joins with uniform
-    * key distribution), then one per-doc rollup. Bigram pairs are
+    * two model tables, then one per-doc rollup. Bigram pairs are
     * formed IN-SCAN from the retained token array (element_at on the
-    * posexploded position) — no self-join, no window. */
+    * posexploded position) — no self-join, no window.
+    *
+    * ZIPF-SKEW STORY (the score joins' `token` / `(prev, token)` keys
+    * are power-law distributed — "the" owns percents of the stream):
+    * the model tables are VOCAB-sized, orders of magnitude below the
+    * corpus, so the intended plan is a broadcast of both model tables
+    * — the token stream then never shuffles and skew is moot (PlanSpec
+    * pins both score joins as BroadcastHashJoin at bench scale). Only
+    * when a vocabulary outgrows broadcast (rare even at 100 TB: a
+    * 10M-row bigram table is ~300 MB) would the join shuffle on the
+    * skewed token key and hot-spot; [[bigramLogprobSalted]] is that
+    * case's form — the [[Salting.saltedJoin]] composition with the
+    * model side replicated across salts, pinned bit-identical to this
+    * operator. */
   def bigramLogprob(docs: DataFrame, train: DataFrame,
-                    alpha: Double = 0.4): DataFrame = {
+                    alpha: Double = 0.4): DataFrame =
+    bigramImpl(docs, train, alpha,
+      (fact, build, keys) => fact.join(build, keys, "left"))
+
+  /** [[bigramLogprob]] for the vocabulary-outgrows-broadcast case:
+    * both score joins run SALTED — the token stream (fact) side gets a
+    * deterministic (doc_id, pos)-derived salt, the model (build) side
+    * is replicated across all `salts` values, and the join key becomes
+    * (key…, salt), so a Zipf-hot token's rows spread over `salts`
+    * tasks instead of pinning one reducer ([[Salting]]'s composition
+    * generalized to composite keys and left joins; each fact row still
+    * matches at most its own key row, so the output is BIT-IDENTICAL
+    * to [[bigramLogprob]] — TextAnalysisSpec pins it). Costs `salts`×
+    * replication of the vocab-sized tables — only pay it when the
+    * broadcast form is off the table. */
+  def bigramLogprobSalted(docs: DataFrame, train: DataFrame,
+                          alpha: Double = 0.4, salts: Int = 16): DataFrame =
+    bigramImpl(docs, train, alpha, (fact, build, keys) => {
+      val sf = fact.withColumn("_salt",
+        pmod(hash(col("doc_id"), col("pos")), lit(salts)))
+      val rb = build.withColumn("_salt",
+        explode(array((0 until salts).map(lit): _*)))
+      sf.join(rb, keys :+ "_salt", "left").drop("_salt")
+    })
+
+  private def bigramImpl(docs: DataFrame, train: DataFrame, alpha: Double,
+      scoreJoin: (DataFrame, DataFrame, Seq[String]) => DataFrame): DataFrame = {
     def stream(d: DataFrame): DataFrame = d
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"), col("toks"),
@@ -1111,9 +1147,8 @@ object TextAnalysis {
     val score = when(col("pos") === 0, puni)
       .when(col("p2").isNotNull, col("p2"))
       .otherwise(lit(alpha) * puni)
-    stream(docs)
-      .join(freq1, Seq("token"), "left")
-      .join(freq2, Seq("prev", "token"), "left")
+    scoreJoin(scoreJoin(stream(docs), freq1, Seq("token")),
+        freq2, Seq("prev", "token"))
       .crossJoin(broadcast(scalars))
       .select(col("doc_id"), col("pos"), col("p2"),
         rnd(-log2(score), 6).as("nll"))

@@ -173,6 +173,22 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out(3L) == ((2L, mean4(Seq(nll6(1.0 / 7), nll6(0.4 * (1.0 / 7)))), 1L)))
   }
 
+  test("bigramLogprobSalted is bit-identical to bigramLogprob") {
+    // the vocab-outgrows-broadcast form: salted fact side, model side
+    // replicated across salts — same rows, same doubles, to the bit
+    val docs = Tables.documents(spark, sfDir)
+    val train = docs.filter(col("doc_id") % 5 === 0)
+    val score = docs.filter(col("doc_id") % 5 =!= 0)
+    val plain = TextAnalysis.bigramLogprob(score, train).collect()
+    graft.operators.Caches.releaseAll()
+    val salted = TextAnalysis.bigramLogprobSalted(score, train, salts = 7).collect()
+    graft.operators.Caches.releaseAll()
+    assert(plain.length == salted.length && plain.length > 0)
+    plain.zip(salted).foreach { case (a, b) =>
+      assert(a == b, s"salted drift: $a vs $b")
+    }
+  }
+
   test("textQuality n_chars matches the table's n_chars column") {
     val joined = TextAnalysis.textQuality(docs)
       .join(docs.select("doc_id", "n_chars"), "doc_id")
