@@ -130,6 +130,22 @@ object TextHash {
     cnt
   }
 
+  /** Count of int64 values present in a SORTED long array (binary
+    * search per element) — the shingle-hash analog of [[countInSet]],
+    * powering the streaming decontamination gate's scan-local
+    * "distinct shingles shared with the benchmark" count (the input
+    * array is [[shingleHash64]] output, already distinct per row). */
+  def countInLongSet(hashes: ArrayData, sorted: Array[Long]): Int = {
+    val n = hashes.numElements()
+    var cnt = 0
+    var i = 0
+    while (i < n) {
+      if (java.util.Arrays.binarySearch(sorted, hashes.getLong(i)) >= 0) cnt += 1
+      i += 1
+    }
+    cnt
+  }
+
   /** Left-to-right dot product of two float vectors in double
     * precision (each element widened BEFORE the multiply) — exactly
     * the summation the DuckDB oracle's list_sum-over-list_transform

@@ -164,6 +164,29 @@ case class CountInSet(child: Expression, words: Seq[String])
     copy(child = newChild)
 }
 
+/** Count of int64 values (shingle hashes) present in a fixed set,
+  * carried as a SORTED array and binary-searched per element — the
+  * [[CountInSet]] pattern for the streaming decontamination gate:
+  * the benchmark's shingle set rides into generated code as one
+  * reference object (8 bytes/shingle, shared per executor), so the
+  * "shares ≥ k shingles with the eval set" predicate is a pure
+  * scan-local codegen'd map — no join, no shuffle, stream-safe. */
+case class CountInLongSet(child: Expression, hashes: Array[Long])
+    extends UnaryExpression {
+  @transient private lazy val sorted: Array[Long] = {
+    val a = hashes.clone(); java.util.Arrays.sort(a); a
+  }
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(input: Any): Any =
+    TextHash.countInLongSet(input.asInstanceOf[ArrayData], sorted)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("hashSet", sorted, "long[]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.countInLongSet($c, $ref)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): CountInLongSet =
+    copy(child = newChild)
+}
+
 /** Greedy-BPE token count of a token array under a fixed merge table
   * (public GPT-2 merges.txt semantics; see
   * [[TextHash.bpeWord]]/tools/bpe_reference.py for the mirrored apply
@@ -251,6 +274,8 @@ object GraftFunctions {
     Bridge.column(MinHashSigL(e(hashes), k))
   def countInSet(tokens: Column, words: Seq[String]): Column =
     Bridge.column(CountInSet(e(tokens), words))
+  def countInLongSet(hashes: Column, set: Array[Long]): Column =
+    Bridge.column(CountInLongSet(e(hashes), set))
   def bpeCount(tokens: Column, merges: Seq[(String, String)]): Column =
     Bridge.column(BpeCount(e(tokens), merges))
   def bpeTokens(tokens: Column, merges: Seq[(String, String)]): Column =

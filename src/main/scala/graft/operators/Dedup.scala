@@ -303,6 +303,41 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** The benchmark's distinct shingle-hash set, collected to the
+    * driver for predicate folding — the STREAMING decontamination
+    * form, where [[decontaminate]]'s join/agg shape is unavailable (a
+    * stateless gate cannot shuffle). Eval sets are MBs against a
+    * corpus of TBs by contract; `maxShingles` (default 16M ≈ 128 MB
+    * as a long[]) enforces that contract instead of letting a corpus
+    * mistakenly passed as `benchmark` OOM the driver. */
+  def benchmarkShingles(benchmark: DataFrame, n: Int = 3,
+                        maxShingles: Long = 16L * 1024 * 1024): Array[Long] = {
+    val rows = spreadToCores(benchmark.select(col("text")))
+      .select(explode(
+        GraftFunctions.shingleHash64(TextAnalysis.tokens(col("text")), n)).as("s"))
+      .distinct()
+      .limit(math.min(maxShingles + 1, Int.MaxValue.toLong).toInt)
+      .collect()
+    require(rows.length <= maxShingles,
+      s"benchmark shingle set exceeds maxShingles=$maxShingles — " +
+        "is the corpus being passed as the benchmark?")
+    rows.map(_.getLong(0))
+  }
+
+  /** Scan-local keep predicate: true iff the row's text shares fewer
+    * than `minShared` distinct n-gram shingles with the benchmark set
+    * ([[benchmarkShingles]]). Semantics match [[decontaminate]]'s
+    * `contaminated == 0` exactly (distinct shingles vs the benchmark
+    * as a whole); the set rides into codegen as one per-executor
+    * reference object, so the predicate is a pure projection — no
+    * join, no shuffle, stream-safe ([[graft.streaming.CorpusIngest
+    * .curationGate]] composes it in front of the membership store). */
+  def decontaminateKeepExpr(shingles: Array[Long], n: Int = 3,
+                            minShared: Int = 3): Column =
+    GraftFunctions.countInLongSet(
+      GraftFunctions.shingleHash64(TextAnalysis.tokens(col("text")), n),
+      shingles) < minShared
+
   /** Cross-source overlap matrix (the datasheet's inter-source
     * leakage audit): for every source pair, how many DISTINCT n-gram
     * shingles they share, plus each side's distinct-shingle total and

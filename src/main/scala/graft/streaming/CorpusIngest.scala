@@ -184,13 +184,39 @@ object CorpusIngest {
     * Compose it in front of [[sink]]/[[sinkBucketed]] so junk never
     * reaches the membership store or the corpus:
     * `sink(curationGate(stream, blocklist), ...)`. Streaming-safe by
-    * construction: stateless, no shuffle, no sort, no watermark. */
-  def curationGate(docs: DataFrame, blocklist: Seq[String] = Nil): DataFrame = {
+    * construction: stateless, no shuffle, no sort, no watermark.
+    *
+    * `benchmark` adds eval-set DECONTAMINATION to the gate: a doc
+    * sharing ≥ `decontamMinShared` distinct 3-gram shingles with the
+    * benchmark is rejected AT INGEST, so leaked eval items never
+    * enter the membership store (batch-time decontamination cannot
+    * un-admit the content hash an earlier batch recorded — admit-time
+    * is the only point that keeps the store itself clean). The
+    * benchmark's shingle set is collected ONCE at gate construction
+    * (driver-bounded, [[graft.operators.Dedup.benchmarkShingles]])
+    * and folded into the plan as a codegen reference object — the
+    * predicate stays a scan-local projection, preserving the gate's
+    * no-shuffle discipline; semantics match the batch
+    * [[graft.operators.Dedup.decontaminate]] flag exactly. */
+  def curationGate(docs: DataFrame, blocklist: Seq[String] = Nil,
+                   benchmark: Option[DataFrame] = None,
+                   decontamMinShared: Int = 3): DataFrame = {
     val cleaned = docs.withColumn("text",
       graft.operators.TextAnalysis.cleanMarkup(col("text")))
     val gated = cleaned.filter(graft.operators.TextAnalysis.qualityKeepExpr())
-    if (blocklist.isEmpty) gated
-    else gated.filter(graft.operators.TextAnalysis.blocklistKeepExpr(blocklist))
+    val blocked =
+      if (blocklist.isEmpty) gated
+      else gated.filter(graft.operators.TextAnalysis.blocklistKeepExpr(blocklist))
+    benchmark match {
+      case Some(bench) =>
+        // the markup-stripped text is what the batch operators shingle,
+        // so strip the benchmark the same way before collecting its set
+        val shingles = Dedup.benchmarkShingles(bench.withColumn("text",
+          graft.operators.TextAnalysis.cleanMarkup(col("text"))))
+        blocked.filter(Dedup.decontaminateKeepExpr(shingles,
+          minShared = decontamMinShared))
+      case None => blocked
+    }
   }
 
   /** The membership-filtered, within-batch-deduped survivor frame of

@@ -279,6 +279,33 @@ class SimilaritySpec extends AnyFunSuite {
     graft.operators.Caches.releaseAll()
   }
 
+  test("decontaminateKeepExpr agrees with batch decontaminate on the corpus") {
+    // the streaming gate's scan-local predicate (driver-collected
+    // shingle set, codegen'd countInLongSet) must draw the SAME line
+    // as the batch join/agg operator — corpus-wide, both verdicts
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val corpus = graft.sources.Tables.documents(spark, sfDir)
+    // a benchmark that actually overlaps part of the corpus: two real
+    // document texts plus a disjoint item
+    val bench = corpus.filter(col("doc_id").isin(3L, 7L)).select("doc_id", "text")
+      .union(Seq((999L, "totally disjoint benchmark item text"))
+        .toDF("doc_id", "text"))
+    val batchFlags = Dedup.decontaminate(corpus, bench, minShared = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("contaminated") == 1L)).toMap
+    val shingles = Dedup.benchmarkShingles(bench)
+    val gateKept = corpus
+      .filter(Dedup.decontaminateKeepExpr(shingles, minShared = 3))
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(batchFlags.exists(_._2), "benchmark must contaminate something")
+    batchFlags.foreach { case (id, contaminated) =>
+      assert(gateKept.contains(id) == !contaminated,
+        s"doc $id: gate/batch verdict drift (batch contaminated=$contaminated)")
+    }
+    graft.operators.Caches.releaseAll()
+  }
+
   test("decontaminateFuzzy: per-item containment with deterministic best-match") {
     import spark.implicits._
     // item 100 has shingles from an 8-token sentence (6 shingles);

@@ -282,6 +282,57 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming decontamination gate: leaked eval items never enter the store, across batches and restarts") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.CorpusIngest
+    val corpusDir = java.nio.file.Files.createTempDirectory("graft-dgate-c").toString
+    val hashDir = java.nio.file.Files.createTempDirectory("graft-dgate-h").toString
+    val ckDir = java.nio.file.Files.createTempDirectory("graft-dgate-ck").toString
+    val evalQ = "what is the boiling point of water at sea level pressure"
+    val bench = Seq((1L, evalQ)).toDF("doc_id", "text")
+    val filler = (s: String) => (1 to 30).map(i => s"the $s$i").mkString(" ")
+    val ms = MemoryStream[(Long, String, String)]
+    val docs = ms.toDF().toDF("doc_id", "source", "text")
+    def gated = CorpusIngest.curationGate(docs, benchmark = Some(bench))
+    def admitted() = spark.read.parquet(corpusDir).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+
+    val q1 = CorpusIngest.sink(gated, corpusDir, hashDir)
+      .option("checkpointLocation", ckDir).start()
+    try {
+      ms.addData(
+        (1L, "s", filler("clean")),            // passes
+        (2L, "s", filler("leak") + " " + evalQ)) // leaked verbatim -> rejected
+      q1.processAllAvailable()
+      assert(admitted() == Set(1L), s"batch 1 admitted ${admitted()}")
+      // second batch: the leak arrives again (different doc) — still out
+      ms.addData(
+        (3L, "s", evalQ + " " + filler("again")),
+        (4L, "s", filler("fresh")))
+      q1.processAllAvailable()
+      assert(admitted() == Set(1L, 4L), s"batch 2 admitted ${admitted()}")
+    } finally q1.stop()
+
+    // RESTART from the same checkpoint: the gate is reconstructed (the
+    // shingle set re-collected) and keeps rejecting planted leaks; the
+    // membership store stays leak-free
+    val q2 = CorpusIngest.sink(gated, corpusDir, hashDir)
+      .option("checkpointLocation", ckDir).start()
+    try {
+      ms.addData(
+        (5L, "s", filler("leakier") + " " + evalQ),
+        (6L, "s", filler("benign")))
+      q2.processAllAvailable()
+      assert(admitted() == Set(1L, 4L, 6L), s"post-restart admitted ${admitted()}")
+    } finally q2.stop()
+    // the membership store itself carries no leaked doc's hash — only
+    // the three admitted (distinct-content) docs recorded membership
+    val nHashes = spark.read.parquet(hashDir).count()
+    assert(nHashes == 3,
+      s"membership store must only hold the 3 admitted docs' hashes: $nHashes")
+  }
+
   test("bucketed corpus ingest: dedup across compaction, no double-admit on redelivery") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
