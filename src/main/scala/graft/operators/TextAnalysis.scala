@@ -1034,21 +1034,37 @@ object TextAnalysis {
     * Zipf keeps the vocabulary side orders of magnitude below the
     * corpus — AQE broadcasts it when it fits), scalar total
     * cross-joined broadcast, one per-doc rollup. */
-  def unigramLogprob(docs: DataFrame): DataFrame = {
+  def unigramLogprob(docs: DataFrame): DataFrame =
+    unigramScores(docs).orderBy("doc_id")
+
+  /** [[unigramLogprob]] without the presentation sort. The public form
+    * ends in a global orderBy — a range-partitioning exchange PLUS the
+    * range partitioner's separate sampling job over the whole scoring
+    * plan. A composer that immediately re-partitions by its own key
+    * ([[bucketsByQuality]] → bucket window) pays that twice-computed
+    * sort for nothing, so internal consumers take this form. */
+  private[graft] def unigramScores(docs: DataFrame): DataFrame = {
     val toks = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
       .filter(col("token") =!= "")
     val freq = toks.groupBy("token").agg(count(lit(1)).as("n_tok"))
-    val total = freq.agg(sum("n_tok").as("n_total"))
+    // Σn_tok via an unpartitioned window over the VOCAB-sized freq
+    // frame (one task, Zipf-bounded rows): a scalar `freq.agg(sum)`
+    // cross-joined back is a SEPARATE DAG that re-runs the whole
+    // explode + vocab aggregation — a second corpus scan for one
+    // number. Long sums are exact, so the window total is identical.
+    val wAll = org.apache.spark.sql.expressions.Window
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val freqTot = freq.select(col("token"), col("n_tok"),
+      sum("n_tok").over(wAll).as("n_total"))
     toks
-      .join(freq, "token")
-      .crossJoin(broadcast(total))
+      .join(freqTot, "token")
       .select(col("doc_id"),
         rnd(-log2(col("n_tok").cast("double") / col("n_total")), 6).as("nll"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"),
         rnd(decSum(col("nll")) / count(lit(1)), 4).as("mean_nll"))
-      .orderBy("doc_id")
   }
 
   /** Bigram language model with Stupid Backoff — one rung up from
@@ -1255,7 +1271,7 @@ object TextAnalysis {
     * scoring+bucketing stage, shared with its whole-window test oracle. */
   private[graft] def bucketsByQuality(docs: DataFrame,
                                       thresholds: Seq[Double]): DataFrame =
-    unigramLogprob(docs).select(col("doc_id"), col("mean_nll"),
+    unigramScores(docs).select(col("doc_id"), col("mean_nll"),
       thresholds.foldLeft(lit(0L))((acc, t) =>
         acc + when(col("mean_nll") >= lit(t), 1L).otherwise(0L)).as("bucket"))
 
@@ -1329,7 +1345,12 @@ object TextAnalysis {
                      alpha: Double = 0.5): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keyCol).orderBy(col("sample_key"), col("doc_id"))
-    val base = withTemperatureQuota(docs, keyCol, budget, alpha)
+    // id-sized (doc_id, key, salt, quota), but the count aggregate +
+    // quota join behind it scan the corpus; both the salt-bounds branch
+    // and the rank branch consume it, so persist via the scoped
+    // registry — one quota-assignment pass, not two (mixByQuality's
+    // `bucketed` pattern)
+    val base = Caches.persistTracked(withTemperatureQuota(docs, keyCol, budget, alpha))
     base
       .join(broadcast(saltBoundsCarried(base, keyCol)), Seq(keyCol), "left")
       .filter(col("salt_bound").isNull || col("sample_key") < col("salt_bound"))
@@ -1348,8 +1369,17 @@ object TextAnalysis {
     val weights = docs.groupBy(keyCol).agg(count(lit(1)).as("n_key"))
       .select(col(keyCol), col("n_key"),
         rnd(wExpr, 6).cast("decimal(38,6)").as("w"))
-    val wTot = weights.agg(sum("w").as("w_tot"))
-    val quotas = weights.crossJoin(broadcast(wTot))
+    // Σw via an unpartitioned window over the KEY-sized weights frame
+    // (one task, key-cardinality rows — languages/sources, not docs):
+    // a separate scalar aggregate cross-joined back would instantiate
+    // the `weights` subplan twice and re-run the corpus count
+    // aggregate behind it. DECIMAL sum is order-independent, so the
+    // window total is bit-identical to the aggregate's.
+    val wAll = org.apache.spark.sql.expressions.Window
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val quotas = weights
+      .select(col(keyCol), col("n_key"), col("w"), sum("w").over(wAll).as("w_tot"))
       .select(col(keyCol),
         least(col("n_key"), greatest(lit(1L),
           floor((col("w") * lit(budget)).cast("double") /
@@ -1392,41 +1422,56 @@ object TextAnalysis {
 
   /** [[sampleSaltBounds]] generalized to any stratum key and a
     * PER-KEY quota expression (evaluated against the key column):
-    * same exact-superset guarantee, same ≤4096-rows-per-key window. */
+    * same exact-superset guarantee. The (key, salt_bucket) counts
+    * collapse to a per-key sorted histogram array (≤4096 elements) in
+    * one regroup, and [[histBound]] scans it in-row — versus the
+    * previous cumulate-window + filter + regroup, one exchange and
+    * one sort fewer on a path that sits in front of every refined
+    * rank window. */
   private[graft] def saltBoundsByKey(rows: DataFrame, keyCol: String,
-                                     quota: Column): DataFrame = {
-    val cumW = org.apache.spark.sql.expressions.Window
-      .partitionBy(keyCol).orderBy("salt_bucket")
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+                                     quota: Column): DataFrame =
     rows
       .select(col(keyCol), shiftright(sampleSalt, saltBucketShift).as("salt_bucket"))
       .groupBy(keyCol, "salt_bucket").agg(count(lit(1)).as("c"))
-      .select(col(keyCol), col("salt_bucket"), sum("c").over(cumW).as("cum"))
-      .filter(col("cum") >= quota)
       .groupBy(keyCol)
-      .agg(((min("salt_bucket") + 1) * lit(1L << saltBucketShift)).as("salt_bound"))
-  }
+      .agg(array_sort(collect_list(struct(col("salt_bucket"), col("c")))).as("hist"))
+      .select(col(keyCol), histBound(col("hist"), quota).as("salt_bound"))
+      .filter(col("salt_bound").isNotNull)
 
   /** [[saltBoundsByKey]] for rows that CARRY their quota (a `quota`
     * column joined in from a data-derived quota table, constant per
     * key — [[mixTemperature]]'s shape, where the quota is a function
     * of per-key counts, not of the key value): same exact-superset
-    * guarantee, same ≤4096-rows-per-key cumulate. Expects the
+    * guarantee, same one-regroup histogram scan. Expects the
     * `sample_key` salt precomputed on the rows. */
-  private[graft] def saltBoundsCarried(rows: DataFrame, keyCol: String): DataFrame = {
-    val cumW = org.apache.spark.sql.expressions.Window
-      .partitionBy(keyCol).orderBy("salt_bucket")
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+  private[graft] def saltBoundsCarried(rows: DataFrame, keyCol: String): DataFrame =
     rows
       .select(col(keyCol), col("quota"),
         shiftright(col("sample_key"), saltBucketShift).as("salt_bucket"))
       .groupBy(keyCol, "salt_bucket")
       .agg(count(lit(1)).as("c"), first("quota").as("q"))
-      .select(col(keyCol), col("salt_bucket"), col("q"),
-        sum("c").over(cumW).as("cum"))
-      .filter(col("cum") >= col("q"))
       .groupBy(keyCol)
-      .agg(((min("salt_bucket") + 1) * lit(1L << saltBucketShift)).as("salt_bound"))
+      .agg(array_sort(collect_list(struct(col("salt_bucket"), col("c")))).as("hist"),
+        first("q").as("q"))
+      .select(col(keyCol), histBound(col("hist"), col("q")).as("salt_bound"))
+      .filter(col("salt_bound").isNotNull)
+
+  /** Scan a sorted (salt_bucket, c) histogram for the first bucket
+    * whose cumulative count reaches `quota` and return that bucket's
+    * exclusive upper salt edge — null when the key's total never
+    * reaches the quota (the caller's left join then keeps all of that
+    * key's rows, the under-quota-source case). Collapsing the
+    * cumulate into an in-row fold is exact: the fold visits buckets
+    * in the same ascending order the window cumulated in. */
+  private def histBound(hist: Column, quota: Column): Column = {
+    val scanned = aggregate(hist,
+      struct(lit(0L).as("cum"), lit(null).cast("long").as("bound")),
+      (acc, e) => struct(
+        (acc("cum") + e("c")).as("cum"),
+        coalesce(acc("bound"),
+          when(acc("cum") + e("c") >= quota, e("salt_bucket"))).as("bound")),
+      acc => acc("bound"))
+    (scanned + 1) * lit(1L << saltBucketShift)
   }
 
   /** The Knuth-multiplicative sample salt of [[stratifiedSample]].

@@ -150,13 +150,14 @@ class PlanSpec extends AnyFunSuite {
   test("stratified sample: broadcast-refined prefilter, rank window on survivors only") {
     val df = SparkEntry.queries("q_stratified_sample")(spark, sfDir)
     val p = df.queryExecution.executedPlan.toString
-    // threshold refinement shape: the salt-bound aggregate (source,
-    // bucket) + its cumulation + the survivor rank window — three hash
-    // exchanges, two Windows (the cumulation window runs on ≤4096
-    // histogram rows per source, the rank window on ~quota survivors)
+    // threshold refinement shape: the (source, bucket) count aggregate,
+    // the per-source histogram regroup, and the survivor rank window —
+    // three hash exchanges, ONE Window (the old per-source cumulation
+    // window is now an in-row aggregate() fold over the ≤4096-element
+    // histogram array; only the rank window on ~quota survivors remains)
     assert(p.split("Exchange hashpartitioning").length - 1 == 3,
       s"expected exactly three hash Exchanges:\n$p")
-    assert(p.split("Window \\[").length - 1 == 2, s"expected 2 Window operators:\n$p")
+    assert(p.split("Window \\[").length - 1 == 1, s"expected 1 Window operator:\n$p")
     // the per-source bounds come back as a BROADCAST, never a shuffle
     // of the corpus side
     assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin") ||
