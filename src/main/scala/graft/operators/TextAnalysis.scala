@@ -898,7 +898,10 @@ object TextAnalysis {
     * token set intersects the blocklist (C4 applied the public
     * "bad words" list this way — presence of ANY listed token kills
     * the doc). n_blocked_terms counts DISTINCT blocklisted tokens
-    * present, the audit column a curation datasheet wants.
+    * present, the audit column a curation datasheet wants. Matching
+    * is case-insensitive: entries are lowercased here because
+    * [[tokens]] normalizes the text side — real C4-style lists carry
+    * mixed case, and an uppercase entry would otherwise never match.
     *
     * Scale: the blocklist folds into the plan as a LITERAL array —
     * no broadcast, no join, no shuffle; the whole operator is a
@@ -908,7 +911,7 @@ object TextAnalysis {
     * (the stopword machinery) or a broadcast semi-join on tokens. */
   def blocklistFilter(docs: DataFrame, blocklist: Seq[String]): DataFrame = {
     val hits = size(array_intersect(array_distinct(tokens(col("text"))),
-      array(blocklist.map(lit): _*))).cast("long")
+      array(blocklist.map(t => lit(t.toLowerCase)): _*))).cast("long")
     docs.select(
       col("doc_id"),
       hits.as("n_blocked_terms"),
@@ -957,7 +960,7 @@ object TextAnalysis {
   /** [[blocklistFilter]]'s keep decision as one Column (see there). */
   def blocklistKeepExpr(blocklist: Seq[String]): Column =
     size(array_intersect(array_distinct(tokens(col("text"))),
-      array(blocklist.map(lit): _*))) === 0
+      array(blocklist.map(t => lit(t.toLowerCase)): _*))) === 0
 
   def qualityFilter(docs: DataFrame,
                     minTokens: Int = 20, maxTokens: Int = 100000,

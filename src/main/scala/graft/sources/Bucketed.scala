@@ -104,20 +104,33 @@ object Bucketed {
     * external bucketed table over the existing location.
     *
     * The bucket spec comes from the [[BucketMarker]] the writer left
-    * beside the data (falling back to `buckets` only for pre-marker
-    * directories) and is VALIDATED against the part files' embedded
+    * beside the data and is VALIDATED against the part files' embedded
     * bucket ids — declaring a wrong `INTO n BUCKETS` would make every
     * bucket-trusting join silently wrong, so a mismatch throws instead
-    * of registering. Returns false when the directory is gone too —
+    * of registering. A directory WITHOUT a marker is refused by
+    * default: the caller's `buckets` is a guess, and the embedded-id
+    * check below only catches a count declared LOWER than the data's
+    * (data in 4 buckets, declared 8, passes maxId < n and registers a
+    * wrong spec). `trustDeclaredSpec = true` opts into registering a
+    * marker-less pre-marker directory with the declared spec — on the
+    * caller's head. Returns false when the directory is gone too —
     * genuinely lost data. No-op (true) when the catalog already has
     * the table. */
   def reRegister(spark: SparkSession, table: String,
-                 schemaDdl: String, keyCol: String, buckets: Int = 8): Boolean = {
+                 schemaDdl: String, keyCol: String, buckets: Int = 8,
+                 trustDeclaredSpec: Boolean = false): Boolean = {
     if (spark.catalog.tableExists(table)) return true
     val loc = warehousePath(spark, table)
     val f = fs(spark, loc)
     if (!f.exists(loc)) return false
-    val (n, key) = readMarker(f, loc).getOrElse((buckets, keyCol))
+    val (n, key) = readMarker(f, loc).getOrElse {
+      require(trustDeclaredSpec,
+        s"no $BucketMarker marker at $loc: refusing to re-register with the " +
+          "caller-declared spec — a wrong bucket count silently corrupts every " +
+          "bucket-trusting join. Pass trustDeclaredSpec = true to override " +
+          "for a pre-marker directory whose spec is known out of band.")
+      (buckets, keyCol)
+    }
     require(key == keyCol,
       s"bucket marker at $loc records key '$key' but re-registration " +
         s"declares '$keyCol' — wrong table or corrupted layout")

@@ -307,6 +307,23 @@ class ScaleSpec extends AnyFunSuite {
         Bucketed.reRegister(spark, table,
           "o_orderkey BIGINT, o_totalprice DOUBLE", "o_orderkey")
       }
+
+      // a directory with NO marker is refused by default (the caller's
+      // count is a guess; data in 4 buckets declared as 8 would pass
+      // the maxId < n check and register a silently-wrong spec) ...
+      hf.delete(mp, false)
+      intercept[IllegalArgumentException] {
+        Bucketed.reRegister(spark, table,
+          "o_orderkey BIGINT, o_totalprice DOUBLE", "o_orderkey")
+      }
+      // ... and registers only under the explicit opt-in, with the
+      // declared count actually matching the data
+      assert(Bucketed.reRegister(spark, table,
+        "o_orderkey BIGINT, o_totalprice DOUBLE", "o_orderkey", buckets = 4,
+        trustDeclaredSpec = true))
+      val spec2 = spark.sessionState.catalog
+        .getTableMetadata(TableIdentifier(table)).bucketSpec
+      assert(spec2.map(_.numBuckets).contains(4))
     } finally Bucketed.dropTable(spark, table)
   }
 
