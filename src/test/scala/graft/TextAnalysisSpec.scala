@@ -483,6 +483,16 @@ class TextAnalysisSpec extends AnyFunSuite {
     val sf = TextAnalysis.blocklistFilter(docs, Seq("dup", "stall"))
       .filter(col("keep") === 0).count()
     assert(sf > 0 && sf < docs.count() / 10, s"implausible flag rate: $sf")
+    // LIST-side case: real C4-style lists carry mixed case, but the
+    // text side is normalized to lowercase — an uppercase entry must
+    // match all the same (entries are lowercased at plan build)
+    val up = TextAnalysis.blocklistFilter(d, Seq("DUP", "Stall")).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(up == out.map { case (k, v) => k -> v._2 },
+      s"uppercase blocklist entries must match identically: $up")
+    val kept = d.filter(TextAnalysis.blocklistKeepExpr(Seq("DUP"))).collect()
+      .map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 5L), s"keep-expr must lowercase entries too: $kept")
   }
 
   test("mixTemperature: tiny keys keep >= 1 row (floor lift), alpha=1 is proportional") {
@@ -650,6 +660,84 @@ class TextAnalysisSpec extends AnyFunSuite {
     val shuffled = TextAnalysis.dedupSpans(docs, k = 4, broadcastIntervals = false)
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
     assert(shuffled == out)
+  }
+
+  test("dedupSpans fidelity: window coverage equals exact repeated-substring coverage (sf0.001)") {
+    // The documented approximation claim ("any repeated run of >= k
+    // tokens is covered by repeated k-windows and is cut exactly")
+    // verified against an independent exact reference — the
+    // suffix-array semantic computed by brute force: for every token
+    // position s, best(s) = the longest common extension with any
+    // position in any OTHER document; exact coverage is the union of
+    // [s, s+best(s)) where best(s) >= k. A k-window at j recurs in
+    // another doc iff best(j) >= k, so the two unions must be
+    // IDENTICAL — any difference is a real defect (hash collision,
+    // island off-by-one, dropped tail window), so the missed-span
+    // rate is pinned at exactly zero rather than stated as a caveat.
+    val k = 20
+    val toks = docs.select(col("doc_id"), TextAnalysis.tokens(col("text")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toArray).toMap
+    val posByTok = scala.collection.mutable.HashMap
+      .empty[String, scala.collection.mutable.ArrayBuffer[(Long, Int)]]
+    for ((did, ts) <- toks; i <- ts.indices)
+      posByTok.getOrElseUpdate(ts(i),
+        scala.collection.mutable.ArrayBuffer.empty) += ((did, i))
+    def lcp(a: Array[String], i: Int, b: Array[String], j: Int): Int = {
+      var n = 0
+      while (i + n < a.length && j + n < b.length && a(i + n) == b(j + n)) n += 1
+      n
+    }
+    val exact = toks.map { case (did, ts) =>
+      val cov = new Array[Boolean](ts.length)
+      for (s <- ts.indices) {
+        var best = 0
+        for ((od, oi) <- posByTok(ts(s)) if od != did) {
+          val l = lcp(ts, s, toks(od), oi)
+          if (l > best) best = l
+        }
+        if (best >= k) java.util.Arrays.fill(cov, s, s + best, true)
+      }
+      did -> cov
+    }
+    val windowed = TextAnalysis.spanIntervals(docs, k, maxDocFreq = 1).collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1).map(iv => (iv.getInt(0), iv.getInt(1))))
+      .toMap
+    val winCov = toks.map { case (did, ts) =>
+      val cov = new Array[Boolean](ts.length)
+      windowed.getOrElse(did, Seq.empty).foreach { case (s, e) =>
+        java.util.Arrays.fill(cov, s, math.min(e, ts.length), true)
+      }
+      did -> cov
+    }
+    var totalExact = 0
+    toks.keys.foreach { did =>
+      assert(java.util.Arrays.equals(exact(did), winCov(did)),
+        s"doc $did: window coverage differs from exact reference")
+      totalExact += exact(did).count(identity)
+    }
+    // non-vacuous: the synthetic corpus carries real repeated spans
+    assert(totalExact > 0, "fidelity probe is vacuous: no repeated spans at this SF")
+  }
+
+  test("dedupSpans is document-frequency scoped: within-doc repeats survive by design") {
+    import spark.implicits._
+    val run = (1 to 25).map(i => s"w$i").mkString(" ")
+    // occurrence-counting suffix-array dedup (the Lee et al. 2022
+    // semantic) would cut the second occurrence below (25 tokens);
+    // the doc-frequency semantic keeps both — boilerplate is defined
+    // ACROSS documents. Pinned here so the semantic gap is a measured
+    // number on a crafted corpus, not an undemonstrated caveat.
+    val within = Seq((1L, s"$run mid $run"), (2L, "entirely different text"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.dedupSpans(within, k = 20).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out(1L) == 0L)
+    // the SAME run spread across two docs is cut from both in full
+    val across = Seq((1L, s"$run mid"), (2L, s"other $run")).toDF("doc_id", "text")
+    val cut = TextAnalysis.dedupSpans(across, k = 20).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(cut == Map(1L -> 25L, 2L -> 25L))
   }
 
   test("cutSpans preserves case and the (doc_id, source, text) pipeline contract") {
