@@ -1273,6 +1273,81 @@ object SparkEntry {
         |SELECT domain, count(*) AS n_urls, count(DISTINCT doc_id) AS n_docs
         |FROM d WHERE domain <> ''
         |GROUP BY domain ORDER BY n_urls DESC, domain ASC""".stripMargin,
+    // poly64 re-expressed in DuckDB: the byte fold runs in HUGEINT with
+    // an explicit mod-2^64 (DuckDB integer arithmetic errors on
+    // overflow rather than wrapping), over the UTF-8 bytes recovered
+    // from hex(encode(..)) — DuckDB has no direct byte accessor for
+    // BLOBs. list_reduce over a single-element [seed] list returns the
+    // seed, which matches the empty-string fingerprint.
+    "q_fingerprint" ->
+      """WITH norm AS (
+        |  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t FROM documents
+        |), b AS (
+        |  SELECT doc_id, hex(encode(t)) AS h, octet_length(encode(t)) AS nb FROM norm
+        |)
+        |SELECT doc_id,
+        |  CAST(CASE WHEN v >= 9223372036854775808::HUGEINT
+        |            THEN v - 18446744073709551616::HUGEINT ELSE v END AS BIGINT) AS fp64
+        |FROM (
+        |  SELECT doc_id,
+        |    list_reduce(
+        |      list_prepend(1125899906842597::HUGEINT,
+        |        list_transform(range(0, nb), i ->
+        |          CAST((strpos('0123456789ABCDEF', h[2*i+1]) - 1) * 16
+        |             + (strpos('0123456789ABCDEF', h[2*i+2]) - 1) AS HUGEINT))),
+        |      (acc, x) -> (acc * 31 + x) % 18446744073709551616::HUGEINT) AS v
+        |  FROM b)
+        |ORDER BY doc_id""".stripMargin,
+    // the hashing-trick embedding, token by token: poly64 (as above,
+    // per token) then the mix64 finalizer — two xor-shift rounds and
+    // two WRAPPING 64-bit multiplies, emulated 32x32 split in HUGEINT
+    // (a direct 64x64 product overflows even HUGEINT):
+    //   lo64(x*C) = ((hi(x)*lo(C) + lo(x)*hi(C)) mod 2^32)*2^32 + lo(x)*lo(C)
+    // with C1 = ff51afd7_ed558ccd, C2 = c4ceb9fe_1a85ec53. Bucket =
+    // (h>>1) % 64, sign = low bit; the signed counts then L2-normalize
+    // through FLOAT exactly as the kernel does (double product, cast
+    // to float32), so the rounded values are bit-identical.
+    "q_hash_embed" ->
+      """WITH toks AS (
+        |  SELECT doc_id, t
+        |  FROM documents, unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS u(t)
+        |  WHERE t <> ''
+        |), tb AS (
+        |  SELECT doc_id, hex(encode(t)) AS h, octet_length(encode(t)) AS nb FROM toks
+        |), p AS (
+        |  SELECT doc_id,
+        |    CAST(list_reduce(
+        |      list_prepend(1125899906842597::HUGEINT,
+        |        list_transform(range(0, nb), i ->
+        |          CAST((strpos('0123456789ABCDEF', h[2*i+1]) - 1) * 16
+        |             + (strpos('0123456789ABCDEF', h[2*i+2]) - 1) AS HUGEINT))),
+        |      (acc, x) -> (acc * 31 + x) % 18446744073709551616::HUGEINT) AS UBIGINT) AS x
+        |  FROM tb
+        |), s1 AS (SELECT doc_id, xor(x, x >> 33) AS a FROM p),
+        |m1 AS (SELECT doc_id, CAST(((((a::HUGEINT // 4294967296) * 3981806797 + (a::HUGEINT % 4294967296) * 4283543511) % 4294967296) * 4294967296
+        |       + (a::HUGEINT % 4294967296) * 3981806797) % 18446744073709551616::HUGEINT AS UBIGINT) AS b FROM s1),
+        |s2 AS (SELECT doc_id, xor(b, b >> 33) AS c FROM m1),
+        |m2 AS (SELECT doc_id, CAST(((((c::HUGEINT // 4294967296) * 444984403 + (c::HUGEINT % 4294967296) * 3301882366) % 4294967296) * 4294967296
+        |       + (c::HUGEINT % 4294967296) * 444984403) % 18446744073709551616::HUGEINT AS UBIGINT) AS d FROM s2),
+        |hx AS (SELECT doc_id, xor(d, d >> 33) AS h FROM m2),
+        |votes AS (
+        |  SELECT doc_id, CAST((h >> 1) % 64 AS INT) AS i,
+        |         SUM(CASE WHEN (h & 1) = 0 THEN 1.0 ELSE -1.0 END) AS s
+        |  FROM hx GROUP BY doc_id, i
+        |), grid AS (
+        |  SELECT doc_id, CAST(g.i AS INT) AS i FROM documents, range(0, 64) AS g(i)
+        |), acc AS (
+        |  SELECT grid.doc_id, grid.i, CAST(COALESCE(votes.s, 0.0) AS FLOAT) AS s
+        |  FROM grid LEFT JOIN votes ON grid.doc_id = votes.doc_id AND grid.i = votes.i
+        |), nrm AS (
+        |  SELECT doc_id, SUM(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) AS ss FROM acc GROUP BY doc_id
+        |)
+        |SELECT acc.doc_id AS vec_id, acc.i,
+        |  (round(CAST(CASE WHEN nrm.ss > 0
+        |       THEN CAST(CAST(s AS DOUBLE) * (1.0/sqrt(nrm.ss)) AS FLOAT)
+        |       ELSE CAST(0.0 AS FLOAT) END AS DOUBLE) + 1e-9, 6) + 0) AS x
+        |FROM acc JOIN nrm ON acc.doc_id = nrm.doc_id
+        |ORDER BY vec_id, i""".stripMargin,
     "q_token_entropy" ->
       """WITH tok AS (
         |  SELECT doc_id,

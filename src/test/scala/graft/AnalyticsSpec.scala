@@ -34,12 +34,28 @@ class AnalyticsSpec extends AnyFunSuite {
     val orphan = SparkEntry.oracleSql.keySet.diff(SparkEntry.queries.keySet)
     assert(orphan.isEmpty, s"oracleSql keys without queries: $orphan")
     val unoracled = SparkEntry.queries.keySet.diff(SparkEntry.oracleSql.keySet)
-    // rows-only queries are intentional; just keep the list visible
-    assert(unoracled.subsetOf(Set("q_fingerprint", "q_dedup_minhash",
+    // The remaining rows-only queries are intentional, each for a
+    // stated reason (every one is pinned by a dedicated spec instead):
+    // - q_dedup_minhash / q_dedup_simhash / q_ann_lsh / q_ann_ivf /
+    //   q_dedup_embed_lsh / q_cluster_embed: randomized/iterative
+    //   algorithms (hash-family draws, k-means) whose faithful SQL
+    //   restatement would BE the implementation, not an independent
+    //   oracle — pinned by recall/equivalence bounds in
+    //   SimilaritySpec/ScaleSpec.
+    // - q_distinct_sketch / q_quantiles_approx: sketches with
+    //   engine-specific internals (HLL++, GK); their exact
+    //   counterparts ARE oracled (q_dedup_key, q_quantiles) and the
+    //   sketch error is bound-asserted in specs.
+    // - q_train_bpe / q_token_count_bpe / q_tokenize_bpe: the greedy
+    //   merge loop is inherently procedural; pinned merge-for-merge
+    //   against the independent Python reference in BpeSpec.
+    // - q_media_features: binary codecs (JPEG/GIF/WAV) have no DuckDB
+    //   counterpart; round-tripped in MultimodalSpec.
+    assert(unoracled.subsetOf(Set("q_dedup_minhash",
       "q_dedup_simhash", "q_ann_lsh", "q_ann_ivf", "q_dedup_embed_lsh",
       "q_distinct_sketch", "q_media_features", "q_dedup_clusters",
       "q_token_count_bpe", "q_quantiles_approx", "q_tokenize_bpe",
-      "q_cluster_embed", "q_hash_embed", "q_train_bpe")),
+      "q_cluster_embed", "q_train_bpe")),
       s"unexpected rows-only queries: $unoracled")
   }
 
