@@ -18,8 +18,13 @@ object Analytics {
 
   /** Timestamp → epoch seconds. Emitted instead of raw timestamps so
     * results hash identically across engines regardless of parquet
-    * timestamp physical precision (µs vs ns). */
-  def epochS(ts: Column): Column = ts.cast("long")
+    * timestamp physical precision (µs vs ns). The intermediate
+    * TimestampType cast makes this legal for TIMESTAMP_NTZ inputs too
+    * (NTZ→long is a disallowed cast; NTZ→TZ interprets the wall-time
+    * in the UTC session zone, so the instant is unchanged) and is a
+    * no-op for already-TimestampType inputs. */
+  def epochS(ts: Column): Column =
+    ts.cast(org.apache.spark.sql.types.TimestampType).cast("long")
 
   /** Global key metrics (dashboard.py:160-176 create_weather_metrics):
     * avg/max/min measure, record count, entity count, latest ts. */
@@ -97,8 +102,12 @@ object Analytics {
     * timestamp would only push IsNotNull. */
   def loadTimerange(rawEvents: DataFrame, startTs: String, endTs: String): DataFrame = {
     import java.time.{LocalDateTime, ZoneOffset}
-    def ns(s: String): Long =
-      LocalDateTime.parse(s.replace(' ', 'T')).toEpochSecond(ZoneOffset.UTC) * 1000000000L
+    def ldt(s: String): LocalDateTime = LocalDateTime.parse(s.replace(' ', 'T'))
+    def ns(s: String): Long = ldt(s).toEpochSecond(ZoneOffset.UTC) * 1000000000L
+    val project = (df: DataFrame) => df.select(
+      col("event_id"), col("user_id"),
+      epochS(col("ts")).as("epoch_s"), col("event_type"), col("value"))
+      .orderBy("event_id")
     rawEvents.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         rawEvents
@@ -106,13 +115,17 @@ object Analytics {
           .select(col("event_id"), col("user_id"),
             expr("ts div 1000000000").as("epoch_s"), col("event_type"), col("value"))
           .orderBy("event_id")
+      case _: org.apache.spark.sql.types.TimestampNTZType =>
+        // lit(LocalDateTime) is a TIMESTAMP_NTZ literal: the comparison
+        // stays same-typed, so the range predicate pushes to parquet
+        // row-group stats (a TZ literal would force a cast on the scan
+        // column and only IsNotNull would push).
+        project(rawEvents.filter(
+          col("ts") >= lit(ldt(startTs)) && col("ts") < lit(ldt(endTs))))
       case _ =>
-        rawEvents
-          .filter(col("ts") >= lit(startTs).cast("timestamp") &&
-                  col("ts") < lit(endTs).cast("timestamp"))
-          .select(col("event_id"), col("user_id"),
-            epochS(col("ts")).as("epoch_s"), col("event_type"), col("value"))
-          .orderBy("event_id")
+        project(rawEvents.filter(
+          col("ts") >= lit(startTs).cast("timestamp") &&
+          col("ts") < lit(endTs).cast("timestamp")))
     }
   }
 
@@ -181,32 +194,37 @@ object Analytics {
     * loadTimerange (a correlated subquery would not). */
   def recentWindow(rawEvents: DataFrame, hours: Int = 24): DataFrame = {
     val maxTs = rawEvents.agg(max(col("ts"))).collect()(0)
-    val empty = rawEvents.filter(lit(false))
+    val tzProject = (df: DataFrame) => df.select(
+      col("event_id"), col("user_id"),
+      epochS(col("ts")).as("epoch_s"), col("event_type"), col("value"))
     rawEvents.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
-        if (maxTs.isNullAt(0))
-          empty.select(col("event_id"), col("user_id"),
-            expr("ts div 1000000000").as("epoch_s"), col("event_type"), col("value"))
+        val project = (df: DataFrame) => df.select(
+          col("event_id"), col("user_id"),
+          expr("ts div 1000000000").as("epoch_s"), col("event_type"), col("value"))
+        if (maxTs.isNullAt(0)) project(rawEvents.filter(lit(false)))
         else {
           val cutoff = maxTs.getLong(0) - hours * 3600L * 1000000000L
-          rawEvents.filter(col("ts") >= cutoff)
-            .select(col("event_id"), col("user_id"),
-              expr("ts div 1000000000").as("epoch_s"), col("event_type"), col("value"))
-            .orderBy("event_id")
+          project(rawEvents.filter(col("ts") >= cutoff)).orderBy("event_id")
+        }
+      case _: org.apache.spark.sql.types.TimestampNTZType =>
+        // an NTZ max() row yields java.time.LocalDateTime, and the
+        // cutoff literal must stay NTZ-typed for row-group pushdown
+        // (same-typed comparison — see loadTimerange).
+        if (maxTs.isNullAt(0)) tzProject(rawEvents.filter(lit(false)))
+        else {
+          val cutoff = maxTs.getAs[java.time.LocalDateTime](0)
+            .minusSeconds(hours * 3600L)
+          tzProject(rawEvents.filter(col("ts") >= lit(cutoff))).orderBy("event_id")
         }
       case _ =>
-        if (maxTs.isNullAt(0))
-          empty.select(col("event_id"), col("user_id"),
-            epochS(col("ts")).as("epoch_s"), col("event_type"), col("value"))
+        if (maxTs.isNullAt(0)) tzProject(rawEvents.filter(lit(false)))
         else {
           // Instant arithmetic keeps sub-millisecond precision
           // (Timestamp.getTime would truncate to ms and widen the window)
           val cutoff = java.sql.Timestamp.from(
             maxTs.getTimestamp(0).toInstant.minusSeconds(hours * 3600L))
-          rawEvents.filter(col("ts") >= lit(cutoff))
-            .select(col("event_id"), col("user_id"),
-              epochS(col("ts")).as("epoch_s"), col("event_type"), col("value"))
-            .orderBy("event_id")
+          tzProject(rawEvents.filter(col("ts") >= lit(cutoff))).orderBy("event_id")
         }
     }
   }

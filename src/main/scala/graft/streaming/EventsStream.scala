@@ -29,17 +29,20 @@ object EventsStream {
   case class EntityStats(user_id: Long, n: Long, mean: Double,
                          min: Double, max: Double)
 
-  /** File-source stream over the events parquet (ts stored as
-    * TIMESTAMP(NANOS) → LongType nanos under the legacy flag, same as
-    * the batch reader — normalized here to a timestamp column). */
+  /** File-source stream over the events parquet. The physical ts
+    * encoding varies across testdata generations (int64 nanos /
+    * TIMESTAMP micros / TIMESTAMP_NTZ micros), so the stream schema is
+    * probed from a one-footer batch read and ts is normalized through
+    * the same chokepoint as the batch reader (Tables.normalizeTs). */
   /** `maxFilesPerTrigger` is the ingest rate limit — the collector's
     * RateLimiter (weather_collector.py:71-112) expressed as source
     * throttling: each micro-batch admits at most that many files. */
   def readEvents(spark: SparkSession, dir: String,
                  maxFilesPerTrigger: Int = 0): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val tsType =
+      spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType
     val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("event_id", LongType), StructField("ts", tsType),
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))
     val reader = spark.readStream.schema(schema)
@@ -49,8 +52,7 @@ object EventsStream {
       if (maxFilesPerTrigger > 0)
         reader.option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
       else reader
-    limited.parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    graft.sources.Tables.normalizeTs(limited.parquet(dir))
   }
 
   /** Watermarked tumbling-window aggregate per entity (the dashboard

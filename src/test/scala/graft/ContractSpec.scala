@@ -11,7 +11,7 @@ import org.scalatest.funsuite.AnyFunSuite
 class ContractSpec extends AnyFunSuite {
 
   private val rowsOnlyByDesign = Set(
-    "q_fingerprint", "q_dedup_minhash", "q_dedup_simhash", "q_ann_lsh",
+    "q_dedup_minhash", "q_dedup_simhash", "q_ann_lsh",
     "q_ann_ivf", "q_dedup_embed_lsh", "q_distinct_sketch",
     "q_media_features", "q_dedup_clusters",
     // a BPE merge loop is not expressible in DuckDB SQL; pinned
@@ -30,10 +30,7 @@ class ContractSpec extends AnyFunSuite {
     // iterative k-means training is not SQL-expressible; argmax
     // semantics re-verified against recomputed centroids in
     // SimilaritySpec
-    "q_cluster_embed",
-    // the per-token 64-bit hash loop (poly64 mod 2^64) has no DuckDB
-    // form; kernel + properties pinned in SimilaritySpec
-    "q_hash_embed")
+    "q_cluster_embed")
 
   test("every oracle key names a registered query") {
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
