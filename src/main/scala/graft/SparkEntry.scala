@@ -195,7 +195,12 @@ object SparkEntry {
     "q_dedup_clusters" -> ((s, d) =>
       Dedup.nearDupClusters(Dedup.minhashPairs(Tables.documents(s, d)))),
     "q_dedup_simhash" -> ((s, d) => Dedup.simhashPairs(Tables.documents(s, d))),
-    "q_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(Tables.documents(s, d))),
+    // prefix+positional PPJoin form: identical output to
+    // ngramJaccardPairs (SimilaritySpec pins equivalence across taus),
+    // but candidates are pruned by the prefix bound instead of the full
+    // shared-shingle expansion — the exact form's pair volume grows
+    // superlinearly with corpus size (r6 slope 40.8x per 10x data)
+    "q_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairsPrefix(Tables.documents(s, d))),
     // decontamination: source 'src0' plays the held-out benchmark set
     "q_decontaminate" -> ((s, d) => {
       val docs = Tables.documents(s, d)

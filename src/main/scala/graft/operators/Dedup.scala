@@ -497,28 +497,29 @@ object Dedup {
         posexplode(slice(col("sh"), lit(1), pLen)))
       .select(col("doc_id"), col("n"), col("pos"), col("col").as("s"))
     // two more exactness-preserving prunes on top of the prefix bound
-    // (PPJoin, Xiao et al.):
-    //  - LENGTH: J ≥ τ forces τ·max(na,nb) ≤ min(na,nb) — applied
-    //    inside the join condition, so wildly different-sized pairs
-    //    never leave the join.
-    //  - POSITIONAL: the group's (min pa, min pb) is the position pair
-    //    of the smallest SHARED element in the two sorted arrays (any
-    //    smaller shared element would sit earlier in both prefixes),
-    //    so |A∩B| ≤ min(na−pa, nb−pb); J ≥ τ needs
-    //    |A∩B| ≥ ⌈τ/(1+τ)·(na+nb)⌉. Random low-overlap pairs match
-    //    late in their prefixes and die here without ever touching
+    // (PPJoin, Xiao et al.), BOTH inside the join condition so pruned
+    // rows die before the candidate exchange:
+    //  - LENGTH: J ≥ τ forces τ·max(na,nb) ≤ min(na,nb) — wildly
+    //    different-sized pairs never leave the join.
+    //  - POSITIONAL: a row matching element e at sorted positions
+    //    (i, j) admits at most min(na−i, nb−j) shared elements ≥ e;
+    //    J ≥ τ needs |A∩B| ≥ ⌈τ/(1+τ)·(na+nb)⌉. Per-row filtering is
+    //    sound because a qualifying pair's SMALLEST shared element
+    //    (which has no shared element before it, so its bound covers
+    //    the whole intersection) always satisfies the test — later
+    //    rows only ever have tighter bounds, so dropping them cannot
+    //    lose the pair. Random low-overlap pairs match late in their
+    //    prefixes and die here without ever touching an exchange or
     //    the shingle arrays.
+    val req = ceil(lit(tau / (1 + tau)) * (col("a.n") + col("b.n")) - lit(1e-9))
     val cand = prefix.as("a")
       .join(prefix.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
           col("a.n") >= ceil(lit(tau) * col("b.n") - lit(1e-9)) &&
-          col("b.n") >= ceil(lit(tau) * col("a.n") - lit(1e-9)))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(min(col("a.pos")).as("pa"), min(col("b.pos")).as("pb"),
-        min(col("a.n")).as("na"), min(col("b.n")).as("nb"))
-      .filter(least(col("na") - col("pa"), col("nb") - col("pb")) >=
-        ceil(lit(tau / (1 + tau)) * (col("na") + col("nb")) - lit(1e-9)))
-      .select(col("doc_a"), col("doc_b"))
+          col("b.n") >= ceil(lit(tau) * col("a.n") - lit(1e-9)) &&
+          least(col("a.n") - col("a.pos"), col("b.n") - col("b.pos")) >= req)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
     cand
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sa")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sb")), "doc_b")

@@ -506,6 +506,56 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("ngram-Jaccard default: prefix pruning beats the exact expansion and its slope is bounded") {
+    // The exact shared-shingle pair expansion grows superlinearly BY
+    // SEMANTICS (r6 measured 40.8x time slope per 10x data: shingle
+    // doc-frequency grows with the corpus, so candidate pairs grow
+    // ~quadratically). The PPJoin prefix form is the shipped default
+    // (q_ngram_jaccard) — identical output (SimilaritySpec), but its
+    // candidate exchange carries only prefix-window matches. This pin
+    // holds BOTH properties a refactor could silently lose: (a) the
+    // prefix form's total exchange volume at sf0.1 stays well under
+    // the exact form's, (b) its byte slope for the 10x step stays
+    // inside a measured envelope (candidate growth is corpus-
+    // vocabulary-driven; the envelope catches a plan regression that
+    // puts shingle ARRAYS on the candidate exchange or drops the
+    // prefix slice).
+    import graft.monitoring.PlanMetrics
+    import graft.operators.Dedup
+    val dirs = Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")
+    assume(dirs.forall(new java.io.File(_).isDirectory))
+    def measure(build: String => org.apache.spark.sql.DataFrame): Seq[Long] =
+      dirs.map { dir =>
+        val out = build(dir)
+        out.collect()
+        val b = PlanMetrics.shuffleStats(out).bytesWritten
+        graft.operators.Caches.releaseAll()
+        assert(b > 0, s"$dir: no shuffle bytes recorded — measurement broke")
+        b
+      }
+    val prefix = measure(d => Dedup.ngramJaccardPairsPrefix(Tables.documents(spark, d)))
+    val exactBig = {
+      val out = Dedup.ngramJaccardPairs(Tables.documents(spark, dirs(1)))
+      out.collect()
+      val b = PlanMetrics.shuffleStats(out).bytesWritten
+      graft.operators.Caches.releaseAll()
+      b
+    }
+    val slope = prefix(1).toDouble / prefix(0)
+    info(s"prefix bytes ${prefix(0)} -> ${prefix(1)} (slope $slope); exact@sf0.1 $exactBig")
+    assert(prefix(1) < exactBig,
+      s"prefix form (${prefix(1)} B) no longer beats the exact expansion ($exactBig B) at sf0.1")
+    // measured 72x for the 10x step (candidate growth is vocabulary-
+    // driven: shared-shingle doc-frequency rises with corpus size, so
+    // SOME superlinearity is the semantics' own — the exact form
+    // measures 80x+ AND 5x the absolute bytes). 150 = ~2x headroom;
+    // a plan regression that ships arrays on the candidate exchange
+    // or loses a prune jumps far past it.
+    assert(slope <= 150.0,
+      s"ngram-Jaccard prefix shuffle slope $slope (${prefix(0)} -> ${prefix(1)} bytes) " +
+        "exceeds its envelope for a 10x data step")
+  }
+
   test("incremental dedup vs a bucketed corpus-hash table: only the batch shuffles") {
     import graft.operators.TextAnalysis
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
