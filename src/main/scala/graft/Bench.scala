@@ -218,7 +218,19 @@ object Bench {
     // them truncatable — BENCH_r04/r05 recorded `parsed: null` when
     // the tens-of-KB detail line lost its tail to the driver's bounded
     // stdout capture).
-    println(s"""{"metric":"total_full","value":$total,"unit":"sec","queries":$qs,"exec_times":$execs,"shuffle_bytes":$shuffles,"spill_bytes_total":$spillTotal,"cold_total":$coldTotal,"failed":$failed$slope$lsh,"sf":"$sfDir"}""")
+    val fullLine = s"""{"metric":"total_full","value":$total,"unit":"sec","queries":$qs,"exec_times":$execs,"shuffle_bytes":$shuffles,"spill_bytes_total":$spillTotal,"cold_total":$coldTotal,"failed":$failed$slope$lsh,"sf":"$sfDir"}"""
+    println(fullLine)
+    // ALSO persist the full detail to a file: the driver's stdout
+    // capture is tail-bounded and has repeatedly truncated this
+    // tens-of-KB line (BENCH_r04/r05 `parsed: null`; BENCH_r07 lost
+    // half the per-query comparisons) — the file survives regardless
+    // of stdout limits. Path override for sandboxed runs.
+    try {
+      val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
+        "bench_detail.json")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(detailPath),
+        fullLine + "\n")
+    } catch { case _: Throwable => () }
     // THE "total" metric line: compact, printed LAST so a bounded tail
     // capture always carries it whole — the official wall-clock record.
     val slowest = results.sortBy(-_._3).take(5)

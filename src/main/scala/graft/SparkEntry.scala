@@ -1476,6 +1476,71 @@ object SparkEntry {
         |FROM shared
         |WHERE (round(inter * 1.0 / (na + nb - inter) + 1e-9, 4) + 0) >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // Oracle = ALL exact-Jaccard pairs at tau=0.8: the LSH candidate
+    // stage is recall<1 in general, but on this corpus every true pair
+    // agrees on >=1 of the 16 bands (dups are J>=0.9, where the miss
+    // probability is (1-0.9^8)^16 ~ 5e-14) and the hash family is
+    // deterministic — so band-candidates + exact verify reproduce the
+    // full exact answer, and this oracle pins BOTH the verify-side
+    // Jaccard arithmetic and the no-lost-candidates property.
+    "q_dedup_minhash" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(
+        |           range(1, len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) - 1),
+        |           i -> string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')[i]
+        |                || ' ' || string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')[i+1]
+        |                || ' ' || string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')[i+2]
+        |         )) AS sh
+        |  FROM documents
+        |  WHERE len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) >= 3
+        |), ex AS (
+        |  SELECT doc_id, unnest(sh) AS s, len(sh) AS n_sh FROM sh
+        |), shared AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |         count(*) AS inter, any_value(a.n_sh) AS na, any_value(b.n_sh) AS nb
+        |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id
+        |)
+        |SELECT doc_a, doc_b,
+        |       (round(inter * 1.0 / (na + nb - inter) + 1e-9, 4) + 0) AS jaccard
+        |FROM shared
+        |WHERE (round(inter * 1.0 / (na + nb - inter) + 1e-9, 4) + 0) >= 0.8
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    // Connected components over the tau=0.8 near-dup pair graph via
+    // recursive transitive closure; cluster_id = component-minimum
+    // doc_id, the same canonical contract as nearDupClusters.
+    "q_dedup_clusters" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(
+        |           range(1, len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) - 1),
+        |           i -> string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')[i]
+        |                || ' ' || string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')[i+1]
+        |                || ' ' || string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')[i+2]
+        |         )) AS sh
+        |  FROM documents
+        |  WHERE len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) >= 3
+        |), ex AS (
+        |  SELECT doc_id, unnest(sh) AS s, len(sh) AS n_sh FROM sh
+        |), shared AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |         count(*) AS inter, any_value(a.n_sh) AS na, any_value(b.n_sh) AS nb
+        |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id
+        |), pairs AS (
+        |  SELECT doc_a, doc_b FROM shared
+        |  WHERE (round(inter * 1.0 / (na + nb - inter) + 1e-9, 4) + 0) >= 0.8
+        |), und AS (
+        |  SELECT doc_a AS a, doc_b AS b FROM pairs
+        |  UNION SELECT doc_b, doc_a FROM pairs
+        |), reach(a, b) AS (
+        |  SELECT a, b FROM und
+        |  UNION
+        |  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+        |)
+        |SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+        |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
     "q_dedup_embed" ->
       """WITH e AS (
         |  SELECT vec_id,

@@ -391,13 +391,16 @@ object Dedup {
     * Shape: benchmark shingle sets (eval-set-bounded — MBs against a
     * corpus of TBs) broadcast to a candidate equi-join on the shingle
     * hash; only (doc, item) pairs sharing ≥ 1 shingle ever exist. One
-    * partial-agg shuffle on (doc_id, bench_id), one per-doc window
-    * over the hit set (hit docs only, not the corpus), and the final
-    * left join back to corpus ids. The corpus never self-joins and
-    * text never shuffles — shingles travel as int64. */
+    * partial-agg shuffle on (doc_id, bench_id), then the per-doc best
+    * item as a struct-max AGGREGATE reusing that shuffle's
+    * partitioning (struct comparison is field-lexicographic, so
+    * max(cont, −bench_id) is "highest containment, ties to lowest
+    * id" — same answer as a rank window without its per-doc sort
+    * stage), and the final left join back to corpus ids. The corpus
+    * never self-joins and text never shuffles — shingles travel as
+    * int64. */
   def decontaminateFuzzy(corpus: DataFrame, benchmark: DataFrame,
                          n: Int = 3, tau: Double = 0.8): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val benchSh = spreadToCores(
       benchmark.select(col("doc_id").as("bench_id"), col("text")))
       .select(col("bench_id"),
@@ -412,10 +415,10 @@ object Dedup {
       .select(col("doc_id"), col("bench_id"),
         (col("inter").cast("double") / col("nb")).as("cont"))
     val best = hits
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("doc_id"))
-          .orderBy(col("cont").desc, col("bench_id").asc)))
-      .filter(col("rn") === 1)
+      .groupBy(col("doc_id"))
+      .agg(max(struct(col("cont"), (-col("bench_id")).as("neg_id"))).as("b"))
+      .select(col("doc_id"), (-col("b.neg_id")).as("bench_id"),
+        col("b.cont").as("cont"))
     corpus.select(col("doc_id"))
       .join(best, Seq("doc_id"), "left")
       .select(col("doc_id"),

@@ -1090,24 +1090,28 @@ object TextAnalysis {
     * both engines (same per-row inputs ⇒ bit-identical quotients).
     *
     * Shape: model build is two map-side-combined aggregates over the
-    * train slice (token shuffle + bigram shuffle) plus a vocab-sized
-    * equi-join for the bigram denominator and a 1-row scalar
-    * broadcast; scoring is the corpus token stream joined against the
-    * two model tables, then one per-doc rollup. Bigram pairs are
-    * formed IN-SCAN from the retained token array (element_at on the
-    * posexploded position) — no self-join, no window.
+    * train slice (token shuffle + bigram shuffle) plus two vocab-sized
+    * build-time steps (the bigram-denominator join and the per-token
+    * prev→p2 map fold) and a 1-row scalar broadcast; scoring is the
+    * corpus token stream crossed over ONE fused model table (c1 +
+    * bigram map share the `token` key), then one per-doc rollup — the
+    * second score join of the unfused form moved the same rows over
+    * the same key and cost a whole extra broadcast-probe stage.
+    * Bigram pairs are formed IN-SCAN from the retained token array
+    * (element_at on the posexploded position) — no self-join, no
+    * window.
     *
-    * ZIPF-SKEW STORY (the score joins' `token` / `(prev, token)` keys
-    * are power-law distributed — "the" owns percents of the stream):
-    * the model tables are VOCAB-sized, orders of magnitude below the
-    * corpus, so the intended plan is a broadcast of both model tables
-    * — the token stream then never shuffles and skew is moot (PlanSpec
-    * pins both score joins as BroadcastHashJoin at bench scale). Only
-    * when a vocabulary outgrows broadcast (rare even at 100 TB: a
-    * 10M-row bigram table is ~300 MB) would the join shuffle on the
-    * skewed token key and hot-spot; [[bigramLogprobSalted]] is that
-    * case's form — the [[Salting.saltedJoin]] composition with the
-    * model side replicated across salts, pinned bit-identical to this
+    * ZIPF-SKEW STORY (the score join's `token` key is power-law
+    * distributed — "the" owns percents of the stream): the model is
+    * VOCAB-sized, orders of magnitude below the corpus, so the
+    * intended plan is a broadcast — the token stream then never
+    * shuffles and skew is moot (PlanSpec pins the score join as
+    * BroadcastHashJoin at bench scale). Only when a vocabulary
+    * outgrows broadcast (rare even at 100 TB: a 10M-row bigram table
+    * is ~300 MB) would the join shuffle on the skewed token key and
+    * hot-spot; [[bigramLogprobSalted]] is that case's form — the
+    * [[Salting.saltedJoin]] composition with the model side
+    * replicated across salts, pinned bit-identical to this
     * operator. */
   def bigramLogprob(docs: DataFrame, train: DataFrame,
                     alpha: Double = 0.4): DataFrame =
@@ -1115,7 +1119,7 @@ object TextAnalysis {
       (fact, build, keys) => fact.join(build, keys, "left"))
 
   /** [[bigramLogprob]] for the vocabulary-outgrows-broadcast case:
-    * both score joins run SALTED — the token stream (fact) side gets a
+    * the fused score join runs SALTED — the token stream (fact) side gets a
     * deterministic (doc_id, pos)-derived salt, the model (build) side
     * is replicated across all `salts` values, and the join key becomes
     * (key…, salt), so a Zipf-hot token's rows spread over `salts`
@@ -1146,7 +1150,7 @@ object TextAnalysis {
         when(col("pos") > 0, element_at(col("toks"), col("pos"))).as("prev"))
 
     val trainToks = stream(train)
-    // vocab-sized, reused by three consumers (score join, bigram
+    // vocab-sized, reused by three consumers (fused model, bigram
     // denominator, scalar totals) — persist via the scoped registry so
     // the train slice scans once, not four times
     val freq1 = Caches.persistTracked(
@@ -1160,16 +1164,29 @@ object TextAnalysis {
       .join(freq1.select(col("token").as("prev"), col("c1").as("c1_prev")), "prev")
       .select(col("prev"), col("token"),
         (col("c2").cast("double") / col("c1_prev")).as("p2"))
+    // FUSED model: freq1 and freq2 both key the score lookup on
+    // `token`, so fold the bigram rows into a per-token prev→p2 map
+    // and ship ONE model table — the corpus token stream crosses ONE
+    // join instead of two (the second join's whole broadcast-probe
+    // stage was pure per-stage floor: same key, same rows). The fold
+    // itself is a vocab-sized aggregate, paid once at build time.
+    val model = freq1.join(
+      freq2.groupBy("token")
+        .agg(map_from_entries(collect_list(struct(col("prev"), col("p2"))))
+          .as("p2m")),
+      Seq("token"), "left")
 
     val puni = (coalesce(col("c1"), lit(0L)) + lit(1L)).cast("double") /
       (col("n_train") + col("v_train"))
+    // try_element_at: missing key / null map / null prev (pos 0) all
+    // yield NULL instead of an ANSI lookup error
+    val p2 = try_element_at(col("p2m"), col("prev"))
     val score = when(col("pos") === 0, puni)
-      .when(col("p2").isNotNull, col("p2"))
+      .when(p2.isNotNull, p2)
       .otherwise(lit(alpha) * puni)
-    scoreJoin(scoreJoin(stream(docs), freq1, Seq("token")),
-        freq2, Seq("prev", "token"))
+    scoreJoin(stream(docs), model, Seq("token"))
       .crossJoin(broadcast(scalars))
-      .select(col("doc_id"), col("pos"), col("p2"),
+      .select(col("doc_id"), col("pos"), p2.as("p2"),
         rnd(-log2(score), 6).as("nll"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"),

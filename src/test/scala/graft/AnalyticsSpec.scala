@@ -51,9 +51,9 @@ class AnalyticsSpec extends AnyFunSuite {
     //   against the independent Python reference in BpeSpec.
     // - q_media_features: binary codecs (JPEG/GIF/WAV) have no DuckDB
     //   counterpart; round-tripped in MultimodalSpec.
-    assert(unoracled.subsetOf(Set("q_dedup_minhash",
+    assert(unoracled.subsetOf(Set(
       "q_dedup_simhash", "q_ann_lsh", "q_ann_ivf", "q_dedup_embed_lsh",
-      "q_distinct_sketch", "q_media_features", "q_dedup_clusters",
+      "q_distinct_sketch", "q_media_features",
       "q_token_count_bpe", "q_quantiles_approx", "q_tokenize_bpe",
       "q_cluster_embed", "q_train_bpe")),
       s"unexpected rows-only queries: $unoracled")

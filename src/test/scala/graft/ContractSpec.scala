@@ -11,9 +11,9 @@ import org.scalatest.funsuite.AnyFunSuite
 class ContractSpec extends AnyFunSuite {
 
   private val rowsOnlyByDesign = Set(
-    "q_dedup_minhash", "q_dedup_simhash", "q_ann_lsh",
+    "q_dedup_simhash", "q_ann_lsh",
     "q_ann_ivf", "q_dedup_embed_lsh", "q_distinct_sketch",
-    "q_media_features", "q_dedup_clusters",
+    "q_media_features",
     // a BPE merge loop is not expressible in DuckDB SQL; pinned
     // row-by-row against tools/bpe_reference.py's fixture in BpeSpec
     "q_token_count_bpe",
@@ -55,7 +55,9 @@ class ContractSpec extends AnyFunSuite {
       // on a validly reformatted oracle. Over-matching is harmless
       // here: column aliases can't be followed by `(`, so the only
       // captures are CTE declarations.
-      val ctes = "(?i)\\b([A-Za-z_][A-Za-z0-9_]*)\\s+AS\\s*\\(".r
+      // optional simple column list covers recursive CTE heads like
+      // `reach(a, b) AS (`
+      val ctes = "(?i)\\b([A-Za-z_][A-Za-z0-9_]*)\\s*(?:\\([A-Za-z0-9_,\\s]*\\))?\\s+AS\\s*\\(".r
         .findAllMatchIn(sql).map(_.group(1)).toSet
       val refs = fromRe.findAllMatchIn(sql).map(_.group(1)).toSet
       val unknown = refs -- tables -- ctes

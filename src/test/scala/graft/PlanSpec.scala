@@ -178,16 +178,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), s"corpus side must never sort-merge:\n$p")
   }
 
-  test("bigram LM: both score joins broadcast the vocab-sized model tables") {
-    // the score joins key on Zipf-skewed token/(prev,token) — the scale
-    // posture is "model tables broadcast, token stream never shuffles",
-    // so skew never materializes. AQE makes the final call from runtime
+  test("bigram LM: the fused model broadcasts; the token stream never shuffles") {
+    // the score join keys on the Zipf-skewed token — the scale posture
+    // is "model table broadcast, token stream never shuffles", so skew
+    // never materializes. The model is ONE fused vocab-sized table
+    // (c1 + per-token prev→p2 map), so the corpus stream crosses ONE
+    // broadcast join, not two. AQE makes the final call from runtime
     // sizes, so assert on the POST-EXECUTION adaptive plan.
     val df = SparkEntry.queries("q_bigram_logprob")(spark, sfDir)
     df.count()
     val p = df.queryExecution.executedPlan.toString
-    assert(p.split("BroadcastHashJoin").length - 1 >= 2,
-      s"freq1/freq2 score joins must both broadcast:\n$p")
+    assert(p.split("BroadcastHashJoin").length - 1 >= 1,
+      s"fused model score join must broadcast:\n$p")
     assert(!p.contains("SortMergeJoin"),
       s"the token stream must never sort-merge against the model:\n$p")
     graft.operators.Caches.releaseAll()
