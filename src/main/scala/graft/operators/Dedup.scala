@@ -345,25 +345,36 @@ object Dedup {
     * scraped re-post, or a shared boilerplate family shows up as a
     * hot cell long before per-doc dedup finds the pairs.
     *
-    * Shape: one distinct over (source, shingle-hash) — THE corpus-
-    * sized shuffle — then a self-equi-join on the hash whose fan-out
-    * per shingle is bounded by the SOURCE count (≤ nSources²/2 pair
-    * rows per shingle, map-side-combined into the ≤ nSources²/2-row
-    * matrix). Text never shuffles; shingles travel as int64 hashes
+    * Shape: ONE corpus-sized shuffle — the per-shingle
+    * `collect_set(source)` aggregate (the distinct over (source,
+    * shingle) is folded into the set-union, and the set is bounded by
+    * the SOURCE count, not the corpus). Source pairs are then
+    * generated IN-SCAN from each shingle's sorted source array
+    * (≤ nSources²/2 pair rows per shingle) and map-side-combined into
+    * the ≤ nSources²/2-row matrix; per-source totals explode the same
+    * cached frame. The former self-equi-join shape cost two MORE
+    * corpus-sized exchanges (re-partitioning both join sides by hash
+    * after the distinct's (source, sh) partitioning) for the same
+    * answer. Text never shuffles; shingles travel as int64 hashes
     * (the oracle joins the n-gram strings — identical counts modulo
     * a 2^-64 collision). */
   def sourceOverlap(docs: DataFrame, n: Int = 3): DataFrame = {
-    val ss = Caches.persistTracked(
+    val bySh = Caches.persistTracked(
       spreadToCores(docs)
         .select(col("source"),
           explode(GraftFunctions.shingleHash64(
             TextAnalysis.tokens(col("text")), n)).as("sh"))
-        .distinct())
-    val totals = ss.groupBy("source").agg(count(lit(1)).as("n_sh"))
-    val shared = ss.as("a")
-      .join(ss.as("b"),
-        col("a.sh") === col("b.sh") && col("a.source") < col("b.source"))
-      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+        .groupBy("sh").agg(sort_array(collect_set(col("source"))).as("srcs")))
+    val totals = bySh.select(explode(col("srcs")).as("source"))
+      .groupBy("source").agg(count(lit(1)).as("n_sh"))
+    // all ordered pairs of the (sorted) per-shingle source set, formed
+    // scan-local: pair (a, b) appears once per shared shingle
+    val pairCol = flatten(transform(col("srcs"), (x, i) =>
+      transform(slice(col("srcs"), i + 2, size(col("srcs"))), y =>
+        struct(x.as("src_a"), y.as("src_b")))))
+    val shared = bySh
+      .select(explode(pairCol).as("p"))
+      .groupBy(col("p.src_a").as("src_a"), col("p.src_b").as("src_b"))
       .agg(count(lit(1)).as("n_shared"))
     shared
       .join(broadcast(totals.select(col("source").as("src_a"), col("n_sh").as("n_a"))), "src_a")
