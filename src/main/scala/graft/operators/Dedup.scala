@@ -534,6 +534,15 @@ object Dedup {
           least(col("a.n") - col("a.pos"), col("b.n") - col("b.pos")) >= req)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+      // the distinct's output is small in BYTES (16 B/pair), so AQE
+      // coalesces it to ~one partition — which then serializes the
+      // whole verify stage (two joins + array_intersect per pair)
+      // onto one core. An explicit width pin keeps verify at full
+      // parallelism (user repartitions are exempt from AQE
+      // coalescing); keyed on doc_a so a non-broadcast verify join
+      // can reuse the layout. Cost: one candidate-id-sized exchange.
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism,
+        col("doc_a"))
     cand
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sa")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sb")), "doc_b")
