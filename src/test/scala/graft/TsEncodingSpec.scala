@@ -107,6 +107,36 @@ class TsEncodingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming readEvents normalizes all three encodings identically") {
+    // readEvents probes the stream schema from a one-footer batch read;
+    // its glob expects `events.parquet` as a flat FILE (the driver's
+    // layout), so flatten the spark-written directory first.
+    import java.nio.file.{Files => JFiles, Paths, StandardCopyOption}
+    import org.apache.spark.sql.streaming.Trigger
+    val results = encodings.map { case (enc, _) =>
+      val flat = JFiles.createTempDirectory(s"graft-tsenc-stream-$enc")
+      val partDir = Paths.get(dirs(enc), "events.parquet")
+      val part = JFiles.list(partDir).filter(_.toString.endsWith(".parquet"))
+        .findFirst().get()
+      JFiles.copy(part, flat.resolve("events.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+      val stream = graft.streaming.EventsStream.readEvents(spark, flat.toString)
+      assert(stream.schema("ts").dataType == TimestampType, s"$enc stream not normalized")
+      val outDir = JFiles.createTempDirectory(s"graft-tsenc-sink-$enc").toString
+      val q = stream
+        .select(col("event_id"), Analytics.epochS(col("ts")).as("s"))
+        .writeStream.format("memory").queryName(s"tsenc_$enc".replace('-', '_'))
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", s"$outDir/ckpt").start()
+      q.awaitTermination(60000)
+      val got = spark.table(s"tsenc_$enc".replace('-', '_'))
+        .orderBy("event_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      enc -> got
+    }
+    val expected = rows.map(r => (r._1, base + r._2))
+    results.foreach { case (enc, got) => assert(got == expected, s"$enc: $got") }
+  }
+
   test("range predicate pushes to the parquet scan for ALL encodings") {
     encodings.foreach { case (enc, _) =>
       val p = Analytics.loadTimerange(Tables.eventsRaw(spark, dirs(enc)),
