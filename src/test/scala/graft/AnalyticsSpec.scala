@@ -36,12 +36,14 @@ class AnalyticsSpec extends AnyFunSuite {
     val unoracled = SparkEntry.queries.keySet.diff(SparkEntry.oracleSql.keySet)
     // The remaining rows-only queries are intentional, each for a
     // stated reason (every one is pinned by a dedicated spec instead):
-    // - q_dedup_minhash / q_dedup_simhash / q_ann_lsh / q_ann_ivf /
+    // - q_dedup_simhash / q_ann_lsh / q_ann_ivf /
     //   q_dedup_embed_lsh / q_cluster_embed: randomized/iterative
     //   algorithms (hash-family draws, k-means) whose faithful SQL
     //   restatement would BE the implementation, not an independent
     //   oracle — pinned by recall/equivalence bounds in
-    //   SimilaritySpec/ScaleSpec.
+    //   SimilaritySpec/ScaleSpec. (q_dedup_minhash/q_dedup_clusters
+    //   graduated to SQL oracles: full band recall on this corpus
+    //   makes the exact-pair set the answer.)
     // - q_distinct_sketch / q_quantiles_approx: sketches with
     //   engine-specific internals (HLL++, GK); their exact
     //   counterparts ARE oracled (q_dedup_key, q_quantiles) and the
