@@ -40,6 +40,38 @@ class SimilaritySpec extends AnyFunSuite {
     graft.operators.Caches.releaseAll()
   }
 
+  test("prefix jaccard equals the exact operator on seeded random corpora and taus") {
+    // Randomized adversarial regression for the PER-ROW positional
+    // filter's soundness proof (a qualifying pair's smallest shared
+    // element always survives the in-join prune): tiny vocab forces
+    // heavy cross-doc shingle sharing, duplicate docs force J=1.0
+    // pairs, short docs hit degenerate prefix lengths, and taus sweep
+    // the knife edges (tiny, integral-τ·n-prone, 1.0). A dropped pair
+    // here means the prune is UNSOUND, not slow — this is the test
+    // that must fail first.
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff")
+    for (round <- 0 until 3) {
+      val base = Seq.fill(12)(
+        Seq.fill(3 + rng.nextInt(20))(vocab(rng.nextInt(vocab.size))).mkString(" "))
+      // append exact dups + one-token edits of earlier docs
+      val texts = (base ++ base.take(3) ++
+        base.take(3).map(t => t + " " + vocab(rng.nextInt(vocab.size))))
+        .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val df = texts.toDF("doc_id", "text")
+      for (tau <- Seq(0.11, 0.5, 1.0)) {
+        val exact = Dedup.ngramJaccardPairs(df, tau = tau).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+        val pref = Dedup.ngramJaccardPairsPrefix(df, tau = tau).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+        assert(pref == exact,
+          s"round=$round tau=$tau: missing=${exact.diff(pref)} extra=${pref.diff(exact)}")
+      }
+      graft.operators.Caches.releaseAll()
+    }
+  }
+
   test("simhash pairs are near-dups under exact hamming") {
     val out = Dedup.simhashPairs(docs).collect()
     assert(out.nonEmpty)
