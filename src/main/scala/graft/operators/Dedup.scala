@@ -365,22 +365,31 @@ object Dedup {
           explode(GraftFunctions.shingleHash64(
             TextAnalysis.tokens(col("text")), n)).as("sh"))
         .groupBy("sh").agg(sort_array(collect_set(col("source"))).as("srcs")))
-    val totals = bySh.select(explode(col("srcs")).as("source"))
-      .groupBy("source").agg(count(lit(1)).as("n_sh"))
+    // per-source distinct-shingle totals: the aggregate is distributed
+    // (one small exchange over the cached frame), but the RESULT is
+    // bounded by the SOURCE count (a label cardinality — dozens, not
+    // corpus-scaled), so it folds into the pair projection as a
+    // literal map instead of two broadcast-join subplans (the
+    // IVF-quantizer bounded-driver-state pattern; each join was a
+    // whole extra build stage over the same cache)
+    val totalsRows = bySh.select(explode(col("srcs")).as("source"))
+      .groupBy("source").agg(count(lit(1)).as("n_sh")).collect()
+    val totalsMap = map(totalsRows.flatMap(r =>
+      Seq(lit(r.getString(0)), lit(r.getLong(1)))).toSeq: _*)
     // all ordered pairs of the (sorted) per-shingle source set, formed
     // scan-local: pair (a, b) appears once per shared shingle
     val pairCol = flatten(transform(col("srcs"), (x, i) =>
       transform(slice(col("srcs"), i + 2, size(col("srcs"))), y =>
         struct(x.as("src_a"), y.as("src_b")))))
-    val shared = bySh
+    val nA = element_at(totalsMap, col("src_a"))
+    val nB = element_at(totalsMap, col("src_b"))
+    bySh
       .select(explode(pairCol).as("p"))
       .groupBy(col("p.src_a").as("src_a"), col("p.src_b").as("src_b"))
       .agg(count(lit(1)).as("n_shared"))
-    shared
-      .join(broadcast(totals.select(col("source").as("src_a"), col("n_sh").as("n_a"))), "src_a")
-      .join(broadcast(totals.select(col("source").as("src_b"), col("n_sh").as("n_b"))), "src_b")
-      .select(col("src_a"), col("src_b"), col("n_shared"), col("n_a"), col("n_b"),
-        rnd(col("n_shared").cast("double") / least(col("n_a"), col("n_b")), 6)
+      .select(col("src_a"), col("src_b"), col("n_shared"),
+        nA.as("n_a"), nB.as("n_b"),
+        rnd(col("n_shared").cast("double") / least(nA, nB), 6)
           .as("containment"))
       .orderBy("src_a", "src_b")
   }
