@@ -78,8 +78,11 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // required for TIMESTAMP(NANOS) events.parquet (see GraftSession)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    GraftSession.tune(spark)
     val tracker = PerformanceTracker.install(spark)
 
     // bus-quiescence wait: give the FIRST event after `floor` a longer

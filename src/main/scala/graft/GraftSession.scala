@@ -42,10 +42,15 @@ object GraftSession {
   }
 
   /** Apply graft configs to an externally-built session (Verify/Bench
-    * create their own). Runtime-settable configs only. */
+    * create their own). Runtime-settable configs only. The nanos flag
+    * must be set BEFORE any events.parquet read: without it a
+    * TIMESTAMP(NANOS)-encoded file fails the scan outright ("Illegal
+    * Parquet type"), the exact driver-re-encode drift TsEncodingSpec
+    * locks against. */
   def tune(spark: SparkSession): SparkSession = {
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark
   }
 }

@@ -39,6 +39,7 @@ class TsEncodingSpec extends AnyFunSuite {
   /** Write events.parquet under `enc` into a fresh dir; return the dir. */
   private def writeEncoded(enc: String): String = {
     val dir = Files.createTempDirectory(s"graft-tsenc-$enc").toString
+    if (enc == "nanos-annotated") { writeNanosAnnotated(dir); return dir }
     val ts = enc match {
       // the nanos file reads back as LongType — the same shape the
       // legacy nanosAsLong flag produces on a TIMESTAMP(NANOS) file
@@ -55,8 +56,52 @@ class TsEncodingSpec extends AnyFunSuite {
     dir
   }
 
+  /** A REAL `INT64 (TIMESTAMP(NANOS,false))`-annotated file — the
+    * encoding pyarrow emits for naive ns timestamps, and the one the
+    * driver has historically regenerated events.parquet with. Spark
+    * cannot write NANOS itself (outputTimestampType stops at micros),
+    * so this hand-writes the footer via the parquet Group API. Without
+    * `spark.sql.legacy.parquet.nanosAsLong` the SCAN throws "Illegal
+    * Parquet type: INT64 (TIMESTAMP(NANOS,false))" — so every test
+    * below exercising this arm pins the flag's presence in the session,
+    * not just the LongType normalization arithmetic. */
+  private def writeNanosAnnotated(dir: String): Unit = {
+    import org.apache.parquet.schema.{LogicalTypeAnnotation, Types}
+    import org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.parquet.example.data.simple.SimpleGroupFactory
+    import org.apache.parquet.hadoop.example.{ExampleParquetWriter, GroupWriteSupport}
+    import org.apache.parquet.io.api.Binary
+    val schema = Types.buildMessage()
+      .required(INT64).named("event_id")
+      .optional(INT64)
+        .as(LogicalTypeAnnotation.timestampType(false, TimeUnit.NANOS))
+        .named("ts")
+      .required(INT64).named("user_id")
+      .required(BINARY).as(LogicalTypeAnnotation.stringType()).named("event_type")
+      .required(DOUBLE).named("value")
+      .required(BINARY).as(LogicalTypeAnnotation.stringType()).named("props")
+      .named("spark_schema")
+    val conf = new org.apache.hadoop.conf.Configuration()
+    GroupWriteSupport.setSchema(schema, conf)
+    val writer = ExampleParquetWriter
+      .builder(new org.apache.hadoop.fs.Path(s"$dir/events.parquet"))
+      .withConf(conf).withType(schema).build()
+    try rows.foreach { case (id, off, uid, typ, v, props) =>
+      val g = new SimpleGroupFactory(schema).newGroup()
+      g.append("event_id", id)
+      g.append("ts", (base + off) * 1000000000L)
+      g.append("user_id", uid)
+      g.append("event_type", Binary.fromString(typ))
+      g.append("value", v)
+      g.append("props", Binary.fromString(props))
+      writer.write(g)
+    } finally writer.close()
+  }
+
   private val encodings = Seq(
     "nanos-long" -> LongType,
+    "nanos-annotated" -> LongType, // TIMESTAMP(NANOS) under the legacy flag
     "micros-tz" -> TimestampType,
     "micros-ntz" -> TimestampNTZType)
   private lazy val dirs: Map[String, String] =
@@ -116,8 +161,13 @@ class TsEncodingSpec extends AnyFunSuite {
     val results = encodings.map { case (enc, _) =>
       val flat = JFiles.createTempDirectory(s"graft-tsenc-stream-$enc")
       val partDir = Paths.get(dirs(enc), "events.parquet")
-      val part = JFiles.list(partDir).filter(_.toString.endsWith(".parquet"))
-        .findFirst().get()
+      // spark writes a directory of part files; the hand-written
+      // nanos-annotated arm is already a flat file (the driver layout)
+      val part =
+        if (JFiles.isDirectory(partDir))
+          JFiles.list(partDir).filter(_.toString.endsWith(".parquet"))
+            .findFirst().get()
+        else partDir
       JFiles.copy(part, flat.resolve("events.parquet"),
         StandardCopyOption.REPLACE_EXISTING)
       val stream = graft.streaming.EventsStream.readEvents(spark, flat.toString)
@@ -137,14 +187,37 @@ class TsEncodingSpec extends AnyFunSuite {
     results.foreach { case (enc, got) => assert(got == expected, s"$enc: $got") }
   }
 
-  test("range predicate pushes to the parquet scan for ALL encodings") {
+  /** The scan node's actual PushedFilters metadata (not the whole plan
+    * string — a post-scan Filter node would also print the predicate). */
+  private def pushedFilters(df: DataFrame): String = {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    // sparkPlan, not executedPlan: AQE wraps the latter in an
+    // AdaptiveSparkPlanExec whose collectLeaves hides the scan node
+    val scans = df.queryExecution.sparkPlan.collectLeaves().collect {
+      case s: FileSourceScanExec => s.metadata.getOrElse("PushedFilters", "")
+    }
+    assert(scans.nonEmpty, "no FileSourceScanExec leaf found")
+    scans.mkString(";")
+  }
+
+  test("range predicate reaches PushedFilters for ALL encodings") {
     encodings.foreach { case (enc, _) =>
-      val p = Analytics.loadTimerange(Tables.eventsRaw(spark, dirs(enc)),
-          "2024-01-01 01:00:00", "2024-01-03 00:00:00")
-        .queryExecution.executedPlan.toString
-      assert(p.contains("GreaterThanOrEqual(ts,"),
-        s"$enc: lower bound not pushed:\n$p")
-      assert(p.contains("LessThan(ts,"), s"$enc: upper bound not pushed:\n$p")
+      val pf = pushedFilters(Analytics.loadTimerange(
+        Tables.eventsRaw(spark, dirs(enc)),
+        "2024-01-01 01:00:00", "2024-01-03 00:00:00"))
+      assert(pf.contains("GreaterThanOrEqual(ts,"),
+        s"$enc: lower bound not in PushedFilters: $pf")
+      assert(pf.contains("LessThan(ts,"),
+        s"$enc: upper bound not in PushedFilters: $pf")
+    }
+  }
+
+  test("recentWindow cutoff reaches PushedFilters for ALL encodings") {
+    encodings.foreach { case (enc, _) =>
+      val pf = pushedFilters(
+        Analytics.recentWindow(Tables.eventsRaw(spark, dirs(enc)), hours = 24))
+      assert(pf.contains("GreaterThanOrEqual(ts,"),
+        s"$enc: cutoff not in PushedFilters: $pf")
     }
   }
 }
