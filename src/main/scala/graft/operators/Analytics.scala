@@ -104,29 +104,35 @@ object Analytics {
     import java.time.{LocalDateTime, ZoneOffset}
     def ldt(s: String): LocalDateTime = LocalDateTime.parse(s.replace(' ', 'T'))
     def ns(s: String): Long = ldt(s).toEpochSecond(ZoneOffset.UTC) * 1000000000L
-    val project = (df: DataFrame) => df.select(
-      col("event_id"), col("user_id"),
-      epochS(col("ts")).as("epoch_s"), col("event_type"), col("value"))
-      .orderBy("event_id")
     rawEvents.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
-        rawEvents
-          .filter(col("ts") >= ns(startTs) && col("ts") < ns(endTs))
-          .select(col("event_id"), col("user_id"),
-            expr("ts div 1000000000").as("epoch_s"), col("event_type"), col("value"))
-          .orderBy("event_id")
+        projectEvents(rawEvents
+          .filter(col("ts") >= ns(startTs) && col("ts") < ns(endTs)))
       case _: org.apache.spark.sql.types.TimestampNTZType =>
         // lit(LocalDateTime) is a TIMESTAMP_NTZ literal: the comparison
         // stays same-typed, so the range predicate pushes to parquet
         // row-group stats (a TZ literal would force a cast on the scan
         // column and only IsNotNull would push).
-        project(rawEvents.filter(
+        projectEvents(rawEvents.filter(
           col("ts") >= lit(ldt(startTs)) && col("ts") < lit(ldt(endTs))))
       case _ =>
-        project(rawEvents.filter(
+        projectEvents(rawEvents.filter(
           col("ts") >= lit(startTs).cast("timestamp") &&
           col("ts") < lit(endTs).cast("timestamp")))
     }
+  }
+
+  /** Shared events projection for the raw-ts scan operators: the
+    * epoch_s arithmetic is the ONLY thing that varies by physical ts
+    * encoding, so a column addition happens in exactly one place. */
+  private def projectEvents(filtered: DataFrame): DataFrame = {
+    val epoch = filtered.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000000000")
+      case _ => epochS(col("ts"))
+    }
+    filtered.select(col("event_id"), col("user_id"), epoch.as("epoch_s"),
+        col("event_type"), col("value"))
+      .orderBy("event_id")
   }
 
   /** JSON payload ingest (weather_collector.py _parse_weather_data —
@@ -194,39 +200,23 @@ object Analytics {
     * loadTimerange (a correlated subquery would not). */
   def recentWindow(rawEvents: DataFrame, hours: Int = 24): DataFrame = {
     val maxTs = rawEvents.agg(max(col("ts"))).collect()(0)
-    val tzProject = (df: DataFrame) => df.select(
-      col("event_id"), col("user_id"),
-      epochS(col("ts")).as("epoch_s"), col("event_type"), col("value"))
-    rawEvents.schema("ts").dataType match {
+    if (maxTs.isNullAt(0)) return projectEvents(rawEvents.filter(lit(false)))
+    val cutoff: Column = rawEvents.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
-        val project = (df: DataFrame) => df.select(
-          col("event_id"), col("user_id"),
-          expr("ts div 1000000000").as("epoch_s"), col("event_type"), col("value"))
-        if (maxTs.isNullAt(0)) project(rawEvents.filter(lit(false)))
-        else {
-          val cutoff = maxTs.getLong(0) - hours * 3600L * 1000000000L
-          project(rawEvents.filter(col("ts") >= cutoff)).orderBy("event_id")
-        }
+        lit(maxTs.getLong(0) - hours * 3600L * 1000000000L)
       case _: org.apache.spark.sql.types.TimestampNTZType =>
         // an NTZ max() row yields java.time.LocalDateTime, and the
         // cutoff literal must stay NTZ-typed for row-group pushdown
         // (same-typed comparison — see loadTimerange).
-        if (maxTs.isNullAt(0)) tzProject(rawEvents.filter(lit(false)))
-        else {
-          val cutoff = maxTs.getAs[java.time.LocalDateTime](0)
-            .minusSeconds(hours * 3600L)
-          tzProject(rawEvents.filter(col("ts") >= lit(cutoff))).orderBy("event_id")
-        }
+        lit(maxTs.getAs[java.time.LocalDateTime](0)
+          .minusSeconds(hours * 3600L))
       case _ =>
-        if (maxTs.isNullAt(0)) tzProject(rawEvents.filter(lit(false)))
-        else {
-          // Instant arithmetic keeps sub-millisecond precision
-          // (Timestamp.getTime would truncate to ms and widen the window)
-          val cutoff = java.sql.Timestamp.from(
-            maxTs.getTimestamp(0).toInstant.minusSeconds(hours * 3600L))
-          tzProject(rawEvents.filter(col("ts") >= lit(cutoff))).orderBy("event_id")
-        }
+        // Instant arithmetic keeps sub-millisecond precision
+        // (Timestamp.getTime would truncate to ms and widen the window)
+        lit(java.sql.Timestamp.from(
+          maxTs.getTimestamp(0).toInstant.minusSeconds(hours * 3600L)))
     }
+    projectEvents(rawEvents.filter(col("ts") >= cutoff))
   }
 
   /** Pricing-summary style aggregate over the fact table (the

@@ -39,8 +39,17 @@ object EventsStream {
     * throttling: each micro-batch admits at most that many files. */
   def readEvents(spark: SparkSession, dir: String,
                  maxFilesPerTrigger: Int = 0): DataFrame = {
-    val tsType =
-      spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType
+    // Probe the physical ts encoding from whatever parquet is already
+    // present. A stream may legitimately be declared over a directory
+    // BEFORE the first file lands — fall back to TimestampType then
+    // (normalizeTs is the identity on it), matching the current
+    // generator's encoding; a nanos/NTZ file arriving later on an
+    // empty-at-declaration dir is a schema change requiring a restart,
+    // which is standard file-source semantics.
+    val probed =
+      try Some(spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType)
+      catch { case _: org.apache.spark.sql.AnalysisException => None }
+    val tsType = probed.getOrElse(TimestampType)
     val schema = StructType(Seq(
       StructField("event_id", LongType), StructField("ts", tsType),
       StructField("user_id", LongType), StructField("event_type", StringType),
