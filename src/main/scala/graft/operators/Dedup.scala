@@ -357,14 +357,33 @@ object Dedup {
     * after the distinct's (source, sh) partitioning) for the same
     * answer. Text never shuffles; shingles travel as int64 hashes
     * (the oracle joins the n-gram strings — identical counts modulo
-    * a 2^-64 collision). */
+    * a 2^-64 collision), and the source label is dictionary-encoded
+    * to a small int BEFORE the explode so the one corpus-sized
+    * exchange moves (int64, int) rows, not a repeated STRING per
+    * shingle. Ids are assigned in lexicographic source order, so the
+    * sorted-set pair generation and output ordering are identical to
+    * the string form; the final ≤ nSources²/2-row projection decodes.
+    *
+    * NOTE eager construction (laziness break): the source dictionary
+    * and per-source totals are collected when the DataFrame is BUILT
+    * (bounded driver state — both are label-cardinality-sized). The
+    * result therefore reflects the docs snapshot read at build time;
+    * a docs table mutated between construction and execution would
+    * serve stale n_a/n_b/containment. Acceptable for an audit query;
+    * rebuild to re-snapshot. */
   def sourceOverlap(docs: DataFrame, n: Int = 3): DataFrame = {
+    val sources = docs.select(col("source")).distinct()
+      .collect().map(_.getString(0)).sorted
+    val encodeMap = map(sources.zipWithIndex.flatMap { case (s, i) =>
+      Seq(lit(s), lit(i)) }.toSeq: _*)
+    val decodeMap = map(sources.zipWithIndex.flatMap { case (s, i) =>
+      Seq(lit(i), lit(s)) }.toSeq: _*)
     val bySh = Caches.persistTracked(
       spreadToCores(docs)
-        .select(col("source"),
+        .select(element_at(encodeMap, col("source")).as("src"),
           explode(GraftFunctions.shingleHash64(
             TextAnalysis.tokens(col("text")), n)).as("sh"))
-        .groupBy("sh").agg(sort_array(collect_set(col("source"))).as("srcs")))
+        .groupBy("sh").agg(sort_array(collect_set(col("src"))).as("srcs")))
     // per-source distinct-shingle totals: the aggregate is distributed
     // (one small exchange over the cached frame), but the RESULT is
     // bounded by the SOURCE count (a label cardinality — dozens, not
@@ -372,22 +391,23 @@ object Dedup {
     // literal map instead of two broadcast-join subplans (the
     // IVF-quantizer bounded-driver-state pattern; each join was a
     // whole extra build stage over the same cache)
-    val totalsRows = bySh.select(explode(col("srcs")).as("source"))
-      .groupBy("source").agg(count(lit(1)).as("n_sh")).collect()
+    val totalsRows = bySh.select(explode(col("srcs")).as("src"))
+      .groupBy("src").agg(count(lit(1)).as("n_sh")).collect()
     val totalsMap = map(totalsRows.flatMap(r =>
-      Seq(lit(r.getString(0)), lit(r.getLong(1)))).toSeq: _*)
-    // all ordered pairs of the (sorted) per-shingle source set, formed
-    // scan-local: pair (a, b) appears once per shared shingle
+      Seq(lit(r.getInt(0)), lit(r.getLong(1)))).toSeq: _*)
+    // all ordered pairs of the (sorted) per-shingle source-id set,
+    // formed scan-local: pair (a, b) appears once per shared shingle
     val pairCol = flatten(transform(col("srcs"), (x, i) =>
       transform(slice(col("srcs"), i + 2, size(col("srcs"))), y =>
-        struct(x.as("src_a"), y.as("src_b")))))
-    val nA = element_at(totalsMap, col("src_a"))
-    val nB = element_at(totalsMap, col("src_b"))
+        struct(x.as("a"), y.as("b")))))
+    val nA = element_at(totalsMap, col("a"))
+    val nB = element_at(totalsMap, col("b"))
     bySh
       .select(explode(pairCol).as("p"))
-      .groupBy(col("p.src_a").as("src_a"), col("p.src_b").as("src_b"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
       .agg(count(lit(1)).as("n_shared"))
-      .select(col("src_a"), col("src_b"), col("n_shared"),
+      .select(element_at(decodeMap, col("a")).as("src_a"),
+        element_at(decodeMap, col("b")).as("src_b"), col("n_shared"),
         nA.as("n_a"), nB.as("n_b"),
         rnd(col("n_shared").cast("double") / least(nA, nB), 6)
           .as("containment"))
