@@ -1114,8 +1114,9 @@ object TextAnalysis {
     * replicated across salts, pinned bit-identical to this
     * operator. */
   def bigramLogprob(docs: DataFrame, train: DataFrame,
-                    alpha: Double = 0.4): DataFrame =
-    bigramImpl(docs, train, alpha,
+                    alpha: Double = 0.4,
+                    maxFanout: Int = 1 << 18): DataFrame =
+    bigramImpl(docs, train, alpha, maxFanout,
       (fact, build, keys) => fact.join(build, keys, "left"))
 
   /** [[bigramLogprob]] for the vocabulary-outgrows-broadcast case:
@@ -1130,8 +1131,9 @@ object TextAnalysis {
     * replication of the vocab-sized tables — only pay it when the
     * broadcast form is off the table. */
   def bigramLogprobSalted(docs: DataFrame, train: DataFrame,
-                          alpha: Double = 0.4, salts: Int = 16): DataFrame =
-    bigramImpl(docs, train, alpha, (fact, build, keys) => {
+                          alpha: Double = 0.4, salts: Int = 16,
+                          maxFanout: Int = 1 << 18): DataFrame =
+    bigramImpl(docs, train, alpha, maxFanout, (fact, build, keys) => {
       val sf = fact.withColumn("_salt",
         pmod(hash(col("doc_id"), col("pos")), lit(salts)))
       val rb = build.withColumn("_salt",
@@ -1139,7 +1141,23 @@ object TextAnalysis {
       sf.join(rb, keys :+ "_salt", "left").drop("_salt")
     })
 
+  /** Shared bigram-scoring plan. `maxFanout` guards the FUSED model's
+    * per-row size: the per-token prev→p2 map holds one entry per
+    * observed predecessor, and a Zipf-hot token in a 10M-type
+    * vocabulary can reach ~10⁶ entries — tens of MB in ONE row, a
+    * broadcast-build / single-row memory hazard long before the model
+    * TABLE outgrows broadcast. The max prev-fanout is probed from the
+    * (cached, vocab-sized) bigram table at build time; above the bound
+    * the plan falls back to the UNFUSED two-join form (freq1 on token,
+    * freq2 on (prev, token)) whose build rows stay scalar-sized. Both
+    * shapes produce bit-identical output (p2 values are computed once
+    * in freq2 either way — TextAnalysisSpec pins the switch).
+    *
+    * NOTE eager construction: the fanout probe executes the train-side
+    * aggregates when the DataFrame is BUILT (vocab-sized job over the
+    * cached bigram table; the corpus side stays lazy). */
   private def bigramImpl(docs: DataFrame, train: DataFrame, alpha: Double,
+      maxFanout: Int,
       scoreJoin: (DataFrame, DataFrame, Seq[String]) => DataFrame): DataFrame = {
     def stream(d: DataFrame): DataFrame = d
       .select(col("doc_id"), tokens(col("text")).as("toks"))
@@ -1159,39 +1177,57 @@ object TextAnalysis {
       count(lit(1)).as("v_train"))
     // bigram table with its denominator folded in at build time
     // (vocab-sized join, not corpus-sized): p2 = c2 / c1(prev)
-    val freq2 = trainToks.filter(col("prev").isNotNull)
-      .groupBy("prev", "token").agg(count(lit(1)).as("c2"))
-      .join(freq1.select(col("token").as("prev"), col("c1").as("c1_prev")), "prev")
-      .select(col("prev"), col("token"),
-        (col("c2").cast("double") / col("c1_prev")).as("p2"))
-    // FUSED model: freq1 and freq2 both key the score lookup on
-    // `token`, so fold the bigram rows into a per-token prev→p2 map
-    // and ship ONE model table — the corpus token stream crosses ONE
-    // join instead of two (the second join's whole broadcast-probe
-    // stage was pure per-stage floor: same key, same rows). The fold
-    // itself is a vocab-sized aggregate, paid once at build time.
-    val model = freq1.join(
-      freq2.groupBy("token")
-        .agg(map_from_entries(collect_list(struct(col("prev"), col("p2"))))
-          .as("p2m")),
-      Seq("token"), "left")
+    val freq2 = Caches.persistTracked(
+      trainToks.filter(col("prev").isNotNull)
+        .groupBy("prev", "token").agg(count(lit(1)).as("c2"))
+        .join(freq1.select(col("token").as("prev"), col("c1").as("c1_prev")), "prev")
+        .select(col("prev"), col("token"),
+          (col("c2").cast("double") / col("c1_prev")).as("p2")))
+    // per-row size guard for the fused map (see scaladoc)
+    val fanout = Option(freq2.groupBy("token").agg(count(lit(1)).as("f"))
+      .agg(max(col("f"))).collect()(0).get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+
+    // (scored token stream, the p2 lookup expression valid on it)
+    val (fact, p2) =
+      if (fanout <= maxFanout) {
+        // FUSED model: freq1 and freq2 both key the score lookup on
+        // `token`, so fold the bigram rows into a per-token prev→p2 map
+        // and ship ONE model table — the corpus token stream crosses ONE
+        // join instead of two (the second join's whole broadcast-probe
+        // stage was pure per-stage floor: same key, same rows). The fold
+        // itself is a vocab-sized aggregate, paid once at build time.
+        val model = freq1.join(
+          freq2.groupBy("token")
+            .agg(map_from_entries(collect_list(struct(col("prev"), col("p2"))))
+              .as("p2m")),
+          Seq("token"), "left")
+        // try_element_at: missing key / null map / null prev (pos 0)
+        // all yield NULL instead of an ANSI lookup error
+        (scoreJoin(stream(docs), model, Seq("token")),
+          try_element_at(col("p2m"), col("prev")))
+      } else {
+        // UNFUSED fallback: two scalar-row joins; a null prev (pos 0)
+        // simply finds no (prev, token) match, so p2 is NULL there —
+        // the same contract the fused lookup produces
+        (scoreJoin(scoreJoin(stream(docs), freq1, Seq("token")),
+            freq2, Seq("prev", "token")),
+          col("p2"))
+      }
 
     val puni = (coalesce(col("c1"), lit(0L)) + lit(1L)).cast("double") /
       (col("n_train") + col("v_train"))
-    // try_element_at: missing key / null map / null prev (pos 0) all
-    // yield NULL instead of an ANSI lookup error
-    val p2 = try_element_at(col("p2m"), col("prev"))
     val score = when(col("pos") === 0, puni)
       .when(p2.isNotNull, p2)
       .otherwise(lit(alpha) * puni)
-    scoreJoin(stream(docs), model, Seq("token"))
+    fact
       .crossJoin(broadcast(scalars))
-      .select(col("doc_id"), col("pos"), p2.as("p2"),
+      .select(col("doc_id"), col("pos"), p2.as("p2_"),
         rnd(-log2(score), 6).as("nll"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"),
         rnd(decSum(col("nll")) / count(lit(1)), 4).as("mean_nll"),
-        sum(when(col("pos") > 0 && col("p2").isNull, 1L).otherwise(0L))
+        sum(when(col("pos") > 0 && col("p2_").isNull, 1L).otherwise(0L))
           .as("n_backoff"))
       .orderBy("doc_id")
   }

@@ -189,6 +189,46 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
   }
 
+  test("bigram fanout guard: unfused fallback is bit-identical to fused") {
+    // synthetic Zipf-hot token: "x" follows 7 distinct predecessors, so
+    // its fused prev→p2 map row has fanout 7 — a maxFanout below that
+    // must flip the plan to the unfused two-join form, and the flip
+    // must be output-invisible to the bit
+    import spark.implicits._
+    val train = Seq((100L, "a x b x c x d x"), (101L, "e x f x g x")).toDF("doc_id", "text")
+    val score = Seq((1L, "a x b"), (2L, "q x e x"), (3L, "x x x")).toDF("doc_id", "text")
+    val fused = TextAnalysis.bigramLogprob(score, train, maxFanout = Int.MaxValue)
+    val fusedRows = fused.collect()
+    graft.operators.Caches.releaseAll()
+    val guarded = TextAnalysis.bigramLogprob(score, train, maxFanout = 3)
+    val guardedRows = guarded.collect()
+    graft.operators.Caches.releaseAll()
+    // the guard actually switched shapes (fused builds the prev→p2 map)
+    val fusedPlan = fused.queryExecution.optimizedPlan.toString
+    val guardedPlan = guarded.queryExecution.optimizedPlan.toString
+    assert(fusedPlan.contains("map_from_entries"), "fused form lost its map build")
+    assert(!guardedPlan.contains("map_from_entries"),
+      "guard did not fall back to the unfused form")
+    assert(fusedRows.length == guardedRows.length && fusedRows.length == 3)
+    fusedRows.zip(guardedRows).foreach { case (a, b) =>
+      assert(a == b, s"guard-switch drift: $a vs $b")
+    }
+  }
+
+  test("bigram fanout guard: salted form honors the same bound") {
+    import spark.implicits._
+    val train = Seq((100L, "a x b x c x d x"), (101L, "e x f x g x")).toDF("doc_id", "text")
+    val score = Seq((1L, "a x b"), (2L, "q x e x")).toDF("doc_id", "text")
+    val plain = TextAnalysis.bigramLogprob(score, train, maxFanout = 3).collect()
+    graft.operators.Caches.releaseAll()
+    val salted = TextAnalysis.bigramLogprobSalted(score, train, salts = 5,
+      maxFanout = 3).collect()
+    graft.operators.Caches.releaseAll()
+    plain.zip(salted).foreach { case (a, b) =>
+      assert(a == b, s"salted unfused drift: $a vs $b")
+    }
+  }
+
   test("textQuality n_chars matches the table's n_chars column") {
     val joined = TextAnalysis.textQuality(docs)
       .join(docs.select("doc_id", "n_chars"), "doc_id")
