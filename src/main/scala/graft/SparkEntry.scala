@@ -1541,6 +1541,64 @@ object SparkEntry {
         |)
         |SELECT a AS doc_id, least(a, min(b)) AS cluster_id
         |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
+    // SimHash near-dup pairs, DETERMINISTICALLY equivalent to exact
+    // all-pairs hamming <= 6: 6 differing bits spread over 8 disjoint
+    // 8-bit chunks leave >= 2 chunks untouched (pigeonhole), so the
+    // chunk-bucket candidate join has FULL recall by construction (no
+    // probabilistic caveat, unlike banded minhash). The oracle
+    // therefore recomputes the whole kernel — poly64 over UTF-8 bytes
+    // (hex-pair fold, byte-exact for any encoding), the mix64
+    // finalizer (32-bit-limb multiply mod 2^64 — HUGEINT holds the
+    // partial products), per-bit +-1 votes, sign-of-sum signature —
+    // and compares exact pairwise bit_count(xor) over all signatures.
+    // Pins the bucketing's no-lost-candidates property AND the
+    // hamming/vote arithmetic against an independent engine.
+    "q_dedup_simhash" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS tk
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |           range(1, len(tk) - 1),
+        |           i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS shl
+        |  FROM toks WHERE len(tk) >= 3
+        |), ex AS (
+        |  SELECT doc_id, unnest(shl) AS s FROM sh
+        |), hx AS (
+        |  SELECT doc_id, hex(encode(s)) AS h, octet_length(encode(s)) AS nb FROM ex
+        |), p AS (
+        |  SELECT doc_id, list_reduce(list_prepend(1125899906842597::HUGEINT,
+        |           list_transform(range(0, nb),
+        |             i -> 16*(strpos('0123456789ABCDEF', h[2*i+1:2*i+1])-1)
+        |                + (strpos('0123456789ABCDEF', h[2*i+2:2*i+2])-1))),
+        |           (acc, x) -> (acc*31 + x) % 18446744073709551616::HUGEINT) AS h64
+        |  FROM hx
+        |), m1 AS (SELECT doc_id, xor(h64, h64 >> 33) AS x FROM p),
+        |m2 AS (SELECT doc_id, ((x % 4294967296)*18397679294719823053::HUGEINT
+        |        + ((x // 4294967296)*18397679294719823053::HUGEINT % 4294967296)*4294967296)
+        |        % 18446744073709551616::HUGEINT AS x FROM m1),
+        |m3 AS (SELECT doc_id, xor(x, x >> 33) AS x FROM m2),
+        |m4 AS (SELECT doc_id, ((x % 4294967296)*14181476777654086739::HUGEINT
+        |        + ((x // 4294967296)*14181476777654086739::HUGEINT % 4294967296)*4294967296)
+        |        % 18446744073709551616::HUGEINT AS x FROM m3),
+        |mixed AS (SELECT doc_id, xor(x, x >> 33) AS m FROM m4),
+        |votes AS (
+        |  SELECT doc_id, b, sum(CASE WHEN (m >> b) % 2 = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM mixed, unnest(range(0, 64)) AS u(b)
+        |  GROUP BY doc_id, b
+        |), sig AS (
+        |  SELECT doc_id, sum(CASE WHEN v > 0 THEN (1::HUGEINT << b) ELSE 0::HUGEINT END) AS sg
+        |  FROM votes GROUP BY doc_id
+        |), sigb AS (
+        |  SELECT doc_id, CAST(CASE WHEN sg >= 9223372036854775808::HUGEINT
+        |         THEN sg - 18446744073709551616::HUGEINT ELSE sg END AS BIGINT) AS sgn
+        |  FROM sig
+        |)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       bit_count(xor(a.sgn, b.sgn)) AS hamming
+        |FROM sigb a JOIN sigb b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sgn, b.sgn)) <= 6
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "q_dedup_embed" ->
       """WITH e AS (
         |  SELECT vec_id,

@@ -10,8 +10,11 @@ import org.scalatest.funsuite.AnyFunSuite
   * correctness artifact to a rows-only check. */
 class ContractSpec extends AnyFunSuite {
 
+  // (q_dedup_simhash graduated to a SQL oracle: the 8-chunk pigeonhole
+  // bucketing has FULL recall at maxHamming=6, so exact all-pairs
+  // hamming — recomputed kernel-for-kernel in DuckDB — IS the answer.)
   private val rowsOnlyByDesign = Set(
-    "q_dedup_simhash", "q_ann_lsh",
+    "q_ann_lsh",
     "q_ann_ivf", "q_dedup_embed_lsh", "q_distinct_sketch",
     "q_media_features",
     // a BPE merge loop is not expressible in DuckDB SQL; pinned
