@@ -22,6 +22,36 @@ class SimilaritySpec extends AnyFunSuite {
     assert(mh == exact, s"minhash missed ${exact.diff(mh)}")
   }
 
+  test("minhash oracle equivalence is verified at every gate SF (drift-attributable)") {
+    // The q_dedup_minhash/q_dedup_clusters oracles equate banded-LSH
+    // output with the exact tau=0.8 pair set. Given a FIXED corpus the
+    // equivalence is deterministic (the hash seeds are constants), but
+    // it is not guaranteed by construction: a pair with J in
+    // [0.8, 0.9) can miss all 16 bands — prob (1-J^8)^16, up to ~6%
+    // near the threshold, per corpus DRAW (sf0.001 currently has such
+    // a pair at J=0.8889, recovered by these seeds; at J>=0.9 the miss
+    // prob is ~5e-14). So verify band recall EXPLICITLY at both SFs
+    // the gate runs, and on failure name the gap pairs: if a
+    // regenerated corpus lands a pair the fixed bands miss, this test
+    // attributes the oracle mismatch to testdata drift, not code.
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")
+         if new java.io.File(dir).isDirectory) {
+      val d = Tables.documents(spark, dir)
+      val exact = Dedup.ngramJaccardPairs(d, tau = 0.8)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      val mh = Dedup.minhashPairs(d, tau = 0.8)
+        .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      graft.operators.Caches.releaseAll()
+      val missed = exact.filterNot(p => mh.contains((p._1, p._2)))
+      assert(missed.isEmpty,
+        s"$dir: banded LSH misses exact pairs ${missed.mkString(", ")} " +
+          "(pairs in the [0.8, 0.9) recall gap can all-band-miss under " +
+          "testdata regeneration — the q_dedup_minhash/q_dedup_clusters " +
+          "oracles' LSH==exact equivalence broke via corpus drift, not code; " +
+          "re-seed or re-band, or re-derive the oracle)")
+    }
+  }
+
   test("prefix-filtered jaccard pairs equal the exact operator") {
     // the prefix bound guarantees zero false negatives at the given
     // tau, and verification is exact — outputs must be IDENTICAL.
