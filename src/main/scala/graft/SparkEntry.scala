@@ -114,6 +114,33 @@ object SparkEntry {
     "q_vocab_topk"     -> ((s, d) => TextAnalysis.vocabTopK(Tables.documents(s, d))),
     "q_stratified_sample" -> ((s, d) => TextAnalysis.stratifiedSample(Tables.documents(s, d))),
     "q_strip_markup" -> ((s, d) => TextAnalysis.stripMarkup(Tables.documents(s, d))),
+    // the COMPOSED curation pipeline end-to-end (strip → quality →
+    // keep-best exact dedup → exact decontam vs src0 → minhash-cluster
+    // removal → span cut k=20 → PII redaction → per-source quota 10):
+    // every stage is individually oracled; this entry pins the
+    // COMPOSITION — doc_id semi-join plumbing and stage ordering —
+    // against one DuckDB restatement of the whole pipeline
+    "q_curate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      GraftApi.curateCorpus(
+        docs.filter(col("source") =!= "src0"),
+        spanDedupK = Some(20),
+        benchmark = Some(docs.filter(col("source") === "src0")),
+        mix = Some(MixStage.PerSource(10)))
+    }),
+    // the same run's attrition datasheet — pins the manifest's
+    // docs_in/docs_out/docs_dropped reconciliation arithmetic against
+    // independently recomputed per-stage counts
+    "q_curate_manifest" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val plan = GraftApi.curatePlan(
+        docs.filter(col("source") =!= "src0"),
+        spanDedupK = Some(20),
+        benchmark = Some(docs.filter(col("source") === "src0")),
+        mix = Some(MixStage.PerSource(10)))
+      val m = plan.manifest
+      m
+    }),
     // incremental ingest dedup: odd doc_ids play the arriving batch,
     // even doc_ids the already-curated corpus
     "q_dedup_incremental" -> ((s, d) => {
@@ -277,6 +304,108 @@ object SparkEntry {
       |         CASE WHEN event_id % 29 IN (0, 8, 17) THEN NULL ELSE CAST(event_id % 30 AS DOUBLE) + 0.5 END AS wind_speed
       |  FROM events
       |)""".stripMargin
+
+  /** Shared CTE chain for the q_curate / q_curate_manifest oracles —
+    * the full composed curation pipeline re-stated in DuckDB, each
+    * stage the SAME dialect form its standalone oracle validated:
+    * markup strip (tagPat + entity fold) → quality filter → keep-best
+    * exact dedup → exact decontamination vs the src0 benchmark →
+    * exact-Jaccard tau=0.8 pairs + recursive-CTE components (the
+    * LSH==exact equivalence is verified per-SF by SimilaritySpec,
+    * including over markup-stripped text — pair recovery is a per-pair
+    * property, so it holds on every SUBSET of the corpus this
+    * composition filters down to). Ends at the `nd` (near-dup
+    * survivors) CTE; callers append their own tail. WITH RECURSIVE
+    * heads the chain because `reach` is recursive. */
+  private def curateOracleStages: String = {
+    val decoded = TextAnalysis.entityMap.foldLeft("nt") { case (acc, (ent, repl)) =>
+      s"replace($acc, '$ent', '${repl.replace("'", "''")}')"
+    }
+    s"""WITH RECURSIVE raw0 AS (
+      |  SELECT doc_id, source, regexp_replace(text, '${TextAnalysis.tagPat}', ' ', 'g') AS nt
+      |  FROM documents WHERE source <> 'src0'
+      |), base AS (
+      |  SELECT doc_id, source, trim(regexp_replace($decoded, '\\s+', ' ', 'g')) AS text FROM raw0
+      |), tok AS (
+      |  SELECT doc_id, source, text,
+      |         regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm,
+      |         string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+      |  FROM base
+      |), qual AS (
+      |  SELECT doc_id FROM (
+      |    SELECT doc_id,
+      |           CAST(len(toks) AS DOUBLE) AS n_tok,
+      |           (CAST(length(norm) AS DOUBLE) - (CAST(len(toks) AS DOUBLE) - 1))
+      |             / greatest(CAST(len(toks) AS DOUBLE), 1.0) AS mean_wl,
+      |           CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS DOUBLE)
+      |             / greatest(CAST(length(text) AS DOUBLE), 1.0) AS punct_ratio,
+      |           len(list_filter(toks, t -> t IN ('the','a','of','and','is','in','to'))) AS n_stop
+      |    FROM tok)
+      |  WHERE n_tok >= 20 AND n_tok <= 100000 AND mean_wl >= 3.0 AND mean_wl <= 10.0
+      |    AND punct_ratio <= 0.2 AND n_stop >= 1
+      |), aq AS (
+      |  SELECT t.* FROM tok t JOIN qual USING (doc_id)
+      |), kb AS (
+      |  SELECT doc_id AS keep_id FROM (
+      |    SELECT doc_id,
+      |           row_number() OVER (PARTITION BY content_hash
+      |             ORDER BY quality_score DESC, doc_id) AS rn
+      |    FROM (
+      |      SELECT doc_id, md5(norm) AS content_hash,
+      |             (round(least(CAST(len(toks) AS DOUBLE) / 200.0, 1.0) * 0.5
+      |               + (CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','is','in','to'))) AS DOUBLE)
+      |                  / greatest(CAST(len(toks) AS DOUBLE), 1.0)) * 0.25
+      |               + (1.0 - CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS DOUBLE)
+      |                  / greatest(CAST(length(text) AS DOUBLE), 1.0)) * 0.25 + 1e-9, 4) + 0) AS quality_score
+      |      FROM aq))
+      |  WHERE rn = 1
+      |), ae AS (
+      |  SELECT a.* FROM aq a JOIN kb ON a.doc_id = kb.keep_id
+      |), bsh AS (
+      |  SELECT DISTINCT unnest(list_distinct(list_transform(range(1, len(btoks) - 1),
+      |           i -> btoks[i] || ' ' || btoks[i+1] || ' ' || btoks[i+2]))) AS s
+      |  FROM (SELECT string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS btoks
+      |        FROM documents WHERE source = 'src0')
+      |  WHERE len(btoks) >= 3
+      |), csh AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+      |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+      |  FROM ae WHERE len(toks) >= 3
+      |), leaked AS (
+      |  SELECT doc_id FROM (
+      |    SELECT cs.doc_id, count(DISTINCT cs.s) AS n_shared
+      |    FROM (SELECT doc_id, unnest(sh) AS s FROM csh) cs
+      |    JOIN bsh b ON cs.s = b.s GROUP BY cs.doc_id)
+      |  WHERE n_shared >= 3
+      |), ad AS (
+      |  SELECT * FROM ae WHERE doc_id NOT IN (SELECT doc_id FROM leaked)
+      |), adsh AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+      |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+      |  FROM ad WHERE len(toks) >= 3
+      |), adex AS (
+      |  SELECT doc_id, unnest(sh) AS s, len(sh) AS n_sh FROM adsh
+      |), ndshared AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |         count(*) AS inter, any_value(a.n_sh) AS na, any_value(b.n_sh) AS nb
+      |  FROM adex a JOIN adex b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id
+      |), ndpairs AS (
+      |  SELECT doc_a, doc_b FROM ndshared
+      |  WHERE (round(inter * 1.0 / (na + nb - inter) + 1e-9, 4) + 0) >= 0.8
+      |), und AS (
+      |  SELECT doc_a AS a, doc_b AS b FROM ndpairs
+      |  UNION SELECT doc_b, doc_a FROM ndpairs
+      |), reach AS (
+      |  SELECT a, b FROM und
+      |  UNION
+      |  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+      |), clus AS (
+      |  SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a
+      |), nd AS (
+      |  SELECT * FROM ad WHERE doc_id NOT IN
+      |    (SELECT doc_id FROM clus WHERE doc_id <> cluster_id)"""
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -1179,6 +1308,107 @@ object SparkEntry {
         |       trim(regexp_replace($decoded, '\\s+', ' ', 'g')) AS text_clean
         |FROM stripped ORDER BY doc_id""".stripMargin
     },
+    // the composed pipeline (see the q_curate queries entry): shared
+    // stage chain + span cut k=20 over normalized windows (cut applies
+    // to ORIGINAL-case tokens; an uncut doc passes through verbatim,
+    // mirroring cutSpans' when(size(ivs)=0) arm) + PII redaction +
+    // per-source quota-10 Knuth-salt sample
+    "q_curate" -> (curateOracleStages +
+      s"""
+        |), wins AS (
+        |  SELECT doc_id, CAST(unnest(range(0, greatest(len(toks) - 19, 0))) AS INT) AS pos, toks
+        |  FROM nd
+        |), w2 AS (
+        |  SELECT doc_id, pos, array_to_string(list_slice(toks, pos + 1, pos + 20), ' ') AS w
+        |  FROM wins
+        |), freq AS (
+        |  SELECT w FROM w2 GROUP BY w HAVING count(DISTINCT doc_id) > 1
+        |), starts AS (
+        |  SELECT doc_id, pos FROM w2 WHERE w IN (SELECT w FROM freq)
+        |), isl AS (
+        |  SELECT doc_id, pos,
+        |         CASE WHEN pos > coalesce(max(pos + 20) OVER (
+        |           PARTITION BY doc_id ORDER BY pos
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+        |         THEN 1 ELSE 0 END AS ni
+        |  FROM starts
+        |), isl2 AS (
+        |  SELECT doc_id, pos, sum(ni) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        |  FROM isl
+        |), ivs AS (
+        |  SELECT doc_id, min(pos) AS s, max(pos) + 20 AS e FROM isl2 GROUP BY doc_id, island
+        |), ote AS (
+        |  SELECT doc_id, CAST(unnest(range(0, len(otoks))) AS INT) AS i, otoks
+        |  FROM (SELECT doc_id, string_split(trim(text), ' ') AS otoks FROM nd
+        |        WHERE doc_id IN (SELECT DISTINCT doc_id FROM ivs))
+        |), okeep AS (
+        |  SELECT ote.doc_id, ote.i, ote.otoks[ote.i + 1] AS t FROM ote
+        |  WHERE NOT EXISTS (SELECT 1 FROM ivs
+        |                    WHERE ivs.doc_id = ote.doc_id AND ote.i >= ivs.s AND ote.i < ivs.e)
+        |), rebuilt AS (
+        |  SELECT doc_id, string_agg(t, ' ' ORDER BY i) AS text_cut
+        |  FROM okeep GROUP BY doc_id
+        |), spanned AS (
+        |  SELECT n.doc_id, n.source,
+        |         CASE WHEN r.doc_id IS NULL THEN n.text ELSE coalesce(r.text_cut, '') END AS text
+        |  FROM nd n LEFT JOIN rebuilt r USING (doc_id)
+        |), red1 AS (
+        |  SELECT doc_id, source,
+        |         regexp_replace(text, '${TextAnalysis.emailPat}', '<EMAIL>', 'g') AS a
+        |  FROM spanned
+        |), red2a AS (
+        |  SELECT doc_id, source,
+        |         regexp_replace(a, '${TextAnalysis.ipPat}', '${TextAnalysis.ipReplDuck}', 'g') AS b1
+        |  FROM red1
+        |), red2 AS (
+        |  SELECT doc_id, source,
+        |         regexp_replace(b1, '${TextAnalysis.ipPat}', '${TextAnalysis.ipReplDuck}', 'g') AS b
+        |  FROM red2a
+        |), redacted AS (
+        |  SELECT doc_id, source,
+        |         regexp_replace(b, '${TextAnalysis.phonePat}', '${TextAnalysis.phoneReplDuck}', 'g') AS text
+        |  FROM red2
+        |), sampled AS (
+        |  SELECT doc_id, source, text FROM (
+        |    SELECT doc_id, source, text,
+        |           row_number() OVER (PARTITION BY source
+        |             ORDER BY (((doc_id % 2147483648 + 2147483648) % 2147483648) * 2654435761) % 4294967296, doc_id) AS rn
+        |    FROM redacted
+        |  ) WHERE rn <= 10
+        |)
+        |SELECT doc_id, source, text FROM sampled ORDER BY doc_id""").stripMargin,
+    // the same run's datasheet: stage counts recomputed independently.
+    // The sample count needs no text work (the kept set is a pure
+    // (doc_id, source) function), so the tail stops at the id level
+    "q_curate_manifest" -> (curateOracleStages +
+      """
+        |), samp AS (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id,
+        |           row_number() OVER (PARTITION BY source
+        |             ORDER BY (((doc_id % 2147483648 + 2147483648) % 2147483648) * 2654435761) % 4294967296, doc_id) AS rn
+        |    FROM nd
+        |  ) WHERE rn <= 10
+        |), c AS (
+        |  SELECT (SELECT count(*) FROM base) AS n0,
+        |         (SELECT count(*) FROM aq) AS n1,
+        |         (SELECT count(*) FROM ae) AS n2,
+        |         (SELECT count(*) FROM ad) AS n3,
+        |         (SELECT count(*) FROM nd) AS n4,
+        |         (SELECT count(*) FROM samp) AS n5
+        |), rows_ AS (
+        |  SELECT 0 AS stage_idx, 'input' AS stage, n0 AS docs_in, n0 AS docs_out FROM c
+        |  UNION ALL SELECT 1, 'strip_markup', n0, n0 FROM c
+        |  UNION ALL SELECT 2, 'quality_filter', n0, n1 FROM c
+        |  UNION ALL SELECT 3, 'exact_dedup', n1, n2 FROM c
+        |  UNION ALL SELECT 4, 'decontaminate', n2, n3 FROM c
+        |  UNION ALL SELECT 5, 'near_dup', n3, n4 FROM c
+        |  UNION ALL SELECT 6, 'span_dedup', n4, n4 FROM c
+        |  UNION ALL SELECT 7, 'redact_pii', n4, n4 FROM c
+        |  UNION ALL SELECT 8, 'stratified_sample', n4, n5 FROM c
+        |)
+        |SELECT stage_idx, stage, docs_in, docs_out, docs_in - docs_out AS docs_dropped
+        |FROM rows_ ORDER BY stage_idx""").stripMargin,
     "q_dedup_incremental" ->
       """WITH nh AS (
         |  SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS content_hash
