@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -34,9 +35,19 @@ class SimilaritySpec extends AnyFunSuite {
     // the gate runs, and on failure name the gap pairs: if a
     // regenerated corpus lands a pair the fixed bands miss, this test
     // attributes the oracle mismatch to testdata drift, not code.
+    // the raw-text pass covers the q_dedup_minhash/q_dedup_clusters
+    // oracles; the markup-stripped pass covers q_curate's near-dup
+    // stage (pair recovery is a per-pair property — two docs' band
+    // agreement doesn't depend on the rest of the corpus — so recall
+    // over the full cleaned corpus covers every filtered SUBSET the
+    // curation pipeline hands the near-dup stage)
     for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")
-         if new java.io.File(dir).isDirectory) {
-      val d = Tables.documents(spark, dir)
+           if new java.io.File(dir).isDirectory;
+         (form, prep) <- Seq[(String, DataFrame => DataFrame)](
+           "raw" -> identity,
+           "markup-stripped" -> (d => d.withColumn("text",
+             TextAnalysis.cleanMarkup(col("text")))))) {
+      val d = prep(Tables.documents(spark, dir))
       val exact = Dedup.ngramJaccardPairs(d, tau = 0.8)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
       val mh = Dedup.minhashPairs(d, tau = 0.8)
@@ -44,11 +55,11 @@ class SimilaritySpec extends AnyFunSuite {
       graft.operators.Caches.releaseAll()
       val missed = exact.filterNot(p => mh.contains((p._1, p._2)))
       assert(missed.isEmpty,
-        s"$dir: banded LSH misses exact pairs ${missed.mkString(", ")} " +
+        s"$dir ($form): banded LSH misses exact pairs ${missed.mkString(", ")} " +
           "(pairs in the [0.8, 0.9) recall gap can all-band-miss under " +
-          "testdata regeneration — the q_dedup_minhash/q_dedup_clusters " +
-          "oracles' LSH==exact equivalence broke via corpus drift, not code; " +
-          "re-seed or re-band, or re-derive the oracle)")
+          "testdata regeneration — the q_dedup_minhash/q_dedup_clusters/" +
+          "q_curate oracles' LSH==exact equivalence broke via corpus " +
+          "drift, not code; re-seed or re-band, or re-derive the oracle)")
     }
   }
 
