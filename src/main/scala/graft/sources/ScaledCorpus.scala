@@ -1,0 +1,81 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Locally-synthesized "next decade" documents corpus — the second
+  * measurement step for the scale-slope envelopes (ScaleSpec, Bench's
+  * `slope2` block). The driver only ships sf ≤ 0.1, so every slope
+  * claim would otherwise rest on the single sf0.01→sf0.1 step, where
+  * fixed per-stage floors still contribute; this corpus extends the
+  * measurement to sf0.1 → 10×-sf0.1 with NO driver dependency.
+  *
+  * Construction: `factor` copies of the source documents, copy 0
+  * verbatim, copy i>0 with every whitespace token suffixed `~i`
+  * (newlines preserved — line-level operators keep their structure)
+  * and doc_ids offset by i·10⁸. The remap is a token-level BIJECTION
+  * per copy, so within a copy every token/shingle/line statistic —
+  * Jaccard between any two docs, line duplication, quality metrics,
+  * per-source totals — is IDENTICAL to the original corpus, while
+  * copies share no token with each other or with copy 0.
+  *
+  * That makes the expected scaling of every hash-keyed operator
+  * EXACTLY LINEAR by construction (near-dup pairs, repeated lines,
+  * shared shingles exist only within a copy: pairs(N×) = N·pairs(1×)),
+  * which is the point — a tight (~2× headroom over linear) envelope on
+  * this corpus isolates PLAN/MECHANICAL regressions (arrays riding a
+  * candidate exchange, a lost prune, driver-side quadratic loops,
+  * AQE serialization) from the semantics-driven superlinearity that
+  * the real-data sf0.01→sf0.1 step measures, where shingle document
+  * frequency genuinely grows with corpus size and the envelope must
+  * be loose (see ScaleSpec's 150× prefix-join bound). The two decades
+  * answer different questions; both are pinned.
+  *
+  * Deterministic and cached: the output carries a marker recording
+  * (source, factor, construction version); a matching marker skips
+  * regeneration, so Bench reruns pay ~0. */
+object ScaledCorpus {
+
+  private val version = "v1"
+
+  /** Directory containing the scaled documents.parquet (generated on
+    * first call, reused after). Layout matches the driver's testdata
+    * dirs, so `Tables.documents(spark, dir)` reads it unchanged. */
+  def documentsDir(spark: SparkSession, srcDir: String, factor: Int = 10): String = {
+    require(factor >= 2, s"a scaled corpus needs factor >= 2: $factor")
+    val out = Paths.get(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+      s"graft_scaled_${factor}x_${math.abs(srcDir.hashCode)}").toString
+    val marker = Paths.get(out, "_GRAFT_SCALED")
+    val stamp = s"$srcDir factor=$factor $version"
+    val fresh = Files.exists(marker) && Files.readString(marker) == stamp
+    if (!fresh) {
+      val docs = Tables.documents(spark, srcDir)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+      val copies: Seq[DataFrame] = (0 until factor).map { i =>
+        if (i == 0) docs
+        else {
+          // suffix every token, preserving line breaks and runs of
+          // spaces (empty split segments pass through untouched)
+          val remapped = array_join(
+            transform(split(col("text"), "\n"), line =>
+              array_join(
+                transform(split(line, " "), t =>
+                  when(t === "", t).otherwise(concat(t, lit(s"~$i")))),
+                " ")),
+            "\n")
+          docs.select(
+            (col("doc_id") + lit(i * 100000000L)).as("doc_id"),
+            remapped.as("text"), col("lang"), col("source"),
+            length(remapped).as("n_chars"))
+        }
+      }
+      copies.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$out/documents.parquet")
+      Files.writeString(marker, stamp)
+    }
+    out
+  }
+}

@@ -556,6 +556,89 @@ class ScaleSpec extends AnyFunSuite {
         "exceeds its envelope for a 10x data step")
   }
 
+  test("second decade: heavy-family slopes stay near-linear on the 10x synthetic corpus") {
+    // Every 100 TB slope claim above rests on the single driver-shipped
+    // sf0.01→sf0.1 step, where fixed per-stage floors still contribute
+    // and semantics-driven candidate growth forces LOOSE envelopes
+    // (prefix join: 150×). This test adds the sf0.1 → 10×-sf0.1 decade
+    // on the ScaledCorpus synthetic (token-bijective copies: every
+    // within-copy statistic identical, no cross-copy sharing), where
+    // the TRUE expected scaling of each operator is exactly linear by
+    // construction — so the envelope can be TIGHT (≤2× headroom over
+    // the 10× data ratio) and a superlinear term that hid under the
+    // first decade's floor (quadratic candidate blowup, arrays on an
+    // exchange, a driver-side loop over rows) blows straight past it.
+    // Output-size invariants double as generator correctness pins:
+    // pair/row counts at 10× must be exactly 10× the sf0.1 counts for
+    // the pair-structured ops.
+    import graft.monitoring.PlanMetrics
+    import graft.operators.{Dedup, TextAnalysis}
+    val srcDir = "/root/testdata/sf0.1"
+    assume(new java.io.File(srcDir).isDirectory)
+    val bigDir = graft.sources.ScaledCorpus.documentsDir(spark, srcDir, factor = 10)
+    val nSmall = Tables.documents(spark, srcDir).count()
+    assert(Tables.documents(spark, bigDir).count() == 10 * nSmall,
+      "scaled corpus row count drifted")
+
+    case class Probe(name: String,
+                     build: String => org.apache.spark.sql.DataFrame,
+                     exactTenfoldRows: Boolean,
+                     rowSlack: Long = 0L)
+    val probes = Seq(
+      Probe("ngram_prefix", d => Dedup.ngramJaccardPairsPrefix(
+        Tables.documents(spark, d)), exactTenfoldRows = true),
+      // minhash rows get a FEW pairs of slack, not exactness: the token
+      // remap redraws every shingle hash, so a J-in-[0.8,0.9) pair's
+      // ten copies take ten INDEPENDENT ~(1-J^8)^16 all-band-miss
+      // draws — measured: exactly one miss out of 2560 on this corpus
+      // (the banded-recall gap SimilaritySpec documents, reproduced
+      // synthetically). Verification is exact, so rows can only be
+      // MISSING vs the 10x exact-pair count, never extra.
+      Probe("minhash_pairs", d => Dedup.minhashPairs(
+        Tables.documents(spark, d)), exactTenfoldRows = true, rowSlack = 8L),
+      // the overlap matrix is source-bounded (not row-scaled): rows
+      // identical across decades, bytes scale with the corpus
+      Probe("source_overlap", d => Dedup.sourceOverlap(
+        Tables.documents(spark, d)), exactTenfoldRows = false),
+      // per-doc outputs scale exactly 10x
+      Probe("bigram_logprob", d => {
+        val docs = Tables.documents(spark, d)
+        TextAnalysis.bigramLogprob(docs, docs.filter(col("source") =!= "src0"))
+      }, exactTenfoldRows = true),
+      Probe("dedup_lines", d => TextAnalysis.dedupLines(
+        Tables.documents(spark, d)), exactTenfoldRows = true))
+
+    probes.foreach { p =>
+      def measure(dir: String): (Long, Long) = {
+        val out = p.build(dir)
+        // collect, not count: count() executes a DERIVED QueryExecution
+        // and the original plan's metrics would read empty (the
+        // PlanMetrics attribution gotcha)
+        val n = out.collect().length.toLong
+        val b = PlanMetrics.shuffleStats(out).bytesWritten
+        graft.operators.Caches.releaseAll()
+        (n, b)
+      }
+      val (nS, bS) = measure(srcDir)
+      val (nB, bB) = measure(bigDir)
+      if (p.exactTenfoldRows)
+        assert(nB <= 10 * nS && nB >= 10 * nS - p.rowSlack,
+          s"${p.name}: rows ${nS} -> ${nB}, expected 10x (±${p.rowSlack}) " +
+            "(token-bijective copies make within-copy structure invariant " +
+            "and cross-copy sharing empty — a deviation is an operator or " +
+            "generator regression)")
+      // bytes: linear-by-construction workload => <= 2x headroom over
+      // the 10x data ratio. (A handful of fixed-size exchange rows —
+      // scalar totals, source matrices — only LOWER the ratio.)
+      val slope = (bB + 1).toDouble / (bS + 1)
+      info(f"${p.name}: rows $nS -> $nB, shuffle bytes $bS -> $bB (slope $slope%.1f)")
+      assert(slope <= 20.0,
+        s"${p.name}: shuffle slope $slope ($bS -> $bB bytes) exceeds the " +
+          "20x envelope on the linear-by-construction decade — a " +
+          "superlinear term surfaced past the first decade's floor")
+    }
+  }
+
   test("incremental dedup vs a bucketed corpus-hash table: only the batch shuffles") {
     import graft.operators.TextAnalysis
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
