@@ -556,6 +556,49 @@ class ScaleSpec extends AnyFunSuite {
         "exceeds its envelope for a 10x data step")
   }
 
+  test("AQE splits a skewed shuffle join at runtime (skew=true in the final plan)") {
+    // The §5 scale posture claims AQE handles skewed fact-fact joins at
+    // 100 TB; until now that was conf-only (skewJoin.enabled=true in
+    // GraftSession). This proves ACTIVATION: a synthetic hot key owning
+    // ~99% of the left side's rows, joined under thresholds scaled to
+    // test data, must show the skew-split marker in the FINAL adaptive
+    // plan — i.e., the hot partition was cut into parallel slices at
+    // runtime instead of pinning one reducer (the 100 TB straggler).
+    val keep = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      // no broadcast (forces a shuffle join a skew split can apply to);
+      // thresholds scaled down so the ~MB hot partition qualifies the
+      // same way a ~GB one would under production defaults
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "65536")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16384")
+      val pad = "x" * 64
+      val left = spark.range(0, 200000).select(
+        when(col("id") < 198000, 0L).otherwise(pmod(col("id"), lit(64)).cast("long")).as("k"),
+        concat(lit(pad), col("id")).as("payload"))
+      val right = spark.range(0, 64).select(col("id").as("k"),
+        concat(lit("r"), col("id")).as("rv"))
+      val joined = left.join(right, "k")
+      // collect, not count(): count would execute a DERIVED
+      // QueryExecution and leave this frame's own adaptive plan
+      // unfinalized (isFinalPlan=false)
+      assert(joined.collect().length == 200000)
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("isFinalPlan=true"),
+        s"adaptive plan did not finalize:\n$finalPlan")
+      assert(finalPlan.contains("skew=true"),
+        s"AQE did not split the skewed join — no skew=true in the final plan:\n$finalPlan")
+    } finally keep.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
+
   test("second decade: heavy-family slopes stay near-linear on the 10x synthetic corpus") {
     // Every 100 TB slope claim above rests on the single driver-shipped
     // sf0.01→sf0.1 step, where fixed per-stage floors still contribute
