@@ -56,6 +56,41 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
   }
 
+  test("sourceOverlap: no STRING column crosses a hash exchange") {
+    // the round-9 rewrite dictionary-encodes `source` to a small int
+    // before the shingle explode, so the ONE corpus-sized exchange
+    // (per-shingle collect_set) moves (int64, int) rows; the label
+    // strings reappear only in the final ≤nSources²/2-row projection.
+    // This locks the encoding: a refactor that puts the STRING back on
+    // the shingle exchange fails here, not in a bench diff. (The
+    // label-cardinality dictionary/totals collects at construction are
+    // separate bounded jobs, not part of this plan.)
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    import org.apache.spark.sql.types.StringType
+    // AQE off for plan inspection: exchanges are inserted by the
+    // EnsureRequirements preparation (absent from sparkPlan) and the
+    // adaptive wrapper hides them from executedPlan until execution
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val out = graft.operators.Dedup.sourceOverlap(Tables.documents(spark, sfDir))
+      val hashEx = out.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec
+          if e.outputPartitioning.isInstanceOf[HashPartitioning] => e
+      }
+      assert(hashEx.nonEmpty, "expected hash exchanges in sourceOverlap")
+      hashEx.foreach { e =>
+        val strs = e.output.filter(_.dataType == StringType).map(_.name)
+        assert(strs.isEmpty,
+          s"string column(s) on a hash exchange: ${strs.mkString(", ")}")
+      }
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      graft.operators.Caches.releaseAll()
+    }
+  }
+
   test("dedup pipelines plan no RDD deserialization boundary") {
     // spreadToCores must stay plan-side: a df.rdd probe (or any
     // Dataset->RDD hop) would show as DeserializeToObject / Scan
