@@ -407,6 +407,52 @@ object SparkEntry {
       |    (SELECT doc_id FROM clus WHERE doc_id <> cluster_id)"""
   }
 
+  /** The RHP hyperplane sign matrix as a DuckDB VALUES literal —
+    * (tbl, plane, ±1-list) rows. The planes are DATA-INDEPENDENT (a
+    * pure function of (seed, plane, dim-index) via the mix64
+    * finalizer, TextHash.rhpSig), so the oracle can carry them as
+    * constants while DuckDB independently re-derives every
+    * data-dependent step: signed projections, bucket bits, probe
+    * fan-out, candidate joins, exact cosine verify, top-k. Sign
+    * values are the SAME ±1.0 doubles the kernel multiplies by, and
+    * the projection sum is the same left-to-right double sum
+    * (list_sum over the per-element products), so the `> 0` sign
+    * test is bit-identical across engines. dim is fixed at 64 by the
+    * driver's embeddings testdata (TESTDATA.md); a dim change fails
+    * the hash compare loudly rather than silently. */
+  private def rhpPlanesSql(tables: Int, nPlanes: Int, seed: Long,
+                           dim: Int = 64): String =
+    (for { t <- 0 until tables; p <- 0 until nPlanes } yield {
+      val signs = (0 until dim).map { j =>
+        val r = graft.functions.TextHash.mix64((seed + t) ^ (p.toLong << 32) ^ j.toLong)
+        if ((r & 1L) == 1L) "1" else "-1"
+      }.mkString(",")
+      s"($t,$p,CAST([$signs] AS DOUBLE[]))"
+    }).mkString(",\n  ")
+
+  /** Shared CTE chain `e` → `n` → `planes` → `bits` → `idx` for the
+    * RHP-LSH oracles: per-vector double-cast embeddings with norms,
+    * then the (vec_id, tbl, bucket) index exactly as
+    * [[graft.operators.Similarity.rhpIndex]] computes it. */
+  private def rhpIdxSql(tables: Int, nPlanes: Int, seed: Long): String =
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings
+       |), n AS (
+       |  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+       |  FROM e
+       |), planes(tbl, p, s) AS (VALUES
+       |  ${rhpPlanesSql(tables, nPlanes, seed)}
+       |), bits AS (
+       |  SELECT e.vec_id, pl.tbl, pl.p,
+       |         CASE WHEN list_sum(list_transform(range(1, len(e.v) + 1),
+       |                i -> e.v[i] * pl.s[i])) > 0 THEN (1 << pl.p) ELSE 0 END AS bit
+       |  FROM e CROSS JOIN planes pl
+       |), idx AS (
+       |  SELECT vec_id, tbl, CAST(sum(bit) AS INT) AS bucket
+       |  FROM bits GROUP BY vec_id, tbl
+       |)""".stripMargin
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
@@ -1845,6 +1891,60 @@ object SparkEntry {
         |FROM n a JOIN n b ON a.vec_id < b.vec_id
         |WHERE (round(list_sum(list_transform(range(1, len(a.v) + 1),
         |        i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm) + 1e-9, 6) + 0) >= 0.4
+        |ORDER BY vec_a, vec_b""".stripMargin,
+    // Full pipeline replication of the multi-table multi-probe RHP
+    // ANN (Similarity.annLsh defaults: 4 tables x 6 planes, seed 42,
+    // probeRadius 1, 20 queries, k=5): the hyperplanes are
+    // data-independent constants (see rhpPlanesSql), and DuckDB
+    // re-derives buckets, the hamming-1 probe fan-out, the deduped
+    // candidate join, and the exact rounded-cosine top-k — so bucket
+    // arithmetic, probe XOR, candidate completeness, and verify
+    // ranking are all pinned against an independent engine. NULLS
+    // LAST mirrors Spark's desc default (no zero-norm vectors exist
+    // in testdata, but the orders must agree by construction).
+    "q_ann_lsh" ->
+      s"""${rhpIdxSql(4, 6, 42L)}, q AS (
+        |  SELECT vec_id, tbl, bucket FROM idx WHERE vec_id < 20
+        |), probes AS (
+        |  SELECT vec_id, tbl, bucket AS pb FROM q
+        |  UNION ALL
+        |  SELECT vec_id, tbl, xor(bucket, 1 << fp.p) AS pb
+        |  FROM q CROSS JOIN (VALUES (0),(1),(2),(3),(4),(5)) fp(p)
+        |), cand AS (
+        |  SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS cand_id
+        |  FROM probes a JOIN idx b
+        |    ON a.tbl = b.tbl AND a.pb = b.bucket AND a.vec_id <> b.vec_id
+        |), scored AS (
+        |  SELECT c.query_id, c.cand_id,
+        |         (round(list_sum(list_transform(range(1, len(qa.v) + 1),
+        |                 i -> qa.v[i] * cb.v[i])) / (qa.nrm * cb.nrm) + 1e-9, 6) + 0) AS cos
+        |  FROM cand c JOIN n qa ON c.query_id = qa.vec_id
+        |              JOIN n cb ON c.cand_id = cb.vec_id
+        |)
+        |SELECT query_id, cand_id, cos,
+        |       CAST(row_number() OVER (PARTITION BY query_id
+        |              ORDER BY cos DESC NULLS LAST, cand_id) AS INT) AS rank
+        |FROM scored
+        |QUALIFY row_number() OVER (PARTITION BY query_id
+        |          ORDER BY cos DESC NULLS LAST, cand_id) <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+    // Same replication for the near-dup form (embedDedupLsh defaults:
+    // 8 tables x 6 planes, seed 42, tau 0.4): bucket-colliding i<j
+    // pairs, deduped across tables, exact rounded-cosine filter.
+    "q_dedup_embed_lsh" ->
+      s"""${rhpIdxSql(8, 6, 42L)}, cand AS (
+        |  SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+        |  FROM idx a JOIN idx b
+        |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+        |), scored AS (
+        |  SELECT c.va, c.vb,
+        |         (round(list_sum(list_transform(range(1, len(na.v) + 1),
+        |                 i -> na.v[i] * nb.v[i])) / (na.nrm * nb.nrm) + 1e-9, 6) + 0) AS cos
+        |  FROM cand c JOIN n na ON c.va = na.vec_id
+        |              JOIN n nb ON c.vb = nb.vec_id
+        |)
+        |SELECT va AS vec_a, vb AS vec_b, cos
+        |FROM scored WHERE cos >= 0.4
         |ORDER BY vec_a, vec_b""".stripMargin,
     // the rounded cos carries "+ 0" INSIDE scored so DuckDB's ORDER BY
     // never sees a -0.0 (Spark's round can't emit one)

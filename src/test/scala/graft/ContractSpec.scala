@@ -12,10 +12,14 @@ class ContractSpec extends AnyFunSuite {
 
   // (q_dedup_simhash graduated to a SQL oracle: the 8-chunk pigeonhole
   // bucketing has FULL recall at maxHamming=6, so exact all-pairs
-  // hamming — recomputed kernel-for-kernel in DuckDB — IS the answer.)
+  // hamming — recomputed kernel-for-kernel in DuckDB — IS the answer.
+  // q_ann_lsh / q_dedup_embed_lsh graduated too: the RHP hyperplanes
+  // are data-independent constants, so the oracle embeds them as
+  // literals and re-derives buckets, probes, candidates, and the
+  // exact verify in DuckDB — full-pipeline replication, no recall
+  // caveat needed because both engines run the SAME candidate set.)
   private val rowsOnlyByDesign = Set(
-    "q_ann_lsh",
-    "q_ann_ivf", "q_dedup_embed_lsh", "q_distinct_sketch",
+    "q_ann_ivf", "q_distinct_sketch",
     "q_media_features",
     // a BPE merge loop is not expressible in DuckDB SQL; pinned
     // row-by-row against tools/bpe_reference.py's fixture in BpeSpec
