@@ -172,7 +172,11 @@ object Bench {
       }
     }
 
-    val results = suite(sfDir, passes = 3)
+    // local-iteration escape hatch mirroring Verify's: time a subset
+    // (the driver never sets it, so its artifacts stay exhaustive)
+    val onlyEnv = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val results = suite(sfDir, passes = 3, only = onlyEnv)
     val qs = results.map { case (k, _, v, _, _, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val execs = results.map { case (k, _, _, e, _, _) => s"\"" + k + "\":" + e }
@@ -192,7 +196,7 @@ object Bench {
     // slope probe: one SF step down, AFTER the primary passes so
     // cold_total keeps measuring genuinely cold planning
     val slope = slopeDirFor(sfDir).map { smallDir =>
-      val smallRes = suite(smallDir, passes = 2)
+      val smallRes = suite(smallDir, passes = 2, only = onlyEnv)
       val small = smallRes.map(r => r._1 -> r._3).toMap
       val smallShuffle = smallRes.map(r => r._1 -> r._6.bytesWritten).toMap
       // every ratio is REAL (no -1.0 sentinels): wall times clamp to a
@@ -231,9 +235,11 @@ object Bench {
     // Disable with SPARK_GRAFT_SLOPE2=0; override the dir with
     // SPARK_GRAFT_SLOPE2=<dir>.
     val slope2 = (try {
-      val heavyKeys = Set("q_ngram_jaccard", "q_dedup_minhash",
+      val heavyKeys0 = Set("q_ngram_jaccard", "q_dedup_minhash",
         "q_source_overlap", "q_bigram_logprob", "q_dedup_lines")
-      if (sys.env.get("SPARK_GRAFT_SLOPE2").contains("0")) None
+      val heavyKeys = onlyEnv.fold(heavyKeys0)(heavyKeys0.intersect)
+      if (sys.env.get("SPARK_GRAFT_SLOPE2").contains("0") ||
+          heavyKeys.isEmpty) None
       else {
         val bigDir = sys.env.get("SPARK_GRAFT_SLOPE2")
           .filter(d => d.nonEmpty && d != "0" && d != "1")

@@ -1146,8 +1146,12 @@ object TextAnalysis {
     * observed predecessor, and a Zipf-hot token in a 10M-type
     * vocabulary can reach ~10⁶ entries — tens of MB in ONE row, a
     * broadcast-build / single-row memory hazard long before the model
-    * TABLE outgrows broadcast. The max prev-fanout is probed from the
-    * (cached, vocab-sized) bigram table at build time; above the bound
+    * TABLE outgrows broadcast. The guard is TIERED: the vocabulary
+    * size (computed in the same eager job as the model scalars, whose
+    * values fold into the plan as literals) upper-bounds every map
+    * row's fanout, so corpora with vocab ≤ maxFanout skip the exact
+    * probe entirely; only past that does a counts-only max-fanout
+    * aggregate over the cached bigram table decide. Above the bound
     * the plan falls back to the UNFUSED two-join form (freq1 on token,
     * freq2 on (prev, token)) whose build rows stay scalar-sized. Both
     * shapes produce bit-identical output (p2 values are computed once
@@ -1173,8 +1177,18 @@ object TextAnalysis {
     // the train slice scans once, not four times
     val freq1 = Caches.persistTracked(
       trainToks.groupBy("token").agg(count(lit(1)).as("c1")))
-    val scalars = freq1.agg(sum("c1").as("n_train"),
-      count(lit(1)).as("v_train"))
+    // ONE eager train-side job yields the model scalars AND the tier-1
+    // fanout bound, filling the freq1 cache the final job reuses
+    // either way. The scalars fold into the plan as LITERALS (the
+    // sourceOverlap-totals pattern), dropping the former
+    // crossJoin(broadcast(scalars)) subplan from the scored stream —
+    // the guard's probe job pays for itself. A null sum (empty train)
+    // stays a null literal so the degenerate-input scores are
+    // unchanged.
+    val sr = freq1.agg(sum("c1"), count(lit(1))).collect()(0)
+    val nTrainLit = if (sr.isNullAt(0)) lit(null).cast("long")
+                    else lit(sr.getLong(0))
+    val vTrain = sr.getLong(1)
     // bigram table with its denominator folded in at build time
     // (vocab-sized join, not corpus-sized): p2 = c2 / c1(prev)
     val freq2 = Caches.persistTracked(
@@ -1183,14 +1197,26 @@ object TextAnalysis {
         .join(freq1.select(col("token").as("prev"), col("c1").as("c1_prev")), "prev")
         .select(col("prev"), col("token"),
           (col("c2").cast("double") / col("c1_prev")).as("p2")))
-    // per-row size guard for the fused map (see scaladoc)
-    val fanout = Option(freq2.groupBy("token").agg(count(lit(1)).as("f"))
-      .agg(max(col("f"))).collect()(0).get(0))
-      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    // per-row size guard for the fused map (see scaladoc), TIERED so
+    // the exact probe never runs where it cannot trigger: a token's
+    // prev-fanout is at most the vocabulary size, so vTrain <=
+    // maxFanout already proves every map row is small without
+    // touching freq2 (the common case until a corpus's vocabulary
+    // itself passes the bound — the exact probe's extra vocab-sized
+    // aggregate was ~30% of this operator's wall time at bench
+    // scale). Past the bound, the exact counts-only probe decides —
+    // no collect_list is ever built above the bound, which is the
+    // hazard the guard exists to prevent.
+    val fanoutSafe = vTrain <= maxFanout || {
+      val f = Option(freq2.groupBy("token").agg(count(lit(1)).as("f"))
+        .agg(max(col("f"))).collect()(0).get(0))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
+      f <= maxFanout
+    }
 
     // (scored token stream, the p2 lookup expression valid on it)
     val (fact, p2) =
-      if (fanout <= maxFanout) {
+      if (fanoutSafe) {
         // FUSED model: freq1 and freq2 both key the score lookup on
         // `token`, so fold the bigram rows into a per-token prev→p2 map
         // and ship ONE model table — the corpus token stream crosses ONE
@@ -1216,12 +1242,11 @@ object TextAnalysis {
       }
 
     val puni = (coalesce(col("c1"), lit(0L)) + lit(1L)).cast("double") /
-      (col("n_train") + col("v_train"))
+      (nTrainLit + lit(vTrain))
     val score = when(col("pos") === 0, puni)
       .when(p2.isNotNull, p2)
       .otherwise(lit(alpha) * puni)
     fact
-      .crossJoin(broadcast(scalars))
       .select(col("doc_id"), col("pos"), p2.as("p2_"),
         rnd(-log2(score), 6).as("nll"))
       .groupBy("doc_id")

@@ -718,4 +718,82 @@ class ScaleSpec extends AnyFunSuite {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
     }
   }
+
+  test("memory pressure: forced operator spills hit disk, not the answer") {
+    // The §5 posture sizes partitions to fit executor memory — this
+    // pins the OTHER half of that claim: when a buffered partition
+    // DOESN'T fit (skewed entity, undersized executor), the operator
+    // shapes this engine leans on (entity windows, sort-merge joins)
+    // degrade to disk spills instead of OOMing, and the spilled run
+    // returns BIT-IDENTICAL results. Spark only guarantees that for
+    // rows held in its spillable structures — a collect_list into one
+    // row, or driver-side buffering, would pass a correctness test
+    // and still OOM under pressure; forcing the spill thresholds to a
+    // few rows makes every window/join buffer take the disk path
+    // (spillSize > 0 proves it REALLY ran) on the same data the
+    // unconstrained run answered.
+    import graft.monitoring.PlanMetrics
+    import graft.operators.TimeSeries
+    val ev = Tables.events(spark, sfDir)
+    def windowRun(): (Array[org.apache.spark.sql.Row], Long) = {
+      val out = TimeSeries.rollingStats(ev)
+      val rows = out.collect() // executes THIS frame's plan (metrics gotcha)
+      (rows, PlanMetrics.shuffleStats(out).spillBytes)
+    }
+    // sort-merge join whose BUFFERED-side match groups (12.5k rows per
+    // key) far exceed the forced threshold — the shape of a skewed
+    // 100 TB fact-fact join key. The checksum is an exact
+    // LONG sum — a double sum's value depends on merge order, which is
+    // exactly what spilling perturbs, and this test must only fail on
+    // REAL answer changes
+    def joinRun(): (Long, Long, Long) = {
+      val bcKeys = Seq("spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      val keep = bcKeys.map(k => k -> spark.conf.getOption(k)).toMap
+      try {
+        bcKeys.foreach(spark.conf.set(_, "-1"))
+        // computed (non-foldable) key: a LITERAL key constant-folds the
+        // equi-condition away and the planner emits a CartesianProduct
+        // instead of the sort-merge join under test
+        val left = spark.range(0, 64).select((col("id") % 4).as("k"), col("id").as("a"))
+        val right = spark.range(0, 50000).select((col("id") % 4).as("k"), col("id").as("b"))
+        val out = left.join(right, "k")
+          .agg(count(lit(1)).as("n"), sum(col("a") * col("b")).as("s"))
+        val r = out.collect()(0)
+        (r.getLong(0), r.getLong(1), PlanMetrics.shuffleStats(out).spillBytes)
+      } finally keep.foreach { case (k, v) =>
+        v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+      }
+    }
+    val (winBase, winBaseSpill) = windowRun()
+    val (nBase, sBase, smjBaseSpill) = joinRun()
+    assert(winBaseSpill == 0L && smjBaseSpill == 0L,
+      "baseline runs spilled — thresholds leaked from another test")
+    // thresholds a few times smaller than the buffered group sizes
+    // (entity windows ~60-70 rows; the hot join key 50k) — every
+    // buffer takes the disk path a handful of times, without the
+    // pathological one-file-per-few-rows churn a near-zero threshold
+    // would cause
+    val keys = Seq(
+      "spark.sql.windowExec.buffer.in.memory.threshold" -> "16",
+      "spark.sql.windowExec.buffer.spill.threshold" -> "16",
+      "spark.sql.sortMergeJoinExec.buffer.in.memory.threshold" -> "1024",
+      "spark.sql.sortMergeJoinExec.buffer.spill.threshold" -> "1024")
+    val keep = keys.map { case (k, _) => k -> spark.conf.getOption(k) }.toMap
+    try {
+      keys.foreach { case (k, v) => spark.conf.set(k, v) }
+      val (winP, winSpill) = windowRun()
+      assert(winSpill > 0,
+        "window buffers never spilled — the pressure path did not run")
+      assert(winP.sameElements(winBase),
+        "window results changed under forced spilling")
+      val (nP, sP, smjSpill) = joinRun()
+      assert(smjSpill > 0,
+        "sort-merge join buffers never spilled — the pressure path did not run")
+      assert(nP == nBase && sP == sBase,
+        s"join checksum changed under forced spilling: ($nBase, $sBase) -> ($nP, $sP)")
+    } finally keep.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
 }
