@@ -345,23 +345,25 @@ object Dedup {
     * scraped re-post, or a shared boilerplate family shows up as a
     * hot cell long before per-doc dedup finds the pairs.
     *
-    * Shape: ONE corpus-sized shuffle — the per-shingle
-    * `collect_set(source)` aggregate (the distinct over (source,
-    * shingle) is folded into the set-union, and the set is bounded by
-    * the SOURCE count, not the corpus). Source pairs are then
-    * generated IN-SCAN from each shingle's sorted source array
-    * (≤ nSources²/2 pair rows per shingle) and map-side-combined into
-    * the ≤ nSources²/2-row matrix; per-source totals explode the same
-    * cached frame. The former self-equi-join shape cost two MORE
-    * corpus-sized exchanges (re-partitioning both join sides by hash
-    * after the distinct's (source, sh) partitioning) for the same
-    * answer. Text never shuffles; shingles travel as int64 hashes
-    * (the oracle joins the n-gram strings — identical counts modulo
-    * a 2^-64 collision), and the source label is dictionary-encoded
-    * to a small int BEFORE the explode so the one corpus-sized
-    * exchange moves (int64, int) rows, not a repeated STRING per
-    * shingle. Ids are assigned in lexicographic source order, so the
-    * sorted-set pair generation and output ordering are identical to
+    * Shape: ONE corpus-sized shuffle — the per-shingle source BITMASK
+    * aggregate `bit_or(1L << src)` (the distinct over (source,
+    * shingle) is folded into the OR; the buffer is a single long).
+    * The mask rollup `groupBy(m).count` then collapses the frame to
+    * one row per OBSERVED source COMBINATION — at most
+    * min(2^nSources, #distinct shingles) rows, in practice a handful —
+    * so the cached frame, the per-source totals, and the sorted-id
+    * pair explode (≤ nSources²/2 pairs per row, `cnt`-weighted) all
+    * run over a combination-sized table instead of the corpus's
+    * distinct-shingle count. The former collect_set form (kept as the
+    * >63-source fallback) cached the full per-shingle frame and
+    * exploded pairs once per shingle; the self-equi-join shape before
+    * it cost two MORE corpus-sized exchanges. Text never shuffles;
+    * shingles travel as int64 hashes (the oracle joins the n-gram
+    * strings — identical counts modulo a 2^-64 collision), and the
+    * source label is dictionary-encoded BEFORE the explode so the one
+    * corpus-sized exchange moves (int64, int64) rows, not a repeated
+    * STRING per shingle. Ids are assigned in lexicographic source
+    * order, so pair generation and output ordering are identical to
     * the string form; the final ≤ nSources²/2-row projection decodes.
     *
     * NOTE eager construction (laziness break): the source dictionary
@@ -374,16 +376,41 @@ object Dedup {
   def sourceOverlap(docs: DataFrame, n: Int = 3): DataFrame = {
     val sources = docs.select(col("source")).distinct()
       .collect().map(_.getString(0)).sorted
+    val k = sources.length
     val encodeMap = map(sources.zipWithIndex.flatMap { case (s, i) =>
       Seq(lit(s), lit(i)) }.toSeq: _*)
     val decodeMap = map(sources.zipWithIndex.flatMap { case (s, i) =>
       Seq(lit(i), lit(s)) }.toSeq: _*)
-    val bySh = Caches.persistTracked(
-      spreadToCores(docs)
-        .select(element_at(encodeMap, col("source")).as("src"),
-          explode(GraftFunctions.shingleHash64(
-            TextAnalysis.tokens(col("text")), n)).as("sh"))
-        .groupBy("sh").agg(sort_array(collect_set(col("src"))).as("srcs")))
+    val shingled = spreadToCores(docs)
+      .select(element_at(encodeMap, col("source")).as("src"),
+        explode(GraftFunctions.shingleHash64(
+          TextAnalysis.tokens(col("text")), n)).as("sh"))
+    // (per-shingle sorted source-id set, multiplicity) — via a source
+    // BITMASK when the label cardinality fits a long (the normal
+    // case): the per-shingle aggregate is bit_or over 1L<<src (a
+    // single-long buffer vs a set, still map-side combined), and the
+    // mask rollup then collapses the frame to one row per OBSERVED
+    // source combination — so the cached frame, the totals aggregate,
+    // and the pair explode all run over at most
+    // min(2^k, #distinct shingles) rows instead of the corpus's
+    // distinct-shingle count, weighted by `cnt`. Past 63 sources the
+    // collect_set form takes over (same downstream, weight 1).
+    val srcsFrame =
+      if (k <= 63) {
+        val masks = Caches.persistTracked(
+          shingled
+            .select(expr("shiftleft(CAST(1 AS BIGINT), src)").as("bit"), col("sh"))
+            .groupBy("sh").agg(bit_or(col("bit")).as("m"))
+            .groupBy("m").agg(count(lit(1)).as("cnt")))
+        val bits = array_compact(array((0 until k).map(i =>
+          when(col("m").bitwiseAND(lit(1L << i)) =!= lit(0L), lit(i))): _*))
+        masks.select(bits.as("srcs"), col("cnt"))
+      } else {
+        val bySh = Caches.persistTracked(
+          shingled.groupBy("sh")
+            .agg(sort_array(collect_set(col("src"))).as("srcs")))
+        bySh.select(col("srcs"), lit(1L).as("cnt"))
+      }
     // per-source distinct-shingle totals: the aggregate is distributed
     // (one small exchange over the cached frame), but the RESULT is
     // bounded by the SOURCE count (a label cardinality — dozens, not
@@ -391,21 +418,22 @@ object Dedup {
     // literal map instead of two broadcast-join subplans (the
     // IVF-quantizer bounded-driver-state pattern; each join was a
     // whole extra build stage over the same cache)
-    val totalsRows = bySh.select(explode(col("srcs")).as("src"))
-      .groupBy("src").agg(count(lit(1)).as("n_sh")).collect()
+    val totalsRows = srcsFrame.select(explode(col("srcs")).as("src"), col("cnt"))
+      .groupBy("src").agg(sum(col("cnt")).as("n_sh")).collect()
     val totalsMap = map(totalsRows.flatMap(r =>
       Seq(lit(r.getInt(0)), lit(r.getLong(1)))).toSeq: _*)
     // all ordered pairs of the (sorted) per-shingle source-id set,
-    // formed scan-local: pair (a, b) appears once per shared shingle
+    // formed scan-local: pair (a, b) counts once per shared shingle
+    // (`cnt`-weighted under the mask rollup)
     val pairCol = flatten(transform(col("srcs"), (x, i) =>
       transform(slice(col("srcs"), i + 2, size(col("srcs"))), y =>
         struct(x.as("a"), y.as("b")))))
     val nA = element_at(totalsMap, col("a"))
     val nB = element_at(totalsMap, col("b"))
-    bySh
-      .select(explode(pairCol).as("p"))
+    srcsFrame
+      .select(explode(pairCol).as("p"), col("cnt"))
       .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-      .agg(count(lit(1)).as("n_shared"))
+      .agg(sum(col("cnt")).as("n_shared"))
       .select(element_at(decodeMap, col("a")).as("src_a"),
         element_at(decodeMap, col("b")).as("src_b"), col("n_shared"),
         nA.as("n_a"), nB.as("n_b"),
