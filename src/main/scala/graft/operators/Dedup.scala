@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.GraftFunctions
@@ -178,14 +178,22 @@ object Dedup {
     // 300-400 MB at 1M pairs, safe for common 2-4 GB driver sizings.
     // Beyond the bound, distributed min-label propagation (below) is
     // the path that scales to billions of pairs.
-    if (p.count() <= driverMaxPairs) driverUnionFind(p)
+    // The size check IS the collect: limit(bound+1) pulls at most one
+    // row past the bound, so the common small case pays ONE job over
+    // the cached pairs instead of a count job plus a collect job, and
+    // an over-bound pair set still stops at bound+1 driver rows.
+    require(driverMaxPairs < Int.MaxValue,
+      s"driverMaxPairs=$driverMaxPairs cannot be collect-bounded; " +
+        "use the distributed path for pair sets past ~2G")
+    val probe = p.limit((driverMaxPairs + 1).toInt).collect()
+    if (probe.length <= driverMaxPairs) driverUnionFind(p.sparkSession, probe)
     else distributedClusters(p, maxIters)
   }
 
   /** Driver-side union-find with min-label roots and path compression —
     * exact connected components for pair sets within the driver bound. */
-  private def driverUnionFind(pairs: DataFrame): DataFrame = {
-    val spark = pairs.sparkSession
+  private def driverUnionFind(spark: SparkSession,
+                              pairRows: Array[org.apache.spark.sql.Row]): DataFrame = {
     import spark.implicits._
     val parent = scala.collection.mutable.HashMap.empty[Long, Long]
     def find(x: Long): Long = {
@@ -195,7 +203,7 @@ object Dedup {
       while (parent.getOrElse(c, c) != c) { val nx = parent(c); parent(c) = r; c = nx }
       r
     }
-    pairs.collect().foreach { row =>
+    pairRows.foreach { row =>
       val (a, b) = (row.getLong(0), row.getLong(1))
       parent.getOrElseUpdate(a, a)
       parent.getOrElseUpdate(b, b)
