@@ -417,11 +417,14 @@ object SparkEntry {
     * values are the SAME ±1.0 doubles the kernel multiplies by, and
     * the projection sum is the same left-to-right double sum
     * (list_sum over the per-element products), so the `> 0` sign
-    * test is bit-identical across engines. dim is fixed at 64 by the
-    * driver's embeddings testdata (TESTDATA.md); a dim change fails
-    * the hash compare loudly rather than silently. */
+    * test is bit-identical across engines. The SQL indexes only the
+    * first len(v) sign positions, so the emitted lists just need
+    * length ≥ the embedding dim — 128 gives the driver's dim-64
+    * testdata 2× regeneration headroom (SimilaritySpec pins dim ≤ 128
+    * with a message naming this contract; past it the compare fails
+    * loudly, never silently). */
   private def rhpPlanesSql(tables: Int, nPlanes: Int, seed: Long,
-                           dim: Int = 64): String =
+                           dim: Int = 128): String =
     (for { t <- 0 until tables; p <- 0 until nPlanes } yield {
       val signs = (0 until dim).map { j =>
         val r = graft.functions.TextHash.mix64((seed + t) ^ (p.toLong << 32) ^ j.toLong)

@@ -491,4 +491,22 @@ class SimilaritySpec extends AnyFunSuite {
       .select(size(split(col("s"), " ")).as("n")).distinct().collect()
     assert(sh.map(_.getInt(0)).toSet == Set(3))
   }
+
+  test("embedding dim stays within the RHP oracle's embedded plane length") {
+    // The q_ann_lsh / q_dedup_embed_lsh oracles carry the hyperplane
+    // sign matrices as 128-entry SQL literals; the SQL indexes only
+    // len(v) positions, so any dim <= 128 compares exactly. A
+    // regenerated embeddings table past 128 dims would make the DuckDB
+    // side silently project onto a 128-dim prefix — this pin turns
+    // that testdata drift into a named failure instead of an
+    // unexplained oracle mismatch.
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").foreach { dir =>
+      val dim = Tables.embeddings(spark, dir)
+        .select(size(col("embedding")).as("d")).agg(max(col("d"))).collect()(0).getInt(0)
+      assert(dim <= 128,
+        s"$dir embeddings dim $dim exceeds the 128-entry plane literals in " +
+          "SparkEntry.rhpPlanesSql — raise the emitted dim to restore the " +
+          "LSH oracle's exactness")
+    }
+  }
 }
