@@ -77,7 +77,10 @@ object GraftExtensions {
         case Literal(s, _) if s != null => s.toString.split(",").toSeq
         case other => throw new IllegalArgumentException(
           s"count_in_set word list must be a string literal, got $other")
-      })))
+      })),
+    ("sorted_intersect_count",
+      info("sorted_intersect_count", "sorted_intersect_count(array<long>, array<long>) - |A ∩ B| of two sorted arrays (merge walk)"),
+      (args: Seq[Expression]) => SortedIntersectCount(args.head, args(1))))
 
   /** Register every graft function on a live session. */
   def register(spark: SparkSession): Unit =

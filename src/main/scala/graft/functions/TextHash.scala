@@ -146,6 +146,35 @@ object TextHash {
     cnt
   }
 
+  /** |A ∩ B| of two SORTED (ascending, signed) long arrays by one
+    * merge walk — the zero-allocation verify kernel for candidate
+    * pairs whose shingle arrays are already `sort_array`'d.
+    * `size(array_intersect(a, b))` builds per-row hash sets AND
+    * materializes the intersection array just to take its length;
+    * this walk touches each element once and allocates nothing.
+    * Equal-value runs advance both sides past the run and count ONCE,
+    * so the result equals |set(A) ∩ set(B)| even on non-distinct
+    * (but sorted) inputs — the same set semantics array_intersect
+    * has. */
+  def sortedIntersectCount(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var c = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) {
+        c += 1
+        while (i < na && a.getLong(i) == x) i += 1
+        while (j < nb && b.getLong(j) == y) j += 1
+      } else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
+
   /** Left-to-right dot product of two float vectors in double
     * precision (each element widened BEFORE the multiply) — exactly
     * the summation the DuckDB oracle's list_sum-over-list_transform

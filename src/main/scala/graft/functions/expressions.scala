@@ -253,6 +253,25 @@ case class RhpSig(child: Expression, nPlanes: Int, seed: Long)
     copy(child = newChild)
 }
 
+/** |A ∩ B| of two SORTED long arrays (single merge walk, zero
+  * allocation — see [[TextHash.sortedIntersectCount]]). The verify
+  * stage of the exact-Jaccard candidate joins calls this once per
+  * candidate pair; array_intersect's hash-set build + intersection
+  * materialization was the per-pair hot spot there. */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TextHash.sortedIntersectCount(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.TextHash.sortedIntersectCount($a, $b)")
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): SortedIntersectCount =
+    copy(left = l, right = r)
+}
+
 /** Column-API wrappers. */
 object GraftFunctions {
   private def e(c: Column): Expression = Bridge.expression(c)
@@ -276,6 +295,8 @@ object GraftFunctions {
     Bridge.column(CountInSet(e(tokens), words))
   def countInLongSet(hashes: Column, set: Array[Long]): Column =
     Bridge.column(CountInLongSet(e(hashes), set))
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    Bridge.column(SortedIntersectCount(e(a), e(b)))
   def bpeCount(tokens: Column, merges: Seq[(String, String)]): Column =
     Bridge.column(BpeCount(e(tokens), merges))
   def bpeTokens(tokens: Column, merges: Seq[(String, String)]): Column =

@@ -92,7 +92,12 @@ object Dedup {
 
   def minhashPairs(docs: DataFrame, k: Int = 128, bands: Int = 16,
                    tau: Double = 0.8): DataFrame = {
-    val sh = Caches.persistTracked(shingleHashes(docs).filter(size(col("sh")) > 0))
+    // sorted once per doc in the cached frame so the verify's
+    // intersection is a zero-allocation merge walk (minhash itself is
+    // order-independent — min over elements)
+    val sh = Caches.persistTracked(
+      shingleHashes(docs).filter(size(col("sh")) > 0)
+        .select(col("doc_id"), sort_array(col("sh")).as("sh")))
     val banded = bandBuckets(sh, k, bands)
     val cand = banded.as("a")
       .join(banded.as("b"),
@@ -103,12 +108,18 @@ object Dedup {
     verifyJaccard(cand, sh, tau)
   }
 
-  /** Exact Jaccard over candidate pairs via hashed-shingle join-back. */
+  /** Exact Jaccard over candidate pairs via hashed-shingle join-back.
+    * `sh` arrays MUST be sorted (the callers' cached frames apply
+    * sort_array) — the intersection is the codegen'd merge-walk
+    * [[GraftFunctions.sortedIntersectCount]], one pass and zero
+    * allocation per candidate pair where array_intersect built hash
+    * sets and materialized the intersection array per row. */
   private def verifyJaccard(cand: DataFrame, sh: DataFrame, tau: Double): DataFrame = {
     val withSets = cand
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
-    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+    val inter = GraftFunctions
+      .sortedIntersectCount(col("sh_a"), col("sh_b")).cast("double")
     val union = (size(col("sh_a")) + size(col("sh_b"))).cast("double") - inter
     withSets
       .select(col("doc_a"), col("doc_b"), rnd(inter / union, 4).as("jaccard"))
@@ -548,9 +559,11 @@ object Dedup {
     * generates candidate pairs, and the candidate join's output volume
     * drops by ~(1−τ)² with zero false negatives. Verification then
     * joins the candidate ids back to the per-doc shingle arrays and
-    * computes the exact intersection per pair (`array_intersect`,
-    * codegen'd) — no exploded group-count, so a candidate pair costs
-    * one array op instead of |A∩B| joined rows.
+    * computes the exact intersection per pair (the codegen'd
+    * merge-walk [[GraftFunctions.sortedIntersectCount]] over the
+    * sorted arrays — zero allocation) — no exploded group-count, so a
+    * candidate pair costs one array walk instead of |A∩B| joined
+    * rows.
     *
     * vs the exact operator at scale: the exact form's shuffle volume
     * is the full shared-shingle pair expansion (measured 40.8× for a
@@ -601,7 +614,7 @@ object Dedup {
       .distinct()
       // the distinct's output is small in BYTES (16 B/pair), so AQE
       // coalesces it to ~one partition — which then serializes the
-      // whole verify stage (two joins + array_intersect per pair)
+      // whole verify stage (two joins + a merge-walk per pair)
       // onto one core. An explicit width pin keeps verify at full
       // parallelism (user repartitions are exempt from AQE
       // coalescing); keyed on doc_a so a non-broadcast verify join
@@ -612,7 +625,9 @@ object Dedup {
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sa")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sb")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
-        size(array_intersect(col("sa"), col("sb"))).as("inter"),
+        // arrays are sort_array'd in the cached frame — the exact
+        // intersection is the zero-allocation merge-walk kernel
+        GraftFunctions.sortedIntersectCount(col("sa"), col("sb")).as("inter"),
         size(col("sa")).as("na"), size(col("sb")).as("nb"))
       .select(col("doc_a"), col("doc_b"),
         rnd(col("inter") / (col("na") + col("nb") - col("inter")), 4).as("jaccard"))

@@ -227,4 +227,32 @@ class KernelPropertySpec extends AnyFunSuite {
       assert(v == exact(k), s"group $k: long path $v != decimal path ${exact(k)}")
     }
   }
+
+  test("sortedIntersectCount equals set intersection on random sorted arrays (codegen)") {
+    import spark.implicits._
+    // draws from a small value domain so overlaps, duplicates (the
+    // run-skip path), empties, and negative longs (signed sort order)
+    // all occur; compared against Scala Set intersection through the
+    // DataFrame API (the codegen path), and against
+    // size(array_intersect(...)) — the expression this kernel replaced
+    // in the Jaccard verify stages
+    val cases = Seq.fill(300) {
+      def arr() = Array.fill(rng.nextInt(40))(
+        (rng.nextInt(30) - 15).toLong * (1L << 40) + rng.nextInt(5)).sorted
+      (arr(), arr())
+    }
+    val out = cases.toDF("a", "b").select(
+      col("a"), col("b"),
+      sortedIntersectCount(col("a"), col("b")).as("c"),
+      size(array_intersect(col("a"), col("b"))).as("ref")).collect()
+    out.foreach { r =>
+      val a = r.getAs[scala.collection.Seq[Long]]("a")
+      val b = r.getAs[scala.collection.Seq[Long]]("b")
+      val expected = a.toSet.intersect(b.toSet).size
+      assert(r.getInt(2) == expected,
+        s"kernel ${r.getInt(2)} != set-intersect $expected for a=$a b=$b")
+      assert(r.getInt(3) == expected,
+        s"array_intersect baseline drifted from set semantics on a=$a b=$b")
+    }
+  }
 }

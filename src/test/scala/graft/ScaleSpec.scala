@@ -44,7 +44,7 @@ class ScaleSpec extends AnyFunSuite {
     val fns = GraftExtensions.functions
     assert(fns.map(_._1).toSet == Set("fingerprint64", "simhash64", "minhash_sig",
       "hamming64", "dot_fd", "shingle_hash64", "rhp_sig", "hash_embed",
-      "bpe_count", "bpe_tokens", "count_in_set"))
+      "bpe_count", "bpe_tokens", "count_in_set", "sorted_intersect_count"))
     // builders construct valid expressions from literal args
     import org.apache.spark.sql.catalyst.expressions.Literal
     val mh = fns.find(_._1 == "minhash_sig").get._3(
