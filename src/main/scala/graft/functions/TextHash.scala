@@ -146,6 +146,69 @@ object TextHash {
     cnt
   }
 
+  /** Java-regex \s membership for a UTF-8 byte: space or the 0x09-0x0d
+    * control run. ASCII-only (Java's default \s), and every member is
+    * a single-byte UTF-8 code point that can never appear inside a
+    * multibyte sequence (continuation bytes are >= 0x80), so a BYTE
+    * scan splits exactly where the char-level regex does. */
+  @inline private def isWs(b: Byte): Boolean =
+    b == 0x20 || (b >= 0x09 && b <= 0x0d)
+
+  /** Canonical text normalization as ONE byte scan — bit-exactly
+    * `regexp_replace(lower(trim(text)), "\\s+", " ")`: the same
+    * UTF8String.trim (0x20 ends only) and UTF8String.toLowerCase
+    * Spark's Trim/Lower call, then each maximal \s run (see [[isWs]])
+    * collapsed to a single 0x20 — leading/trailing non-space runs
+    * survive trim and collapse to a leading/trailing space exactly as
+    * the regex form leaves them. Replaces a java.util.regex pass in
+    * the scan of every text operator. Equivalence is
+    * randomized-pinned against the regex chain in KernelPropertySpec
+    * (unicode, empties, runs, all-whitespace). */
+  def normalizeWs(input: UTF8String): UTF8String = {
+    val arr = input.trim().toLowerCase().getBytes
+    val n = arr.length
+    val out = new Array[Byte](n)
+    var i = 0
+    var o = 0
+    while (i < n) {
+      val b = arr(i)
+      if (isWs(b)) {
+        out(o) = 0x20; o += 1
+        i += 1
+        while (i < n && isWs(arr(i))) i += 1
+      } else {
+        out(o) = b; o += 1
+        i += 1
+      }
+    }
+    UTF8String.fromBytes(out, 0, o)
+  }
+
+  /** Whitespace tokenization as ONE byte scan — bit-exactly
+    * `split(normalizeWs(text), " ")` with Spark's split semantics
+    * (limit -1: leading AND trailing empty tokens kept; an empty
+    * string yields [""]): the segments between maximal \s runs of the
+    * trimmed+lowercased bytes. Middle empties cannot occur (runs
+    * collapse); a leading/trailing run yields the same ""-token the
+    * regex+split chain produces. */
+  def wsTokens(input: UTF8String): ArrayData = {
+    val arr = input.trim().toLowerCase().getBytes
+    val n = arr.length
+    val toks = new scala.collection.mutable.ArrayBuffer[UTF8String](16)
+    var segStart = 0
+    var i = 0
+    while (i < n) {
+      if (isWs(arr(i))) {
+        toks += UTF8String.fromBytes(arr, segStart, i - segStart)
+        i += 1
+        while (i < n && isWs(arr(i))) i += 1
+        segStart = i
+      } else i += 1
+    }
+    toks += UTF8String.fromBytes(arr, segStart, n - segStart)
+    ArrayData.toArrayData(toks.toArray)
+  }
+
   /** |A ∩ B| of two SORTED (ascending, signed) long arrays by one
     * merge walk — the zero-allocation verify kernel for candidate
     * pairs whose shingle arrays are already `sort_array`'d.

@@ -253,6 +253,35 @@ case class RhpSig(child: Expression, nPlanes: Int, seed: Long)
     copy(child = newChild)
 }
 
+/** Canonical text normalization (lowercase, 0x20-trim, \s+ runs
+  * collapsed to one space) as one byte scan — bit-exact with
+  * `regexp_replace(lower(trim(text)), "\\s+", " ")` but with no regex
+  * engine in the scan (see [[TextHash.normalizeWs]]). */
+case class NormalizeWs(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(input: Any): Any =
+    TextHash.normalizeWs(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.normalizeWs($c)")
+  override protected def withNewChildInternal(newChild: Expression): NormalizeWs =
+    copy(child = newChild)
+}
+
+/** Whitespace tokenization (split of [[NormalizeWs]] on single
+  * spaces, Spark split semantics — leading/trailing empties kept) as
+  * one byte scan (see [[TextHash.wsTokens]]). The tokenizer runs in
+  * the scan of every text operator — this removes the
+  * java.util.regex pass from that hot path. */
+case class WsTokens(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    TextHash.wsTokens(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.wsTokens($c)")
+  override protected def withNewChildInternal(newChild: Expression): WsTokens =
+    copy(child = newChild)
+}
+
 /** |A ∩ B| of two SORTED long arrays (single merge walk, zero
   * allocation — see [[TextHash.sortedIntersectCount]]). The verify
   * stage of the exact-Jaccard candidate joins calls this once per
@@ -297,6 +326,8 @@ object GraftFunctions {
     Bridge.column(CountInLongSet(e(hashes), set))
   def sortedIntersectCount(a: Column, b: Column): Column =
     Bridge.column(SortedIntersectCount(e(a), e(b)))
+  def normalizeWs(text: Column): Column = Bridge.column(NormalizeWs(e(text)))
+  def wsTokens(text: Column): Column = Bridge.column(WsTokens(e(text)))
   def bpeCount(tokens: Column, merges: Seq[(String, String)]): Column =
     Bridge.column(BpeCount(e(tokens), merges))
   def bpeTokens(tokens: Column, merges: Seq[(String, String)]): Column =

@@ -17,11 +17,19 @@ import graft.functions.GraftFunctions
   */
 object TextAnalysis {
 
-  /** Canonical text form: lowercase, trimmed, whitespace collapsed. */
-  def normalize(text: Column): Column =
-    regexp_replace(lower(trim(text)), "\\s+", " ")
+  /** Canonical text form: lowercase, trimmed, whitespace collapsed —
+    * the codegen'd single-byte-scan kernel, bit-exact with
+    * `regexp_replace(lower(trim(text)), "\\s+", " ")` (the form the
+    * DuckDB oracles state and KernelPropertySpec pins) but with no
+    * regex engine in the scan. */
+  def normalize(text: Column): Column = GraftFunctions.normalizeWs(text)
 
-  def tokens(text: Column): Column = split(normalize(text), " ")
+  /** Whitespace tokens of [[normalize]] — single-scan kernel,
+    * bit-exact with `split(normalize(text), " ")` including Spark
+    * split's kept leading/trailing empty tokens. This expression sits
+    * in the scan of every text operator; the regex chain it replaces
+    * was the shared per-row hot spot. */
+  def tokens(text: Column): Column = GraftFunctions.wsTokens(text)
 
   /** THE content identity of a document — every exact-dedup surface
     * (batch, incremental, streaming ingest, keep-best) must share this

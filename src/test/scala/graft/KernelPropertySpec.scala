@@ -228,6 +228,43 @@ class KernelPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("normalizeWs/wsTokens are bit-exact with the regex chain they replaced (codegen)") {
+    import spark.implicits._
+    // the kernels sit under EVERY text operator and the DuckDB oracles
+    // state the regex form — equivalence must hold on adversarial
+    // shapes: empties, all-whitespace, every \s member, leading and
+    // trailing runs (trim removes only 0x20), multibyte UTF-8 around
+    // separators, unicode uppercase (the kernel calls the same
+    // UTF8String.toLowerCase Spark's lower uses), and non-ASCII
+    // whitespace lookalikes (U+00A0, U+2003) that Java \s does NOT
+    // match and the kernel must not split on either
+    val ws = Seq(' ', '\t', '\n', '\u000b', '\f', '\r')
+    val crafted = Seq(
+      "", " ", "  ", "\t", "\r\n", " a ", "\ta\t", "a  b", "a\t\nb",
+      "ÉCOLE  Straße", "İstanbul\tLODZ Łódź", "日本　語", // U+3000 ideographic space: not \s
+      "a\u00a0b", "em\u2003quad", "MIXED Case\rRUN\u000bx",
+      "😀 EMOJI\ttail ", "  lead", "trail\t\t")
+    val rand = Seq.fill(300) {
+      Seq.fill(rng.nextInt(12))(
+        if (rng.nextBoolean()) randToken().toUpperCase
+        else Seq.fill(1 + rng.nextInt(3))(ws(rng.nextInt(ws.size))).mkString
+      ).mkString
+    }
+    val out = (crafted ++ rand).toDF("t").select(
+      graft.functions.GraftFunctions.normalizeWs(col("t")).as("kn"),
+      regexp_replace(lower(trim(col("t"))), "\\s+", " ").as("rn"),
+      graft.functions.GraftFunctions.wsTokens(col("t")).as("kt"),
+      split(regexp_replace(lower(trim(col("t"))), "\\s+", " "), " ").as("rt"),
+      col("t")).collect()
+    out.foreach { r =>
+      assert(r.getString(0) == r.getString(1),
+        s"normalize drift on ${r.getString(4)}: kernel '${r.getString(0)}' vs regex '${r.getString(1)}'")
+      assert(r.getAs[scala.collection.Seq[String]]("kt") ==
+             r.getAs[scala.collection.Seq[String]]("rt"),
+        s"tokens drift on '${r.getString(4)}': ${r.getAs[scala.collection.Seq[String]]("kt")} vs ${r.getAs[scala.collection.Seq[String]]("rt")}")
+    }
+  }
+
   test("sortedIntersectCount equals set intersection on random sorted arrays (codegen)") {
     import spark.implicits._
     // draws from a small value domain so overlaps, duplicates (the
