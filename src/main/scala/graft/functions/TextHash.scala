@@ -209,6 +209,73 @@ object TextHash {
     ArrayData.toArrayData(toks.toArray)
   }
 
+  /** `regexp_count(text, "[^a-zA-Z0-9\\s]")` without the regex
+    * engine: code points outside ASCII alphanumerics and ASCII \s.
+    * Counted at UTF-8 LEAD bytes, so every non-ASCII code point —
+    * including supplementary ones, which Java regex also treats as
+    * ONE code point — counts exactly once; continuation bytes are
+    * skipped. */
+  def countPunct(input: UTF8String): Int = {
+    val n = input.numBytes
+    var c = 0
+    var i = 0
+    while (i < n) {
+      val b = input.getByte(i)
+      if ((b & 0x80) != 0) { if ((b & 0xc0) != 0x80) c += 1 }
+      else if (!(isWs(b) ||
+        (b >= 'a' && b <= 'z') || (b >= 'A' && b <= 'Z') ||
+        (b >= '0' && b <= '9'))) c += 1
+      i += 1
+    }
+    c
+  }
+
+  /** `regexp_count(text, "[A-Z]")` without the regex engine — ASCII
+    * uppercase only, exactly the class's semantics (non-ASCII
+    * uppercase is not in [A-Z]). */
+  def countUpperAscii(input: UTF8String): Int = {
+    val n = input.numBytes
+    var c = 0
+    var i = 0
+    while (i < n) {
+      val b = input.getByte(i)
+      if (b >= 'A' && b <= 'Z') c += 1
+      i += 1
+    }
+    c
+  }
+
+  /** `regexp_count(text, "[a-z]+|[0-9]+|[^a-z0-9 ]")` — the BPE-ish
+    * lexer count (letter runs | digit runs | one match per other
+    * code point) — as one byte scan. Greedy alternation over these
+    * disjoint classes is exactly run-counting: a match starts where
+    * the class of the current code point differs from an ongoing
+    * letter/digit run; spaces separate; every other code point
+    * (ASCII punct/upper or any non-ASCII, lead-byte-counted) is its
+    * own single-char match. */
+  def countTokenRuns(input: UTF8String): Int = {
+    val n = input.numBytes
+    var c = 0
+    var i = 0
+    var run = 0 // 1 = in a-z run, 2 = in 0-9 run, 0 = neither
+    while (i < n) {
+      val b = input.getByte(i)
+      if ((b & 0x80) != 0) {
+        if ((b & 0xc0) != 0x80) c += 1
+        run = 0
+      } else if (b >= 'a' && b <= 'z') {
+        if (run != 1) c += 1
+        run = 1
+      } else if (b >= '0' && b <= '9') {
+        if (run != 2) c += 1
+        run = 2
+      } else if (b == ' ') run = 0
+      else { c += 1; run = 0 }
+      i += 1
+    }
+    c
+  }
+
   /** |A ∩ B| of two SORTED (ascending, signed) long arrays by one
     * merge walk — the zero-allocation verify kernel for candidate
     * pairs whose shingle arrays are already `sort_array`'d.

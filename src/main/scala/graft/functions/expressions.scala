@@ -282,6 +282,43 @@ case class WsTokens(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** regexp_count(text, "[^a-zA-Z0-9\\s]") as one byte scan (see
+  * [[TextHash.countPunct]]) — the quality family's punctuation count
+  * without a regex pass per row. */
+case class CountPunct(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(input: Any): Any =
+    TextHash.countPunct(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.countPunct($c)")
+  override protected def withNewChildInternal(newChild: Expression): CountPunct =
+    copy(child = newChild)
+}
+
+/** regexp_count(text, "[A-Z]") as one byte scan (see
+  * [[TextHash.countUpperAscii]]). */
+case class CountUpperAscii(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(input: Any): Any =
+    TextHash.countUpperAscii(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.countUpperAscii($c)")
+  override protected def withNewChildInternal(newChild: Expression): CountUpperAscii =
+    copy(child = newChild)
+}
+
+/** regexp_count(text, "[a-z]+|[0-9]+|[^a-z0-9 ]") — the BPE-ish
+  * lexer count — as one byte scan (see [[TextHash.countTokenRuns]]). */
+case class CountTokenRuns(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(input: Any): Any =
+    TextHash.countTokenRuns(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.countTokenRuns($c)")
+  override protected def withNewChildInternal(newChild: Expression): CountTokenRuns =
+    copy(child = newChild)
+}
+
 /** |A ∩ B| of two SORTED long arrays (single merge walk, zero
   * allocation — see [[TextHash.sortedIntersectCount]]). The verify
   * stage of the exact-Jaccard candidate joins calls this once per
@@ -328,6 +365,11 @@ object GraftFunctions {
     Bridge.column(SortedIntersectCount(e(a), e(b)))
   def normalizeWs(text: Column): Column = Bridge.column(NormalizeWs(e(text)))
   def wsTokens(text: Column): Column = Bridge.column(WsTokens(e(text)))
+  def countPunct(text: Column): Column = Bridge.column(CountPunct(e(text)))
+  def countUpperAscii(text: Column): Column =
+    Bridge.column(CountUpperAscii(e(text)))
+  def countTokenRuns(text: Column): Column =
+    Bridge.column(CountTokenRuns(e(text)))
   def bpeCount(tokens: Column, merges: Seq[(String, String)]): Column =
     Bridge.column(BpeCount(e(tokens), merges))
   def bpeTokens(tokens: Column, merges: Seq[(String, String)]): Column =

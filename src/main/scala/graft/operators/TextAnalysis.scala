@@ -103,7 +103,7 @@ object TextAnalysis {
     docs.select(
       col("doc_id"),
       size(tokens(col("text"))).cast("long").as("n_ws_tokens"),
-      regexp_count(normalize(col("text")), lit("[a-z]+|[0-9]+|[^a-z0-9 ]")).as("n_bpe_tokens"))
+      GraftFunctions.countTokenRuns(normalize(col("text"))).as("n_bpe_tokens"))
       .orderBy("doc_id")
 
   /** The default BPE merge table: trained on the sf0.001 documents
@@ -302,8 +302,8 @@ object TextAnalysis {
     // DuckDB's is NaN — the guard makes both engines emit 0 ratios
     val nChars = greatest(length(col("text")).cast("double"), lit(1.0))
     val nStop = GraftFunctions.countInSet(toks, stopwords).cast("double")
-    val nPunct = regexp_count(col("text"), lit("[^a-zA-Z0-9\\s]")).cast("double")
-    val nUpper = regexp_count(col("text"), lit("[A-Z]")).cast("double")
+    val nPunct = GraftFunctions.countPunct(col("text")).cast("double")
+    val nUpper = GraftFunctions.countUpperAscii(col("text")).cast("double")
     val stopRatio = nStop / greatest(nTok, lit(1.0))
     val punctRatio = nPunct / nChars
     val upperRatio = nUpper / nChars
@@ -328,7 +328,7 @@ object TextAnalysis {
     val nTok = size(toks).cast("double")
     val nChars = greatest(length(text).cast("double"), lit(1.0))
     val nStop = GraftFunctions.countInSet(toks, stopwords).cast("double")
-    val nPunct = regexp_count(text, lit("[^a-zA-Z0-9\\s]")).cast("double")
+    val nPunct = GraftFunctions.countPunct(text).cast("double")
     rnd(least(nTok / 200d, lit(1.0)) * 0.5 +
       (nStop / greatest(nTok, lit(1.0))) * 0.25 +
       (lit(1.0) - nPunct / nChars) * 0.25, 4)
@@ -947,7 +947,7 @@ object TextAnalysis {
     val meanWl = (length(normalize(col("text"))).cast("double") - (nTok - 1)) /
       greatest(nTok, lit(1.0))
     val nChars = greatest(length(col("text")).cast("double"), lit(1.0))
-    val punctRatio = regexp_count(col("text"), lit("[^a-zA-Z0-9\\s]")).cast("double") / nChars
+    val punctRatio = GraftFunctions.countPunct(col("text")).cast("double") / nChars
     val nStop = GraftFunctions.countInSet(toks, stopwords)
     QualityCols(nTok, meanWl,
       nTok >= minTokens && nTok <= maxTokens,

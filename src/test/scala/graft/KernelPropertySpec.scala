@@ -265,6 +265,34 @@ class KernelPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("byte-scan class counts are bit-exact with the regexp_count forms they replaced") {
+    import spark.implicits._
+    // supplementary code points (emoji) are ONE code point to Java
+    // regex and ONE lead byte to the kernels; ASCII class boundaries
+    // (@ [ ` {) and every \s member probe the off-by-one edges
+    val crafted = Seq(
+      "", " ", "abc", "ABC", "a1b2", "a!b@C#", "émile ÉMILE", "😀!😀",
+      "@[`{Zz09", "tab\tnew\nline", "aa11!!bb", "mixedCASE 3rd",
+      "  ", "7 dwarves, 1 CAVE!", "a-b_c.d")
+    // sample whole code points (the emoji is a surrogate PAIR —
+    // charAt would split it into invalid lone surrogates)
+    val alphabet = Seq("a", "Z", "0", " ", "!", ".", "\t", "😀", "é", "¢", "\n")
+    val rand = Seq.fill(300)(Seq.fill(rng.nextInt(30))(
+      alphabet(rng.nextInt(alphabet.size))).mkString)
+    val out = (crafted ++ rand).toDF("t").select(col("t"),
+      graft.functions.GraftFunctions.countPunct(col("t")).as("kp"),
+      regexp_count(col("t"), lit("[^a-zA-Z0-9\\s]")).as("rp"),
+      graft.functions.GraftFunctions.countUpperAscii(col("t")).as("ku"),
+      regexp_count(col("t"), lit("[A-Z]")).as("ru"),
+      graft.functions.GraftFunctions.countTokenRuns(col("t")).as("kt"),
+      regexp_count(col("t"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]")).as("rt")).collect()
+    out.foreach { r =>
+      assert(r.getInt(1) == r.getInt(2), s"punct drift on '${r.getString(0)}': ${r.getInt(1)} vs ${r.getInt(2)}")
+      assert(r.getInt(3) == r.getInt(4), s"upper drift on '${r.getString(0)}': ${r.getInt(3)} vs ${r.getInt(4)}")
+      assert(r.getInt(5) == r.getInt(6), s"token-run drift on '${r.getString(0)}': ${r.getInt(5)} vs ${r.getInt(6)}")
+    }
+  }
+
   test("sortedIntersectCount equals set intersection on random sorted arrays (codegen)") {
     import spark.implicits._
     // draws from a small value domain so overlaps, duplicates (the
