@@ -24,6 +24,9 @@ object Profile {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, sfDir).count()
       println(f"[profile] $name run $i: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      // drain operator caches between reps, as Bench does — otherwise
+      // warm reps read persistTracked frames and overstate vs Bench
+      graft.operators.Caches.releaseAll()
     }
     spark.stop()
   }

@@ -80,7 +80,22 @@ object GraftExtensions {
       })),
     ("sorted_intersect_count",
       info("sorted_intersect_count", "sorted_intersect_count(array<long>, array<long>) - |A ∩ B| of two sorted arrays (merge walk)"),
-      (args: Seq[Expression]) => SortedIntersectCount(args.head, args(1))))
+      (args: Seq[Expression]) => SortedIntersectCount(args.head, args(1))),
+    ("normalize_ws",
+      info("normalize_ws", "normalize_ws(str) - lowercase, 0x20-trim, \\s+ runs collapsed (one byte scan)"),
+      (args: Seq[Expression]) => NormalizeWs(args.head)),
+    ("ws_tokens",
+      info("ws_tokens", "ws_tokens(str) - whitespace tokens of normalize_ws (one byte scan)"),
+      (args: Seq[Expression]) => WsTokens(args.head)),
+    ("count_punct",
+      info("count_punct", "count_punct(str) - code points outside ASCII alnum/\\s (regex-free)"),
+      (args: Seq[Expression]) => CountPunct(args.head)),
+    ("count_upper_ascii",
+      info("count_upper_ascii", "count_upper_ascii(str) - [A-Z] count (regex-free)"),
+      (args: Seq[Expression]) => CountUpperAscii(args.head)),
+    ("count_token_runs",
+      info("count_token_runs", "count_token_runs(str) - letter runs | digit runs | other code points (BPE-ish lexer count)"),
+      (args: Seq[Expression]) => CountTokenRuns(args.head)))
 
   /** Register every graft function on a live session. */
   def register(spark: SparkSession): Unit =

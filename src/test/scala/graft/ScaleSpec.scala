@@ -44,7 +44,9 @@ class ScaleSpec extends AnyFunSuite {
     val fns = GraftExtensions.functions
     assert(fns.map(_._1).toSet == Set("fingerprint64", "simhash64", "minhash_sig",
       "hamming64", "dot_fd", "shingle_hash64", "rhp_sig", "hash_embed",
-      "bpe_count", "bpe_tokens", "count_in_set", "sorted_intersect_count"))
+      "bpe_count", "bpe_tokens", "count_in_set", "sorted_intersect_count",
+      "normalize_ws", "ws_tokens", "count_punct", "count_upper_ascii",
+      "count_token_runs"))
     // builders construct valid expressions from literal args
     import org.apache.spark.sql.catalyst.expressions.Literal
     val mh = fns.find(_._1 == "minhash_sig").get._3(
