@@ -287,8 +287,16 @@ object Bench {
     // half the per-query comparisons) — the file survives regardless
     // of stdout limits. Path override for sandboxed runs.
     try {
-      val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
-        "bench_detail.json")
+      // subset runs NEVER default to the repo-root file: the default
+      // path is the driver-owned artifact, and a SPARK_GRAFT_BENCH_ONLY
+      // iteration run silently clobbering it with a partial line (then
+      // swept in by `git add -A`) happened twice in round 9 — a
+      // filtered run without an explicit override lands in tmp instead
+      val detailPath = sys.env.get("SPARK_GRAFT_BENCH_DETAIL").getOrElse(
+        if (onlyEnv.isDefined)
+          java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+            "bench_detail_subset.json").toString
+        else "bench_detail.json")
       java.nio.file.Files.writeString(java.nio.file.Paths.get(detailPath),
         fullLine + "\n")
     } catch { case _: Throwable => () }

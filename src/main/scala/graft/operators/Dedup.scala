@@ -193,6 +193,13 @@ object Dedup {
     // row past the bound, so the common small case pays ONE job over
     // the cached pairs instead of a count job plus a collect job, and
     // an over-bound pair set still stops at bound+1 driver rows.
+    // Over-bound probe cost: those bound+1 rows are a TRANSIENT
+    // allocation discarded before distributedClusters runs — by
+    // construction the same ~300-400 MB budget the within-bound
+    // union-find legitimately holds, so the guard's driver-memory
+    // envelope is unchanged; it is wasted work only on the rare
+    // distributed path, where one bounded collect is noise against
+    // the propagation rounds that follow.
     require(driverMaxPairs < Int.MaxValue,
       s"driverMaxPairs=$driverMaxPairs cannot be collect-bounded; " +
         "use the distributed path for pair sets past ~2G")

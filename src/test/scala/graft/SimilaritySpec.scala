@@ -500,7 +500,11 @@ class SimilaritySpec extends AnyFunSuite {
     // side silently project onto a 128-dim prefix — this pin turns
     // that testdata drift into a named failure instead of an
     // unexplained oracle mismatch.
-    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").foreach { dir =>
+    // every SF the gates run (the sf0.1 gate failed-by-drift scenario
+    // is the one this pin exists for — do not omit the large SF)
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1")
+      .filter(d => new java.io.File(d).isDirectory).foreach { dir =>
       val dim = Tables.embeddings(spark, dir)
         .select(size(col("embedding")).as("d")).agg(max(col("d"))).collect()(0).getInt(0)
       assert(dim <= 128,
