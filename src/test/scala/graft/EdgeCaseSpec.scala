@@ -86,6 +86,18 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(Similarity.annTopK(noEmb).count() == 0)
     assert(Similarity.annLsh(noEmb).count() == 0)
     assert(Similarity.embedDedupLsh(noEmb).count() == 0)
+    assert(Dedup.sourceOverlap(noDocs).count() == 0)
+    Caches.releaseAll()
+  }
+
+  test("sourceOverlap: one source yields an empty matrix, not a self-pair") {
+    import spark.implicits._
+    val docs = Seq((1L, "srcA", "shared trigram text here"),
+      (2L, "srcA", "shared trigram text here too"))
+      .toDF("doc_id", "source", "text")
+    // single-bit masks can never form a pair — the bitmask rollup must
+    // agree with the set form's "no pair for a singleton set" contract
+    assert(graft.operators.Dedup.sourceOverlap(docs).count() == 0)
     Caches.releaseAll()
   }
 

@@ -293,6 +293,41 @@ class KernelPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("text kernels stay bit-exact under full-plane code-point fuzzing") {
+    import spark.implicits._
+    // beyond the fixed alphabets above: random VALID code points from
+    // ASCII controls through supplementary planes, so every UTF-8
+    // width (1-4 bytes), the surrogate-encoding path, and unusual
+    // case-mapping regions all hit the kernels at once
+    val ranges = Seq((0x00, 0x7f), (0xa0, 0x2ff), (0x370, 0x3ff),
+      (0x4e00, 0x4fff), (0x1f300, 0x1f64f))
+    def randCp(): String = {
+      val (lo, hi) = ranges(rng.nextInt(ranges.size))
+      new String(Character.toChars(lo + rng.nextInt(hi - lo + 1)))
+    }
+    val strs = Seq.fill(400)(Seq.fill(rng.nextInt(24))(randCp()).mkString)
+    val out = strs.toDF("t").select(col("t"),
+      graft.functions.GraftFunctions.normalizeWs(col("t")).as("kn"),
+      regexp_replace(lower(trim(col("t"))), "\\s+", " ").as("rn"),
+      graft.functions.GraftFunctions.wsTokens(col("t")).as("kt"),
+      split(regexp_replace(lower(trim(col("t"))), "\\s+", " "), " ").as("rt"),
+      graft.functions.GraftFunctions.countPunct(col("t")).as("kp"),
+      regexp_count(col("t"), lit("[^a-zA-Z0-9\\s]")).as("rp"),
+      graft.functions.GraftFunctions.countUpperAscii(col("t")).as("ku"),
+      regexp_count(col("t"), lit("[A-Z]")).as("ru"),
+      graft.functions.GraftFunctions.countTokenRuns(col("t")).as("ktr"),
+      regexp_count(col("t"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]")).as("rtr")).collect()
+    out.foreach { r =>
+      def hex = r.getString(0).map(c => f"${c.toInt}%04x").mkString(" ")
+      assert(r.getString(1) == r.getString(2), s"normalize drift on <$hex>")
+      assert(r.getAs[scala.collection.Seq[String]]("kt") ==
+             r.getAs[scala.collection.Seq[String]]("rt"), s"tokens drift on <$hex>")
+      assert(r.getInt(5) == r.getInt(6), s"punct drift on <$hex>")
+      assert(r.getInt(7) == r.getInt(8), s"upper drift on <$hex>")
+      assert(r.getInt(9) == r.getInt(10), s"token-run drift on <$hex>")
+    }
+  }
+
   test("sortedIntersectCount equals set intersection on random sorted arrays (codegen)") {
     import spark.implicits._
     // draws from a small value domain so overlaps, duplicates (the
