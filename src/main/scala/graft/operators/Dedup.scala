@@ -392,13 +392,12 @@ object Dedup {
     * order, so pair generation and output ordering are identical to
     * the string form; the final ≤ nSources²/2-row projection decodes.
     *
-    * NOTE eager construction (laziness break): the source dictionary
-    * and per-source totals are collected when the DataFrame is BUILT
-    * (bounded driver state — both are label-cardinality-sized). The
-    * result therefore reflects the docs snapshot read at build time;
-    * a docs table mutated between construction and execution would
-    * serve stale n_a/n_b/containment. Acceptable for an audit query;
-    * rebuild to re-snapshot. */
+    * NOTE eager construction (laziness break, dictionary only): the
+    * source dictionary is collected when the DataFrame is BUILT
+    * (bounded driver state — label-cardinality-sized); totals are
+    * back to lazy broadcast joins over the combination-sized cache.
+    * A docs table that gains a NEW SOURCE between construction and
+    * execution would miss it; rebuild to re-snapshot. */
   def sourceOverlap(docs: DataFrame, n: Int = 3): DataFrame = {
     val sources = docs.select(col("source")).distinct()
       .collect().map(_.getString(0)).sorted
@@ -437,33 +436,33 @@ object Dedup {
             .agg(sort_array(collect_set(col("src"))).as("srcs")))
         bySh.select(col("srcs"), lit(1L).as("cnt"))
       }
-    // per-source distinct-shingle totals: the aggregate is distributed
-    // (one small exchange over the cached frame), but the RESULT is
-    // bounded by the SOURCE count (a label cardinality — dozens, not
-    // corpus-scaled), so it folds into the pair projection as a
-    // literal map instead of two broadcast-join subplans (the
-    // IVF-quantizer bounded-driver-state pattern; each join was a
-    // whole extra build stage over the same cache)
-    val totalsRows = srcsFrame.select(explode(col("srcs")).as("src"), col("cnt"))
-      .groupBy("src").agg(sum(col("cnt")).as("n_sh")).collect()
-    val totalsMap = map(totalsRows.flatMap(r =>
-      Seq(lit(r.getInt(0)), lit(r.getLong(1)))).toSeq: _*)
+    // per-source distinct-shingle totals as LAZY broadcast joins over
+    // the combination-sized cached frame: pre-bitmask, the totals were
+    // an eager collect folded in as a literal map because each
+    // broadcast-join subplan re-ran a build stage over the
+    // CORPUS-SIZED per-shingle cache; the mask rollup removed that
+    // cost (the totals aggregate now reads a handful of cached rows),
+    // so the join form is free — and the WHOLE operator is back to
+    // one lazy job, with only the source dictionary snapshotted at
+    // build time
+    val totals = srcsFrame.select(explode(col("srcs")).as("src"), col("cnt"))
+      .groupBy("src").agg(sum(col("cnt")).as("n_sh"))
     // all ordered pairs of the (sorted) per-shingle source-id set,
     // formed scan-local: pair (a, b) counts once per shared shingle
     // (`cnt`-weighted under the mask rollup)
     val pairCol = flatten(transform(col("srcs"), (x, i) =>
       transform(slice(col("srcs"), i + 2, size(col("srcs"))), y =>
         struct(x.as("a"), y.as("b")))))
-    val nA = element_at(totalsMap, col("a"))
-    val nB = element_at(totalsMap, col("b"))
     srcsFrame
       .select(explode(pairCol).as("p"), col("cnt"))
       .groupBy(col("p.a").as("a"), col("p.b").as("b"))
       .agg(sum(col("cnt")).as("n_shared"))
+      .join(broadcast(totals.select(col("src").as("a"), col("n_sh").as("n_a"))), "a")
+      .join(broadcast(totals.select(col("src").as("b"), col("n_sh").as("n_b"))), "b")
       .select(element_at(decodeMap, col("a")).as("src_a"),
         element_at(decodeMap, col("b")).as("src_b"), col("n_shared"),
-        nA.as("n_a"), nB.as("n_b"),
-        rnd(col("n_shared").cast("double") / least(nA, nB), 6)
+        col("n_a"), col("n_b"),
+        rnd(col("n_shared").cast("double") / least(col("n_a"), col("n_b")), 6)
           .as("containment"))
       .orderBy("src_a", "src_b")
   }
