@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.Bridge
@@ -17,7 +17,8 @@ import org.apache.spark.unsafe.types.UTF8String
 
 /** 64-bit polynomial rolling-hash fingerprint of a string. */
 case class Fingerprint64(child: Expression)
-    extends UnaryExpression {
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType = LongType
   override def nullSafeEval(input: Any): Any =
     TextHash.poly64(input.asInstanceOf[UTF8String])
@@ -29,7 +30,8 @@ case class Fingerprint64(child: Expression)
 
 /** 64-bit SimHash of a token array (frequency-weighted bit votes). */
 case class SimHash64(child: Expression)
-    extends UnaryExpression {
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
   override def dataType: DataType = LongType
   override def nullSafeEval(input: Any): Any =
     TextHash.simhash64(input.asInstanceOf[ArrayData])
@@ -41,7 +43,8 @@ case class SimHash64(child: Expression)
 
 /** MinHash signature (array<long> of length k) of a token array. */
 case class MinHashSig(child: Expression, k: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(input: Any): Any =
     TextHash.minhash(input.asInstanceOf[ArrayData], k)
@@ -53,7 +56,8 @@ case class MinHashSig(child: Expression, k: Int)
 
 /** Hamming distance between two 64-bit hashes. */
 case class Hamming64(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(LongType, LongType)
   override def dataType: DataType = IntegerType
   override def nullSafeEval(a: Any, b: Any): Any =
     TextHash.hamming64(a.asInstanceOf[Long], b.asInstanceOf[Long])
@@ -65,7 +69,8 @@ case class Hamming64(left: Expression, right: Expression)
 
 /** Double-precision dot product of two float vectors. */
 case class DotFD(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType), ArrayType(FloatType))
   override def dataType: DataType = DoubleType
   override def nullSafeEval(a: Any, b: Any): Any =
     TextHash.dotFD(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
@@ -77,7 +82,8 @@ case class DotFD(left: Expression, right: Expression)
 
 /** Distinct hashed word n-gram shingles of a token array. */
 case class ShingleHash64(child: Expression, n: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(input: Any): Any =
     TextHash.shingleHash64(input.asInstanceOf[ArrayData], n)
@@ -90,7 +96,8 @@ case class ShingleHash64(child: Expression, n: Int)
 /** Positional hashed word n-gram shingles (one hash per start
   * position, duplicates kept — the span-dedup kernel). */
 case class ShingleHashPos(child: Expression, n: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(input: Any): Any =
     TextHash.shingleHashPos(input.asInstanceOf[ArrayData], n)
@@ -102,7 +109,8 @@ case class ShingleHashPos(child: Expression, n: Int)
 
 /** SimHash64 over pre-hashed shingles (array<long>). */
 case class SimHash64L(child: Expression)
-    extends UnaryExpression {
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType))
   override def dataType: DataType = LongType
   override def nullSafeEval(input: Any): Any =
     TextHash.simhashL(input.asInstanceOf[ArrayData])
@@ -114,7 +122,8 @@ case class SimHash64L(child: Expression)
 
 /** MinHash signature over pre-hashed shingles (array<long>). */
 case class MinHashSigL(child: Expression, k: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(input: Any): Any =
     TextHash.minhashL(input.asInstanceOf[ArrayData], k)
@@ -129,7 +138,8 @@ case class MinHashSigL(child: Expression, k: Int)
   * object inside generated code, so assignment is a pure map — no
   * join, no shuffle — over the corpus. */
 case class IvfAssign(child: Expression, cents: Array[Array[Float]])
-    extends UnaryExpression {
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
   override def dataType: DataType = IntegerType
   override def nullSafeEval(input: Any): Any =
     TextHash.ivfAssign(input.asInstanceOf[ArrayData], cents)
@@ -147,7 +157,8 @@ case class IvfAssign(child: Expression, cents: Array[Array[Float]])
   * `size(filter(toks, _.isInCollection(words)))`, whose HOF version
   * is CodegenFallback. */
 case class CountInSet(child: Expression, words: Seq[String])
-    extends UnaryExpression {
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
   @transient private lazy val set: java.util.HashSet[UTF8String] = {
     val s = new java.util.HashSet[UTF8String](words.size * 2)
     words.foreach(w => s.add(UTF8String.fromString(w)))
@@ -172,7 +183,8 @@ case class CountInSet(child: Expression, words: Seq[String])
   * "shares ≥ k shingles with the eval set" predicate is a pure
   * scan-local codegen'd map — no join, no shuffle, stream-safe. */
 case class CountInLongSet(child: Expression, hashes: Array[Long])
-    extends UnaryExpression {
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType))
   @transient private lazy val sorted: Array[Long] = {
     val a = hashes.clone(); java.util.Arrays.sort(a); a
   }
@@ -194,7 +206,8 @@ case class CountInLongSet(child: Expression, hashes: Array[Long])
   * reference object, so counting is a pure codegen'd map over the
   * scan. */
 case class BpeCount(child: Expression, merges: Seq[(String, String)])
-    extends UnaryExpression {
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
   @transient private lazy val table = new BpeTable(merges)
   override def dataType: DataType = LongType
   override def nullSafeEval(input: Any): Any =
@@ -212,7 +225,8 @@ case class BpeCount(child: Expression, merges: Seq[(String, String)])
   * document order ([[TextHash.bpeTokens]]; same kernel loop, same
   * bounded per-table memo, array-of-symbols flavored). */
 case class BpeTokens(child: Expression, merges: Seq[(String, String)])
-    extends UnaryExpression {
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
   @transient private lazy val table = new BpeTable(merges)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullSafeEval(input: Any): Any =
@@ -230,7 +244,8 @@ case class BpeTokens(child: Expression, merges: Seq[(String, String)])
   * L2-normalized — text in, `array<float>` out, directly consumable
   * by the [[graft.operators.Similarity]] family. */
 case class HashEmbed(child: Expression, dim: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
   require(dim > 0, s"embedding dim must be positive: $dim")
   override def dataType: DataType = ArrayType(FloatType, containsNull = false)
   override def nullSafeEval(input: Any): Any =
@@ -243,7 +258,8 @@ case class HashEmbed(child: Expression, dim: Int)
 
 /** Random-hyperplane LSH signature (int bucket) of a float vector. */
 case class RhpSig(child: Expression, nPlanes: Int, seed: Long)
-    extends UnaryExpression {
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
   override def dataType: DataType = IntegerType
   override def nullSafeEval(input: Any): Any =
     TextHash.rhpSig(input.asInstanceOf[ArrayData], nPlanes, seed)
@@ -257,7 +273,8 @@ case class RhpSig(child: Expression, nPlanes: Int, seed: Long)
   * collapsed to one space) as one byte scan — bit-exact with
   * `regexp_replace(lower(trim(text)), "\\s+", " ")` but with no regex
   * engine in the scan (see [[TextHash.normalizeWs]]). */
-case class NormalizeWs(child: Expression) extends UnaryExpression {
+case class NormalizeWs(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType = StringType
   override def nullSafeEval(input: Any): Any =
     TextHash.normalizeWs(input.asInstanceOf[UTF8String])
@@ -272,7 +289,8 @@ case class NormalizeWs(child: Expression) extends UnaryExpression {
   * one byte scan (see [[TextHash.wsTokens]]). The tokenizer runs in
   * the scan of every text operator — this removes the
   * java.util.regex pass from that hot path. */
-case class WsTokens(child: Expression) extends UnaryExpression {
+case class WsTokens(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullSafeEval(input: Any): Any =
     TextHash.wsTokens(input.asInstanceOf[UTF8String])
@@ -285,7 +303,8 @@ case class WsTokens(child: Expression) extends UnaryExpression {
 /** regexp_count(text, "[^a-zA-Z0-9\\s]") as one byte scan (see
   * [[TextHash.countPunct]]) — the quality family's punctuation count
   * without a regex pass per row. */
-case class CountPunct(child: Expression) extends UnaryExpression {
+case class CountPunct(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType = IntegerType
   override def nullSafeEval(input: Any): Any =
     TextHash.countPunct(input.asInstanceOf[UTF8String])
@@ -297,7 +316,8 @@ case class CountPunct(child: Expression) extends UnaryExpression {
 
 /** regexp_count(text, "[A-Z]") as one byte scan (see
   * [[TextHash.countUpperAscii]]). */
-case class CountUpperAscii(child: Expression) extends UnaryExpression {
+case class CountUpperAscii(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType = IntegerType
   override def nullSafeEval(input: Any): Any =
     TextHash.countUpperAscii(input.asInstanceOf[UTF8String])
@@ -309,7 +329,8 @@ case class CountUpperAscii(child: Expression) extends UnaryExpression {
 
 /** regexp_count(text, "[a-z]+|[0-9]+|[^a-z0-9 ]") — the BPE-ish
   * lexer count — as one byte scan (see [[TextHash.countTokenRuns]]). */
-case class CountTokenRuns(child: Expression) extends UnaryExpression {
+case class CountTokenRuns(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType = IntegerType
   override def nullSafeEval(input: Any): Any =
     TextHash.countTokenRuns(input.asInstanceOf[UTF8String])
@@ -325,7 +346,8 @@ case class CountTokenRuns(child: Expression) extends UnaryExpression {
   * candidate pair; array_intersect's hash-set build + intersection
   * materialization was the per-pair hot spot there. */
 case class SortedIntersectCount(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType), ArrayType(LongType))
   override def dataType: DataType = IntegerType
   override def nullSafeEval(a: Any, b: Any): Any =
     TextHash.sortedIntersectCount(

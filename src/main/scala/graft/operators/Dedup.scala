@@ -200,18 +200,32 @@ object Dedup {
     // envelope is unchanged; it is wasted work only on the rare
     // distributed path, where one bounded collect is noise against
     // the propagation rounds that follow.
-    require(driverMaxPairs < Int.MaxValue,
-      s"driverMaxPairs=$driverMaxPairs cannot be collect-bounded; " +
-        "use the distributed path for pair sets past ~2G")
-    val probe = p.limit((driverMaxPairs + 1).toInt).collect()
-    if (probe.length <= driverMaxPairs) driverUnionFind(p.sparkSession, probe)
-    else distributedClusters(p, maxIters)
+    // Bounds past Int.MaxValue can't be limit()-probed (limit takes an
+    // Int); fall back to the count-then-collect shape there rather than
+    // rejecting the caller — it costs one extra job on a path that by
+    // definition holds billions of pairs, where one count is noise.
+    if (driverMaxPairs < Int.MaxValue) {
+      val probe = typedPairs(p).limit((driverMaxPairs + 1).toInt).collect()
+      if (probe.length <= driverMaxPairs) driverUnionFind(p.sparkSession, probe)
+      else distributedClusters(p, maxIters)
+    } else if (p.count() <= driverMaxPairs) {
+      driverUnionFind(p.sparkSession, typedPairs(p).collect())
+    } else distributedClusters(p, maxIters)
+  }
+
+  /** Typed (doc_a, doc_b) view: a primitive-tuple collect holds two
+    * boxed Longs per pair instead of a full Row (~half the transient
+    * driver bytes at the probe bound). */
+  private def typedPairs(p: DataFrame): org.apache.spark.sql.Dataset[(Long, Long)] = {
+    val spark = p.sparkSession
+    import spark.implicits._
+    p.select(col("doc_a").cast("long"), col("doc_b").cast("long")).as[(Long, Long)]
   }
 
   /** Driver-side union-find with min-label roots and path compression —
     * exact connected components for pair sets within the driver bound. */
   private def driverUnionFind(spark: SparkSession,
-                              pairRows: Array[org.apache.spark.sql.Row]): DataFrame = {
+                              pairRows: Array[(Long, Long)]): DataFrame = {
     import spark.implicits._
     val parent = scala.collection.mutable.HashMap.empty[Long, Long]
     def find(x: Long): Long = {
@@ -221,8 +235,7 @@ object Dedup {
       while (parent.getOrElse(c, c) != c) { val nx = parent(c); parent(c) = r; c = nx }
       r
     }
-    pairRows.foreach { row =>
-      val (a, b) = (row.getLong(0), row.getLong(1))
+    pairRows.foreach { case (a, b) =>
       parent.getOrElseUpdate(a, a)
       parent.getOrElseUpdate(b, b)
       val (ra, rb) = (find(a), find(b))

@@ -40,6 +40,32 @@ class ScaleSpec extends AnyFunSuite {
     assert(r2.getAs[Int]("s") == 2)
   }
 
+  test("SQL surface type safety: mistyped args fail analysis, not return junk") {
+    GraftExtensions.register(spark)
+    // array<int> args used to read 8-byte strides over 4-byte elements
+    // and silently return garbage counts; ExpectsInputTypes turns that
+    // into an analysis error (ANSI coercion does not widen array
+    // element types implicitly), and an explicit bigint array works
+    val ok = spark.sql(
+      """SELECT sorted_intersect_count(CAST(array(1, 2, 3) AS array<bigint>),
+        |                              CAST(array(2, 3, 9) AS array<bigint>)) AS c"""
+        .stripMargin).collect()(0)
+    assert(ok.getAs[Int]("c") == 2)
+    import org.apache.spark.sql.AnalysisException
+    intercept[AnalysisException] {
+      spark.sql("SELECT sorted_intersect_count(array(1), array(1))").collect()
+    }
+    intercept[AnalysisException] {
+      spark.sql("SELECT sorted_intersect_count(array('a'), array('a'))").collect()
+    }
+    intercept[AnalysisException] {
+      spark.sql("SELECT simhash64(CAST(5 AS BIGINT))").collect()
+    }
+    intercept[AnalysisException] {
+      spark.sql("SELECT count_punct(array('a'))").collect()
+    }
+  }
+
   test("extensions class injects the same functions at build time") {
     val fns = GraftExtensions.functions
     assert(fns.map(_._1).toSet == Set("fingerprint64", "simhash64", "minhash_sig",

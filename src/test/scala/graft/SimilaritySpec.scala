@@ -316,6 +316,11 @@ class SimilaritySpec extends AnyFunSuite {
     assert(viaDriver == viaSpark)
     assert(viaDriver == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+    // a bound past Int.MaxValue can't be limit()-probed — it must fall
+    // back to the count-guarded driver path, not throw
+    val viaHugeBound = Dedup.nearDupClusters(pairs, driverMaxPairs = Long.MaxValue)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaHugeBound == viaDriver)
     graft.operators.Caches.releaseAll()
   }
 
