@@ -42,6 +42,15 @@ import graft.monitoring.PerformanceTracker
   * plan-construction overhead excluded, mirroring the per-operation
   * timing summary the reference's performance monitor logs.
   *
+  * LOAD-IMMUNITY PROBE: `load` carries a /proc/loadavg timeline
+  * sampled at every pass start/third boundary, `floor_sentinel` the
+  * re-timed fixed cheap query whose max/min `drift` reads ~1 on a
+  * quiet box and the inflation factor under co-tenant load, and
+  * `repassed` the queries whose steady min blew past their own
+  * exec-time-implied floor and earned extra timing passes — so a
+  * loaded-box artifact convicts itself instead of reading as a
+  * regression (it happened in rounds 2 and 9).
+  *
   * SHUFFLE/SPILL PROBE: `shuffle_bytes` carries each query's measured
   * exchange write volume (executed-plan SQL metrics, see
   * [[graft.monitoring.PlanMetrics]]) and `spill_bytes_total` the
@@ -150,13 +159,24 @@ object Bench {
     // in the suite total without measuring any new operator.
     val composedPins = Set("q_curate", "q_curate_manifest")
 
-    def suite(dir: String, passes: Int, only: Option[Set[String]] = None):
+    def suite(dir: String, passes: Int, only: Option[Set[String]] = None,
+              checkpoint: Option[() => Unit] = None):
         Seq[(String, Double, Double, Double, Boolean, graft.monitoring.PlanMetrics.ShuffleStats)] = {
       val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
         .filter { case (k, _) => !composedPins.contains(k) }
         .filter { case (k, _) => only.forall(_.contains(k)) }
-      // pass-major order: pass 0 = cold, passes 1..n-1 = steady samples
-      val samples = (0 until passes).map(_ => ordered.map { case (_, fn) => time(fn, dir) })
+      val n = ordered.size
+      // pass-major order: pass 0 = cold, passes 1..n-1 = steady samples;
+      // the load/floor checkpoint fires at each pass's start and third
+      // boundaries plus once after the last pass, so a mid-suite load
+      // arrival is visible in the artifact's own timeline
+      val samples = (0 until passes).map(_ => ordered.zipWithIndex.map {
+        case ((_, fn), i) =>
+          if (checkpoint.isDefined &&
+              (i == 0 || i == n / 3 || i == 2 * n / 3)) checkpoint.get.apply()
+          time(fn, dir)
+      })
+      checkpoint.foreach(_.apply())
       ordered.zipWithIndex.map { case ((name, _), qi) =>
         val runs = samples.map(_(qi))
         // shuffle volume is a property of the data, not the run — any
@@ -176,7 +196,62 @@ object Bench {
     // (the driver never sets it, so its artifacts stay exhaustive)
     val onlyEnv = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
-    val results = suite(sfDir, passes = 3, only = onlyEnv)
+
+    // LOAD-IMMUNITY INSTRUMENTATION: a loaded driver box has twice
+    // manufactured a phantom regression (round 2; BENCH_r09 +58%
+    // steady), and the interleaved-pass min cannot absorb a stall
+    // SUSTAINED across all passes. Three defenses, all visible in the
+    // artifact so a loaded run is identifiable from the JSON alone:
+    //  1. /proc/loadavg + availableProcessors sampled at every pass
+    //     start/third boundary ("load" timeline) — co-tenant load is
+    //     measured, not inferred;
+    //  2. a fixed floor-sentinel query (q_time_features: one window
+    //     over events, ~0.2 s quiet) re-timed at the same checkpoints;
+    //     "floor_drift" = max/min of its samples — a quiet run reads
+    //     ~1, a loaded run reads the inflation factor directly;
+    //  3. per-query auto-repass (below): queries whose steady min
+    //     blows past their own exec-time-implied floor get up to two
+    //     extra timed runs, so a transient stall that survived three
+    //     interleaved passes still gets two more chances to recover.
+    val cpusAvail = Runtime.getRuntime.availableProcessors
+    def loadavgJ(): String = try {
+      val f = scala.io.Source.fromFile("/proc/loadavg")
+      val s = try f.mkString.trim.split("\\s+") finally f.close()
+      s"[${s(0)},${s(1)},${s(2)}]"
+    } catch { case _: Throwable => "[]" }
+    val sentinelName = "q_time_features"
+    val sentinelFn = SparkEntry.queries.get(sentinelName)
+      .filter(_ => onlyEnv.forall(_.contains(sentinelName)))
+    val sentinelTimes = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val loadSamples = scala.collection.mutable.ArrayBuffer.empty[String]
+    val checkpoint: () => Unit = () => {
+      loadSamples += loadavgJ()
+      sentinelFn.foreach(fn => sentinelTimes += time(fn, sfDir)._1)
+    }
+    // warm the sentinel TWICE so neither one-time codegen nor
+    // second-run JIT residue is read as drift by the first checkpoint
+    // (a single warm run still left the first sample ~3x the rest)
+    sentinelFn.foreach { fn => time(fn, sfDir); time(fn, sfDir) }
+
+    val results0 = suite(sfDir, passes = 3, only = onlyEnv,
+      checkpoint = Some(checkpoint))
+
+    // auto-repass: wall min far above the Spark-measured execution
+    // floor means the gap (scheduling, driver-side, co-tenant steal)
+    // dominated EVERY pass — re-time just those queries. Bounded to
+    // the 16 worst so a fully-loaded box cannot double the suite.
+    val suspects = results0
+      .filter { case (_, _, v, e, ok, _) => ok && v > 2 * e && v > e + 0.5 }
+      .sortBy(-_._3).take(16).map(_._1)
+    val repassed = suspects.map { k =>
+      val extra = (0 until 2).map(_ => time(SparkEntry.queries(k), sfDir))
+      k -> ((extra.map(_._1).min, extra.map(_._2).min))
+    }.toMap
+    val results = results0.map { case r @ (k, cold, v, e, ok, s) =>
+      repassed.get(k)
+        .map { case (v2, e2) => (k, cold, math.min(v, v2), math.min(e, e2), ok, s) }
+        .getOrElse(r)
+    }
     val qs = results.map { case (k, _, v, _, _, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val execs = results.map { case (k, _, _, e, _, _) => s"\"" + k + "\":" + e }
@@ -279,7 +354,16 @@ object Bench {
     // stdout capture).
     val excludedJ = composedPins.toSeq.sorted.map("\"" + _ + "\"")
       .mkString("[", ",", "]")
-    val fullLine = s"""{"metric":"total_full","value":$total,"unit":"sec","queries":$qs,"exec_times":$execs,"shuffle_bytes":$shuffles,"spill_bytes_total":$spillTotal,"cold_total":$coldTotal,"failed":$failed,"bench_excluded":$excludedJ$slope$slope2$lsh,"sf":"$sfDir"}"""
+    // load/floor metadata: the self-conviction record for a loaded box
+    val floorDrift =
+      if (sentinelTimes.size >= 2)
+        sentinelTimes.max / math.max(sentinelTimes.min, 1e-3)
+      else 1.0
+    val repassedJ = repassed.toSeq.sortBy(_._1)
+      .map { case (k, (v2, _)) => s"\"" + k + "\":" + v2 }
+      .mkString("{", ",", "}")
+    val loadMeta = s""","load":{"cpus":$cpusAvail,"samples":[${loadSamples.mkString(",")}]},"floor_sentinel":{"name":"$sentinelName","times":[${sentinelTimes.mkString(",")}],"drift":$floorDrift},"repassed":$repassedJ"""
+    val fullLine = s"""{"metric":"total_full","value":$total,"unit":"sec","queries":$qs,"exec_times":$execs,"shuffle_bytes":$shuffles,"spill_bytes_total":$spillTotal,"cold_total":$coldTotal,"failed":$failed,"bench_excluded":$excludedJ$slope$slope2$lsh$loadMeta,"sf":"$sfDir"}"""
     println(fullLine)
     // ALSO persist the full detail to a file: the driver's stdout
     // capture is tail-bounded and has repeatedly truncated this
@@ -305,7 +389,10 @@ object Bench {
     val slowest = results.sortBy(-_._3).take(5)
       .map { case (k, _, v, _, _, _) => s"\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"n_queries":${results.size},"failed":$failed,"bench_excluded":$excludedJ,"spill_bytes_total":$spillTotal,"slowest5":$slowest,"sf":"$sfDir"}""")
+    val loadMax = loadSamples.flatMap(_.stripPrefix("[").stripSuffix("]")
+      .split(",").headOption.flatMap(x => scala.util.Try(x.toDouble).toOption))
+      .foldLeft(0.0)(math.max)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"n_queries":${results.size},"failed":$failed,"bench_excluded":$excludedJ,"spill_bytes_total":$spillTotal,"slowest5":$slowest,"floor_drift":$floorDrift,"load_max_1m":$loadMax,"n_repassed":${repassed.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
