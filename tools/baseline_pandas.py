@@ -572,14 +572,14 @@ def cluster_embed(emb):
 
 
 def main():
+    # argv[2] (optional): comma-separated subset of query names — used
+    # for focused measurements (e.g. source_overlap on the synthetic
+    # 10x ScaledCorpus for the crossover record in BASELINE.md)
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    only = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
     timings = {}
 
-    t0 = time.perf_counter()
-    df = load_events(sf_dir)
-    timings["load_sort"] = time.perf_counter() - t0
-
-    for name, fn in [
+    event_queries = [
         ("feature_pipeline", feature_pipeline),
         ("dedup_key", dedup_key),
         ("metrics", metrics),
@@ -589,13 +589,19 @@ def main():
         ("standard_scale", standard_scale),
         ("interpolate", interpolate),
         ("quantiles", quantiles),
-    ]:
+    ]
+    event_queries = [(n, f) for n, f in event_queries
+                     if only is None or n in only]
+    if event_queries:
         t0 = time.perf_counter()
-        fn(df)
-        timings[name] = time.perf_counter() - t0
+        df = load_events(sf_dir)
+        timings["load_sort"] = time.perf_counter() - t0
+        for name, fn in event_queries:
+            t0 = time.perf_counter()
+            fn(df)
+            timings[name] = time.perf_counter() - t0
 
-    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
-    for name, fn in [
+    doc_queries = [
         ("dedup_exact_docs", dedup_exact_docs),
         ("redact_pii", redact_pii),
         ("quality_filter", quality_filter),
@@ -621,18 +627,26 @@ def main():
         ("corpus_diff", corpus_diff),
         ("source_overlap", source_overlap),
         ("length_histogram", length_histogram),
-    ]:
-        t0 = time.perf_counter()
-        fn(docs)
-        timings[name] = time.perf_counter() - t0
+    ]
+    doc_queries = [(n, f) for n, f in doc_queries
+                   if only is None or n in only]
+    if doc_queries:
+        docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+        for name, fn in doc_queries:
+            t0 = time.perf_counter()
+            fn(docs)
+            timings[name] = time.perf_counter() - t0
 
-    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
-    t0 = time.perf_counter()
-    cluster_embed(emb)
-    timings["cluster_embed"] = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    semantic_decontaminate(emb)
-    timings["semantic_decontaminate"] = time.perf_counter() - t0
+    if only is None or {"cluster_embed", "semantic_decontaminate"} & only:
+        emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+        if only is None or "cluster_embed" in only:
+            t0 = time.perf_counter()
+            cluster_embed(emb)
+            timings["cluster_embed"] = time.perf_counter() - t0
+        if only is None or "semantic_decontaminate" in only:
+            t0 = time.perf_counter()
+            semantic_decontaminate(emb)
+            timings["semantic_decontaminate"] = time.perf_counter() - t0
 
     print(json.dumps({
         "queries": {k: round(v, 4) for k, v in timings.items()},
