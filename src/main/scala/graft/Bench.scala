@@ -310,15 +310,22 @@ object Bench {
     // Disable with SPARK_GRAFT_SLOPE2=0; override the dir with
     // SPARK_GRAFT_SLOPE2=<dir>.
     val slope2 = (try {
+      // documents family (token-bijective copies) + events family
+      // (user-offset copies): the scaled dir carries BOTH tables, so
+      // the windowed/sessionized/keyed-dedup 100 TB claims get their
+      // second measured decade too, not just the hash-keyed text ops
       val heavyKeys0 = Set("q_ngram_jaccard", "q_dedup_minhash",
-        "q_source_overlap", "q_bigram_logprob", "q_dedup_lines")
+        "q_source_overlap", "q_bigram_logprob", "q_dedup_lines",
+        "q_mix_quality", "q_dedup_clusters", "q_decontaminate_fuzzy",
+        "q_dedup_spans", "q_hash_embed",
+        "q_feature_pipeline", "q_sessionize", "q_dedup_key")
       val heavyKeys = onlyEnv.fold(heavyKeys0)(heavyKeys0.intersect)
       if (sys.env.get("SPARK_GRAFT_SLOPE2").contains("0") ||
           heavyKeys.isEmpty) None
       else {
         val bigDir = sys.env.get("SPARK_GRAFT_SLOPE2")
           .filter(d => d.nonEmpty && d != "0" && d != "1")
-          .getOrElse(graft.sources.ScaledCorpus.documentsDir(spark, sfDir, factor = 10))
+          .getOrElse(graft.sources.ScaledCorpus.dir(spark, sfDir, factor = 10))
         val bigRes = suite(bigDir, passes = 2, only = Some(heavyKeys))
         val primBy = results.filter(r => heavyKeys.contains(r._1))
           .map(r => r._1 -> ((r._3, r._6.bytesWritten))).toMap

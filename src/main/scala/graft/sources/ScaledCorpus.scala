@@ -38,12 +38,23 @@ import org.apache.spark.sql.functions._
   * regeneration, so Bench reruns pay ~0. */
 object ScaledCorpus {
 
-  private val version = "v1"
+  private val version = "v2" // v2: events.parquet added to the layout
 
-  /** Directory containing the scaled documents.parquet (generated on
-    * first call, reused after). Layout matches the driver's testdata
-    * dirs, so `Tables.documents(spark, dir)` reads it unchanged. */
-  def documentsDir(spark: SparkSession, srcDir: String, factor: Int = 10): String = {
+  /** Directory containing scaled documents.parquet AND events.parquet
+    * (generated on first call, reused after). Layout matches the
+    * driver's testdata dirs, so `Tables.documents(spark, dir)` /
+    * `Tables.events(spark, dir)` read it unchanged.
+    *
+    * Events construction mirrors the documents bijection: `factor`
+    * copies, copy 0 verbatim, copy i>0 with user_id offset i·10⁸ and
+    * event_id offset i·10⁹, ts/type/value/props PRESERVED — so every
+    * per-user series (the window partition key of the whole
+    * time-series family) is an exact replica under a fresh key, and
+    * the expected scaling of windowed/sessionized/keyed-dedup
+    * operators is exactly linear by construction: 10× the window
+    * partitions at identical per-partition size, zero cross-copy
+    * interaction. */
+  def dir(spark: SparkSession, srcDir: String, factor: Int = 10): String = {
     require(factor >= 2, s"a scaled corpus needs factor >= 2: $factor")
     val out = Paths.get(
       sys.props.getOrElse("java.io.tmpdir", "/tmp"),
@@ -74,8 +85,27 @@ object ScaledCorpus {
       }
       copies.reduce(_ unionByName _)
         .write.mode("overwrite").parquet(s"$out/documents.parquet")
+      // events: ts arrives normalized (TimestampType, UTC session) and
+      // is written back as plain TIMESTAMP — one of the three physical
+      // encodings Tables.normalizeTs absorbs, so readers are unchanged
+      val ev = Tables.events(spark, srcDir)
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      val evCopies: Seq[DataFrame] = (0 until factor).map { i =>
+        if (i == 0) ev
+        else ev.select(
+          (col("event_id") + lit(i * 1000000000L)).as("event_id"),
+          col("ts"),
+          (col("user_id") + lit(i * 100000000L)).as("user_id"),
+          col("event_type"), col("value"), col("props"))
+      }
+      evCopies.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$out/events.parquet")
       Files.writeString(marker, stamp)
     }
     out
   }
+
+  /** Former name of [[dir]], kept for call-site stability. */
+  def documentsDir(spark: SparkSession, srcDir: String, factor: Int = 10): String =
+    dir(spark, srcDir, factor)
 }

@@ -646,15 +646,24 @@ class ScaleSpec extends AnyFunSuite {
     import graft.operators.{Dedup, TextAnalysis}
     val srcDir = "/root/testdata/sf0.1"
     assume(new java.io.File(srcDir).isDirectory)
-    val bigDir = graft.sources.ScaledCorpus.documentsDir(spark, srcDir, factor = 10)
+    val bigDir = graft.sources.ScaledCorpus.dir(spark, srcDir, factor = 10)
     val nSmall = Tables.documents(spark, srcDir).count()
     assert(Tables.documents(spark, bigDir).count() == 10 * nSmall,
       "scaled corpus row count drifted")
+    val nEvSmall = Tables.events(spark, srcDir).count()
+    assert(Tables.events(spark, bigDir).count() == 10 * nEvSmall,
+      "scaled events row count drifted")
 
     case class Probe(name: String,
                      build: String => org.apache.spark.sql.DataFrame,
                      exactTenfoldRows: Boolean,
-                     rowSlack: Long = 0L)
+                     rowSlack: Long = 0L,
+                     // per-row-output probes count via the executed
+                     // plan's RDD instead of materializing the rows on
+                     // the driver (metrics still accumulate on the
+                     // SAME QueryExecution — the attribution gotcha
+                     // only bites DERIVED executions like df.count())
+                     viaRdd: Boolean = false)
     val probes = Seq(
       Probe("ngram_prefix", d => Dedup.ngramJaccardPairsPrefix(
         Tables.documents(spark, d)), exactTenfoldRows = true),
@@ -677,15 +686,54 @@ class ScaleSpec extends AnyFunSuite {
         TextAnalysis.bigramLogprob(docs, docs.filter(col("source") =!= "src0"))
       }, exactTenfoldRows = true),
       Probe("dedup_lines", d => TextAnalysis.dedupLines(
-        Tables.documents(spark, d)), exactTenfoldRows = true))
+        Tables.documents(spark, d)), exactTenfoldRows = true),
+      // ---- next tier (round 10): the rest of the documents family ----
+      // quality thresholds re-bucket under the token remap (the ~i
+      // suffix shifts word-length stats), so rows are not an invariant
+      // here — the byte slope is the pinned claim
+      Probe("mix_quality", d => TextAnalysis.mixByQuality(
+        Tables.documents(spark, d), Seq(4.90, 4.92), Seq(50, 100, 30)),
+        exactTenfoldRows = false),
+      // rows = docs appearing in some pair; each banding-missed pair
+      // (see minhash_pairs above) can drop at most its 2 docs
+      Probe("dedup_clusters", d => Dedup.nearDupClusters(
+        Dedup.minhashPairs(Tables.documents(spark, d))),
+        exactTenfoldRows = true, rowSlack = 16L),
+      // one row per corpus (non-benchmark) doc — exact
+      Probe("decontaminate_fuzzy", d => {
+        val docs = Tables.documents(spark, d)
+        Dedup.decontaminateFuzzy(
+          docs.filter(col("source") =!= "src0"),
+          docs.filter(col("source") === "src0"))
+      }, exactTenfoldRows = true, viaRdd = true),
+      Probe("dedup_spans", d => TextAnalysis.dedupSpans(
+        Tables.documents(spark, d), k = 20),
+        exactTenfoldRows = true, viaRdd = true),
+      Probe("hash_embed", d => graft.operators.Similarity.hashEmbedDocs(
+        Tables.documents(spark, d)),
+        exactTenfoldRows = true, viaRdd = true),
+      // ---- events family (user-offset copies; per-user series are
+      // exact replicas, so windowed/sessionized/keyed ops are linear
+      // by construction and their rows exactly 10x) ----
+      Probe("feature_pipeline", d => graft.operators.TimeSeries
+        .featurePipeline(Tables.events(spark, d)),
+        exactTenfoldRows = true, viaRdd = true),
+      Probe("sessionize", d => graft.operators.TimeSeries
+        .sessionize(Tables.events(spark, d)),
+        exactTenfoldRows = true, viaRdd = true),
+      Probe("dedup_key", d => graft.operators.Analytics
+        .dedupByKey(Tables.events(spark, d)),
+        exactTenfoldRows = true, viaRdd = true))
 
     probes.foreach { p =>
       def measure(dir: String): (Long, Long) = {
         val out = p.build(dir)
-        // collect, not count: count() executes a DERIVED QueryExecution
-        // and the original plan's metrics would read empty (the
+        // collect (or an RDD count over the SAME executed plan), not
+        // df.count(): count() executes a DERIVED QueryExecution and
+        // the original plan's metrics would read empty (the
         // PlanMetrics attribution gotcha)
-        val n = out.collect().length.toLong
+        val n = if (p.viaRdd) out.queryExecution.toRdd.count()
+                else out.collect().length.toLong
         val b = PlanMetrics.shuffleStats(out).bytesWritten
         graft.operators.Caches.releaseAll()
         (n, b)
