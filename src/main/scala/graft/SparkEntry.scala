@@ -199,7 +199,10 @@ object SparkEntry {
           concat(col("text"), lit(" revised"))).otherwise(col("text")))
       TextAnalysis.corpusDiff(old, nw)
     }),
-    "q_cluster_embed"   -> ((s, d) => Similarity.clusterEmbed(Tables.embeddings(s, d))),
+    "q_cluster_embed"   -> ((s, d) => {
+      quantizerRun.set((s, d))
+      Similarity.clusterEmbed(Tables.embeddings(s, d))
+    }),
     "q_hash_embed"      -> ((s, d) => {
       import org.apache.spark.sql.functions.{col, posexplode, round}
       // posexploded to scalar rows: the driver canonicalizer cannot
@@ -254,7 +257,10 @@ object SparkEntry {
     }),
     "q_ann_topk"      -> ((s, d) => Similarity.annTopK(Tables.embeddings(s, d))),
     "q_ann_lsh"       -> ((s, d) => Similarity.annLsh(Tables.embeddings(s, d))),
-    "q_ann_ivf"       -> ((s, d) => Similarity.annIvf(Tables.embeddings(s, d))),
+    "q_ann_ivf"       -> ((s, d) => {
+      quantizerRun.set((s, d))
+      Similarity.annIvf(Tables.embeddings(s, d))
+    }),
     "q_dedup_embed_lsh" -> ((s, d) => Similarity.embedDedupLsh(Tables.embeddings(s, d))),
     // H. multimodal plumbing (synthetic media; REAL PPM decode + resize
     // + per-frame features; rows-only — pinned by MultimodalSpec)
@@ -456,9 +462,116 @@ object SparkEntry {
        |  FROM bits GROUP BY vec_id, tbl
        |)""".stripMargin
 
+  /** (session, sfDir) of the last quantizer-family query invocation —
+    * lets the TRAINED-LITERAL oracle builders below reach the same
+    * tables the queries read. Verify runs every query before dumping
+    * oracleSql, so in the driver flow the holder is always set by the
+    * time it matters; evaluated standalone (no prior query run) the
+    * quantizer entries are simply omitted — the pre-round-10 rows-only
+    * behavior, never a wrong oracle. */
+  private val quantizerRun =
+    new java.util.concurrent.atomic.AtomicReference[(SparkSession, String)]()
+
+  /** `cents(cid, c)` literal CTE body: the TRAINED spherical-k-means
+    * centroids (deterministic — seeded hash-order sample + fixed Lloyd
+    * iterations; same data ⇒ bit-identical floats) exported as exact
+    * DOUBLE literals. Double.toString round-trips per the Java spec,
+    * and the kernel widens the float centroids to double before every
+    * multiply, so the SQL arithmetic sees the IDENTICAL operands.
+    * What stays Scala-pinned is the TRAINING of these values (bounded
+    * driver state, MLSpec/SimilaritySpec); what DuckDB independently
+    * re-derives from raw parquet is everything corpus-sized —
+    * assignment argmax, confidence, probe ranking, candidate
+    * generation, exact verify top-k. */
+  private def centsSql(spark: SparkSession, dir: String,
+                       nList: Int, iters: Int, seed: Long): String = {
+    val e = Similarity.withNorm(Tables.embeddings(spark, dir))
+    val cents = Similarity.trainQuantizer(e, nList, iters, seed)
+    val rows = cents.zipWithIndex.map { case (c, i) =>
+      s"($i, CAST([${c.map(_.toDouble.toString).mkString(",")}] AS DOUBLE[]))"
+    }.mkString(",\n  ")
+    s"cents(cid, c) AS (VALUES\n  $rows)"
+  }
+
+  /** Shared CTE chain for the quantizer oracles: embeddings with
+    * norms, the trained-centroid literals, and the per-vector dot
+    * against every centroid — `scored.d` is the kernel's left-to-right
+    * double sum ([[graft.functions.TextHash.ivfAssign]]), so the
+    * argmax (row_number by d DESC, cid ASC = strict-> first-index-wins
+    * ties) is bit-faithful. */
+  private def quantizerIdxSql(spark: SparkSession, dir: String,
+                              nList: Int, iters: Int, seed: Long): String =
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings
+       |), n AS (
+       |  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+       |  FROM e
+       |), ${centsSql(spark, dir, nList, iters, seed)}, scored AS (
+       |  SELECT n.vec_id, ct.cid, n.nrm, n.v,
+       |         list_sum(list_transform(range(1, len(ct.c) + 1),
+       |               i -> n.v[i] * ct.c[i])) AS d
+       |  FROM n CROSS JOIN cents ct
+       |)""".stripMargin
+
+  /** Data-dependent oracle entries (trained-literal pattern): built
+    * against the dir the queries actually ran on; empty when no
+    * quantizer query has run in this JVM. Both queries share one
+    * trained matrix (k = nList = 16, iters 3, seed 42 defaults). */
+  private def quantizerOracles: Map[String, String] =
+    Option(quantizerRun.get).map { case (spark, dir) =>
+      val idx = quantizerIdxSql(spark, dir, 16, 3, 42L)
+      Map(
+        // assignment argmax + cosine confidence to the OWNING centroid;
+        // zero-norm vectors take cid 0 by the tie rule with ccos 0.0
+        "q_cluster_embed" ->
+          s"""$idx, assigned AS (
+            |  SELECT vec_id, cid, nrm, d,
+            |         row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cid) AS rn
+            |  FROM scored
+            |)
+            |SELECT vec_id, cid,
+            |       (round(CASE WHEN nrm > 0 THEN d / nrm ELSE 0.0 END + 1e-9, 6) + 0) AS ccos
+            |FROM assigned WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+        // IVF: per-vector list assignment, nProbe=4 nearest lists per
+        // query (RAW ccos ranking, ties to lowest cid — the window the
+        // operator uses), exact rounded-cosine top-5 over the probed
+        // inverted lists only. A candidate appears via exactly one
+        // list (single assignment), so no distinct is needed.
+        "q_ann_ivf" ->
+          s"""$idx, assigned AS (
+            |  SELECT vec_id, cid FROM (
+            |    SELECT vec_id, cid,
+            |           row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cid) AS rn
+            |    FROM scored) WHERE rn = 1
+            |), probed AS (
+            |  SELECT vec_id AS query_id, cid FROM (
+            |    SELECT vec_id, cid,
+            |           row_number() OVER (PARTITION BY vec_id
+            |             ORDER BY (CASE WHEN nrm > 0 THEN d / nrm END) DESC NULLS LAST, cid) AS pr
+            |    FROM scored WHERE vec_id < 20)
+            |  WHERE pr <= 4
+            |), cand AS (
+            |  SELECT p.query_id, b.vec_id AS cand_id,
+            |         (round(list_sum(list_transform(range(1, len(a.v) + 1),
+            |                 i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm) + 1e-9, 6) + 0) AS cos
+            |  FROM probed p
+            |  JOIN n a ON a.vec_id = p.query_id
+            |  JOIN assigned s ON s.cid = p.cid
+            |  JOIN n b ON b.vec_id = s.vec_id AND b.vec_id <> p.query_id
+            |)
+            |SELECT query_id, cand_id, cos,
+            |       CAST(row_number() OVER (PARTITION BY query_id
+            |              ORDER BY cos DESC NULLS LAST, cand_id) AS INT) AS rank
+            |FROM cand
+            |QUALIFY row_number() OVER (PARTITION BY query_id
+            |          ORDER BY cos DESC NULLS LAST, cand_id) <= 5
+            |ORDER BY query_id, rank""".stripMargin)
+    }.getOrElse(Map.empty)
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = quantizerOracles ++ Map(
     "q_metrics" ->
       """SELECT (round(CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / count(value) + 1e-9, 4) + 0) AS avg_value,
         |       (round(max(value), 4) + 0) AS max_value,

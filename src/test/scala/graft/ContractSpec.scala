@@ -10,6 +10,17 @@ import org.scalatest.funsuite.AnyFunSuite
   * correctness artifact to a rows-only check. */
 class ContractSpec extends AnyFunSuite {
 
+  // The quantizer oracles (q_cluster_embed / q_ann_ivf) are
+  // DATA-DEPENDENT: the trained-literal pattern exports the seeded
+  // quantizer's centroids as SQL literals, so the entries exist only
+  // after a quantizer query has run in this JVM. Mirror the driver
+  // flow (Verify runs every query before dumping oracleSql) once for
+  // the whole suite; this also exercises the oracle builder itself.
+  private lazy val quantizerOraclesReady: Unit = {
+    SparkEntry.queries("q_cluster_embed")(TestSession.spark, TestSession.sfDir)
+    ()
+  }
+
   // (q_dedup_simhash graduated to a SQL oracle: the 8-chunk pigeonhole
   // bucketing has FULL recall at maxHamming=6, so exact all-pairs
   // hamming — recomputed kernel-for-kernel in DuckDB — IS the answer.
@@ -18,8 +29,15 @@ class ContractSpec extends AnyFunSuite {
   // literals and re-derives buckets, probes, candidates, and the
   // exact verify in DuckDB — full-pipeline replication, no recall
   // caveat needed because both engines run the SAME candidate set.)
+  // (q_cluster_embed / q_ann_ivf graduated in round 10 via the
+  // trained-literal pattern: the seeded quantizer's centroids are
+  // bounded driver state exported as exact DOUBLE literals, and DuckDB
+  // independently re-derives everything corpus-sized — assignment
+  // argmax, confidence, probe ranking, inverted-list candidates, exact
+  // verify top-k. Training itself stays Scala-pinned in
+  // SimilaritySpec, like the IVF recall bars.)
   private val rowsOnlyByDesign = Set(
-    "q_ann_ivf", "q_distinct_sketch",
+    "q_distinct_sketch",
     "q_media_features",
     // a BPE merge loop is not expressible in DuckDB SQL; pinned
     // row-by-row against tools/bpe_reference.py's fixture in BpeSpec
@@ -33,18 +51,16 @@ class ContractSpec extends AnyFunSuite {
     // a GK sketch returns an observed sample, not DuckDB's
     // interpolation — pinned against its rank-error contract in
     // ScaleSpec; the exact q_quantiles stays the oracle path
-    "q_quantiles_approx",
-    // iterative k-means training is not SQL-expressible; argmax
-    // semantics re-verified against recomputed centroids in
-    // SimilaritySpec
-    "q_cluster_embed")
+    "q_quantiles_approx")
 
   test("every oracle key names a registered query") {
+    quantizerOraclesReady
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphans.isEmpty, s"oracles without queries: $orphans")
   }
 
   test("every query is oracled or documented rows-only") {
+    quantizerOraclesReady
     val unoracled = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(unoracled == rowsOnlyByDesign,
       s"undocumented rows-only queries: ${unoracled -- rowsOnlyByDesign}; " +
@@ -55,6 +71,7 @@ class ContractSpec extends AnyFunSuite {
     val tables = Set("region", "nation", "customer", "supplier", "part",
       "orders", "lineitem", "events", "documents", "embeddings")
     val fromRe = "(?i)(?:FROM|JOIN)\\s+([A-Za-z_][A-Za-z0-9_]*)".r
+    quantizerOraclesReady
     SparkEntry.oracleSql.foreach { case (name, sql) =>
       // CTE names declared in this statement are legitimate FROM
       // targets. The scan is formatting-independent (any `name AS (`
