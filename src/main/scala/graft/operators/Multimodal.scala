@@ -12,15 +12,18 @@ import org.apache.spark.sql.functions._
   * JPEG images (the JDK's own javax.imageio decoders, no external
   * libraries), RIFF/WAVE PCM16 audio (chunk walk + sample
   * extraction), YUV4MPEG2 video (stream-header parse + FRAME walk +
-  * uniform frame sampling), and animated GIF (the javax.imageio
-  * sequence reader — a genuinely COMPRESSED multi-frame container
-  * through the same frame-sampling stage), see [[Codec]] — so the
-  * whole decode path genuinely parses byte streams and is round-trip
-  * tested (MultimodalSpec encodes known images/waves/frame sequences
-  * and asserts exact recovery; JPEG within quantization tolerance).
-  * [[StubCodec]] remains only as the documented swap-in point for
-  * compressed VIDEO (H.264/VP9), whose decoders (ffmpeg) this
-  * container does not ship. At scale each stage is `mapPartitions`
+  * uniform frame sampling), animated GIF (the javax.imageio sequence
+  * reader), and MJPEG-in-AVI (a hand-walked RIFF 'AVI ' container
+  * with per-frame JDK JPEG decode) — the last two being genuinely
+  * COMPRESSED multi-frame containers through the same frame-sampling
+  * stage, see [[Codec]] — so the whole decode path genuinely parses
+  * byte streams and is round-trip tested (MultimodalSpec encodes
+  * known images/waves/frame sequences and asserts exact recovery;
+  * JPEG-based formats within quantization tolerance). [[StubCodec]]
+  * remains only as the documented swap-in point for INTER-FRAME
+  * compressed video (H.264/VP9), whose decoders (ffmpeg) this
+  * container does not ship and whose motion-compensation state has no
+  * pure-JVM implementation to borrow. At scale each stage is `mapPartitions`
   * (no per-row JNI/process setup: a heavyweight decoder initializes
   * once per partition), media stays binary end-to-end (never in
   * driver memory), and partition counts are controlled by the caller
@@ -305,6 +308,124 @@ object Multimodal {
       } finally { reader.dispose(); iis.close() }
     }
 
+    /** Encode grayscale frames as MJPEG-in-AVI — a genuinely
+      * COMPRESSED video container built pure-JVM: the RIFF 'AVI '
+      * structure (hdrl: avih + one 'vids'/'MJPG' stream with its
+      * BITMAPINFOHEADER; movi: one '00dc' chunk per frame, word-
+      * aligned) with each frame a baseline JPEG from the JDK's own
+      * writer. Intra-frame compression only — exactly what MJPEG is —
+      * so decode needs no inter-frame state. */
+    def encodeAviMjpeg(w: Int, h: Int, frames: Seq[Array[Byte]],
+                       fps: Int = 25): Array[Byte] = {
+      require(frames.nonEmpty, "AVI needs at least one frame")
+      require(frames.forall(_.length == w * h), "frame size must be w*h")
+      val jpegs = frames.map { f =>
+        val rgb = new Array[Byte](w * h * 3)
+        var i = 0
+        while (i < w * h) {
+          rgb(3 * i) = f(i); rgb(3 * i + 1) = f(i); rgb(3 * i + 2) = f(i)
+          i += 1
+        }
+        encodeJpeg(w, h, rgb)
+      }
+      val le = java.nio.ByteOrder.LITTLE_ENDIAN
+      def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+        val pad = body.length & 1 // RIFF chunks are word-aligned
+        val bb = java.nio.ByteBuffer.allocate(8 + body.length + pad).order(le)
+        bb.put(id.getBytes("US-ASCII")).putInt(body.length).put(body)
+        bb.array()
+      }
+      def list(kind: String, bodies: Seq[Array[Byte]]): Array[Byte] = {
+        val inner = bodies.map(_.length).sum
+        val bb = java.nio.ByteBuffer.allocate(12 + inner).order(le)
+        bb.put("LIST".getBytes("US-ASCII")).putInt(4 + inner)
+          .put(kind.getBytes("US-ASCII"))
+        bodies.foreach(bb.put)
+        bb.array()
+      }
+      val maxJpeg = jpegs.map(_.length).max
+      val avih = { // MainAVIHeader, 56 bytes
+        val bb = java.nio.ByteBuffer.allocate(56).order(le)
+        bb.putInt(1000000 / fps).putInt(maxJpeg * fps).putInt(0).putInt(0)
+          .putInt(frames.length).putInt(0).putInt(1).putInt(maxJpeg)
+          .putInt(w).putInt(h).putInt(0).putInt(0).putInt(0).putInt(0)
+        bb.array()
+      }
+      val strh = { // AVIStreamHeader, 56 bytes: 'vids' handled by 'MJPG'
+        val bb = java.nio.ByteBuffer.allocate(56).order(le)
+        bb.put("vids".getBytes("US-ASCII")).put("MJPG".getBytes("US-ASCII"))
+          .putInt(0).putShort(0).putShort(0).putInt(0)
+          .putInt(1).putInt(fps) // scale, rate
+          .putInt(0).putInt(frames.length).putInt(maxJpeg)
+          .putInt(-1).putInt(0) // default quality, sample size
+          .putShort(0).putShort(0).putShort(w.toShort).putShort(h.toShort)
+        bb.array()
+      }
+      val strf = { // BITMAPINFOHEADER, 40 bytes, biCompression='MJPG'
+        val bb = java.nio.ByteBuffer.allocate(40).order(le)
+        bb.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+          .put("MJPG".getBytes("US-ASCII")).putInt(w * h * 3)
+          .putInt(0).putInt(0).putInt(0).putInt(0)
+        bb.array()
+      }
+      val hdrl = list("hdrl", Seq(chunk("avih", avih),
+        list("strl", Seq(chunk("strh", strh), chunk("strf", strf)))))
+      val movi = list("movi", jpegs.map(j => chunk("00dc", j)))
+      val inner = 4 + hdrl.length + movi.length
+      val bb = java.nio.ByteBuffer.allocate(8 + inner).order(le)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(inner)
+        .put("AVI ".getBytes("US-ASCII")).put(hdrl).put(movi)
+      bb.array()
+    }
+
+    /** Decode MJPEG-in-AVI to 8-bit luma frames: walk the RIFF chunk
+      * tree (unknown chunks/lists skipped per spec, word alignment
+      * honored), pull the dimensions from the stream format header,
+      * decode every video-data ('..dc'/'..db') chunk in the movi list
+      * through the JDK JPEG decoder. Returns (width, height, frames).
+      * Intra-frame codecs end here; inter-frame video (H.264/VP9)
+      * remains [[StubCodec]]'s documented territory. */
+    def decodeAviMjpeg(data: Array[Byte]): (Int, Int, Array[Array[Byte]]) = {
+      val bb = java.nio.ByteBuffer.wrap(data).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def fourCC(): String = {
+        val b = new Array[Byte](4); bb.get(b); new String(b, "US-ASCII")
+      }
+      require(fourCC() == "RIFF", "not a RIFF payload")
+      bb.getInt // riff size
+      require(fourCC() == "AVI ", "not an AVI payload")
+      var w = 0; var h = 0
+      val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+      def walk(end: Int): Unit =
+        while (bb.position() + 8 <= end) {
+          val id = fourCC()
+          val size = bb.getInt
+          require(size >= 0 && bb.position() + size <= end,
+            s"truncated AVI chunk '$id': declared $size bytes")
+          val next = bb.position() + size + (size & 1)
+          if (id == "LIST") { fourCC(); walk(bb.position() + size - 4) }
+          else if (id == "strf" && size >= 40 && w == 0) {
+            bb.getInt // biSize
+            w = bb.getInt; h = math.abs(bb.getInt) // bottom-up DIBs carry h<0
+            require(w > 0 && h > 0 && w.toLong * h <= Int.MaxValue,
+              s"implausible AVI dimensions ${w}x$h")
+          } else if (id.endsWith("dc") || id.endsWith("db")) {
+            if (size > 0) {
+              val jpeg = new Array[Byte](size)
+              bb.get(jpeg)
+              val (fw, fh, px) = decodeImage(jpeg)
+              require(w == 0 || (fw == w && fh == h),
+                s"frame ${frames.length} is ${fw}x$fh, stream header says ${w}x$h")
+              frames += px
+            }
+          }
+          bb.position(math.min(next, end))
+        }
+      walk(data.length)
+      require(frames.nonEmpty, "no video frames in AVI payload")
+      require(w > 0, "AVI missing stream format header")
+      (w, h, frames.toArray)
+    }
+
     /** Decode RIFF/WAVE PCM16: walk the chunk list (fmt before data,
       * unknown chunks skipped per the RIFF spec), average channels to
       * mono, normalize to [-1, 1]. Returns (sampleRate, channels,
@@ -428,14 +549,17 @@ object Multimodal {
           val frames = Seq.tabulate(nFrames)(f =>
             Array.tabulate[Byte](w * h)(i =>
               (graft.functions.TextHash.mix64(id * 131L + f * 977L + i) & 0xff).toByte))
-          // alternate raw (Y4M) and compressed (animated GIF) video
-          // rows so both multi-frame decode paths run end-to-end
-          if ((id / 4) % 2 == 0)
-            MediaRow(id, "video", Codec.encodeY4m(w, h, frames),
+          // rotate raw (Y4M) and the two compressed containers
+          // (animated GIF, MJPEG-in-AVI) so all three multi-frame
+          // decode paths run end-to-end
+          (id / 4) % 3 match {
+            case 0 => MediaRow(id, "video", Codec.encodeY4m(w, h, frames),
               MediaMeta(w, h, 2000L + (id % 8000), "y4m"))
-          else
-            MediaRow(id, "video", Codec.encodeGif(w, h, frames),
+            case 1 => MediaRow(id, "video", Codec.encodeGif(w, h, frames),
               MediaMeta(w, h, 2000L + (id % 8000), "gif"))
+            case _ => MediaRow(id, "video", Codec.encodeAviMjpeg(w, h, frames),
+              MediaMeta(w, h, 2000L + (id % 8000), "avi-mjpeg"))
+          }
       }
     }
   }
@@ -466,6 +590,9 @@ object Multimodal {
             sampleFrames(m.media_id, w, h, frames, framesPerVideo)
           case ("video", "gif") =>
             val (w, h, frames) = Codec.decodeGifFrames(m.data)
+            sampleFrames(m.media_id, w, h, frames, framesPerVideo)
+          case ("video", "avi-mjpeg") =>
+            val (w, h, frames) = Codec.decodeAviMjpeg(m.data)
             sampleFrames(m.media_id, w, h, frames, framesPerVideo)
           case ("video", _) =>
             (0 until framesPerVideo).iterator.map { f =>

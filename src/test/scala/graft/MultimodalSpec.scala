@@ -148,18 +148,40 @@ class MultimodalSpec extends AnyFunSuite {
       Codec.encodeGif(3, 2, Seq(Array.fill[Byte](6)(1))))
   }
 
-  test("video decode samples real frames uniformly from Y4M and GIF streams") {
+  test("MJPEG-in-AVI codec round-trips flat frames within JPEG tolerance") {
+    import Multimodal.Codec
+    // flat gray frames survive the per-frame DCT nearly exactly — the
+    // same tolerance discipline as the still-JPEG test; the container
+    // walk itself (chunk tree, alignment, strf dims) is exact
+    val frames = Seq.tabulate(4)(f => Array.fill[Byte](16 * 16)((40 * f + 30).toByte))
+    val (w, h, out) = Codec.decodeAviMjpeg(Codec.encodeAviMjpeg(16, 16, frames))
+    assert(w == 16 && h == 16 && out.length == 4)
+    frames.zip(out).foreach { case (a, b) =>
+      a.zip(b).foreach { case (x, y) =>
+        assert(math.abs((x & 0xff) - (y & 0xff)) <= 4,
+          s"luma ${y & 0xff} deviates from ${x & 0xff}")
+      }
+    }
+    intercept[IllegalArgumentException](
+      Codec.decodeAviMjpeg("RIFFxxxxAVI garbage".getBytes("US-ASCII")))
+    intercept[IllegalArgumentException](
+      Codec.decodeAviMjpeg(Codec.encodeWavPcm16(8000, Array.fill[Short](10)(5))))
+  }
+
+  test("video decode samples real frames uniformly from Y4M, GIF, and AVI streams") {
     import Multimodal.Codec
     val vids = media.filter(_.kind == "video").collect()
     assert(vids.nonEmpty)
-    assert(vids.exists(_.meta.codec == "y4m") && vids.exists(_.meta.codec == "gif"),
-      "synthetic media must exercise both the raw and the compressed video path")
+    assert(Set("y4m", "gif", "avi-mjpeg").subsetOf(vids.map(_.meta.codec).toSet),
+      "synthetic media must exercise the raw and BOTH compressed video paths")
     val decoded = Multimodal.decode(media, framesPerVideo = 3).collect()
       .groupBy(_.media_id)
     vids.foreach { v =>
-      val (w, h, srcFrames) =
-        if (v.meta.codec == "gif") Codec.decodeGifFrames(v.data)
-        else Codec.decodeY4m(v.data)
+      val (w, h, srcFrames) = v.meta.codec match {
+        case "gif"       => Codec.decodeGifFrames(v.data)
+        case "avi-mjpeg" => Codec.decodeAviMjpeg(v.data)
+        case _           => Codec.decodeY4m(v.data)
+      }
       val sampled = decoded(v.media_id).sortBy(_.frame_idx)
       assert(sampled.length == 3)
       // first and last sampled frames are the stream's first and last
