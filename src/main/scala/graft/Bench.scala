@@ -361,10 +361,18 @@ object Bench {
     // stdout capture).
     val excludedJ = composedPins.toSeq.sorted.map("\"" + _ + "\"")
       .mkString("[", ",", "]")
-    // load/floor metadata: the self-conviction record for a loaded box
+    // load/floor metadata: the self-conviction record for a loaded box.
+    // Drift reads from the samples AFTER the first checkpoint: the
+    // first sentinel run stays ~2-3x elevated even double-warmed
+    // (JVM-wide JIT/GC residue from the warmup itself), which would
+    // fake a drift of ~3 on a quiet box; the r9 failure mode this
+    // flags — load SUSTAINED across the suite — shows in the later
+    // samples regardless, and the full times list ships for readers
+    // who want the first sample too.
+    val steadySentinel = sentinelTimes.drop(1)
     val floorDrift =
-      if (sentinelTimes.size >= 2)
-        sentinelTimes.max / math.max(sentinelTimes.min, 1e-3)
+      if (steadySentinel.size >= 2)
+        steadySentinel.max / math.max(steadySentinel.min, 1e-3)
       else 1.0
     val repassedJ = repassed.toSeq.sortBy(_._1)
       .map { case (k, (v2, _)) => s"\"" + k + "\":" + v2 }

@@ -203,6 +203,13 @@ object SparkEntry {
       quantizerRun.set((s, d))
       Similarity.clusterEmbed(Tables.embeddings(s, d))
     }),
+    // quota 8 leaves most clusters over-quota at every test SF (the
+    // prefilter + rank arms both non-vacuous) while small clusters
+    // exercise the under-quota keep-all arm
+    "q_mix_cluster"     -> ((s, d) => {
+      quantizerRun.set((s, d))
+      Similarity.mixByCluster(Tables.embeddings(s, d), quota = 8)
+    }),
     "q_hash_embed"      -> ((s, d) => {
       import org.apache.spark.sql.functions.{col, posexplode, round}
       // posexploded to scalar rows: the driver canonicalizer cannot
@@ -566,7 +573,22 @@ object SparkEntry {
             |FROM cand
             |QUALIFY row_number() OVER (PARTITION BY query_id
             |          ORDER BY cos DESC NULLS LAST, cand_id) <= 5
-            |ORDER BY query_id, rank""".stripMargin)
+            |ORDER BY query_id, rank""".stripMargin,
+        // cluster-balanced mixing: assignment argmax + the SAME Knuth
+        // salt/rank contract as q_stratified_sample, stratum = cid
+        "q_mix_cluster" ->
+          s"""$idx, assigned AS (
+            |  SELECT vec_id, cid FROM (
+            |    SELECT vec_id, cid,
+            |           row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cid) AS rn
+            |    FROM scored) WHERE rn = 1
+            |)
+            |SELECT vec_id, cid, CAST(rn AS BIGINT) AS sample_rank FROM (
+            |  SELECT vec_id, cid,
+            |         row_number() OVER (PARTITION BY cid
+            |           ORDER BY (((vec_id % 2147483648 + 2147483648) % 2147483648) * 2654435761) % 4294967296, vec_id) AS rn
+            |  FROM assigned
+            |) WHERE rn <= 8 ORDER BY cid, sample_rank""".stripMargin)
     }.getOrElse(Map.empty)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -368,6 +368,43 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** Cluster-balanced sampling for data mixing — the composition the
+    * clustering EXISTS for in a pre-training pipeline: `quota` vectors
+    * per k-means cluster, selected in the deterministic Knuth-salt
+    * order (uniform within cluster, reproducible cross-engine — the
+    * same salt contract as [[TextAnalysis.stratifiedSample]], with the
+    * cluster id as the stratum). Topic-balancing an embedding corpus
+    * is this in one call: train/assign, then cap every topic at the
+    * same budget.
+    *
+    * Scale shape: assignment is the codegen'd `ivfAssign` scan-local
+    * map (no join, no shuffle); the per-cluster rank window is
+    * salt-bound-prefiltered ([[TextAnalysis.saltBoundsByKey]]) to
+    * ~quota rows per cluster before it sorts anything, so the window
+    * input is output-sized, never corpus-sized; the result is
+    * (k × quota)-bounded. Deterministic end-to-end: seeded training,
+    * ties to the lowest cid, total (salt, vec_id) order. */
+  def mixByCluster(embeddings: DataFrame, quota: Int, k: Int = 16,
+                   iters: Int = 3, seed: Long = 42L): DataFrame = {
+    require(quota > 0, s"quota must be positive: $quota")
+    val e = Caches.persistTracked(withNorm(embeddings))
+    val cents = trainQuantizer(e, k, iters, seed)
+    // vec_id rides as doc_id through the shared salt/bound helpers
+    // (their salt is keyed on that column name), renamed back at the end
+    val assigned = e.select(col("vec_id").as("doc_id"),
+      GraftFunctions.ivfAssign(col("v"), cents).as("cid"))
+    val w = Window.partitionBy("cid").orderBy(col("sample_key"), col("doc_id"))
+    assigned
+      .select(col("doc_id"), col("cid"), TextAnalysis.sampleSalt.as("sample_key"))
+      .join(broadcast(TextAnalysis.saltBoundsByKey(assigned, "cid", lit(quota))),
+        Seq("cid"), "left")
+      .filter(col("salt_bound").isNull || col("sample_key") < col("salt_bound"))
+      .withColumn("sample_rank", row_number().over(w).cast("long"))
+      .filter(col("sample_rank") <= quota)
+      .select(col("doc_id").as("vec_id"), col("cid"), col("sample_rank"))
+      .orderBy("cid", "sample_rank")
+  }
+
   /** Per-cluster datasheet over [[clusterEmbed]]'s assignment: size
     * and cohesion (mean/min cosine-to-centroid) per cluster — what a
     * mixing policy reads to set per-cluster quotas. One partial-agg

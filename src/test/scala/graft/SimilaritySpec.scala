@@ -518,4 +518,33 @@ class SimilaritySpec extends AnyFunSuite {
           "LSH oracle's exactness")
     }
   }
+
+  test("mixByCluster: quotas hold, assignment agrees with clusterEmbed, prefilter is exact") {
+    val quota = 5
+    val rows = Similarity.mixByCluster(emb, quota = quota).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    // per-cluster quota and contiguous 1..n ranks
+    rows.groupBy(_._2).foreach { case (cid, g) =>
+      assert(g.length <= quota, s"cluster $cid exceeds quota: ${g.length}")
+      assert(g.map(_._3).sorted.toSeq == (1L to g.length).toSeq,
+        s"cluster $cid ranks are not contiguous")
+    }
+    // sampled members carry the SAME cid clusterEmbed assigns
+    val cids = Similarity.clusterEmbed(emb).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    rows.foreach { case (v, cid, _) => assert(cids(v) == cid,
+      s"vec $v sampled under cid $cid but assigned ${cids(v)}") }
+    // the salt-bound prefilter is EXACT: selected ids per cluster are
+    // precisely the quota smallest by (Knuth salt, vec_id) among ALL
+    // of that cluster's members
+    def salt(v: Long): Long =
+      (((v % 2147483648L) + 2147483648L) % 2147483648L * 2654435761L) % 4294967296L
+    cids.toSeq.groupBy(_._2).foreach { case (cid, members) =>
+      val expect = members.map(_._1).sortBy(v => (salt(v), v)).take(quota)
+      val got = rows.filter(_._2 == cid).sortBy(_._3).map(_._1).toSeq
+      assert(got == expect, s"cluster $cid sample drifted from the salt order")
+    }
+    graft.operators.Caches.releaseAll()
+  }
 }
