@@ -210,6 +210,10 @@ object SparkEntry {
       quantizerRun.set((s, d))
       Similarity.mixByCluster(Tables.embeddings(s, d), quota = 8)
     }),
+    "q_cluster_stats"   -> ((s, d) => {
+      quantizerRun.set((s, d))
+      Similarity.clusterStats(Similarity.clusterEmbed(Tables.embeddings(s, d)))
+    }),
     "q_hash_embed"      -> ((s, d) => {
       import org.apache.spark.sql.functions.{col, posexplode, round}
       // posexploded to scalar rows: the driver canonicalizer cannot
@@ -588,7 +592,23 @@ object SparkEntry {
             |         row_number() OVER (PARTITION BY cid
             |           ORDER BY (((vec_id % 2147483648 + 2147483648) % 2147483648) * 2654435761) % 4294967296, vec_id) AS rn
             |  FROM assigned
-            |) WHERE rn <= 8 ORDER BY cid, sample_rank""".stripMargin)
+            |) WHERE rn <= 8 ORDER BY cid, sample_rank""".stripMargin,
+        // per-cluster datasheet: size + cohesion over the 6dp ccos
+        // (mean via the DECIMAL-sum discipline, min exact)
+        "q_cluster_stats" ->
+          s"""$idx, assigned AS (
+            |  SELECT vec_id, cid, nrm, d,
+            |         row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cid) AS rn
+            |  FROM scored
+            |), ccos AS (
+            |  SELECT vec_id, cid,
+            |         (round(CASE WHEN nrm > 0 THEN d / nrm ELSE 0.0 END + 1e-9, 6) + 0) AS ccos
+            |  FROM assigned WHERE rn = 1
+            |)
+            |SELECT cid, count(*) AS n_vectors,
+            |       (round(CAST(sum(CAST(ccos AS DECIMAL(38,6))) AS DOUBLE) / count(ccos) + 1e-9, 6) + 0) AS mean_ccos,
+            |       (round(min(ccos) + 1e-9, 6) + 0) AS min_ccos
+            |FROM ccos GROUP BY cid ORDER BY cid""".stripMargin)
     }.getOrElse(Map.empty)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -412,7 +412,9 @@ object Similarity {
   def clusterStats(assigned: DataFrame): DataFrame =
     assigned.groupBy("cid")
       .agg(count(lit(1)).as("n_vectors"),
-        rnd(avg(col("ccos")), 6).as("mean_ccos"),
+        // ccos is 6dp fixed-point — DECIMAL sum keeps the mean
+        // bit-identical cross-engine (the decSum/decAvg discipline)
+        decAvg(col("ccos"), 6).as("mean_ccos"),
         rnd(min(col("ccos")), 6).as("min_ccos"))
       .orderBy("cid")
 

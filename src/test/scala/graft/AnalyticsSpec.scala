@@ -63,7 +63,7 @@ class AnalyticsSpec extends AnyFunSuite {
       "q_ann_ivf",
       "q_distinct_sketch", "q_media_features",
       "q_token_count_bpe", "q_quantiles_approx", "q_tokenize_bpe",
-      "q_cluster_embed", "q_mix_cluster", "q_train_bpe")),
+      "q_cluster_embed", "q_mix_cluster", "q_cluster_stats", "q_train_bpe")),
       s"unexpected rows-only queries: $unoracled")
   }
 
