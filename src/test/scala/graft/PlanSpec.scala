@@ -182,6 +182,39 @@ class PlanSpec extends AnyFunSuite {
       s"centroid join must broadcast:\n$p")
   }
 
+  test("mixByCluster: no embedding array crosses a hash exchange") {
+    // assignment is the scan-local ivfAssign map — the embedding
+    // arrays must be PROJECTED AWAY before any exchange (the bounds
+    // aggregate and the rank window move (cid, id, salt) rows only);
+    // an ArrayType column on a hash exchange means a refactor put
+    // vectors back on a shuffle
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    import org.apache.spark.sql.types.ArrayType
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val out = SparkEntry.queries("q_mix_cluster")(spark, sfDir)
+      val hashEx = out.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec
+          if e.outputPartitioning.isInstanceOf[HashPartitioning] => e
+      }
+      assert(hashEx.nonEmpty, "expected hash exchanges in mixByCluster")
+      hashEx.foreach { e =>
+        val arrs = e.output.filter(_.dataType.isInstanceOf[ArrayType]).map(_.name)
+        assert(arrs.isEmpty,
+          s"array column(s) on a hash exchange: ${arrs.mkString(", ")}")
+      }
+      // the per-cluster bounds come back as a broadcast
+      val p = out.queryExecution.executedPlan.toString
+      assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"),
+        s"salt bounds must broadcast back:\n$p")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      graft.operators.Caches.releaseAll()
+    }
+  }
+
   test("stratified sample: broadcast-refined prefilter, rank window on survivors only") {
     val df = SparkEntry.queries("q_stratified_sample")(spark, sfDir)
     val p = df.queryExecution.executedPlan.toString
