@@ -233,15 +233,45 @@ object Bench {
     // (a single warm run still left the first sample ~3x the rest)
     sentinelFn.foreach { fn => time(fn, sfDir); time(fn, sfDir) }
 
+    // previous round's committed detail (the driver-owned
+    // bench_detail.json at the repo root, read BEFORE this run
+    // overwrites it): the second repass arm below compares against
+    // it. The wall-vs-exec arm alone misses sustained CPU contention
+    // — in the r9 phantom, Spark-measured exec inflated WITH wall
+    // (q_quality_missing 2.57 wall / 2.44 exec vs a 0.48 quiet
+    // reality), because starved tasks run slowly rather than waiting.
+    val prevDetail: Map[String, Double] = try {
+      val path = sys.env.getOrElse("SPARK_GRAFT_BENCH_PREV", "bench_detail.json")
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path)), "UTF-8")
+      import org.json4s._
+      (org.json4s.jackson.JsonMethods.parse(txt) \ "queries") match {
+        case JObject(fs) => fs.collect {
+          case (k, JDouble(v)) => k -> v
+          case (k, JInt(v))    => k -> v.toDouble
+        }.toMap
+        case _ => Map.empty
+      }
+    } catch { case _: Throwable => Map.empty }
+
     val results0 = suite(sfDir, passes = 3, only = onlyEnv,
       checkpoint = Some(checkpoint))
 
-    // auto-repass: wall min far above the Spark-measured execution
-    // floor means the gap (scheduling, driver-side, co-tenant steal)
-    // dominated EVERY pass — re-time just those queries. Bounded to
-    // the 16 worst so a fully-loaded box cannot double the suite.
+    // auto-repass, two arms: (a) wall min far above the Spark-measured
+    // execution floor (the gap — scheduling, driver-side, co-tenant
+    // steal — dominated every pass); (b) wall min far above the
+    // PREVIOUS round's value for the same query (catches sustained
+    // CPU contention that inflates exec itself; 2x absorbs the
+    // ±25% cross-box variance BASELINE.md records). Repassing is
+    // harmless for a genuine regression — it stays slow through two
+    // more runs and its presence in `repassed` marks it double-checked.
+    // Bounded to the 16 worst so a fully-loaded box cannot double the
+    // suite.
     val suspects = results0
-      .filter { case (_, _, v, e, ok, _) => ok && v > 2 * e && v > e + 0.5 }
+      .filter { case (k, _, v, e, ok, _) =>
+        ok && ((v > 2 * e && v > e + 0.5) ||
+          prevDetail.get(k).exists(p => v > 2 * p && v > p + 0.3))
+      }
       .sortBy(-_._3).take(16).map(_._1)
     val repassed = suspects.map { k =>
       val extra = (0 until 2).map(_ => time(SparkEntry.queries(k), sfDir))
