@@ -282,6 +282,13 @@ object GraftApi {
             case MixStage.TokenWeighted(k) =>
               ("weighted_sample",
                 TextAnalysis.weightedSampleByTokens(r, k).select("doc_id"))
+            case MixStage.ClusterBalanced(q, k, dim) =>
+              // topic-cap the curated text itself: hash-embed the
+              // survivors (scan-local, no external model), train the
+              // seeded quantizer, keep `q` per cluster in salt order
+              ("mix_cluster",
+                Similarity.mixByCluster(Similarity.hashEmbedDocs(r, dim), q, k)
+                  .select(col("vec_id").as("doc_id")))
           }
           val sampled = r.join(keepIds, "doc_id")
           stages += (label -> sampled)
@@ -327,6 +334,14 @@ object MixStage {
     * ([[graft.operators.TextAnalysis.weightedSampleByTokens]]) —
     * a total token budget rather than per-stratum quotas. */
   final case class TokenWeighted(k: Int) extends MixStage
+  /** Topic-balanced quota over k-means clusters of the survivors'
+    * hashing-trick embeddings ([[graft.operators.Similarity
+    * .mixByCluster]] ∘ [[graft.operators.Similarity.hashEmbedDocs]]) —
+    * caps every TOPIC at the same budget where [[PerSource]] caps
+    * every provenance label; needs no external model and no
+    * pre-existing embedding column. */
+  final case class ClusterBalanced(quota: Int, k: Int = 16,
+                                   dim: Int = 64) extends MixStage
 }
 
 /** Which member of the decontamination family a
@@ -385,6 +400,12 @@ final class CorpusCuration private[graft] (
   /** The curated (doc_id, source, text) frame; first access runs the
     * cluster-resolution jobs. */
   lazy val frame: DataFrame = built._1
+
+  /** The ordered per-stage output frames backing [[manifest]] —
+    * programmatic access to each stage's survivors for audits that
+    * need more than the counts (e.g. diffing what a stage dropped).
+    * Lazy like [[frame]]: first access resolves near-dup clusters. */
+  def stageFrames: Seq[(String, DataFrame)] = built._2
 
   /** The per-stage attrition datasheet — the corpus_stats analog for
     * the pipeline itself, what a real curation run publishes beside

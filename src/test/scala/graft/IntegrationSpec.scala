@@ -418,6 +418,27 @@ class IntegrationSpec extends AnyFunSuite {
       assert(m.last == "weighted_sample", s"stage order drifted: ${m.toSeq}")
       assert(nOut == 25, s"token-weighted sample must keep exactly k: $nOut")
     } finally { tw.release(); GraftApi.releaseCaches() }
+    // cluster-balanced topic cap as the final stage: quotas hold per
+    // k-means cluster of the survivors' hash embeddings, and the kept
+    // set is a subset of the pre-mix survivors
+    val cb = GraftApi.curatePlan(base,
+      mix = Some(MixStage.ClusterBalanced(quota = 4, k = 8)))
+    try {
+      val out = cb.frame.collect()
+      val m = cb.manifest.collect().map(_.getAs[String]("stage"))
+      assert(m.last == "mix_cluster", s"stage order drifted: ${m.toSeq}")
+      assert(out.nonEmpty && out.length <= 8 * 4,
+        s"cluster-balanced output ${out.length} exceeds k*quota")
+      val kept = out.map(_.getAs[Long]("doc_id")).toSet
+      val clusters = graft.operators.Similarity.mixByCluster(
+        graft.operators.Similarity.hashEmbedDocs(
+          cb.stageFrames.toMap.apply("redact_pii")), quota = 4, k = 8)
+        .collect().map(r => r.getLong(0) -> r.getInt(1))
+      assert(clusters.map(_._1).toSet == kept,
+        "mix stage kept a different set than the operator itself")
+      clusters.groupBy(_._2).foreach { case (cid, g) =>
+        assert(g.length <= 4, s"cluster $cid over quota: ${g.length}") }
+    } finally { cb.release(); GraftApi.releaseCaches() }
   }
 
   test("curation span stage cuts shared boilerplate from otherwise-distinct docs") {
