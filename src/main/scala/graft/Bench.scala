@@ -348,7 +348,14 @@ object Bench {
         "q_source_overlap", "q_bigram_logprob", "q_dedup_lines",
         "q_mix_quality", "q_dedup_clusters", "q_decontaminate_fuzzy",
         "q_dedup_spans", "q_hash_embed",
-        "q_feature_pipeline", "q_sessionize", "q_dedup_key")
+        "q_feature_pipeline", "q_sessionize", "q_dedup_key",
+        // embeddings family (sign-flip-decorrelated copies): the
+        // quantizer/scoring ops whose per-vector work is geometry-
+        // independent — linear by construction. The pair-forming LSH
+        // ops are deliberately absent: with FIXED plane/band params
+        // their candidate space is quadratic BY SEMANTICS (params
+        // scale with corpus size in production, see BUILD_NOTES).
+        "q_cluster_embed", "q_mix_cluster", "q_semantic_decontaminate")
       val heavyKeys = onlyEnv.fold(heavyKeys0)(heavyKeys0.intersect)
       if (sys.env.get("SPARK_GRAFT_SLOPE2").contains("0") ||
           heavyKeys.isEmpty) None

@@ -38,7 +38,7 @@ import org.apache.spark.sql.functions._
   * regeneration, so Bench reruns pay ~0. */
 object ScaledCorpus {
 
-  private val version = "v2" // v2: events.parquet added to the layout
+  private val version = "v3" // v2: +events.parquet; v3: +embeddings.parquet
 
   /** Directory containing scaled documents.parquet AND events.parquet
     * (generated on first call, reused after). Layout matches the
@@ -100,6 +100,32 @@ object ScaledCorpus {
       }
       evCopies.reduce(_ unionByName _)
         .write.mode("overwrite").parquet(s"$out/events.parquet")
+      // embeddings: vec_id offset i·10⁸ (mod-20 benchmark splits are
+      // PRESERVED — 10⁸ ≡ 0 mod 20), vectors sign-flipped per copy by
+      // a seeded per-coordinate pattern. A signed coordinate flip is
+      // an isometry: norms and all WITHIN-copy cosines are bit-exact
+      // (float negation is exact), so per-copy geometry replicates
+      // while cross-copy cosines decorrelate — the linear-by-
+      // construction instrument for the quantizer/scoring family,
+      // where per-vector work is geometry-independent.
+      val emb = Tables.embeddings(spark, srcDir)
+        .select("vec_id", "embedding", "label")
+      val embCopies: Seq[DataFrame] = (0 until factor).map { i =>
+        if (i == 0) emb
+        else {
+          val signs = array((0 until 128).map { j =>
+            val r = graft.functions.TextHash.mix64((i.toLong << 32) ^ j.toLong)
+            lit(if ((r & 1L) == 1L) -1.0f else 1.0f)
+          }: _*)
+          emb.select(
+            (col("vec_id") + lit(i * 100000000L)).as("vec_id"),
+            transform(col("embedding"),
+              (x, j) => x * element_at(signs, j + 1)).as("embedding"),
+            col("label"))
+        }
+      }
+      embCopies.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
       Files.writeString(marker, stamp)
     }
     out

@@ -723,7 +723,26 @@ class ScaleSpec extends AnyFunSuite {
         exactTenfoldRows = true, viaRdd = true),
       Probe("dedup_key", d => graft.operators.Analytics
         .dedupByKey(Tables.events(spark, d)),
-        exactTenfoldRows = true, viaRdd = true))
+        exactTenfoldRows = true, viaRdd = true),
+      // ---- embeddings family (sign-flip-decorrelated copies: norms
+      // and within-copy cosines bit-exact, cross-copy decorrelated;
+      // per-vector work is geometry-independent → linear) ----
+      Probe("cluster_embed", d => graft.operators.Similarity
+        .clusterEmbed(Tables.embeddings(spark, d)),
+        exactTenfoldRows = true, viaRdd = true),
+      // output is (k × quota)-bounded — fixed-size, not row-scaled;
+      // the byte slope is the pinned claim
+      Probe("mix_cluster", d => graft.operators.Similarity
+        .mixByCluster(Tables.embeddings(spark, d), quota = 8),
+        exactTenfoldRows = false),
+      // one row per corpus (non-benchmark) vector; the mod-20 split
+      // survives the 10^8 offset, so rows are exactly 10x
+      Probe("semantic_decontaminate", d => {
+        val e = Tables.embeddings(spark, d)
+        graft.operators.Similarity.semanticDecontaminate(
+          e.filter(col("vec_id") % 20 =!= 0),
+          e.filter(col("vec_id") % 20 === 0))
+      }, exactTenfoldRows = true, viaRdd = true))
 
     probes.foreach { p =>
       def measure(dir: String): (Long, Long) = {
