@@ -109,6 +109,24 @@ class EdgeCaseSpec extends AnyFunSuite {
     Caches.releaseAll()
   }
 
+  test("mixByCluster: empty corpus refused, oversized quota keeps every member once") {
+    import spark.implicits._
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.mixByCluster(noEmb, quota = 4).count()
+    }
+    assert(ex.getMessage.contains("empty"))
+    // quota past every cluster's size keeps ALL vectors, exactly once
+    val tiny = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0.0f, 1.0f)), (4L, Array(-1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.mixByCluster(tiny, quota = 100, k = 2)
+      .collect().map(_.getLong(0))
+    assert(out.sorted.toSeq == Seq(1L, 2L, 3L, 4L),
+      "oversized quota must keep every vector exactly once")
+    Caches.releaseAll()
+  }
+
   test("single-row input flows through the window operators") {
     val one = Tables.events(spark, sfDir).limit(1)
     assert(TimeSeries.featurePipeline(one).count() == 1)
