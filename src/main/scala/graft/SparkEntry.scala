@@ -525,12 +525,31 @@ object SparkEntry {
        |  FROM n CROSS JOIN cents ct
        |)""".stripMargin
 
+  /** Memo for [[quantizerOracles]] keyed on the (session, dir) that
+    * produced it: oracleSql is a def read several times per process
+    * (Verify once, the contract specs repeatedly), and without the
+    * memo every read would re-run the deterministic training's sample
+    * job just to rebuild identical SQL. */
+  @volatile private var quantizerOracleMemo:
+      ((SparkSession, String), Map[String, String]) = null
+
   /** Data-dependent oracle entries (trained-literal pattern): built
     * against the dir the queries actually ran on; empty when no
-    * quantizer query has run in this JVM. Both queries share one
+    * quantizer query has run in this JVM. All entries share one
     * trained matrix (k = nList = 16, iters 3, seed 42 defaults). */
   private def quantizerOracles: Map[String, String] =
-    Option(quantizerRun.get).map { case (spark, dir) =>
+    Option(quantizerRun.get).map { key =>
+      val memo = quantizerOracleMemo
+      if (memo != null && memo._1 == key) memo._2
+      else {
+        val built = buildQuantizerOracles(key._1, key._2)
+        quantizerOracleMemo = (key, built)
+        built
+      }
+    }.getOrElse(Map.empty)
+
+  private def buildQuantizerOracles(spark: SparkSession,
+                                    dir: String): Map[String, String] = {
       val idx = quantizerIdxSql(spark, dir, 16, 3, 42L)
       Map(
         // assignment argmax + cosine confidence to the OWNING centroid;
@@ -564,8 +583,9 @@ object SparkEntry {
             |  WHERE pr <= 4
             |), cand AS (
             |  SELECT p.query_id, b.vec_id AS cand_id,
-            |         (round(list_sum(list_transform(range(1, len(a.v) + 1),
-            |                 i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm) + 1e-9, 6) + 0) AS cos
+            |         (round(CASE WHEN (a.nrm * b.nrm) > 0 THEN
+            |                 list_sum(list_transform(range(1, len(a.v) + 1),
+            |                 i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm) END + 1e-9, 6) + 0) AS cos
             |  FROM probed p
             |  JOIN n a ON a.vec_id = p.query_id
             |  JOIN assigned s ON s.cid = p.cid
@@ -609,7 +629,7 @@ object SparkEntry {
             |       (round(CAST(sum(CAST(ccos AS DECIMAL(38,6))) AS DOUBLE) / count(ccos) + 1e-9, 6) + 0) AS mean_ccos,
             |       (round(min(ccos) + 1e-9, 6) + 0) AS min_ccos
             |FROM ccos GROUP BY cid ORDER BY cid""".stripMargin)
-    }.getOrElse(Map.empty)
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -201,14 +201,18 @@ object Dedup {
     // distributed path, where one bounded collect is noise against
     // the propagation rounds that follow.
     // Bounds past Int.MaxValue can't be limit()-probed (limit takes an
-    // Int); fall back to the count-then-collect shape there rather than
-    // rejecting the caller — it costs one extra job on a path that by
-    // definition holds billions of pairs, where one count is noise.
+    // Int); fall back to a count-then-collect shape there rather than
+    // rejecting the caller — one extra count job is noise on a path
+    // that by definition holds billions of pairs. The driver path is
+    // additionally clamped to what a JVM array can physically hold:
+    // a huge caller bound routes an over-2G pair set to the
+    // distributed path, never to a collect() that cannot materialize.
+    val collectCap = (Int.MaxValue - 8).toLong // max JVM array length
     if (driverMaxPairs < Int.MaxValue) {
       val probe = typedPairs(p).limit((driverMaxPairs + 1).toInt).collect()
       if (probe.length <= driverMaxPairs) driverUnionFind(p.sparkSession, probe)
       else distributedClusters(p, maxIters)
-    } else if (p.count() <= driverMaxPairs) {
+    } else if (p.count() <= math.min(driverMaxPairs, collectCap)) {
       driverUnionFind(p.sparkSession, typedPairs(p).collect())
     } else distributedClusters(p, maxIters)
   }

@@ -399,7 +399,10 @@ object Multimodal {
         while (bb.position() + 8 <= end) {
           val id = fourCC()
           val size = bb.getInt
-          require(size >= 0 && bb.position() + size <= end,
+          // overflow-safe form (end - position, never position + size):
+          // a crafted size near Int.MaxValue must reject here, not wrap
+          // negative and reach the frame allocation below
+          require(size >= 0 && size <= end - bb.position(),
             s"truncated AVI chunk '$id': declared $size bytes")
           val next = bb.position() + size + (size & 1)
           if (id == "LIST") { fourCC(); walk(bb.position() + size - 4) }

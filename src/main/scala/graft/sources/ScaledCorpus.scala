@@ -110,6 +110,13 @@ object ScaledCorpus {
       // where per-vector work is geometry-independent.
       val emb = Tables.embeddings(spark, srcDir)
         .select("vec_id", "embedding", "label")
+      // the sign pattern below covers 128 coordinates; element_at past
+      // the pattern would yield NULL elements (non-ANSI) and silently
+      // poison every downstream dot product — reject a regenerated
+      // wider table loudly at generation time instead
+      val dim = emb.agg(max(size(col("embedding")))).collect()(0).getInt(0)
+      require(dim <= 128,
+        s"embeddings dim $dim exceeds the 128-coordinate sign-flip pattern")
       val embCopies: Seq[DataFrame] = (0 until factor).map { i =>
         if (i == 0) emb
         else {

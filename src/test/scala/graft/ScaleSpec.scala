@@ -735,13 +735,20 @@ class ScaleSpec extends AnyFunSuite {
       Probe("mix_cluster", d => graft.operators.Similarity
         .mixByCluster(Tables.embeddings(spark, d), quota = 8),
         exactTenfoldRows = false),
-      // one row per corpus (non-benchmark) vector; the mod-20 split
-      // survives the 10^8 offset, so rows are exactly 10x
-      Probe("semantic_decontaminate", d => {
+      // DEPLOYMENT-shaped semantic decontamination: the benchmark is
+      // pinned to the copy-0 eval vectors (vec_id < 10^8), so only the
+      // corpus side grows — a real eval set is fixed while the corpus
+      // scales, and the broadcast scoring is then linear by
+      // construction. (The q_mix-style %20-of-everything split would
+      // grow BOTH sides and make the all-pairs scoring 100x per
+      // decade by semantics — which is why q_semantic_decontaminate
+      // is excluded from Bench's slope2 set.) One row per corpus
+      // vector: exactly 10x.
+      Probe("semantic_decontam_fixed_bench", d => {
         val e = Tables.embeddings(spark, d)
         graft.operators.Similarity.semanticDecontaminate(
           e.filter(col("vec_id") % 20 =!= 0),
-          e.filter(col("vec_id") % 20 === 0))
+          e.filter(col("vec_id") % 20 === 0 && col("vec_id") < 100000000L))
       }, exactTenfoldRows = true, viaRdd = true))
 
     probes.foreach { p =>
