@@ -2064,11 +2064,13 @@ object SparkEntry {
         |  FROM e
         |)
         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-        |       (round(list_sum(list_transform(range(1, len(a.v) + 1),
-        |               i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm) + 1e-9, 6) + 0) AS cos
+        |       (round(CASE WHEN (a.nrm * b.nrm) > 0 THEN
+        |               list_sum(list_transform(range(1, len(a.v) + 1),
+        |               i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm) END + 1e-9, 6) + 0) AS cos
         |FROM n a JOIN n b ON a.vec_id < b.vec_id
-        |WHERE (round(list_sum(list_transform(range(1, len(a.v) + 1),
-        |        i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm) + 1e-9, 6) + 0) >= 0.4
+        |WHERE (round(CASE WHEN (a.nrm * b.nrm) > 0 THEN
+        |        list_sum(list_transform(range(1, len(a.v) + 1),
+        |        i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm) END + 1e-9, 6) + 0) >= 0.4
         |ORDER BY vec_a, vec_b""".stripMargin,
     // Full pipeline replication of the multi-table multi-probe RHP
     // ANN (Similarity.annLsh defaults: 4 tables x 6 planes, seed 42,
@@ -2094,8 +2096,9 @@ object SparkEntry {
         |    ON a.tbl = b.tbl AND a.pb = b.bucket AND a.vec_id <> b.vec_id
         |), scored AS (
         |  SELECT c.query_id, c.cand_id,
-        |         (round(list_sum(list_transform(range(1, len(qa.v) + 1),
-        |                 i -> qa.v[i] * cb.v[i])) / (qa.nrm * cb.nrm) + 1e-9, 6) + 0) AS cos
+        |         (round(CASE WHEN (qa.nrm * cb.nrm) > 0 THEN
+        |                 list_sum(list_transform(range(1, len(qa.v) + 1),
+        |                 i -> qa.v[i] * cb.v[i])) / (qa.nrm * cb.nrm) END + 1e-9, 6) + 0) AS cos
         |  FROM cand c JOIN n qa ON c.query_id = qa.vec_id
         |              JOIN n cb ON c.cand_id = cb.vec_id
         |)
@@ -2116,8 +2119,9 @@ object SparkEntry {
         |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
         |), scored AS (
         |  SELECT c.va, c.vb,
-        |         (round(list_sum(list_transform(range(1, len(na.v) + 1),
-        |                 i -> na.v[i] * nb.v[i])) / (na.nrm * nb.nrm) + 1e-9, 6) + 0) AS cos
+        |         (round(CASE WHEN (na.nrm * nb.nrm) > 0 THEN
+        |                 list_sum(list_transform(range(1, len(na.v) + 1),
+        |                 i -> na.v[i] * nb.v[i])) / (na.nrm * nb.nrm) END + 1e-9, 6) + 0) AS cos
         |  FROM cand c JOIN n na ON c.va = na.vec_id
         |              JOIN n nb ON c.vb = nb.vec_id
         |)
@@ -2167,14 +2171,15 @@ object SparkEntry {
         |  FROM e
         |), scored AS (
         |  SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
-        |         (round(list_sum(list_transform(range(1, len(a.v) + 1),
-        |                 i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm) + 1e-9, 6) + 0) AS cos
+        |         (round(CASE WHEN (a.nrm * b.nrm) > 0 THEN
+        |                 list_sum(list_transform(range(1, len(a.v) + 1),
+        |                 i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm) END + 1e-9, 6) + 0) AS cos
         |  FROM n a JOIN n b ON a.vec_id < 20 AND a.vec_id <> b.vec_id
         |)
         |SELECT query_id, cand_id, cos,
-        |       CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS INT) AS rank
+        |       CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC NULLS LAST, cand_id) AS INT) AS rank
         |FROM scored
-        |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) <= 5
+        |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC NULLS LAST, cand_id) <= 5
         |ORDER BY query_id, rank""".stripMargin,
     "q_ml_feature_prep" ->
       s"""$duckMasked,
