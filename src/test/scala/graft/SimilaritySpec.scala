@@ -519,6 +519,39 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("zero-norm vectors: no pairs, rank last in top-k, cid 0 at ccos 0, sampled once") {
+    import spark.implicits._
+    // the scenario every cosine oracle's CASE WHEN guard protects:
+    // hashEmbedDocs emits a zero vector for an empty document
+    val e = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.0f, 0.0f)), (3L, Array(-1.0f, 0.2f)))
+      .toDF("vec_id", "embedding")
+    // pair dedup: cosine is undefined against a zero vector — vec 2
+    // must appear in NO pair even at a threshold that admits all
+    // defined cosines
+    val pairs = Similarity.embedDedup(e, tau = -1.0).collect()
+    assert(pairs.nonEmpty)
+    assert(!pairs.exists(r => r.getLong(0) == 2L || r.getLong(1) == 2L),
+      "a zero-norm vector formed a pair")
+    // top-k: the null cosine sorts LAST, never first (the NaN-vs-null
+    // cross-engine flip the oracles guard against)
+    val topk = Similarity.annTopK(e, nQueries = 1, k = 3).collect()
+    assert(topk.length == 3)
+    assert(topk.last.getAs[Long]("cand_id") == 2L &&
+      topk.last.isNullAt(topk.last.fieldIndex("cos")),
+      "zero-norm candidate must rank last with a null cosine")
+    // clustering: tie rule puts it in cid 0 with confidence 0.0
+    val ce = Similarity.clusterEmbed(e, k = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2)))).toMap
+    assert(ce(2L)._2 == 0.0, s"zero-norm confidence: ${ce(2L)}")
+    // sampling: still a corpus member — kept exactly once
+    val mc = Similarity.mixByCluster(e, quota = 10, k = 2)
+      .collect().map(_.getLong(0))
+    assert(mc.count(_ == 2L) == 1, "zero-norm vector must be sampled once")
+    graft.operators.Caches.releaseAll()
+  }
+
   test("mixByCluster: quotas hold, assignment agrees with clusterEmbed, prefilter is exact") {
     val quota = 5
     val rows = Similarity.mixByCluster(emb, quota = quota).collect()
