@@ -46,10 +46,20 @@ import graft.monitoring.PerformanceTracker
   * sampled at every pass start/third boundary, `floor_sentinel` the
   * re-timed fixed cheap query whose max/min `drift` reads ~1 on a
   * quiet box and the inflation factor under co-tenant load, and
-  * `repassed` the queries whose steady min blew past their own
-  * exec-time-implied floor and earned extra timing passes — so a
-  * loaded-box artifact convicts itself instead of reading as a
-  * regression (it happened in rounds 2 and 9).
+  * `repassed` the queries that earned extra timing passes — from a
+  * wall-vs-exec-floor gap, a 2x blowout vs the committed quiet
+  * baseline (`bench_quiet.json`, falling back to the previous
+  * round's `bench_detail.json`), or — the round-10 lesson — the
+  * round's OWN load evidence (sentinel drift > 1.8 or loadavg >
+  * cpus/8), which repasses the slowest queries unconditionally: a
+  * SUSTAINED uniform ~1.5x load inflates wall and exec together and
+  * stays under every per-query 2x threshold, so without the load
+  * arm the artifact convicts itself yet still ships inflated
+  * primaries (BENCH_r10: floor_drift 22.4, repassed empty). The
+  * primary value is the min across passes AND repasses — so a
+  * loaded-box artifact heals itself when a quieter window arrives,
+  * and marks itself double-checked when it doesn't (it happened in
+  * rounds 2, 9 and 10).
   *
   * SHUFFLE/SPILL PROBE: `shuffle_bytes` carries each query's measured
   * exchange write volume (executed-plan SQL metrics, see
@@ -237,15 +247,21 @@ object Bench {
     // (a single warm run still left the first sample ~3x the rest)
     sentinelFn.foreach { fn => time(fn, sfDir); time(fn, sfDir) }
 
-    // previous round's committed detail (the driver-owned
-    // bench_detail.json at the repo root, read BEFORE this run
-    // overwrites it): the second repass arm below compares against
-    // it. The wall-vs-exec arm alone misses sustained CPU contention
-    // — in the r9 phantom, Spark-measured exec inflated WITH wall
+    // Per-query baselines for the repass arms. Two files, same shape
+    // ({"sf":…,"queries":{k:sec}}), different trust levels:
+    //  - bench_quiet.json: a COMMITTED quiet-box per-query record
+    //    (judge- or locally-measured on an idle machine, provenance in
+    //    the file). Preferred — it cannot have inherited a loaded
+    //    round's inflation.
+    //  - bench_detail.json: the previous round's driver artifact, read
+    //    BEFORE this run overwrites it. Fallback only: the r10 artifact
+    //    was itself ~1.5x load-inflated, so "2x of prev" silently
+    //    became "3x of quiet" and the arm went blind.
+    // The wall-vs-exec arm alone misses sustained CPU contention — in
+    // the r9 phantom, Spark-measured exec inflated WITH wall
     // (q_quality_missing 2.57 wall / 2.44 exec vs a 0.48 quiet
     // reality), because starved tasks run slowly rather than waiting.
-    val prevDetail: Map[String, Double] = try {
-      val path = sys.env.getOrElse("SPARK_GRAFT_BENCH_PREV", "bench_detail.json")
+    def readQueryBaseline(path: String): Map[String, Double] = try {
       val txt = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(path)), "UTF-8")
       import org.json4s._
@@ -267,30 +283,75 @@ object Bench {
         case _ => Map.empty
       }
     } catch { case _: Throwable => Map.empty }
+    val prevDetail = readQueryBaseline(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_PREV", "bench_detail.json"))
+    val quietBase = readQueryBaseline(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_QUIET", "bench_quiet.json"))
+    def baselineFor(k: String): Option[Double] =
+      quietBase.get(k).orElse(prevDetail.get(k))
 
     val results0 = suite(sfDir, passes = 3, only = onlyEnv,
       checkpoint = Some(checkpoint))
 
-    // auto-repass, two arms: (a) wall min far above the Spark-measured
-    // execution floor (the gap — scheduling, driver-side, co-tenant
-    // steal — dominated every pass); (b) wall min far above the
-    // PREVIOUS round's value for the same query (catches sustained
-    // CPU contention that inflates exec itself; 2x absorbs the
-    // ±25% cross-box variance BASELINE.md records). Repassing is
-    // harmless for a genuine regression — it stays slow through two
-    // more runs and its presence in `repassed` marks it double-checked.
-    // Bounded to the 16 worst so a fully-loaded box cannot double the
-    // suite.
-    val suspects = results0
+    // Load evidence, available at decision time (the final checkpoint
+    // fired at the end of suite(), so the sentinel timeline and the
+    // loadavg samples are complete). Drift reads from the samples AFTER
+    // the first checkpoint: the first sentinel run stays ~2-3x elevated
+    // even double-warmed (JVM-wide JIT/GC residue from the warmup
+    // itself), which would fake a drift of ~3 on a quiet box.
+    def loadMaxOf(samples: Seq[String]): Double = samples.flatMap(
+      _.stripPrefix("[").stripSuffix("]").split(",").headOption
+        .flatMap(x => scala.util.Try(x.toDouble).toOption))
+      .foldLeft(0.0)(math.max)
+    def sentinelDrift(): Double = {
+      val steady = sentinelTimes.drop(1)
+      if (steady.size >= 2) steady.max / math.max(steady.min, 1e-3) else 1.0
+    }
+    // thresholds: quiet boxes read drift ~1.0-1.5 (sub-second sentinel
+    // noise — the judge's r10 QUIET subset run read 1.52), loaded ones
+    // 2.05 (20-spinner calibration run) and 22.4 (the r10 driver box),
+    // so 1.8 splits the observed populations; loadavg > cpus/8 caught
+    // both real incidents (6.87 and 20.4 on 32 cpus) and is the
+    // primary discriminator. A false trigger costs only bounded extra
+    // mins (16 queries x 2 runs), never a wrong value.
+    val floorDriftSuite = sentinelDrift()
+    val loadMaxSuite = loadMaxOf(loadSamples.toSeq)
+    val loadEvident = floorDriftSuite > 1.8 || loadMaxSuite > cpusAvail / 8.0
+
+    // auto-repass, three arms: (a) wall min far above the
+    // Spark-measured execution floor (the gap — scheduling,
+    // driver-side, co-tenant steal — dominated every pass); (b) wall
+    // min far above the committed baseline for the same query (quiet
+    // file preferred, prev detail fallback; 2x absorbs the ±25%
+    // cross-box variance BASELINE.md records); (c) the round's OWN
+    // load evidence convicts the box (sentinel drift or loadavg) —
+    // a SUSTAINED ~1.5x load inflates wall AND exec together and can
+    // inflate uniformly below 2x, so arms (a)/(b) both stay silent
+    // (exactly the r10 artifact: floor_drift 22.4, repassed empty);
+    // when that happens, unconditionally re-time the slowest queries
+    // so the primaries get a chance to recover in a quieter window.
+    // Repassing is harmless for a genuine regression — it stays slow
+    // through two more runs and its presence in `repassed` marks it
+    // double-checked. Bounded to the 16 worst so a fully-loaded box
+    // cannot double the suite.
+    val armAB = results0
       .filter { case (k, _, v, e, ok, _) =>
         ok && ((v > 2 * e && v > e + 0.5) ||
-          prevDetail.get(k).exists(p => v > 2 * p && v > p + 0.3))
-      }
-      .sortBy(-_._3).take(16).map(_._1)
+          baselineFor(k).exists(p => v > 2 * p && v > p + 0.3))
+      }.map(_._1)
+    val armC =
+      if (loadEvident) results0.filter(_._5).sortBy(-_._3).map(_._1)
+      else Seq.empty
+    val steadyOf = results0.map(r => r._1 -> r._3).toMap
+    val suspects = (armAB ++ armC).distinct
+      .sortBy(k => -steadyOf(k)).take(16)
     val repassed = suspects.map { k =>
       val extra = (0 until 2).map(_ => time(SparkEntry.queries(k), sfDir))
       k -> ((extra.map(_._1).min, extra.map(_._2).min))
     }.toMap
+    // one post-repass checkpoint when arm (c) fired: the artifact then
+    // records whether the repass window itself was quiet or still loaded
+    if (loadEvident && repassed.nonEmpty) checkpoint()
     val results = results0.map { case r @ (k, cold, v, e, ok, s) =>
       repassed.get(k)
         .map { case (v2, e2) => (k, cold, math.min(v, v2), math.min(e, e2), ok, s) }
@@ -424,16 +485,15 @@ object Bench {
     // fake a drift of ~3 on a quiet box; the r9 failure mode this
     // flags — load SUSTAINED across the suite — shows in the later
     // samples regardless, and the full times list ships for readers
-    // who want the first sample too.
-    val steadySentinel = sentinelTimes.drop(1)
-    val floorDrift =
-      if (steadySentinel.size >= 2)
-        steadySentinel.max / math.max(steadySentinel.min, 1e-3)
-      else 1.0
+    // who want the first sample too. The output drift includes the
+    // post-repass sample (when arm (c) fired), so the artifact shows
+    // whether the repass window itself was quiet; `load_triggered`
+    // records whether arm (c) fired at decision time.
+    val floorDrift = sentinelDrift()
     val repassedJ = repassed.toSeq.sortBy(_._1)
       .map { case (k, (v2, _)) => s"\"" + k + "\":" + v2 }
       .mkString("{", ",", "}")
-    val loadMeta = s""","load":{"cpus":$cpusAvail,"samples":[${loadSamples.mkString(",")}]},"floor_sentinel":{"name":"$sentinelName","times":[${sentinelTimes.mkString(",")}],"drift":$floorDrift},"repassed":$repassedJ"""
+    val loadMeta = s""","load":{"cpus":$cpusAvail,"samples":[${loadSamples.mkString(",")}]},"floor_sentinel":{"name":"$sentinelName","times":[${sentinelTimes.mkString(",")}],"drift":$floorDrift,"drift_suite":$floorDriftSuite},"load_triggered":$loadEvident,"quiet_baseline_n":${quietBase.size},"repassed":$repassedJ"""
     val fullLine = s"""{"metric":"total_full","value":$total,"unit":"sec","queries":$qs,"exec_times":$execs,"shuffle_bytes":$shuffles,"spill_bytes_total":$spillTotal,"cold_total":$coldTotal,"failed":$failed,"bench_excluded":$excludedJ$slope$slope2$lsh$loadMeta,"sf":"$sfDir"}"""
     println(fullLine)
     // ALSO persist the full detail to a file: the driver's stdout
@@ -460,10 +520,8 @@ object Bench {
     val slowest = results.sortBy(-_._3).take(5)
       .map { case (k, _, v, _, _, _) => s"\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val loadMax = loadSamples.flatMap(_.stripPrefix("[").stripSuffix("]")
-      .split(",").headOption.flatMap(x => scala.util.Try(x.toDouble).toOption))
-      .foldLeft(0.0)(math.max)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"n_queries":${results.size},"failed":$failed,"bench_excluded":$excludedJ,"spill_bytes_total":$spillTotal,"slowest5":$slowest,"floor_drift":$floorDrift,"load_max_1m":$loadMax,"n_repassed":${repassed.size},"sf":"$sfDir"}""")
+    val loadMax = loadMaxOf(loadSamples.toSeq)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"n_queries":${results.size},"failed":$failed,"bench_excluded":$excludedJ,"spill_bytes_total":$spillTotal,"slowest5":$slowest,"floor_drift":$floorDrift,"load_max_1m":$loadMax,"load_triggered":$loadEvident,"n_repassed":${repassed.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
