@@ -200,18 +200,18 @@ object SparkEntry {
       TextAnalysis.corpusDiff(old, nw)
     }),
     "q_cluster_embed"   -> ((s, d) => {
-      quantizerRun.set((s, d))
+      recordQuantizerRun(s, d)
       Similarity.clusterEmbed(Tables.embeddings(s, d))
     }),
     // quota 8 leaves most clusters over-quota at every test SF (the
     // prefilter + rank arms both non-vacuous) while small clusters
     // exercise the under-quota keep-all arm
     "q_mix_cluster"     -> ((s, d) => {
-      quantizerRun.set((s, d))
+      recordQuantizerRun(s, d)
       Similarity.mixByCluster(Tables.embeddings(s, d), quota = 8)
     }),
     "q_cluster_stats"   -> ((s, d) => {
-      quantizerRun.set((s, d))
+      recordQuantizerRun(s, d)
       Similarity.clusterStats(Similarity.clusterEmbed(Tables.embeddings(s, d)))
     }),
     "q_hash_embed"      -> ((s, d) => {
@@ -269,7 +269,7 @@ object SparkEntry {
     "q_ann_topk"      -> ((s, d) => Similarity.annTopK(Tables.embeddings(s, d))),
     "q_ann_lsh"       -> ((s, d) => Similarity.annLsh(Tables.embeddings(s, d))),
     "q_ann_ivf"       -> ((s, d) => {
-      quantizerRun.set((s, d))
+      recordQuantizerRun(s, d)
       Similarity.annIvf(Tables.embeddings(s, d))
     }),
     "q_dedup_embed_lsh" -> ((s, d) => Similarity.embedDedupLsh(Tables.embeddings(s, d))),
@@ -473,15 +473,20 @@ object SparkEntry {
        |  FROM bits GROUP BY vec_id, tbl
        |)""".stripMargin
 
-  /** (session, sfDir) of the last quantizer-family query invocation —
-    * lets the TRAINED-LITERAL oracle builders below reach the same
-    * tables the queries read. Verify runs every query before dumping
-    * oracleSql, so in the driver flow the holder is always set by the
-    * time it matters; evaluated standalone (no prior query run) the
-    * quantizer entries are simply omitted — the pre-round-10 rows-only
-    * behavior, never a wrong oracle. */
-  private val quantizerRun =
-    new java.util.concurrent.atomic.AtomicReference[(SparkSession, String)]()
+  /** Every DISTINCT (session, sfDir) a quantizer-family query has run
+    * on in this JVM — lets the TRAINED-LITERAL oracle builders below
+    * reach the same tables the queries read. Verify runs every query
+    * before dumping oracleSql, so in the driver flow exactly one pair
+    * is recorded by the time it matters. Evaluated standalone (no
+    * prior query run) OR after quantizer queries ran on SEVERAL
+    * distinct dirs (an A-then-B flow where "last dir wins" would
+    * silently pair dir-B-trained oracles with dir-A results), the
+    * quantizer entries are simply omitted — the pre-round-10
+    * rows-only behavior, never a wrong oracle. */
+  private val quantizerRuns =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(SparkSession, String)]()
+  private def recordQuantizerRun(s: SparkSession, d: String): Unit =
+    quantizerRuns.add((s, d))
 
   /** `cents(cid, c)` literal CTE body: the TRAINED spherical-k-means
     * centroids (deterministic — seeded hash-order sample + fixed Lloyd
@@ -537,8 +542,14 @@ object SparkEntry {
     * against the dir the queries actually ran on; empty when no
     * quantizer query has run in this JVM. All entries share one
     * trained matrix (k = nList = 16, iters 3, seed 42 defaults). */
-  private def quantizerOracles: Map[String, String] =
-    Option(quantizerRun.get).map { key =>
+  private def quantizerOracles: Map[String, String] = {
+    val keys = quantizerRuns.toArray(Array.empty[(SparkSession, String)])
+    // 0 recorded dirs: nothing ran, old rows-only behavior. >1: the
+    // pairing query-dir ↔ oracle-dir is ambiguous — omit rather than
+    // risk a silently wrong oracle (see quantizerRuns scaladoc).
+    if (keys.length != 1) Map.empty
+    else {
+      val key = keys(0)
       val memo = quantizerOracleMemo
       if (memo != null && memo._1 == key) memo._2
       else {
@@ -546,7 +557,8 @@ object SparkEntry {
         quantizerOracleMemo = (key, built)
         built
       }
-    }.getOrElse(Map.empty)
+    }
+  }
 
   private def buildQuantizerOracles(spark: SparkSession,
                                     dir: String): Map[String, String] = {

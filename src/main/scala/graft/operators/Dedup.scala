@@ -204,10 +204,15 @@ object Dedup {
     // Int); fall back to a count-then-collect shape there rather than
     // rejecting the caller — one extra count job is noise on a path
     // that by definition holds billions of pairs. The driver path is
-    // additionally clamped to what a JVM array can physically hold:
-    // a huge caller bound routes an over-2G pair set to the
-    // distributed path, never to a collect() that cannot materialize.
-    val collectCap = (Int.MaxValue - 8).toLong // max JVM array length
+    // additionally clamped to what THIS driver's heap can plausibly
+    // hold (~350 bytes/pair of boxed tuple + HashMap entries — the
+    // same estimate the default bound's comment derives), never past
+    // the JVM array-length cap: a Long.MaxValue caller bound with
+    // ~1-2G pairs must route to the distributed path, not to a
+    // collect() that would OOM long before the array limit.
+    val collectCap = math.min(
+      Runtime.getRuntime.maxMemory / 350,
+      (Int.MaxValue - 8).toLong) // max JVM array length
     if (driverMaxPairs < Int.MaxValue) {
       val probe = typedPairs(p).limit((driverMaxPairs + 1).toInt).collect()
       if (probe.length <= driverMaxPairs) driverUnionFind(p.sparkSession, probe)

@@ -391,7 +391,12 @@ object Multimodal {
         val b = new Array[Byte](4); bb.get(b); new String(b, "US-ASCII")
       }
       require(fourCC() == "RIFF", "not a RIFF payload")
-      bb.getInt // riff size
+      // walk only the DECLARED RIFF payload, not the whole byte array:
+      // trailing bytes past the RIFF size (padding, appended metadata)
+      // are legal on disk and must not be parsed as chunks
+      val riffSize = bb.getInt
+      require(riffSize >= 4, s"implausible RIFF size $riffSize")
+      val riffEnd = math.min(8L + riffSize, data.length.toLong).toInt
       require(fourCC() == "AVI ", "not an AVI payload")
       var w = 0; var h = 0
       val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
@@ -423,7 +428,7 @@ object Multimodal {
           }
           bb.position(math.min(next, end))
         }
-      walk(data.length)
+      walk(riffEnd)
       require(frames.nonEmpty, "no video frames in AVI payload")
       require(w > 0, "AVI missing stream format header")
       (w, h, frames.toArray)

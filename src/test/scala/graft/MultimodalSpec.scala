@@ -166,6 +166,13 @@ class MultimodalSpec extends AnyFunSuite {
       Codec.decodeAviMjpeg("RIFFxxxxAVI garbage".getBytes("US-ASCII")))
     intercept[IllegalArgumentException](
       Codec.decodeAviMjpeg(Codec.encodeWavPcm16(8000, Array.fill[Short](10)(5))))
+    // trailing bytes AFTER the declared RIFF payload are legal on disk
+    // (padding, appended metadata) — the walk must stop at the RIFF
+    // size, not parse the tail as chunks
+    val padded = Codec.encodeAviMjpeg(16, 16, frames) ++
+      Array.fill[Byte](13)(0x5a)
+    val (w2, h2, out2) = Codec.decodeAviMjpeg(padded)
+    assert(w2 == 16 && h2 == 16 && out2.length == 4)
   }
 
   test("video decode samples real frames uniformly from Y4M, GIF, and AVI streams") {
