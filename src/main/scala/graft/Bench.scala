@@ -269,9 +269,13 @@ object Bench {
       // only comparable baselines: a detail line from a DIFFERENT SF
       // (a stray subset artifact, an sf0.01 iteration file) would make
       // every larger-SF query "exceed 2x prior" and mis-trigger the
-      // repass budget
+      // repass budget. Compare NORMALIZED paths — a trailing slash or
+      // ./-relative spelling of the same dir must not silently drop
+      // the baseline and blind arm (b)
+      def normPath(s: String): String =
+        java.nio.file.Paths.get(s).normalize.toString.replaceAll("/+$", "")
       val sameSf = (parsed \ "sf") match {
-        case JString(s) => s == sfDir
+        case JString(s) => normPath(s) == normPath(sfDir)
         case _          => false
       }
       if (!sameSf) Map.empty
@@ -312,11 +316,15 @@ object Bench {
     // 2.05 (20-spinner calibration run) and 22.4 (the r10 driver box),
     // so 1.8 splits the observed populations; loadavg > cpus/8 caught
     // both real incidents (6.87 and 20.4 on 32 cpus) and is the
-    // primary discriminator. A false trigger costs only bounded extra
+    // primary discriminator — FLOORED at 2.0 because the calibration
+    // evidence is 32-cpu only and cpus/8 on a 4-cpu box (0.5) would
+    // fire on nearly any background activity, doubling small-box suite
+    // time on every run. A false trigger costs only bounded extra
     // mins (16 queries x 2 runs), never a wrong value.
     val floorDriftSuite = sentinelDrift()
     val loadMaxSuite = loadMaxOf(loadSamples.toSeq)
-    val loadEvident = floorDriftSuite > 1.8 || loadMaxSuite > cpusAvail / 8.0
+    val loadThreshold = math.max(2.0, cpusAvail / 8.0)
+    val loadEvident = floorDriftSuite > 1.8 || loadMaxSuite > loadThreshold
 
     // auto-repass, three arms: (a) wall min far above the
     // Spark-measured execution floor (the gap — scheduling,
@@ -352,6 +360,19 @@ object Bench {
     // one post-repass checkpoint when arm (c) fired: the artifact then
     // records whether the repass window itself was quiet or still loaded
     if (loadEvident && repassed.nonEmpty) checkpoint()
+    // mid-pack residual-inflation marker: when arm (c) fires it repasses
+    // only the slowest 16, so mid-pack queries can retain ~10-30% load
+    // noise as primaries while nothing in the artifact names them. List
+    // the load-suspect NON-repassed queries (steady past 1.3x their
+    // committed quiet baseline) so readers know which round-over-round
+    // per-query comparisons to route through bench_quiet.json instead.
+    val suspectUnrepassed =
+      if (loadEvident)
+        results0.collect { case (k, _, v, _, true, _)
+          if !repassed.contains(k) &&
+             baselineFor(k).exists(p => v > 1.3 * p) => k
+        }.sorted
+      else Seq.empty
     val results = results0.map { case r @ (k, cold, v, e, ok, s) =>
       repassed.get(k)
         .map { case (v2, e2) => (k, cold, math.min(v, v2), math.min(e, e2), ok, s) }
@@ -414,6 +435,10 @@ object Bench {
     // flags a superlinear term the first decade's floor hid.
     // Disable with SPARK_GRAFT_SLOPE2=0; override the dir with
     // SPARK_GRAFT_SLOPE2=<dir>.
+    // slope2's measured (time, bytes) per query, exposed for slope3's
+    // upper-step ratios (10x-synthetic -> 100x-synthetic)
+    var slope2Times = Map.empty[String, Double]
+    var slope2Bytes = Map.empty[String, Long]
     val slope2 = (try {
       // documents family (token-bijective copies) + events family
       // (user-offset copies): the scaled dir carries BOTH tables, so
@@ -444,6 +469,8 @@ object Bench {
           .filter(d => d.nonEmpty && d != "0" && d != "1")
           .getOrElse(graft.sources.ScaledCorpus.dir(spark, sfDir, factor = 10))
         val bigRes = suite(bigDir, passes = 2, only = Some(heavyKeys))
+        slope2Times = bigRes.map(r => r._1 -> r._3).toMap
+        slope2Bytes = bigRes.map(r => r._1 -> r._6.bytesWritten).toMap
         val primBy = results.filter(r => heavyKeys.contains(r._1))
           .map(r => r._1 -> ((r._3, r._6.bytesWritten))).toMap
         val qsJ = bigRes.map(r => "\"" + r._1 + "\":" + r._3)
@@ -458,6 +485,59 @@ object Bench {
         Some(s""","slope2_sf":"$bigDir","slope2_factor":10,""" +
           s""""slope2_queries":$qsJ,"slope2_ratios":$ratios,""" +
           s""""slope2_shuffle_ratios":$sratios""")
+      }
+    } catch { case _: Throwable => None }).getOrElse("")
+
+    // THIRD-decade slope probe: factor=100 ScaledCorpus (~500k docs /
+    // 10M events at sf0.1) for the heaviest representative of each
+    // table family. With the down-step (real data, semantics-driven
+    // growth) and slope2 (10x synthetic), the heavy families then
+    // carry THREE measured decades, the upper two linear by
+    // construction — `slope3_ratios` is t(100x)/t(primary) (expect
+    // ~<=200 for linear work over a 100x data step with floors
+    // amortized) and `slope3_step_ratios` is t(100x)/t(10x), the
+    // cleanest single-decade read (expect ~<=20). One timing pass:
+    // the JVM is fully warm and the plan shapes identical to
+    // slope2's, so codegen caches hit; generation is one-time and
+    // marker-cached. Disable with SPARK_GRAFT_SLOPE3=0; override the
+    // dir with SPARK_GRAFT_SLOPE3=<dir>.
+    val slope3 = (try {
+      val s3Keys0 = Set("q_source_overlap", "q_dedup_minhash",
+        "q_feature_pipeline", "q_hash_embed", "q_mix_cluster")
+      val s3Keys = onlyEnv.fold(s3Keys0)(s3Keys0.intersect)
+      if (sys.env.get("SPARK_GRAFT_SLOPE3").contains("0") ||
+          s3Keys.isEmpty) None
+      else {
+        val hugeDir = sys.env.get("SPARK_GRAFT_SLOPE3")
+          .filter(d => d.nonEmpty && d != "0" && d != "1")
+          .getOrElse(graft.sources.ScaledCorpus.dir(spark, sfDir, factor = 100))
+        val hugeRes = suite(hugeDir, passes = 1, only = Some(s3Keys))
+        val primBy = results.filter(r => s3Keys.contains(r._1))
+          .map(r => r._1 -> ((r._3, r._6.bytesWritten))).toMap
+        val qsJ = hugeRes.map(r => "\"" + r._1 + "\":" + r._3)
+          .mkString("{", ",", "}")
+        val ratios = hugeRes.map { r =>
+          "\"" + r._1 + "\":" + (r._3 / math.max(primBy(r._1)._1, 1e-3))
+        }.mkString("{", ",", "}")
+        val sratios = hugeRes.map { r =>
+          "\"" + r._1 + "\":" +
+            ((r._6.bytesWritten + 1).toDouble / (primBy(r._1)._2 + 1))
+        }.mkString("{", ",", "}")
+        // upper-decade step vs slope2's 10x measurements, when present
+        val stepJ =
+          if (slope2Times.nonEmpty) {
+            val steps = hugeRes.filter(r => slope2Times.contains(r._1)).map { r =>
+              "\"" + r._1 + "\":" + (r._3 / math.max(slope2Times(r._1), 1e-3))
+            }.mkString("{", ",", "}")
+            val sSteps = hugeRes.filter(r => slope2Bytes.contains(r._1)).map { r =>
+              "\"" + r._1 + "\":" +
+                ((r._6.bytesWritten + 1).toDouble / (slope2Bytes(r._1) + 1))
+            }.mkString("{", ",", "}")
+            s""","slope3_step_ratios":$steps,"slope3_step_shuffle_ratios":$sSteps"""
+          } else ""
+        Some(s""","slope3_sf":"$hugeDir","slope3_factor":100,""" +
+          s""""slope3_queries":$qsJ,"slope3_ratios":$ratios,""" +
+          s""""slope3_shuffle_ratios":$sratios""" + stepJ)
       }
     } catch { case _: Throwable => None }).getOrElse("")
 
@@ -493,8 +573,9 @@ object Bench {
     val repassedJ = repassed.toSeq.sortBy(_._1)
       .map { case (k, (v2, _)) => s"\"" + k + "\":" + v2 }
       .mkString("{", ",", "}")
-    val loadMeta = s""","load":{"cpus":$cpusAvail,"samples":[${loadSamples.mkString(",")}]},"floor_sentinel":{"name":"$sentinelName","times":[${sentinelTimes.mkString(",")}],"drift":$floorDrift,"drift_suite":$floorDriftSuite},"load_triggered":$loadEvident,"quiet_baseline_n":${quietBase.size},"repassed":$repassedJ"""
-    val fullLine = s"""{"metric":"total_full","value":$total,"unit":"sec","queries":$qs,"exec_times":$execs,"shuffle_bytes":$shuffles,"spill_bytes_total":$spillTotal,"cold_total":$coldTotal,"failed":$failed,"bench_excluded":$excludedJ$slope$slope2$lsh$loadMeta,"sf":"$sfDir"}"""
+    val suspectJ = suspectUnrepassed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val loadMeta = s""","load":{"cpus":$cpusAvail,"samples":[${loadSamples.mkString(",")}]},"floor_sentinel":{"name":"$sentinelName","times":[${sentinelTimes.mkString(",")}],"drift":$floorDrift,"drift_suite":$floorDriftSuite},"load_triggered":$loadEvident,"quiet_baseline_n":${quietBase.size},"repassed":$repassedJ,"suspect_unrepassed":$suspectJ"""
+    val fullLine = s"""{"metric":"total_full","value":$total,"unit":"sec","queries":$qs,"exec_times":$execs,"shuffle_bytes":$shuffles,"spill_bytes_total":$spillTotal,"cold_total":$coldTotal,"failed":$failed,"bench_excluded":$excludedJ$slope$slope2$slope3$lsh$loadMeta,"sf":"$sfDir"}"""
     println(fullLine)
     // ALSO persist the full detail to a file: the driver's stdout
     // capture is tail-bounded and has repeatedly truncated this

@@ -285,9 +285,16 @@ object GraftApi {
             case MixStage.ClusterBalanced(q, k, dim) =>
               // topic-cap the curated text itself: hash-embed the
               // survivors (scan-local, no external model), train the
-              // seeded quantizer, keep `q` per cluster in salt order
+              // seeded quantizer ONCE ([[Similarity.trainedQuantizer]])
+              // and hand the centroid array to the quota assignment —
+              // one training-sample job per curation run, and the same
+              // array can be reused for a per-topic datasheet
+              // (clusterEmbed/clusterStats with `centroids = Some(...)`)
+              // without retraining
+              val embedded = Similarity.hashEmbedDocs(r, dim)
+              val cents = Similarity.trainedQuantizer(embedded, k)
               ("mix_cluster",
-                Similarity.mixByCluster(Similarity.hashEmbedDocs(r, dim), q, k)
+                Similarity.mixByCluster(embedded, q, k, centroids = Some(cents))
                   .select(col("vec_id").as("doc_id")))
           }
           val sampled = r.join(keepIds, "doc_id")

@@ -200,26 +200,25 @@ object Dedup {
     // envelope is unchanged; it is wasted work only on the rare
     // distributed path, where one bounded collect is noise against
     // the propagation rounds that follow.
-    // Bounds past Int.MaxValue can't be limit()-probed (limit takes an
-    // Int); fall back to a count-then-collect shape there rather than
-    // rejecting the caller — one extra count job is noise on a path
-    // that by definition holds billions of pairs. The driver path is
-    // additionally clamped to what THIS driver's heap can plausibly
-    // hold (~350 bytes/pair of boxed tuple + HashMap entries — the
-    // same estimate the default bound's comment derives), never past
-    // the JVM array-length cap: a Long.MaxValue caller bound with
+    // The caller's bound is clamped to what THIS driver's heap can
+    // plausibly hold (~350 bytes/pair of boxed tuple + HashMap entries
+    // — the same estimate the default bound's comment derives), never
+    // past the JVM array-length cap: a Long.MaxValue caller bound with
     // ~1-2G pairs must route to the distributed path, not to a
-    // collect() that would OOM long before the array limit.
+    // collect() that would OOM long before the array limit. The clamp
+    // applies BEFORE the probe, so the probe collect itself can never
+    // exceed the heap-plausible budget either (an unclamped 500M-pair
+    // caller bound previously OOMed in the probe on small heaps); and
+    // since the clamp is < Int.MaxValue by construction, the limit()
+    // probe covers every caller bound — no separate count-then-collect
+    // shape for huge bounds.
     val collectCap = math.min(
       Runtime.getRuntime.maxMemory / 350,
       (Int.MaxValue - 8).toLong) // max JVM array length
-    if (driverMaxPairs < Int.MaxValue) {
-      val probe = typedPairs(p).limit((driverMaxPairs + 1).toInt).collect()
-      if (probe.length <= driverMaxPairs) driverUnionFind(p.sparkSession, probe)
-      else distributedClusters(p, maxIters)
-    } else if (p.count() <= math.min(driverMaxPairs, collectCap)) {
-      driverUnionFind(p.sparkSession, typedPairs(p).collect())
-    } else distributedClusters(p, maxIters)
+    val bound = math.min(driverMaxPairs, collectCap)
+    val probe = typedPairs(p).limit((bound + 1).toInt).collect()
+    if (probe.length <= bound) driverUnionFind(p.sparkSession, probe)
+    else distributedClusters(p, maxIters)
   }
 
   /** Typed (doc_a, doc_b) view: a primitive-tuple collect holds two

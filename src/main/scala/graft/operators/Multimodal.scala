@@ -394,7 +394,11 @@ object Multimodal {
       // walk only the DECLARED RIFF payload, not the whole byte array:
       // trailing bytes past the RIFF size (padding, appended metadata)
       // are legal on disk and must not be parsed as chunks
-      val riffSize = bb.getInt
+      // the RIFF size field is UNSIGNED per spec — mask before the
+      // plausibility check so a legal 2-4 GB declaration doesn't read
+      // negative and trip the require (the clamp to data.length below
+      // bounds the walk regardless; Array[Byte] caps real input <2 GB)
+      val riffSize = bb.getInt.toLong & 0xFFFFFFFFL
       require(riffSize >= 4, s"implausible RIFF size $riffSize")
       val riffEnd = math.min(8L + riffSize, data.length.toLong).toInt
       require(fourCC() == "AVI ", "not an AVI payload")

@@ -283,8 +283,28 @@ object Similarity {
     * cluster. Deterministic: seeded hash order, ties to the lowest
     * cid — same data + seed ⇒ bit-identical centroids. `e` must be
     * the [[withNorm]] frame. */
+  /** Count of quantizer trainings in this JVM — test instrumentation
+    * for the train-once sharing contract (IntegrationSpec pins that a
+    * ClusterBalanced curation run trains exactly once). */
+  private[graft] val quantizerTrainings =
+    new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Train the shared coarse quantizer ONCE for reuse across
+    * [[clusterEmbed]] / [[mixByCluster]] / [[annIvf]] calls on the
+    * same corpus: each of those self-trains by default (convenient,
+    * deterministic — same data + seed ⇒ same centroids), but a
+    * pipeline that both mixes and publishes the per-topic datasheet
+    * would then pay the training sample job twice for bit-identical
+    * results. Train here, pass the array to each consumer's
+    * `centroids` parameter. The array is nList×dim floats — KBs —
+    * so holding it across calls is free. */
+  def trainedQuantizer(embeddings: DataFrame, k: Int = 16, iters: Int = 3,
+                       seed: Long = 42L): Array[Array[Float]] =
+    trainQuantizer(Caches.persistTracked(withNorm(embeddings)), k, iters, seed)
+
   private[graft] def trainQuantizer(e: DataFrame, nList: Int, iters: Int,
                                     seed: Long): Array[Array[Float]] = {
+    quantizerTrainings.incrementAndGet()
     val sample: Array[Array[Float]] = e
       // zero-norm vectors (empty docs under hashEmbedDocs) cannot be
       // unit-scaled — a NaN sample row would poison every centroid
@@ -354,10 +374,11 @@ object Similarity {
     * nothing corpus-sized shuffles. Deterministic: same data + seed ⇒
     * identical assignment (ties to the lowest cid). */
   def clusterEmbed(embeddings: DataFrame, k: Int = 16, iters: Int = 3,
-                   seed: Long = 42L): DataFrame = {
+                   seed: Long = 42L,
+                   centroids: Option[Array[Array[Float]]] = None): DataFrame = {
     val spark = embeddings.sparkSession
     val e = Caches.persistTracked(withNorm(embeddings))
-    val cents = trainQuantizer(e, k, iters, seed)
+    val cents = centroids.getOrElse(trainQuantizer(e, k, iters, seed))
     e.withColumn("cid", GraftFunctions.ivfAssign(col("v"), cents))
       .join(broadcast(centroidDF(spark, cents)), "cid")
       .select(col("vec_id"), col("cid"),
@@ -385,10 +406,11 @@ object Similarity {
     * (k × quota)-bounded. Deterministic end-to-end: seeded training,
     * ties to the lowest cid, total (salt, vec_id) order. */
   def mixByCluster(embeddings: DataFrame, quota: Int, k: Int = 16,
-                   iters: Int = 3, seed: Long = 42L): DataFrame = {
+                   iters: Int = 3, seed: Long = 42L,
+                   centroids: Option[Array[Array[Float]]] = None): DataFrame = {
     require(quota > 0, s"quota must be positive: $quota")
     val e = Caches.persistTracked(withNorm(embeddings))
-    val cents = trainQuantizer(e, k, iters, seed)
+    val cents = centroids.getOrElse(trainQuantizer(e, k, iters, seed))
     // vec_id rides as doc_id through the shared salt/bound helpers
     // (their salt is keyed on that column name), renamed back at the end
     val assigned = e.select(col("vec_id").as("doc_id"),

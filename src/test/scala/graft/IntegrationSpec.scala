@@ -421,11 +421,19 @@ class IntegrationSpec extends AnyFunSuite {
     // cluster-balanced topic cap as the final stage: quotas hold per
     // k-means cluster of the survivors' hash embeddings, and the kept
     // set is a subset of the pre-mix survivors
+    val trainingsBefore = graft.operators.Similarity.quantizerTrainings.get()
     val cb = GraftApi.curatePlan(base,
       mix = Some(MixStage.ClusterBalanced(quota = 4, k = 8)))
     try {
       val out = cb.frame.collect()
       val m = cb.manifest.collect().map(_.getAs[String]("stage"))
+      // train-once sharing: materializing the frame AND the manifest
+      // must cost exactly ONE quantizer training (trainedQuantizer in
+      // the ClusterBalanced stage, centroid array passed to
+      // mixByCluster — never a second sample job)
+      assert(graft.operators.Similarity.quantizerTrainings.get()
+          == trainingsBefore + 1,
+        "ClusterBalanced curation trained the quantizer more than once")
       assert(m.last == "mix_cluster", s"stage order drifted: ${m.toSeq}")
       assert(out.nonEmpty && out.length <= 8 * 4,
         s"cluster-balanced output ${out.length} exceeds k*quota")

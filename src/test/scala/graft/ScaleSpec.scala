@@ -784,6 +784,88 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("third decade: slope3 probes stay linear on the 100x synthetic corpus") {
+    // The second-decade test above pins sf0.1 -> 10x; this adds the
+    // 10x -> 100x step (~500k docs / 10M events / the full embeddings
+    // family at 100x) for the five probes Bench's slope3 block times,
+    // so the 100 TB claims rest on THREE measured decades with the
+    // upper two linear-by-construction. Envelopes are BYTE-based
+    // (machine-independent): default <= 20x shuffle growth for the
+    // 10x data step. MinHash is the exception BY DESIGN: its exact-
+    // Jaccard verification joins candidates back to the sorted-shingle
+    // frame, which Spark broadcasts below ~10 MB and hash-partitions
+    // above — the 100x corpus (~500 MB of shingle arrays) crosses
+    // that threshold, so its step ratio reads as a one-time
+    // broadcast->SMJ transition (measured ~8000x), NOT quadratic
+    // growth. The right linearity envelope there is absolute:
+    // shuffle bytes per document bounded by a constant (~1.4 KB/doc
+    // measured — shingles ride the exchange once; a quadratic
+    // candidate blowup would put pairs^2 bytes through and blow past
+    // any per-doc cap).
+    import graft.monitoring.PlanMetrics
+    import graft.operators.{Dedup, Similarity, TimeSeries}
+    val srcDir = "/root/testdata/sf0.1"
+    assume(new java.io.File(srcDir).isDirectory)
+    val d10 = graft.sources.ScaledCorpus.dir(spark, srcDir, factor = 10)
+    val d100 = graft.sources.ScaledCorpus.dir(spark, srcDir, factor = 100)
+    assert(Tables.documents(spark, d100).count() ==
+      100 * Tables.documents(spark, srcDir).count(),
+      "100x corpus row count drifted")
+    val nDocs100 = Tables.documents(spark, d100).count()
+
+    case class P(name: String,
+                 build: String => org.apache.spark.sql.DataFrame,
+                 exactTenfold: Boolean, slack: Long = 0L,
+                 viaRdd: Boolean = false,
+                 perDocByteCap: Option[Long] = None)
+    val probes = Seq(
+      // rows two-sided slack: each J-in-[0.8,0.9) pair's copies take
+      // independent all-band-miss draws (~1 miss / 2560 draws measured)
+      // — at 25,600 draws both sides can miss a handful, and the 10x
+      // side's misses scale by 10 in the comparison
+      P("minhash_pairs", d => Dedup.minhashPairs(Tables.documents(spark, d)),
+        exactTenfold = true, slack = 150L, perDocByteCap = Some(4096L)),
+      P("source_overlap", d => Dedup.sourceOverlap(Tables.documents(spark, d)),
+        exactTenfold = false),
+      P("feature_pipeline", d => TimeSeries.featurePipeline(Tables.events(spark, d)),
+        exactTenfold = true, viaRdd = true),
+      P("hash_embed", d => Similarity.hashEmbedDocs(Tables.documents(spark, d)),
+        exactTenfold = true, viaRdd = true),
+      P("mix_cluster", d => Similarity.mixByCluster(Tables.embeddings(spark, d), quota = 8),
+        exactTenfold = false))
+
+    probes.foreach { p =>
+      def measure(dir: String): (Long, Long) = {
+        val out = p.build(dir)
+        val n = if (p.viaRdd) out.queryExecution.toRdd.count()
+                else out.collect().length.toLong
+        val b = PlanMetrics.shuffleStats(out).bytesWritten
+        graft.operators.Caches.releaseAll()
+        (n, b)
+      }
+      val (nS, bS) = measure(d10)
+      val (nB, bB) = measure(d100)
+      info(f"${p.name}: rows $nS -> $nB, shuffle bytes $bS -> $bB " +
+        f"(slope ${(bB + 1).toDouble / (bS + 1)}%.1f)")
+      if (p.exactTenfold)
+        assert(math.abs(nB - 10 * nS) <= p.slack,
+          s"${p.name}: rows $nS -> $nB, expected 10x (±${p.slack}) on the " +
+            "linear-by-construction step")
+      p.perDocByteCap match {
+        case Some(cap) =>
+          assert(bB <= cap * nDocs100,
+            s"${p.name}: ${bB} shuffle bytes exceed $cap bytes/doc at 100x — " +
+              "superlinear candidate volume, not the expected one-time " +
+              "broadcast->SMJ transition")
+        case None =>
+          val slope = (bB + 1).toDouble / (bS + 1)
+          assert(slope <= 20.0,
+            s"${p.name}: shuffle slope $slope ($bS -> $bB bytes) exceeds the " +
+              "20x envelope on the linear-by-construction 10x->100x step")
+      }
+    }
+  }
+
   test("incremental dedup vs a bucketed corpus-hash table: only the batch shuffles") {
     import graft.operators.TextAnalysis
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
@@ -894,6 +976,63 @@ class ScaleSpec extends AnyFunSuite {
         "sort-merge join buffers never spilled — the pressure path did not run")
       assert(nP == nBase && sP == sBase,
         s"join checksum changed under forced spilling: ($nBase, $sBase) -> ($nP, $sP)")
+    } finally keep.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
+
+  test("memory pressure: mixing-family rank windows spill to disk, kept sets bit-identical") {
+    // The mixing family's scale claim rests on the salt-bound
+    // prefilter keeping each rank window's input ~quota-bounded — but
+    // "bounded" still means a buffered window partition, and at 100 TB
+    // an undersized executor must degrade those buffers to disk, not
+    // OOM, and keep the SAME deterministic sample (the salt order is a
+    // property of the data, not of buffer residency). Forcing the
+    // window spill thresholds below the per-stratum quota makes every
+    // rank buffer take the disk path on the same data the
+    // unconstrained run answered; kept sets must be bit-identical.
+    import graft.monitoring.PlanMetrics
+    import graft.operators.{Similarity, TextAnalysis}
+    val docs = Tables.documents(spark, sfDir)
+    val emb = Tables.embeddings(spark, sfDir)
+    def qualityRun(): (Seq[(Long, Long, Double, Long)], Long) = {
+      val out = TextAnalysis.mixByQuality(docs, Seq(4.90, 4.92), Seq(50, 100, 30))
+      val rows = out.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+      val spill = PlanMetrics.shuffleStats(out).spillBytes
+      graft.operators.Caches.releaseAll()
+      (rows, spill)
+    }
+    def clusterRun(): (Seq[(Long, Int, Long)], Long) = {
+      val out = Similarity.mixByCluster(emb, quota = 50)
+      val rows = out.collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+      val spill = PlanMetrics.shuffleStats(out).spillBytes
+      graft.operators.Caches.releaseAll()
+      (rows, spill)
+    }
+    val (qBase, qBaseSpill) = qualityRun()
+    val (cBase, cBaseSpill) = clusterRun()
+    assert(qBaseSpill == 0L && cBaseSpill == 0L,
+      "baseline mixing runs spilled — thresholds leaked from another test")
+    assert(qBase.nonEmpty && cBase.nonEmpty, "mixing baselines returned nothing")
+    // thresholds a few times under the per-stratum quotas (30-100 rows
+    // per bucket / 50 per cluster) so every rank buffer spills a
+    // handful of times without one-file-per-row churn
+    val keys = Seq(
+      "spark.sql.windowExec.buffer.in.memory.threshold" -> "8",
+      "spark.sql.windowExec.buffer.spill.threshold" -> "8")
+    val keep = keys.map { case (k, _) => k -> spark.conf.getOption(k) }.toMap
+    try {
+      keys.foreach { case (k, v) => spark.conf.set(k, v) }
+      val (qP, qSpill) = qualityRun()
+      assert(qSpill > 0,
+        "mixByQuality rank window never spilled — the pressure path did not run")
+      assert(qP == qBase, "mixByQuality kept set changed under forced spilling")
+      val (cP, cSpill) = clusterRun()
+      assert(cSpill > 0,
+        "mixByCluster rank window never spilled — the pressure path did not run")
+      assert(cP == cBase, "mixByCluster kept set changed under forced spilling")
     } finally keep.foreach { case (k, v) =>
       v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
     }

@@ -195,6 +195,25 @@ class SimilaritySpec extends AnyFunSuite {
     graft.operators.Caches.releaseAll()
   }
 
+  test("shared trainedQuantizer centroids reproduce the self-trained outputs exactly") {
+    // the train-once sharing contract: passing trainedQuantizer's
+    // centroid array to clusterEmbed/mixByCluster must be bit-identical
+    // to letting each self-train (same seed, same sample, same Lloyd's
+    // loop) — so a pipeline can train once and fan the array out to
+    // assignment, mixing, and the stats datasheet without retraining
+    val cents = Similarity.trainedQuantizer(emb, k = 8)
+    val ceShared = Similarity.clusterEmbed(emb, k = 8, centroids = Some(cents)).collect()
+    val ceSelf = Similarity.clusterEmbed(emb, k = 8).collect()
+    assert(ceShared.sameElements(ceSelf),
+      "clusterEmbed with shared centroids diverged from self-trained")
+    val mcShared = Similarity.mixByCluster(emb, quota = 5, k = 8,
+      centroids = Some(cents)).collect()
+    val mcSelf = Similarity.mixByCluster(emb, quota = 5, k = 8).collect()
+    assert(mcShared.sameElements(mcSelf),
+      "mixByCluster with shared centroids diverged from self-trained")
+    graft.operators.Caches.releaseAll()
+  }
+
   test("embedDedup pairs are symmetric-free and above threshold") {
     val out = Similarity.embedDedup(emb).collect()
     assert(out.nonEmpty)
