@@ -643,6 +643,77 @@ object SparkEntry {
             |FROM ccos GROUP BY cid ORDER BY cid""".stripMargin)
   }
 
+  /** Shared WITH-RECURSIVE chain replicating greedy BPE APPLICATION in
+    * DuckDB — the oracle core of q_token_count_bpe / q_tokenize_bpe.
+    * The merge table interpolates from the SAME
+    * [[TextAnalysis.defaultBpeMerges]] resource the codegen'd kernel
+    * reads (a drifting copy would silently fork the tokenizer), and
+    * the per-word loop is restated as BOUNDED recursion: exactly one
+    * iteration per merge RANK, in rank order, each merging every
+    * left-to-right occurrence of that rank's pair. For a VALID trained
+    * table (every merge's sides are single chars or earlier merges'
+    * outputs — true of any Sennrich-trained table, including
+    * [[graft.operators.TextAnalysis.trainBpe]]'s and the shipped
+    * resource) this is provably equivalent to the kernel's
+    * lowest-rank-first loop: a merge at rank r only ever creates
+    * adjacencies INVOLVING its merged symbol, whose merges necessarily
+    * carry ranks > r, so after processing ranks 0..r no pair of rank
+    * <= r can exist. Left-to-right overlap resolution ("aaa" + (a,a)
+    * -> [aa, a], never [a, aa]) is the run-parity selection: within
+    * each maximal run of consecutive candidate starts, keep the
+    * even offsets; a row whose LEFT neighbor merged is dropped and
+    * positions renumber each iteration. Work is per DISTINCT word
+    * (joined back to the word stream afterward), so the recursion
+    * touches vocabulary x merges rows, not corpus x merges. */
+  private def bpeChainSql: String = {
+    val merges = TextAnalysis.defaultBpeMerges
+    val nR = merges.size
+    val mv = merges.zipWithIndex.map { case ((a, b), r) =>
+      s"($r, '${a.replace("'", "''")}', '${b.replace("'", "''")}')"
+    }.mkString(", ")
+    s"""WITH RECURSIVE
+      |merges(rank, l, r) AS (VALUES $mv),
+      |norm AS (
+      |  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS ntext
+      |  FROM documents
+      |), words AS (
+      |  SELECT doc_id, unnest(range(1, len(parts) + 1)) AS widx, unnest(parts) AS word
+      |  FROM (SELECT doc_id, string_split(ntext, ' ') AS parts FROM norm)
+      |), dw AS (SELECT DISTINCT word FROM words WHERE word <> ''),
+      |sym0 AS (
+      |  SELECT word, CAST(unnest(range(1, length(word) + 1)) AS INT) AS pos,
+      |         unnest(string_split(word, '')) AS sym, 0 AS it
+      |  FROM dw
+      |), bpe AS (
+      |  SELECT word, pos, sym, it FROM sym0
+      |  UNION ALL
+      |  SELECT word,
+      |         CAST(row_number() OVER (PARTITION BY word ORDER BY pos) AS INT) AS pos,
+      |         CASE WHEN sel THEN sym || nxt ELSE sym END AS sym,
+      |         it + 1 AS it
+      |  FROM (
+      |    SELECT word, pos, sym, nxt, it, sel,
+      |           lag(sel) OVER (PARTITION BY word ORDER BY pos) AS psel
+      |    FROM (
+      |      SELECT word, pos, sym, nxt, it, cand,
+      |             cand AND ((pos - first_value(pos) OVER (PARTITION BY word, grp, cand ORDER BY pos)) % 2 = 0) AS sel
+      |      FROM (
+      |        SELECT word, pos, sym, nxt, it, cand,
+      |               pos - CAST(row_number() OVER (PARTITION BY word, cand ORDER BY pos) AS INT) AS grp
+      |        FROM (
+      |          SELECT b.word, b.pos, b.sym, b.it,
+      |                 lead(b.sym) OVER (PARTITION BY b.word ORDER BY b.pos) AS nxt,
+      |                 (b.sym = m.l AND lead(b.sym) OVER (PARTITION BY b.word ORDER BY b.pos) = m.r) AS cand
+      |          FROM bpe b JOIN merges m ON m.rank = b.it
+      |          WHERE b.it < $nR
+      |        )
+      |      )
+      |    )
+      |  )
+      |  WHERE NOT coalesce(psel, FALSE)
+      |), pieces AS (SELECT word, pos, sym FROM bpe WHERE it = $nR)""".stripMargin
+  }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = quantizerOracles ++ Map(
@@ -1199,6 +1270,28 @@ object SparkEntry {
         |       CAST(len(string_split(ntext, ' ')) AS BIGINT) AS n_ws_tokens,
         |       CAST(len(regexp_extract_all(ntext, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INT) AS n_bpe_tokens
         |FROM norm ORDER BY doc_id""".stripMargin,
+    // greedy BPE APPLICATION replicated in SQL (see bpeChainSql) —
+    // count form and piece form of the same per-word fixed point
+    "q_token_count_bpe" ->
+      s"""$bpeChainSql, wcount AS (
+        |  SELECT word, count(*) AS n FROM pieces GROUP BY word
+        |), doctot AS (
+        |  SELECT w.doc_id, sum(c.n) AS nb
+        |  FROM words w JOIN wcount c ON c.word = w.word
+        |  GROUP BY w.doc_id
+        |)
+        |SELECT norm.doc_id,
+        |       CAST(len(string_split(ntext, ' ')) AS BIGINT) AS n_ws_tokens,
+        |       CAST(coalesce(d.nb, 0) AS BIGINT) AS n_bpe_tokens
+        |FROM norm LEFT JOIN doctot d ON d.doc_id = norm.doc_id
+        |ORDER BY norm.doc_id""".stripMargin,
+    "q_tokenize_bpe" ->
+      s"""$bpeChainSql
+        |SELECT w.doc_id,
+        |       CAST(row_number() OVER (PARTITION BY w.doc_id ORDER BY w.widx, p.pos) - 1 AS INT) AS pos,
+        |       p.sym AS piece
+        |FROM words w JOIN pieces p ON p.word = w.word
+        |ORDER BY doc_id, pos""".stripMargin,
     // the PII patterns AND boundary-restoring replacements interpolate
     // from TextAnalysis so both engines compile the exact same regex
     // source (Java regex ∩ RE2 syntax; boundaries are explicit

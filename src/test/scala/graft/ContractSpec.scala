@@ -36,18 +36,17 @@ class ContractSpec extends AnyFunSuite {
   // argmax, confidence, probe ranking, inverted-list candidates, exact
   // verify top-k. Training itself stays Scala-pinned in
   // SimilaritySpec, like the IVF recall bars.)
+  // (BPE APPLICATION left this list in round 12: the greedy merge
+  // loop is restated as a bounded recursive CTE — one iteration per
+  // merge rank — in SparkEntry.bpeChainSql, so q_token_count_bpe and
+  // q_tokenize_bpe are SQL-oracled; only merge LEARNING remains
+  // rows-only.)
   private val rowsOnlyByDesign = Set(
     "q_distinct_sketch",
     "q_media_features",
-    // a BPE merge loop is not expressible in DuckDB SQL; pinned
-    // row-by-row against tools/bpe_reference.py's fixture in BpeSpec
-    "q_token_count_bpe",
     // merge LEARNING is not SQL-expressible; the trainer reproduces
     // the gen_bpe_merges.py-trained resource merge-for-merge in BpeSpec
     "q_train_bpe",
-    // the tokenizing sibling: same merge loop, emits the pieces; the
-    // fixture + invariants live in BpeSpec
-    "q_tokenize_bpe",
     // a GK sketch returns an observed sample, not DuckDB's
     // interpolation — pinned against its rank-error contract in
     // ScaleSpec; the exact q_quantiles stays the oracle path
