@@ -458,10 +458,11 @@ object Similarity {
     * the lowest cid. */
   def annIvf(embeddings: DataFrame, nQueries: Int = 20, k: Int = 5,
              nList: Int = 16, nProbe: Int = 4, iters: Int = 3,
-             seed: Long = 42L): DataFrame = {
+             seed: Long = 42L,
+             centroids: Option[Array[Array[Float]]] = None): DataFrame = {
     val spark = embeddings.sparkSession
     val e = Caches.persistTracked(withNorm(embeddings))
-    val cents = trainQuantizer(e, nList, iters, seed)
+    val cents = centroids.getOrElse(trainQuantizer(e, nList, iters, seed))
 
     // final inverted-list labels: a pure map over the corpus
     val assigned = e.withColumn("cid", GraftFunctions.ivfAssign(col("v"), cents))

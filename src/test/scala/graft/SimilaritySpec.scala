@@ -211,6 +211,11 @@ class SimilaritySpec extends AnyFunSuite {
     val mcSelf = Similarity.mixByCluster(emb, quota = 5, k = 8).collect()
     assert(mcShared.sameElements(mcSelf),
       "mixByCluster with shared centroids diverged from self-trained")
+    val ivShared = Similarity.annIvf(emb, nList = 8,
+      centroids = Some(cents)).collect()
+    val ivSelf = Similarity.annIvf(emb, nList = 8).collect()
+    assert(ivShared.sameElements(ivSelf),
+      "annIvf with shared centroids diverged from self-trained")
     graft.operators.Caches.releaseAll()
   }
 
