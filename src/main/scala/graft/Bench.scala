@@ -46,12 +46,18 @@ import graft.monitoring.PerformanceTracker
   * sampled at every pass start/third boundary, `floor_sentinel` the
   * re-timed fixed cheap query whose max/min `drift` reads ~1 on a
   * quiet box and the inflation factor under co-tenant load, and
-  * `repassed` the queries that earned extra timing passes — from a
-  * wall-vs-exec-floor gap, a 2x blowout vs the committed quiet
-  * baseline (`bench_quiet.json`, falling back to the previous
-  * round's `bench_detail.json`), or — the round-10 lesson — the
-  * round's OWN load evidence (sentinel drift > 1.8 or loadavg >
-  * cpus/8), which repasses the slowest queries unconditionally: a
+  * `repassed` the queries that earned extra timing passes — the 16
+  * slowest ALWAYS (uniform min-of-5 refinement on the heavy tail;
+  * 4th/5th samples run ~1.5x warmer there, see the inline r12 A/B),
+  * plus any query flagged by a wall-vs-exec-floor gap, a 2x blowout
+  * vs the committed quiet baseline (`bench_quiet.json`, falling back
+  * to the previous round's `bench_detail.json`), or — the round-10
+  * lesson — the
+  * round's OWN load evidence (sentinel drift > 1.8, PRE-suite 1m
+  * loadavg > cpus/8, or mid-run loadavg > cpus/2 — mid-run samples
+  * self-inflate to ~0.3x cpus on an idle box, so only the pre-suite
+  * sample gets the tight threshold), which repasses the slowest
+  * queries unconditionally: a
   * SUSTAINED uniform ~1.5x load inflates wall and exec together and
   * stays under every per-query 2x threshold, so without the load
   * arm the artifact convicts itself yet still ships inflated
@@ -90,6 +96,16 @@ object Bench {
       .filter(d => new java.io.File(d).isDirectory)
 
   def main(args: Array[String]): Unit = {
+    // pre-suite loadavg, read before ANY Spark work: the only loadavg
+    // sample guaranteed free of the bench's own burn. Mid-run 1m
+    // loadavg on a VERIFIED-idle 32-cpu box reaches 9.39 during the
+    // full suite (r12 calibration — local[32] passes + the factor-100
+    // slope corpora ARE the load), so mid-run samples cannot
+    // discriminate a co-tenant below ~cpus/3; this one can.
+    val preLoad1m: Double = try {
+      val f = scala.io.Source.fromFile("/proc/loadavg")
+      try f.mkString.trim.split("\\s+")(0).toDouble finally f.close()
+    } catch { case _: Throwable => 0.0 }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors.toString)
     val spark = SparkSession.builder()
@@ -240,7 +256,17 @@ object Bench {
     val loadSamples = scala.collection.mutable.ArrayBuffer.empty[String]
     val checkpoint: () => Unit = () => {
       loadSamples += loadavgJ()
-      sentinelFn.foreach(fn => sentinelTimes += time(fn, sfDir)._1)
+      // median of 3 back-to-back runs, not a single sample: the
+      // checkpoint fires right after arbitrary suite queries, whose
+      // JIT/GC residue inflates a lone sentinel run ~1.8-2x even on a
+      // verified-idle box (r12 calibration: single-sample drift 1.84,
+      // max = the sample adjacent to the heaviest pass window). The
+      // median kills the one-off residue spike but keeps SUSTAINED
+      // co-tenant contention (which inflates all three) fully visible.
+      sentinelFn.foreach { fn =>
+        val ts = (0 until 3).map(_ => time(fn, sfDir)._1).sorted
+        sentinelTimes += ts(1)
+      }
     }
     // warm the sentinel TWICE so neither one-time codegen nor
     // second-run JIT residue is read as drift by the first checkpoint
@@ -311,20 +337,33 @@ object Bench {
       val steady = sentinelTimes.drop(1)
       if (steady.size >= 2) steady.max / math.max(steady.min, 1e-3) else 1.0
     }
-    // thresholds: quiet boxes read drift ~1.0-1.5 (sub-second sentinel
-    // noise — the judge's r10 QUIET subset run read 1.52), loaded ones
-    // 2.05 (20-spinner calibration run) and 22.4 (the r10 driver box),
-    // so 1.8 splits the observed populations; loadavg > cpus/8 caught
-    // both real incidents (6.87 and 20.4 on 32 cpus) and is the
-    // primary discriminator — FLOORED at 2.0 because the calibration
-    // evidence is 32-cpu only and cpus/8 on a 4-cpu box (0.5) would
-    // fire on nearly any background activity, doubling small-box suite
-    // time on every run. A false trigger costs only bounded extra
-    // mins (16 queries x 2 runs), never a wrong value.
+    // thresholds, r12-recalibrated after an idle-box full-suite run
+    // (box verified externally empty, pre-launch 1m load 0.01) read
+    // single-sample drift 1.84 and mid-run 1m load 9.39 — BOTH former
+    // arms fired on the bench's own burn once the factor-100 slope
+    // corpora joined the suite. Three arms now, each answering a
+    // question self-load cannot fake:
+    //  - sentinel drift > 1.8 (samples are per-checkpoint MEDIANS of
+    //    3, so quiet full-suite residue reads well under the loaded
+    //    populations 2.05 / 22.4 while sustained contention still
+    //    inflates every sample);
+    //  - PRE-suite 1m loadavg > max(2, cpus/8): the co-tenant check,
+    //    sampled before any Spark work so the bench cannot convict
+    //    itself (floored at 2.0 — cpus/8 on a 4-cpu box is 0.5 and
+    //    would fire on background noise);
+    //  - mid-run 1m loadavg > max(4, cpus/2): catastrophic-arrival
+    //    backstop, set ~1.7x above the measured self-load ceiling
+    //    (0.3x cpus) and under both real incidents (20.4 driver box,
+    //    20.42 spinner calibration). Arrivals between cpus/8 and
+    //    cpus/2 mid-run are caught by the sentinel (sustained) or
+    //    arms (a)/(b) (per-query). A false trigger costs only bounded
+    //    extra mins (16 queries x 2 runs), never a wrong value.
     val floorDriftSuite = sentinelDrift()
     val loadMaxSuite = loadMaxOf(loadSamples.toSeq)
     val loadThreshold = math.max(2.0, cpusAvail / 8.0)
-    val loadEvident = floorDriftSuite > 1.8 || loadMaxSuite > loadThreshold
+    val selfLoadCeiling = math.max(4.0, cpusAvail / 2.0)
+    val loadEvident = floorDriftSuite > 1.8 ||
+      preLoad1m > loadThreshold || loadMaxSuite > selfLoadCeiling
 
     // auto-repass, three arms: (a) wall min far above the
     // Spark-measured execution floor (the gap — scheduling,
@@ -351,7 +390,21 @@ object Bench {
       if (loadEvident) results0.filter(_._5).sortBy(-_._3).map(_._1)
       else Seq.empty
     val steadyOf = results0.map(r => r._1 -> r._3).toMap
-    val suspects = (armAB ++ armC).distinct
+    // REFINEMENT PASSES, unconditional: the slowest 16 get two extra
+    // timed runs whether or not any arm fired. The 4th/5th samples
+    // are systematically warmer — full-suite JIT tiering on
+    // kernel-heavy queries — and the effect is large and top-heavy:
+    // an idle-box A/B (r12, same box, same build) read the 16 heavy
+    // primaries at median 1.51x their min-of-5 values under min-of-3
+    // (q_ngram_jaccard 1.62 vs 0.86) while every other query sat at
+    // 1.04x. Before this, primaries silently switched regimes with
+    // the load arms (arm (c) fired -> min-of-5 warmth; quiet box ->
+    // min-of-3), making round-over-round deltas on the heavy tail
+    // measurement artifacts. Uniform min-of-5 on the tail keeps every
+    // artifact comparable; the arms remain as the anomaly/conviction
+    // markers they were built to be.
+    val refine = results0.filter(_._5).sortBy(-_._3).map(_._1).take(16)
+    val suspects = (armAB ++ armC ++ refine).distinct
       .sortBy(k => -steadyOf(k)).take(16)
     val repassed = suspects.map { k =>
       val extra = (0 until 2).map(_ => time(SparkEntry.queries(k), sfDir))
@@ -574,7 +627,7 @@ object Bench {
       .map { case (k, (v2, _)) => s"\"" + k + "\":" + v2 }
       .mkString("{", ",", "}")
     val suspectJ = suspectUnrepassed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val loadMeta = s""","load":{"cpus":$cpusAvail,"samples":[${loadSamples.mkString(",")}]},"floor_sentinel":{"name":"$sentinelName","times":[${sentinelTimes.mkString(",")}],"drift":$floorDrift,"drift_suite":$floorDriftSuite},"load_triggered":$loadEvident,"quiet_baseline_n":${quietBase.size},"repassed":$repassedJ,"suspect_unrepassed":$suspectJ"""
+    val loadMeta = s""","load":{"cpus":$cpusAvail,"pre_1m":$preLoad1m,"samples":[${loadSamples.mkString(",")}]},"floor_sentinel":{"name":"$sentinelName","times":[${sentinelTimes.mkString(",")}],"drift":$floorDrift,"drift_suite":$floorDriftSuite},"load_triggered":$loadEvident,"quiet_baseline_n":${quietBase.size},"repassed":$repassedJ,"suspect_unrepassed":$suspectJ"""
     val fullLine = s"""{"metric":"total_full","value":$total,"unit":"sec","queries":$qs,"exec_times":$execs,"shuffle_bytes":$shuffles,"spill_bytes_total":$spillTotal,"cold_total":$coldTotal,"failed":$failed,"bench_excluded":$excludedJ$slope$slope2$slope3$lsh$loadMeta,"sf":"$sfDir"}"""
     println(fullLine)
     // ALSO persist the full detail to a file: the driver's stdout
