@@ -714,6 +714,98 @@ object SparkEntry {
       |), pieces AS (SELECT word, pos, sym FROM bpe WHERE it = $nR)""".stripMargin
   }
 
+  /** DuckDB replication of greedy BPE merge LEARNING (the Sennrich
+    * loop [[graft.operators.TextAnalysis.trainBpe]] runs on the
+    * driver) — the oracle of q_train_bpe. Unlike the APPLICATION
+    * chain above, each iteration's merge is DATA-DEPENDENT: the
+    * recursive term computes the global arg-max pair from its own
+    * working table with window functions (pair weight = sum of word
+    * frequencies over adjacency ROWS, so overlapping occurrences
+    * count exactly as the trainer's adjacency scan does; arg-max +
+    * lexicographic tie-break via first_value over (count DESC, l, r)
+    * — the trainer's (-count, pair) TreeSet order), then applies
+    * that single pair with the same run-parity left-to-right
+    * machinery as the application chain. The trainer's incremental
+    * retract/re-add bookkeeping is equivalent to this full recount
+    * per round (BpeSpec pins incremental == naive recompute), and
+    * recursion stops — exactly like the trainer's `c < 2` break —
+    * when the best count drops below 2 (mx >= 2 filter empties the
+    * working table). The merge LIST is then re-derived outside the
+    * recursion: for each recorded iteration state, one plain
+    * GROUP BY + row_number arg-max — choices identical to the ones
+    * the recursion applied. Work is vocabulary-sized x nMerges
+    * (~0.6 s at sf0.01 in DuckDB). Validated against the independent
+    * tools/gen_bpe_merges.py trainer on 184 crafted+random corpora
+    * (same-symbol runs, count ties, early stop, merged-symbol
+    * merges) with zero diffs before shipping. */
+  private def bpeTrainSql(nMerges: Int): String = {
+    s"""WITH RECURSIVE
+      |norm AS (
+      |  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS ntext FROM documents
+      |), words AS (
+      |  SELECT unnest(string_split(ntext, ' ')) AS word FROM norm
+      |), wf AS (
+      |  SELECT word, count(*) AS f FROM words WHERE word <> '' GROUP BY word
+      |  QUALIFY row_number() OVER (ORDER BY f DESC, word) <= ${1 << 20}
+      |), sym0 AS (
+      |  SELECT word, f, CAST(unnest(range(1, length(word) + 1)) AS INT) AS pos,
+      |         unnest(string_split(word, '')) AS sym, 0 AS it
+      |  FROM wf
+      |), train AS (
+      |  SELECT word, f, pos, sym, it FROM sym0
+      |  UNION ALL
+      |  SELECT word, f,
+      |         CAST(row_number() OVER (PARTITION BY word ORDER BY pos) AS INT) AS pos,
+      |         CASE WHEN sel THEN sym || nxt ELSE sym END AS sym,
+      |         it + 1 AS it
+      |  FROM (
+      |    SELECT word, f, pos, sym, nxt, it, sel, mx,
+      |           lag(sel) OVER (PARTITION BY word ORDER BY pos) AS psel
+      |    FROM (
+      |      SELECT word, f, pos, sym, nxt, it, cand, mx,
+      |             cand AND ((pos - first_value(pos) OVER (PARTITION BY word, grp, cand ORDER BY pos)) % 2 = 0) AS sel
+      |      FROM (
+      |        SELECT word, f, pos, sym, nxt, it, cand, mx,
+      |               pos - CAST(row_number() OVER (PARTITION BY word, cand ORDER BY pos) AS INT) AS grp
+      |        FROM (
+      |          SELECT word, f, pos, sym, nxt, it, mx,
+      |                 coalesce(sym = bl AND nxt = br, FALSE) AS cand
+      |          FROM (
+      |            SELECT word, f, pos, sym, nxt, it,
+      |                   first_value(sym) OVER (ORDER BY wcv DESC NULLS LAST, sym, nxt) AS bl,
+      |                   first_value(nxt) OVER (ORDER BY wcv DESC NULLS LAST, sym, nxt) AS br,
+      |                   first_value(wcv) OVER (ORDER BY wcv DESC NULLS LAST, sym, nxt) AS mx
+      |            FROM (
+      |              SELECT word, f, pos, sym, nxt, it,
+      |                     CASE WHEN nxt IS NULL THEN NULL
+      |                          ELSE sum(f) OVER (PARTITION BY sym, nxt) END AS wcv
+      |              FROM (
+      |                SELECT word, f, pos, sym, it,
+      |                       lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+      |                FROM train WHERE it < ${nMerges - 1}
+      |              )
+      |            )
+      |          )
+      |        )
+      |      )
+      |    )
+      |  )
+      |  WHERE NOT coalesce(psel, FALSE) AND mx >= 2
+      |), adj AS (
+      |  SELECT it, f, sym, lead(sym) OVER (PARTITION BY word, it ORDER BY pos) AS nxt
+      |  FROM train
+      |), pc AS (
+      |  SELECT it, sym AS l, nxt AS r, sum(f) AS c
+      |  FROM adj WHERE nxt IS NOT NULL GROUP BY it, sym, nxt
+      |), best AS (
+      |  SELECT it, l, r, c,
+      |         row_number() OVER (PARTITION BY it ORDER BY c DESC, l, r) AS rn
+      |  FROM pc
+      |)
+      |SELECT CAST(it AS BIGINT) AS rank, l AS "left", r AS "right"
+      |FROM best WHERE rn = 1 AND c >= 2 ORDER BY rank""".stripMargin
+  }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = quantizerOracles ++ Map(
@@ -1292,6 +1384,9 @@ object SparkEntry {
         |       p.sym AS piece
         |FROM words w JOIN pieces p ON p.word = w.word
         |ORDER BY doc_id, pos""".stripMargin,
+    // greedy BPE merge LEARNING replicated in SQL (see bpeTrainSql);
+    // 50 = the nMerges the query entry trains
+    "q_train_bpe" -> bpeTrainSql(50),
     // the PII patterns AND boundary-restoring replacements interpolate
     // from TextAnalysis so both engines compile the exact same regex
     // source (Java regex ∩ RE2 syntax; boundaries are explicit
