@@ -83,6 +83,15 @@ import graft.monitoring.PerformanceTracker
   * artifact itself. */
 object Bench {
 
+  /** The load-evidence decision, pure so BenchSpec can pin the r12
+    * calibration as executable facts (see the threshold comment at
+    * the call site for the measured populations behind each arm). */
+  private[graft] def loadEvidence(drift: Double, pre1m: Double,
+                                  mid1mMax: Double, cpus: Int): Boolean =
+    drift > 1.8 ||
+      pre1m > math.max(2.0, cpus / 8.0) ||
+      mid1mMax > math.max(4.0, cpus / 2.0)
+
   /** One SF step down from `sfDir` for the slope probe; None when
     * already at the smallest step (or an unrecognized layout). */
   private def slopeDirFor(sfDir: String): Option[String] =
@@ -360,10 +369,8 @@ object Bench {
     //    extra mins (16 queries x 2 runs), never a wrong value.
     val floorDriftSuite = sentinelDrift()
     val loadMaxSuite = loadMaxOf(loadSamples.toSeq)
-    val loadThreshold = math.max(2.0, cpusAvail / 8.0)
-    val selfLoadCeiling = math.max(4.0, cpusAvail / 2.0)
-    val loadEvident = floorDriftSuite > 1.8 ||
-      preLoad1m > loadThreshold || loadMaxSuite > selfLoadCeiling
+    val loadEvident =
+      loadEvidence(floorDriftSuite, preLoad1m, loadMaxSuite, cpusAvail)
 
     // auto-repass, three arms: (a) wall min far above the
     // Spark-measured execution floor (the gap — scheduling,

@@ -67,4 +67,23 @@ class MonitoringSpec extends AnyFunSuite {
     while (i < tries && !cond) { Thread.sleep(100); i += 1 }
     assert(cond)
   }
+
+  test("bench load-evidence decision pins the r12 calibration populations") {
+    import graft.Bench.loadEvidence
+    // idle-box full-suite self-load must NOT convict: the r12
+    // calibration run (box verified externally empty) read
+    // median-sentinel drift 1.38-1.45, pre-suite 1m load 0.93-1.12,
+    // and mid-run 1m load up to 9.39 — all bench-generated
+    assert(!loadEvidence(drift = 1.45, pre1m = 0.93, mid1mMax = 9.39, cpus = 32))
+    assert(!loadEvidence(drift = 1.38, pre1m = 1.12, mid1mMax = 3.32, cpus = 32))
+    // both real incidents and the spinner calibration must convict
+    assert(loadEvidence(drift = 22.4, pre1m = 0.0, mid1mMax = 20.4, cpus = 32))  // r10 driver box
+    assert(loadEvidence(drift = 2.05, pre1m = 20.42, mid1mMax = 20.42, cpus = 32)) // 20-spinner run
+    // a co-tenant present at launch convicts via the pre-suite arm
+    // even when drift and mid-run stay under their ceilings
+    assert(loadEvidence(drift = 1.4, pre1m = 6.0, mid1mMax = 8.0, cpus = 32))
+    // small-box floors: pre arm floored at 2.0, mid arm at 4.0
+    assert(!loadEvidence(drift = 1.4, pre1m = 1.9, mid1mMax = 3.9, cpus = 4))
+    assert(loadEvidence(drift = 1.4, pre1m = 2.1, mid1mMax = 0.0, cpus = 4))
+  }
 }
