@@ -41,12 +41,12 @@ class ContractSpec extends AnyFunSuite {
   // merge rank — in SparkEntry.bpeChainSql, so q_token_count_bpe and
   // q_tokenize_bpe are SQL-oracled; only merge LEARNING remains
   // rows-only.)
+  // (merge LEARNING is also SQL-oracled since the per-iteration
+  // window-arg-max restatement — SparkEntry.bpeTrainSql — so only the
+  // sketch/codec queries remain.)
   private val rowsOnlyByDesign = Set(
     "q_distinct_sketch",
     "q_media_features",
-    // merge LEARNING is not SQL-expressible; the trainer reproduces
-    // the gen_bpe_merges.py-trained resource merge-for-merge in BpeSpec
-    "q_train_bpe",
     // a GK sketch returns an observed sample, not DuckDB's
     // interpolation — pinned against its rank-error contract in
     // ScaleSpec; the exact q_quantiles stays the oracle path
