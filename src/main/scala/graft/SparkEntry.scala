@@ -301,11 +301,26 @@ object SparkEntry {
 
   /** Shared DuckDB fragments for oracle parity. */
   private val duckWindow = "PARTITION BY user_id ORDER BY ts, event_id"
+
+  /** ANSI-safe JSON numeric parse, DuckDB side — the exact mirror of
+    * [[graft.operators.jsonDouble]]/[[graft.operators.jsonLong]]:
+    * DuckDB's json_extract_string ERRORS on malformed JSON (Spark's
+    * get_json_object nulls), so every site guards with json_valid;
+    * TRY_CAST mirrors Spark's try_cast for non-numeric values; the
+    * BIGINT form shares the integral regex because the engines' bare
+    * string→long rules diverge ('1.5': Spark null, DuckDB rounds). */
+  private val duckJsonStr =
+    "CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END"
+  private val duckJsonDouble = s"TRY_CAST(($duckJsonStr) AS DOUBLE)"
+  private val duckJsonLong =
+    s"CASE WHEN regexp_matches(trim($duckJsonStr), '^[+-]?[0-9]+$$') " +
+      s"THEN TRY_CAST(($duckJsonStr) AS BIGINT) END"
+
   private val duckWeatherView =
-    """WITH weather AS (
+    s"""WITH weather AS (
       |  SELECT event_id, user_id, ts,
       |         value AS temperature,
-      |         CAST(json_extract_string(props, '$.k') AS DOUBLE) AS humidity,
+      |         $duckJsonDouble AS humidity,
       |         CAST(event_id % 30 AS DOUBLE) + 0.5 AS wind_speed
       |  FROM events
       |)""".stripMargin
@@ -313,11 +328,11 @@ object SparkEntry {
   /** Deterministic null-injection view (must mirror
     * MissingValues.maskedView exactly). */
   private val duckMasked =
-    """WITH masked AS (
+    s"""WITH masked AS (
       |  SELECT event_id, user_id, ts,
       |         CASE WHEN event_id % 23 = 5 THEN NULL ELSE event_type END AS event_type,
       |         CASE WHEN event_id % 19 IN (3, 11) THEN NULL ELSE value END AS value,
-      |         CASE WHEN event_id % 13 = 5 THEN NULL ELSE CAST(json_extract_string(props, '$.k') AS DOUBLE) END AS humidity,
+      |         CASE WHEN event_id % 13 = 5 THEN NULL ELSE $duckJsonDouble END AS humidity,
       |         CASE WHEN event_id % 29 IN (0, 8, 17) THEN NULL ELSE CAST(event_id % 30 AS DOUBLE) + 0.5 END AS wind_speed
       |  FROM events
       |)""".stripMargin
@@ -857,10 +872,11 @@ object SparkEntry {
         |  AND ts <  TIMESTAMP '2024-01-20 00:00:00'
         |ORDER BY event_id""".stripMargin,
     "q_json_ingest" ->
-      """SELECT event_id, user_id,
-        |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, value
-        |FROM events
-        |WHERE json_extract_string(props, '$.k') IS NOT NULL
+      s"""SELECT event_id, user_id, k, value FROM (
+        |  SELECT event_id, user_id, $duckJsonLong AS k, value
+        |  FROM events
+        |)
+        |WHERE k IS NOT NULL
         |ORDER BY event_id""".stripMargin,
     "q_dedup_key" ->
       """SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s, value
@@ -876,13 +892,13 @@ object SparkEntry {
         |             / count(CASE WHEN event_type <> 'error' THEN value END) + 1e-9, 4) + 0) AS avg_response_time
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_validate_ingest" ->
-      """SELECT event_id,
+      s"""SELECT event_id,
         |       CASE WHEN user_id IS NOT NULL AND ts IS NOT NULL AND event_type IS NOT NULL THEN 1 ELSE 0 END AS has_required,
         |       CASE WHEN value IS NOT NULL AND value >= -100 AND value <= 1000 THEN 1 ELSE 0 END AS value_in_range,
-        |       CASE WHEN json_extract_string(props, '$.k') IS NOT NULL THEN 1 ELSE 0 END AS json_parseable,
+        |       CASE WHEN ($duckJsonStr) IS NOT NULL THEN 1 ELSE 0 END AS json_parseable,
         |       CASE WHEN user_id IS NOT NULL AND ts IS NOT NULL AND event_type IS NOT NULL
         |             AND value IS NOT NULL AND value >= -100 AND value <= 1000
-        |             AND json_extract_string(props, '$.k') IS NOT NULL THEN 1 ELSE 0 END AS is_valid
+        |             AND ($duckJsonStr) IS NOT NULL THEN 1 ELSE 0 END AS is_valid
         |FROM events ORDER BY event_id""".stripMargin,
     "q_recent_window" ->
       """SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
@@ -1234,7 +1250,7 @@ object SparkEntry {
         |weather AS (
         |  SELECT event_id, user_id, ts,
         |         value AS temperature,
-        |         CAST(json_extract_string(props, '$$.k') AS DOUBLE) AS humidity,
+        |         $duckJsonDouble AS humidity,
         |         CAST(event_id % 30 AS DOUBLE) + 0.5 AS wind_speed
         |  FROM events
         |),

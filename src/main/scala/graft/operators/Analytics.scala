@@ -141,7 +141,7 @@ object Analytics {
   def jsonIngest(events: DataFrame): DataFrame =
     events
       .select(col("event_id"), col("user_id"),
-        get_json_object(col("props"), "$.k").cast("long").as("k"),
+        jsonLong(col("props"), "$.k").as("k"),
         col("value"))
       .filter(col("k").isNotNull)
       .orderBy("event_id")

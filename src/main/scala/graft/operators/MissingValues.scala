@@ -32,7 +32,7 @@ object MissingValues {
       when(col("event_id") % 19 isin (3, 11), lit(null).cast("double"))
         .otherwise(col("value")).as("value"),
       when(col("event_id") % 13 === 5, lit(null).cast("double"))
-        .otherwise(get_json_object(col("props"), "$.k").cast("double")).as("humidity"),
+        .otherwise(jsonDouble(col("props"), "$.k")).as("humidity"),
       when(col("event_id") % 29 isin (0, 8, 17), lit(null).cast("double"))
         .otherwise((col("event_id") % 30).cast("double") + lit(0.5)).as("wind_speed"))
 

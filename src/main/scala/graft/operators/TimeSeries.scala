@@ -32,7 +32,7 @@ object TimeSeries {
     events.select(
       col("event_id"), col("user_id"), col("ts"),
       col("value").as("temperature"),
-      get_json_object(col("props"), "$.k").cast("double").as("humidity"),
+      jsonDouble(col("props"), "$.k").as("humidity"),
       ((col("event_id") % 30).cast("double") + lit(0.5)).as("wind_speed"))
 
   /** Time components + cyclical encodings + bucketing + is_weekend

@@ -18,7 +18,31 @@ package object operators {
     */
   def rnd(c: Column, scale: Int): Column = round(c + lit(1e-9), scale)
 
-  import org.apache.spark.sql.functions.{count, sum}
+  import org.apache.spark.sql.functions.{count, get_json_object, sum, trim, when}
+
+  /** ANSI-safe DOUBLE extraction of a JSON string field: a malformed
+    * payload or non-numeric value becomes null — quarantined by the
+    * validation/quality operators — instead of aborting the job (one
+    * bad record in 100 TB must never kill the pass; ANSI `cast`
+    * throws CAST_INVALID_INPUT). Oracle parity: DuckDB errors outright
+    * on malformed JSON, so its side is `CASE WHEN json_valid(props)
+    * THEN TRY_CAST(... AS DOUBLE) END` (SparkEntry.duckJsonDouble);
+    * both engines agree on every probe case incl. '1e3', '1.5',
+    * '-0.0', empty, over-range (→ ±1e20-style doubles). */
+  def jsonDouble(props: Column, path: String): Column =
+    get_json_object(props, path).try_cast("double")
+
+  /** ANSI-safe BIGINT extraction with an EXPLICIT integral-format
+    * contract (optional sign + digits, surrounding whitespace ok):
+    * the engines' native string→long rules diverge — Spark rejects
+    * '1.5'/'1e3', DuckDB TRY_CAST rounds '1.5'→2 and parses
+    * '1e3'→1000 — so a shared regex pins both to the same set.
+    * Overflow beyond Long range passes the regex and nulls in both
+    * (try_cast / TRY_CAST). Oracle side: SparkEntry.duckJsonLong. */
+  def jsonLong(props: Column, path: String): Column = {
+    val s = get_json_object(props, path)
+    when(trim(s).rlike("^[+-]?[0-9]+$"), s.try_cast("long"))
+  }
 
   /** Exact decimal sum of a fixed-point (<=6dp) column, as double.
     * Summing doubles accumulates order-dependent error that can

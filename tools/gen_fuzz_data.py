@@ -1,0 +1,260 @@
+#!/usr/bin/env python3
+"""Adversarial-data fuzz generator for the oracle gate.
+
+Derives a schema-identical dataset from an existing testdata dir and
+APPENDS adversarial rows: unicode edge cases (NFC/NFD, zero-width,
+combining, emoji), empty/whitespace docs, markup with double-decode
+traps, PII lookalikes, quote/escape injection, window-ordering ties
+(duplicate (user_id, ts)), rounding-half boundaries, +/-0.0, huge and
+denormal magnitudes, malformed JSON props, filter-boundary timestamps,
+top-k ties, orphan foreign keys, duplicate/scaled/negated embeddings.
+
+Existing rows are preserved byte-for-byte (appended ids continue after
+the existing max), so every relationship in the base data still holds;
+the adversarial rows only ADD hazards. Run the full Verify + DuckDB
+gate on the output dir:
+
+    python3 tools/gen_fuzz_data.py /root/testdata/sf0.001 /tmp/fuzz_sf
+    sbt "runMain graft.Verify /tmp/fuzz_sf /tmp/fuzz_out"
+    python3 tools/check_oracle.py /tmp/fuzz_sf /tmp/fuzz_out
+
+Any FAIL is either a real cross-engine semantics divergence or an
+under-pinned tie in a query contract — both are bugs to fix (this is
+the probe family that caught the round-4 \\b regex divergence).
+Deliberately OUT of scope (documented contracts): null `text`
+(ingest quarantines malformed docs before curation — sources/Formats),
+NaN measure values, variable-dimension embeddings, >2-decimal money
+columns (discountedRevenueSum's scaled-long contract — the DECIMAL
+oracle is exact at 6dp, the fast path at 2dp), and measure magnitudes
+beyond ~1e6 (variance-class stats lose cross-engine bit agreement to
+ULP once |stat| * 2^-52 approaches the 1e-9 tie epsilon; the range
+validators quarantine such values upstream — found by this fuzz at
+1e15, recorded in BUILD_NOTES).
+"""
+import sys, os, json, unicodedata
+import pandas as pd
+import numpy as np
+
+def fuzz_documents(d):
+    base = d.copy()
+    nid = int(d.doc_id.max()) + 1
+    texts = [
+        # empties / whitespace
+        "", "   ", "\t\n\r ", "a",
+        # unicode: composed vs decomposed, scripts, emoji, zero-width
+        unicodedata.normalize("NFC", "café data table"),
+        unicodedata.normalize("NFD", "café data table"),
+        "наука про дані spark",
+        "数据处理管道 batch merge",
+        "\U0001F680\U0001F680 emoji data \U0001F525 stream",
+        "ﬁ ligature table ﬂow",
+        "zero​width join​ed tokens",
+        "non breaking spaces here",
+        "é́́ stacked combining marks",
+        # markup incl. the &amp;lt; double-decode trap
+        "<p>hello &amp;lt; world</p> batch",
+        "<a href='x'>link</a> &quot;quoted&quot; &nbsp; &#39;tick&#39;",
+        "<<>> <unclosed tag data merge",
+        "&amp;amp;amp; entity chain",
+        # PII lookalikes (the round-4 class)
+        "email test.user@example.com and phone 555-123-4567 end",
+        "card 4567-0токен mixed-script boundary",
+        "ssn 123-45-6789 ip 192.168.1.1 mixed",
+        "unicode email тест@пример.рф tail",
+        # quotes / escape / sql-literal injection
+        "it's \"quoted\" and back\\slash and 'single'",
+        "semi;colon|pipe,comma{brace}[bracket]",
+        "sql '' injection ''; DROP TABLE lineitem; --",
+        # long + repetitive
+        ("word " * 2000).strip(),
+        ("spam " * 100).strip(),
+        ("abcabcabc " * 50).strip(),
+    ]
+    rows = [dict(doc_id=nid + i, text=t, lang="xx", source="fuzz",
+                 n_chars=len(t)) for i, t in enumerate(texts)]
+    nid += len(texts)
+    # duplicate families: exact dup, three-way dup, case dup,
+    # whitespace-padded dup, one-token near-dup
+    t0, t1, t2, t3, t4 = [d.text.iloc[k] for k in range(5)]
+    for t, lang, src in [
+        (t0, d.lang.iloc[0], d.source.iloc[0]),
+        (t1, d.lang.iloc[1], "fuzz"), (t1, "xx", "fuzz"),
+        (t2.upper(), d.lang.iloc[2], "fuzz"),
+        ("  " + t3 + "\t", d.lang.iloc[3], "fuzz"),
+        (t4.replace(t4.split()[0], "changed", 1), d.lang.iloc[4], "fuzz"),
+    ]:
+        rows.append(dict(doc_id=nid, text=t, lang=lang, source=src,
+                         n_chars=len(t)))
+        nid += 1
+    return pd.concat([base, pd.DataFrame(rows)], ignore_index=True)
+
+def fuzz_events(d):
+    base = d.copy()
+    nid = int(d.event_id.max()) + 1
+    u = int(d.user_id.iloc[0])
+    t_lo, t_hi = d.ts.min(), d.ts.max()
+    mid = t_lo + (t_hi - t_lo) / 2
+    rows = []
+    def add(ts, user, etype, value, props):
+        nonlocal nid
+        rows.append(dict(event_id=nid, ts=ts, user_id=user,
+                         event_type=etype, value=value, props=props))
+        nid += 1
+    # window-ordering ties: same (user, ts), distinct event_ids/values
+    for v in (1.0, 2.0, 3.0):
+        add(mid, u, "view", v, '{"k": 1}')
+    # consecutive equal ts per user (zero time-delta for diff/interp)
+    add(mid, u + 1, "view", 10.0, '{"k": 2}')
+    add(mid, u + 1, "view", 20.0, '{"k": 3}')
+    # rounding-half boundaries, signed zero, magnitude extremes, nulls
+    us = pd.Timedelta(microseconds=1)
+    for i, v in enumerate([0.12345, 0.123450000001, 2.5, -2.5, -0.0,
+                           1e6, -1e6, 1e-15, None, None]):
+        add(mid + (i + 1) * us, u + 2, "view", v, '{"k": %d}' % i)
+    # error rows with/without value (ingestMetrics when-guard)
+    add(mid + 20 * us, u + 2, "error", None, '{"k": 90}')
+    add(mid + 21 * us, u + 2, "error", 5.0, '{"k": 91}')
+    # microsecond-precision edge + min/max-adjacent timestamps
+    add(t_lo, u + 3, "view", 1.0, '{"k": 100}')          # exact min tie
+    add(t_hi, u + 3, "view", 2.0, '{"k": 101}')          # exact max tie
+    add(t_lo - us, u + 3, "view", 3.0, '{"k": 102}')     # just below range
+    add(t_hi + us, u + 3, "view", 4.0, '{"k": 103}')     # just above range
+    # malformed / adversarial JSON props
+    # JSON numerics stay <= 1e6: they land in the humidity MEASURE, and
+    # huge magnitudes (long-max, 1e20) hit the same variance-parity ULP
+    # bound as `value` (verified: 1-ULP mean/index diffs at 9.2e18).
+    # Long-overflow parse parity is pinned by the jsonLong/duckJsonLong
+    # contract itself (regex + try_cast null in both engines).
+    for i, p in enumerate(['{k: 1', 'not json', '', None,
+                           '{"k": "notanumber"}',
+                           '{"k": 922337}',
+                           '{"k": 1.5}', '{"k": {"x": 1}}',
+                           '{"k": 1, "ключ": "зн."}',
+                           '{"k": -0.0}', '{"k": null}',
+                           '{"K": 1}']):
+        add(mid + (40 + i) * us, u + 4, "click", float(i), p)
+    # unseen / empty event types
+    add(mid + 60 * us, u + 5, "", 1.0, '{"k": 1}')
+    add(mid + 61 * us, u + 5, "zzz_unseen", 2.0, '{"k": 2}')
+    f = pd.DataFrame(rows)
+    f["ts"] = f["ts"].astype(d.ts.dtype)
+    for c in d.columns:
+        if c not in ("ts",):
+            f[c] = f[c].astype(d[c].dtype) if d[c].dtype != object else f[c]
+    return pd.concat([base, f], ignore_index=True)
+
+def fuzz_lineitem(d, orphan_orderkey):
+    base = d.copy()
+    ok = int(d.l_orderkey.iloc[0])
+    rows = []
+    def add(okey, qty, price, disc, tax=0.05, rf="N", ls="O",
+            ship=None, ln=None):
+        rows.append(dict(
+            l_orderkey=okey, l_partkey=int(d.l_partkey.iloc[0]),
+            l_suppkey=int(d.l_suppkey.iloc[0]),
+            l_linenumber=int(ln if ln is not None else
+                             100 + len(rows)),
+            l_quantity=qty, l_extendedprice=price, l_discount=disc,
+            l_tax=tax, l_returnflag=rf, l_linestatus=ls,
+            l_shipdate=ship if ship is not None else d.l_shipdate.iloc[0]))
+    # 2-decimal money extremes on an existing order (3-decimal values
+    # are outside discountedRevenueSum's documented scaled-long
+    # contract — verified to diverge from the DECIMAL oracle there)
+    add(ok, 0.5, 100.05, 0.05)
+    add(ok, 1.0, 0.01, 0.02)
+    add(ok, 0.0, 0.0, 0.0)           # zero quantity / price
+    add(ok, 2.0, 1e12, 0.10)         # huge price, max discount
+    add(ok, 3.0, 33.33, 0.07)        # awkward-binary 2dp values
+    # exact duplicate of an existing row (new linenumber)
+    r0 = d.iloc[0]
+    add(int(r0.l_orderkey), float(r0.l_quantity),
+        float(r0.l_extendedprice), float(r0.l_discount),
+        float(r0.l_tax), str(r0.l_returnflag), str(r0.l_linestatus),
+        r0.l_shipdate)
+    # orphan orderkey (no parent in orders)
+    add(orphan_orderkey, 1.0, 50.0, 0.02)
+    f = pd.DataFrame(rows)
+    f["l_shipdate"] = f["l_shipdate"].astype(d.l_shipdate.dtype)
+    return pd.concat([base, f], ignore_index=True)
+
+def fuzz_orders(d):
+    base = d.copy()
+    nid = int(d.o_orderkey.max()) + 1
+    cust = int(d.o_custkey.iloc[0])
+    rows = []
+    # exact totalprice tie pair + an order with no lineitems + null price
+    for price in (5000.0, 5000.0, 123.455, None):
+        rows.append(dict(o_orderkey=nid, o_custkey=cust,
+                         o_orderstatus="O", o_totalprice=price,
+                         o_orderdate=d.o_orderdate.iloc[0],
+                         o_orderpriority="3-MEDIUM"))
+        nid += 1
+    f = pd.DataFrame(rows)
+    f["o_orderdate"] = f["o_orderdate"].astype(d.o_orderdate.dtype)
+    return pd.concat([base, f], ignore_index=True), nid
+
+def fuzz_embeddings(d):
+    base = d.copy()
+    nid = int(d.vec_id.max()) + 1
+    dim = len(d.embedding.iloc[0])
+    v0 = np.array(d.embedding.iloc[0], dtype=np.float32)
+    v1 = np.array(d.embedding.iloc[1], dtype=np.float32)
+    v2 = np.array(d.embedding.iloc[2], dtype=np.float32)
+    vecs = [
+        np.zeros(dim, np.float32),                    # zero vector
+        v0.copy(),                                    # exact duplicate
+        (v1 * 2.0).astype(np.float32),                # same direction
+        (-v2).astype(np.float32),                     # negated
+        v0 + np.float32(1e-7),                        # near-identical
+        np.full(dim, 0.5, np.float32),                # constant
+        np.eye(1, dim, 0, dtype=np.float32)[0],       # single spike
+        np.full(dim, 1e-40, np.float32),              # denormals
+        np.full(dim, -0.0, np.float32),               # signed zeros
+    ]
+    rows = [dict(vec_id=nid + i, embedding=list(map(float, v)), label=99)
+            for i, v in enumerate(vecs)]
+    f = pd.DataFrame(rows)
+    return pd.concat([base, f], ignore_index=True)
+
+def fuzz_customer(d):
+    base = d.copy()
+    nid = int(d.c_custkey.max()) + 1
+    row = dict(c_custkey=nid, c_name="Customer#fuzz-orphan",
+               c_nationkey=9999, c_acctbal=-0.0,
+               c_mktsegment="FUZZ")
+    return pd.concat([base, pd.DataFrame([row])], ignore_index=True)
+
+def main():
+    src, dst = sys.argv[1], sys.argv[2]
+    os.makedirs(dst, exist_ok=True)
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+    for t in ["region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents", "embeddings"]:
+        p = f"{src}/{t}.parquet"
+        if not os.path.exists(p):
+            continue
+        schema = pq.read_schema(p)
+        d = pd.read_parquet(p)
+        if t == "documents":
+            d = fuzz_documents(d)
+        elif t == "events":
+            d = fuzz_events(d)
+        elif t == "orders":
+            d, orphan = fuzz_orders(d)
+            main.orphan = orphan
+        elif t == "lineitem":
+            d = fuzz_lineitem(d, getattr(main, "orphan", 10 ** 9))
+        elif t == "embeddings":
+            d = fuzz_embeddings(d)
+        elif t == "customer":
+            d = fuzz_customer(d)
+        # write with the ORIGINAL schema so Spark/DuckDB see identical
+        # physical types (timestamp unit, float32 lists, int32 keys)
+        tbl = pa.Table.from_pandas(d, schema=schema,
+                                   preserve_index=False)
+        pq.write_table(tbl, f"{dst}/{t}.parquet")
+        print(f"{t}: {len(pd.read_parquet(p))} -> {len(d)} rows")
+
+if __name__ == "__main__":
+    main()
