@@ -111,10 +111,15 @@ object Bench {
     // full suite (r12 calibration — local[32] passes + the factor-100
     // slope corpora ARE the load), so mid-run samples cannot
     // discriminate a co-tenant below ~cpus/3; this one can.
+    // On read failure the sample records -1.0, a VISIBLE sentinel: the
+    // co-tenant arm still fails open (-1.0 never exceeds the
+    // threshold), but the artifact's load.pre_1m then distinguishes
+    // "arm disabled, /proc/loadavg unreadable" from "genuinely idle
+    // box" — a 0.0 fallback conflated the two.
     val preLoad1m: Double = try {
       val f = scala.io.Source.fromFile("/proc/loadavg")
       try f.mkString.trim.split("\\s+")(0).toDouble finally f.close()
-    } catch { case _: Throwable => 0.0 }
+    } catch { case _: Throwable => -1.0 }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors.toString)
     val spark = SparkSession.builder()
@@ -411,8 +416,16 @@ object Bench {
     // artifact comparable; the arms remain as the anomaly/conviction
     // markers they were built to be.
     val refine = results0.filter(_._5).sortBy(-_._3).map(_._1).take(16)
-    val suspects = (armAB ++ armC ++ refine).distinct
-      .sortBy(k => -steadyOf(k)).take(16)
+    // arm-flagged queries get their OWN budget (slowest-16 of the
+    // flagged set) ON TOP of the unconditional refinement tail: the
+    // r12 form re-sorted the union and re-capped at 16, which always
+    // collapsed to exactly `refine` (armAB/armC only contain ok
+    // queries and refine is already the 16 slowest of those), so an
+    // arm-(a)/(b)-flagged MID-PACK query — a 2x baseline blowout that
+    // isn't in the heavy tail — never got the repass the arms were
+    // built to give it. Cost stays bounded at <=32 repasses.
+    val suspects = ((armAB ++ armC).distinct
+      .sortBy(k => -steadyOf(k)).take(16) ++ refine).distinct
     val repassed = suspects.map { k =>
       val extra = (0 until 2).map(_ => time(SparkEntry.queries(k), sfDir))
       k -> ((extra.map(_._1).min, extra.map(_._2).min))
@@ -420,19 +433,19 @@ object Bench {
     // one post-repass checkpoint when arm (c) fired: the artifact then
     // records whether the repass window itself was quiet or still loaded
     if (loadEvident && repassed.nonEmpty) checkpoint()
-    // mid-pack residual-inflation marker: when arm (c) fires it repasses
-    // only the slowest 16, so mid-pack queries can retain ~10-30% load
-    // noise as primaries while nothing in the artifact names them. List
-    // the load-suspect NON-repassed queries (steady past 1.3x their
-    // committed quiet baseline) so readers know which round-over-round
-    // per-query comparisons to route through bench_quiet.json instead.
+    // mid-pack residual-inflation marker, emitted UNCONDITIONALLY:
+    // queries whose primary stands past 1.3x their committed quiet
+    // baseline without having earned a repass retain unexplained
+    // inflation whether or not arm (c) fired this round (on a
+    // quiet-reading round the cause may be a transient the loadavg
+    // arms cannot see), so the artifact always names them and readers
+    // know which round-over-round per-query comparisons to route
+    // through bench_quiet.json instead.
     val suspectUnrepassed =
-      if (loadEvident)
-        results0.collect { case (k, _, v, _, true, _)
-          if !repassed.contains(k) &&
-             baselineFor(k).exists(p => v > 1.3 * p) => k
-        }.sorted
-      else Seq.empty
+      results0.collect { case (k, _, v, _, true, _)
+        if !repassed.contains(k) &&
+           baselineFor(k).exists(p => v > 1.3 * p) => k
+      }.sorted
     val results = results0.map { case r @ (k, cold, v, e, ok, s) =>
       repassed.get(k)
         .map { case (v2, e2) => (k, cold, math.min(v, v2), math.min(e, e2), ok, s) }
@@ -484,6 +497,66 @@ object Bench {
       s""","slope_sf":"$smallDir","slope_queries":$smallQs,"slope_ratios":$ratios,"shuffle_ratios":$shuffleRatios"""
     }.getOrElse("")
 
+    // ---- slope-probe measurement protection (r13) ----------------
+    // BENCH_r12's slope3 block printed hash_embed 123x / mix_cluster
+    // 26.5x WALL step ratios for a 10x data step on a load-convicted
+    // box, against linear byte slopes and the calibration run's
+    // 1.9-5.6x — single-pass unprotected wall times are the one place
+    // the artifact could still publish unvindicated numbers. Three
+    // defenses, mirroring the main suite's:
+    //  1. min-of-2 passes for slope3 too (suite passes=2, was 1);
+    //  2. a median-of-3 floor-sentinel sample immediately BEFORE and
+    //     AFTER each up-step window; SUSTAINED contention (BOTH
+    //     samples past 1.8x the main suite's quiet sentinel minimum)
+    //     sets `convicted:true` on that window's load object, telling
+    //     readers to route around its TIME ratios (byte ratios are
+    //     machine-independent and stay authoritative regardless);
+    //  3. wall-anomaly self-repair: a query whose wall step ratio
+    //     blows past the data step while its BYTE ratio stays modest
+    //     is a measurement artifact by construction (the plan moved
+    //     ~linear bytes but the clock says superlinear) — it gets two
+    //     extra timed runs, min taken, and is named in `repassed`. A
+    //     genuine byte blowup (e.g. minhash's documented one-time
+    //     broadcast->SMJ jump) keeps its wall ratio untouched.
+    type QRes = (String, Double, Double, Double, Boolean,
+      graft.monitoring.PlanMetrics.ShuffleStats)
+    def sentinelQuietMin(): Double = {
+      val steady = sentinelTimes.drop(1)
+      if (steady.nonEmpty) steady.min else 0.0
+    }
+    def sentinelMedian3(): Double = sentinelFn.map { fn =>
+      val ts = (0 until 3).map(_ => time(fn, sfDir)._1).sorted
+      ts(1)
+    }.getOrElse(0.0)
+    def slopeRepass(res: Seq[QRes], dir: String,
+                    base: Map[String, (Double, Long)],
+                    maxRatio: Double): (Seq[QRes], Seq[String]) = {
+      val flagged = res.filter { r =>
+        r._5 && base.get(r._1).exists { case (bt, bb) =>
+          r._3 / math.max(bt, 1e-3) > maxRatio &&
+            (r._6.bytesWritten + 1).toDouble / (bb + 1) <= maxRatio * 0.6
+        }
+      }.map(_._1).toSet
+      val fixed = res.map { r =>
+        if (!flagged.contains(r._1)) r
+        else {
+          val extra = (0 until 2).map(_ => time(SparkEntry.queries(r._1), dir))
+          (r._1, r._2, math.min(r._3, extra.map(_._1).min),
+            math.min(r._4, extra.map(_._2).min), r._5, r._6)
+        }
+      }
+      (fixed, flagged.toSeq.sorted)
+    }
+    def slopeLoadJson(tag: String, pre: Double, post: Double,
+                      repassed: Seq[String]): String = {
+      val q = math.max(sentinelQuietMin(), 1e-3)
+      val drift = math.min(pre, post) / q
+      val convicted = drift > 1.8
+      val rj = repassed.map("\"" + _ + "\"").mkString("[", ",", "]")
+      s""","${tag}_load":{"sentinel_pre":$pre,"sentinel_post":$post,""" +
+        s""""drift":$drift,"convicted":$convicted,"repassed":$rj}"""
+    }
+
     // SECOND-decade slope probe (up-step): the synthetic 10x corpus
     // (ScaledCorpus — token-bijective copies, expected scaling exactly
     // linear by construction) measured for the heavy document family.
@@ -528,11 +601,18 @@ object Bench {
         val bigDir = sys.env.get("SPARK_GRAFT_SLOPE2")
           .filter(d => d.nonEmpty && d != "0" && d != "1")
           .getOrElse(graft.sources.ScaledCorpus.dir(spark, sfDir, factor = 10))
-        val bigRes = suite(bigDir, passes = 2, only = Some(heavyKeys))
-        slope2Times = bigRes.map(r => r._1 -> r._3).toMap
-        slope2Bytes = bigRes.map(r => r._1 -> r._6.bytesWritten).toMap
         val primBy = results.filter(r => heavyKeys.contains(r._1))
           .map(r => r._1 -> ((r._3, r._6.bytesWritten))).toMap
+        val preS = sentinelMedian3()
+        val bigRes0 = suite(bigDir, passes = 2, only = Some(heavyKeys))
+        // wall-anomaly arm: 10x data step, wall past 20x with bytes
+        // under 12x is a clock artifact — repass, min, name it
+        val (bigRes, s2Repassed) =
+          slopeRepass(bigRes0, bigDir, primBy, maxRatio = 20)
+        val postS = sentinelMedian3()
+        val loadJ = slopeLoadJson("slope2", preS, postS, s2Repassed)
+        slope2Times = bigRes.map(r => r._1 -> r._3).toMap
+        slope2Bytes = bigRes.map(r => r._1 -> r._6.bytesWritten).toMap
         val qsJ = bigRes.map(r => "\"" + r._1 + "\":" + r._3)
           .mkString("{", ",", "}")
         val ratios = bigRes.map { r =>
@@ -544,7 +624,7 @@ object Bench {
         }.mkString("{", ",", "}")
         Some(s""","slope2_sf":"$bigDir","slope2_factor":10,""" +
           s""""slope2_queries":$qsJ,"slope2_ratios":$ratios,""" +
-          s""""slope2_shuffle_ratios":$sratios""")
+          s""""slope2_shuffle_ratios":$sratios""" + loadJ)
       }
     } catch { case _: Throwable => None }).getOrElse("")
 
@@ -556,11 +636,15 @@ object Bench {
     // construction — `slope3_ratios` is t(100x)/t(primary) (expect
     // ~<=200 for linear work over a 100x data step with floors
     // amortized) and `slope3_step_ratios` is t(100x)/t(10x), the
-    // cleanest single-decade read (expect ~<=20). One timing pass:
-    // the JVM is fully warm and the plan shapes identical to
-    // slope2's, so codegen caches hit; generation is one-time and
-    // marker-cached. Disable with SPARK_GRAFT_SLOPE3=0; override the
-    // dir with SPARK_GRAFT_SLOPE3=<dir>.
+    // cleanest single-decade read (expect ~<=20). Two timing passes
+    // with min (r13 — the r12 single-pass block published a 123x
+    // loaded-box wall step with no defense), plus the shared
+    // wall-anomaly repass arm and the before/after sentinel window
+    // annotation (`slope3_load.convicted`). The JVM is fully warm and
+    // the plan shapes identical to slope2's, so codegen caches hit;
+    // generation is one-time and marker-cached. Disable with
+    // SPARK_GRAFT_SLOPE3=0; override the dir with
+    // SPARK_GRAFT_SLOPE3=<dir>.
     val slope3 = (try {
       val s3Keys0 = Set("q_source_overlap", "q_dedup_minhash",
         "q_feature_pipeline", "q_hash_embed", "q_mix_cluster")
@@ -571,9 +655,22 @@ object Bench {
         val hugeDir = sys.env.get("SPARK_GRAFT_SLOPE3")
           .filter(d => d.nonEmpty && d != "0" && d != "1")
           .getOrElse(graft.sources.ScaledCorpus.dir(spark, sfDir, factor = 100))
-        val hugeRes = suite(hugeDir, passes = 1, only = Some(s3Keys))
         val primBy = results.filter(r => s3Keys.contains(r._1))
           .map(r => r._1 -> ((r._3, r._6.bytesWritten))).toMap
+        val preS = sentinelMedian3()
+        val hugeRes0 = suite(hugeDir, passes = 2, only = Some(s3Keys))
+        // anomaly base: the cleanest step is vs slope2's 10x corpus
+        // (10x data -> 20x wall ceiling); when slope2 is disabled,
+        // fall back to the 100x step vs primary (200x ceiling)
+        val (anomBase, anomMax) =
+          if (slope2Times.nonEmpty)
+            (slope2Times.map { case (k, t) =>
+              k -> ((t, slope2Bytes.getOrElse(k, 0L))) }, 20.0)
+          else (primBy, 200.0)
+        val (hugeRes, s3Repassed) =
+          slopeRepass(hugeRes0, hugeDir, anomBase, maxRatio = anomMax)
+        val postS = sentinelMedian3()
+        val loadJ = slopeLoadJson("slope3", preS, postS, s3Repassed)
         val qsJ = hugeRes.map(r => "\"" + r._1 + "\":" + r._3)
           .mkString("{", ",", "}")
         val ratios = hugeRes.map { r =>
@@ -597,7 +694,7 @@ object Bench {
           } else ""
         Some(s""","slope3_sf":"$hugeDir","slope3_factor":100,""" +
           s""""slope3_queries":$qsJ,"slope3_ratios":$ratios,""" +
-          s""""slope3_shuffle_ratios":$sratios""" + stepJ)
+          s""""slope3_shuffle_ratios":$sratios""" + stepJ + loadJ)
       }
     } catch { case _: Throwable => None }).getOrElse("")
 

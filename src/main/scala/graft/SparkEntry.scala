@@ -154,14 +154,16 @@ object SparkEntry {
         Tables.documents(s, d).select(col("doc_id"), col("source")), "doc_id")
         .orderBy("doc_id")),
     "q_dedup_lines" -> ((s, d) => TextAnalysis.dedupLines(Tables.documents(s, d))),
-    // real greedy-BPE counts (codegen'd merge-table expression; no SQL
-    // oracle — a merge loop is not expressible in DuckDB — pinned
-    // instead row-by-row against the independent tools/bpe_reference.py
-    // fixture in BpeSpec)
+    // real greedy-BPE counts (codegen'd merge-table expression);
+    // SQL-oracled since r12 via the bounded recursive CTE in
+    // bpeApplyCte (one iteration per merge rank — see oracleSql's
+    // q_token_count_bpe/q_tokenize_bpe entries), plus the independent
+    // tools/bpe_reference.py row-by-row fixture in BpeSpec
     "q_token_count_bpe" -> ((s, d) => TextAnalysis.tokenCountBpe(Tables.documents(s, d))),
     "q_tokenize_bpe"    -> ((s, d) => TextAnalysis.tokenizeBpe(Tables.documents(s, d))),
-    // rows-only (merge learning is not SQL-expressible); pinned in
-    // BpeSpec against the gen_bpe_merges.py-produced resource
+    // merge LEARNING, SQL-oracled since r12 via bpeTrainSql's
+    // per-iteration window arg-max recursive CTE (plus the BpeSpec pin
+    // against the gen_bpe_merges.py-produced resource)
     "q_train_bpe"       -> ((s, d) => TextAnalysis.trainBpe(Tables.documents(s, d), 50)),
     "q_unigram_logprob" -> ((s, d) => TextAnalysis.unigramLogprob(Tables.documents(s, d))),
     // model trained on the src0-excluded slice, scoring ALL docs —

@@ -85,5 +85,8 @@ class MonitoringSpec extends AnyFunSuite {
     // small-box floors: pre arm floored at 2.0, mid arm at 4.0
     assert(!loadEvidence(drift = 1.4, pre1m = 1.9, mid1mMax = 3.9, cpus = 4))
     assert(loadEvidence(drift = 1.4, pre1m = 2.1, mid1mMax = 0.0, cpus = 4))
+    // the -1.0 read-failure sentinel fails OPEN (arm disabled but
+    // visible in the artifact), never convicts by itself
+    assert(!loadEvidence(drift = 1.0, pre1m = -1.0, mid1mMax = 0.0, cpus = 32))
   }
 }
