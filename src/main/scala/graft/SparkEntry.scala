@@ -505,6 +505,19 @@ object SparkEntry {
   private def recordQuantizerRun(s: SparkSession, d: String): Unit =
     quantizerRuns.add((s, d))
 
+  /** Test hook: forget any recorded quantizer run against `dir`.
+    * FuzzSpec runs the quantizer queries against the committed fuzz
+    * dir in the same JVM as the contract suites' sfDir runs; leaving
+    * both recorded would (correctly) ambiguate the query-dir ↔
+    * oracle-dir pairing and empty the trained-literal oracle map for
+    * everyone else. The fuzz goldens don't need oracle entries, so
+    * the spec un-records its own dir after each query. */
+  private[graft] def forgetQuantizerRuns(dir: String): Unit = {
+    quantizerRuns.removeIf(_._2 == dir)
+    val memo = quantizerOracleMemo
+    if (memo != null && memo._1._2 == dir) quantizerOracleMemo = null
+  }
+
   /** `cents(cid, c)` literal CTE body: the TRAINED spherical-k-means
     * centroids (deterministic — seeded hash-order sample + fixed Lloyd
     * iterations; same data ⇒ bit-identical floats) exported as exact
