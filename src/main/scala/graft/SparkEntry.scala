@@ -52,6 +52,11 @@ object SparkEntry {
     "q_ingest_metrics" -> ((s, d) => Analytics.ingestMetrics(ev(s, d))),
     "q_distinct_sketch" -> ((s, d) =>
       Analytics.distinctSketchRollup(Analytics.distinctSketchDaily(ev(s, d)))),
+    // the daily sketch layer's oracle path: exact distincts hash-gated
+    // against DuckDB, HLL estimate reduced to a per-day bound boolean
+    // the hash CAN gate (see distinctSketchDailyCheck's scaladoc)
+    "q_distinct_sketch_check" -> ((s, d) =>
+      Analytics.distinctSketchDailyCheck(ev(s, d))),
     "q_validate_ingest" -> ((s, d) => Analytics.validateIngest(ev(s, d))),
     "q_recent_window"  -> ((s, d) => {
       GraftSession.tune(s)
@@ -898,6 +903,15 @@ object SparkEntry {
         |FROM events
         |QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id) = 1
         |ORDER BY event_id""".stripMargin,
+    // exact daily distincts hash-gated; the HLL estimate enters as
+    // the Spark-evaluated bound boolean DuckDB asserts TRUE (a sketch
+    // estimate has no cross-engine value — the bound does)
+    "q_distinct_sketch_check" ->
+      """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, event_type,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+        |       CAST(count(*) AS BIGINT) AS n_events,
+        |       TRUE AS est_in_bound
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_ingest_metrics" ->
       """SELECT user_id,
         |       count(*) AS n_calls,
