@@ -92,6 +92,19 @@ object Bench {
       pre1m > math.max(2.0, cpus / 8.0) ||
       mid1mMax > math.max(4.0, cpus / 2.0)
 
+  /** The slope-probe wall-anomaly decision, pure so MonitoringSpec can
+    * pin the measured populations: a wall step ratio past the data
+    * step's ceiling while the BYTE step stays well under it is a
+    * clock/bytes contradiction — the plan moved ~linear bytes but the
+    * wall says superlinear — i.e. a measurement artifact to repass,
+    * not a plan property (BENCH_r12's loaded-box hash_embed read wall
+    * 123x on a 3.3x byte step; the quiet re-measure read 3.24x). A
+    * genuine byte blowup (minhash's one-time broadcast→SMJ jump:
+    * bytes 7952x) keeps its wall ratio untouched. */
+  private[graft] def wallAnomaly(wallRatio: Double, byteRatio: Double,
+                                 maxRatio: Double): Boolean =
+    wallRatio > maxRatio && byteRatio <= maxRatio * 0.6
+
   /** One SF step down from `sfDir` for the slope probe; None when
     * already at the smallest step (or an unrecognized layout). */
   private def slopeDirFor(sfDir: String): Option[String] =
@@ -533,8 +546,8 @@ object Bench {
                     maxRatio: Double): (Seq[QRes], Seq[String]) = {
       val flagged = res.filter { r =>
         r._5 && base.get(r._1).exists { case (bt, bb) =>
-          r._3 / math.max(bt, 1e-3) > maxRatio &&
-            (r._6.bytesWritten + 1).toDouble / (bb + 1) <= maxRatio * 0.6
+          wallAnomaly(r._3 / math.max(bt, 1e-3),
+            (r._6.bytesWritten + 1).toDouble / (bb + 1), maxRatio)
         }
       }.map(_._1).toSet
       val fixed = res.map { r =>

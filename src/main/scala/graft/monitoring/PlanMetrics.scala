@@ -52,6 +52,21 @@ object PlanMetrics {
   def shuffleStats(df: DataFrame): ShuffleStats =
     shuffleStats(df.queryExecution.executedPlan)
 
+  /** Sum of one named SQL metric across `df`'s EXECUTED plan (e.g.
+    * "numTasksFallBacked" proves the hash aggregate's sort-based
+    * fallback path REALLY ran in a forced-degradation test). Same
+    * traversal, dedup, and -1-sentinel guard as [[shuffleStats]]. */
+  def metricSum(df: DataFrame, name: String): Long = {
+    val seen = scala.collection.mutable.HashSet.empty[Long]
+    var total = 0L
+    allNodes(df.queryExecution.executedPlan).foreach { node =>
+      node.metrics.foreach { case (key, m) =>
+        if (key == name && seen.add(m.id)) total += math.max(0L, m.value)
+      }
+    }
+    total
+  }
+
   def shuffleStats(plan: SparkPlan): ShuffleStats = {
     val seen = scala.collection.mutable.HashSet.empty[Long]
     var bytes = 0L; var records = 0L; var spill = 0L

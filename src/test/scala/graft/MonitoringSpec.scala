@@ -89,4 +89,19 @@ class MonitoringSpec extends AnyFunSuite {
     // visible in the artifact), never convicts by itself
     assert(!loadEvidence(drift = 1.0, pre1m = -1.0, mid1mMax = 0.0, cpus = 32))
   }
+
+  test("slope wall-anomaly decision pins the r12/r13 measured populations") {
+    import graft.Bench.wallAnomaly
+    // BENCH_r12's loaded-box slope3 block (the incident this arm was
+    // built on): wall 123x / 26.5x against ~linear byte steps — repass
+    assert(wallAnomaly(wallRatio = 123.0, byteRatio = 3.3, maxRatio = 20))
+    assert(wallAnomaly(wallRatio = 26.5, byteRatio = 6.7, maxRatio = 20))
+    // the r13 quiet re-measure: wall tracks bytes — no repass
+    assert(!wallAnomaly(wallRatio = 3.24, byteRatio = 3.3, maxRatio = 20))
+    assert(!wallAnomaly(wallRatio = 1.83, byteRatio = 6.7, maxRatio = 20))
+    // minhash's documented one-time broadcast->SMJ byte jump: a
+    // GENUINE byte blowup keeps its wall ratio untouched even when
+    // wall exceeds the ceiling
+    assert(!wallAnomaly(wallRatio = 25.0, byteRatio = 7952.0, maxRatio = 20))
+  }
 }

@@ -981,6 +981,68 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("memory pressure: tokenizer-family buffers degrade to disk/fallback, outputs bit-identical") {
+    // The BPE/token family's two buffered stages, previously the only
+    // heavy family without a forced-degradation pin: the PACKING
+    // window (the codegen'd BPE counter feeds a per-source cumulative
+    // sum — the stage that assigns every document its training-pack
+    // slot) and the VOCABULARY aggregate (explode → groupBy token with
+    // a distinct-doc rewrite — the wordcount shape under trainBpe /
+    // unigramLogprob / vocabTopK). Forcing the window spill thresholds
+    // under the per-source group size and the hash aggregate's
+    // sort-based fallback at a handful of map entries makes both take
+    // their degradation path on the same data the unconstrained run
+    // answered; outputs must be bit-identical (pack assignments are
+    // div/mod over an exact long cumsum; vocab rows are exact counts
+    // with tie-broken order — nothing may depend on buffer residency).
+    import graft.monitoring.PlanMetrics
+    import graft.operators.TextAnalysis
+    val docs = Tables.documents(spark, sfDir)
+    def packRun(): (Seq[String], Long) = {
+      // budget far under the per-source token mass so packs roll over
+      val out = TextAnalysis.packSequencesBpe(docs, budget = 512L)
+      val rows = out.collect().map(_.toString).toSeq
+      (rows, PlanMetrics.shuffleStats(out).spillBytes)
+    }
+    def vocabRun(): (Seq[String], Long) = {
+      val out = TextAnalysis.vocabTopK(docs, topN = 100)
+      val rows = out.collect().map(_.toString).toSeq
+      (rows, PlanMetrics.metricSum(out, "numTasksFallBacked"))
+    }
+    val (packBase, packBaseSpill) = packRun()
+    val (vocabBase, vocabBaseFb) = vocabRun()
+    assert(packBaseSpill == 0L && vocabBaseFb == 0L,
+      "baseline tokenizer runs degraded — thresholds leaked from another test")
+    assert(packBase.nonEmpty && vocabBase.nonEmpty, "tokenizer baselines returned nothing")
+    val keys = Seq(
+      "spark.sql.windowExec.buffer.in.memory.threshold" -> "16",
+      "spark.sql.windowExec.buffer.spill.threshold" -> "16",
+      // Spark's own controlled-fallback hook: hash aggregation
+      // abandons the map and switches to sort-based after ~1k
+      // entries — the same degradation an undersized executor forces,
+      // a few times under the per-task distinct-token count so each
+      // task falls back a handful of times (single-digit thresholds
+      // spawn thousands of spill-file readers, ~1 MB read-ahead
+      // buffer each, and OOM the test harness itself)
+      "spark.sql.TungstenAggregate.testFallbackStartsAt" -> "1000, 1500")
+    val keep = keys.map { case (k, _) => k -> spark.conf.getOption(k) }.toMap
+    try {
+      keys.foreach { case (k, v) => spark.conf.set(k, v) }
+      val (packP, packSpill) = packRun()
+      assert(packSpill > 0,
+        "packing window never spilled — the pressure path did not run")
+      assert(packP == packBase,
+        "pack assignments changed under forced spilling")
+      val (vocabP, vocabFb) = vocabRun()
+      assert(vocabFb > 0,
+        "vocabulary aggregate never fell back to sort — the pressure path did not run")
+      assert(vocabP == vocabBase,
+        "vocabulary top-k changed under forced sort-based fallback")
+    } finally keep.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
+
   test("memory pressure: mixing-family rank windows spill to disk, kept sets bit-identical") {
     // The mixing family's scale claim rests on the salt-bound
     // prefilter keeping each rank window's input ~quota-bounded — but
