@@ -105,6 +105,18 @@ object Bench {
                                  maxRatio: Double): Boolean =
     wallRatio > maxRatio && byteRatio <= maxRatio * 0.6
 
+  /** Repass selection, pure so MonitoringSpec can pin the r12-ADVICE
+    * scenario as an executable fact: arm-flagged queries get their
+    * OWN slowest-16 budget ON TOP of the unconditional refinement
+    * tail (bounded <=32 repasses). The r12 form re-sorted the union
+    * and re-capped at 16, which always collapsed to the refinement
+    * set — a flagged MID-PACK 2x blowout never got its repass. */
+  private[graft] def selectSuspects(armFlagged: Seq[String],
+                                    refine: Seq[String],
+                                    steadyOf: Map[String, Double]): Seq[String] =
+    (armFlagged.distinct.sortBy(k => -steadyOf.getOrElse(k, 0.0)).take(16)
+      ++ refine).distinct
+
   /** One SF step down from `sfDir` for the slope probe; None when
     * already at the smallest step (or an unrecognized layout). */
   private def slopeDirFor(sfDir: String): Option[String] =
@@ -429,16 +441,9 @@ object Bench {
     // artifact comparable; the arms remain as the anomaly/conviction
     // markers they were built to be.
     val refine = results0.filter(_._5).sortBy(-_._3).map(_._1).take(16)
-    // arm-flagged queries get their OWN budget (slowest-16 of the
-    // flagged set) ON TOP of the unconditional refinement tail: the
-    // r12 form re-sorted the union and re-capped at 16, which always
-    // collapsed to exactly `refine` (armAB/armC only contain ok
-    // queries and refine is already the 16 slowest of those), so an
-    // arm-(a)/(b)-flagged MID-PACK query — a 2x baseline blowout that
-    // isn't in the heavy tail — never got the repass the arms were
-    // built to give it. Cost stays bounded at <=32 repasses.
-    val suspects = ((armAB ++ armC).distinct
-      .sortBy(k => -steadyOf(k)).take(16) ++ refine).distinct
+    // arm-flagged queries get their OWN budget on top of the
+    // unconditional refinement tail — see [[selectSuspects]]
+    val suspects = selectSuspects(armAB ++ armC, refine, steadyOf)
     val repassed = suspects.map { k =>
       val extra = (0 until 2).map(_ => time(SparkEntry.queries(k), sfDir))
       k -> ((extra.map(_._1).min, extra.map(_._2).min))

@@ -90,6 +90,27 @@ class MonitoringSpec extends AnyFunSuite {
     assert(!loadEvidence(drift = 1.0, pre1m = -1.0, mid1mMax = 0.0, cpus = 32))
   }
 
+  test("repass selection gives arm-flagged queries their own budget") {
+    import graft.Bench.selectSuspects
+    val steady = (1 to 40).map(i => f"q$i%02d" -> i * 0.1).toMap
+    // refinement tail = the 16 slowest (q25..q40 by steady)
+    val refine = steady.toSeq.sortBy(-_._2).map(_._1).take(16)
+    // the r12-ADVICE scenario: a MID-PACK query flagged by arm (b)
+    // (2x baseline blowout) is NOT in the heavy tail — it must still
+    // be selected (the old union-recap form dropped it every time)
+    val got = selectSuspects(armFlagged = Seq("q05"), refine = refine,
+      steadyOf = steady)
+    assert(got.contains("q05"))
+    assert(refine.forall(got.contains), "refinement tail must be kept whole")
+    assert(got.size <= 32)
+    // everything-flagged degenerates to the heavy tail alone: the arm
+    // budget picks the slowest 16 of the flagged set, which IS refine,
+    // and dedup collapses the union — never more than 32 repasses
+    val many = selectSuspects(armFlagged = steady.keys.toSeq, refine = refine,
+      steadyOf = steady)
+    assert(many.toSet == refine.toSet)
+  }
+
   test("slope wall-anomaly decision pins the r12/r13 measured populations") {
     import graft.Bench.wallAnomaly
     // BENCH_r12's loaded-box slope3 block (the incident this arm was
