@@ -53,6 +53,14 @@ def dedup_key(df):
     return df.drop_duplicates(subset=["user_id", "ts"], keep="first")
 
 
+def distinct_daily(df):
+    # dashboard nunique-at-scale: per-(day, type) distinct users — the
+    # exact layer graft's daily HLL sketch is checked against
+    # (q_distinct_sketch_check)
+    return df.groupby([df["ts"].dt.date, "event_type"]).agg(
+        exact_users=("user_id", "nunique"), n_events=("user_id", "size"))
+
+
 def metrics(df):
     # dashboard.py:160-176 key metrics
     return {
@@ -582,6 +590,7 @@ def main():
     event_queries = [
         ("feature_pipeline", feature_pipeline),
         ("dedup_key", dedup_key),
+        ("distinct_daily", distinct_daily),
         ("metrics", metrics),
         ("latest_per_key", latest_per_key),
         ("corr_matrix", corr_matrix),
