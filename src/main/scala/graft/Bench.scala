@@ -107,15 +107,22 @@ object Bench {
 
   /** Repass selection, pure so MonitoringSpec can pin the r12-ADVICE
     * scenario as an executable fact: arm-flagged queries get their
-    * OWN slowest-16 budget ON TOP of the unconditional refinement
-    * tail (bounded <=32 repasses). The r12 form re-sorted the union
-    * and re-capped at 16, which always collapsed to the refinement
-    * set — a flagged MID-PACK 2x blowout never got its repass. */
-  private[graft] def selectSuspects(armFlagged: Seq[String],
+    * OWN 16-slot budget ON TOP of the unconditional refinement tail
+    * (bounded <=32 repasses). The r12 form re-sorted the union and
+    * re-capped at 16, which always collapsed to the refinement set —
+    * a flagged MID-PACK 2x blowout never got its repass. Within the
+    * arm budget, per-query arms (a)/(b) rank BEFORE the load arm (c):
+    * arm (c) flags every ok query on a loaded round, and letting it
+    * share one slowest-first pool would reproduce the collapse (the
+    * slowest-16 of everything IS the refinement tail) on exactly the
+    * loaded rounds where the mid-pack blowout matters most. */
+  private[graft] def selectSuspects(armAB: Seq[String], armC: Seq[String],
                                     refine: Seq[String],
-                                    steadyOf: Map[String, Double]): Seq[String] =
-    (armFlagged.distinct.sortBy(k => -steadyOf.getOrElse(k, 0.0)).take(16)
-      ++ refine).distinct
+                                    steadyOf: Map[String, Double]): Seq[String] = {
+    def bySlowest(ks: Seq[String]): Seq[String] =
+      ks.distinct.sortBy(k => -steadyOf.getOrElse(k, 0.0))
+    ((bySlowest(armAB) ++ bySlowest(armC)).distinct.take(16) ++ refine).distinct
+  }
 
   /** One SF step down from `sfDir` for the slope probe; None when
     * already at the smallest step (or an unrecognized layout). */
@@ -293,19 +300,24 @@ object Bench {
       Some((s, d) => graft.sources.Tables.events(s, d).groupBy("user_id").count())
     val sentinelTimes = scala.collection.mutable.ArrayBuffer.empty[Double]
     val loadSamples = scala.collection.mutable.ArrayBuffer.empty[String]
+    // median of 3 back-to-back runs, not a single sample: sampling
+    // fires right after arbitrary suite queries, whose JIT/GC residue
+    // inflates a lone sentinel run ~1.8-2x even on a verified-idle
+    // box (r12 calibration: single-sample drift 1.84, max = the
+    // sample adjacent to the heaviest pass window). The median kills
+    // the one-off residue spike but keeps SUSTAINED co-tenant
+    // contention (which inflates all three) fully visible. ONE
+    // sampler for the suite checkpoints and the slope-window pre/post
+    // probes — the two timelines are compared against each other, so
+    // a discipline tweak applied to one site only would silently
+    // desynchronize them.
+    def sentinelMedian3(): Double = sentinelFn.map { fn =>
+      val ts = (0 until 3).map(_ => time(fn, sfDir)._1).sorted
+      ts(1)
+    }.getOrElse(0.0)
     val checkpoint: () => Unit = () => {
       loadSamples += loadavgJ()
-      // median of 3 back-to-back runs, not a single sample: the
-      // checkpoint fires right after arbitrary suite queries, whose
-      // JIT/GC residue inflates a lone sentinel run ~1.8-2x even on a
-      // verified-idle box (r12 calibration: single-sample drift 1.84,
-      // max = the sample adjacent to the heaviest pass window). The
-      // median kills the one-off residue spike but keeps SUSTAINED
-      // co-tenant contention (which inflates all three) fully visible.
-      sentinelFn.foreach { fn =>
-        val ts = (0 until 3).map(_ => time(fn, sfDir)._1).sorted
-        sentinelTimes += ts(1)
-      }
+      sentinelTimes += sentinelMedian3()
     }
     // warm the sentinel TWICE so neither one-time codegen nor
     // second-run JIT residue is read as drift by the first checkpoint
@@ -443,7 +455,7 @@ object Bench {
     val refine = results0.filter(_._5).sortBy(-_._3).map(_._1).take(16)
     // arm-flagged queries get their OWN budget on top of the
     // unconditional refinement tail — see [[selectSuspects]]
-    val suspects = selectSuspects(armAB ++ armC, refine, steadyOf)
+    val suspects = selectSuspects(armAB, armC, refine, steadyOf)
     val repassed = suspects.map { k =>
       val extra = (0 until 2).map(_ => time(SparkEntry.queries(k), sfDir))
       k -> ((extra.map(_._1).min, extra.map(_._2).min))
@@ -542,10 +554,6 @@ object Bench {
       val steady = sentinelTimes.drop(1)
       if (steady.nonEmpty) steady.min else 0.0
     }
-    def sentinelMedian3(): Double = sentinelFn.map { fn =>
-      val ts = (0 until 3).map(_ => time(fn, sfDir)._1).sorted
-      ts(1)
-    }.getOrElse(0.0)
     def slopeRepass(res: Seq[QRes], dir: String,
                     base: Map[String, (Double, Long)],
                     maxRatio: Double): (Seq[QRes], Seq[String]) = {
@@ -565,14 +573,22 @@ object Bench {
       }
       (fixed, flagged.toSeq.sorted)
     }
+    // Window conviction ORs in the SUITE's load evidence: the window
+    // drift compares against the suite's own sentinel minimum, so a
+    // co-tenant present for the ENTIRE run inflates numerator and
+    // denominator together and the window alone reads ~1.0 — exactly
+    // the sustained pattern (r9/r12) the suite-level arms exist to
+    // catch. A mid-run arrival is caught by the window drift; a
+    // whole-run co-tenant by `suite_load`; either marks the window's
+    // TIME ratios untrusted (bytes stay authoritative regardless).
     def slopeLoadJson(tag: String, pre: Double, post: Double,
-                      repassed: Seq[String]): String = {
+                      repassed: Seq[String], suiteLoad: Boolean): String = {
       val q = math.max(sentinelQuietMin(), 1e-3)
       val drift = math.min(pre, post) / q
-      val convicted = drift > 1.8
+      val convicted = drift > 1.8 || suiteLoad
       val rj = repassed.map("\"" + _ + "\"").mkString("[", ",", "]")
       s""","${tag}_load":{"sentinel_pre":$pre,"sentinel_post":$post,""" +
-        s""""drift":$drift,"convicted":$convicted,"repassed":$rj}"""
+        s""""drift":$drift,"suite_load":$suiteLoad,"convicted":$convicted,"repassed":$rj}"""
     }
 
     // SECOND-decade slope probe (up-step): the synthetic 10x corpus
@@ -628,7 +644,7 @@ object Bench {
         val (bigRes, s2Repassed) =
           slopeRepass(bigRes0, bigDir, primBy, maxRatio = 20)
         val postS = sentinelMedian3()
-        val loadJ = slopeLoadJson("slope2", preS, postS, s2Repassed)
+        val loadJ = slopeLoadJson("slope2", preS, postS, s2Repassed, loadEvident)
         slope2Times = bigRes.map(r => r._1 -> r._3).toMap
         slope2Bytes = bigRes.map(r => r._1 -> r._6.bytesWritten).toMap
         val qsJ = bigRes.map(r => "\"" + r._1 + "\":" + r._3)
@@ -688,7 +704,7 @@ object Bench {
         val (hugeRes, s3Repassed) =
           slopeRepass(hugeRes0, hugeDir, anomBase, maxRatio = anomMax)
         val postS = sentinelMedian3()
-        val loadJ = slopeLoadJson("slope3", preS, postS, s3Repassed)
+        val loadJ = slopeLoadJson("slope3", preS, postS, s3Repassed, loadEvident)
         val qsJ = hugeRes.map(r => "\"" + r._1 + "\":" + r._3)
           .mkString("{", ",", "}")
         val ratios = hugeRes.map { r =>

@@ -342,28 +342,32 @@ object Analytics {
         sum("n_events").as("n_events"))
       .orderBy("event_type")
 
-  /** Oracle-checkable form of the DAILY sketch layer: every
-    * [[distinctSketchDaily]] row joined to its exact distinct count,
-    * with the sketch estimate reduced to `est_in_bound` = |est −
-    * exact| ≤ max(2, 5% · exact) (HLL lgK=12 ⇒ ~1.6% RSE, so 5% is
-    * ~3σ; the +2 floor covers integer granularity on near-empty
-    * days). The bound-tolerance compare doesn't fit the driver's
-    * exact-hash contract directly — an estimate has no cross-engine
-    * value — so the bound is evaluated Spark-side into a BOOLEAN the
-    * hash CAN gate: DuckDB recomputes the exact distincts (verifying
-    * the grouping and exact layer bit-for-bit) and asserts TRUE per
-    * row, so any day whose sketch strays past 3σ flips the hash red.
-    * The raw-estimate query (q_distinct_sketch) stays rows-only for
-    * readers of the actual estimates. */
-  def distinctSketchDailyCheck(events: DataFrame): DataFrame = {
-    val daily = distinctSketchDaily(events)
-    val exact = events
+  /** Oracle-checkable form of the DAILY sketch layer: the same
+    * (day, type) sketch aggregation as [[distinctSketchDaily]], with
+    * its exact distinct count computed IN THE SAME groupBy and the
+    * sketch estimate reduced to `est_in_bound` = |est − exact| ≤
+    * max(2, 5% · exact) (HLL lgK=12 ⇒ ~1.6% RSE, so 5% is ~3σ; the
+    * +2 floor covers integer granularity on near-empty days). The
+    * bound-tolerance compare doesn't fit the driver's exact-hash
+    * contract directly — an estimate has no cross-engine value — so
+    * the bound is evaluated Spark-side into a BOOLEAN the hash CAN
+    * gate: DuckDB recomputes the exact distincts (verifying the
+    * grouping and exact layer bit-for-bit) and asserts TRUE per row,
+    * so any day whose sketch strays past 3σ flips the hash red.
+    * One groupBy, not a daily-frame-to-exact-frame join: a join on
+    * (day, event_type) would silently DROP null-key groups (null
+    * never equals null in join equality) that the oracle's GROUP BY
+    * emits — and it costs a second corpus aggregation plus the join
+    * shuffle for nothing. The raw-estimate query (q_distinct_sketch)
+    * stays rows-only for readers of the actual estimates. */
+  def distinctSketchDailyCheck(events: DataFrame): DataFrame =
+    events
       .groupBy(to_date(col("ts")).cast("string").as("day"), col("event_type"))
-      .agg(countDistinct(col("user_id")).as("exact_users"))
-    daily.join(exact, Seq("day", "event_type"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("est"),
+        countDistinct(col("user_id")).as("exact_users"),
+        count(lit(1)).as("n_events"))
       .select(col("day"), col("event_type"), col("exact_users"), col("n_events"),
-        (abs(hll_sketch_estimate(col("users_sketch")) - col("exact_users"))
+        (abs(col("est") - col("exact_users"))
           <= greatest(lit(2.0), col("exact_users") * 0.05)).as("est_in_bound"))
       .orderBy("day", "event_type")
-  }
 }

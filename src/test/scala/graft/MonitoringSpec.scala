@@ -98,16 +98,25 @@ class MonitoringSpec extends AnyFunSuite {
     // the r12-ADVICE scenario: a MID-PACK query flagged by arm (b)
     // (2x baseline blowout) is NOT in the heavy tail — it must still
     // be selected (the old union-recap form dropped it every time)
-    val got = selectSuspects(armFlagged = Seq("q05"), refine = refine,
-      steadyOf = steady)
+    val got = selectSuspects(armAB = Seq("q05"), armC = Seq.empty,
+      refine = refine, steadyOf = steady)
     assert(got.contains("q05"))
     assert(refine.forall(got.contains), "refinement tail must be kept whole")
     assert(got.size <= 32)
-    // everything-flagged degenerates to the heavy tail alone: the arm
-    // budget picks the slowest 16 of the flagged set, which IS refine,
-    // and dedup collapses the union — never more than 32 repasses
-    val many = selectSuspects(armFlagged = steady.keys.toSeq, refine = refine,
-      steadyOf = steady)
+    // the LOADED-round variant: arm (c) flags every ok query, but the
+    // per-query arms rank FIRST inside the arm budget, so the
+    // mid-pack blowout keeps its slot instead of being flooded out by
+    // arm (c)'s slowest-first pool (which is just refine again)
+    val loaded = selectSuspects(armAB = Seq("q05"),
+      armC = steady.keys.toSeq, refine = refine, steadyOf = steady)
+    assert(loaded.contains("q05"),
+      "arm-(b) mid-pack query must survive arm-(c) flooding")
+    assert(refine.forall(loaded.contains))
+    assert(loaded.size <= 32)
+    // arm (c) alone degenerates to the heavy tail: its slowest-16 IS
+    // refine and dedup collapses the union
+    val many = selectSuspects(armAB = Seq.empty, armC = steady.keys.toSeq,
+      refine = refine, steadyOf = steady)
     assert(many.toSet == refine.toSet)
   }
 
