@@ -40,6 +40,18 @@ class PlanSpec extends AnyFunSuite {
     assert(p.split("HashAggregate").length - 1 >= 2, p)
   }
 
+  test("sketch check is ONE aggregation pass: no join, one hash exchange family") {
+    // the r13 review fix: sketch + exact distinct + count in one
+    // groupBy — a daily-frame-to-exact-frame join dropped null-key
+    // groups and paid a second corpus aggregation + join shuffle. The
+    // distinct rewrite may add an Expand/partial layer, but there
+    // must be NO join and no second corpus-sized aggregation DAG.
+    val p = planOf("q_distinct_sketch_check")
+    assert(!p.contains("Join"), s"sketch check must not plan a join:\n$p")
+    assert(p.split("Scan parquet").length - 1 == 1,
+      s"sketch check must scan events exactly once:\n$p")
+  }
+
   test("events scans prune columns (no props column where unused)") {
     val df = SparkEntry.queries("q_lag_features")(spark, sfDir)
     val scan = df.queryExecution.executedPlan.toString
