@@ -234,6 +234,15 @@ object SparkEntry {
     // are short; 20 keeps the repeated-boilerplate set non-vacuous at
     // every test SF (hundreds of repeated windows)
     "q_dedup_spans" -> ((s, d) => TextAnalysis.dedupSpans(Tables.documents(s, d), k = 20)),
+    // span-level decontamination: src0 plays the evaluation benchmark
+    // (the bigram held-out convention), every other source is the
+    // training corpus whose contaminated 13-gram spans get excised
+    "q_decontaminate_spans" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      TextAnalysis.decontaminateSpans(
+        docs.filter(col("source") =!= "src0"),
+        docs.filter(col("source") === "src0"), k = 13)
+    }),
     "q_corpus_stats" -> ((s, d) => TextAnalysis.corpusStats(Tables.documents(s, d))),
     "q_url_stats" -> ((s, d) => TextAnalysis.urlStats(urlView(Tables.documents(s, d)))),
     "q_chunk_docs" -> ((s, d) => TextAnalysis.chunkDocs(Tables.documents(s, d))),
@@ -1945,6 +1954,63 @@ object SparkEntry {
         |  FROM isl
         |), ivs AS (
         |  SELECT doc_id, min(pos) AS s, max(pos) + 20 AS e FROM isl2 GROUP BY doc_id, island
+        |), te AS (
+        |  SELECT doc_id, CAST(unnest(range(0, len(toks))) AS INT) AS i, toks FROM tok
+        |), keep AS (
+        |  SELECT te.doc_id, te.i, te.toks[te.i + 1] AS t FROM te
+        |  WHERE NOT EXISTS (SELECT 1 FROM ivs
+        |                    WHERE ivs.doc_id = te.doc_id AND te.i >= ivs.s AND te.i < ivs.e)
+        |), rebuilt AS (
+        |  SELECT doc_id, count(*) AS n_kept,
+        |         string_agg(t, ' ' ORDER BY i) AS text_clean
+        |  FROM keep GROUP BY doc_id
+        |)
+        |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+        |       CAST(len(t.toks) - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed,
+        |       coalesce(r.text_clean, '') AS text_clean
+        |FROM tok t LEFT JOIN rebuilt r USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin,
+    // the q_dedup_spans CTE with MEMBERSHIP flagging: a corpus window
+    // is flagged iff its CONTENT appears among the benchmark's
+    // 13-gram windows (the oracle compares window strings where the
+    // kernel compares 64-bit hashes — content equality implies hash
+    // equality, and the no-collision premise is the same one every
+    // shingle-hash oracle in this file stands on)
+    "q_decontaminate_spans" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+        |  FROM documents WHERE source <> 'src0'
+        |), btok AS (
+        |  SELECT doc_id,
+        |         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+        |  FROM documents WHERE source = 'src0'
+        |), wins AS (
+        |  SELECT doc_id, CAST(unnest(range(0, greatest(len(toks) - 12, 0))) AS INT) AS pos, toks
+        |  FROM tok
+        |), w2 AS (
+        |  SELECT doc_id, pos, array_to_string(list_slice(toks, pos + 1, pos + 13), ' ') AS w
+        |  FROM wins
+        |), bwins AS (
+        |  SELECT CAST(unnest(range(0, greatest(len(toks) - 12, 0))) AS INT) AS pos, toks
+        |  FROM btok
+        |), bad AS (
+        |  SELECT DISTINCT array_to_string(list_slice(toks, pos + 1, pos + 13), ' ') AS w
+        |  FROM bwins
+        |), starts AS (
+        |  SELECT doc_id, pos FROM w2 WHERE w IN (SELECT w FROM bad)
+        |), isl AS (
+        |  SELECT doc_id, pos,
+        |         CASE WHEN pos > coalesce(max(pos + 13) OVER (
+        |           PARTITION BY doc_id ORDER BY pos
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+        |         THEN 1 ELSE 0 END AS ni
+        |  FROM starts
+        |), isl2 AS (
+        |  SELECT doc_id, pos, sum(ni) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        |  FROM isl
+        |), ivs AS (
+        |  SELECT doc_id, min(pos) AS s, max(pos) + 13 AS e FROM isl2 GROUP BY doc_id, island
         |), te AS (
         |  SELECT doc_id, CAST(unnest(range(0, len(toks))) AS INT) AS i, toks FROM tok
         |), keep AS (

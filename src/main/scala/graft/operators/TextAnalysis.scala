@@ -503,9 +503,19 @@ object TextAnalysis {
       .groupBy("wh").agg(count(lit(1)).as("w_df"))
       .filter(col("w_df") > maxDocFreq)
     val starts = wins.join(frequent.select("wh"), Seq("wh"))
-    // gaps-and-islands: a start opens a new island iff it clears every
-    // earlier window's end (starts ascend, so the running max end is
-    // prev_pos + k); [s, e) intervals merge overlap AND adjacency
+    mergeStartsToIvs(starts, k)
+  }
+
+  /** Gaps-and-islands merge of flagged window-start rows
+    * (doc_id, pos) into one sorted array of disjoint [s, e) token
+    * intervals per document — the shared second half of
+    * [[spanIntervals]] (corpus-frequency flagging) and
+    * [[contaminationIntervals]] (benchmark-membership flagging): a
+    * start opens a new island iff it clears every earlier window's
+    * end (starts ascend, so the running max end is prev_pos + k);
+    * [s, e) intervals merge overlap AND adjacency. */
+  private def mergeStartsToIvs(starts: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val byPos = Window.partitionBy("doc_id").orderBy("pos")
     val prevEnd = max(col("pos") + k).over(byPos.rowsBetween(Window.unboundedPreceding, -1))
     starts
@@ -516,6 +526,27 @@ object TextAnalysis {
       .agg(min("pos").as("s"), (max("pos") + k).as("e"))
       .groupBy("doc_id")
       .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("ivs"))
+  }
+
+  /** Merged [s, e) token intervals per corpus document covered by some
+    * k-token window whose content appears ANYWHERE in the benchmark
+    * set — [[spanIntervals]] with membership flagging instead of
+    * document-frequency flagging. Same shape: only (hash, doc_id,
+    * pos) rows shuffle, text stays in the scan; the benchmark hash
+    * set is benchmark-sized (distinct k-grams), so AQE broadcasts it
+    * when it fits and the join degrades to a hash shuffle when it
+    * doesn't. Window equality is 64-bit hash equality, the documented
+    * shingle-surface collision contract. */
+  private[graft] def contaminationIntervals(docs: DataFrame, bench: DataFrame,
+                                            k: Int): DataFrame = {
+    val wins = docs
+      .select(col("doc_id"),
+        posexplode(GraftFunctions.shingleHashPos(tokens(col("text")), k))
+          .as(Seq("pos", "wh")))
+    val bad = bench
+      .select(explode(GraftFunctions.shingleHashPos(tokens(col("text")), k)).as("wh"))
+      .distinct()
+    mergeStartsToIvs(wins.join(bad, Seq("wh")), k)
   }
 
   /** Repeated-span dedup — the substring-granularity member of the
@@ -546,12 +577,61 @@ object TextAnalysis {
                           maxDocFreq: Int, broadcastIntervals: Boolean): DataFrame = {
     require(k >= 2, s"window size must be at least 2 tokens: $k")
     require(maxDocFreq >= 1, s"maxDocFreq must be at least 1: $maxDocFreq")
-    val ivs = spanIntervals(docs, k, maxDocFreq)
+    attachIvs(docs, extra, spanIntervals(docs, k, maxDocFreq), broadcastIntervals)
+  }
+
+  /** Left-join a prebuilt interval table onto the docs and coalesce
+    * missing entries to the empty array — the shared attach half of
+    * every span-cutting projection, factored so the frequency- and
+    * contamination-flagged forms cannot drift. */
+  private def attachIvs(docs: DataFrame, extra: Seq[Column], ivs: DataFrame,
+                        broadcastIntervals: Boolean): DataFrame = {
     val ivSide = if (broadcastIntervals) broadcast(ivs) else ivs
     val noIvs = array().cast("array<struct<s:int,e:int>>")
     docs.select(col("doc_id") +: extra: _*)
       .join(ivSide, Seq("doc_id"), "left")
       .withColumn("ivs", coalesce(col("ivs"), noIvs))
+  }
+
+  /** SPAN-level benchmark decontamination — the substring-granularity
+    * member of the decontamination family, after document-level
+    * [[graft.operators.Dedup.decontaminate]] (exact),
+    * `decontaminateFuzzy` (n-gram Jaccard), and the embedding-space
+    * semantic form: instead of DROPPING a document that shares
+    * content with an evaluation benchmark, EXCISE exactly the
+    * contaminated token spans and keep the rest — the GPT-3 paper's
+    * published procedure (Brown et al. 2020, appendix C: remove the
+    * overlapping 13-gram span rather than the document) and the
+    * reason `k = 13` is the default here. Any shared run of ≥ k
+    * tokens is covered by shared k-windows and is cut exactly; runs
+    * shorter than k survive (benchmark phrases that short are
+    * ordinary language, not leakage).
+    *
+    * Output per corpus document: normalized token count, tokens
+    * removed, and the text with contaminated spans cut — same
+    * contract as [[dedupSpans]], and the same case/whitespace
+    * caveat: matching runs on normalized tokens, an uncontaminated
+    * document passes through with its token stream intact but
+    * inter-token whitespace collapsed (this form feeds quality
+    * scoring/packing, which are whitespace-insensitive).
+    *
+    * Scale shape: [[contaminationIntervals]] — only (hash, pos) rows
+    * shuffle, the benchmark k-gram set is benchmark-bounded (AQE
+    * broadcasts it when small), and the interval join-back is
+    * broadcast by default, bounded by the CONTAMINATED-doc volume;
+    * set `broadcastIntervals = false` when that outgrows the budget. */
+  def decontaminateSpans(docs: DataFrame, bench: DataFrame, k: Int = 13,
+                         broadcastIntervals: Boolean = true): DataFrame = {
+    require(k >= 2, s"window size must be at least 2 tokens: $k")
+    attachIvs(docs, Seq(tokens(col("text")).as("toks")),
+        contaminationIntervals(docs, bench, k), broadcastIntervals)
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        keptByIvs(col("toks")).as("kept"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - size(col("kept"))).cast("long").as("n_removed"),
+        array_join(col("kept"), " ").as("text_clean"))
+      .orderBy("doc_id")
   }
 
   /** filter() predicate: token index i not covered by any interval. */

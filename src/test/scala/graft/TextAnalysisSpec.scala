@@ -702,6 +702,43 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(shuffled == out)
   }
 
+  test("decontaminateSpans excises exactly the benchmark-matching spans") {
+    import spark.implicits._
+    val bench = Seq(
+      (100L, "b1 b2 b3 b4 leak"),
+      (101L, "c1 c2 c3 c4 c5"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      // the 5-token benchmark run embedded mid-doc: windows at the
+      // run's starts merge into ONE [2,7) cut; context survives
+      (1L, "p1 p2 b1 b2 b3 b4 leak t1 t2"),
+      // only k-1 shared tokens: ordinary language, never cut
+      (2L, "b1 b2 b3 b4 clean tail"),
+      // TWO separated contaminated runs in one doc: two islands,
+      // the gap token survives
+      (3L, "b1 b2 b3 b4 leak gap c1 c2 c3 c4 c5"),
+      // no overlap at all + empty doc: untouched
+      (4L, "u1 u2 u3 u4 u5"),
+      (5L, ""))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.decontaminateSpans(corpus, bench, k = 5).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((9L, 5L, "p1 p2 t1 t2")))
+    assert(out(2L) == ((6L, 0L, "b1 b2 b3 b4 clean tail")))
+    assert(out(3L) == ((11L, 10L, "gap")))
+    assert(out(4L) == ((5L, 0L, "u1 u2 u3 u4 u5")))
+    assert(out(5L) == ((1L, 0L, "")))
+    // an empty benchmark contaminates nothing
+    val none = TextAnalysis.decontaminateSpans(corpus, bench.limit(0), k = 5)
+      .collect().map(r => r.getLong(2)).sum
+    assert(none == 0L)
+    // the non-broadcast join path computes the identical answer
+    val shuffled = TextAnalysis
+      .decontaminateSpans(corpus, bench, k = 5, broadcastIntervals = false)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(shuffled == out)
+  }
+
   test("dedupSpans fidelity: window coverage equals exact repeated-substring coverage (sf0.001)") {
     // The documented approximation claim ("any repeated run of >= k
     // tokens is covered by repeated k-windows and is cut exactly")
