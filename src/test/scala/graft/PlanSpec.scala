@@ -103,6 +103,37 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("decontaminateSpans: no text or token array crosses a hash exchange") {
+    // the operator's scale claim (contaminationIntervals scaladoc):
+    // corpus-sized shuffles move only (hash, doc_id, pos) rows — the
+    // token arrays reach the broadcast interval join-back and the
+    // presentation RANGE sort, never a hash exchange. A refactor that
+    // shuffles text with the window hashes fails here.
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val docs = Tables.documents(spark, sfDir)
+      val out = graft.operators.TextAnalysis.decontaminateSpans(
+        docs.filter(col("source") =!= "src0"),
+        docs.filter(col("source") === "src0"), k = 13)
+      val hashEx = out.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec
+          if e.outputPartitioning.isInstanceOf[HashPartitioning] => e
+      }
+      assert(hashEx.nonEmpty, "expected hash exchanges in decontaminateSpans")
+      hashEx.foreach { e =>
+        val bad = e.output.filter(a => a.dataType == StringType ||
+          a.dataType == ArrayType(StringType, containsNull = false) ||
+          a.dataType == ArrayType(StringType, containsNull = true)).map(_.name)
+        assert(bad.isEmpty,
+          s"text/token column(s) on a hash exchange: ${bad.mkString(", ")}")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("dedup pipelines plan no RDD deserialization boundary") {
     // spreadToCores must stay plan-side: a df.rdd probe (or any
     // Dataset->RDD hop) would show as DeserializeToObject / Scan
