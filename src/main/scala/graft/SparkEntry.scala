@@ -34,6 +34,32 @@ object SparkEntry {
         pmod(col("doc_id"), lit(7L)).cast("string"),
         lit(".example.com/doc/"), col("doc_id").cast("string")))
 
+  /** Deterministic URL column for q_url_dedup, built so every RAW url
+    * is doc-unique (tracking params + fragment carry doc_id) while the
+    * CANONICAL key collapses to (doc_id%3, doc_id%5, doc_id%2) — 30
+    * groups, so collisions exist at every SF and canonicalization is
+    * the only thing that creates them. Each rule of
+    * [[graft.operators.TextAnalysis.canonicalizeUrl]] is exercised:
+    * scheme/host case, :443 on even ids, trailing slash on %3==0,
+    * param order flipped between the branches, utm_/gclid tracking
+    * junk, #fragment. Mirrored in the oracle's `urldocs` CTE (pmod
+    * spelled `((x % k + k) % k)` — fuzz doc_ids go negative). */
+  private[graft] def urlDedupView(docs: DataFrame): DataFrame = {
+    val m2 = pmod(col("doc_id"), lit(2L)).cast("string")
+    docs.withColumn("url", concat(
+      lit("HTTPS://WWW.Src"), pmod(col("doc_id"), lit(3L)).cast("string"),
+      lit(".Example.COM"),
+      when(pmod(col("doc_id"), lit(2L)) === 0, lit(":443")).otherwise(lit("")),
+      lit("/Doc/"), pmod(col("doc_id"), lit(5L)).cast("string"),
+      when(pmod(col("doc_id"), lit(3L)) === 0, lit("/")).otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(2L)) === 0,
+        concat(lit("?b=2&utm_source=u"), col("doc_id").cast("string"),
+          lit("&a=1&id="), m2))
+        .otherwise(concat(lit("?a=1&id="), m2,
+          lit("&b=2&gclid=g"), col("doc_id").cast("string"))),
+      lit("#sec"), col("doc_id").cast("string")))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // E. dashboard analytics + A. ingest
@@ -245,6 +271,19 @@ object SparkEntry {
     }),
     "q_corpus_stats" -> ((s, d) => TextAnalysis.corpusStats(Tables.documents(s, d))),
     "q_url_stats" -> ((s, d) => TextAnalysis.urlStats(urlView(Tables.documents(s, d)))),
+    // URL-keyed crawl dedup over the injected-collision view (see
+    // urlDedupView: canonicalization is what CREATES the collisions —
+    // every raw URL is doc-unique)
+    "q_url_dedup" -> ((s, d) =>
+      TextAnalysis.dedupByUrl(urlDedupView(Tables.documents(s, d)))),
+    // per-doc top-5 TF-IDF keywords (smooth idf, rank on the rounded
+    // score — see tfidfTopK's FP-discipline scaladoc)
+    "q_tfidf_topk" -> ((s, d) => TextAnalysis.tfidfTopK(Tables.documents(s, d))),
+    // Misra-Gries heavy hitters, gated the distinct_sketch_check way:
+    // the exact heavy set is deterministic; found/est_in_bound hold
+    // under ANY partitioning by the merged-bound theorem
+    "q_heavy_hitters_check" -> ((s, d) =>
+      TextAnalysis.heavyHittersCheck(Tables.documents(s, d))),
     "q_chunk_docs" -> ((s, d) => TextAnalysis.chunkDocs(Tables.documents(s, d))),
     "q_token_entropy" -> ((s, d) => TextAnalysis.tokenEntropy(Tables.documents(s, d))),
     // H. near-dup + similarity
@@ -1762,6 +1801,42 @@ object SparkEntry {
         |GROUP BY token
         |ORDER BY n_total DESC, token ASC
         |LIMIT 100""".stripMargin,
+    "q_tfidf_topk" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |         unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS token
+        |  FROM documents
+        |), t AS (SELECT doc_id, token FROM tok WHERE token <> ''),
+        |tf AS (SELECT doc_id, token, count(*) AS n_tf FROM t GROUP BY doc_id, token),
+        |dfr AS (SELECT token, count(*) AS n_df FROM tf GROUP BY token),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT doc_id, token, n_tf, n_df,
+        |         (round(n_tf * (ln((n_docs + 1) / (n_df + 1.0)) + 1) + 1e-9, 6) + 0) AS tfidf
+        |  FROM tf JOIN dfr USING (token) CROSS JOIN n
+        |), ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token ASC) AS rn
+        |  FROM scored
+        |)
+        |SELECT doc_id, token, CAST(n_tf AS BIGINT) AS n_tf, CAST(n_df AS BIGINT) AS n_df,
+        |       tfidf, CAST(rn AS BIGINT) AS term_rank
+        |FROM ranked WHERE rn <= 5 ORDER BY doc_id, term_rank""".stripMargin,
+    // heavy set = tokens with exact count > 2N/(k+1) at k=64; the two
+    // booleans are the Misra-Gries merged-bound contract (see
+    // heavyHittersCheck's scaladoc) and must be TRUE for every row
+    // under any partitioning
+    "q_heavy_hitters_check" ->
+      """WITH tok AS (
+        |  SELECT unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS token
+        |  FROM documents
+        |), t AS (SELECT token FROM tok WHERE token <> ''),
+        |n AS (SELECT count(*) AS n_total FROM t),
+        |f AS (SELECT token, count(*) AS n_exact FROM t GROUP BY token)
+        |SELECT token, CAST(n_exact AS BIGINT) AS n_exact,
+        |       TRUE AS found, TRUE AS est_in_bound
+        |FROM f CROSS JOIN n
+        |WHERE n_exact > 2.0 * n_total / 65
+        |ORDER BY token""".stripMargin,
     "q_stratified_sample" ->
       """SELECT doc_id, source, CAST(rn AS BIGINT) AS sample_rank FROM (
         |  SELECT doc_id, source,
@@ -2043,6 +2118,50 @@ object SparkEntry {
         |SELECT domain, count(*) AS n_urls, count(DISTINCT doc_id) AS n_docs
         |FROM d WHERE domain <> ''
         |GROUP BY domain ORDER BY n_urls DESC, domain ASC""".stripMargin,
+    // urldocs mirrors urlDedupView; c1-c3 restate each canonicalizeUrl
+    // rule (plain-string literal: single-backslash regex reaches RE2)
+    "q_url_dedup" ->
+      """WITH urldocs AS (
+        |  SELECT doc_id, n_chars,
+        |         'HTTPS://WWW.Src' || ((doc_id % 3 + 3) % 3) || '.Example.COM'
+        |      || CASE WHEN (doc_id % 2 + 2) % 2 = 0 THEN ':443' ELSE '' END
+        |      || '/Doc/' || ((doc_id % 5 + 5) % 5)
+        |      || CASE WHEN (doc_id % 3 + 3) % 3 = 0 THEN '/' ELSE '' END
+        |      || CASE WHEN (doc_id % 2 + 2) % 2 = 0
+        |              THEN '?b=2&utm_source=u' || doc_id || '&a=1&id=' || ((doc_id % 2 + 2) % 2)
+        |              ELSE '?a=1&id=' || ((doc_id % 2 + 2) % 2) || '&b=2&gclid=g' || doc_id END
+        |      || '#sec' || doc_id AS url
+        |  FROM documents
+        |), c1 AS (
+        |  SELECT doc_id, n_chars, regexp_replace(url, '#.*$', '') AS nf FROM urldocs
+        |), c2 AS (
+        |  SELECT doc_id, n_chars,
+        |         lower(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |         lower(regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS auth,
+        |         regexp_replace(regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '/+$', '') AS pth,
+        |         regexp_extract(nf, '\?(.*)$', 1) AS q
+        |  FROM c1
+        |), c3 AS (
+        |  SELECT doc_id, n_chars, scheme, pth,
+        |         regexp_replace(CASE WHEN scheme = 'https' THEN regexp_replace(auth, ':443$', '')
+        |                             WHEN scheme = 'http'  THEN regexp_replace(auth, ':80$', '')
+        |                             ELSE auth END, '^www\.', '') AS host,
+        |         array_to_string(list_sort(list_filter(string_split(q, '&'),
+        |           p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid|msclkid|igshid|ref)='))), '&') AS kept
+        |  FROM c2
+        |), canon AS (
+        |  SELECT doc_id, n_chars,
+        |         scheme || '://' || host || pth
+        |           || CASE WHEN kept = '' THEN '' ELSE '?' || kept END AS url_canon
+        |  FROM c3
+        |), ranked AS (
+        |  SELECT doc_id, url_canon,
+        |         row_number() OVER (PARTITION BY url_canon ORDER BY n_chars DESC, doc_id ASC) AS rn,
+        |         count(*) OVER (PARTITION BY url_canon) AS n_dupes
+        |  FROM canon
+        |)
+        |SELECT doc_id, url_canon, CAST(n_dupes AS BIGINT) AS n_dupes
+        |FROM ranked WHERE rn = 1 ORDER BY url_canon""".stripMargin,
     // poly64 re-expressed in DuckDB: the byte fold runs in HUGEINT with
     // an explicit mod-2^64 (DuckDB integer arithmetic errors on
     // overflow rather than wrapping), over the UTF-8 bytes recovered

@@ -795,6 +795,76 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_urls"), countDistinct(col("doc_id")).as("n_docs"))
       .orderBy(desc("n_urls"), asc("domain"))
 
+  /** Tracking-parameter pattern shared by [[canonicalizeUrl]] and the
+    * DuckDB oracle (Java∩RE2 subset): the query params every web
+    * pipeline strips before URL-keyed dedup because they vary per
+    * click, not per resource. */
+  private[graft] val trackingParamPat =
+    "^(utm_[^=]*|fbclid|gclid|msclkid|igshid|ref)="
+
+  /** Canonical URL form for URL-keyed dedup — the normalization step
+    * every web-crawl pipeline (CCNet-style) runs before treating the
+    * URL as a document identity key. Rules, each a projection-local
+    * string op (whole-stage codegen, no UDF):
+    *
+    *   1. drop the fragment (`#...` never reaches the server);
+    *   2. lowercase the scheme and host (case-insensitive per RFC
+    *      3986) — the PATH keeps its case (it is case-sensitive);
+    *   3. strip the scheme's default port (`:80` http, `:443` https);
+    *   4. strip a leading `www.` from the host;
+    *   5. strip trailing slashes from the path;
+    *   6. drop tracking query params ([[trackingParamPat]]) and sort
+    *      the survivors byte-wise (param order is not identity), with
+    *      an all-stripped query losing its `?` entirely.
+    *
+    * Non-URL input canonicalizes to `://` remnants only if it lacks a
+    * scheme — callers feed extracted URLs ([[urlPat]]), not raw text.
+    * Cross-engine: every step is the same regex/sort in DuckDB (the
+    * params are split/filter/sort on ASCII, where Spark's binary
+    * UTF8String order and DuckDB's default collation agree). */
+  def canonicalizeUrl(u: Column): Column = {
+    val nf     = regexp_replace(u, "#.*$", "")
+    val scheme = lower(regexp_extract(nf, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val auth   = lower(regexp_extract(nf, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    val noPort = when(scheme === "https", regexp_replace(auth, ":443$", ""))
+      .when(scheme === "http", regexp_replace(auth, ":80$", ""))
+      .otherwise(auth)
+    val host = regexp_replace(noPort, "^www\\.", "")
+    val path = regexp_replace(
+      regexp_extract(nf, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1), "/+$", "")
+    val q = regexp_extract(nf, "\\?(.*)$", 1)
+    val kept = array_join(
+      sort_array(filter(split(q, "&"),
+        p => p =!= "" && !p.rlike(trackingParamPat))), "&")
+    concat(scheme, lit("://"), host, path,
+      when(kept === "", lit("")).otherwise(concat(lit("?"), kept)))
+  }
+
+  /** URL-keyed near-identity dedup: canonicalize ([[canonicalizeUrl]])
+    * and keep the best document per canonical URL — longest text wins,
+    * doc_id ascending breaks ties (the [[dedupKeepBest]] rule). The
+    * crawl-dedup step that runs BEFORE content dedup: two fetches of
+    * the same resource differ in boilerplate/timestamps, so content
+    * hashing misses them, but their canonical URL is equal.
+    *
+    * Scale shape: canonicalization is projection-local; one window
+    * over url_canon (hash-partitioned by the canonical key — uniform
+    * unless one URL repeats pathologically, which IS the duplicate
+    * being removed) carries only (url_canon, n_chars, doc_id) plus
+    * projected columns; per-group state is one running max. */
+  def dedupByUrl(docs: DataFrame, urlCol: String = "url"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val canon = docs.withColumn("url_canon", canonicalizeUrl(col(urlCol)))
+    val w     = Window.partitionBy("url_canon")
+    canon
+      .withColumn("rn", row_number().over(
+        w.orderBy(desc("n_chars"), asc("doc_id"))))
+      .withColumn("n_dupes", count(lit(1)).over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("url_canon"), col("n_dupes"))
+      .orderBy("url_canon")
+  }
+
   /** Corpus composition datasheet — the per-source rollup every corpus
     * release publishes: document and token volumes, mean document
     * length, mean quality, and distinct-content count (the dedup
@@ -1104,6 +1174,132 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_total"), countDistinct(col("doc_id")).as("n_docs"))
       .orderBy(desc("n_total"), asc("token"))
       .limit(topN)
+
+  /** Top-k TF-IDF terms per document — the keyword-extraction /
+    * topic-tagging primitive of corpus curation (what does each
+    * document talk about, relative to the corpus). Smooth-idf form:
+    * score = tf · (ln((N+1)/(df+1)) + 1), the standard add-one-
+    * smoothed variant (never zero, never divides by zero) from the
+    * IR literature.
+    *
+    * FP discipline: the score rounds to 6dp via [[rnd]] BEFORE the
+    * per-doc rank, and the rank orders by the ROUNDED score (desc,
+    * token asc) — engines' `ln` may differ in the last ulp, so
+    * ranking raw doubles could disagree where rounded values tie.
+    *
+    * Scale shape: one (doc_id, token) map-side-combined aggregate
+    * (the corpus-sized shuffle), a token-keyed df rollup over the
+    * ALREADY-AGGREGATED tf table (vocabulary-sized — Zipf keeps it
+    * orders of magnitude under the corpus; AQE broadcasts the
+    * join-back when it fits), a 1-row N scalar broadcast, and one
+    * doc_id window whose per-group state is the doc's distinct-token
+    * list. No stage carries the text past the scan. */
+  def tfidfTopK(docs: DataFrame, topK: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("n_tf"))
+    val df = tf.groupBy("token").agg(count(lit(1)).as("n_df"))
+    val n  = docs.agg(count(lit(1)).as("n_docs"))
+    tf.join(df, "token")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        rnd(col("n_tf") * (log((col("n_docs") + 1) / (col("n_df") + lit(1.0))) + 1), 6))
+      .withColumn("term_rank", row_number().over(
+        Window.partitionBy("doc_id").orderBy(desc("tfidf"), asc("token"))))
+      .filter(col("term_rank") <= topK)
+      .select(col("doc_id"), col("token"), col("n_tf"), col("n_df"),
+        col("tfidf"), col("term_rank").cast("long").as("term_rank"))
+      .orderBy("doc_id", "term_rank")
+  }
+
+  /** Per-partition Misra–Gries summary (Misra & Gries 1982, "Finding
+    * repeated elements"): k counters; a seen key increments, a new key
+    * claims a free counter, and when all k are claimed every counter
+    * decrements (zeros evicted). Each surviving estimate undercounts
+    * its key's true partition frequency by at most N_p/(k+1) — each
+    * decrement event removes k+1 occurrences (k counters + the
+    * arriving key) and can happen at most N_p/(k+1) times — and never
+    * overcounts. */
+  private[graft] def mgSummary(it: Iterator[String], k: Int): Iterator[(String, Long)] = {
+    val m = new java.util.HashMap[String, java.lang.Long](k * 2)
+    it.foreach { tok =>
+      val cur = m.get(tok)
+      if (cur != null) m.put(tok, cur + 1L)
+      else if (m.size < k) m.put(tok, 1L)
+      else {
+        val entries = m.entrySet().iterator()
+        while (entries.hasNext) {
+          val e = entries.next()
+          if (e.getValue == 1L) entries.remove()
+          else e.setValue(e.getValue - 1L)
+        }
+      }
+    }
+    import scala.jdk.CollectionConverters._
+    m.entrySet().asScala.map(e => (e.getKey, e.getValue.longValue())).iterator
+  }
+
+  /** Heavy hitters over the token stream via distributed Misra–Gries:
+    * per-partition k-counter summaries ([[mgSummary]]) merged by one
+    * token-keyed sum. The SCALE path for [[vocabTopK]]: the wordcount
+    * groupBy's map-side state and shuffle are vocabulary-sized (fine
+    * for word tokens, ruinous for URL/hash/ngram-like keys at 100 TB),
+    * while this pipeline's state is k counters per partition and its
+    * shuffle ≤ k·partitions rows, independent of vocabulary.
+    *
+    * Merged-bound theorem (sums over partitions): every per-partition
+    * undercount is ≤ N_p/(k+1), so the merged estimate satisfies
+    * `true − N/(k+1) ≤ est ≤ true`; any token with true frequency
+    * > N/(k+1) survives in at least one partition summary. Estimates
+    * are partitioning-DEPENDENT (a sketch, like the HLL layer), so the
+    * raw operator is spec-pinned and the bound — partitioning-
+    * independent — is what [[heavyHittersCheck]] hash-gates.
+    *
+    * mapPartitions is deliberate (the codec precedent): the k-counter
+    * loop is genuinely imperative per-partition state that no
+    * aggregate expression composition expresses without carrying the
+    * full vocabulary. */
+  def heavyHitters(docs: DataFrame, k: Int = 64): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(explode(tokens(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+      .as[String]
+      .mapPartitions(it => mgSummary(it, k))
+      .toDF("token", "est")
+      .groupBy("token").agg(sum("est").as("est"))
+  }
+
+  /** Oracle path for [[heavyHitters]] — the [[graft.operators.Analytics.distinctSketchDailyCheck]]
+    * pattern: a sketch's VALUES are impl-defined, its BOUND is a
+    * contract the exact-hash gate can compare. Rows = the exact heavy
+    * set (tokens with true frequency > 2N/(k+1): deterministic, and
+    * guaranteed found — their estimate exceeds N/(k+1) > 0), each
+    * with `found` (present in the merged summary) and `est_in_bound`
+    * (true − N/(k+1) ≤ est ≤ true). Both booleans hold under ANY
+    * partitioning by the merged-bound theorem, so the output is
+    * partition-count-independent even though the estimates are not.
+    * The exact side is the vocab aggregate — an audit-time cost, not
+    * the production path. */
+  def heavyHittersCheck(docs: DataFrame, k: Int = 64): DataFrame = {
+    val toks = docs
+      .select(explode(tokens(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+    val n     = toks.agg(count(lit(1)).as("n_total"))
+    val exact = toks.groupBy("token").agg(count(lit(1)).as("n_exact"))
+    val mg    = heavyHitters(docs, k)
+    exact.crossJoin(broadcast(n))
+      .filter(col("n_exact") > lit(2.0) * col("n_total") / (k + 1))
+      .join(mg, Seq("token"), "left")
+      .select(col("token"), col("n_exact"),
+        col("est").isNotNull.as("found"),
+        (col("est").isNotNull && col("est") <= col("n_exact") &&
+          col("n_exact") - col("est") <= col("n_total") / lit(k + 1.0))
+          .as("est_in_bound"))
+      .orderBy("token")
+  }
 
   /** CCNet-style language-model quality proxy with a unigram model:
     * per-document mean negative log2 probability of its tokens, with

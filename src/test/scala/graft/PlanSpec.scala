@@ -371,12 +371,14 @@ class PlanSpec extends AnyFunSuite {
     // - broadcast NLJ is the INTENTIONAL exact-semantics form for the
     //   all-pairs cosine operators (scale path exists alongside)
     // - typed mapPartitions stages (multimodal codecs, ML vector
-    //   assembly) necessarily cross the Dataset<->object boundary
+    //   assembly, the Misra-Gries k-counter loop) necessarily cross
+    //   the Dataset<->object boundary
     // - eagerly-executing queries (IVF trains its quantizer, clusters
     //   resolves components) are excluded from blind plan-building
     //   here; their plan shapes are pinned by their own specs
     val eager = Set("q_ann_ivf", "q_dedup_clusters")
-    val objectBoundaryOk = Set("q_media_features", "q_ml_feature_prep")
+    val objectBoundaryOk =
+      Set("q_media_features", "q_ml_feature_prep", "q_heavy_hitters_check")
     SparkEntry.queries.keys.toSeq.sorted
       .filterNot(eager).foreach { name =>
         val p = planOf(name)
@@ -387,6 +389,30 @@ class PlanSpec extends AnyFunSuite {
         }
       }
     graft.operators.Caches.releaseAll()
+  }
+
+  test("tfidf rank window gets the partial group-limit pushdown") {
+    // WindowGroupLimit(Partial) BEFORE the doc_id exchange trims each
+    // map partition to its own top-5 per doc — the difference between
+    // shuffling (doc, token) rows for every distinct token and
+    // shuffling at most 5 per (partition, doc) at 100 TB
+    val p = planOf("q_tfidf_topk")
+    assert(p.contains("WindowGroupLimit") && p.contains(", Partial"),
+      s"expected partial window group limit:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("heavy hitters shuffles summaries, not the token stream") {
+    // the ONLY hash exchange in the raw MG pipeline is the merge of
+    // per-partition summaries (<= k rows each) — the token stream
+    // itself must die inside its scan stage
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val p = graft.operators.TextAnalysis.heavyHitters(docs)
+      .queryExecution.executedPlan.toString
+    assert(p.split("Exchange hashpartitioning").length - 1 == 1,
+      s"expected exactly the summary-merge exchange:\n$p")
+    assert(p.indexOf("MapPartitions") > p.indexOf("Exchange hashpartitioning"),
+      s"MG summarization must run BEFORE the exchange (plan prints top-down):\n$p")
   }
 
   test("decontamination broadcasts the benchmark shingle set") {

@@ -920,4 +920,138 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(TextAnalysis.dedupIncremental(none, docs).count() == 0)
     assert(TextAnalysis.dedupIncremental(docs, none).count() == 2)
   }
+
+  test("canonicalizeUrl applies each rule exactly") {
+    import spark.implicits._
+    val cases = Seq(
+      // scheme+host lowercased, path case KEPT, :443 stripped for https
+      ("HTTPS://WWW.Ex.COM:443/Doc/A", "https://ex.com/Doc/A"),
+      // :80 stripped for http only; :8080 kept; www. stripped
+      ("http://www.ex.com:80/a", "http://ex.com/a"),
+      ("http://ex.com:8080/a", "http://ex.com:8080/a"),
+      ("https://ex.com:80/a", "https://ex.com:80/a"),
+      // trailing slashes off, fragment off
+      ("https://ex.com/a///#frag", "https://ex.com/a"),
+      // tracking params dropped, survivors sorted, '?' dropped when all go
+      ("https://ex.com/a?utm_source=x&b=2&a=1&fbclid=y", "https://ex.com/a?a=1&b=2"),
+      ("https://ex.com/a?utm_campaign=x&gclid=1", "https://ex.com/a"),
+      // root path '/' collapses; empty query never grows a '?'
+      ("https://ex.com/", "https://ex.com"),
+      ("https://ex.com", "https://ex.com"))
+    val out = cases.map(_._1).toDF("url")
+      .select(TextAnalysis.canonicalizeUrl(col("url"))).as[String].collect()
+    cases.zip(out).foreach { case ((in, want), got) =>
+      assert(got == want, s"canonicalizeUrl($in)")
+    }
+  }
+
+  test("dedupByUrl keeps the longest doc per canonical key and counts dupes") {
+    import spark.implicits._
+    val docs = Seq(
+      // one canonical group of three (case/port/tracking/fragment noise)
+      (1L, 10L, "HTTPS://WWW.Ex.COM:443/p?utm_source=a&x=1#f"),
+      (2L, 30L, "https://ex.com/p/?x=1"),
+      (3L, 30L, "https://ex.com/p?x=1&gclid=z"),
+      // a singleton
+      (4L, 5L, "https://ex.com/q"))
+      .toDF("doc_id", "n_chars", "url")
+    val out = TextAnalysis.dedupByUrl(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq == Seq(
+      (2L, "https://ex.com/p?x=1", 3L), // longest wins; tie 2<3 by doc_id
+      (4L, "https://ex.com/q", 1L)))
+  }
+
+  test("tfidfTopK matches a hand-computed corpus and is partition-invariant") {
+    import spark.implicits._
+    // doc 1: 'a a b'; doc 2: 'a c'; doc 3: 'c c c' — N=3
+    // df: a=2, b=1, c=2; idf(x) = ln((3+1)/(df+1)) + 1
+    val docs = Seq((1L, "a a b"), (2L, "a c"), (3L, "c c c")).toDF("doc_id", "text")
+    def idf(df: Int) = math.log(4.0 / (df + 1)) + 1
+    def r6(x: Double) = math.rint((x + 1e-9) * 1e6) / 1e6
+    val want = Map(
+      (1L, "a") -> (2L, 2L, r6(2 * idf(2))),
+      (1L, "b") -> (1L, 1L, r6(1 * idf(1))),
+      (2L, "a") -> (1L, 2L, r6(1 * idf(2))),
+      (2L, "c") -> (1L, 2L, r6(1 * idf(2))),
+      (3L, "c") -> (3L, 2L, r6(3 * idf(2))))
+    val out = TextAnalysis.tfidfTopK(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out == want)
+    // rank is on the ROUNDED score desc then token asc
+    val ranks = TextAnalysis.tfidfTopK(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(5)))
+    assert(ranks.filter(_._1 == 1L).sortBy(_._3).map(_._2).toSeq == Seq("a", "b"))
+    assert(ranks.filter(_._1 == 2L).sortBy(_._3).map(_._2).toSeq == Seq("a", "c"))
+    val rep = TextAnalysis.tfidfTopK(docs.repartition(7)).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getLong(5))).sortBy(x => (x._1, x._6))
+    val one = TextAnalysis.tfidfTopK(docs.coalesce(1)).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getLong(5))).sortBy(x => (x._1, x._6))
+    assert(rep.toSeq == one.toSeq)
+  }
+
+  test("tfidfTopK keeps at most topK terms per doc") {
+    val out = TextAnalysis.tfidfTopK(docs, topK = 3).collect()
+    val perDoc = out.groupBy(_.getLong(0)).values
+    assert(perDoc.forall(_.length <= 3))
+    perDoc.foreach { rows =>
+      assert(rows.map(_.getLong(5)).sorted.toSeq == (1L to rows.length).toSeq)
+    }
+  }
+
+  test("mgSummary never overcounts and undercounts by at most N/(k+1)") {
+    // zipf-ish stream, vocab 200 >> k=16, so decrements really happen
+    val rng = new scala.util.Random(42)
+    val stream = Seq.fill(20000)(s"t${(math.pow(rng.nextDouble(), 3) * 200).toInt}")
+    val exact = stream.groupBy(identity).map { case (t, xs) => t -> xs.length.toLong }
+    val k = 16
+    val est = TextAnalysis.mgSummary(stream.iterator, k).toMap
+    assert(est.size <= k)
+    val bound = stream.length.toDouble / (k + 1)
+    est.foreach { case (t, e) =>
+      assert(e <= exact(t), s"$t overcounted: $e > ${exact(t)}")
+      assert(exact(t) - e <= bound, s"$t under bound: ${exact(t) - e} > $bound")
+    }
+    // completeness: every token with true freq > N/(k+1) survives
+    exact.filter(_._2 > bound).keys.foreach(t => assert(est.contains(t), s"$t lost"))
+  }
+
+  test("heavyHitters merged bound holds under any partitioning") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    // vocab 300 >> k=16; skewed so a nontrivial heavy set exists
+    val words = Seq.fill(8000)(s"w${(math.pow(rng.nextDouble(), 4) * 300).toInt}")
+    val docs = words.grouped(40).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }.toSeq
+      .toDF("doc_id", "text")
+    val exact = words.groupBy(identity).map { case (t, xs) => t -> xs.length.toLong }
+    val n = words.length.toDouble
+    val k = 16
+    for (parts <- Seq(1, 4, 13)) {
+      val est = TextAnalysis.heavyHitters(docs.repartition(parts), k).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      est.foreach { case (t, e) =>
+        assert(e <= exact(t), s"parts=$parts $t overcounts")
+        assert(exact(t) - e <= n / (k + 1), s"parts=$parts $t out of bound")
+      }
+      exact.filter(_._2 > n / (k + 1)).keys
+        .foreach(t => assert(est.contains(t), s"parts=$parts $t lost"))
+      // the check query reduces exactly this contract to all-TRUE rows
+      val chk = TextAnalysis.heavyHittersCheck(docs.repartition(parts), k).collect()
+      assert(chk.nonEmpty)
+      chk.foreach { r =>
+        assert(r.getBoolean(2) && r.getBoolean(3),
+          s"parts=$parts ${r.getString(0)} failed the bound")
+      }
+    }
+  }
+
+  test("heavyHittersCheck is all-TRUE and non-empty on the corpus") {
+    val chk = TextAnalysis.heavyHittersCheck(docs).collect()
+    assert(chk.nonEmpty)
+    chk.foreach(r => assert(r.getBoolean(2) && r.getBoolean(3), r.getString(0)))
+  }
 }

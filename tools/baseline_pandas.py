@@ -257,6 +257,88 @@ def corpus_stats(docs):
         avg_tokens=("n_tok", "mean"), n_distinct=("h", "nunique")).reset_index()
 
 
+def tfidf_topk(docs, k=5):
+    # graft q_tfidf_topk: smooth-idf per-doc top-k keywords, ranked on
+    # the 6dp-rounded score
+    ex = docs[["doc_id"]].assign(token=_norm_tokens(docs)).explode("token")
+    ex = ex[ex["token"] != ""]
+    tf = ex.groupby(["doc_id", "token"]).size().rename("n_tf").reset_index()
+    dfreq = tf.groupby("token").size()
+    n_docs = len(docs)
+    tf["n_df"] = tf["token"].map(dfreq)
+    tf["tfidf"] = np.round(
+        tf["n_tf"] * (np.log((n_docs + 1) / (tf["n_df"] + 1.0)) + 1) + 1e-9, 6)
+    tf = tf.sort_values(["doc_id", "tfidf", "token"],
+                        ascending=[True, False, True])
+    tf["term_rank"] = tf.groupby("doc_id").cumcount() + 1
+    return tf[tf["term_rank"] <= k]
+
+
+def url_dedup(docs):
+    # graft q_url_dedup: the injected-collision view + canonicalization
+    # + keep-best per canonical URL (longest text, lowest doc_id)
+    did = docs["doc_id"]
+    m2 = ((did % 2 + 2) % 2).astype(str)
+    m3 = (did % 3 + 3) % 3
+    m5 = ((did % 5 + 5) % 5).astype(str)
+    url = ("HTTPS://WWW.Src" + m3.astype(str) + ".Example.COM"
+           + np.where((did % 2 + 2) % 2 == 0, ":443", "")
+           + "/Doc/" + m5 + np.where(m3 == 0, "/", "")
+           + np.where((did % 2 + 2) % 2 == 0,
+                      "?b=2&utm_source=u" + did.astype(str) + "&a=1&id=" + m2,
+                      "?a=1&id=" + m2 + "&b=2&gclid=g" + did.astype(str))
+           + "#sec" + did.astype(str))
+    nf = url.str.replace(r"#.*$", "", regex=True)
+    scheme = nf.str.extract(r"^([A-Za-z][A-Za-z0-9+.-]*)://")[0].str.lower()
+    auth = nf.str.extract(r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)")[0].str.lower()
+    noport = pd.Series(np.where(
+        scheme == "https", auth.str.replace(r":443$", "", regex=True),
+        np.where(scheme == "http", auth.str.replace(r":80$", "", regex=True),
+                 auth)), index=docs.index)
+    host = noport.str.replace(r"^www\.", "", regex=True)
+    path = nf.str.extract(r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)")[0] \
+        .str.replace(r"/+$", "", regex=True)
+    q = nf.str.extract(r"\?(.*)$")[0].fillna("")
+    track = _re.compile(r"^(utm_[^=]*|fbclid|gclid|msclkid|igshid|ref)=")
+    kept = q.str.split("&").apply(
+        lambda ps: "&".join(sorted(p for p in ps if p and not track.match(p))))
+    canon = scheme + "://" + host + path + np.where(kept == "", "", "?" + kept)
+    d = docs.assign(url_canon=canon).sort_values(
+        ["url_canon", "n_chars", "doc_id"], ascending=[True, False, True])
+    d["n_dupes"] = d.groupby("url_canon")["doc_id"].transform("size")
+    return d.drop_duplicates("url_canon", keep="first")[
+        ["doc_id", "url_canon", "n_dupes"]]
+
+
+def heavy_hitters_check(docs, k=64):
+    # graft q_heavy_hitters_check: Misra-Gries summary + exact heavy
+    # set + bound booleans (single partition: the stream is one pass)
+    ex = docs[["doc_id"]].assign(token=_norm_tokens(docs)).explode("token")
+    toks = ex["token"][ex["token"] != ""]
+    mg = {}
+    for t in toks:
+        if t in mg:
+            mg[t] += 1
+        elif len(mg) < k:
+            mg[t] = 1
+        else:
+            for key in list(mg):
+                if mg[key] == 1:
+                    del mg[key]
+                else:
+                    mg[key] -= 1
+    exact = toks.value_counts()
+    n = len(toks)
+    heavy = exact[exact > 2.0 * n / (k + 1)]
+    est = heavy.index.map(lambda t: mg.get(t))
+    found = ~pd.isna(est)
+    in_bound = found & (pd.Series(est, index=heavy.index).fillna(-1)
+                        <= heavy) & (heavy - pd.Series(est, index=heavy.index)
+                                     .fillna(-1) <= n / (k + 1.0))
+    return pd.DataFrame({"token": heavy.index, "n_exact": heavy.values,
+                         "found": found, "est_in_bound": in_bound.values})
+
+
 def dedup_spans(docs, k=20, max_df=1):
     # repeated k-token windows across docs -> merged intervals -> cut
     toks = docs["text"].str.lower().str.strip() \
@@ -621,6 +703,9 @@ def main():
         ("dedup_lines", dedup_lines),
         ("token_entropy", token_entropy),
         ("url_stats", url_stats),
+        ("url_dedup", url_dedup),
+        ("tfidf_topk", tfidf_topk),
+        ("heavy_hitters_check", heavy_hitters_check),
         ("chunk_docs", chunk_docs),
         ("corpus_stats", corpus_stats),
         ("dedup_spans", dedup_spans),
