@@ -232,6 +232,17 @@ object SparkEntry {
           concat(col("text"), lit(" revised"))).otherwise(col("text")))
       TextAnalysis.corpusDiff(old, nw)
     }),
+    // distribution drift over the SAME synthetic version pair as
+    // q_corpus_diff (the %17 'revised' token enters the new snapshot's
+    // vocabulary, so the top-movers list is non-vacuous by construction)
+    "q_vocab_drift" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val old = docs.filter(pmod(col("doc_id"), lit(13)) =!= 0)
+      val nw = docs.filter(pmod(col("doc_id"), lit(19)) =!= 0)
+        .withColumn("text", when(pmod(col("doc_id"), lit(17)) === 0,
+          concat(col("text"), lit(" revised"))).otherwise(col("text")))
+      TextAnalysis.vocabDrift(old, nw)
+    }),
     "q_cluster_embed"   -> ((s, d) => {
       recordQuantizerRun(s, d)
       Similarity.clusterEmbed(Tables.embeddings(s, d))
@@ -266,6 +277,14 @@ object SparkEntry {
     "q_decontaminate_spans" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       TextAnalysis.decontaminateSpans(
+        docs.filter(col("source") =!= "src0"),
+        docs.filter(col("source") === "src0"), k = 13)
+    }),
+    // the decontamination family's audit datasheet: same src0-as-
+    // benchmark split as q_decontaminate_spans, same k
+    "q_contamination_report" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      TextAnalysis.contaminationReport(
         docs.filter(col("source") =!= "src0"),
         docs.filter(col("source") === "src0"), k = 13)
     }),
@@ -1709,6 +1728,39 @@ object SparkEntry {
         |            ELSE 'unchanged' END AS status
         |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
         |ORDER BY doc_id""".stripMargin,
+    // add-one smoothing over the UNION vocabulary; p's scaled to
+    // per-mille BEFORE the 6dp round (raw unigram p's quantize to
+    // nothing at 6dp); rank on the ROUNDED |dp| like every FP rank
+    "q_vocab_drift" ->
+      """WITH oldtok AS (
+        |  SELECT unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS token
+        |  FROM documents WHERE doc_id % 13 <> 0
+        |), newtok AS (
+        |  SELECT unnest(string_split(regexp_replace(lower(trim(
+        |           CASE WHEN doc_id % 17 = 0 THEN text || ' revised' ELSE text END)),
+        |           '\s+', ' ', 'g'), ' ')) AS token
+        |  FROM documents WHERE doc_id % 19 <> 0
+        |), ot AS (SELECT token, count(*) AS n_old FROM oldtok WHERE token <> '' GROUP BY token),
+        |nt AS (SELECT token, count(*) AS n_new FROM newtok WHERE token <> '' GROUP BY token),
+        |merged AS (
+        |  SELECT token, coalesce(n_old, 0) AS n_old, coalesce(n_new, 0) AS n_new
+        |  FROM ot FULL OUTER JOIN nt USING (token)
+        |), totals AS (
+        |  SELECT sum(n_old) AS t_old, sum(n_new) AS t_new, count(*) AS v FROM merged
+        |), scored AS (
+        |  SELECT token, n_old, n_new,
+        |         (n_old + 1) / CAST(t_old + v AS DOUBLE) AS p_old,
+        |         (n_new + 1) / CAST(t_new + v AS DOUBLE) AS p_new
+        |  FROM merged CROSS JOIN totals
+        |)
+        |SELECT token, CAST(n_old AS BIGINT) AS n_old, CAST(n_new AS BIGINT) AS n_new,
+        |       (round(p_old * 1000.0 + 1e-9, 6) + 0) AS p_old_permil,
+        |       (round(p_new * 1000.0 + 1e-9, 6) + 0) AS p_new_permil,
+        |       (round(abs(p_new - p_old) * 1000.0 + 1e-9, 6) + 0) AS abs_dp_permil,
+        |       (round(p_new * ln(p_new / p_old) * 1000.0 + 1e-9, 6) + 0) AS kl_term_permil
+        |FROM scored
+        |ORDER BY abs_dp_permil DESC, token ASC
+        |LIMIT 50""".stripMargin,
     "q_blocklist_filter" ->
       """WITH t AS (
         |  SELECT doc_id,
@@ -2102,6 +2154,37 @@ object SparkEntry {
         |       coalesce(r.text_clean, '') AS text_clean
         |FROM tok t LEFT JOIN rebuilt r USING (doc_id)
         |ORDER BY t.doc_id""".stripMargin,
+    // window CONTENT equality stands in for the kernel's 64-bit window
+    // hashes — the same collision premise as every shingle oracle
+    "q_contamination_report" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+        |  FROM documents WHERE source <> 'src0'
+        |), btok AS (
+        |  SELECT doc_id,
+        |         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+        |  FROM documents WHERE source = 'src0'
+        |), cw AS (
+        |  SELECT DISTINCT doc_id, array_to_string(list_slice(toks, pos + 1, pos + 13), ' ') AS w
+        |  FROM (SELECT doc_id, CAST(unnest(range(0, greatest(len(toks) - 12, 0))) AS INT) AS pos, toks
+        |        FROM tok)
+        |), bw AS (
+        |  SELECT DISTINCT doc_id AS bench_id, array_to_string(list_slice(toks, pos + 1, pos + 13), ' ') AS w
+        |  FROM (SELECT doc_id, CAST(unnest(range(0, greatest(len(toks) - 12, 0))) AS INT) AS pos, toks
+        |        FROM btok)
+        |), btot AS (
+        |  SELECT bench_id, count(*) AS n_kgrams FROM bw GROUP BY bench_id
+        |), hits AS (
+        |  SELECT bench_id, count(DISTINCT doc_id) AS n_docs, count(DISTINCT w) AS n_shared
+        |  FROM bw JOIN cw USING (w) GROUP BY bench_id
+        |)
+        |SELECT bench_id, CAST(n_kgrams AS BIGINT) AS n_kgrams,
+        |       CAST(coalesce(n_shared, 0) AS BIGINT) AS n_shared_kgrams,
+        |       CAST(coalesce(n_docs, 0) AS BIGINT) AS n_contaminated_docs,
+        |       (round(coalesce(n_shared, 0) * 1.0 / n_kgrams + 1e-9, 6) + 0) AS leaked_frac
+        |FROM btot LEFT JOIN hits USING (bench_id)
+        |ORDER BY bench_id""".stripMargin,
     "q_url_stats" ->
       s"""WITH urldocs AS (
         |  SELECT doc_id,

@@ -97,6 +97,51 @@ object TextAnalysis {
           .otherwise(lit("unchanged")).as("status"))
       .orderBy("doc_id")
 
+  /** Vocabulary-distribution drift between two corpus snapshots — the
+    * version-QA axis [[corpusDiff]]'s document-identity view misses:
+    * two releases can keep every doc_id and still shift WHAT the
+    * corpus says (a source re-crawl swaps topics; a filter change
+    * silently deletes a register of language). Reports the top
+    * `topN` tokens by absolute unigram-probability change, each with
+    * its add-one-smoothed probabilities over the UNION vocabulary
+    * (so entering/leaving tokens get finite, comparable p's) and its
+    * signed KL(new‖old) contribution p_new·ln(p_new/p_old) — the
+    * summable per-token decomposition of the corpus's total drift.
+    *
+    * FP discipline: p's and the KL term round to 6dp ([[rnd]]); the
+    * rank orders by the ROUNDED |Δp| (desc, token asc) so engines'
+    * ln/division last-ulp drift cannot reorder ties.
+    *
+    * Scale shape: one map-side-combined wordcount per snapshot
+    * (the corpus-sized shuffles), a vocabulary-sized full-outer
+    * merge, two 1-row totals broadcast, and a `topN`-row
+    * TakeOrdered — no window, no global sort of the vocabulary. */
+  def vocabDrift(oldCorpus: DataFrame, newCorpus: DataFrame,
+                 topN: Int = 50): DataFrame = {
+    def counts(c: DataFrame, name: String) = c
+      .select(explode(tokens(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("token").agg(count(lit(1)).as(name))
+    val merged = counts(oldCorpus, "n_old")
+      .join(counts(newCorpus, "n_new"), Seq("token"), "full_outer")
+      .select(col("token"),
+        coalesce(col("n_old"), lit(0L)).as("n_old"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"))
+    val totals = merged.agg(
+      sum("n_old").as("t_old"), sum("n_new").as("t_new"),
+      count(lit(1)).as("v"))
+    val pOld = (col("n_old") + 1) / (col("t_old") + col("v")).cast("double")
+    val pNew = (col("n_new") + 1) / (col("t_new") + col("v")).cast("double")
+    merged.crossJoin(broadcast(totals))
+      .select(col("token"), col("n_old"), col("n_new"),
+        rnd(pOld * 1e3, 6).as("p_old_permil"),
+        rnd(pNew * 1e3, 6).as("p_new_permil"),
+        rnd(abs(pNew - pOld) * 1e3, 6).as("abs_dp_permil"),
+        rnd(pNew * log(pNew / pOld) * 1e3, 6).as("kl_term_permil"))
+      .orderBy(desc("abs_dp_permil"), asc("token"))
+      .limit(topN)
+  }
+
   /** Token counting: whitespace tokens and a BPE-ish lexer count
     * (letter runs | digit runs | single non-alnum symbol). */
   def tokenCount(docs: DataFrame): DataFrame =
@@ -632,6 +677,52 @@ object TextAnalysis {
         (col("n_tokens") - size(col("kept"))).cast("long").as("n_removed"),
         array_join(col("kept"), " ").as("text_clean"))
       .orderBy("doc_id")
+  }
+
+  /** Contamination AUDIT report — the datasheet the decontamination
+    * family's enforcement members ([[graft.operators.Dedup.decontaminate]],
+    * `decontaminateFuzzy`, the semantic form, [[decontaminateSpans]])
+    * all presuppose: PER BENCHMARK ITEM, how much of the corpus leaks
+    * it. The number that decides the release call every eval team
+    * actually makes — clean the corpus vs retire the eval item: an
+    * item with leaked_frac ≈ 1 is memorized verbatim somewhere and
+    * cutting spans just fragments it; an item with a few shared
+    * k-grams is boilerplate overlap.
+    *
+    * Per benchmark doc (with ≥ k tokens — shorter items cannot leak
+    * at k-gram granularity and carry no row): its distinct k-gram
+    * count, how many of those k-grams appear anywhere in the corpus,
+    * how many distinct corpus docs share ≥ 1 of them, and
+    * leaked_frac = shared/total (6dp).
+    *
+    * Scale shape: both sides reduce to distinct (id, hash64) pairs
+    * before the hash-equi join — the corpus side is the same one
+    * (hash, id) shuffle [[decontaminateSpans]] pays and the text
+    * never leaves its scan; the join output is bounded by the
+    * contamination volume (benchmark-bounded × leak multiplicity),
+    * and the two countDistincts partial-aggregate over it. Same
+    * hash-collision premise as every shingle oracle. */
+  def contaminationReport(docs: DataFrame, bench: DataFrame,
+                          k: Int = 13): DataFrame = {
+    require(k >= 2, s"window size must be at least 2 tokens: $k")
+    val corpus = docs.select(col("doc_id"),
+        explode(GraftFunctions.shingleHashPos(tokens(col("text")), k)).as("wh"))
+      .distinct()
+    val benchW = bench.select(col("doc_id").as("bench_id"),
+        explode(GraftFunctions.shingleHashPos(tokens(col("text")), k)).as("wh"))
+      .distinct()
+    val benchTot = benchW.groupBy("bench_id").agg(count(lit(1)).as("n_kgrams"))
+    val hits = benchW.join(corpus, Seq("wh"))
+      .groupBy("bench_id")
+      .agg(countDistinct(col("doc_id")).as("n_contaminated_docs"),
+        countDistinct(col("wh")).as("n_shared_kgrams"))
+    benchTot.join(hits, Seq("bench_id"), "left")
+      .select(col("bench_id"), col("n_kgrams"),
+        coalesce(col("n_shared_kgrams"), lit(0L)).as("n_shared_kgrams"),
+        coalesce(col("n_contaminated_docs"), lit(0L)).as("n_contaminated_docs"),
+        rnd(coalesce(col("n_shared_kgrams"), lit(0L)) * lit(1.0) / col("n_kgrams"), 6)
+          .as("leaked_frac"))
+      .orderBy("bench_id")
   }
 
   /** filter() predicate: token index i not covered by any interval. */

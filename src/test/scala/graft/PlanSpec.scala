@@ -391,6 +391,44 @@ class PlanSpec extends AnyFunSuite {
     graft.operators.Caches.releaseAll()
   }
 
+  test("contamination report: no text crosses a hash exchange") {
+    // both sides reduce to distinct (id, hash64) pairs BEFORE the
+    // equi-join; the text strings must die inside their scan stages
+    // (token strings never exist as columns at all — the kernel
+    // hashes windows in-scan)
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    import org.apache.spark.sql.types.StringType
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val d = Tables.documents(spark, sfDir)
+      val out = graft.operators.TextAnalysis.contaminationReport(
+        d.filter(col("source") =!= "src0"), d.filter(col("source") === "src0"))
+      val hashEx = out.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec
+          if e.outputPartitioning.isInstanceOf[HashPartitioning] => e
+      }
+      assert(hashEx.nonEmpty, "expected hash exchanges in contaminationReport")
+      hashEx.foreach { e =>
+        val strs = e.output.filter(_.dataType == StringType).map(_.name)
+        assert(strs.isEmpty,
+          s"string column(s) on a hash exchange: ${strs.mkString(", ")}")
+      }
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
+
+  test("vocab drift plans two partial-combined wordcounts and a top-k, no window") {
+    val p = planOf("q_vocab_drift")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-50 must be per-partition top-k + merge, not a global sort:\n$p")
+    assert(!p.contains("Window"), s"no window expected:\n$p")
+    assert(p.split("partial_count").length - 1 >= 2,
+      s"expected both snapshots' wordcounts map-side combined:\n$p")
+  }
+
   test("tfidf rank window gets the partial group-limit pushdown") {
     // WindowGroupLimit(Partial) BEFORE the doc_id exchange trims each
     // map partition to its own top-5 per doc — the difference between

@@ -1049,6 +1049,46 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
   }
 
+  test("vocabDrift matches hand-computed smoothed distributions and ranks by |dp|") {
+    import spark.implicits._
+    val old = Seq((1L, "a b"), (2L, "a c")).toDF("doc_id", "text")
+    val nw  = Seq((1L, "a b"), (2L, "a d d")).toDF("doc_id", "text")
+    // union vocab {a,b,c,d}, T_old=4, T_new=5, v=4 →
+    // p_old = (n+1)/8, p_new = (n+1)/9
+    def r6(x: Double) = math.rint((x + 1e-9) * 1e6) / 1e6
+    val out = TextAnalysis.vocabDrift(old, nw).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+    assert(out.map(_._1).toSeq == Seq("d", "c", "a", "b")) // by |dp| desc
+    val d = out.find(_._1 == "d").get
+    assert(d._2 == 0L && d._3 == 2L)
+    assert(d._4 == r6(1.0 / 8 * 1e3) && d._5 == r6(3.0 / 9 * 1e3))
+    assert(d._6 == r6(math.abs(3.0 / 9 - 1.0 / 8) * 1e3))
+    assert(d._7 == r6(3.0 / 9 * math.log((3.0 / 9) / (1.0 / 8)) * 1e3))
+    val c = out.find(_._1 == "c").get // shrinking token: negative KL term
+    assert(c._7 < 0)
+  }
+
+  test("contaminationReport: full leak, partial leak, clean, and sub-k items") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "a b c d e f"),        // contains bench 10 verbatim + a prefix of 11
+      (2L, "a b c x y z"),        // shares bench 10's first 3-gram only
+      (3L, "p q r s t u")).toDF("doc_id", "text")
+    val bench = Seq(
+      (10L, "a b c d"),           // 2 3-grams [abc, bcd] — both in doc 1, abc also in doc 2
+      (11L, "d e f g h"),         // 3 3-grams [def, efg, fgh] — only def leaks (doc 1)
+      (12L, "m n o"),             // 1 3-gram, clean
+      (13L, "w x")).toDF("doc_id", "text") // < k tokens: no row
+    val out = TextAnalysis.contaminationReport(corpus, bench, k = 3).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out.keySet == Set(10L, 11L, 12L))
+    assert(out(10L) == ((2L, 2L, 2L, 1.0)))      // both k-grams leak; docs 1 and 2
+    assert(out(11L) == ((3L, 1L, 1L, 0.333333))) // def only, doc 1
+    assert(out(12L) == ((1L, 0L, 0L, 0.0)))
+  }
+
   test("heavyHittersCheck is all-TRUE and non-empty on the corpus") {
     val chk = TextAnalysis.heavyHittersCheck(docs).collect()
     assert(chk.nonEmpty)

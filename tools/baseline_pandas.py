@@ -339,6 +339,52 @@ def heavy_hitters_check(docs, k=64):
                          "found": found, "est_in_bound": in_bound.values})
 
 
+def vocab_drift(docs, top_n=50):
+    # graft q_vocab_drift: smoothed unigram drift over the q_corpus_diff
+    # synthetic version pair
+    old = docs[docs["doc_id"] % 13 != 0]
+    new = docs[docs["doc_id"] % 19 != 0].copy()
+    rev = new["doc_id"] % 17 == 0
+    new.loc[rev, "text"] = new.loc[rev, "text"] + " revised"
+
+    def counts(d):
+        ex = d.assign(token=_norm_tokens(d)).explode("token")
+        return ex["token"][ex["token"] != ""].value_counts()
+    no, nn = counts(old), counts(new)
+    merged = pd.concat([no.rename("n_old"), nn.rename("n_new")], axis=1).fillna(0)
+    v = len(merged)
+    p_old = (merged["n_old"] + 1) / (merged["n_old"].sum() + v)
+    p_new = (merged["n_new"] + 1) / (merged["n_new"].sum() + v)
+    out = merged.assign(
+        p_old_permil=np.round(p_old * 1e3 + 1e-9, 6),
+        p_new_permil=np.round(p_new * 1e3 + 1e-9, 6),
+        abs_dp_permil=np.round(np.abs(p_new - p_old) * 1e3 + 1e-9, 6),
+        kl_term_permil=np.round(p_new * np.log(p_new / p_old) * 1e3 + 1e-9, 6))
+    return out.sort_values(["abs_dp_permil"], ascending=False).head(top_n)
+
+
+def contamination_report(docs, k=13):
+    # graft q_contamination_report: per-benchmark-item leak audit
+    # (src0 = benchmark, rest = corpus, k-gram content equality)
+    def kgrams(d):
+        toks = _norm_tokens(d)
+        rows = []
+        for i, t in zip(d["doc_id"], toks):
+            for p in range(max(0, len(t) - k + 1)):
+                rows.append((i, " ".join(t[p:p + k])))
+        return pd.DataFrame(rows, columns=["doc_id", "w"]).drop_duplicates()
+    corpus = kgrams(docs[docs["source"] != "src0"])
+    bw = kgrams(docs[docs["source"] == "src0"]).rename(
+        columns={"doc_id": "bench_id"})
+    btot = bw.groupby("bench_id").size().rename("n_kgrams")
+    hits = bw.merge(corpus, on="w").groupby("bench_id").agg(
+        n_docs=("doc_id", "nunique"), n_shared=("w", "nunique"))
+    rep = pd.concat([btot, hits], axis=1).fillna(0)
+    rep["leaked_frac"] = np.round(
+        rep["n_shared"] / rep["n_kgrams"] + 1e-9, 6)
+    return rep.reset_index()
+
+
 def dedup_spans(docs, k=20, max_df=1):
     # repeated k-token windows across docs -> merged intervals -> cut
     toks = docs["text"].str.lower().str.strip() \
@@ -706,6 +752,8 @@ def main():
         ("url_dedup", url_dedup),
         ("tfidf_topk", tfidf_topk),
         ("heavy_hitters_check", heavy_hitters_check),
+        ("contamination_report", contamination_report),
+        ("vocab_drift", vocab_drift),
         ("chunk_docs", chunk_docs),
         ("corpus_stats", corpus_stats),
         ("dedup_spans", dedup_spans),
