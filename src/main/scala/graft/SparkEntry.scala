@@ -288,6 +288,10 @@ object SparkEntry {
         docs.filter(col("source") =!= "src0"),
         docs.filter(col("source") === "src0"), k = 13)
     }),
+    // target 2048 tokens/shard → ~13 shards at sf0.001/0.01, ~130 at
+    // sf0.1 (non-vacuous binning at every SF)
+    "q_shard_plan" -> ((s, d) =>
+      TextAnalysis.shardPlan(Tables.documents(s, d), tokensPerShard = 2048L)),
     "q_corpus_stats" -> ((s, d) => TextAnalysis.corpusStats(Tables.documents(s, d))),
     "q_url_stats" -> ((s, d) => TextAnalysis.urlStats(urlView(Tables.documents(s, d)))),
     // URL-keyed crawl dedup over the injected-collision view (see
@@ -2154,6 +2158,22 @@ object SparkEntry {
         |       coalesce(r.text_clean, '') AS text_clean
         |FROM tok t LEFT JOIN rebuilt r USING (doc_id)
         |ORDER BY t.doc_id""".stripMargin,
+    // the one-window reference form — the operator's bucketed cumsum
+    // must agree with it exactly for any bucket boundaries
+    "q_shard_plan" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS n_tokens
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, n_tokens,
+        |         coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        |  FROM t
+        |)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |       CAST(cum_before // 2048 AS BIGINT) AS shard
+        |FROM c ORDER BY doc_id""".stripMargin,
     // window CONTENT equality stands in for the kernel's 64-bit window
     // hashes — the same collision premise as every shingle oracle
     "q_contamination_report" ->

@@ -90,4 +90,51 @@ object GlobalIds {
   private[graft] def assignIdsExact(df: DataFrame, key: String): DataFrame =
     df.withColumn("global_id",
       row_number().over(Window.orderBy(key)).cast("long") - 1)
+
+  /** Contiguous weighted binning in key order: bin row r =
+    * (Σ weight of all rows strictly before r, by ascending `key`)
+    * div `perBin` — i.e. cut the key-ordered stream into consecutive
+    * bins of ~`perBin` total weight, each row assigned to the bin its
+    * cumulative START falls in. The weighted generalization of
+    * [[assignIds]] (weight ≡ 1, perBin ≡ 1 degenerates to it), built
+    * on the same range-bucket + broadcast-offset machinery and with
+    * the same contracts: unique non-null integral `key`,
+    * deterministic `df` (three scans), non-negative integral
+    * `weight` whose TOTAL stays under 2^63.
+    *
+    * Scale: per-bucket weight sums (map-side-combined, ~nBuckets rows
+    * shuffle) → offsets window over ≤ nBuckets rows → broadcast back →
+    * within-bucket running sum. One data shuffle (the per-bucket
+    * window), no whole-dataset window — exactness for any bucket
+    * boundaries by the same offset argument as [[assignIds]]. */
+  def binByCumWeight(df: DataFrame, key: String, weight: String,
+                     perBin: Long, nBuckets: Int = 4096): DataFrame = {
+    require(perBin > 0, s"perBin must be positive: $perBin")
+    val bounds = df.agg(min(col(key)).cast("long"), max(col(key)).cast("long")).head()
+    if (bounds.isNullAt(0)) {
+      return df.withColumn("bin", lit(0L)).where(lit(false))
+    }
+    val (mn, mx) = (bounds.getLong(0), bounds.getLong(1))
+    require(BigInt(mx) - BigInt(mn) < BigInt(Long.MaxValue),
+      s"key range [$mn, $mx] exceeds a signed 64-bit span")
+    val width = ((BigInt(mx) - BigInt(mn)) / nBuckets + 1).toLong
+    val bucket = expr(s"(`$key` - ${mn}L) div ${width}L")
+
+    val offsetW = Window.orderBy("_bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = df
+      .select(bucket.as("_bucket"), col(weight).cast("long").as("_w"))
+      .groupBy("_bucket").agg(sum("_w").as("_n"))
+      // ≤ nBuckets count rows — the stratifiedSample bounds shape
+      .select(col("_bucket"), coalesce(sum("_n").over(offsetW), lit(0L)).as("_offset"))
+
+    val cumW = Window.partitionBy("_bucket").orderBy(key)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("_bucket", bucket)
+      .join(broadcast(offsets), Seq("_bucket"))
+      .withColumn("_before",
+        col("_offset") + coalesce(sum(col(weight).cast("long")).over(cumW), lit(0L)))
+      .withColumn("bin", expr(s"_before div ${perBin}L"))
+      .drop("_bucket", "_offset", "_before")
+  }
 }

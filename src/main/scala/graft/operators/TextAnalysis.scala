@@ -956,6 +956,28 @@ object TextAnalysis {
       .orderBy("url_canon")
   }
 
+  /** Token-balanced shard plan — the EXPORT step after curation:
+    * publish the corpus as consecutive shards of ~`tokensPerShard`
+    * whitespace tokens each (doc order preserved, so shard locality
+    * matches doc_id locality and a reader streams shards
+    * sequentially). A document lands in the shard its cumulative
+    * START falls in; documents never split (the within-shard
+    * splitting is [[packSequences]]'s job at sequence granularity).
+    *
+    * Scale shape: [[graft.operators.GlobalIds.binByCumWeight]] — the
+    * exact global token cumsum WITHOUT a whole-dataset window
+    * (range-bucket by doc_id, broadcast per-bucket offsets,
+    * within-bucket running sum; one data shuffle). n_tokens uses
+    * [[tokenCount]]'s whitespace definition so the datasheet numbers
+    * reconcile across operators. */
+  def shardPlan(docs: DataFrame, tokensPerShard: Long = 1L << 20): DataFrame =
+    GlobalIds.binByCumWeight(
+        docs.select(col("doc_id"),
+          size(tokens(col("text"))).cast("long").as("n_tokens")),
+        "doc_id", "n_tokens", tokensPerShard)
+      .select(col("doc_id"), col("n_tokens"), col("bin").as("shard"))
+      .orderBy("doc_id")
+
   /** Corpus composition datasheet — the per-source rollup every corpus
     * release publishes: document and token volumes, mean document
     * length, mean quality, and distinct-content count (the dedup

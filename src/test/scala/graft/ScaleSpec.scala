@@ -1043,6 +1043,38 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("memory pressure: tfidf rank window spills to disk, top-k bit-identical") {
+    // The r13 keyword operator's buffered stage: the per-doc rank
+    // window. WindowGroupLimit trims each upstream partition to its
+    // own top-5 per doc BEFORE the exchange, so the final window's
+    // group size is ~5 x upstream-partition-fanout — still above the
+    // forced threshold, and the spill must not perturb the ROUNDED-
+    // score ordering the operator ranks by.
+    import graft.monitoring.PlanMetrics
+    import graft.operators.TextAnalysis
+    val docs = Tables.documents(spark, sfDir)
+    def run(): (Seq[String], Long) = {
+      val out = TextAnalysis.tfidfTopK(docs)
+      val rows = out.collect().map(_.toString).toSeq
+      (rows, PlanMetrics.shuffleStats(out).spillBytes)
+    }
+    val (base, baseSpill) = run()
+    assert(baseSpill == 0L, "baseline tfidf run spilled — thresholds leaked")
+    assert(base.nonEmpty)
+    val keys = Seq(
+      "spark.sql.windowExec.buffer.in.memory.threshold" -> "4",
+      "spark.sql.windowExec.buffer.spill.threshold" -> "4")
+    val keep = keys.map { case (k, _) => k -> spark.conf.getOption(k) }.toMap
+    try {
+      keys.foreach { case (k, v) => spark.conf.set(k, v) }
+      val (p, spill) = run()
+      assert(spill > 0, "tfidf rank window never spilled — the pressure path did not run")
+      assert(p == base, "tfidf top-k changed under forced spilling")
+    } finally keep.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
+
   test("memory pressure: mixing-family rank windows spill to disk, kept sets bit-identical") {
     // The mixing family's scale claim rests on the salt-bound
     // prefilter keeping each rank window's input ~quota-bounded — but

@@ -339,6 +339,14 @@ def heavy_hitters_check(docs, k=64):
                          "found": found, "est_in_bound": in_bound.values})
 
 
+def shard_plan(docs, per_shard=2048):
+    # graft q_shard_plan: token-balanced contiguous shard assignment
+    n_tok = _norm_tokens(docs).str.len()
+    d = docs[["doc_id"]].assign(n_tokens=n_tok).sort_values("doc_id")
+    cum_before = d["n_tokens"].cumsum() - d["n_tokens"]
+    return d.assign(shard=cum_before // per_shard)
+
+
 def vocab_drift(docs, top_n=50):
     # graft q_vocab_drift: smoothed unigram drift over the q_corpus_diff
     # synthetic version pair
@@ -754,6 +762,7 @@ def main():
         ("heavy_hitters_check", heavy_hitters_check),
         ("contamination_report", contamination_report),
         ("vocab_drift", vocab_drift),
+        ("shard_plan", shard_plan),
         ("chunk_docs", chunk_docs),
         ("corpus_stats", corpus_stats),
         ("dedup_spans", dedup_spans),
