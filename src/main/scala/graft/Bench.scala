@@ -194,12 +194,40 @@ object Bench {
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     quiesce(floor = 0)
 
+    // CHECKSUM ACTION (r13 measurement-honesty correction): `count()`
+    // let Catalyst prune every column the count doesn't need — a
+    // projection-only query (redact_pii, time_features, ...) counted
+    // bare parquet rows (ReadSchema struct<>, regexes never ran), a
+    // window-only query (lag/rolling/ffill/asof/feature_pipeline)
+    // dropped its Window operators outright, and even aggregates kept
+    // only their GROUP KEYS (metrics/distribution computed no stats).
+    // 39+ queries benched a fraction of their work. xxhash64 over ALL
+    // output columns makes every column load-bearing — projections,
+    // windows, and aggregate functions all execute — while the
+    // terminal checksum aggregate still lets EliminateSorts strip the
+    // presentation orderBy (not an operator cost; composition pins
+    // show consumers never pay it). MapType can't hash — those frames
+    // fall back to foreach (full evaluation, sort included).
+    def fullEval(out: org.apache.spark.sql.DataFrame): Unit = {
+      import org.apache.spark.sql.functions.{col, sum, xxhash64}
+      import org.apache.spark.sql.types.{DataType, MapType, ArrayType, StructType}
+      def hasMap(dt: DataType): Boolean = dt match {
+        case _: MapType => true
+        case a: ArrayType => hasMap(a.elementType)
+        case s: StructType => s.fields.exists(f => hasMap(f.dataType))
+        case _ => false
+      }
+      if (out.schema.fields.exists(f => hasMap(f.dataType))) out.foreach(_ => ())
+      else out.select(xxhash64(out.columns.map(col): _*).as("_chk"))
+        .agg(sum("_chk")).collect()
+    }
+
     // (wall sec, spark-measured exec sec, ok, shuffle stats)
     def time(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
              dir: String): (Double, Double, Boolean, graft.monitoring.PlanMetrics.ShuffleStats) = {
       val before = tracker.recorded.size
       val t0 = System.nanoTime()
-      val ok = try { fn(spark, dir).count(); true } catch { case _: Throwable => false }
+      val ok = try { fullEval(fn(spark, dir)); true } catch { case _: Throwable => false }
       val dt = (System.nanoTime() - t0) / 1e9
       // drop operator-internal caches so no query's footprint leaks
       // into the next measurement (the shared-session pollution fix)
@@ -616,6 +644,17 @@ object Bench {
         "q_mix_quality", "q_dedup_clusters", "q_decontaminate_fuzzy",
         "q_dedup_spans", "q_hash_embed",
         "q_feature_pipeline", "q_sessionize", "q_dedup_key",
+        // r13 ops with NOVEL shapes: the group-limited rank window
+        // (tfidf) and the bucketed global cumsum (shard plan). The
+        // other r13 ops are deliberately absent: vocab_drift /
+        // heavy_hitters_check are wordcount-shaped (decade already
+        // covered), url_dedup is a scan-local projection + keep-best
+        // window (ditto), and contamination_report's src0 benchmark
+        // GROWS with this synthetic corpus — corpus x benchmark =
+        // 100x per decade by construction, the same reason
+        // q_semantic_decontaminate sits out (its fixed-benchmark
+        // deployment shape is ScaleSpec's job)
+        "q_tfidf_topk", "q_shard_plan",
         // embeddings family (sign-flip-decorrelated copies): the
         // quantizer ops whose per-vector work is geometry-independent
         // — linear by construction. Deliberately absent: the
