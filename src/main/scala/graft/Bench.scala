@@ -194,40 +194,29 @@ object Bench {
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     quiesce(floor = 0)
 
-    // CHECKSUM ACTION (r13 measurement-honesty correction): `count()`
-    // let Catalyst prune every column the count doesn't need — a
-    // projection-only query (redact_pii, time_features, ...) counted
-    // bare parquet rows (ReadSchema struct<>, regexes never ran), a
-    // window-only query (lag/rolling/ffill/asof/feature_pipeline)
-    // dropped its Window operators outright, and even aggregates kept
-    // only their GROUP KEYS (metrics/distribution computed no stats).
-    // 39+ queries benched a fraction of their work. xxhash64 over ALL
-    // output columns makes every column load-bearing — projections,
-    // windows, and aggregate functions all execute — while the
-    // terminal checksum aggregate still lets EliminateSorts strip the
-    // presentation orderBy (not an operator cost; composition pins
-    // show consumers never pay it). MapType can't hash — those frames
-    // fall back to foreach (full evaluation, sort included).
-    def fullEval(out: org.apache.spark.sql.DataFrame): Unit = {
-      import org.apache.spark.sql.functions.{col, sum, xxhash64}
-      import org.apache.spark.sql.types.{DataType, MapType, ArrayType, StructType}
-      def hasMap(dt: DataType): Boolean = dt match {
-        case _: MapType => true
-        case a: ArrayType => hasMap(a.elementType)
-        case s: StructType => s.fields.exists(f => hasMap(f.dataType))
-        case _ => false
-      }
-      if (out.schema.fields.exists(f => hasMap(f.dataType))) out.foreach(_ => ())
-      else out.select(xxhash64(out.columns.map(col): _*).as("_chk"))
-        .agg(sum("_chk")).collect()
-    }
+    // CHECKSUM ACTION: graft.Checksum.fullEval — xxhash64 over every
+    // output column + a terminal BIT_XOR aggregate (the r13
+    // measurement-honesty correction, r14-fixed: the original
+    // sum(xxhash64) deterministically overflowed under Spark 4's
+    // default ANSI mode and failed 96/104 queries in BENCH_r13; see
+    // the Scaladoc on [[graft.Checksum]] and ChecksumSpec's pins).
+    //
+    // Failure-demo hook (r14): SPARK_GRAFT_BENCH_BREAK=<query> makes
+    // exactly that query's action throw, so the loud-failure path
+    // (head-of-line failed_count + the one-retry arm below) is
+    // demonstrable end-to-end without editing SparkEntry.
+    val breakKey = sys.env.get("SPARK_GRAFT_BENCH_BREAK")
 
     // (wall sec, spark-measured exec sec, ok, shuffle stats)
     def time(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
-             dir: String): (Double, Double, Boolean, graft.monitoring.PlanMetrics.ShuffleStats) = {
+             dir: String, name: String = ""): (Double, Double, Boolean, graft.monitoring.PlanMetrics.ShuffleStats) = {
       val before = tracker.recorded.size
       val t0 = System.nanoTime()
-      val ok = try { fullEval(fn(spark, dir)); true } catch { case _: Throwable => false }
+      val ok = try {
+        if (name.nonEmpty && breakKey.contains(name))
+          sys.error(s"bench break hook fired for $name")
+        Checksum.fullEval(fn(spark, dir)); true
+      } catch { case _: Throwable => false }
       val dt = (System.nanoTime() - t0) / 1e9
       // drop operator-internal caches so no query's footprint leaks
       // into the next measurement (the shared-session pollution fix)
@@ -271,10 +260,10 @@ object Bench {
       // boundaries plus once after the last pass, so a mid-suite load
       // arrival is visible in the artifact's own timeline
       val samples = (0 until passes).map(_ => ordered.zipWithIndex.map {
-        case ((_, fn), i) =>
+        case ((k, fn), i) =>
           if (checkpoint.isDefined &&
               (i == 0 || i == n / 3 || i == 2 * n / 3)) checkpoint.get.apply()
-          time(fn, dir)
+          time(fn, dir, k)
       })
       checkpoint.foreach(_.apply())
       ordered.zipWithIndex.map { case ((name, _), qi) =>
@@ -399,8 +388,30 @@ object Bench {
     def baselineFor(k: String): Option[Double] =
       quietBase.get(k).orElse(prevDetail.get(k))
 
-    val results0 = suite(sfDir, passes = 3, only = onlyEnv,
+    val results00 = suite(sfDir, passes = 3, only = onlyEnv,
       checkpoint = Some(checkpoint))
+
+    // FAILURE RETRY ARM (r14, VERDICT item 5): BENCH_r13 failed 96 of
+    // 104 queries on the broken checksum action and the artifact
+    // stayed quiet about it — every repass arm filters ok==true, so a
+    // failing query was never retried and its fast-fail min became
+    // the published number. Now every failed query gets ONE more
+    // timed attempt: a transient failure (OOM under a co-tenant
+    // burst, a flaky temp dir) heals and the retry's samples REPLACE
+    // the fast-fail ones — cold included, because an honest warm
+    // number beats a contaminated exception-path one — with the query
+    // named in `retried_ok` so readers know its pass-0 semantics
+    // differ. A deterministic failure stays failed and is surfaced at
+    // the HEAD of both JSON lines as `failed_count` (plus a stderr
+    // banner), so a broken-action round can never again read as a
+    // normal artifact.
+    val retriedOk = scala.collection.mutable.ArrayBuffer.empty[String]
+    val results0 = results00.map {
+      case r @ (k, _, _, _, false, _) =>
+        val (v, e, ok, s) = time(SparkEntry.queries(k), sfDir, k)
+        if (ok) { retriedOk += k; (k, v, v, e, true, s) } else r
+      case r => r
+    }
 
     // Load evidence, available at decision time (the final checkpoint
     // fired at the end of suite(), so the sentinel timeline and the
@@ -513,7 +524,16 @@ object Bench {
       .mkString("{", ",", "}")
     val execs = results.map { case (k, _, _, e, _, _) => s"\"" + k + "\":" + e }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, _, _, false, _) => s"\"$k\"" }
+    val failedKeys = results.collect { case (k, _, _, _, false, _) => k }
+    val failed = failedKeys.map(k => s"\"$k\"").mkString("[", ",", "]")
+    val failedCount = failedKeys.size
+    if (failedCount > 0)
+      System.err.println(s"[bench] WARNING: $failedCount quer" +
+        (if (failedCount == 1) "y" else "ies") +
+        s" FAILED the timing action even after retry: " +
+        failedKeys.mkString(", ") +
+        " — their published values are exception-path wall times, not measurements")
+    val retriedJ = retriedOk.toSeq.sorted.map("\"" + _ + "\"")
       .mkString("[", ",", "]")
     // measured shuffle volume per query (exchange write side) and the
     // total spill: THE direct scale signals — at a fixed plan shape,
@@ -805,7 +825,7 @@ object Bench {
       .mkString("{", ",", "}")
     val suspectJ = suspectUnrepassed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val loadMeta = s""","load":{"cpus":$cpusAvail,"pre_1m":$preLoad1m,"samples":[${loadSamples.mkString(",")}]},"floor_sentinel":{"name":"$sentinelName","times":[${sentinelTimes.mkString(",")}],"drift":$floorDrift,"drift_suite":$floorDriftSuite},"load_triggered":$loadEvident,"quiet_baseline_n":${quietBase.size},"repassed":$repassedJ,"suspect_unrepassed":$suspectJ"""
-    val fullLine = s"""{"metric":"total_full","value":$total,"unit":"sec","queries":$qs,"exec_times":$execs,"shuffle_bytes":$shuffles,"spill_bytes_total":$spillTotal,"cold_total":$coldTotal,"failed":$failed,"bench_excluded":$excludedJ$slope$slope2$slope3$lsh$loadMeta,"sf":"$sfDir"}"""
+    val fullLine = s"""{"metric":"total_full","failed_count":$failedCount,"value":$total,"unit":"sec","queries":$qs,"exec_times":$execs,"shuffle_bytes":$shuffles,"spill_bytes_total":$spillTotal,"cold_total":$coldTotal,"failed":$failed,"retried_ok":$retriedJ,"bench_excluded":$excludedJ$slope$slope2$slope3$lsh$loadMeta,"sf":"$sfDir"}"""
     println(fullLine)
     // ALSO persist the full detail to a file: the driver's stdout
     // capture is tail-bounded and has repeatedly truncated this
@@ -832,7 +852,7 @@ object Bench {
       .map { case (k, _, v, _, _, _) => s"\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val loadMax = loadMaxOf(loadSamples.toSeq)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"n_queries":${results.size},"failed":$failed,"bench_excluded":$excludedJ,"spill_bytes_total":$spillTotal,"slowest5":$slowest,"floor_drift":$floorDrift,"load_max_1m":$loadMax,"load_triggered":$loadEvident,"n_repassed":${repassed.size},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","failed_count":$failedCount,"value":$total,"unit":"sec","cold_total":$coldTotal,"n_queries":${results.size},"failed":$failed,"retried_ok":$retriedJ,"bench_excluded":$excludedJ,"spill_bytes_total":$spillTotal,"slowest5":$slowest,"floor_drift":$floorDrift,"load_max_1m":$loadMax,"load_triggered":$loadEvident,"n_repassed":${repassed.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

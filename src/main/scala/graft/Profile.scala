@@ -22,13 +22,12 @@ object Profile {
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     (1 to reps).foreach { i =>
       val t0 = System.nanoTime()
-      // checksum action, matching Bench.fullEval: count() would let
-      // Catalyst prune projections/windows/agg functions and time a
-      // bare row count (the r13 measurement-honesty correction)
-      val out = SparkEntry.queries(name)(spark, sfDir)
-      import org.apache.spark.sql.functions.{col, sum, xxhash64}
-      out.select(xxhash64(out.columns.map(col): _*).as("_chk"))
-        .agg(sum("_chk")).collect()
+      // the SHARED checksum action (graft.Checksum): count() would
+      // let Catalyst prune projections/windows/agg functions and time
+      // a bare row count; sharing the impl with Bench keeps the
+      // MapType fallback and the bit_xor ANSI-overflow fix (r14) in
+      // sync at both sites by construction
+      Checksum.fullEval(SparkEntry.queries(name)(spark, sfDir))
       println(f"[profile] $name run $i: ${(System.nanoTime() - t0) / 1e9}%.3f s")
       // drain operator caches between reps, as Bench does — otherwise
       // warm reps read persistTracked frames and overstate vs Bench
