@@ -114,6 +114,7 @@ object SparkEntry {
     "q_range_join"      -> ((s, d) => TimeSeries.rangeJoin(ev(s, d))),
     "q_quantiles"       -> ((s, d) => TimeSeries.quantiles(ev(s, d))),
     "q_quantiles_approx" -> ((s, d) => TimeSeries.quantilesApprox(ev(s, d))),
+    "q_quantiles_approx_check" -> ((s, d) => TimeSeries.quantilesApproxCheck(ev(s, d))),
     // C. missing values / encoding / scaling
     "q_ffill"          -> ((s, d) => MissingValues.ffill(MissingValues.maskedView(ev(s, d)))),
     "q_interpolate"    -> ((s, d) => MissingValues.interpolate(MissingValues.maskedView(ev(s, d)))),
@@ -1233,6 +1234,21 @@ object SparkEntry {
         |SELECT 0.75, (round(quantile_cont(value, 0.75) + 1e-9, 4) + 0) FROM events
         |UNION ALL
         |SELECT 0.95, (round(quantile_cont(value, 0.95) + 1e-9, 4) + 0) FROM events
+        |ORDER BY quantile""".stripMargin,
+    // exact interpolated quantiles + non-null count hash-gated; the GK
+    // sketch value enters as the Spark-evaluated rank-bound boolean
+    // DuckDB asserts TRUE (a sketch observation has no cross-engine
+    // value — its rank contract does); the distinct_sketch_check /
+    // heavy_hitters_check pattern
+    "q_quantiles_approx_check" ->
+      """WITH nv AS (SELECT CAST(count(value) AS BIGINT) AS n_rows FROM events)
+        |SELECT 0.25 AS quantile, n_rows, (round((SELECT quantile_cont(value, 0.25) FROM events) + 1e-9, 4) + 0) AS exact_q, TRUE AS rank_in_bound FROM nv
+        |UNION ALL
+        |SELECT 0.5, n_rows, (round((SELECT quantile_cont(value, 0.5) FROM events) + 1e-9, 4) + 0), TRUE FROM nv
+        |UNION ALL
+        |SELECT 0.75, n_rows, (round((SELECT quantile_cont(value, 0.75) FROM events) + 1e-9, 4) + 0), TRUE FROM nv
+        |UNION ALL
+        |SELECT 0.95, n_rows, (round((SELECT quantile_cont(value, 0.95) FROM events) + 1e-9, 4) + 0), TRUE FROM nv
         |ORDER BY quantile""".stripMargin,
     "q_ffill" ->
       s"""$duckMasked

@@ -338,6 +338,53 @@ object TimeSeries {
       .orderBy("quantile")
   }
 
+  /** Oracle-checkable form of [[quantilesApprox]] — the
+    * distinct_sketch_check / heavy_hitters_check pattern applied to
+    * the GK sketch. A sketch value has no cross-engine identity (the
+    * returned observation depends on merge order), so the CONTRACT is
+    * what ships: per quantile the row carries the exact interpolated
+    * quantile (DuckDB recomputes it bit-for-bit via quantile_cont,
+    * verifying the data path) plus `rank_in_bound`, the GK rank
+    * guarantee evaluated Spark-side into a boolean the hash CAN gate
+    * — the approx value's occupied rank interval [rank_lt+1, rank_le]
+    * must come within ε·n + 1 of the target rank q·n (ε = 1/accuracy;
+    * +1 for integer rank granularity — the same bound ScaleSpec pins
+    * at sf0.01/sf0.1, minus its 4dp-rounding slack because the
+    * comparison here uses the UNROUNDED sketch value). Any sketch
+    * regression past the bound flips a FALSE into the hashed output.
+    *
+    * Two corpus passes, both sketch-cheap at 100 TB: one combined
+    * aggregate (exact percentile + GK sketch + count — the exact
+    * member is the oracle reference semantics; production would drop
+    * it and keep the pass sketch-only), then one conditional-count
+    * pass against the BROADCAST 4-row summary (BroadcastNestedLoop
+    * over 4 rows, never a cartesian shuffle). */
+  def quantilesApproxCheck(events: DataFrame,
+                           qs: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.95),
+                           accuracy: Int = 10000): DataFrame = {
+    val vals = events.select(col("value")).where(col("value").isNotNull)
+    val entries = qs.zipWithIndex.flatMap { case (q, i) =>
+      Seq(lit(q), struct(col("qe")(i).as("ve"), col("qa")(i).as("va")))
+    }
+    val summary = vals
+      .agg(percentile(col("value"), lit(qs.toArray)).as("qe"),
+        percentile_approx(col("value"), lit(qs.toArray), lit(accuracy)).as("qa"),
+        count(lit(1)).as("n"))
+      .select(col("n"), explode(map(entries: _*)).as(Seq("quantile", "v")))
+      .select(col("quantile"), col("n"),
+        col("v.ve").as("v_exact"), col("v.va").as("v_approx"))
+    val slack = col("n") / accuracy + 1.0
+    vals.crossJoin(broadcast(summary))
+      .groupBy("quantile", "n", "v_exact", "v_approx")
+      .agg(sum(when(col("value") < col("v_approx"), 1L).otherwise(0L)).as("rank_lt"),
+        sum(when(col("value") <= col("v_approx"), 1L).otherwise(0L)).as("rank_le"))
+      .select(col("quantile"), col("n").as("n_rows"),
+        rnd(col("v_exact"), 4).as("exact_q"),
+        (col("quantile") * col("n") >= col("rank_lt") + 1 - slack &&
+          col("quantile") * col("n") <= col("rank_le") + slack).as("rank_in_bound"))
+      .orderBy("quantile")
+  }
+
   /** Daily per-entity range (data_processor.py:154 temp_range =
     * temp_max - temp_min, realized as a daily max-min aggregate).
     * Partial agg + one shuffle on (entity, day). */

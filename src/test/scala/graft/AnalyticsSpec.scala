@@ -52,8 +52,11 @@ class AnalyticsSpec extends AnyFunSuite {
     //   embeds them and re-derives the whole pipeline.)
     // - q_distinct_sketch / q_quantiles_approx: sketches with
     //   engine-specific internals (HLL++, GK); their exact
-    //   counterparts ARE oracled (q_dedup_key, q_quantiles) and the
-    //   sketch error is bound-asserted in specs.
+    //   counterparts ARE oracled (q_dedup_key, q_quantiles), the
+    //   sketch error is bound-asserted in specs, AND each has an
+    //   oracled _check sibling (q_distinct_sketch_check,
+    //   q_quantiles_approx_check) whose Spark-evaluated bound boolean
+    //   the DuckDB hash gates every round.
     // - q_train_bpe / q_token_count_bpe / q_tokenize_bpe: the greedy
     //   merge loop is inherently procedural; pinned merge-for-merge
     //   against the independent Python reference in BpeSpec.

@@ -368,7 +368,12 @@ def vocab_drift(docs, top_n=50):
         p_new_permil=np.round(p_new * 1e3 + 1e-9, 6),
         abs_dp_permil=np.round(np.abs(p_new - p_old) * 1e3 + 1e-9, 6),
         kl_term_permil=np.round(p_new * np.log(p_new / p_old) * 1e3 + 1e-9, 6))
-    return out.sort_values(["abs_dp_permil"], ascending=False).head(top_n)
+    # (abs_dp_permil DESC, token ASC) — the token tiebreak matches the
+    # Spark operator and DuckDB oracle's pinned ordering; without it
+    # rows tied exactly at the top_n boundary select nondeterministically
+    return (out.reset_index(names="token")
+            .sort_values(["abs_dp_permil", "token"], ascending=[False, True])
+            .head(top_n))
 
 
 def contamination_report(docs, k=13):
@@ -457,6 +462,28 @@ def quantiles(df):
     # graft's quantilesApprox trades exactness for mergeable state,
     # which pandas has no notion of)
     return df["value"].quantile([0.25, 0.5, 0.75, 0.95])
+
+
+def quantiles_approx_check(df):
+    # graft q_quantiles_approx_check: exact interpolated quantiles +
+    # non-null count + the GK rank-bound booleans (pandas has no
+    # mergeable sketch, so its "approx" IS the exact value — the rank
+    # check then counts values around each quantile, the same two
+    # passes of work graft does)
+    qs = [0.25, 0.5, 0.75, 0.95]
+    v = df["value"].dropna()
+    n = len(v)
+    exact = v.quantile(qs)
+    rows = []
+    for q in qs:
+        x = exact[q]
+        rank_lt = (v < x).sum()
+        rank_le = (v <= x).sum()
+        slack = n / 10000 + 1
+        rows.append((q, n, round(x + 1e-9, 4),
+                     rank_lt + 1 - slack <= q * n <= rank_le + slack))
+    return pd.DataFrame(rows, columns=["quantile", "n_rows", "exact_q",
+                                       "rank_in_bound"])
 
 
 def _bpe_ranks():
@@ -734,6 +761,7 @@ def main():
         ("standard_scale", standard_scale),
         ("interpolate", interpolate),
         ("quantiles", quantiles),
+        ("quantiles_approx_check", quantiles_approx_check),
     ]
     event_queries = [(n, f) for n, f in event_queries
                      if only is None or n in only]
