@@ -92,6 +92,30 @@ object Bench {
       pre1m > math.max(2.0, cpus / 8.0) ||
       mid1mMax > math.max(4.0, cpus / 2.0)
 
+  /** Sentinel drift as a SUSTAINED-contention statistic: second-max /
+    * min of the steady samples (max/min when only two exist). The arm
+    * exists to catch load present across the whole suite (r9/r12
+    * populations: EVERY sample inflated 2.05/22.4×) — a co-tenant
+    * sustained enough to poison the per-query minima inflates every
+    * checkpoint, so the second-max reads it just as well as the max.
+    * What the max reads and the second-max correctly forgives is the
+    * bench's OWN tail residue: under the r14 honest checksum action
+    * the FINAL suite checkpoint — fired right after the third full
+    * pass — read 0.370/0.418 s against quiet neighbors 0.16–0.25 on
+    * BOTH of two consecutive idle-box runs (pre_1m 0.70/0.77, totals
+    * agreeing within 2%, and the post-repass sample immediately after
+    * back at 0.16–0.21), a deterministic single-point GC/JIT spike
+    * that max/min misread as drift 2.3–2.5 and falsely convicted both
+    * runs. A genuine single-checkpoint arrival is not lost: it
+    * inflates the adjacent queries, which arms (a)/(b) flag per-query. */
+  private[graft] def sustainedDrift(steady: Seq[Double]): Double =
+    if (steady.size < 2) 1.0
+    else {
+      val sorted = steady.sorted
+      val high = if (steady.size >= 3) sorted(sorted.size - 2) else sorted.last
+      high / math.max(sorted.head, 1e-3)
+    }
+
   /** The slope-probe wall-anomaly decision, pure so MonitoringSpec can
     * pin the measured populations: a wall step ratio past the data
     * step's ceiling while the BYTE step stays well under it is a
@@ -423,10 +447,7 @@ object Bench {
       _.stripPrefix("[").stripSuffix("]").split(",").headOption
         .flatMap(x => scala.util.Try(x.toDouble).toOption))
       .foldLeft(0.0)(math.max)
-    def sentinelDrift(): Double = {
-      val steady = sentinelTimes.drop(1)
-      if (steady.size >= 2) steady.max / math.max(steady.min, 1e-3) else 1.0
-    }
+    def sentinelDrift(): Double = sustainedDrift(sentinelTimes.drop(1).toSeq)
     // thresholds, r12-recalibrated after an idle-box full-suite run
     // (box verified externally empty, pre-launch 1m load 0.01) read
     // single-sample drift 1.84 and mid-run 1m load 9.39 — BOTH former

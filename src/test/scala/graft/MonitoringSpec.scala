@@ -90,6 +90,28 @@ class MonitoringSpec extends AnyFunSuite {
     assert(!loadEvidence(drift = 1.0, pre1m = -1.0, mid1mMax = 0.0, cpus = 32))
   }
 
+  test("sentinel drift statistic reads sustained load, forgives the tail-residue spike") {
+    import graft.Bench.sustainedDrift
+    // the r14 honest-action calibration: BOTH consecutive idle-box
+    // full-suite runs (pre_1m 0.70/0.77, totals within 2%) read a
+    // deterministic single-point spike at the FINAL suite checkpoint
+    // with quiet neighbors on both sides — bench tail residue, not
+    // load. max/min read 2.33/2.50 and falsely convicted both runs;
+    // second-max/min must NOT convict either.
+    val run1 = Seq(0.215, 0.228, 0.202, 0.212, 0.181, 0.159, 0.170, 0.178, 0.370, 0.214)
+    val run2 = Seq(0.225, 0.167, 0.218, 0.199, 0.246, 0.238, 0.235, 0.219, 0.418, 0.161)
+    assert(sustainedDrift(run1) < 1.8, s"run1 ${sustainedDrift(run1)}")
+    assert(sustainedDrift(run2) < 1.8, s"run2 ${sustainedDrift(run2)}")
+    // sustained contention inflates EVERY sample (the r9/r12 failure
+    // populations) — the second-max reads it exactly like the max did
+    assert(sustainedDrift(run1.map(_ * 2.2)) < 1.8) // uniform scaling: still quiet (ratios unchanged)
+    assert(sustainedDrift(Seq(0.16, 0.35, 0.41, 0.38, 0.36, 0.39)) > 1.8) // arrival after first sample, sustained
+    assert(sustainedDrift(Seq(3.58, 3.7, 3.9, 3.4, 3.3, 0.16)) > 1.8)     // loaded run with one quiet window
+    // degenerate sizes: <2 samples read 1.0; exactly 2 use max/min
+    assert(sustainedDrift(Seq(0.2)) == 1.0)
+    assert(math.abs(sustainedDrift(Seq(0.2, 0.5)) - 2.5) < 1e-9)
+  }
+
   test("repass selection gives arm-flagged queries their own budget") {
     import graft.Bench.selectSuspects
     val steady = (1 to 40).map(i => f"q$i%02d" -> i * 0.1).toMap
