@@ -383,23 +383,37 @@ object TextAnalysis {
     * documents, KEEP THE HIGHEST-QUALITY COPY (modern corpus-dedup
     * practice — duplicates share normalized content but differ in raw
     * casing/whitespace, so their quality scores differ), ties to the
-    * lowest doc_id. The ranking window and the multiplicity count
-    * share the content-hash partitioning — one shuffle, like
-    * [[dedupExact]]. */
-  def dedupKeepBest(docs: DataFrame): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("content_hash")
+    * lowest doc_id.
+    *
+    * Realized as `max(struct(quality_score, -doc_id))` per content
+    * hash, NOT a row_number window (the r15 plan change, extending
+    * the r14 [[graft.operators.Analytics.dedupByKey]] result to the
+    * keep-BEST rule): the aggregate gets map-side partial combine, so
+    * each task reduces its local duplicates to one row per content
+    * hash BEFORE the exchange and the shuffle carries the deduped set
+    * instead of the corpus — on the high-duplicate-rate crawls this
+    * operator exists for, that is the 100 TB property. The multiplicity
+    * count rides the SAME aggregate, where the window form paid a
+    * full-corpus exchange + per-group sort for both. Ordering maps
+    * exactly: max prefers the larger quality (struct ordering ranks a
+    * null field lowest, so a null score loses — the window's
+    * desc-nulls-last), and on a quality tie the larger `-doc_id` is
+    * the SMALLER doc_id (asc). Negation is exact for every id this
+    * pipeline mints (only Long.MinValue, never a real id, lacks a
+    * negation). */
+  def dedupKeepBest(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"),
         contentHash(col("text")).as("content_hash"),
         qualityScore(col("text")).as("quality_score"))
-      .select(col("doc_id"), col("content_hash"), col("quality_score"),
-        row_number().over(w.orderBy(desc("quality_score"), asc("doc_id"))).as("rn"),
-        count(lit(1)).over(w).as("n_copies"))
-      .filter(col("rn") === 1)
-      .select(col("content_hash"), col("doc_id").as("keep_id"),
-        col("quality_score").as("best_quality"), col("n_copies"))
+      .groupBy("content_hash")
+      .agg(
+        max(struct(col("quality_score"), negate(col("doc_id")).as("neg_id")))
+          .as("_best"),
+        count(lit(1)).as("n_copies"))
+      .select(col("content_hash"), negate(col("_best.neg_id")).as("keep_id"),
+        col("_best.quality_score").as("best_quality"), col("n_copies"))
       .orderBy("keep_id")
-  }
 
   /** Incremental exact dedup — the batch-ingest form of [[dedupExact]]:
     * dedup a NEW batch of documents against an already-curated corpus
@@ -938,23 +952,29 @@ object TextAnalysis {
     * the same resource differ in boilerplate/timestamps, so content
     * hashing misses them, but their canonical URL is equal.
     *
-    * Scale shape: canonicalization is projection-local; one window
-    * over url_canon (hash-partitioned by the canonical key — uniform
-    * unless one URL repeats pathologically, which IS the duplicate
-    * being removed) carries only (url_canon, n_chars, doc_id) plus
-    * projected columns; per-group state is one running max. */
-  def dedupByUrl(docs: DataFrame, urlCol: String = "url"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val canon = docs.withColumn("url_canon", canonicalizeUrl(col(urlCol)))
-    val w     = Window.partitionBy("url_canon")
-    canon
-      .withColumn("rn", row_number().over(
-        w.orderBy(desc("n_chars"), asc("doc_id"))))
-      .withColumn("n_dupes", count(lit(1)).over(w))
-      .filter(col("rn") === 1)
-      .select(col("doc_id"), col("url_canon"), col("n_dupes"))
+    * Scale shape: canonicalization is projection-local, and the
+    * keep-longest rule is `max(struct(n_chars, -doc_id))` per
+    * canonical key — an aggregate, NOT a row_number window (the r15
+    * plan change, same mapping as [[dedupKeepBest]]): map-side partial
+    * combine reduces each task to one candidate per local canonical
+    * URL before the exchange, so the shuffle carries the deduped URL
+    * set (crawl re-fetch rates make that gap the whole cost at
+    * 100 TB), with n_dupes riding the same aggregate. Ordering maps
+    * exactly: larger n_chars wins (null loses, as desc-nulls-last
+    * did), and on a length tie the larger `-doc_id` is the smaller
+    * doc_id (asc). Only (url_canon, n_chars, doc_id) ever shuffles. */
+  def dedupByUrl(docs: DataFrame, urlCol: String = "url"): DataFrame =
+    docs
+      .select(canonicalizeUrl(col(urlCol)).as("url_canon"),
+        col("n_chars"), col("doc_id"))
+      .groupBy("url_canon")
+      .agg(
+        max(struct(col("n_chars"), negate(col("doc_id")).as("neg_id")))
+          .as("_best"),
+        count(lit(1)).as("n_dupes"))
+      .select(negate(col("_best.neg_id")).as("doc_id"), col("url_canon"),
+        col("n_dupes"))
       .orderBy("url_canon")
-  }
 
   /** Token-balanced shard plan — the EXPORT step after curation:
     * publish the corpus as consecutive shards of ~`tokensPerShard`

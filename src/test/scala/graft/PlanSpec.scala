@@ -355,6 +355,25 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange hashpartitioning"), s"chunk body shuffles:\n$p")
   }
 
+  test("keep-best dedups aggregate with map-side combine, no window") {
+    // the r15 plan change (extends r14's dedupByKey result): keep-one-
+    // per-key via max(struct(...)) — partial aggregation reduces each
+    // task to one candidate per local key BEFORE the exchange, so the
+    // shuffle carries the deduped set, not the corpus. A row_number
+    // window here means the rewrite regressed to full-corpus exchange.
+    for (q <- Seq("q_dedup_keepbest", "q_url_dedup")) {
+      val p = planOf(q)
+      assert(!p.contains("Window ["), s"$q must not plan a window:\n$p")
+      assert(p.split("Exchange hashpartitioning").length - 1 == 1,
+        s"$q must shuffle exactly once (on the dedup key):\n$p")
+      // partial + final phases of the struct-extremum aggregate
+      // (struct buffers plan SortAggregate on 4.1.2)
+      assert(p.split("Aggregate").length - 1 >= 2,
+        s"$q expected two-phase (partial-combined) aggregation:\n$p")
+      assert(p.contains("partial"), s"$q expected a partial phase:\n$p")
+    }
+  }
+
   test("corpus stats is one partial-combined countDistinct aggregate") {
     val p = planOf("q_corpus_stats")
     // EXACTLY the two hash exchanges of Spark's two-phase countDistinct
