@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Materialize (or reuse) a scaled corpus dir, printing the path — the
+  * shared entry the measurement tooling (Profile A/Bs,
+  * tools/baseline_pandas.py decade pairs, the curation end-to-end
+  * bench) uses to agree on ONE scaled corpus instead of each
+  * regenerating its own.
+  *
+  * Two modes:
+  *   - `bijective` (default): [[graft.sources.ScaledCorpus]] — copies
+  *     are token-disjoint, so hash-keyed work scales exactly linearly
+  *     and the corpus keeps the SOURCE's (near-zero) duplicate rate.
+  *   - `dup`: factor copies with TEXT PRESERVED (doc_ids offset) —
+  *     every document has exactly `factor` exact copies, the
+  *     high-duplicate-rate crawl regime the keep-one-per-key dedup
+  *     family exists for. Documents table only.
+  *
+  * Usage: runMain graft.ScaleGen <srcSfDir> [factor=10] [bijective|dup]
+  */
+object ScaleGen {
+  def main(args: Array[String]): Unit = {
+    val srcDir = args(0)
+    val factor = if (args.length > 1) args(1).toInt else 10
+    val mode = if (args.length > 2) args(2) else "bijective"
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors.toString)}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors.toString))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val out = mode match {
+      case "dup"       => dupDir(spark, srcDir, factor)
+      case "bijective" => graft.sources.ScaledCorpus.dir(spark, srcDir, factor)
+      case other       => sys.error(s"unknown mode: $other")
+    }
+    println(s"[scalegen] $out")
+    spark.stop()
+  }
+
+  /** Text-preserving duplicate corpus (marker-cached like
+    * [[graft.sources.ScaledCorpus.dir]]): `factor` copies of
+    * documents, copy i with doc_ids offset i·10⁸, text/lang/source/
+    * n_chars verbatim — duplicate rate (factor-1)/factor by
+    * construction. */
+  def dupDir(spark: SparkSession, srcDir: String, factor: Int): String = {
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.functions._
+    val out = Paths.get(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+      s"graft_dup_${factor}x_${math.abs(srcDir.hashCode)}").toString
+    val marker = Paths.get(out, "_GRAFT_DUP")
+    val stamp = s"$srcDir factor=$factor v1"
+    if (!(Files.exists(marker) && Files.readString(marker) == stamp)) {
+      val docs = graft.sources.Tables.documents(spark, srcDir)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+      (0 until factor).map { i =>
+        if (i == 0) docs
+        else docs.withColumn("doc_id", col("doc_id") + lit(i * 100000000L))
+      }.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$out/documents.parquet")
+      Files.writeString(marker, stamp)
+    }
+    out
+  }
+}
