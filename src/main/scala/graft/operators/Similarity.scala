@@ -372,12 +372,24 @@ object Similarity {
     * `ivfAssign` map over the scan, and the centroid join for the
     * confidence column broadcasts KBs. One presentation sort aside,
     * nothing corpus-sized shuffles. Deterministic: same data + seed ⇒
-    * identical assignment (ties to the lowest cid). */
+    * identical assignment (ties to the lowest cid).
+    *
+    * Deliberately NOT persisted (the r15 plan change): the sample
+    * action and the assignment action each rescan the source instead
+    * of sharing a cached copy. For a wide float-array corpus the
+    * cache write+read costs MORE than a columnar rescan — measured at
+    * the 100× corpus (500k×128): ~0.26 s per decode pass, 0.75 s
+    * no-persist vs 0.97 s persisted per full run — and at 100 TB a
+    * MEMORY_AND_DISK copy of the corpus is exactly the thing a
+    * cluster cannot hold. Callers that genuinely reuse the normed
+    * frame across MANY actions ([[mixByCluster]]'s three passes,
+    * [[trainedQuantizer]]'s cross-operator sharing) keep their own
+    * persist. */
   def clusterEmbed(embeddings: DataFrame, k: Int = 16, iters: Int = 3,
                    seed: Long = 42L,
                    centroids: Option[Array[Array[Float]]] = None): DataFrame = {
     val spark = embeddings.sparkSession
-    val e = Caches.persistTracked(withNorm(embeddings))
+    val e = withNorm(embeddings)
     val cents = centroids.getOrElse(trainQuantizer(e, k, iters, seed))
     e.withColumn("cid", GraftFunctions.ivfAssign(col("v"), cents))
       .join(broadcast(centroidDF(spark, cents)), "cid")
