@@ -16,8 +16,20 @@ import org.apache.spark.sql.SparkSession
   *     every document has exactly `factor` exact copies, the
   *     high-duplicate-rate crawl regime the keep-one-per-key dedup
   *     family exists for. Documents table only.
+  *   - `crawl`: factor copies with a STOPWORD-PRESERVING letter-suffix
+  *     token bijection (copy i>0 suffixes every non-stopword token
+  *     with a base-26 copy tag). Unlike ScaledCorpus's `~i` suffix —
+  *     which zeroes the stopword count and adds a punctuation char per
+  *     token, so quality-gated pipelines drop every copy at the first
+  *     filter — this keeps n_stop, punct_ratio, and n_tok in their
+  *     original ranges while making content/shingles copy-distinct:
+  *     the instrument for measuring a quality-gated CURATION pipeline
+  *     whose content diversity must genuinely scale through every
+  *     stage (within-copy near-dup geometry is preserved exactly; the
+  *     only cross-copy sharing is all-stopword shingles). Documents
+  *     table only.
   *
-  * Usage: runMain graft.ScaleGen <srcSfDir> [factor=10] [bijective|dup]
+  * Usage: runMain graft.ScaleGen <srcSfDir> [factor=10] [bijective|dup|crawl]
   */
 object ScaleGen {
   def main(args: Array[String]): Unit = {
@@ -34,6 +46,7 @@ object ScaleGen {
     spark.sparkContext.setLogLevel("ERROR")
     val out = mode match {
       case "dup"       => dupDir(spark, srcDir, factor)
+      case "crawl"     => crawlDir(spark, srcDir, factor)
       case "bijective" => graft.sources.ScaledCorpus.dir(spark, srcDir, factor)
       case other       => sys.error(s"unknown mode: $other")
     }
@@ -60,6 +73,49 @@ object ScaleGen {
       (0 until factor).map { i =>
         if (i == 0) docs
         else docs.withColumn("doc_id", col("doc_id") + lit(i * 100000000L))
+      }.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$out/documents.parquet")
+      Files.writeString(marker, stamp)
+    }
+    out
+  }
+
+  /** Quality-stat-preserving diverse corpus (see the `crawl` mode doc):
+    * copy i>0 suffixes every non-stopword token with `q` + base-26(i),
+    * doc_ids offset i·10⁸; stopwords, whitespace structure, and
+    * punctuation counts are untouched. */
+  def crawlDir(spark: SparkSession, srcDir: String, factor: Int): String = {
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.functions._
+    val out = Paths.get(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+      s"graft_crawl_${factor}x_${math.abs(srcDir.hashCode)}").toString
+    val marker = Paths.get(out, "_GRAFT_CRAWL")
+    val stamp = s"$srcDir factor=$factor v1"
+    if (!(Files.exists(marker) && Files.readString(marker) == stamp)) {
+      val stops = graft.operators.TextAnalysis.stopwords
+      def b26(i: Int): String =
+        if (i < 26) ('a' + i).toChar.toString
+        else b26(i / 26 - 1) + ('a' + i % 26).toChar
+      val docs = graft.sources.Tables.documents(spark, srcDir)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+      (0 until factor).map { i =>
+        if (i == 0) docs
+        else {
+          val tag = lit("q" + b26(i - 1))
+          val remapped = array_join(
+            transform(split(col("text"), "\n"), line =>
+              array_join(
+                transform(split(line, " "), t =>
+                  when(t === "" || lower(t).isin(stops: _*), t)
+                    .otherwise(concat(t, tag))),
+                " ")),
+            "\n")
+          docs.select(
+            (col("doc_id") + lit(i * 100000000L)).as("doc_id"),
+            remapped.as("text"), col("lang"), col("source"),
+            length(remapped).as("n_chars"))
+        }
       }.reduce(_ unionByName _)
         .write.mode("overwrite").parquet(s"$out/documents.parquet")
       Files.writeString(marker, stamp)

@@ -335,7 +335,7 @@ object TextAnalysis {
           .as(Seq("pos", "piece")))
       .orderBy("doc_id", "pos")
 
-  private val stopwords = Seq("the", "a", "of", "and", "is", "in", "to")
+  private[graft] val stopwords = Seq("the", "a", "of", "and", "is", "in", "to")
 
   /** Quality scoring: length, token stats, stopword/punctuation/
     * uppercase ratios, and a composite score in [0,1]

@@ -692,6 +692,152 @@ def weighted_sample(docs, k=100):
         ["doc_id", "n_tokens", "sample_key"]]
 
 
+CURATE_COUNTS = {}
+
+
+def curate(docs):
+    # graft GraftApi.curateCorpus / q_curate end-to-end: the full
+    # composed curation (strip markup -> quality filter -> keep-best
+    # exact dedup -> exact 3-shingle decontamination vs the src0
+    # benchmark -> exact-Jaccard-0.8 near-dup components -> 20-token
+    # span cut -> PII redact -> per-source-10 stratified sample),
+    # restated stage-by-stage with the same idioms as the standalone
+    # pandas pairs above. Per-stage attrition counts land in
+    # CURATE_COUNTS for the manifest cross-check against graft's
+    # q_curate_manifest.
+    bench = docs[docs["source"] == "src0"]
+    corpus = docs[docs["source"] != "src0"]
+    # 1. strip markup (tag strip -> entity decode -> collapse + trim)
+    t = corpus["text"].str.replace(_TAG, " ", regex=True)
+    for e, r in _ENTS:
+        t = t.str.replace(e, r, regex=False)
+    d = pd.DataFrame({
+        "doc_id": corpus["doc_id"].to_numpy(),
+        "source": corpus["source"].to_numpy(),
+        "text": t.str.replace(r"\s+", " ", regex=True).str.strip().to_numpy(),
+    })
+    counts = {"input": len(d), "strip_markup": len(d)}
+    # 2. quality filter + quality score (text is collapsed+trimmed, so
+    #    norm = lower(text))
+    norm = d["text"].str.lower()
+    toks = norm.str.split(" ")
+    n_tok = toks.str.len().astype(float)
+    mean_wl = (norm.str.len() - (n_tok - 1)) / n_tok.clip(lower=1.0)
+    n_punct = d["text"].str.count(r"[^a-zA-Z0-9\s]").astype(float)
+    text_len = d["text"].str.len().clip(lower=1).astype(float)
+    stopset = {"the", "a", "of", "and", "is", "in", "to"}
+    n_stop = toks.apply(lambda ts: float(sum(1 for x in ts if x in stopset)))
+    keep = (n_tok.between(20, 100000) & mean_wl.between(3.0, 10.0)
+            & (n_punct / text_len <= 0.2) & (n_stop >= 1)).to_numpy()
+    q = np.round(np.minimum(n_tok / 200.0, 1.0) * 0.5
+                 + (n_stop / n_tok.clip(lower=1.0)) * 0.25
+                 + (1.0 - n_punct / text_len) * 0.25 + 1e-9, 4)
+    d = d.assign(norm=norm, q=q)[keep]
+    counts["quality_filter"] = len(d)
+    # 3. keep-best exact dedup (normalized content; best quality, ties
+    #    to the lowest doc_id)
+    d = d.sort_values(["norm", "q", "doc_id"], ascending=[True, False, True]) \
+         .drop_duplicates("norm", keep="first")
+    counts["exact_dedup"] = len(d)
+    # distinct (doc_id, 3-shingle) frame shared by decontam + near-dup
+    def sh3_rows(frame):
+        rows = []
+        for did, ts in zip(frame["doc_id"], frame["norm"].str.split(" ")):
+            if len(ts) >= 3:
+                seen = set()
+                for i in range(len(ts) - 2):
+                    s = ts[i] + " " + ts[i + 1] + " " + ts[i + 2]
+                    if s not in seen:
+                        seen.add(s)
+                        rows.append((did, s))
+        return pd.DataFrame(rows, columns=["doc_id", "s"])
+    ce = sh3_rows(d)
+    # 4. exact decontamination: >=3 distinct 3-shingles shared w/ bench
+    bsh = set()
+    for bt in _norm_tokens(bench):
+        if len(bt) >= 3:
+            for i in range(len(bt) - 2):
+                bsh.add(bt[i] + " " + bt[i + 1] + " " + bt[i + 2])
+    hits = ce[ce["s"].isin(bsh)].groupby("doc_id")["s"].nunique()
+    leaked = set(hits[hits >= 3].index)
+    d = d[~d["doc_id"].isin(leaked)]
+    ce = ce[~ce["doc_id"].isin(leaked)]
+    counts["decontaminate"] = len(d)
+    # 5. near-dup: exact 3-shingle Jaccard >= 0.8 pairs -> connected
+    #    components -> keep each component's lowest doc_id
+    sizes = ce.groupby("doc_id").size().to_dict()
+    vc = ce["s"].value_counts()
+    hot = ce[ce["s"].isin(vc.index[vc > 1])]
+    m = hot.merge(hot, on="s")
+    m = m[m["doc_id_x"] < m["doc_id_y"]]
+    inter = m.groupby(["doc_id_x", "doc_id_y"]).size()
+    parent = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    for (a, b), n in inter.items():
+        if round(n / (sizes[a] + sizes[b] - n) + 1e-9, 4) >= 0.8:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                if rb < ra:
+                    ra, rb = rb, ra
+                parent[rb] = ra  # union-by-min: the root IS the min id
+    d = d[d["doc_id"].apply(lambda x: find(x) == x).to_numpy()]
+    counts["near_dup"] = len(d)
+    # 6. span cut k=20: windows over normalized toks (doc-frequency
+    #    > 1), positions cut from the original-case text
+    k = 20
+    wins = []
+    for did, ts in zip(d["doc_id"], d["norm"].str.split(" ")):
+        for i in range(max(0, len(ts) - k + 1)):
+            wins.append((did, i, " ".join(ts[i:i + k])))
+    w = pd.DataFrame(wins, columns=["doc_id", "pos", "w"])
+    dfc = w.groupby("w")["doc_id"].nunique()
+    by_doc = w[w["w"].isin(dfc.index[dfc > 1])] \
+        .groupby("doc_id")["pos"].apply(list).to_dict()
+    out_text = []
+    for did, txt in zip(d["doc_id"], d["text"]):
+        ps = sorted(by_doc.get(did, []))
+        if not ps:
+            out_text.append(txt)
+            continue
+        ivs, cur = [], None
+        for p in ps:
+            if cur is not None and p <= cur[1]:
+                cur = (cur[0], max(cur[1], p + k))
+            else:
+                if cur:
+                    ivs.append(cur)
+                cur = (p, p + k)
+        ivs.append(cur)
+        kept = [tok for i, tok in enumerate(txt.split(" "))
+                if not any(s <= i < e for s, e in ivs)]
+        out_text.append(" ".join(kept))
+    d = d.assign(text=out_text)
+    counts["span_dedup"] = len(d)
+    # 7. PII redact (email, two IP passes, phone — redact_pii's form)
+    a = d["text"].str.replace(EMAIL, "<EMAIL>", regex=True)
+    b = a.str.replace(IPV4, r"\1<IP>\2", regex=True) \
+         .str.replace(IPV4, r"\1<IP>\2", regex=True)
+    d = d.assign(text=b.str.replace(PHONE, "<PHONE>\\1", regex=True))
+    counts["redact_pii"] = len(d)
+    # 8. per-source-10 stratified sample (Knuth salt)
+    salt = ((d["doc_id"] % 2147483648) * 2654435761) % 4294967296
+    out = d.assign(salt=salt).sort_values(["source", "salt", "doc_id"]) \
+           .groupby("source").head(10)[["doc_id", "source", "text"]] \
+           .sort_values("doc_id")
+    counts["stratified_sample"] = len(out)
+    CURATE_COUNTS.clear()
+    CURATE_COUNTS.update(counts)
+    return out
+
+
 def semantic_decontaminate(emb, tau=0.4):
     # graft q_semantic_decontaminate: per-corpus-vector best-matching
     # benchmark vector (vec_id % 20 == 0) by 6dp-rounded cosine,
@@ -806,6 +952,7 @@ def main():
         ("corpus_diff", corpus_diff),
         ("source_overlap", source_overlap),
         ("length_histogram", length_histogram),
+        ("curate", curate),
     ]
     doc_queries = [(n, f) for n, f in doc_queries
                    if only is None or n in only]
