@@ -139,13 +139,29 @@ object Bench {
     * arm (c) flags every ok query on a loaded round, and letting it
     * share one slowest-first pool would reproduce the collapse (the
     * slowest-16 of everything IS the refinement tail) on exactly the
-    * loaded rounds where the mid-pack blowout matters most. */
+    * loaded rounds where the mid-pack blowout matters most.
+    *
+    * r15 (the BENCH_r14 starvation fix): ranking inside the arm
+    * budget is by BASELINE DEVIATION (steady / committed quiet
+    * baseline), not absolute slowness, and queries past 1.3x their
+    * quiet baseline form their own arm (d) between (a)/(b) and (c).
+    * BENCH_r14 spent its entire arm budget re-timing the slowest
+    * queries — which were already at their quiet floors — while five
+    * mid-pack queries sat 1.4-1.8x above theirs (below the 2x arm
+    * (b) conviction bar) and went unrepassed. Deviation ranking gives
+    * the budget to the queries whose published minima would otherwise
+    * be the round's least trustworthy; slowest-first survives only as
+    * the tiebreak for queries with no baseline (deviation 0). */
   private[graft] def selectSuspects(armAB: Seq[String], armC: Seq[String],
                                     refine: Seq[String],
-                                    steadyOf: Map[String, Double]): Seq[String] = {
-    def bySlowest(ks: Seq[String]): Seq[String] =
-      ks.distinct.sortBy(k => -steadyOf.getOrElse(k, 0.0))
-    ((bySlowest(armAB) ++ bySlowest(armC)).distinct.take(16) ++ refine).distinct
+                                    steadyOf: Map[String, Double],
+                                    deviationOf: Map[String, Double] = Map.empty)
+      : Seq[String] = {
+    def rank(ks: Seq[String]): Seq[String] =
+      ks.distinct.sortBy(k => (-deviationOf.getOrElse(k, 0.0),
+        -steadyOf.getOrElse(k, 0.0), k))
+    val armD = deviationOf.collect { case (k, d) if d > 1.3 => k }.toSeq
+    ((rank(armAB) ++ rank(armD) ++ rank(armC)).distinct.take(16) ++ refine).distinct
   }
 
   /** One SF step down from `sfDir` for the slope probe; None when
@@ -514,8 +530,13 @@ object Bench {
     // markers they were built to be.
     val refine = results0.filter(_._5).sortBy(-_._3).map(_._1).take(16)
     // arm-flagged queries get their OWN budget on top of the
-    // unconditional refinement tail — see [[selectSuspects]]
-    val suspects = selectSuspects(armAB, armC, refine, steadyOf)
+    // unconditional refinement tail, ranked by quiet-baseline
+    // deviation with >1.3x deviators as arm (d) — see [[selectSuspects]]
+    val deviationOf = results0.collect {
+      case (k, _, v, _, true, _) if baselineFor(k).isDefined =>
+        k -> v / math.max(baselineFor(k).get, 1e-3)
+    }.toMap
+    val suspects = selectSuspects(armAB, armC, refine, steadyOf, deviationOf)
     val repassed = suspects.map { k =>
       val extra = (0 until 2).map(_ => time(SparkEntry.queries(k), sfDir))
       k -> ((extra.map(_._1).min, extra.map(_._2).min))
@@ -822,6 +843,16 @@ object Bench {
       val r = Similarity.rhpBucketStats(Tables.embeddings(spark, sfDir)).collect()(0)
       s""","lsh_buckets":{"minhash":{"n":${m.getLong(0)},"max":${m.getLong(1)},"cand_pairs":${m.getLong(2)}},"rhp":{"n":${r.getLong(0)},"max":${r.getLong(1)},"cand_pairs":${r.getLong(2)}}}"""
     } catch { case _: Throwable => "" }
+    // range-join fan-out probe (r14 verdict item 5 — the slowest quiet
+    // query was the only heavy op whose candidate volume was invisible
+    // from the JSON): incidents, buckets touched, pre-filter equi-join
+    // rows, hottest bucket. Computed from the bucket histograms, never
+    // by running the join.
+    val rjs = try {
+      val r = graft.operators.TimeSeries
+        .rangeJoinStats(graft.sources.Tables.events(spark, sfDir)).collect()(0)
+      s""","range_join_stats":{"n_incidents":${r.getLong(0)},"n_buckets":${r.getLong(1)},"cand_rows":${r.getLong(2)},"max_bucket_cand":${r.getLong(3)}}"""
+    } catch { case _: Throwable => "" }
     // Full per-query detail line, under its OWN metric name: a parser
     // keying on metric=="total" must never race two candidates (one of
     // them truncatable — BENCH_r04/r05 recorded `parsed: null` when
@@ -841,12 +872,28 @@ object Bench {
     // whether the repass window itself was quiet; `load_triggered`
     // records whether arm (c) fired at decision time.
     val floorDrift = sentinelDrift()
+    // raw max/min alongside the second-max statistic (ADVICE r14): the
+    // forgiven single-point spike stays visible to readers even though
+    // it no longer convicts the suite
+    val floorDriftRaw = {
+      val st = sentinelTimes.drop(1).toSeq
+      if (st.size < 2) 1.0 else st.max / math.max(st.min, 1e-3)
+    }
     val repassedJ = repassed.toSeq.sortBy(_._1)
       .map { case (k, (v2, _)) => s"\"" + k + "\":" + v2 }
       .mkString("{", ",", "}")
-    val suspectJ = suspectUnrepassed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val loadMeta = s""","load":{"cpus":$cpusAvail,"pre_1m":$preLoad1m,"samples":[${loadSamples.mkString(",")}]},"floor_sentinel":{"name":"$sentinelName","times":[${sentinelTimes.mkString(",")}],"drift":$floorDrift,"drift_suite":$floorDriftSuite},"load_triggered":$loadEvident,"quiet_baseline_n":${quietBase.size},"repassed":$repassedJ,"suspect_unrepassed":$suspectJ"""
-    val fullLine = s"""{"metric":"total_full","failed_count":$failedCount,"value":$total,"unit":"sec","queries":$qs,"exec_times":$execs,"shuffle_bytes":$shuffles,"spill_bytes_total":$spillTotal,"cold_total":$coldTotal,"failed":$failed,"retried_ok":$retriedJ,"bench_excluded":$excludedJ$slope$slope2$slope3$lsh$loadMeta,"sf":"$sfDir"}"""
+    // r15: each unrepassed suspect carries its deviation ratio and the
+    // reason it went unrepassed (with arm (d), the only way past the
+    // selector is losing the 16-slot budget to HIGHER deviators), so
+    // the artifact itself answers "why not" per query
+    val suspectJ = suspectUnrepassed
+      .map(k => "\"" + k + "\":" + deviationOf.getOrElse(k, 0.0))
+      .mkString("{", ",", "}")
+    val suspectReason =
+      if (suspectUnrepassed.isEmpty) "\"\""
+      else "\"arm_budget_exhausted_by_higher_deviators\""
+    val loadMeta = s""","load":{"cpus":$cpusAvail,"pre_1m":$preLoad1m,"samples":[${loadSamples.mkString(",")}]},"floor_sentinel":{"name":"$sentinelName","times":[${sentinelTimes.mkString(",")}],"drift":$floorDrift,"drift_raw":$floorDriftRaw,"drift_suite":$floorDriftSuite},"load_triggered":$loadEvident,"quiet_baseline_n":${quietBase.size},"repassed":$repassedJ,"suspect_unrepassed":$suspectJ,"suspect_unrepassed_reason":$suspectReason"""
+    val fullLine = s"""{"metric":"total_full","failed_count":$failedCount,"value":$total,"unit":"sec","queries":$qs,"exec_times":$execs,"shuffle_bytes":$shuffles,"spill_bytes_total":$spillTotal,"cold_total":$coldTotal,"failed":$failed,"retried_ok":$retriedJ,"bench_excluded":$excludedJ$slope$slope2$slope3$lsh$rjs$loadMeta,"sf":"$sfDir"}"""
     println(fullLine)
     // ALSO persist the full detail to a file: the driver's stdout
     // capture is tail-bounded and has repeatedly truncated this

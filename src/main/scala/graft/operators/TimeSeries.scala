@@ -291,6 +291,42 @@ object TimeSeries {
       .orderBy("incident_id")
   }
 
+  /** Candidate-volume probe for [[rangeJoin]]'s bucket equi-join (the
+    * lsh_buckets treatment, r14 verdict item 5): n_incidents, buckets
+    * carrying incident windows, the PRE-FILTER equi-join row count
+    * (Σ buckets: incidents_in_bucket × events_in_bucket — the volume
+    * the residual range filter scans), and the hottest bucket's
+    * contribution (the skew/straggler signal at 100 TB). Two
+    * bucket-level aggregates + a 1-row broadcast — never the join
+    * itself — so the bench can emit the fan-out every round and a
+    * regression (W mis-sized, error-rate spike, hot bucket) is
+    * visible from the JSON before it becomes a wall-clock mystery. */
+  def rangeJoinStats(events: DataFrame, windowSeconds: Long = 1800): DataFrame = {
+    val W = windowSeconds
+    val epoch = col("ts").cast("long")
+    val incB = events.filter(col("event_type") === "error")
+      .select(col("event_id").as("incident_id"), epoch.as("start_s"))
+      .select(col("incident_id"),
+        explode(expr(s"sequence(start_s div ${W}L, (start_s + ${W - 1}L) div ${W}L)"))
+          .as("bucket"))
+    val incAgg = incB.groupBy("bucket").agg(count(lit(1)).as("ni"))
+    val factAgg = events
+      .select(epoch.as("ts_s"))
+      .select(expr(s"ts_s div ${W}L").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("nf"))
+    val nInc = events.filter(col("event_type") === "error")
+      .agg(count(lit(1)).as("n_incidents"))
+    incAgg.join(factAgg, Seq("bucket"), "left")
+      .agg(
+        count(lit(1)).as("n_buckets"),
+        sum(col("ni") * coalesce(col("nf"), lit(0L))).as("cand_rows"),
+        max(col("ni") * coalesce(col("nf"), lit(0L))).as("max_bucket_cand"))
+      .crossJoin(broadcast(nInc))
+      .select(col("n_incidents"), col("n_buckets"),
+        coalesce(col("cand_rows"), lit(0L)).as("cand_rows"),
+        coalesce(col("max_bucket_cand"), lit(0L)).as("max_bucket_cand"))
+  }
+
   /** Exact interpolated quantiles of the measure (dashboard
     * distribution percentiles, dashboard.py:209-231). `percentile` is
     * Spark's EXACT aggregate: its merge buffer holds a value→count map

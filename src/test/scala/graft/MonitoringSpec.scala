@@ -136,10 +136,44 @@ class MonitoringSpec extends AnyFunSuite {
     assert(refine.forall(loaded.contains))
     assert(loaded.size <= 32)
     // arm (c) alone degenerates to the heavy tail: its slowest-16 IS
-    // refine and dedup collapses the union
+    // refine and dedup collapses the union (no baseline deviations
+    // known -> slowest-first tiebreak, the pre-r15 behavior)
     val many = selectSuspects(armAB = Seq.empty, armC = steady.keys.toSeq,
       refine = refine, steadyOf = steady)
     assert(many.toSet == refine.toSet)
+  }
+
+  test("repass ranking prioritizes baseline deviators (the BENCH_r14 starvation)") {
+    import graft.Bench.selectSuspects
+    val steady = (1 to 40).map(i => f"q$i%02d" -> i * 0.1).toMap
+    val refine = steady.toSeq.sortBy(-_._2).map(_._1).take(16)
+    // the r14 artifact, distilled: a loaded round flags every query
+    // (arm c), the 16 slowest sit AT their quiet floors (deviation
+    // ~1.0-1.1), while five MID-PACK queries sit 1.4-1.8x above
+    // theirs — below arm (b)'s 2x conviction bar. The r14 selector
+    // ranked arm (c) slowest-first, so the arm budget re-timed the
+    // already-at-floor tail and the five suspects went unrepassed.
+    val suspects5 = Seq("q07", "q11", "q14", "q18", "q21")
+    val dev = steady.keys.map { k =>
+      k -> (if (suspects5.contains(k)) 1.6 else 1.05)
+    }.toMap
+    val got = selectSuspects(armAB = Seq.empty, armC = steady.keys.toSeq,
+      refine = refine, steadyOf = steady, deviationOf = dev)
+    assert(suspects5.forall(got.contains),
+      s"every 1.3x+ deviator must be repassed before at-floor queries: $got")
+    assert(refine.forall(got.contains), "refinement tail must be kept whole")
+    assert(got.size <= 32)
+    // arm (d) fires WITHOUT load conviction: deviators past 1.3x get
+    // repassed even when arms (a)-(c) are all silent
+    val quiet = selectSuspects(armAB = Seq.empty, armC = Seq.empty,
+      refine = refine, steadyOf = steady, deviationOf = dev)
+    assert(suspects5.forall(quiet.contains),
+      "arm (d) must fire on deviation alone")
+    // and a query with NO committed baseline cannot be starved out of
+    // arm (a)/(b) conviction by deviators (per-query arms rank first)
+    val withAB = selectSuspects(armAB = Seq("q03"), armC = Seq.empty,
+      refine = refine, steadyOf = steady, deviationOf = dev)
+    assert(withAB.contains("q03"))
   }
 
   test("slope wall-anomaly decision pins the r12/r13 measured populations") {

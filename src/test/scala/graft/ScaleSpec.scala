@@ -232,6 +232,31 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("range-join fan-out probe equals the real pre-filter candidate volume") {
+    // the bench emits range_join_stats from bucket HISTOGRAMS (never
+    // the join itself) — pin that the histogram arithmetic equals the
+    // equi-join it predicts, on the real events table
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, sfDir)
+    val s = graft.operators.TimeSeries.rangeJoinStats(ev).collect()(0)
+    val W = 1800L
+    val epoch = col("ts").cast("long")
+    val inc = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("incident_id"), epoch.as("start_s"))
+      .select(col("incident_id"),
+        explode(expr(s"sequence(start_s div ${W}L, (start_s + ${W - 1}L) div ${W}L)"))
+          .as("bucket"))
+    val facts = ev.select(epoch.as("ts_s"))
+      .select(expr(s"ts_s div ${W}L").as("bucket"))
+    val realCand = inc.join(facts, "bucket").count()
+    assert(s.getAs[Long]("cand_rows") == realCand,
+      s"probe cand_rows ${s.getAs[Long]("cand_rows")} != real $realCand")
+    assert(s.getAs[Long]("n_incidents") ==
+      ev.filter(col("event_type") === "error").count())
+    assert(s.getAs[Long]("max_bucket_cand") <= s.getAs[Long]("cand_rows"))
+    assert(s.getAs[Long]("n_buckets") >= 1)
+  }
+
   test("approx quantiles honor the GK rank-error bound vs exact data") {
     // q_quantiles' exact percentile buffers the whole column on one
     // reducer — quantilesApprox is the 100 TB path. Its contract is a
