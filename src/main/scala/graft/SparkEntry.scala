@@ -367,6 +367,13 @@ object SparkEntry {
         .withColumn("value", col("value").cast("double"))
         .orderBy("media_id", "frame_idx", "dim_idx")
     }),
+    // the codecs' oracle path (r14 verdict item 6): decode invariants
+    // the hash CAN gate, expected values recomputed by DuckDB from
+    // synthMedia's deterministic id arithmetic
+    "q_media_features_check" -> ((s, _) => {
+      GraftSession.tune(s)
+      Multimodal.mediaCheck(Multimodal.synthMedia(s, 300))
+    }),
     // F. ML feature preparation (columnar, oracle-checkable)
     "q_ml_feature_prep" -> ((s, d) => {
       val masked = MissingValues.maskedView(ev(s, d))
@@ -2730,6 +2737,38 @@ object SparkEntry {
         |FROM scored
         |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC NULLS LAST, cand_id) <= 5
         |ORDER BY query_id, rank""".stripMargin,
+    // every expected value below is synthMedia's id arithmetic
+    // restated (Multimodal.scala synthMedia); the booleans are the
+    // Spark-side decode contract — DuckDB expects TRUE, any codec
+    // regression flips the hashed column
+    "q_media_features_check" ->
+      """WITH e AS (
+        |  SELECT CAST(unnest(range(0, 300)) AS BIGINT) AS id
+        |), f AS (
+        |  SELECT id, id % 4 AS m4, id // 4 AS g FROM e
+        |)
+        |SELECT id AS media_id,
+        |       CASE WHEN m4 IN (0, 3) THEN 'image'
+        |            WHEN m4 = 1 THEN 'audio' ELSE 'video' END AS kind,
+        |       CASE WHEN m4 = 0 THEN 'ppm'
+        |            WHEN m4 = 3 THEN CASE WHEN g % 2 = 0 THEN 'png' ELSE 'jpeg' END
+        |            WHEN m4 = 1 THEN 'wav-pcm16'
+        |            ELSE CASE g % 3 WHEN 0 THEN 'y4m' WHEN 1 THEN 'gif'
+        |                 ELSE 'avi-mjpeg' END END AS fmt,
+        |       TRUE AS magic_ok,
+        |       CAST(CASE WHEN m4 = 0 THEN 32 + id % 32
+        |                 WHEN m4 = 3 THEN 16 + id % 16
+        |                 WHEN m4 = 2 THEN 16 + id % 16 ELSE 0 END AS INTEGER) AS width,
+        |       CAST(CASE WHEN m4 = 0 THEN 24 + id % 24
+        |                 WHEN m4 = 3 THEN 12 + id % 12
+        |                 WHEN m4 = 2 THEN 16 ELSE 0 END AS INTEGER) AS height,
+        |       CAST(CASE WHEN m4 IN (0, 3) THEN 1
+        |                 WHEN m4 = 2 THEN 3 ELSE 0 END AS INTEGER) AS n_frames_sampled,
+        |       CAST(CASE WHEN m4 IN (0, 3) THEN 1
+        |                 WHEN m4 = 2 THEN 5 + id % 4 ELSE 0 END AS INTEGER) AS n_frames_total,
+        |       CAST(CASE WHEN m4 = 1 THEN 8 * (1000 + id % 9000) ELSE 0 END AS BIGINT) AS n_samples,
+        |       TRUE AS rms_ok
+        |FROM f ORDER BY media_id""".stripMargin,
     "q_ml_feature_prep" ->
       s"""$duckMasked,
         |filled AS (

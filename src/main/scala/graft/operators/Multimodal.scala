@@ -706,4 +706,71 @@ object Multimodal {
       (f.media_id, f.frame_idx, vec)
     }.toDF("media_id", "frame_idx", "embedding")
   }
+
+  case class MediaCheck(media_id: Long, kind: String, fmt: String,
+                        magic_ok: Boolean, width: Int, height: Int,
+                        n_frames_sampled: Int, n_frames_total: Int,
+                        n_samples: Long, rms_ok: Boolean)
+
+  /** Oracle-checkable form of the media decode path — the
+    * distinct_sketch_check / quantiles_approx_check pattern applied to
+    * the codecs (the last rows-only surface): binary payloads have no
+    * cross-engine identity (DuckDB cannot decode PNG/WAV), so the
+    * CONTRACT ships instead. Per media row the REAL decoders emit the
+    * invariants a decode regression would break — container magic
+    * bytes, decoded dimensions, total and sampled frame counts, PCM
+    * sample count, and a sine-RMS bound for audio (synthMedia's clips
+    * are amplitude-0.5 sine waves, so normalized RMS must sit within
+    * 0.01 of 0.5/√2; a byte-order or chunk-walk regression lands far
+    * outside) — while DuckDB independently recomputes every expected
+    * value from synthMedia's deterministic id arithmetic. Any codec
+    * regression (header misparse, wrong dims, dropped/duplicated
+    * frames, corrupted PCM) flips a hashed column. Same mapPartitions
+    * shape as [[decode]]: decoder state per partition, media bytes
+    * never leave the executor. */
+  def mediaCheck(media: Dataset[MediaRow], framesPerVideo: Int = 3): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      def head(bs: Array[Byte], s: String, off: Int = 0): Boolean =
+        bs.length >= off + s.length &&
+          s.zipWithIndex.forall { case (c, i) => bs(off + i) == c.toByte }
+      rows.map { m =>
+        val magic = m.meta.codec match {
+          case "ppm"          => head(m.data, "P6")
+          case "png"          => m.data.length >= 4 &&
+            (m.data(0) & 0xff) == 0x89 && head(m.data, "PNG", 1)
+          case "jpeg" | "jpg" => m.data.length >= 2 &&
+            (m.data(0) & 0xff) == 0xff && (m.data(1) & 0xff) == 0xd8
+          case "wav-pcm16"    => head(m.data, "RIFF") && head(m.data, "WAVE", 8)
+          case "y4m"          => head(m.data, "YUV4MPEG2")
+          case "gif"          => head(m.data, "GIF8")
+          case "avi-mjpeg"    => head(m.data, "RIFF") && head(m.data, "AVI ", 8)
+          case _              => false
+        }
+        (m.kind, m.meta.codec) match {
+          case ("image", "ppm") =>
+            val (w, h, _) = Codec.decodePpm(m.data)
+            MediaCheck(m.media_id, m.kind, m.meta.codec, magic, w, h, 1, 1, 0L, rms_ok = true)
+          case ("image", _) =>
+            val (w, h, _) = Codec.decodeImage(m.data)
+            MediaCheck(m.media_id, m.kind, m.meta.codec, magic, w, h, 1, 1, 0L, rms_ok = true)
+          case ("audio", _) =>
+            val (_, _, samples) = Codec.decodeWavPcm16(m.data)
+            val rms =
+              if (samples.isEmpty) 0.0
+              else math.sqrt(samples.foldLeft(0.0)((a, x) => a + x.toDouble * x) / samples.length)
+            MediaCheck(m.media_id, m.kind, m.meta.codec, magic, 0, 0, 0, 0,
+              samples.length.toLong, math.abs(rms - 0.5 / math.sqrt(2.0)) < 0.01)
+          case ("video", _) =>
+            val (w, h, frames) = m.meta.codec match {
+              case "y4m" => Codec.decodeY4m(m.data)
+              case "gif" => Codec.decodeGifFrames(m.data)
+              case _     => Codec.decodeAviMjpeg(m.data)
+            }
+            MediaCheck(m.media_id, m.kind, m.meta.codec, magic, w, h,
+              math.min(framesPerVideo, frames.length), frames.length, 0L, rms_ok = true)
+        }
+      }
+    }.toDF().orderBy("media_id")
+  }
 }

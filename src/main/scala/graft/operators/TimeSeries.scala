@@ -410,14 +410,23 @@ object TimeSeries {
       .select(col("quantile"), col("n"),
         col("v.ve").as("v_exact"), col("v.va").as("v_approx"))
     val slack = col("n") / accuracy + 1.0
-    vals.crossJoin(broadcast(summary))
-      .groupBy("quantile", "n", "v_exact", "v_approx")
+    val counted = vals.crossJoin(broadcast(summary))
+      .groupBy("quantile")
       .agg(sum(when(col("value") < col("v_approx"), 1L).otherwise(0L)).as("rank_lt"),
         sum(when(col("value") <= col("v_approx"), 1L).otherwise(0L)).as("rank_le"))
+    // the final projection drives from the SUMMARY side (ADVICE r14):
+    // on an empty/all-null corpus the crossJoin's streamed side is
+    // empty and `counted` has 0 rows, but the contract (and the DuckDB
+    // oracle) is 4 rows with n_rows=0 and a trivially-true bound —
+    // the left join restores them, with zero ranks coalesced in. Both
+    // sides are ≤4 rows, so the join costs nothing at any scale.
+    summary.join(counted, Seq("quantile"), "left")
       .select(col("quantile"), col("n").as("n_rows"),
         rnd(col("v_exact"), 4).as("exact_q"),
-        (col("quantile") * col("n") >= col("rank_lt") + 1 - slack &&
-          col("quantile") * col("n") <= col("rank_le") + slack).as("rank_in_bound"))
+        (col("quantile") * col("n") >=
+            coalesce(col("rank_lt"), lit(0L)) + 1 - slack &&
+          col("quantile") * col("n") <=
+            coalesce(col("rank_le"), lit(0L)) + slack).as("rank_in_bound"))
       .orderBy("quantile")
   }
 

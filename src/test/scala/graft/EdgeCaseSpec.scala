@@ -56,6 +56,15 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(Quality.highNullRows(noMasked).count() == 1)
     assert(Quality.report(noEvents, noWeather, noMasked).count() > 0)
     assert(TimeSeries.quantiles(noEvents).count() == 4) // null quantile values
+    // ADVICE r15: the check form's contract on a degenerate corpus is
+    // 4 rows (n_rows=0, bound trivially TRUE, exact_q null) — the
+    // pre-fix form emitted 0 rows (empty crossJoin streamed side) and
+    // would have row-count-diverged from its DuckDB oracle
+    val qac = TimeSeries.quantilesApproxCheck(noEvents).collect()
+    assert(qac.length == 4)
+    assert(qac.forall(_.getAs[Long]("n_rows") == 0L))
+    assert(qac.forall(_.getAs[Boolean]("rank_in_bound")))
+    assert(qac.forall(r => r.isNullAt(r.fieldIndex("exact_q"))))
     assert(Analytics.ingestMetrics(noEvents).count() == 0) // grouped: no groups
     assert(Analytics.distribution(noEvents).count() == 0)
   }

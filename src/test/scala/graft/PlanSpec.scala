@@ -397,7 +397,8 @@ class PlanSpec extends AnyFunSuite {
     //   here; their plan shapes are pinned by their own specs
     val eager = Set("q_ann_ivf", "q_dedup_clusters")
     val objectBoundaryOk =
-      Set("q_media_features", "q_ml_feature_prep", "q_heavy_hitters_check")
+      Set("q_media_features", "q_media_features_check", "q_ml_feature_prep",
+        "q_heavy_hitters_check")
     SparkEntry.queries.keys.toSeq.sorted
       .filterNot(eager).foreach { name =>
         val p = planOf(name)

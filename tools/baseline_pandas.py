@@ -474,13 +474,19 @@ def quantiles_approx_check(df):
     v = df["value"].dropna()
     n = len(v)
     exact = v.quantile(qs)
+    # the rank check must run against a REAL data element (a GK sketch
+    # returns observations): an interpolated value between two data
+    # points has an EMPTY occupied-rank interval (rank_lt == rank_le),
+    # which spuriously fails the bound at small n (ADVICE r14) —
+    # interpolation='lower' is the sketch-like stand-in
+    approx = v.quantile(qs, interpolation="lower")
     rows = []
     for q in qs:
-        x = exact[q]
+        x = approx[q]
         rank_lt = (v < x).sum()
         rank_le = (v <= x).sum()
         slack = n / 10000 + 1
-        rows.append((q, n, round(x + 1e-9, 4),
+        rows.append((q, n, round(exact[q] + 1e-9, 4),
                      rank_lt + 1 - slack <= q * n <= rank_le + slack))
     return pd.DataFrame(rows, columns=["quantile", "n_rows", "exact_q",
                                        "rank_in_bound"])
