@@ -121,15 +121,36 @@ object Inference {
   /** Score the newest row of every entity with a fitted pipeline —
     * dashboard.predict_temperature generalized from one city to all
     * entities in one pass. Emits the reference's response fields:
-    * current value, predicted value, and the delta. */
+    * current value, predicted value, and the delta.
+    *
+    * The newest-row selection is a map-side-combined key aggregate
+    * (`max(struct(orderCol, event_id))` per entity — the r14/r15
+    * struct-extremum pattern) broadcast-joined back, NOT a row_number
+    * window: the wide engineered frame never shuffles at all — only
+    * |entities| (key, ts, event_id) triples move, and the join back
+    * is a broadcast hash join over the scan. The window form
+    * exchanged and sorted every engineered row. Selection ties match
+    * the window's desc/desc order exactly ((ts, event_id) is unique
+    * per entity by construction — event_id is the primary key). */
   def predictLatest(engineered: DataFrame, model: PipelineModel,
                     featureCols: Seq[String] = defaultFeatures,
                     keyCol: String = "user_id", orderCol: String = "ts")
       : DataFrame = {
-    val w = Window.partitionBy(keyCol).orderBy(desc(orderCol), desc("event_id"))
-    val latest = engineered
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1).drop("rn")
+    val latestKeys = engineered
+      .groupBy(col(keyCol))
+      .agg(max(struct(col(orderCol), col("event_id"))).as("_k"))
+      .select(col(keyCol), col("_k")(orderCol).as(orderCol),
+        col("_k.event_id").as("event_id"))
+    // null-safe on orderCol: an entity whose newest row has a null
+    // order value (struct max ranks null fields lowest, so it wins
+    // only when ALL rows are null-ordered) must still join back —
+    // plain equality would silently drop it
+    val latest = engineered.alias("e").join(
+      broadcast(latestKeys.alias("k")),
+      col(s"e.$keyCol") === col(s"k.$keyCol") &&
+        col(s"e.$orderCol") <=> col(s"k.$orderCol") &&
+        col("e.event_id") === col("k.event_id"))
+      .select(col("e.*"))
     model.transform(fillZeros(latest, featureCols))
       .select(col(keyCol),
         col("event_id"),

@@ -82,11 +82,15 @@ object MissingValues {
   def modeFill(masked: DataFrame): DataFrame = {
     val counts = masked.filter(col("event_type").isNotNull)
       .groupBy("user_id", "event_type").agg(count(lit(1)).as("c"))
-    val mw = Window.partitionBy("user_id").orderBy(desc("c"), asc("event_type"))
+    // min(struct(-c, type)) ≡ the window's (c DESC, type ASC) rank-1
+    // row (r15 sweep: the per-entity mode table folds into ONE
+    // aggregate pass over the counts — no window sort; the count is
+    // never null and -c cannot overflow, so min cannot prefer a null)
     val modes = counts
-      .withColumn("mrn", row_number().over(mw))
-      .filter(col("mrn") === 1)
-      .select(col("user_id"), col("event_type").as("mode_type"))
+      .groupBy("user_id")
+      .agg(min(struct(negate(col("c")).as("nc"),
+        col("event_type").as("t"))).as("_m"))
+      .select(col("user_id"), col("_m.t").as("mode_type"))
     masked.join(broadcast(modes), Seq("user_id"))
       .select(col("event_id"), col("user_id"),
         coalesce(col("event_type"), col("mode_type")).as("event_type_filled"))

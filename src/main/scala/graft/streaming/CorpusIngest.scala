@@ -118,11 +118,18 @@ object CorpusIngest {
       col("doc_id"), col("source"), col("text"),
       TextAnalysis.contentHash(col("text")).as("content_hash"))
 
-  private def keepMinPerContent(df: DataFrame): DataFrame = {
-    val w = Window.partitionBy("content_hash").orderBy("doc_id")
-    df.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1).drop("rn")
-  }
+  private def keepMinPerContent(df: DataFrame): DataFrame =
+    // struct-minimum aggregate, not a row_number window (the r15
+    // sweep): map-side partial combine dedups each task's batch slice
+    // BEFORE the exchange — on the high-duplicate streams this ingest
+    // exists for, the shuffle carries the deduped set. doc_id leads
+    // the struct (unique within a batch), so the kept row matches the
+    // window's orderBy("doc_id") exactly.
+    df.groupBy("content_hash")
+      .agg(min(struct(col("doc_id"), col("source"), col("text"))).as("_first"))
+      .select(col("_first.doc_id").as("doc_id"),
+        col("_first.source").as("source"),
+        col("_first.text").as("text"), col("content_hash"))
 
   /** Write one batch's survivors: hash partition FIRST — the two
     * writes are not atomic, and the failure window between them must
