@@ -232,6 +232,29 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("crawl-mode scaled corpus preserves the quality gate exactly per copy") {
+    // the r15 curation-bench instrument (ScaleGen crawl mode) rests on
+    // one property: the stopword-preserving letter-suffix bijection
+    // must not flip ANY document's quality verdict, so the gated
+    // stage counts scale EXACTLY xfactor (BASELINE r15 relies on the
+    // measured 47500 -> 40360 = 10 x 4750 -> 4036 at sf0.1; this pins
+    // it executably at sf0.001). Later stages (decontam/near-dup) are
+    // only near-linear by design — all-stopword shingles do cross
+    // copies — so only the per-copy-local stages are pinned.
+    import org.apache.spark.sql.functions._
+    val factor = 3
+    val dir = ScaleGen.crawlDir(spark, sfDir, factor)
+    val base = Tables.documents(spark, sfDir)
+    val scaled = Tables.documents(spark, dir)
+    assert(scaled.count() == factor * base.count())
+    def qualityPass(d: org.apache.spark.sql.DataFrame): Long =
+      graft.operators.TextAnalysis.qualityFilter(
+          d.withColumn("text", graft.operators.TextAnalysis.cleanMarkup(col("text"))))
+        .filter(col("keep") === 1).count()
+    assert(qualityPass(scaled) == factor * qualityPass(base),
+      "letter-suffix remap must not flip any quality verdict")
+  }
+
   test("range-join fan-out probe equals the real pre-filter candidate volume") {
     // the bench emits range_join_stats from bucket HISTOGRAMS (never
     // the join itself) — pin that the histogram arithmetic equals the
