@@ -245,6 +245,123 @@ object TextHash {
     c
   }
 
+  private def isAsciiWordByte(b: Byte): Boolean =
+    (b >= '0' && b <= '9') || (b >= 'A' && b <= 'Z') ||
+      (b >= 'a' && b <= 'z') || b == '_'
+  private def isDigitByte(b: Byte): Boolean = b >= '0' && b <= '9'
+
+  /** End index (one past octet 4's digits) of an IPv4-shaped match
+    * whose FIRST DIGIT sits at `start`, or -1. Exactly
+    * [[graft.operators.TextAnalysis.ipPat]]'s greedy-with-backtrack
+    * semantics, backtracking eliminated analytically: per octet the
+    * MAXIMAL digit run must be 1-3 long (a run of 4+ fails every
+    * `[0-9]{1,3}` backtrack — the byte after any shorter take is
+    * still a digit), octets 1-3 must be followed by '.', octet 4 by a
+    * non-word byte or end-of-input. */
+  private def ipEndAt(bytes: Array[Byte], start: Int, n: Int): Int = {
+    var i = start
+    var oct = 0
+    while (oct < 4) {
+      var d = 0
+      while (i < n && isDigitByte(bytes(i)) && d < 4) { d += 1; i += 1 }
+      if (d == 0 || d > 3) return -1
+      if (oct < 3) {
+        if (i >= n || bytes(i) != '.') return -1
+        i += 1
+      } else if (i < n && isAsciiWordByte(bytes(i))) return -1
+      oct += 1
+    }
+    i
+  }
+
+  /** One full ipPat replace pass over raw bytes: (rebuilt bytes or
+    * null when nothing matched, match count). Exactly Java's
+    * find/appendReplacement loop with the backtracking eliminated
+    * analytically (see [[ipEndAt]]): at each scan position try the
+    * `^` alternative (digits at position 0 only), else the
+    * boundary-char alternative (non-word byte, digits after it); a
+    * match CONSUMES its leading and trailing boundary bytes — the
+    * scan resumes after the trailing one, so a dotted chain's next
+    * quad cannot reuse it in the SAME pass, exactly like the regex
+    * (that, and only that, is what the second pass is for — a naive
+    * non-consuming single scan segments chains like
+    * `1.2.30.1.2.3.4.5.6.7` DIFFERENTLY from the two regex passes;
+    * the first draft of this kernel did, and the KernelPropertySpec
+    * adversarial pin caught it). The byte-level word test equals
+    * Java's char-class test: every byte of a multi-byte UTF-8 char is
+    * >= 0x80, never in `[0-9A-Za-z_]`. Replacement `$1<IP>$2` writes
+    * the consumed boundary bytes back in place. */
+  private def ipPass(bytes: Array[Byte]): (Array[Byte], Int) = {
+    val n = bytes.length
+    var out: java.io.ByteArrayOutputStream = null
+    var count = 0
+    var last = 0
+    var pos = 0
+    while (pos < n) {
+      var digitStart = -1
+      if (isDigitByte(bytes(pos))) {
+        if (pos == 0) digitStart = 0 // the '^' alternative
+      } else if (!isAsciiWordByte(bytes(pos)) && pos + 1 < n &&
+                 isDigitByte(bytes(pos + 1))) {
+        digitStart = pos + 1 // the consumed-boundary alternative
+      }
+      val end = if (digitStart >= 0) ipEndAt(bytes, digitStart, n) else -1
+      if (end >= 0) {
+        count += 1
+        if (out == null) out = new java.io.ByteArrayOutputStream(n + 16)
+        out.write(bytes, last, pos - last)
+        if (digitStart > pos) out.write(bytes(pos)) // $1
+        out.write('<'); out.write('I'); out.write('P'); out.write('>')
+        if (end < n) {
+          // $2 consumes ONE CHAR (Java classes match code points): a
+          // multi-byte trailing boundary must be consumed whole or the
+          // scan resumes MID-CHAR and a continuation byte fakes a
+          // fresh leading boundary the regex never offers (the
+          // adversarial pin caught exactly this on `…1.2.3.4世0.1…`).
+          // bytes(end) follows an ASCII digit, so it is ASCII or a
+          // lead byte, never a continuation.
+          val b = bytes(end)
+          val t =
+            if ((b & 0x80) == 0) 1
+            else if ((b & 0xE0) == 0xC0) 2
+            else if ((b & 0xF0) == 0xE0) 3
+            else 4
+          val stop = math.min(n, end + t)
+          out.write(bytes, end, stop - end)
+          last = stop
+        } else last = end // the '$' branch consumes nothing
+        pos = last
+      } else pos += 1
+    }
+    if (out == null) (null, 0)
+    else {
+      out.write(bytes, last, n - last)
+      (out.toByteArray, count)
+    }
+  }
+
+  /** Both ipPat redaction passes, regex-free (byte-exact to
+    * `regexp_replace(regexp_replace(s, ipPat, "$1<IP>$2"), ...)` —
+    * pinned by KernelPropertySpec against java.util.regex on
+    * adversarial chains and by the DuckDB oracle's regex restatement
+    * on every Verify run). Returns the input object untouched when
+    * nothing matches. */
+  def redactIps(input: UTF8String): UTF8String = {
+    val (r1, _) = ipPass(input.getBytes)
+    if (r1 == null) input
+    else {
+      val (r2, _) = ipPass(r1)
+      UTF8String.fromBytes(if (r2 == null) r1 else r2)
+    }
+  }
+
+  /** Total ipPat match count across both passes (the n_ips column's
+    * former `regexp_count(t1) + regexp_count(t2a)` sum). */
+  def countIps(input: UTF8String): Int = {
+    val (r1, c1) = ipPass(input.getBytes)
+    if (r1 == null) 0 else c1 + ipPass(r1)._2
+  }
+
   /** `regexp_count(text, "[a-z]+|[0-9]+|[^a-z0-9 ]")` — the BPE-ish
     * lexer count (letter runs | digit runs | one match per other
     * code point) — as one byte scan. Greedy alternation over these

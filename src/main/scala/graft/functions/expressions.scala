@@ -314,6 +314,41 @@ case class CountPunct(child: Expression) extends UnaryExpression with ExpectsInp
     copy(child = newChild)
 }
 
+/** The PII IPv4 stage as ONE non-backtracking byte scan, byte-exact
+  * to TWO `regexp_replace(ipPat, "$1<IP>$2")` passes (see
+  * [[TextHash.redactIps]] for the equivalence argument). The r15
+  * measurement that motivated it: one ipPat regex pass over a 100 MB
+  * corpus cost 2.2 s of wall on 32 threads (~1.4 MB/s/core — Java's
+  * backtracking on the leading-alternation, 4×-bounded-quantifier
+  * pattern), and redactPii runs four such passes; the scan does the
+  * whole stage at memory speed. The DuckDB oracle keeps the regex
+  * restatement, so every Verify run cross-checks this kernel against
+  * an independent regex engine; KernelPropertySpec pins it against
+  * java.util.regex on adversarial generated text. */
+case class RedactIps(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def nullSafeEval(input: Any): Any =
+    TextHash.redactIps(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.redactIps($c)")
+  override protected def withNewChildInternal(newChild: Expression): RedactIps =
+    copy(child = newChild)
+}
+
+/** Total ipPat match count across both passes (= [[RedactIps]]'s
+  * replacement count) as the same single scan. */
+case class CountIps(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(input: Any): Any =
+    TextHash.countIps(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.countIps($c)")
+  override protected def withNewChildInternal(newChild: Expression): CountIps =
+    copy(child = newChild)
+}
+
 /** regexp_count(text, "[A-Z]") as one byte scan (see
   * [[TextHash.countUpperAscii]]). */
 case class CountUpperAscii(child: Expression) extends UnaryExpression with ExpectsInputTypes {
@@ -388,6 +423,8 @@ object GraftFunctions {
   def normalizeWs(text: Column): Column = Bridge.column(NormalizeWs(e(text)))
   def wsTokens(text: Column): Column = Bridge.column(WsTokens(e(text)))
   def countPunct(text: Column): Column = Bridge.column(CountPunct(e(text)))
+  def redactIps(text: Column): Column = Bridge.column(RedactIps(e(text)))
+  def countIps(text: Column): Column = Bridge.column(CountIps(e(text)))
   def countUpperAscii(text: Column): Column =
     Bridge.column(CountUpperAscii(e(text)))
   def countTokenRuns(text: Column): Column =

@@ -1163,14 +1163,18 @@ object TextAnalysis {
     * per-pass match counts sum to the true IP count the same way. */
   def redactPii(docs: DataFrame): DataFrame = {
     val t1 = regexp_replace(col("text"), emailPat, "<EMAIL>")
-    val t2a = regexp_replace(t1, ipPat, ipReplSpark)
-    val t2 = regexp_replace(t2a, ipPat, ipReplSpark)
+    // the IP stage runs as graft.functions.RedactIps — ONE
+    // non-backtracking byte scan byte-exact to the two regex passes
+    // (r15: four ipPat regex passes were ~9 s of the 13.8 s 10x
+    // corpus wall; the kernel runs the stage at memory speed). The
+    // oracle SQL keeps the two-pass regex restatement, so DuckDB
+    // cross-checks the kernel on every Verify run.
+    val t2 = GraftFunctions.redactIps(t1)
     val t3 = regexp_replace(t2, phonePat, phoneReplSpark)
     docs.select(
       col("doc_id"),
       regexp_count(col("text"), lit(emailPat)).cast("long").as("n_emails"),
-      (regexp_count(t1, lit(ipPat)) + regexp_count(t2a, lit(ipPat)))
-        .cast("long").as("n_ips"),
+      GraftFunctions.countIps(t1).cast("long").as("n_ips"),
       regexp_count(t2, lit(phonePat)).cast("long").as("n_phones"),
       t3.as("text_redacted"))
       .orderBy("doc_id")

@@ -355,4 +355,45 @@ class KernelPropertySpec extends AnyFunSuite {
         s"array_intersect baseline drifted from set semantics on a=$a b=$b")
     }
   }
+
+  test("IP scan kernel equals TWO java-regex passes on adversarial text (codegen)") {
+    import spark.implicits._
+    // the RedactIps/CountIps replacement contract: one
+    // non-backtracking scan must be byte-identical to two passes of
+    // regexp_replace(ipPat, "$1<IP>$2") and its count the two passes'
+    // match-count sum — on text built to stress every boundary rule:
+    // adjacency chains sharing single separators, 4+-digit octets,
+    // dotted chains (1.2.3.4.5.6.7.8), word-char blockers, string
+    // edges, multi-byte UTF-8 neighbors, and the <IP> literal itself.
+    val pat = java.util.regex.Pattern.compile(
+      graft.operators.TextAnalysis.ipPat)
+    def pass(s: String): (String, Int) = {
+      val m = pat.matcher(s)
+      var c = 0
+      val sb = new java.lang.StringBuffer
+      while (m.find()) { c += 1; m.appendReplacement(sb, "$1<IP>$2") }
+      m.appendTail(sb)
+      (sb.toString, c)
+    }
+    def twoPass(s: String): (String, Int) = {
+      val (s1, c1) = pass(s); val (s2, c2) = pass(s1); (s2, c1 + c2)
+    }
+    val frag = Seq("1.2.3.4", "10.0.0.255", "999.999.999.999", "1.2.3.4567",
+      "1234.5.6.7", "0.1.2.3.4.5.6.7", "1.2.3", "..", ".", " ", ",", "a",
+      "_", "Z9", "<IP>", "7", "42", "é", "世", "", "-", "\n")
+    val texts = Seq.fill(400)(
+      Seq.fill(1 + rng.nextInt(12))(frag(rng.nextInt(frag.size))).mkString("")
+    ) ++ Seq("1.1.1.1 2.2.2.2 3.3.3.3 4.4.4.4", "1.2.3.4", "",
+      "5.6.7.8,9.10.11.12,13.14.15.16", "x1.2.3.4", "1.2.3.4x",
+      "é1.2.3.4é", "1.2.3.4 5.6.7.8")
+    val out = texts.toDF("s").select(col("s"),
+      redactIps(col("s")).as("red"), countIps(col("s")).as("cnt")).collect()
+    out.foreach { r =>
+      val (want, wc) = twoPass(r.getString(0))
+      assert(r.getString(1) == want,
+        s"redactIps diverged on ${r.getString(0)}: got ${r.getString(1)}, want $want")
+      assert(r.getInt(2) == wc,
+        s"countIps diverged on ${r.getString(0)}: got ${r.getInt(2)}, want $wc")
+    }
+  }
 }
