@@ -54,30 +54,77 @@ object ScaleGen {
     spark.stop()
   }
 
+  /** Collision-resistant path token for a source dir (r16, ADVICE:
+    * String.hashCode collides — two source dirs could map to ONE
+    * cached-corpus path and thrash each other's stamps). */
+  private def pathToken(srcDir: String): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    md.digest(srcDir.getBytes("UTF-8")).take(8)
+      .map(b => f"$b%02x").mkString
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import java.nio.file.Files
+    if (Files.exists(p)) {
+      val s = Files.walk(p)
+      try s.sorted(java.util.Comparator.reverseOrder())
+        .forEach(q => Files.deleteIfExists(q))
+      finally s.close()
+    }
+  }
+
+  /** Marker-gated ATOMIC corpus publication (r16, ADVICE: data used to
+    * land in the final path BEFORE the marker, so a concurrent second
+    * process — the exact shared-entry use-case this tool advertises —
+    * could read a half-written corpus). The generator writes into a
+    * pid-suffixed temp dir, stamps the marker there LAST, and renames
+    * the whole dir into place: a reader sees nothing or a complete
+    * stamped corpus, never a prefix. A lost publication race defers to
+    * the winner when its stamp matches. */
+  private def publish(out: String, markerName: String, stamp: String)
+                     (write: String => Unit): String = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val outPath = Paths.get(out)
+    val marker = outPath.resolve(markerName)
+    if (!(Files.exists(marker) && Files.readString(marker) == stamp)) {
+      val tmp = Paths.get(out + s".tmp.${ProcessHandle.current.pid}")
+      deleteRecursively(tmp)
+      write(tmp.toString)
+      Files.writeString(tmp.resolve(markerName), stamp)
+      deleteRecursively(outPath) // stale or absent — replace wholesale
+      try Files.move(tmp, outPath, StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case e: java.nio.file.FileSystemException =>
+          // a concurrent generator won the move; accept its corpus iff
+          // it carries the same stamp, otherwise surface the conflict
+          val ok = Files.exists(marker) && Files.readString(marker) == stamp
+          deleteRecursively(tmp)
+          if (!ok) throw e
+      }
+    }
+    out
+  }
+
   /** Text-preserving duplicate corpus (marker-cached like
     * [[graft.sources.ScaledCorpus.dir]]): `factor` copies of
     * documents, copy i with doc_ids offset i·10⁸, text/lang/source/
     * n_chars verbatim — duplicate rate (factor-1)/factor by
     * construction. */
   def dupDir(spark: SparkSession, srcDir: String, factor: Int): String = {
-    import java.nio.file.{Files, Paths}
+    import java.nio.file.Paths
     import org.apache.spark.sql.functions._
     val out = Paths.get(
       sys.props.getOrElse("java.io.tmpdir", "/tmp"),
-      s"graft_dup_${factor}x_${math.abs(srcDir.hashCode)}").toString
-    val marker = Paths.get(out, "_GRAFT_DUP")
-    val stamp = s"$srcDir factor=$factor v1"
-    if (!(Files.exists(marker) && Files.readString(marker) == stamp)) {
+      s"graft_dup_${factor}x_${pathToken(srcDir)}").toString
+    publish(out, "_GRAFT_DUP", s"$srcDir factor=$factor v1") { dir =>
       val docs = graft.sources.Tables.documents(spark, srcDir)
         .select("doc_id", "text", "lang", "source", "n_chars")
       (0 until factor).map { i =>
         if (i == 0) docs
         else docs.withColumn("doc_id", col("doc_id") + lit(i * 100000000L))
       }.reduce(_ unionByName _)
-        .write.mode("overwrite").parquet(s"$out/documents.parquet")
-      Files.writeString(marker, stamp)
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     }
-    out
   }
 
   /** Quality-stat-preserving diverse corpus (see the `crawl` mode doc):
@@ -85,14 +132,12 @@ object ScaleGen {
     * doc_ids offset i·10⁸; stopwords, whitespace structure, and
     * punctuation counts are untouched. */
   def crawlDir(spark: SparkSession, srcDir: String, factor: Int): String = {
-    import java.nio.file.{Files, Paths}
+    import java.nio.file.Paths
     import org.apache.spark.sql.functions._
     val out = Paths.get(
       sys.props.getOrElse("java.io.tmpdir", "/tmp"),
-      s"graft_crawl_${factor}x_${math.abs(srcDir.hashCode)}").toString
-    val marker = Paths.get(out, "_GRAFT_CRAWL")
-    val stamp = s"$srcDir factor=$factor v1"
-    if (!(Files.exists(marker) && Files.readString(marker) == stamp)) {
+      s"graft_crawl_${factor}x_${pathToken(srcDir)}").toString
+    publish(out, "_GRAFT_CRAWL", s"$srcDir factor=$factor v1") { dir =>
       val stops = graft.operators.TextAnalysis.stopwords
       def b26(i: Int): String =
         if (i < 26) ('a' + i).toChar.toString
@@ -117,9 +162,7 @@ object ScaleGen {
             length(remapped).as("n_chars"))
         }
       }.reduce(_ unionByName _)
-        .write.mode("overwrite").parquet(s"$out/documents.parquet")
-      Files.writeString(marker, stamp)
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     }
-    out
   }
 }

@@ -362,6 +362,24 @@ object TextHash {
     if (r1 == null) 0 else c1 + ipPass(r1)._2
   }
 
+  /** [[redactIps]] and [[countIps]] from ONE scan pair: (redacted
+    * text, total match count) as an InternalRow struct. redactPii
+    * projects BOTH columns, and evaluating the two single-output
+    * kernels independently ran every ipPass twice (r16, ADVICE) —
+    * this is the shared evaluation they project from. */
+  def redactCountIps(input: UTF8String)
+      : org.apache.spark.sql.catalyst.InternalRow = {
+    val (r1, c1) = ipPass(input.getBytes)
+    val (text, n) =
+      if (r1 == null) (input, 0)
+      else {
+        val (r2, c2) = ipPass(r1)
+        (UTF8String.fromBytes(if (r2 == null) r1 else r2), c1 + c2)
+      }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](text, n))
+  }
+
   /** `regexp_count(text, "[a-z]+|[0-9]+|[^a-z0-9 ]")` — the BPE-ish
     * lexer count (letter runs | digit runs | one match per other
     * code point) — as one byte scan. Greedy alternation over these

@@ -336,6 +336,26 @@ case class RedactIps(child: Expression) extends UnaryExpression with ExpectsInpu
     copy(child = newChild)
 }
 
+/** [[RedactIps]] and [[CountIps]] as ONE evaluation returning
+  * struct<redacted: string, n: int> — redactPii projects both columns,
+  * and two independent single-output kernels each ran both ipPass
+  * scans (r16, ADVICE: the stage did ~2× its necessary work). The
+  * kernel is [[TextHash.redactCountIps]]; the single-output forms stay
+  * for callers (and pins) that need just one side. */
+case class RedactCountIps(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("redacted", StringType, nullable = false),
+    StructField("n", IntegerType, nullable = false)))
+  override def nullSafeEval(input: Any): Any =
+    TextHash.redactCountIps(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.redactCountIps($c)")
+  override protected def withNewChildInternal(newChild: Expression): RedactCountIps =
+    copy(child = newChild)
+}
+
 /** Total ipPat match count across both passes (= [[RedactIps]]'s
   * replacement count) as the same single scan. */
 case class CountIps(child: Expression) extends UnaryExpression with ExpectsInputTypes {
@@ -425,6 +445,7 @@ object GraftFunctions {
   def countPunct(text: Column): Column = Bridge.column(CountPunct(e(text)))
   def redactIps(text: Column): Column = Bridge.column(RedactIps(e(text)))
   def countIps(text: Column): Column = Bridge.column(CountIps(e(text)))
+  def redactCountIps(text: Column): Column = Bridge.column(RedactCountIps(e(text)))
   def countUpperAscii(text: Column): Column =
     Bridge.column(CountUpperAscii(e(text)))
   def countTokenRuns(text: Column): Column =

@@ -125,13 +125,16 @@ object Inference {
     *
     * The newest-row selection is a map-side-combined key aggregate
     * (`max(struct(orderCol, event_id))` per entity — the r14/r15
-    * struct-extremum pattern) broadcast-joined back, NOT a row_number
-    * window: the wide engineered frame never shuffles at all — only
-    * |entities| (key, ts, event_id) triples move, and the join back
-    * is a broadcast hash join over the scan. The window form
-    * exchanged and sorted every engineered row. Selection ties match
-    * the window's desc/desc order exactly ((ts, event_id) is unique
-    * per entity by construction — event_id is the primary key). */
+    * struct-extremum pattern) joined back, NOT a row_number window:
+    * only |entities| (key, ts, event_id) triples move, and AQE turns
+    * the join back into a broadcast hash join over the scan whenever
+    * the key table's runtime size allows (always at test scale) — so
+    * the wide engineered frame never shuffles — degrading to a
+    * shuffle join when the distinct-entity count outgrows broadcast
+    * limits. The window form exchanged and sorted every engineered
+    * row unconditionally. Selection ties match the window's desc/desc
+    * order exactly ((ts, event_id) is unique per entity by
+    * construction — event_id is the primary key). */
   def predictLatest(engineered: DataFrame, model: PipelineModel,
                     featureCols: Seq[String] = defaultFeatures,
                     keyCol: String = "user_id", orderCol: String = "ts")
@@ -141,13 +144,23 @@ object Inference {
       .agg(max(struct(col(orderCol), col("event_id"))).as("_k"))
       .select(col(keyCol), col("_k")(orderCol).as(orderCol),
         col("_k.event_id").as("event_id"))
-    // null-safe on orderCol: an entity whose newest row has a null
-    // order value (struct max ranks null fields lowest, so it wins
-    // only when ALL rows are null-ordered) must still join back —
-    // plain equality would silently drop it
+    // null-safe <=> on keyCol AND orderCol: a null entity key survives
+    // the groupBy (one null-key group), and an entity whose newest row
+    // has a null order value (struct max ranks null fields lowest, so
+    // it wins only when ALL rows are null-ordered) must still join
+    // back — plain equality would silently drop either, where the old
+    // row_number window emitted a rank-1 row for both. event_id is the
+    // table's non-null primary key, so === is exact there.
+    //
+    // No broadcast hint (r16, ADVICE): latestKeys is one row per
+    // DISTINCT ENTITY — at the 100 TB target that can exceed broadcast
+    // and driver limits. AQE sees the aggregate's runtime size and
+    // picks the broadcast join itself whenever the key table is small
+    // (every local/test scale), and degrades to a shuffle join when it
+    // is not, which is exactly the graceful path the window form had.
     val latest = engineered.alias("e").join(
-      broadcast(latestKeys.alias("k")),
-      col(s"e.$keyCol") === col(s"k.$keyCol") &&
+      latestKeys.alias("k"),
+      col(s"e.$keyCol") <=> col(s"k.$keyCol") &&
         col(s"e.$orderCol") <=> col(s"k.$orderCol") &&
         col("e.event_id") === col("k.event_id"))
       .select(col("e.*"))

@@ -1163,20 +1163,29 @@ object TextAnalysis {
     * per-pass match counts sum to the true IP count the same way. */
   def redactPii(docs: DataFrame): DataFrame = {
     val t1 = regexp_replace(col("text"), emailPat, "<EMAIL>")
-    // the IP stage runs as graft.functions.RedactIps — ONE
+    // the IP stage runs as graft.functions.RedactCountIps — ONE
     // non-backtracking byte scan byte-exact to the two regex passes
     // (r15: four ipPat regex passes were ~9 s of the 13.8 s 10x
-    // corpus wall; the kernel runs the stage at memory speed). The
-    // oracle SQL keeps the two-pass regex restatement, so DuckDB
-    // cross-checks the kernel on every Verify run.
-    val t2 = GraftFunctions.redactIps(t1)
-    val t3 = regexp_replace(t2, phonePat, phoneReplSpark)
-    docs.select(
-      col("doc_id"),
-      regexp_count(col("text"), lit(emailPat)).cast("long").as("n_emails"),
-      GraftFunctions.countIps(t1).cast("long").as("n_ips"),
-      regexp_count(t2, lit(phonePat)).cast("long").as("n_phones"),
-      t3.as("text_redacted"))
+    // corpus wall; the kernel runs the stage at memory speed), and
+    // ONE evaluation yields BOTH the redacted text and the match
+    // count (r16, ADVICE: separate redactIps/countIps calls each ran
+    // both passes — ~2× the stage's necessary work). The two-stage
+    // select keeps the struct a named intermediate: CollapseProject
+    // leaves multi-referenced non-cheap aliases alone, so the kernel
+    // runs once per row. The oracle SQL keeps the two-pass regex
+    // restatement, so DuckDB cross-checks the kernel on every Verify
+    // run.
+    docs
+      .select(
+        col("doc_id"),
+        regexp_count(col("text"), lit(emailPat)).cast("long").as("n_emails"),
+        GraftFunctions.redactCountIps(t1).as("_ip"))
+      .select(
+        col("doc_id"),
+        col("n_emails"),
+        col("_ip.n").cast("long").as("n_ips"),
+        regexp_count(col("_ip.redacted"), lit(phonePat)).cast("long").as("n_phones"),
+        regexp_replace(col("_ip.redacted"), phonePat, phoneReplSpark).as("text_redacted"))
       .orderBy("doc_id")
   }
 

@@ -26,17 +26,43 @@ object Tables {
   // immutable for the life of a session (true of the driver testdata,
   // fuzz dirs, and the marker-cached ScaleGen corpora); a test that
   // rewrites one calls [[invalidate]].
+  //
+  // Keying + retention (r16, ADVICE): keyed by the SESSION OBJECT
+  // (SparkSession uses reference equality), not an identity hash —
+  // two live sessions can share an identity-hash value, handing one a
+  // DataFrame bound to the other (possibly stopped) session. A
+  // DataFrame strongly references its session (df → QueryExecution →
+  // SparkSession), so weak-keying cannot work — the memo's own values
+  // would keep every key alive. Retention is instead bounded by an
+  // access-ordered LRU over sessions: the memo pins at most
+  // [[MaxSessions]] sessions' plans (one in any real deployment;
+  // tests churn short-lived sessions and evict naturally), never the
+  // JVM lifetime's worth.
+  private val MaxSessions = 8
   private val handles =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
+    new java.util.LinkedHashMap[SparkSession, java.util.HashMap[String, DataFrame]](
+      16, 0.75f, /*accessOrder=*/ true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[SparkSession, java.util.HashMap[String, DataFrame]])
+          : Boolean = size > MaxSessions
+    }
 
   /** Drop all memoized source handles (for tests that overwrite a
     * table directory within one session). */
-  def invalidate(): Unit = handles.clear()
+  def invalidate(): Unit = handles.synchronized { handles.clear() }
 
   private def read(spark: SparkSession, dir: String, name: String): DataFrame =
-    handles.computeIfAbsent(
-      (System.identityHashCode(spark), s"$dir/$name.parquet"),
-      { case (_, path) => spark.read.parquet(path) })
+    handles.synchronized {
+      var m = handles.get(spark)
+      if (m == null) {
+        m = new java.util.HashMap[String, DataFrame]()
+        handles.put(spark, m)
+      }
+      val path = s"$dir/$name.parquet"
+      var df = m.get(path)
+      if (df == null) { df = spark.read.parquet(path); m.put(path, df) }
+      df
+    }
 
   def region(spark: SparkSession, dir: String): DataFrame   = read(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame   = read(spark, dir, "nation")

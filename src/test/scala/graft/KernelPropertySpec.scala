@@ -387,13 +387,20 @@ class KernelPropertySpec extends AnyFunSuite {
       "5.6.7.8,9.10.11.12,13.14.15.16", "x1.2.3.4", "1.2.3.4x",
       "é1.2.3.4é", "1.2.3.4 5.6.7.8")
     val out = texts.toDF("s").select(col("s"),
-      redactIps(col("s")).as("red"), countIps(col("s")).as("cnt")).collect()
+      redactIps(col("s")).as("red"), countIps(col("s")).as("cnt"),
+      redactCountIps(col("s")).as("both")).collect()
     out.foreach { r =>
       val (want, wc) = twoPass(r.getString(0))
       assert(r.getString(1) == want,
         s"redactIps diverged on ${r.getString(0)}: got ${r.getString(1)}, want $want")
       assert(r.getInt(2) == wc,
         s"countIps diverged on ${r.getString(0)}: got ${r.getInt(2)}, want $wc")
+      // the combined single-evaluation form (what redactPii projects
+      // from since r16) must agree with both single-output kernels
+      val both = r.getStruct(3)
+      assert(both.getString(0) == want && both.getInt(1) == wc,
+        s"redactCountIps diverged on ${r.getString(0)}: " +
+          s"got (${both.getString(0)}, ${both.getInt(1)}), want ($want, $wc)")
     }
   }
 }
