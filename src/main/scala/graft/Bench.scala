@@ -151,7 +151,19 @@ object Bench {
     * (b) conviction bar) and went unrepassed. Deviation ranking gives
     * the budget to the queries whose published minima would otherwise
     * be the round's least trustworthy; slowest-first survives only as
-    * the tiebreak for queries with no baseline (deviation 0). */
+    * the tiebreak for queries with no baseline (deviation 0).
+    *
+    * (See also [[ratioKey]] — the companion publication rule for the
+    * slope windows' wall-time ratio maps.)
+    *
+    * r16 (the BENCH_r15 residual): arm (d) additionally holds a
+    * RESERVED budget of up to 8 slots past the base 16 — on a loaded
+    * round arms (a)/(b) can legitimately fill the base budget, which
+    * starved the deviation-flagged q_train_bpe (1.31x) in r15 even
+    * under deviation ranking. Every arm-(d) suspect now gets its
+    * repass unless more than base+8 queries deviate at once (a
+    * fully-loaded box, where arm (c) conviction already routes readers
+    * away from the times and the cap protects the wall clock). */
   private[graft] def selectSuspects(armAB: Seq[String], armC: Seq[String],
                                     refine: Seq[String],
                                     steadyOf: Map[String, Double],
@@ -161,8 +173,22 @@ object Bench {
       ks.distinct.sortBy(k => (-deviationOf.getOrElse(k, 0.0),
         -steadyOf.getOrElse(k, 0.0), k))
     val armD = deviationOf.collect { case (k, d) if d > 1.3 => k }.toSeq
-    ((rank(armAB) ++ rank(armD) ++ rank(armC)).distinct.take(16) ++ refine).distinct
+    val base = (rank(armAB) ++ rank(armD) ++ rank(armC)).distinct.take(16)
+    val reservedD = rank(armD).filterNot(base.contains).take(8)
+    (base ++ reservedD ++ refine).distinct
   }
+
+  /** Key under which a slope window's WALL-TIME ratio map publishes:
+    * a CONVICTED window (sustained sentinel contention, or suite-level
+    * load) renames the key with a `_loaded` suffix, so a reader
+    * scanning the artifact for the quiet-name key cannot misquote load
+    * samples as measurements — BENCH_r15 published
+    * `slope3_step_ratios` of 10.7 (dedup_minhash) from a self-convicted
+    * window, with the conviction one key away; honest but misquotable.
+    * The samples still ship (under the flagged name) and BYTE ratios
+    * are machine-independent, so they never rename. */
+  private[graft] def ratioKey(base: String, convicted: Boolean): String =
+    if (convicted) base + "_loaded" else base
 
   /** One SF step down from `sfDir` for the slope probe; None when
     * already at the smallest step (or an unrecognized layout). */
@@ -671,11 +697,15 @@ object Bench {
     // catch. A mid-run arrival is caught by the window drift; a
     // whole-run co-tenant by `suite_load`; either marks the window's
     // TIME ratios untrusted (bytes stay authoritative regardless).
+    def windowConvicted(pre: Double, post: Double, suiteLoad: Boolean): Boolean = {
+      val q = math.max(sentinelQuietMin(), 1e-3)
+      math.min(pre, post) / q > 1.8 || suiteLoad
+    }
     def slopeLoadJson(tag: String, pre: Double, post: Double,
                       repassed: Seq[String], suiteLoad: Boolean): String = {
       val q = math.max(sentinelQuietMin(), 1e-3)
       val drift = math.min(pre, post) / q
-      val convicted = drift > 1.8 || suiteLoad
+      val convicted = windowConvicted(pre, post, suiteLoad)
       val rj = repassed.map("\"" + _ + "\"").mkString("[", ",", "]")
       s""","${tag}_load":{"sentinel_pre":$pre,"sentinel_post":$post,""" +
         s""""drift":$drift,"suite_load":$suiteLoad,"convicted":$convicted,"repassed":$rj}"""
@@ -746,6 +776,7 @@ object Bench {
           slopeRepass(bigRes0, bigDir, primBy, maxRatio = 20)
         val postS = sentinelMedian3()
         val loadJ = slopeLoadJson("slope2", preS, postS, s2Repassed, loadEvident)
+        val s2Conv = windowConvicted(preS, postS, loadEvident)
         slope2Times = bigRes.map(r => r._1 -> r._3).toMap
         slope2Bytes = bigRes.map(r => r._1 -> r._6.bytesWritten).toMap
         val qsJ = bigRes.map(r => "\"" + r._1 + "\":" + r._3)
@@ -758,7 +789,7 @@ object Bench {
             ((r._6.bytesWritten + 1).toDouble / (primBy(r._1)._2 + 1))
         }.mkString("{", ",", "}")
         Some(s""","slope2_sf":"$bigDir","slope2_factor":10,""" +
-          s""""slope2_queries":$qsJ,"slope2_ratios":$ratios,""" +
+          s""""slope2_queries":$qsJ,"${ratioKey("slope2_ratios", s2Conv)}":$ratios,""" +
           s""""slope2_shuffle_ratios":$sratios""" + loadJ)
       }
     } catch { case _: Throwable => None }).getOrElse("")
@@ -806,6 +837,7 @@ object Bench {
           slopeRepass(hugeRes0, hugeDir, anomBase, maxRatio = anomMax)
         val postS = sentinelMedian3()
         val loadJ = slopeLoadJson("slope3", preS, postS, s3Repassed, loadEvident)
+        val s3Conv = windowConvicted(preS, postS, loadEvident)
         val qsJ = hugeRes.map(r => "\"" + r._1 + "\":" + r._3)
           .mkString("{", ",", "}")
         val ratios = hugeRes.map { r =>
@@ -815,7 +847,10 @@ object Bench {
           "\"" + r._1 + "\":" +
             ((r._6.bytesWritten + 1).toDouble / (primBy(r._1)._2 + 1))
         }.mkString("{", ",", "}")
-        // upper-decade step vs slope2's 10x measurements, when present
+        // upper-decade step vs slope2's 10x measurements, when present.
+        // Time-based keys rename under conviction ([[ratioKey]]):
+        // r15's artifact published step ratios from a convicted window
+        // under the quiet name, one key from their conviction.
         val stepJ =
           if (slope2Times.nonEmpty) {
             val steps = hugeRes.filter(r => slope2Times.contains(r._1)).map { r =>
@@ -825,10 +860,11 @@ object Bench {
               "\"" + r._1 + "\":" +
                 ((r._6.bytesWritten + 1).toDouble / (slope2Bytes(r._1) + 1))
             }.mkString("{", ",", "}")
-            s""","slope3_step_ratios":$steps,"slope3_step_shuffle_ratios":$sSteps"""
+            s""","${ratioKey("slope3_step_ratios", s3Conv)}":$steps,""" +
+              s""""slope3_step_shuffle_ratios":$sSteps"""
           } else ""
         Some(s""","slope3_sf":"$hugeDir","slope3_factor":100,""" +
-          s""""slope3_queries":$qsJ,"slope3_ratios":$ratios,""" +
+          s""""slope3_queries":$qsJ,"${ratioKey("slope3_ratios", s3Conv)}":$ratios,""" +
           s""""slope3_shuffle_ratios":$sratios""" + stepJ + loadJ)
       }
     } catch { case _: Throwable => None }).getOrElse("")

@@ -176,6 +176,46 @@ class MonitoringSpec extends AnyFunSuite {
     assert(withAB.contains("q03"))
   }
 
+  test("reserved arm-(d) budget: a deviator survives a FULL arm (a)/(b) budget (BENCH_r15 starvation)") {
+    import graft.Bench.selectSuspects
+    val steady = (1 to 40).map(i => f"q$i%02d" -> i * 0.1).toMap
+    val refine = steady.toSeq.sortBy(-_._2).map(_._1).take(16)
+    // the r15 artifact, distilled: 23 queries convicted by arms
+    // (a)/(b) at high deviation fill the 16-slot base budget; one
+    // flagged-but-unconvicted suspect (q_train_bpe at 1.31x) ranked
+    // below all of them and fell off. The reserved arm-(d) floor must
+    // still repass it.
+    val armAB = (1 to 23).map(i => f"q$i%02d")
+    val dev = steady.keys.map { k =>
+      k -> (if (k == "q31") 1.31 else if (armAB.contains(k)) 2.5 else 1.0)
+    }.toMap
+    val got = selectSuspects(armAB = armAB, armC = Seq.empty,
+      refine = refine, steadyOf = steady, deviationOf = dev)
+    assert(got.contains("q31"),
+      s"the 1.31x deviator must get its reserved repass: $got")
+    assert(refine.forall(got.contains), "refinement tail must be kept whole")
+    // budget math: base 16 + reserved <=8 + refinement 16, all distinct
+    assert(got.size <= 40)
+    // the reserve is CAPPED: a fully-deviating board (every query past
+    // 1.3x — the loaded-box stampede) cannot exceed base+8+refine
+    val allDev = steady.keys.map(_ -> 2.0).toMap
+    val flood = selectSuspects(armAB = Seq.empty, armC = steady.keys.toSeq,
+      refine = refine, steadyOf = steady, deviationOf = allDev)
+    assert(flood.size <= 40, s"reserve must stay bounded: ${flood.size}")
+  }
+
+  test("convicted slope windows rename their wall-ratio keys (_loaded)") {
+    import graft.Bench.ratioKey
+    // quiet window: the quotable name
+    assert(ratioKey("slope3_step_ratios", convicted = false) == "slope3_step_ratios")
+    // convicted window: a reader scanning for the quiet name finds
+    // nothing — the load samples ship under the flagged name instead
+    // (the r15 artifact published 10.7 under the quiet name with the
+    // conviction one key away)
+    assert(ratioKey("slope3_step_ratios", convicted = true) == "slope3_step_ratios_loaded")
+    assert(ratioKey("slope2_ratios", convicted = true) == "slope2_ratios_loaded")
+  }
+
   test("slope wall-anomaly decision pins the r12/r13 measured populations") {
     import graft.Bench.wallAnomaly
     // BENCH_r12's loaded-box slope3 block (the incident this arm was
