@@ -123,6 +123,10 @@ object GraftApi {
     *     extraction residue; a pure projection fused into the scan),
     *  1. quality-rule filter (drop degenerate documents FIRST — no
     *     point fingerprinting what a length rule removes),
+    *  1b. optional MODEL-based quality gate (`qualityModel =
+    *     Some(m)`): a trained [[graft.operators.QualityClassifier]]
+    *     verdict applied scan-locally after the rule filter — the
+    *     DCLM/fineweb-edu classifier axis, with its own manifest row,
     *  2. exact dedup keeping the highest-quality copy per content,
     *  2b. optional eval-set decontamination (`benchmark = Some(df)`):
     *     documents sharing ≥ `decontamMinShared` distinct n-gram
@@ -143,11 +147,15 @@ object GraftApi {
     *  4. PII redaction of the surviving text,
     *  5. optional per-source quota sampling (data mixing).
     *
-    * Every inter-step handoff is a semi-join on doc_id (hash-partitioned
-    * at scale; the keeper sets are small and broadcast locally), so the
-    * full text column travels only through the final redaction
-    * projection — never through a shuffle. Returns (doc_id, source,
-    * text) with text redacted.
+    * Handoff discipline (r16): stages whose verdict is a pure function
+    * of the row (quality rules, blocklist, model gate, redaction) are
+    * scan-local filters/projections — no join at all; only stages whose
+    * keep set is the product of an AGGREGATION over other rows (exact
+    * dedup's per-content winner, near-dup components, decontamination,
+    * sampling quotas) hand off through a doc_id semi-join
+    * (hash-partitioned at scale; the keeper sets are small and
+    * broadcast locally). The full text column never travels through a
+    * shuffle. Returns (doc_id, source, text) with text redacted.
     *
     * CONVENIENCE WRAPPER: forces [[CorpusCuration.frame]] immediately,
     * so calling it runs the near-dup resolution jobs — treat a call as
@@ -160,9 +168,11 @@ object GraftApi {
                    decontamMinShared: Int = 3,
                    mix: Option[MixStage] = None,
                    blocklist: Seq[String] = Nil,
-                   decontam: Option[DecontamStage] = None): DataFrame =
+                   decontam: Option[DecontamStage] = None,
+                   qualityModel: Option[QualityClassifier.LogitModel] = None)
+      : DataFrame =
     curatePlan(docs, perSource, spanDedupK, benchmark, decontamMinShared,
-      mix, blocklist, decontam).frame
+      mix, blocklist, decontam, qualityModel).frame
 
   /** Build the corpus-curation unit of work WITHOUT running any Spark
     * job: a pure plan-construction call returning the composed frame
@@ -180,7 +190,9 @@ object GraftApi {
                  decontamMinShared: Int = 3,
                  mix: Option[MixStage] = None,
                  blocklist: Seq[String] = Nil,
-                 decontam: Option[DecontamStage] = None): CorpusCuration = {
+                 decontam: Option[DecontamStage] = None,
+                 qualityModel: Option[QualityClassifier.LogitModel] = None)
+      : CorpusCuration = {
     val scope = Caches.newScope("curate")
     new CorpusCuration(scope, () => Caches.in(scope) {
       import org.apache.spark.sql.functions.col
@@ -193,9 +205,14 @@ object GraftApi {
       // lineage (the regex passes twice, the quality scoring three times).
       val cleaned = docs.withColumn("text", TextAnalysis.cleanMarkup(col("text")))
       stages += ("strip_markup" -> cleaned)
-      val qualityKeep = TextAnalysis.qualityFilter(cleaned)
-        .filter(col("keep") === 1).select("doc_id")
-      val afterQuality = Caches.persistTracked(cleaned.join(qualityKeep, "doc_id"))
+      // the rule gate is a pure PREDICATE over the row (qualityKeepExpr
+      // == qualityFilter's keep bit) — filtering in place keeps the
+      // stage scan-local; the r15 form joined the report's keep set
+      // back on doc_id, a whole broadcast-join stage (and its Catalyst
+      // depth, re-analyzed by every downstream action) to re-derive a
+      // column that never left the row
+      val afterQuality = Caches.persistTracked(
+        cleaned.filter(TextAnalysis.qualityKeepExpr()))
       stages += ("quality_filter" -> afterQuality)
       // optional C4-style kill-list: a pure filter over the cached
       // quality survivors (single consumer — no persist needed)
@@ -206,9 +223,22 @@ object GraftApi {
           stages += ("blocklist_filter" -> kept)
           kept
         }
-      val exactKeep = TextAnalysis.dedupKeepBest(afterBlocklist)
+      // optional model-BASED quality gate (the DCLM/fineweb-edu axis):
+      // a trained LogitModel's verdict over the cleaned text — a pure
+      // scan-local codegen'd filter like the blocklist (the weights
+      // ride inside the expression; no join, no shuffle, no persist —
+      // single consumer). Runs AFTER the rule filter (the model
+      // refines what rules admit) with its own manifest row.
+      val afterClassifier = qualityModel match {
+        case Some(m) =>
+          val kept = afterBlocklist.filter(QualityClassifier.keepExpr(m))
+          stages += ("quality_classifier" -> kept)
+          kept
+        case None => afterBlocklist
+      }
+      val exactKeep = TextAnalysis.dedupKeepBest(afterClassifier)
         .select(col("keep_id").as("doc_id"))
-      val afterExact = Caches.persistTracked(afterBlocklist.join(exactKeep, "doc_id"))
+      val afterExact = Caches.persistTracked(afterClassifier.join(exactKeep, "doc_id"))
       stages += ("exact_dedup" -> afterExact)
       // optional eval-set decontamination: a filtering stage like the
       // dedups — its flag set comes from the selected family member
@@ -241,8 +271,10 @@ object GraftApi {
         case None => afterExact
       }
       // near-dup clusters: survivors are each cluster's canonical member
-      // plus every unpaired document
-      val clusters = Dedup.nearDupClusters(Dedup.minhashPairs(afterDecontam))
+      // plus every unpaired document (raw pair form — the component
+      // resolution is edge-order-independent, so the pairs' presentation
+      // sort would be a discarded range exchange)
+      val clusters = Dedup.nearDupClusters(Dedup.minhashPairsRaw(afterDecontam))
       val nearDupDrop = clusters.filter(col("doc_id") =!= col("cluster_id"))
         .select("doc_id")
       // the near-dup handoff ALWAYS has two consumers (redactPii input
@@ -259,10 +291,12 @@ object GraftApi {
           cut
         case None => survivors
       }
-      val redacted = afterNearDup
-        .join(TextAnalysis.redactPii(afterNearDup)
-          .select(col("doc_id"), col("text_redacted")), "doc_id")
-        .select(col("doc_id"), col("source"), col("text_redacted").as("text"))
+      // redaction is a pure function of the row — project it in place
+      // ([[TextAnalysis.redactTextExpr]]); the r15 form joined
+      // redactPii's report back on doc_id, a broadcast stage whose only
+      // product was re-attaching a derivable column
+      val redacted = afterNearDup.select(col("doc_id"), col("source"),
+        TextAnalysis.redactTextExpr(col("text")).as("text"))
       stages += ("redact_pii" -> redacted)
       // legacy perSource parameter maps onto the generalized mix stage
       val mixStage = mix.orElse(

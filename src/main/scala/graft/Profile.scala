@@ -19,8 +19,29 @@ object Profile {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // job-count + summed-execution listener: the floor decomposition
+    // (wall − Σ job execution = driver-side gaps: Catalyst analysis,
+    // broadcast setup, scheduling) that motivated the r16 curation
+    // plan-depth work reads straight off these counters
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val execNanos = new java.util.concurrent.atomic.AtomicLong(0L)
+    val jobStart = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            s: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobs.incrementAndGet()
+          jobStart.put(s.jobId, System.nanoTime())
+        }
+        override def onJobEnd(
+            e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          val t0 = jobStart.remove(e.jobId)
+          if (t0 != 0L) execNanos.addAndGet(System.nanoTime() - t0)
+        }
+      })
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     (1 to reps).foreach { i =>
+      jobs.set(0); execNanos.set(0L)
       val t0 = System.nanoTime()
       // the SHARED checksum action (graft.Checksum): count() would
       // let Catalyst prune projections/windows/agg functions and time
@@ -28,7 +49,9 @@ object Profile {
       // MapType fallback and the bit_xor ANSI-overflow fix (r14) in
       // sync at both sites by construction
       Checksum.fullEval(SparkEntry.queries(name)(spark, sfDir))
-      println(f"[profile] $name run $i: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      val wall = (System.nanoTime() - t0) / 1e9
+      println(f"[profile] $name run $i: $wall%.3f s " +
+        f"(jobs=${jobs.get}, job_exec=${execNanos.get / 1e9}%.2f s)")
       // drain operator caches between reps, as Bench does — otherwise
       // warm reps read persistTracked frames and overstate vs Bench
       graft.operators.Caches.releaseAll()

@@ -47,6 +47,7 @@ object ScaleGen {
     val out = mode match {
       case "dup"       => dupDir(spark, srcDir, factor)
       case "crawl"     => crawlDir(spark, srcDir, factor)
+      case "embed"     => embedDir(spark, srcDir, factor)
       case "bijective" => graft.sources.ScaledCorpus.dir(spark, srcDir, factor)
       case other       => sys.error(s"unknown mode: $other")
     }
@@ -124,6 +125,45 @@ object ScaleGen {
         else docs.withColumn("doc_id", col("doc_id") + lit(i * 100000000L))
       }.reduce(_ unionByName _)
         .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    }
+  }
+
+  /** Embeddings-ONLY scaled dir — the quantizer family's deep-decade
+    * instrument ([[graft.sources.ScaledCorpus]]'s sign-flip isometry
+    * construction, without the documents/events tables: a 1000×
+    * factor over the full corpus would be ~15 GB of text nothing
+    * reads; the embeddings alone are ~0.5 GB). Copy i sign-flips each
+    * coordinate by a seeded pattern — an isometry, so norms and all
+    * within-copy cosines are bit-exact while cross-copy cosines
+    * decorrelate: per-vector work (assignment, scoring) is linear by
+    * construction. vec_id offset i·10⁸ (mod-20 splits preserved). */
+  def embedDir(spark: SparkSession, srcDir: String, factor: Int): String = {
+    import java.nio.file.Paths
+    import org.apache.spark.sql.functions._
+    val out = Paths.get(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+      s"graft_embed_${factor}x_${pathToken(srcDir)}").toString
+    publish(out, "_GRAFT_EMBED", s"$srcDir factor=$factor v1") { dir =>
+      val emb = graft.sources.Tables.embeddings(spark, srcDir)
+        .select("vec_id", "embedding", "label")
+      val dim = emb.agg(max(size(col("embedding")))).collect()(0).getInt(0)
+      require(dim <= 128,
+        s"embeddings dim $dim exceeds the 128-coordinate sign-flip pattern")
+      (0 until factor).map { i =>
+        if (i == 0) emb
+        else {
+          val signs = array((0 until 128).map { j =>
+            val r = graft.functions.TextHash.mix64((i.toLong << 32) ^ j.toLong)
+            lit(if ((r & 1L) == 1L) -1.0f else 1.0f)
+          }: _*)
+          emb.select(
+            (col("vec_id") + lit(i * 100000000L)).as("vec_id"),
+            transform(col("embedding"),
+              (x, j) => x * element_at(signs, j + 1)).as("embedding"),
+            col("label"))
+        }
+      }.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     }
   }
 

@@ -142,6 +142,16 @@ object SparkEntry {
     "q_pack_sequences" -> ((s, d) => TextAnalysis.packSequences(Tables.documents(s, d))),
     "q_redact_pii"     -> ((s, d) => TextAnalysis.redactPii(Tables.documents(s, d))),
     "q_quality_filter" -> ((s, d) => TextAnalysis.qualityFilter(Tables.documents(s, d))),
+    // model-BASED quality (the DCLM/fineweb-edu axis): logistic
+    // regression over hash_embed vectors trained on weak agreement
+    // labels (rule verdict ∧ unigram-NLL median side), scored
+    // scan-locally; trained-literal oracle — DuckDB re-derives the
+    // embedding, the dot against the exported weight literals, and the
+    // sigmoid of the 6dp-rounded score
+    "q_quality_classifier" -> ((s, d) => {
+      recordClassifierRun(s, d)
+      QualityClassifier.classify(s, Tables.documents(s, d), d)
+    }),
     "q_repetition"     -> ((s, d) => TextAnalysis.repetitionRatio(Tables.documents(s, d))),
     "q_vocab_topk"     -> ((s, d) => TextAnalysis.vocabTopK(Tables.documents(s, d))),
     "q_stratified_sample" -> ((s, d) => TextAnalysis.stratifiedSample(Tables.documents(s, d))),
@@ -312,8 +322,10 @@ object SparkEntry {
     "q_token_entropy" -> ((s, d) => TextAnalysis.tokenEntropy(Tables.documents(s, d))),
     // H. near-dup + similarity
     "q_dedup_minhash" -> ((s, d) => Dedup.minhashPairs(Tables.documents(s, d))),
+    // raw (sortless) pair form: component resolution is
+    // edge-order-independent and the clusters frame re-sorts by doc_id
     "q_dedup_clusters" -> ((s, d) =>
-      Dedup.nearDupClusters(Dedup.minhashPairs(Tables.documents(s, d)))),
+      Dedup.nearDupClusters(Dedup.minhashPairsRaw(Tables.documents(s, d)))),
     "q_dedup_simhash" -> ((s, d) => Dedup.simhashPairs(Tables.documents(s, d))),
     // prefix+positional PPJoin form: identical output to
     // ngramJaccardPairs (SimilaritySpec pins equivalence across taus),
@@ -600,7 +612,125 @@ object SparkEntry {
     quantizerRuns.removeIf(_._2 == dir)
     val memo = quantizerOracleMemo
     if (memo != null && memo._1._2 == dir) quantizerOracleMemo = null
+    // same hygiene for the classifier's trained-literal registry (one
+    // hook covers both data-dependent oracle families)
+    classifierRuns.removeIf(_._2 == dir)
+    val cMemo = classifierOracleMemo
+    if (cMemo != null && cMemo._1._2 == dir) classifierOracleMemo = null
   }
+
+  /** Every DISTINCT (session, sfDir) the classifier query has run on —
+    * the [[quantizerRuns]] pattern for q_quality_classifier's
+    * trained-weight literals. Same ambiguity rule: != 1 recorded dir ⇒
+    * the entry is omitted, never wrong. */
+  private val classifierRuns =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(SparkSession, String)]()
+  private def recordClassifierRun(s: SparkSession, d: String): Unit =
+    classifierRuns.add((s, d))
+
+  @volatile private var classifierOracleMemo:
+      ((SparkSession, String), Map[String, String]) = null
+
+  private def classifierOracles: Map[String, String] = {
+    val keys = classifierRuns.toArray(Array.empty[(SparkSession, String)])
+    if (keys.length != 1) Map.empty
+    else {
+      val key = keys(0)
+      val memo = classifierOracleMemo
+      if (memo != null && memo._1 == key) memo._2
+      else {
+        val built = buildClassifierOracles(key._1, key._2)
+        classifierOracleMemo = (key, built)
+        built
+      }
+    }
+  }
+
+  /** q_quality_classifier's trained-literal oracle: the TRAINED weight
+    * vector and bias exported as exact DOUBLE literals
+    * (Double.toString round-trips per the Java spec); DuckDB
+    * independently re-derives everything corpus-sized — the
+    * hashing-trick embedding (the [[hashEmbedCte]] chain, float-exact),
+    * the widened left-to-right dot against the weights, the
+    * 6dp-rounded linear score, and the sigmoid OF THE ROUNDED score
+    * (exp differs in the last ulp across engines; pre-rounding its
+    * input is the log2 discipline). Training itself — weak agreement
+    * labels, seeded sample, fixed-step GD — is Scala-pinned
+    * (QualityClassifierSpec). */
+  private def buildClassifierOracles(spark: SparkSession,
+                                     dir: String): Map[String, String] = {
+    val m = QualityClassifier.trainedModel(spark, Tables.documents(spark, dir), dir)
+    val ws = m.weights.map(_.toString).mkString(",")
+    val b = m.bias.toString
+    Map(
+      "q_quality_classifier" ->
+        s"""$hashEmbedCte, normd AS (
+          |  SELECT acc.doc_id, acc.i,
+          |    CAST(CASE WHEN nrm.ss > 0
+          |         THEN CAST(CAST(s AS DOUBLE) * (1.0/sqrt(nrm.ss)) AS FLOAT)
+          |         ELSE CAST(0.0 AS FLOAT) END AS DOUBLE) AS x
+          |  FROM acc JOIN nrm ON acc.doc_id = nrm.doc_id
+          |), vecs AS (
+          |  SELECT doc_id, list(x ORDER BY i) AS xs FROM normd GROUP BY doc_id
+          |), scored AS (
+          |  SELECT doc_id,
+          |    (round(list_sum(list_transform(range(1, 65), i -> xs[i] * w.ws[i])) + ($b) + 1e-9, 6) + 0) AS score
+          |  FROM vecs CROSS JOIN (SELECT CAST([$ws] AS DOUBLE[]) AS ws) w
+          |)
+          |SELECT doc_id, score,
+          |  (round(1.0/(1.0 + exp(-score)) + 1e-9, 6) + 0) AS prob,
+          |  CAST(CASE WHEN score > 0 THEN 1 ELSE 0 END AS BIGINT) AS keep_pred
+          |FROM scored ORDER BY doc_id""".stripMargin)
+  }
+
+  /** Shared DuckDB restatement of the hashing-trick embedding
+    * ([[graft.functions.HashEmbed]]): token poly64 then the mix64
+    * finalizer — two xor-shift rounds and two WRAPPING 64-bit
+    * multiplies, emulated 32x32 split in HUGEINT (a direct 64x64
+    * product overflows even HUGEINT):
+    *   lo64(x*C) = ((hi(x)*lo(C) + lo(x)*hi(C)) mod 2^32)*2^32 + lo(x)*lo(C)
+    * with C1 = ff51afd7_ed558ccd, C2 = c4ceb9fe_1a85ec53. Bucket =
+    * (h>>1) % 64, sign = low bit; the signed counts then L2-normalize
+    * through FLOAT exactly as the kernel does (double product, cast to
+    * float32), so downstream values are bit-identical. Chain ends at
+    * `acc` (per-(doc, bucket) signed count as FLOAT) + `nrm` (per-doc
+    * squared norm); q_hash_embed and the classifier oracle project
+    * from these. */
+  private val hashEmbedCte: String =
+    """WITH toks AS (
+      |  SELECT doc_id, t
+      |  FROM documents, unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS u(t)
+      |  WHERE t <> ''
+      |), tb AS (
+      |  SELECT doc_id, hex(encode(t)) AS h, octet_length(encode(t)) AS nb FROM toks
+      |), p AS (
+      |  SELECT doc_id,
+      |    CAST(list_reduce(
+      |      list_prepend(1125899906842597::HUGEINT,
+      |        list_transform(range(0, nb), i ->
+      |          CAST((strpos('0123456789ABCDEF', h[2*i+1]) - 1) * 16
+      |             + (strpos('0123456789ABCDEF', h[2*i+2]) - 1) AS HUGEINT))),
+      |      (acc, x) -> (acc * 31 + x) % 18446744073709551616::HUGEINT) AS UBIGINT) AS x
+      |  FROM tb
+      |), s1 AS (SELECT doc_id, xor(x, x >> 33) AS a FROM p),
+      |m1 AS (SELECT doc_id, CAST(((((a::HUGEINT // 4294967296) * 3981806797 + (a::HUGEINT % 4294967296) * 4283543511) % 4294967296) * 4294967296
+      |       + (a::HUGEINT % 4294967296) * 3981806797) % 18446744073709551616::HUGEINT AS UBIGINT) AS b FROM s1),
+      |s2 AS (SELECT doc_id, xor(b, b >> 33) AS c FROM m1),
+      |m2 AS (SELECT doc_id, CAST(((((c::HUGEINT // 4294967296) * 444984403 + (c::HUGEINT % 4294967296) * 3301882366) % 4294967296) * 4294967296
+      |       + (c::HUGEINT % 4294967296) * 444984403) % 18446744073709551616::HUGEINT AS UBIGINT) AS d FROM s2),
+      |hx AS (SELECT doc_id, xor(d, d >> 33) AS h FROM m2),
+      |votes AS (
+      |  SELECT doc_id, CAST((h >> 1) % 64 AS INT) AS i,
+      |         SUM(CASE WHEN (h & 1) = 0 THEN 1.0 ELSE -1.0 END) AS s
+      |  FROM hx GROUP BY doc_id, i
+      |), grid AS (
+      |  SELECT doc_id, CAST(g.i AS INT) AS i FROM documents, range(0, 64) AS g(i)
+      |), acc AS (
+      |  SELECT grid.doc_id, grid.i, CAST(COALESCE(votes.s, 0.0) AS FLOAT) AS s
+      |  FROM grid LEFT JOIN votes ON grid.doc_id = votes.doc_id AND grid.i = votes.i
+      |), nrm AS (
+      |  SELECT doc_id, SUM(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) AS ss FROM acc GROUP BY doc_id
+      |)""".stripMargin
 
   /** `cents(cid, c)` literal CTE body: the TRAINED spherical-k-means
     * centroids (deterministic — seeded hash-order sample + fixed Lloyd
@@ -922,7 +1052,7 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = quantizerOracles ++ Map(
+  def oracleSql: Map[String, String] = quantizerOracles ++ classifierOracles ++ Map(
     "q_metrics" ->
       """SELECT (round(CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / count(value) + 1e-9, 4) + 0) AS avg_value,
         |       (round(max(value), 4) + 0) AS max_value,
@@ -2323,40 +2453,7 @@ object SparkEntry {
     // through FLOAT exactly as the kernel does (double product, cast
     // to float32), so the rounded values are bit-identical.
     "q_hash_embed" ->
-      """WITH toks AS (
-        |  SELECT doc_id, t
-        |  FROM documents, unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS u(t)
-        |  WHERE t <> ''
-        |), tb AS (
-        |  SELECT doc_id, hex(encode(t)) AS h, octet_length(encode(t)) AS nb FROM toks
-        |), p AS (
-        |  SELECT doc_id,
-        |    CAST(list_reduce(
-        |      list_prepend(1125899906842597::HUGEINT,
-        |        list_transform(range(0, nb), i ->
-        |          CAST((strpos('0123456789ABCDEF', h[2*i+1]) - 1) * 16
-        |             + (strpos('0123456789ABCDEF', h[2*i+2]) - 1) AS HUGEINT))),
-        |      (acc, x) -> (acc * 31 + x) % 18446744073709551616::HUGEINT) AS UBIGINT) AS x
-        |  FROM tb
-        |), s1 AS (SELECT doc_id, xor(x, x >> 33) AS a FROM p),
-        |m1 AS (SELECT doc_id, CAST(((((a::HUGEINT // 4294967296) * 3981806797 + (a::HUGEINT % 4294967296) * 4283543511) % 4294967296) * 4294967296
-        |       + (a::HUGEINT % 4294967296) * 3981806797) % 18446744073709551616::HUGEINT AS UBIGINT) AS b FROM s1),
-        |s2 AS (SELECT doc_id, xor(b, b >> 33) AS c FROM m1),
-        |m2 AS (SELECT doc_id, CAST(((((c::HUGEINT // 4294967296) * 444984403 + (c::HUGEINT % 4294967296) * 3301882366) % 4294967296) * 4294967296
-        |       + (c::HUGEINT % 4294967296) * 444984403) % 18446744073709551616::HUGEINT AS UBIGINT) AS d FROM s2),
-        |hx AS (SELECT doc_id, xor(d, d >> 33) AS h FROM m2),
-        |votes AS (
-        |  SELECT doc_id, CAST((h >> 1) % 64 AS INT) AS i,
-        |         SUM(CASE WHEN (h & 1) = 0 THEN 1.0 ELSE -1.0 END) AS s
-        |  FROM hx GROUP BY doc_id, i
-        |), grid AS (
-        |  SELECT doc_id, CAST(g.i AS INT) AS i FROM documents, range(0, 64) AS g(i)
-        |), acc AS (
-        |  SELECT grid.doc_id, grid.i, CAST(COALESCE(votes.s, 0.0) AS FLOAT) AS s
-        |  FROM grid LEFT JOIN votes ON grid.doc_id = votes.doc_id AND grid.i = votes.i
-        |), nrm AS (
-        |  SELECT doc_id, SUM(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) AS ss FROM acc GROUP BY doc_id
-        |)
+      s"""$hashEmbedCte
         |SELECT acc.doc_id AS vec_id, acc.i,
         |  (round(CAST(CASE WHEN nrm.ss > 0
         |       THEN CAST(CAST(s AS DOUBLE) * (1.0/sqrt(nrm.ss)) AS FLOAT)

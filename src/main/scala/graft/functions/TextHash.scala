@@ -457,6 +457,23 @@ object TextHash {
     acc
   }
 
+  /** Left-to-right double dot of a FLOAT vector against a trained
+    * DOUBLE weight vector (each element widened before the multiply) —
+    * the linear-model scoring kernel ([[graft.functions.LogitDot]]).
+    * Same summation order as [[dotFD]] and the DuckDB oracle's
+    * list_sum(list_transform(...)), so cross-engine doubles are
+    * bit-identical. Clamps to the shorter side like dotFD. */
+  def logitDot(v: ArrayData, w: Array[Double]): Double = {
+    val n = math.min(v.numElements(), w.length)
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += v.getFloat(i).toDouble * w(i)
+      i += 1
+    }
+    acc
+  }
+
   /** Index of the nearest centroid by dot product (centroids are unit
     * vectors, so argmax dot == argmax cosine; the query vector's own
     * norm is a constant factor). Strict > keeps the lowest index on

@@ -151,6 +151,26 @@ case class IvfAssign(child: Expression, cents: Array[Array[Float]])
     copy(child = newChild)
 }
 
+/** Linear-model score of a float vector against a TRAINED double
+  * weight vector (left-to-right widened dot — [[TextHash.logitDot]]).
+  * The weights ride into generated code as a reference object, so
+  * scoring a corpus is a pure scan-local map — no join, no shuffle —
+  * exactly the IvfAssign shape with a weight vector instead of a
+  * centroid matrix. */
+case class LogitDot(child: Expression, weights: Array[Double])
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(input: Any): Any =
+    TextHash.logitDot(input.asInstanceOf[ArrayData], weights)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val w = ctx.addReferenceObj("logitWeights", weights, "double[]")
+    defineCodeGen(ctx, ev, v => s"graft.functions.TextHash.logitDot($v, $w)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): LogitDot =
+    copy(child = newChild)
+}
+
 /** Count of tokens present in a fixed word set (duplicates included).
   * The set materializes once per executor (transient lazy) and rides
   * into generated code as a reference object — the codegen'd form of
@@ -425,6 +445,8 @@ object GraftFunctions {
   def rhpSig(vec: Column, nPlanes: Int, seed: Long): Column =
     Bridge.column(RhpSig(e(vec), nPlanes, seed))
   def dotFD(a: Column, b: Column): Column = Bridge.column(DotFD(e(a), e(b)))
+  def logitDot(vec: Column, weights: Array[Double]): Column =
+    Bridge.column(LogitDot(e(vec), weights))
   def ivfAssign(vec: Column, cents: Array[Array[Float]]): Column =
     Bridge.column(IvfAssign(e(vec), cents))
   def shingleHash64(tokens: Column, n: Int): Column =

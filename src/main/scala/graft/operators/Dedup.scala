@@ -91,7 +91,21 @@ object Dedup {
         sum(col("c") * (col("c") - 1) / 2).cast("long").as("n_cand_pairs"))
 
   def minhashPairs(docs: DataFrame, k: Int = 128, bands: Int = 16,
-                   tau: Double = 0.8): DataFrame = {
+                   tau: Double = 0.8): DataFrame =
+    minhashPairsRaw(docs, k, bands, tau).orderBy("doc_a", "doc_b")
+
+  /** [[minhashPairs]] WITHOUT the presentation sort — the composition
+    * form (r16): a consumer that resolves the pairs into components
+    * ([[nearDupClusters]] — order-independent by construction: the
+    * component set and its min-label canonicals are unique whatever
+    * order edges arrive in) must not pay a range exchange + full sort
+    * just to discard it. The sort survives EliminateSorts on exactly
+    * the curation path because the cluster probe is a LIMIT (an
+    * order-DEPENDENT operator to Catalyst, though the union-find
+    * doesn't care which pairs it sees first). */
+  private[graft] def minhashPairsRaw(docs: DataFrame, k: Int = 128,
+                                     bands: Int = 16,
+                                     tau: Double = 0.8): DataFrame = {
     // sorted once per doc in the cached frame so the verify's
     // intersection is a zero-allocation merge walk (minhash itself is
     // order-independent — min over elements)
@@ -124,7 +138,6 @@ object Dedup {
     withSets
       .select(col("doc_a"), col("doc_b"), rnd(inter / union, 4).as("jaccard"))
       .filter(col("jaccard") >= tau)
-      .orderBy("doc_a", "doc_b")
   }
 
   /** SimHash near-dup pairs: 64-bit simhash of the shingle set, split
@@ -177,7 +190,11 @@ object Dedup {
     * pair. */
   def nearDupClusters(pairs: DataFrame, maxIters: Int = 20,
                       driverMaxPairs: Long = 1L << 20): DataFrame = {
-    val p = Caches.persistTracked(pairs.select(col("doc_a"), col("doc_b")))
+    // NOT persisted up front (r16): on the common union-find path the
+    // pairs are read exactly once (the probe collect) — caching them
+    // was a pure write cost; only the distributed path re-reads them
+    // per propagation round, and it persists below before iterating
+    val p = pairs.select(col("doc_a"), col("doc_b"))
     // Size-adaptive: verified near-dup PAIRS are a vanishing fraction
     // of the corpus (dup-rate × docs, not docs²) — when they fit the
     // driver comfortably, a union-find resolves them in microseconds
@@ -191,15 +208,16 @@ object Dedup {
     // the path that scales to billions of pairs.
     // The size check IS the collect: limit(bound+1) pulls at most one
     // row past the bound, so the common small case pays ONE job over
-    // the cached pairs instead of a count job plus a collect job, and
-    // an over-bound pair set still stops at bound+1 driver rows.
+    // the pairs instead of a count job plus a collect job, and an
+    // over-bound pair set still stops at bound+1 driver rows.
     // Over-bound probe cost: those bound+1 rows are a TRANSIENT
     // allocation discarded before distributedClusters runs — by
     // construction the same ~300-400 MB budget the within-bound
     // union-find legitimately holds, so the guard's driver-memory
     // envelope is unchanged; it is wasted work only on the rare
-    // distributed path, where one bounded collect is noise against
-    // the propagation rounds that follow.
+    // distributed path, where one bounded collect (and one repeated
+    // pair computation feeding the persist) is noise against the
+    // propagation rounds that follow.
     // The caller's bound is clamped to what THIS driver's heap can
     // plausibly hold (~350 bytes/pair of boxed tuple + HashMap entries
     // — the same estimate the default bound's comment derives), never
@@ -218,7 +236,7 @@ object Dedup {
     val bound = math.min(driverMaxPairs, collectCap)
     val probe = typedPairs(p).limit((bound + 1).toInt).collect()
     if (probe.length <= bound) driverUnionFind(p.sparkSession, probe)
-    else distributedClusters(p, maxIters)
+    else distributedClusters(Caches.persistTracked(p), maxIters)
   }
 
   /** Typed (doc_a, doc_b) view: a primitive-tuple collect holds two

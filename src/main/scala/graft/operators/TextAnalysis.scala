@@ -1161,6 +1161,19 @@ object TextAnalysis {
     * other, and every one of them sits next to restored boundary text
     * (`$1<IP>$2` puts the separators back) when pass two scans. The
     * per-pass match counts sum to the true IP count the same way. */
+  /** The redaction chain (emails → IP kernel → phones) as ONE text
+    * Column — the COMPOSITION form: a pipeline that only needs the
+    * redacted text projects this directly over its survivors instead
+    * of joining [[redactPii]]'s report back on doc_id (r16: that
+    * self-join was one of the composed curation pipeline's two
+    * removable joins — a whole broadcast stage to re-attach a column
+    * that is a pure function of the row). Single-output IP kernel:
+    * no count is produced, so nothing is evaluated twice. */
+  def redactTextExpr(text: Column): Column =
+    regexp_replace(
+      GraftFunctions.redactIps(regexp_replace(text, emailPat, "<EMAIL>")),
+      phonePat, phoneReplSpark)
+
   def redactPii(docs: DataFrame): DataFrame = {
     val t1 = regexp_replace(col("text"), emailPat, "<EMAIL>")
     // the IP stage runs as graft.functions.RedactCountIps — ONE

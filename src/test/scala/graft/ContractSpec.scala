@@ -18,6 +18,8 @@ class ContractSpec extends AnyFunSuite {
   // the whole suite; this also exercises the oracle builder itself.
   private lazy val quantizerOraclesReady: Unit = {
     SparkEntry.queries("q_cluster_embed")(TestSession.spark, TestSession.sfDir)
+    // same for the classifier's trained-weight literals (r16)
+    SparkEntry.queries("q_quality_classifier")(TestSession.spark, TestSession.sfDir)
     ()
   }
 

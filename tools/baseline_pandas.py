@@ -867,6 +867,51 @@ def semantic_decontaminate(emb, tau=0.4):
     })
 
 
+def quality_classifier(docs):
+    # graft q_quality_classifier's shape in numpy: hashing-trick
+    # embedding (64 signed buckets, L2-normalized), weak agreement
+    # labels (rule verdict AND unigram-NLL median side) on a bounded
+    # seeded sample, 200 full-batch logistic GD iterations, then
+    # scan-local scoring of the whole corpus. Timing pair (Python's
+    # builtin hash stands in for the mix64 kernel — same work class).
+    dim, sample_n, iters, lr = 64, 8192, 200, 0.5
+    toks = _norm_tokens(docs)
+    n = len(docs)
+    X = np.zeros((n, dim), dtype=np.float32)
+    for r, ts in enumerate(toks):
+        for t in ts:
+            if t:
+                h = hash(t)
+                X[r, (h >> 1) % dim] += 1.0 if (h & 1) == 0 else -1.0
+    nr = np.linalg.norm(X, axis=1, keepdims=True)
+    X = X / np.where(nr == 0, 1, nr)
+    rule = quality_filter(docs)["keep"].to_numpy()
+    nll = docs[["doc_id"]].merge(
+        unigram_logprob(docs)[["doc_id", "mean_nll"]],
+        on="doc_id", how="left")["mean_nll"].fillna(0.0).to_numpy()
+    idx = np.random.RandomState(42).permutation(n)[:sample_n]
+    med = np.sort(nll[idx])[(len(idx) - 1) // 2]
+    pos = rule[idx] & (nll[idx] <= med)
+    neg = ~rule[idx] & (nll[idx] > med)
+    agree = pos | neg
+    Xs = X[idx][agree] if agree.any() else X[idx]
+    ys = pos[agree].astype(np.float64) if agree.any() \
+        else rule[idx].astype(np.float64)
+    w = np.zeros(dim)
+    b = 0.0
+    for _ in range(iters):
+        p = 1.0 / (1.0 + np.exp(-(Xs @ w + b)))
+        g = p - ys
+        w -= lr * (Xs.T @ g) / len(ys)
+        b -= lr * g.mean() / 1.0
+    score = np.round(X @ w + b + 1e-9, 6)
+    return pd.DataFrame({
+        "doc_id": docs["doc_id"], "score": score,
+        "prob": np.round(1.0 / (1.0 + np.exp(-score)) + 1e-9, 6),
+        "keep_pred": (score > 0).astype("int64"),
+    })
+
+
 def cluster_embed(emb):
     # graft q_cluster_embed's shape in numpy: spherical k-means on a
     # bounded sample (3 Lloyd iterations, argmax-dot assignment, ties
@@ -958,6 +1003,7 @@ def main():
         ("corpus_diff", corpus_diff),
         ("source_overlap", source_overlap),
         ("length_histogram", length_histogram),
+        ("quality_classifier", quality_classifier),
         ("curate", curate),
     ]
     doc_queries = [(n, f) for n, f in doc_queries
