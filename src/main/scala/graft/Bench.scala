@@ -312,7 +312,14 @@ object Bench {
     // correctness (the driver's Verify/DuckDB gate runs them every
     // round); timing them here would double-count every member stage
     // in the suite total without measuring any new operator.
-    val composedPins = Set("q_curate", "q_curate_manifest")
+    // composed/contract pins excluded from the throughput suite:
+    // q_curate* time a whole pipeline (measured separately in
+    // BASELINE.md's end-to-end table); q_corpus_ingest_check REPLAYS
+    // batches through a throwaway on-disk store + catalog DDL — a
+    // correctness contract whose wall is temp-store writes, not an
+    // operator
+    val composedPins =
+      Set("q_curate", "q_curate_manifest", "q_corpus_ingest_check")
 
     def suite(dir: String, passes: Int, only: Option[Set[String]] = None,
               checkpoint: Option[() => Unit] = None):

@@ -183,6 +183,27 @@ object SparkEntry {
       val m = plan.manifest
       m
     }),
+    // the STREAMING ingest path's contract query (the _check pattern):
+    // 4 deterministic batches replayed through the two-tier bucketed
+    // store — delta tail, mid-replay compaction into the bucketed
+    // base, and an own-batch redelivery — with the admitted membership
+    // hash-gated against DuckDB's incremental keep-min restatement.
+    // The gate corpora carry no exact text duplicates (500/500 distinct
+    // contents at sf0.01), so the view INJECTS them — the urlDedupView
+    // move: %7 copies re-keyed +10⁶ (1e6 ≡ 0 mod 4 → SAME batch:
+    // within-batch keep-min must drop them) and %11 copies re-keyed
+    // +2·10⁶+1 (≡ 1 mod 4 → a DIFFERENT batch: cross-batch membership
+    // must resolve each content to its earliest batch, which for
+    // originals in batch 3 is the COPY)
+    "q_corpus_ingest_check" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "source", "text")
+      val v = docs
+        .unionByName(docs.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("source"), col("text")))
+        .unionByName(docs.filter(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + 2000001L).as("doc_id"), col("source"), col("text")))
+      graft.streaming.CorpusIngest.replayCheck(v)
+    }),
     // incremental ingest dedup: odd doc_ids play the arriving batch,
     // even doc_ids the already-curated corpus
     "q_dedup_incremental" -> ((s, d) => {
@@ -2171,6 +2192,26 @@ object SparkEntry {
         |)
         |SELECT stage_idx, stage, docs_in, docs_out, docs_in - docs_out AS docs_dropped
         |FROM rows_ ORDER BY stage_idx""").stripMargin,
+    // the replay's admitted membership, restated WITHOUT replaying:
+    // batch = doc_id mod 4, and two-tier own-batch-excluded membership
+    // composed over the in-order replay reduces to "per content, the
+    // earliest batch wins; within it, the lowest doc_id" (doc_ids are
+    // non-negative in every gate corpus, so % matches Spark's pmod —
+    // the q_dedup_incremental precedent)
+    "q_corpus_ingest_check" ->
+      """WITH v AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0
+        |  UNION ALL SELECT doc_id + 2000001, text FROM documents WHERE doc_id % 11 = 0
+        |), b AS (
+        |  SELECT doc_id, doc_id % 4 AS batch_id,
+        |         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS content_hash
+        |  FROM v
+        |)
+        |SELECT doc_id, CAST(batch_id AS BIGINT) AS batch_id, content_hash
+        |FROM (SELECT *, row_number() OVER (PARTITION BY content_hash
+        |        ORDER BY batch_id, doc_id) AS rn FROM b)
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "q_dedup_incremental" ->
       """WITH nh AS (
         |  SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS content_hash

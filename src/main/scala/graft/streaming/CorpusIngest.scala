@@ -651,4 +651,79 @@ object CorpusIngest {
       }
     }
   }
+
+  // ---- batch-replay contract query (q_corpus_ingest_check) ---------
+
+  private val replaySeq = new java.util.concurrent.atomic.AtomicLong(0)
+  // the previous replay's throwaway store, torn down at the NEXT call
+  // (the returned frame reads the store lazily, so this call cannot
+  // delete its own)
+  @volatile private var lastReplayStore: Option[(String, String)] = None
+
+  /** The `_check` pattern applied to the STREAMING ingest path: split
+    * `docs` into `nBatches` deterministic batches (batch i = doc_id
+    * mod nBatches), replay them IN ORDER through
+    * [[ingestBatchBucketed]] against a throwaway two-tier store, and
+    * emit the admitted membership (doc_id, batch_id, content_hash)
+    * sorted by doc_id — which an independent SQL engine can restate
+    * without replaying anything: the admitted set IS incremental
+    * keep-min dedup over the batch sequence (per content, the
+    * EARLIEST batch wins; within it, the LOWEST doc_id — own-batch
+    * exclusion plus [[keepMinPerContent]]'s tie rule, composed over
+    * the replay order).
+    *
+    * The replay deliberately exercises the paths the hash-green
+    * contract should cover:
+    *  - batch 0 lands in delta partitions, then [[compact]] folds them
+    *    into the bucketed BASE — later batches test base membership;
+    *  - batches past 0 also test the broadcast delta TAIL (their own
+    *    deltas accumulate uncompacted);
+    *  - batch 0 is REDELIVERED right after the compaction (same id,
+    *    its hashes now in the base): own-batch exclusion must let it
+    *    re-admit exactly its prior rows by overwriting its own
+    *    partitions — any double-admission or self-blocking flips the
+    *    membership and fails the hash.
+    *
+    * Store hygiene: a fresh pid+sequence-keyed temp store per call
+    * (idempotent — re-evaluation replays from scratch), the PREVIOUS
+    * call's store torn down here (the returned frame still reads this
+    * call's store lazily, so at most one replay store exists per JVM).
+    * CONTRACT query, not a production operator: the corpus it replays
+    * is bounded by the test tables. Near-dup band filtering stays OFF
+    * — its membership is probabilistic by design ([[NearDupStore]])
+    * and is pinned by StreamingSpec, not an exact oracle. */
+  def replayCheck(docs: DataFrame, nBatches: Int = 4): DataFrame = {
+    require(nBatches >= 2, s"a replay needs >= 2 batches: $nBatches")
+    val spark = docs.sparkSession
+    // tear down the previous replay's store (catalog entry + files)
+    lastReplayStore.foreach { case (dir, table) =>
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      val p = new Path(dir)
+      val f = fs(spark, dir)
+      if (f.exists(p)) { f.delete(p, true); () }
+    }
+    val id = s"${ProcessHandle.current.pid}_${replaySeq.incrementAndGet()}"
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_ingest_check_$id"
+    val corpusDir = s"$base/corpus"
+    val deltaDir = s"$base/delta"
+    val table = s"graft_ingest_check_$id"
+    lastReplayStore = Some((base, table))
+
+    val batches = (0 until nBatches).map(i =>
+      docs.select(col("doc_id"), col("source"), col("text"))
+        .filter(pmod(col("doc_id"), lit(nBatches)) === i))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      ingestBatchBucketed(b, i.toLong, corpusDir, table, deltaDir)
+      if (i == 0) {
+        // fold batch 0 into the bucketed base, then REDELIVER it:
+        // base-tier own-batch exclusion must re-admit its exact rows
+        compact(spark, table, deltaDir)
+        ingestBatchBucketed(b, 0L, corpusDir, table, deltaDir)
+      }
+    }
+    spark.read.parquet(corpusDir)
+      .select(col("doc_id"), col("batch_id").cast("long").as("batch_id"),
+        TextAnalysis.contentHash(col("text")).as("content_hash"))
+      .orderBy("doc_id")
+  }
 }
