@@ -886,8 +886,10 @@ def quality_classifier(docs):
     nr = np.linalg.norm(X, axis=1, keepdims=True)
     X = X / np.where(nr == 0, 1, nr)
     rule = quality_filter(docs)["keep"].to_numpy()
+    # reset_index: unigram_logprob's frame carries doc_id as both the
+    # groupby index name and a column, which merge rejects as ambiguous
     nll = docs[["doc_id"]].merge(
-        unigram_logprob(docs)[["doc_id", "mean_nll"]],
+        unigram_logprob(docs)[["doc_id", "mean_nll"]].reset_index(drop=True),
         on="doc_id", how="left")["mean_nll"].fillna(0.0).to_numpy()
     idx = np.random.RandomState(42).permutation(n)[:sample_n]
     med = np.sort(nll[idx])[(len(idx) - 1) // 2]
