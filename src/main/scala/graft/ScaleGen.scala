@@ -55,56 +55,13 @@ object ScaleGen {
     spark.stop()
   }
 
-  /** Collision-resistant path token for a source dir (r16, ADVICE:
-    * String.hashCode collides — two source dirs could map to ONE
-    * cached-corpus path and thrash each other's stamps). */
-  private def pathToken(srcDir: String): String = {
-    val md = java.security.MessageDigest.getInstance("SHA-256")
-    md.digest(srcDir.getBytes("UTF-8")).take(8)
-      .map(b => f"$b%02x").mkString
-  }
-
-  private def deleteRecursively(p: java.nio.file.Path): Unit = {
-    import java.nio.file.Files
-    if (Files.exists(p)) {
-      val s = Files.walk(p)
-      try s.sorted(java.util.Comparator.reverseOrder())
-        .forEach(q => Files.deleteIfExists(q))
-      finally s.close()
-    }
-  }
-
-  /** Marker-gated ATOMIC corpus publication (r16, ADVICE: data used to
-    * land in the final path BEFORE the marker, so a concurrent second
-    * process — the exact shared-entry use-case this tool advertises —
-    * could read a half-written corpus). The generator writes into a
-    * pid-suffixed temp dir, stamps the marker there LAST, and renames
-    * the whole dir into place: a reader sees nothing or a complete
-    * stamped corpus, never a prefix. A lost publication race defers to
-    * the winner when its stamp matches. */
+  // collision-resistant path token + atomic marker-gated publication
+  // (r16, ADVICE) — shared with ScaledCorpus via sources.CorpusCache
+  private def pathToken(srcDir: String): String =
+    graft.sources.CorpusCache.pathToken(srcDir)
   private def publish(out: String, markerName: String, stamp: String)
-                     (write: String => Unit): String = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
-    val outPath = Paths.get(out)
-    val marker = outPath.resolve(markerName)
-    if (!(Files.exists(marker) && Files.readString(marker) == stamp)) {
-      val tmp = Paths.get(out + s".tmp.${ProcessHandle.current.pid}")
-      deleteRecursively(tmp)
-      write(tmp.toString)
-      Files.writeString(tmp.resolve(markerName), stamp)
-      deleteRecursively(outPath) // stale or absent — replace wholesale
-      try Files.move(tmp, outPath, StandardCopyOption.ATOMIC_MOVE)
-      catch {
-        case e: java.nio.file.FileSystemException =>
-          // a concurrent generator won the move; accept its corpus iff
-          // it carries the same stamp, otherwise surface the conflict
-          val ok = Files.exists(marker) && Files.readString(marker) == stamp
-          deleteRecursively(tmp)
-          if (!ok) throw e
-      }
-    }
-    out
-  }
+                     (write: String => Unit): String =
+    graft.sources.CorpusCache.publish(out, markerName, stamp)(write)
 
   /** Text-preserving duplicate corpus (marker-cached like
     * [[graft.sources.ScaledCorpus.dir]]): `factor` copies of

@@ -1,6 +1,6 @@
 package graft.sources
 
-import java.nio.file.{Files, Paths}
+import java.nio.file.Paths
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -56,13 +56,13 @@ object ScaledCorpus {
     * interaction. */
   def dir(spark: SparkSession, srcDir: String, factor: Int = 10): String = {
     require(factor >= 2, s"a scaled corpus needs factor >= 2: $factor")
+    // digest-keyed path + atomic publish (CorpusCache — the r16
+    // ADVICE fix applied to every cached synthetic corpus)
     val out = Paths.get(
       sys.props.getOrElse("java.io.tmpdir", "/tmp"),
-      s"graft_scaled_${factor}x_${math.abs(srcDir.hashCode)}").toString
-    val marker = Paths.get(out, "_GRAFT_SCALED")
-    val stamp = s"$srcDir factor=$factor $version"
-    val fresh = Files.exists(marker) && Files.readString(marker) == stamp
-    if (!fresh) {
+      s"graft_scaled_${factor}x_${CorpusCache.pathToken(srcDir)}").toString
+    CorpusCache.publish(out, "_GRAFT_SCALED",
+      s"$srcDir factor=$factor $version") { tmpDir =>
       val docs = Tables.documents(spark, srcDir)
         .select("doc_id", "text", "lang", "source", "n_chars")
       val copies: Seq[DataFrame] = (0 until factor).map { i =>
@@ -84,7 +84,7 @@ object ScaledCorpus {
         }
       }
       copies.reduce(_ unionByName _)
-        .write.mode("overwrite").parquet(s"$out/documents.parquet")
+        .write.mode("overwrite").parquet(s"$tmpDir/documents.parquet")
       // events: ts arrives normalized (TimestampType, UTC session) and
       // is written back as plain TIMESTAMP — one of the three physical
       // encodings Tables.normalizeTs absorbs, so readers are unchanged
@@ -99,7 +99,7 @@ object ScaledCorpus {
           col("event_type"), col("value"), col("props"))
       }
       evCopies.reduce(_ unionByName _)
-        .write.mode("overwrite").parquet(s"$out/events.parquet")
+        .write.mode("overwrite").parquet(s"$tmpDir/events.parquet")
       // embeddings: vec_id offset i·10⁸ (mod-20 benchmark splits are
       // PRESERVED — 10⁸ ≡ 0 mod 20), vectors sign-flipped per copy by
       // a seeded per-coordinate pattern. A signed coordinate flip is
@@ -132,10 +132,8 @@ object ScaledCorpus {
         }
       }
       embCopies.reduce(_ unionByName _)
-        .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
-      Files.writeString(marker, stamp)
+        .write.mode("overwrite").parquet(s"$tmpDir/embeddings.parquet")
     }
-    out
   }
 
   /** Former name of [[dir]], kept for call-site stability. */

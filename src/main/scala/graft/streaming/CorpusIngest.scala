@@ -207,22 +207,34 @@ object CorpusIngest {
     * [[graft.operators.Dedup.decontaminate]] flag exactly. */
   def curationGate(docs: DataFrame, blocklist: Seq[String] = Nil,
                    benchmark: Option[DataFrame] = None,
-                   decontamMinShared: Int = 3): DataFrame = {
+                   decontamMinShared: Int = 3,
+                   qualityModel: Option[graft.operators.QualityClassifier.LogitModel] = None)
+      : DataFrame = {
     val cleaned = docs.withColumn("text",
       graft.operators.TextAnalysis.cleanMarkup(col("text")))
     val gated = cleaned.filter(graft.operators.TextAnalysis.qualityKeepExpr())
     val blocked =
       if (blocklist.isEmpty) gated
       else gated.filter(graft.operators.TextAnalysis.blocklistKeepExpr(blocklist))
+    // optional MODEL quality gate (r16 — the batch pipeline's
+    // qualityModel stage, streaming-safe by the same construction:
+    // keepExpr is a pure scan-local projection whose trained weights
+    // ride inside the LogitDot expression; train the model on a BATCH
+    // corpus offline, gate the stream with it)
+    val modeled = qualityModel match {
+      case Some(m) =>
+        blocked.filter(graft.operators.QualityClassifier.keepExpr(m))
+      case None => blocked
+    }
     benchmark match {
       case Some(bench) =>
         // the markup-stripped text is what the batch operators shingle,
         // so strip the benchmark the same way before collecting its set
         val shingles = Dedup.benchmarkShingles(bench.withColumn("text",
           graft.operators.TextAnalysis.cleanMarkup(col("text"))))
-        blocked.filter(Dedup.decontaminateKeepExpr(shingles,
+        modeled.filter(Dedup.decontaminateKeepExpr(shingles,
           minShared = decontamMinShared))
-      case None => blocked
+      case None => modeled
     }
   }
 

@@ -729,4 +729,43 @@ class StreamingSpec extends AnyFunSuite {
       assert(spark.table("file_agg").count() > 0)
     } finally q.stop()
   }
+
+  test("streaming model quality gate matches the batch gate verdict exactly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.CorpusIngest
+    // the r16 qualityModel stage, streamed: the trained weights ride
+    // inside the LogitDot expression, so the gate stays a scan-local
+    // projection a streaming frame accepts (no sort, no shuffle, no
+    // state) — train offline on the batch corpus, gate the stream
+    val corpus = graft.sources.Tables.documents(spark, sfDir)
+    val model = graft.operators.QualityClassifier.train(corpus)
+    val sample = corpus.select("doc_id", "source", "text").limit(60).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    val expected = CorpusIngest.curationGate(
+      sample.toDF("doc_id", "source", "text"), qualityModel = Some(model))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(expected.size < sample.size,
+      "gate dropped nothing on 60 docs — the scenario is vacuous")
+
+    val corpusDir = java.nio.file.Files.createTempDirectory("graft-mgate-c").toString
+    val hashDir = java.nio.file.Files.createTempDirectory("graft-mgate-h").toString
+    val ms = MemoryStream[(Long, String, String)]
+    val q = CorpusIngest.sink(
+      CorpusIngest.curationGate(ms.toDF().toDF("doc_id", "source", "text"),
+        qualityModel = Some(model)),
+      corpusDir, hashDir)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-mgate-ck").toString)
+      .start()
+    try {
+      ms.addData(sample: _*)
+      q.processAllAvailable()
+      val admitted = spark.read.parquet(corpusDir).collect()
+        .map(_.getAs[Long]("doc_id")).toSet
+      assert(admitted == expected,
+        s"streamed gate diverged from the batch gate: " +
+          s"extra=${admitted -- expected} missing=${expected -- admitted}")
+    } finally q.stop()
+  }
 }
