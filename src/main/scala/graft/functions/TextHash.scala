@@ -457,6 +457,49 @@ object TextHash {
     acc
   }
 
+  /** Per-document token-entropy statistics from the token array in ONE
+    * row-local pass: (n_tokens, n_distinct, clogc) where clogc =
+    * Σ_distinct round(c·log2(c) + 1e-9, 6) — bit-exactly the value the
+    * r15 two-shuffle form computed via explode → per-(doc,token) count
+    * → per-doc DECIMAL rollup (a per-DOCUMENT statistic never needed a
+    * corpus-wide shuffle). Exactness argument, term by term:
+    *  - log2 mirrors Spark's Log2 codegen EXACTLY
+    *    (`java.lang.StrictMath.log(x) / java.lang.StrictMath.log(2)` —
+    *    verified against the Log2 class's constant pool; plain
+    *    Math.log may differ in the last ulp on some JVMs) and the
+    *    multiply order mirrors `c.cast(double) * log2(c)`;
+    *  - the 6dp round mirrors Spark's Round-on-double
+    *    (BigDecimal.valueOf(x).setScale(6, HALF_UP));
+    *  - each rounded double is the double nearest k/10⁶, so
+    *    Math.round(d·10⁶) recovers the integer k exactly and the LONG
+    *    sum of ks equals the DECIMAL(38,6) sum (order-free both ways);
+    *    the final (Σk)/10⁶ double division is correctly rounded, i.e.
+    *    identical to CAST(decimal-sum AS DOUBLE). Σk stays far under
+    *    2⁵³ for any real document.
+    * Empty-string tokens count like the explode form counted them. */
+  def tokenEntropyStats(toks: ArrayData)
+      : org.apache.spark.sql.catalyst.InternalRow = {
+    val n = toks.numElements()
+    val counts = new java.util.HashMap[UTF8String, Int](math.max(n * 2, 4))
+    var i = 0
+    while (i < n) {
+      counts.merge(toks.getUTF8String(i), 1, Integer.sum _)
+      i += 1
+    }
+    var scaled = 0L
+    val it = counts.values().iterator()
+    val ln2 = java.lang.StrictMath.log(2.0)
+    while (it.hasNext) {
+      val c = it.next().toDouble
+      val v = c * (java.lang.StrictMath.log(c) / ln2)
+      val r = java.math.BigDecimal.valueOf(v + 1e-9)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      scaled += java.lang.Math.round(r * 1e6)
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](n.toLong, counts.size.toLong, scaled / 1e6))
+  }
+
   /** Left-to-right double dot of a FLOAT vector against a trained
     * DOUBLE weight vector (each element widened before the multiply) —
     * the linear-model scoring kernel ([[graft.functions.LogitDot]]).

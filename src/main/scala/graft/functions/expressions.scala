@@ -151,6 +151,27 @@ case class IvfAssign(child: Expression, cents: Array[Array[Float]])
     copy(child = newChild)
 }
 
+/** Per-document token-entropy statistics — struct<n_tokens: bigint,
+  * n_distinct: bigint, clogc: double> from the token array in one
+  * row-local pass ([[TextHash.tokenEntropyStats]]). Replaces the
+  * explode → per-(doc, token) count → per-doc rollup TWO-SHUFFLE
+  * shape: entropy is a per-document statistic, so at corpus scale the
+  * tokenized corpus never needs to leave its scan. */
+case class TokenEntropyStats(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("n_distinct", LongType, nullable = false),
+    StructField("clogc", DoubleType, nullable = false)))
+  override def nullSafeEval(input: Any): Any =
+    TextHash.tokenEntropyStats(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.tokenEntropyStats($c)")
+  override protected def withNewChildInternal(newChild: Expression): TokenEntropyStats =
+    copy(child = newChild)
+}
+
 /** Linear-model score of a float vector against a TRAINED double
   * weight vector (left-to-right widened dot — [[TextHash.logitDot]]).
   * The weights ride into generated code as a reference object, so
@@ -445,6 +466,8 @@ object GraftFunctions {
   def rhpSig(vec: Column, nPlanes: Int, seed: Long): Column =
     Bridge.column(RhpSig(e(vec), nPlanes, seed))
   def dotFD(a: Column, b: Column): Column = Bridge.column(DotFD(e(a), e(b)))
+  def tokenEntropyStats(tokens: Column): Column =
+    Bridge.column(TokenEntropyStats(e(tokens)))
   def logitDot(vec: Column, weights: Array[Double]): Column =
     Bridge.column(LogitDot(e(vec), weights))
   def ivfAssign(vec: Column, cents: Array[Array[Float]]): Column =

@@ -514,23 +514,29 @@ object TextAnalysis {
       .filter(trim(col("line")) =!= "")
       .groupBy("lh").agg(countDistinct(col("doc_id")).as("line_df"))
       .filter(col("line_df") > maxDocFreq)
-    val kept = lines.join(frequent.select("lh"), Seq("lh"), "left_anti")
-    // ordered reassembly: sort (line_no, line) structs, project the
-    // line field (GetArrayStructFields — no lambda), join with \n
-    val rebuilt = kept
+    // MARK boilerplate lines (left join against the heavy-hitter set)
+    // instead of anti-joining them away: one reassembly aggregate then
+    // produces n_lines, n_removed, AND the rebuilt text — the r15 form
+    // anti-joined, re-scanned the corpus for n_lines, and left-joined
+    // the two frames back together (a second parquet scan + a whole
+    // broadcast-join stage to recombine values that never had to
+    // separate). Every document keeps >= 1 line row (split of "" is
+    // [""]), so the groupBy covers all-boilerplate docs — they emit
+    // empty text_clean, no outer join needed. collect_list skips the
+    // null struct the `when` leaves on marked lines — kept lines only.
+    val marked = lines.join(
+      frequent.select(col("lh"), lit(1).as("bp")), Seq("lh"), "left")
+    marked
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_kept"),
+      .agg(
+        count(lit(1)).as("n_lines"),
+        count(col("bp")).as("n_removed"),
+        // ordered reassembly: sort (line_no, line) structs, project the
+        // line field (GetArrayStructFields — no lambda), join with \n
         array_join(
-          sort_array(collect_list(struct(col("line_no"), col("line"))))
+          sort_array(collect_list(
+            when(col("bp").isNull, struct(col("line_no"), col("line")))))
             .getField("line"), "\n").as("text_clean"))
-    docs.select(col("doc_id"),
-        size(split(col("text"), "\n")).cast("long").as("n_lines"))
-      // a document whose every line was boilerplate vanishes from the
-      // reassembly — keep it, with empty text
-      .join(rebuilt, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_lines"),
-        (col("n_lines") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
-        coalesce(col("text_clean"), lit("")).as("text_clean"))
       .orderBy("doc_id")
   }
 
@@ -866,15 +872,21 @@ object TextAnalysis {
     * rollup — two hash shuffles carrying only (doc, token-count)
     * rows. */
   def tokenEntropy(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
-      .groupBy("doc_id", "token").agg(count(lit(1)).as("c"))
-      .groupBy("doc_id")
-      .agg(
-        sum("c").as("n_tokens"),
-        count(lit(1)).as("n_distinct"),
-        decSum(rnd(col("c").cast("double") * log2(col("c")), 6)).as("clogc"))
-      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
-        rnd(log2(col("n_tokens")) - col("clogc") / col("n_tokens"), 4)
+    // one row-local kernel pass (r16): entropy is a per-DOCUMENT
+    // statistic — the r15 explode → per-(doc,token) count → per-doc
+    // rollup shuffled the tokenized corpus TWICE for it. The kernel
+    // reproduces the rollup bit-for-bit (StrictMath log2, Spark Round
+    // semantics, scaled-long exact sum ≡ the DECIMAL sum — see
+    // TextHash.tokenEntropyStats); null-text docs drop exactly as
+    // explode dropped them.
+    docs
+      .select(col("doc_id"),
+        GraftFunctions.tokenEntropyStats(tokens(col("text"))).as("_s"))
+      .filter(col("_s").isNotNull)
+      .select(col("doc_id"),
+        col("_s.n_tokens").as("n_tokens"),
+        col("_s.n_distinct").as("n_distinct"),
+        rnd(log2(col("_s.n_tokens")) - col("_s.clogc") / col("_s.n_tokens"), 4)
           .as("entropy_bits"))
       .orderBy("doc_id")
 
