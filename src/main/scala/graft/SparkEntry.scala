@@ -183,6 +183,13 @@ object SparkEntry {
       val m = plan.manifest
       m
     }),
+    // bloom-filter corpus membership (the sketch form of the ingest
+    // hash store — constant-size mergeable driver state, scan-local
+    // probes): even doc_ids play the accumulated corpus, all docs the
+    // arriving batch; exact set counts hash-gated, bloom guarantees
+    // reduced to Spark-evaluated booleans (the sketch-check pattern)
+    "q_bloom_membership_check" -> ((s, d) =>
+      Dedup.bloomMembershipCheck(Tables.documents(s, d))),
     // the STREAMING ingest path's contract query (the _check pattern):
     // 4 deterministic batches replayed through the two-tier bucketed
     // store — delta tail, mid-replay compaction into the bucketed
@@ -2192,6 +2199,23 @@ object SparkEntry {
         |)
         |SELECT stage_idx, stage, docs_in, docs_out, docs_in - docs_out AS docs_dropped
         |FROM rows_ ORDER BY stage_idx""").stripMargin,
+    // exact set counts recomputed from the documents table; the bloom
+    // guarantees arrive as Spark-evaluated booleans asserted TRUE
+    // (no_false_negatives is the structural bloom property;
+    // fp_in_bound has ~100 bits/item of headroom at every gate SF)
+    "q_bloom_membership_check" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS ch,
+        |         doc_id % 2 = 0 AS ins
+        |  FROM documents
+        |), ev AS (SELECT DISTINCT ch FROM h WHERE ins)
+        |SELECT
+        |  CAST((SELECT count(*) FROM h WHERE ins) AS BIGINT) AS n_inserted,
+        |  CAST((SELECT count(*) FROM h WHERE NOT ins AND ch IN (SELECT ch FROM ev)) AS BIGINT) AS n_dup_content,
+        |  CAST((SELECT count(*) FROM h WHERE NOT ins AND ch NOT IN (SELECT ch FROM ev)) AS BIGINT) AS n_new,
+        |  TRUE AS no_false_negatives,
+        |  TRUE AS fp_in_bound""".stripMargin,
     // the replay's admitted membership, restated WITHOUT replaying:
     // batch = doc_id mod 4, and two-tier own-batch-excluded membership
     // composed over the in-order replay reduces to "per content, the

@@ -679,4 +679,93 @@ object Dedup {
       .filter(col("jaccard") >= tau)
       .orderBy("doc_a", "doc_b")
   }
+
+  // ---- bloom-filter corpus membership (the sketch form of the ingest
+  // hash store) --------------------------------------------------------
+
+  /** Build the accumulated corpus's content-hash bloom filter and
+    * return its serialized bytes — CONSTANT-size driver state by
+    * construction (numBits/8 bytes whatever the corpus size; that the
+    * whole filter FITS is the operator's point, the same bounded-
+    * driver-state doctrine as the IVF centroids and the logit
+    * weights). The aggregate is mergeable (per-partition filters
+    * bit-OR together), so building it is one map-side-combined pass;
+    * merge order cannot change the bits. Returns null on an empty
+    * corpus. */
+  def bloomFilterOf(corpus: DataFrame,
+                    expectedItems: Long = 1L << 13,
+                    numBits: Long = 1L << 18): Array[Byte] = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graftbridge.Bridge
+    val agg = Bridge.column(new BloomFilterAggregate(
+      Bridge.expression(xxhash64(TextAnalysis.normalize(col("text")))),
+      Literal(expectedItems), Literal(numBits)).toAggregateExpression())
+    corpus.agg(agg.as("bf")).head().getAs[Array[Byte]]("bf")
+  }
+
+  /** Probe an arriving batch against a built filter — a PURE
+    * scan-local projection: the filter bytes fold into the plan as a
+    * literal (no join, no broadcast exchange, no shuffle), the
+    * incremental-crawl membership gate at its cheapest. Zero false
+    * negatives by construction — already-admitted content can never
+    * re-admit; false positives drop a genuinely new document at the
+    * filter's tunable rate, the over-blocking failure direction every
+    * ingest gate in this codebase chooses (NearDupStore, the
+    * writeSurvivors crash window). The exact two-tier hash store
+    * ([[graft.streaming.CorpusIngest]]) remains the zero-error path;
+    * this is the KB-sized summary a fleet of collectors can hold in
+    * RAM when the store itself is remote. */
+  def bloomMembership(arriving: DataFrame, filter: Array[Byte]): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.graftbridge.Bridge
+    val found =
+      if (filter == null) lit(false)
+      else Bridge.column(BloomFilterMightContain(
+        Literal(filter),
+        Bridge.expression(xxhash64(TextAnalysis.normalize(col("text"))))))
+    arriving.select(col("doc_id"), coalesce(found, lit(false)).as("maybe_seen"))
+  }
+
+  /** The `_check` contract query for the bloom path
+    * (q_bloom_membership_check): even doc_ids play the accumulated
+    * corpus, ALL docs the arriving batch, and the output is ONE row of
+    * exact set counts plus two Spark-evaluated booleans the hash CAN
+    * gate (the distinct_sketch_check pattern): `no_false_negatives` —
+    * every arriving doc whose content IS in the corpus must probe true
+    * (the bloom guarantee, deterministic) — and `fp_in_bound` — false
+    * positives among the genuinely-new capped at max(3, 1% of new)
+    * (numBits/expectedItems give ~100 bits per inserted item at the
+    * gate SFs; the expected fp count is ~0, the bound is ~3σ-roomy).
+    * DuckDB independently recomputes the three set counts from the
+    * documents table and asserts both booleans TRUE, so a bloom
+    * false negative or an fp blowup flips the hash red. */
+  def bloomMembershipCheck(docs: DataFrame): DataFrame = {
+    val hashed = docs.select(col("doc_id"), col("text"),
+      (pmod(col("doc_id"), lit(2)) === 0).as("ins"))
+    val filter = bloomFilterOf(hashed.filter(col("ins")))
+    val evenSet = hashed.filter(col("ins"))
+      .select(xxhash64(TextAnalysis.normalize(col("text"))).as("eh")).distinct()
+    val probed = bloomMembership(hashed, filter)
+      .join(hashed.select(col("doc_id"), col("ins")), "doc_id")
+      .join(hashed.select(col("doc_id"),
+        xxhash64(TextAnalysis.normalize(col("text"))).as("h")), "doc_id")
+      .join(evenSet, col("h") === col("eh"), "left")
+      .select(col("ins"), col("maybe_seen"), col("eh").isNotNull.as("seen"))
+    probed
+      .agg(
+        sum(col("ins").cast("long")).as("n_inserted"),
+        sum((!col("ins") && col("seen")).cast("long")).as("n_dup_content"),
+        sum((!col("ins") && !col("seen")).cast("long")).as("n_new"),
+        min((!col("seen") || col("maybe_seen")).cast("int")).as("_nfn"),
+        sum((!col("seen") && col("maybe_seen")).cast("long")).as("_nfp"))
+      .select(
+        coalesce(col("n_inserted"), lit(0L)).as("n_inserted"),
+        coalesce(col("n_dup_content"), lit(0L)).as("n_dup_content"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        (coalesce(col("_nfn"), lit(1)) === 1).as("no_false_negatives"),
+        (coalesce(col("_nfp"), lit(0L)).cast("double")
+          <= greatest(lit(3.0), coalesce(col("n_new"), lit(0L)) * 0.01))
+          .as("fp_in_bound"))
+  }
 }

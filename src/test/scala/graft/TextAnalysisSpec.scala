@@ -1094,4 +1094,41 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(chk.nonEmpty)
     chk.foreach(r => assert(r.getBoolean(2) && r.getBoolean(3), r.getString(0)))
   }
+
+  test("bloom membership: zero false negatives, designed fp bound, constant-size filter") {
+    import graft.operators.Dedup
+    val sp = spark
+    import sp.implicits._
+    val corpus = (1L to 500L)
+      .map(i => (i, s"corpus document number $i with some shared words"))
+      .toDF("doc_id", "text")
+    // arriving batch: every corpus text re-keyed (must ALL probe true —
+    // the bloom structural guarantee) plus 2000 genuinely new docs
+    val dups = (1L to 500L).map(i =>
+      (i + 10000L, s"corpus document number $i with some shared words"))
+    val fresh = (1L to 2000L).map(i =>
+      (i + 50000L, s"completely new arrival $i nothing in common ${i * 31}"))
+    val arriving = (dups ++ fresh).toDF("doc_id", "text")
+    val bf = Dedup.bloomFilterOf(corpus)
+    // constant-size driver state: numBits/8 bytes + header, whatever
+    // the corpus size — the property that makes the sketch the
+    // collector-fleet form of the hash store
+    assert(bf.length <= (1 << 18) / 8 + 64, s"filter bytes: ${bf.length}")
+    val out = Dedup.bloomMembership(arriving, bf).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(dups.forall { case (id, _) => out(id) },
+      "bloom false negative — structurally impossible; the build or probe hash drifted")
+    val fps = fresh.count { case (id, _) => out(id) }
+    assert(fps <= 20, s"false positives blew the design bound: $fps/2000")
+    // empty corpus: null filter, nothing probes true
+    val none = Dedup.bloomMembership(arriving,
+      Dedup.bloomFilterOf(corpus.filter(lit(false))))
+    assert(none.filter(col("maybe_seen")).count() == 0)
+    // the membership probe is scan-local: the filter rides as a plan
+    // literal — no join, no exchange of any kind
+    val plan = Dedup.bloomMembership(arriving, bf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("Exchange"),
+      s"probe must be a pure projection:\n$plan")
+  }
 }
