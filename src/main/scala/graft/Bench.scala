@@ -178,15 +178,16 @@ object Bench {
     (base ++ reservedD ++ refine).distinct
   }
 
-  /** Key under which a slope window's WALL-TIME ratio map publishes:
-    * a CONVICTED window (sustained sentinel contention, or suite-level
-    * load) renames the key with a `_loaded` suffix, so a reader
-    * scanning the artifact for the quiet-name key cannot misquote load
-    * samples as measurements — BENCH_r15 published
-    * `slope3_step_ratios` of 10.7 (dedup_minhash) from a self-convicted
-    * window, with the conviction one key away; honest but misquotable.
-    * The samples still ship (under the flagged name) and BYTE ratios
-    * are machine-independent, so they never rename. */
+  /** Key under which a slope window's WALL-TIME maps publish (the
+    * ratio maps AND the raw per-query seconds): a CONVICTED window
+    * (sustained sentinel contention, or suite-level load) renames the
+    * key with a `_loaded` suffix, so a reader scanning the artifact
+    * for the quiet-name key cannot misquote load samples as
+    * measurements — BENCH_r15 published `slope3_step_ratios` of 10.7
+    * (dedup_minhash) from a self-convicted window, with the conviction
+    * one key away; honest but misquotable. The samples still ship
+    * (under the flagged name) and BYTE ratios are machine-independent,
+    * so they never rename. */
   private[graft] def ratioKey(base: String, convicted: Boolean): String =
     if (convicted) base + "_loaded" else base
 
@@ -796,7 +797,8 @@ object Bench {
             ((r._6.bytesWritten + 1).toDouble / (primBy(r._1)._2 + 1))
         }.mkString("{", ",", "}")
         Some(s""","slope2_sf":"$bigDir","slope2_factor":10,""" +
-          s""""slope2_queries":$qsJ,"${ratioKey("slope2_ratios", s2Conv)}":$ratios,""" +
+          s""""${ratioKey("slope2_queries", s2Conv)}":$qsJ,""" +
+          s""""${ratioKey("slope2_ratios", s2Conv)}":$ratios,""" +
           s""""slope2_shuffle_ratios":$sratios""" + loadJ)
       }
     } catch { case _: Throwable => None }).getOrElse("")
@@ -871,7 +873,8 @@ object Bench {
               s""""slope3_step_shuffle_ratios":$sSteps"""
           } else ""
         Some(s""","slope3_sf":"$hugeDir","slope3_factor":100,""" +
-          s""""slope3_queries":$qsJ,"${ratioKey("slope3_ratios", s3Conv)}":$ratios,""" +
+          s""""${ratioKey("slope3_queries", s3Conv)}":$qsJ,""" +
+          s""""${ratioKey("slope3_ratios", s3Conv)}":$ratios,""" +
           s""""slope3_shuffle_ratios":$sratios""" + stepJ + loadJ)
       }
     } catch { case _: Throwable => None }).getOrElse("")

@@ -226,12 +226,17 @@ object GraftApi {
       // optional model-BASED quality gate (the DCLM/fineweb-edu axis):
       // a trained LogitModel's verdict over the cleaned text — a pure
       // scan-local codegen'd filter like the blocklist (the weights
-      // ride inside the expression; no join, no shuffle, no persist —
-      // single consumer). Runs AFTER the rule filter (the model
-      // refines what rules admit) with its own manifest row.
+      // ride inside the expression; no join, no shuffle). PERSISTED,
+      // unlike the cheap rule predicates: the stage output feeds both
+      // the keep-best aggregate and its join-back, and re-evaluating
+      // the filter would re-run the per-row model scoring (tokenize +
+      // hashEmbed + logitDot) once per consumer. Runs AFTER the rule
+      // filter (the model refines what rules admit) with its own
+      // manifest row.
       val afterClassifier = qualityModel match {
         case Some(m) =>
-          val kept = afterBlocklist.filter(QualityClassifier.keepExpr(m))
+          val kept = Caches.persistTracked(
+            afterBlocklist.filter(QualityClassifier.keepExpr(m)))
           stages += ("quality_classifier" -> kept)
           kept
         case None => afterBlocklist

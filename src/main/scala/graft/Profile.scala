@@ -50,6 +50,11 @@ object Profile {
       // sync at both sites by construction
       Checksum.fullEval(SparkEntry.queries(name)(spark, sfDir))
       val wall = (System.nanoTime() - t0) / 1e9
+      // drain the async listener bus BEFORE reading the counters: the
+      // last job's end event arrives after the action returns, and
+      // without the drain it undercounts this rep and bleeds into the
+      // next one's reset
+      org.apache.spark.sql.graftbridge.Bridge.drainListenerBus(spark)
       println(f"[profile] $name run $i: $wall%.3f s " +
         f"(jobs=${jobs.get}, job_exec=${execNanos.get / 1e9}%.2f s)")
       // drain operator caches between reps, as Bench does — otherwise

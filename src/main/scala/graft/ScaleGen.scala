@@ -103,7 +103,10 @@ object ScaleGen {
     publish(out, "_GRAFT_EMBED", s"$srcDir factor=$factor v1") { dir =>
       val emb = graft.sources.Tables.embeddings(spark, srcDir)
         .select("vec_id", "embedding", "label")
-      val dim = emb.agg(max(size(col("embedding")))).collect()(0).getInt(0)
+      val dimRow = emb.agg(max(size(col("embedding")))).collect()(0)
+      require(!dimRow.isNullAt(0),
+        s"embeddings table under $srcDir is empty — nothing to scale")
+      val dim = dimRow.getInt(0)
       require(dim <= 128,
         s"embeddings dim $dim exceeds the 128-coordinate sign-flip pattern")
       (0 until factor).map { i =>

@@ -13,6 +13,16 @@ object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Drain the asynchronous listener bus (private[spark], reachable
+    * here because org.apache.spark.sql.* is inside the spark access
+    * scope) — an action's SparkListenerJobEnd arrives on the bus
+    * thread AFTER the action returns, so instrumentation that reads
+    * listener-fed counters right after an action (graft.Profile's
+    * job/exec decomposition) must drain first or it undercounts the
+    * rep and bleeds the late event into the next one. */
+  def drainListenerBus(spark: SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
+
   /** Register a function on a LIVE session's registry (the extensions
     * path only applies at session construction). */
   def registerFunction(spark: SparkSession, name: String, info: ExpressionInfo,

@@ -126,13 +126,13 @@ object Inference {
     * The newest-row selection is a map-side-combined key aggregate
     * (`max(struct(orderCol, event_id))` per entity — the r14/r15
     * struct-extremum pattern) joined back, NOT a row_number window:
-    * only |entities| (key, ts, event_id) triples move, and AQE turns
-    * the join back into a broadcast hash join over the scan whenever
-    * the key table's runtime size allows (always at test scale) — so
-    * the wide engineered frame never shuffles — degrading to a
-    * shuffle join when the distinct-entity count outgrows broadcast
-    * limits. The window form exchanged and sorted every engineered
-    * row unconditionally. Selection ties match the window's desc/desc
+    * only |entities| (key, ts, event_id) triples move through the
+    * aggregate, and AQE turns the join back into a broadcast hash
+    * join whenever the key table's runtime size allows (always at
+    * test scale; see the in-code note on the static-estimate SMJ
+    * map-write it may pay first), degrading to a shuffle join when
+    * the distinct-entity count outgrows broadcast limits. The window
+    * form exchanged AND sorted every engineered row unconditionally. Selection ties match the window's desc/desc
     * order exactly ((ts, event_id) is unique per entity by
     * construction — event_id is the primary key). */
   def predictLatest(engineered: DataFrame, model: PipelineModel,
@@ -154,10 +154,15 @@ object Inference {
     //
     // No broadcast hint (r16, ADVICE): latestKeys is one row per
     // DISTINCT ENTITY — at the 100 TB target that can exceed broadcast
-    // and driver limits. AQE sees the aggregate's runtime size and
-    // picks the broadcast join itself whenever the key table is small
-    // (every local/test scale), and degrades to a shuffle join when it
-    // is not, which is exactly the graceful path the window form had.
+    // and driver limits. AQE picks the broadcast join from the
+    // aggregate's RUNTIME size whenever the key table is small and
+    // degrades to a shuffle join when it is not — the graceful path
+    // the window form had. Known cost of hintlessness: when the
+    // STATIC size estimate exceeds the broadcast threshold, the
+    // initial plan is a sort-merge join and the wide frame's shuffle
+    // MAP WRITE happens before AQE demotes to broadcast with a local
+    // read — one extra write pass in the small-entity case, accepted
+    // in exchange for never broadcasting an unbounded key table.
     val latest = engineered.alias("e").join(
       latestKeys.alias("k"),
       col(s"e.$keyCol") <=> col(s"k.$keyCol") &&

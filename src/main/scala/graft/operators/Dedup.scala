@@ -716,15 +716,22 @@ object Dedup {
     * ([[graft.streaming.CorpusIngest]]) remains the zero-error path;
     * this is the KB-sized summary a fleet of collectors can hold in
     * RAM when the store itself is remote. */
-  def bloomMembership(arriving: DataFrame, filter: Array[Byte]): DataFrame = {
+  def bloomMembership(arriving: DataFrame, filter: Array[Byte]): DataFrame =
+    arriving.select(col("doc_id"),
+      bloomProbeExpr(filter).as("maybe_seen"))
+
+  /** The probe verdict as ONE column over `text` — might_contain with
+    * the filter bytes folded in as a plan literal (false on the
+    * null/empty-corpus filter). Shared by [[bloomMembership]] and the
+    * check query so build and probe can never hash differently. */
+  private def bloomProbeExpr(filter: Array[Byte]): Column = {
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
     import org.apache.spark.sql.graftbridge.Bridge
-    val found =
-      if (filter == null) lit(false)
-      else Bridge.column(BloomFilterMightContain(
-        Literal(filter),
-        Bridge.expression(xxhash64(TextAnalysis.normalize(col("text"))))))
-    arriving.select(col("doc_id"), coalesce(found, lit(false)).as("maybe_seen"))
+    if (filter == null) lit(false)
+    else coalesce(
+      Bridge.column(BloomFilterMightContain(Literal(filter),
+        Bridge.expression(xxhash64(TextAnalysis.normalize(col("text")))))),
+      lit(false))
   }
 
   /** The `_check` contract query for the bloom path
@@ -746,10 +753,15 @@ object Dedup {
     val filter = bloomFilterOf(hashed.filter(col("ins")))
     val evenSet = hashed.filter(col("ins"))
       .select(xxhash64(TextAnalysis.normalize(col("text"))).as("eh")).distinct()
-    val probed = bloomMembership(hashed, filter)
-      .join(hashed.select(col("doc_id"), col("ins")), "doc_id")
-      .join(hashed.select(col("doc_id"),
-        xxhash64(TextAnalysis.normalize(col("text"))).as("h")), "doc_id")
+    // ins / content hash / probe verdict are all pure functions of the
+    // row — project them in ONE select (the curation handoff
+    // discipline: no join whose only product is re-attaching a
+    // derivable column); the evenSet membership join is the one
+    // genuinely aggregation-derived handoff left
+    val probed = hashed
+      .select(col("ins"),
+        bloomProbeExpr(filter).as("maybe_seen"),
+        xxhash64(TextAnalysis.normalize(col("text"))).as("h"))
       .join(evenSet, col("h") === col("eh"), "left")
       .select(col("ins"), col("maybe_seen"), col("eh").isNotNull.as("seen"))
     probed

@@ -43,18 +43,28 @@ object CorpusCache {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val outPath = Paths.get(out)
     val marker = outPath.resolve(markerName)
-    if (!(Files.exists(marker) && Files.readString(marker) == stamp)) {
+    def published(): Boolean =
+      Files.exists(marker) && Files.readString(marker) == stamp
+    if (!published()) {
       val tmp = Paths.get(out + s".tmp.${ProcessHandle.current.pid}")
       deleteRecursively(tmp)
       write(tmp.toString)
       Files.writeString(tmp.resolve(markerName), stamp)
-      deleteRecursively(outPath) // stale or absent — replace wholesale
-      try Files.move(tmp, outPath, StandardCopyOption.ATOMIC_MOVE)
-      catch {
-        case e: java.nio.file.FileSystemException =>
-          val ok = Files.exists(marker) && Files.readString(marker) == stamp
-          deleteRecursively(tmp)
-          if (!ok) throw e
+      // RE-CHECK before touching the final path: a concurrent
+      // generator may have published a valid corpus while this one was
+      // generating — deleting it here would yank files out from under
+      // that process's readers (the race this class exists to close).
+      // Defer to the winner; this process's tmp work is discarded.
+      if (published()) deleteRecursively(tmp)
+      else {
+        deleteRecursively(outPath) // stale or absent — replace wholesale
+        try Files.move(tmp, outPath, StandardCopyOption.ATOMIC_MOVE)
+        catch {
+          case e: java.nio.file.FileSystemException =>
+            val ok = published()
+            deleteRecursively(tmp)
+            if (!ok) throw e
+        }
       }
     }
     out

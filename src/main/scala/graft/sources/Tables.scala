@@ -51,18 +51,31 @@ object Tables {
     * table directory within one session). */
   def invalidate(): Unit = handles.synchronized { handles.clear() }
 
-  private def read(spark: SparkSession, dir: String, name: String): DataFrame =
+  private def read(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    handles.synchronized {
+      val m = handles.get(spark)
+      if (m != null) {
+        val df = m.get(path)
+        if (df != null) return df
+      }
+    }
+    // parquet resolution OUTSIDE the lock: file listing + footer I/O
+    // must not serialize unrelated callers (memo hits included); a
+    // concurrent double-resolution of one path is benign — first
+    // writer wins, the plans are equivalent
+    val fresh = spark.read.parquet(path)
     handles.synchronized {
       var m = handles.get(spark)
       if (m == null) {
         m = new java.util.HashMap[String, DataFrame]()
         handles.put(spark, m)
       }
-      val path = s"$dir/$name.parquet"
-      var df = m.get(path)
-      if (df == null) { df = spark.read.parquet(path); m.put(path, df) }
-      df
+      val prev = m.get(path)
+      if (prev != null) prev
+      else { m.put(path, fresh); fresh }
     }
+  }
 
   def region(spark: SparkSession, dir: String): DataFrame   = read(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame   = read(spark, dir, "nation")
