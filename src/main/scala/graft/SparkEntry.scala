@@ -236,6 +236,15 @@ object SparkEntry {
     // against the gen_bpe_merges.py-produced resource)
     "q_train_bpe"       -> ((s, d) => TextAnalysis.trainBpe(Tables.documents(s, d), 50)),
     "q_unigram_logprob" -> ((s, d) => TextAnalysis.unigramLogprob(Tables.documents(s, d))),
+    // DSIR-style importance weights toward a target distribution:
+    // src0 plays the curated target domain, the rest the raw corpus
+    // (the same split convention as decontamination/bigram)
+    "q_importance_weights" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      TextAnalysis.importanceWeights(
+        docs.filter(col("source") =!= "src0"),
+        docs.filter(col("source") === "src0"))
+    }),
     // model trained on the src0-excluded slice, scoring ALL docs —
     // src0 rows exercise the OOV/backoff paths a same-corpus model
     // never reaches
@@ -1827,6 +1836,34 @@ object SparkEntry {
         |SELECT doc_id, count(*) AS n_tokens,
         |       (round(CAST(sum(CAST((round(-log2(n_tok * 1.0 / n_total) + 1e-9, 6) + 0) AS DECIMAL(38,6))) AS DOUBLE) / count(*) + 1e-9, 4) + 0) AS mean_nll
         |FROM t JOIN freq USING (token) CROSS JOIN tot
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+    // DSIR importance: add-one-smoothed unigram llr over the union
+    // vocab; the per-token ratio is ONE quotient of exact integer-
+    // valued double products, so the single log2 sits inside the 6dp
+    // nudge (see TextAnalysis.importanceWeights)
+    "q_importance_weights" ->
+      """WITH rt AS (
+        |  SELECT doc_id,
+        |         unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS token
+        |  FROM documents WHERE source <> 'src0'
+        |), r AS (SELECT doc_id, token FROM rt WHERE token <> ''),
+        |tt AS (
+        |  SELECT unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS token
+        |  FROM documents WHERE source = 'src0'
+        |), tk AS (SELECT token FROM tt WHERE token <> ''),
+        |rf AS (SELECT token, count(*) AS c_r FROM r GROUP BY token),
+        |tf AS (SELECT token, count(*) AS c_t FROM tk GROUP BY token),
+        |vocab AS (
+        |  SELECT coalesce(rf.token, tf.token) AS token,
+        |         coalesce(c_r, 0) AS c_r, coalesce(c_t, 0) AS c_t
+        |  FROM rf FULL OUTER JOIN tf ON rf.token = tf.token
+        |), tot AS (
+        |  SELECT sum(c_r) AS n_r, sum(c_t) AS n_t, count(*) AS v FROM vocab
+        |)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |       (round(CAST(sum(CAST((round(log2(((c_t + 1) * 1.0 * (n_r + v)) / ((c_r + 1) * 1.0 * (n_t + v))) + 1e-9, 6) + 0) AS DECIMAL(38,6))) AS DOUBLE) / count(*) + 1e-9, 4) + 0) AS importance
+        |FROM r JOIN vocab USING (token) CROSS JOIN tot
         |GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
     "q_mix_quality" ->

@@ -1495,6 +1495,68 @@ object TextAnalysis {
   def unigramLogprob(docs: DataFrame): DataFrame =
     unigramScores(docs).orderBy("doc_id")
 
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling") — the data
+    * SELECTION axis beside the quality filters: per document, the mean
+    * unigram log-likelihood RATIO between a TARGET distribution (the
+    * domain you want more of — a benchmark, a curated seed corpus) and
+    * the raw corpus's own distribution. High importance ⇒ the doc
+    * reads like the target; feed the weights to a top-k or weighted
+    * sample and the mixture tilts toward the target domain. DSIR
+    * proper uses hashed n-gram features; the unigram form keeps the
+    * identical select-by-llr pipeline shape while staying
+    * SQL-oracle-able (the same simplification [[unigramLogprob]] makes
+    * vs CCNet's KenLM).
+    *
+    * Model: add-one-smoothed unigrams over the UNION vocabulary
+    * (V = |union|), p(w) = (c+1)/(N+V) per side — both sides defined
+    * on every token either corpus contains, so OOV-in-one-side scores
+    * finitely (the q_vocab_drift smoothing).
+    *
+    * FP discipline: per-token llr = rnd(log2(ratio), 6) where ratio is
+    * computed as ONE double quotient of two exact double products
+    * ((c_t+1)·(N_r+V)) / ((c_r+1)·(N_t+V)) — integer-valued doubles
+    * well under 2⁵³ at gate scale, so the quotient is bit-identical
+    * cross-engine and the single log2 differs by ≤1 ulp, far inside
+    * the 6dp nudge; per-doc mean via the DECIMAL-sum discipline, 4dp.
+    *
+    * Shape: one map-side-combined wordcount per side, a vocab-sized
+    * full-outer merge carrying both counts, scalar totals via the
+    * unpartitioned window over the vocab frame (the unigramScores
+    * trick — no second corpus scan), then the corpus token stream
+    * joins the fused model on `token` (vocab ≪ corpus ⇒ AQE
+    * broadcasts; the stream never shuffles) and rolls up per doc. */
+  def importanceWeights(docs: DataFrame, target: DataFrame): DataFrame = {
+    val rawToks = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+    val rawFreq = rawToks.groupBy("token").agg(count(lit(1)).as("c_r"))
+    val tgtFreq = target
+      .select(explode(tokens(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("token").agg(count(lit(1)).as("c_t"))
+    val vocab = rawFreq.join(tgtFreq, Seq("token"), "full_outer")
+      .select(col("token"),
+        coalesce(col("c_r"), lit(0L)).as("c_r"),
+        coalesce(col("c_t"), lit(0L)).as("c_t"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val model = vocab.select(col("token"), col("c_r"), col("c_t"),
+      sum("c_r").over(wAll).as("n_r"),
+      sum("c_t").over(wAll).as("n_t"),
+      count(lit(1)).over(wAll).as("v"))
+    val ratio = ((col("c_t") + 1).cast("double") * (col("n_r") + col("v")).cast("double")) /
+      ((col("c_r") + 1).cast("double") * (col("n_t") + col("v")).cast("double"))
+    rawToks
+      .join(model, "token")
+      .select(col("doc_id"), rnd(log2(ratio), 6).as("llr"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        rnd(decSum(col("llr")) / count(lit(1)), 4).as("importance"))
+      .orderBy("doc_id")
+  }
+
   /** [[unigramLogprob]] without the presentation sort. The public form
     * ends in a global orderBy — a range-partitioning exchange PLUS the
     * range partitioner's separate sampling job over the whole scoring

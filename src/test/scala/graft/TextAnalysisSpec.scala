@@ -1095,6 +1095,31 @@ class TextAnalysisSpec extends AnyFunSuite {
     chk.foreach(r => assert(r.getBoolean(2) && r.getBoolean(3), r.getString(0)))
   }
 
+  test("importance weights rank target-like documents above off-domain ones") {
+    import graft.operators.TextAnalysis
+    val sp = spark
+    import sp.implicits._
+    // target domain: cooking text; raw corpus: one cooking doc, one
+    // legal doc, one mixed doc — DSIR importance must order them
+    // cooking > mixed > legal
+    val target = Seq(
+      (100L, "simmer the onion and garlic in butter then add the stock"),
+      (101L, "season the roast and simmer the sauce with butter and herbs"))
+      .toDF("doc_id", "text")
+    val raw = Seq(
+      (1L, "simmer the garlic in butter and add stock to the sauce"),
+      (2L, "the plaintiff hereby waives all claims pursuant to the statute"),
+      (3L, "simmer the statute in butter pursuant to the onion"))
+      .toDF("doc_id", "text")
+    val w = TextAnalysis.importanceWeights(raw, target).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(w(1L) > w(3L) && w(3L) > w(2L),
+      s"importance must order cooking > mixed > legal: $w")
+    // add-one smoothing: a raw-only token (no target mass) must not
+    // produce -inf — every weight is finite
+    assert(w.values.forall(v => !v.isInfinite && !v.isNaN))
+  }
+
   test("bloom membership: zero false negatives, designed fp bound, constant-size filter") {
     import graft.operators.Dedup
     val sp = spark

@@ -867,6 +867,29 @@ def semantic_decontaminate(emb, tau=0.4):
     })
 
 
+def importance_weights(docs):
+    # graft q_importance_weights: DSIR-style add-one-smoothed unigram
+    # log-likelihood ratio toward the src0 target distribution,
+    # per-doc mean (6dp addends, 4dp mean)
+    raw = docs[docs["source"] != "src0"]
+    tgt = docs[docs["source"] == "src0"]
+    rex = raw[["doc_id"]].assign(token=_norm_tokens(raw)).explode("token")
+    rex = rex[rex["token"] != ""]
+    tex = pd.Series(np.concatenate(_norm_tokens(tgt).to_numpy()))
+    tex = tex[tex != ""]
+    cr = rex["token"].value_counts()
+    ct = tex.value_counts()
+    vocab = cr.index.union(ct.index)
+    cr = cr.reindex(vocab, fill_value=0)
+    ct = ct.reindex(vocab, fill_value=0)
+    nr, nt, v = cr.sum(), ct.sum(), len(vocab)
+    llr = np.round(np.log2(((ct + 1.0) * (nr + v)) / ((cr + 1.0) * (nt + v))) + 1e-9, 6)
+    per_tok = rex["token"].map(llr).to_numpy()
+    g = rex.assign(llr=per_tok).groupby("doc_id")["llr"].agg(["size", "mean"])
+    return pd.DataFrame({"doc_id": g.index, "n_tokens": g["size"],
+                         "importance": np.round(g["mean"].to_numpy() + 1e-9, 4)})
+
+
 def quality_classifier(docs):
     # graft q_quality_classifier's shape in numpy: hashing-trick
     # embedding (64 signed buckets, L2-normalized), weak agreement
@@ -1006,6 +1029,7 @@ def main():
         ("source_overlap", source_overlap),
         ("length_histogram", length_histogram),
         ("quality_classifier", quality_classifier),
+        ("importance_weights", importance_weights),
         ("curate", curate),
     ]
     doc_queries = [(n, f) for n, f in doc_queries
