@@ -25,7 +25,8 @@ object Profile {
     // plan-depth work reads straight off these counters
     val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
     val execNanos = new java.util.concurrent.atomic.AtomicLong(0L)
-    val jobStart = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+    val jobStart =
+      new java.util.concurrent.ConcurrentHashMap[Int, java.lang.Long]()
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         override def onJobStart(
@@ -35,8 +36,12 @@ object Profile {
         }
         override def onJobEnd(
             e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
-          val t0 = jobStart.remove(e.jobId)
-          if (t0 != 0L) execNanos.addAndGet(System.nanoTime() - t0)
+          // explicit absent-key handling: the boxed remove() returns
+          // null for an unseen jobId (e.g. a job started before the
+          // counters were reset) — don't rely on Scala's null→0L
+          // unboxing plus a sentinel compare to encode that case
+          Option(jobStart.remove(e.jobId))
+            .foreach(t0 => execNanos.addAndGet(System.nanoTime() - t0))
         }
       })
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }

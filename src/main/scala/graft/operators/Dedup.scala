@@ -691,16 +691,43 @@ object Dedup {
     * weights). The aggregate is mergeable (per-partition filters
     * bit-OR together), so building it is one map-side-combined pass;
     * merge order cannot change the bits. Returns null on an empty
-    * corpus. */
+    * corpus.
+    *
+    * Sizing (r17, closing the fixed-8192 advice): by default the
+    * filter is sized FROM the corpus — a cheap count-only pre-pass
+    * (column-pruned to nothing at the parquet reader) sets
+    * `expectedItems = max(2^13, n)` and `numBits` to the next power of
+    * two of 32 bits/item with a 2^18 floor — the old fixed design
+    * point's density (2^18/2^13 = 32, fp ≈ 4e-7) now HELD at any
+    * corpus size instead of degrading sharply past it (a 2^18-bit
+    * filter driven with 8192's ~22 hash functions saturates fast
+    * beyond ~25k items; at the floor the sizes, and hence the filter
+    * bytes, are bit-identical to pre-r17). Callers
+    * that already know their cardinality (or cannot afford the extra
+    * count job) pass both sizes explicitly; an overdriven explicit
+    * filter degrades in the documented direction only — false
+    * POSITIVES (over-blocking) rise, false negatives stay impossible.
+    * The check query's five output columns are sizing-invariant
+    * (exact set counts + booleans that hold for ANY adequate filter),
+    * so auto-sizing cannot move its golden. */
   def bloomFilterOf(corpus: DataFrame,
-                    expectedItems: Long = 1L << 13,
-                    numBits: Long = 1L << 18): Array[Byte] = {
+                    expectedItems: Long = -1L,
+                    numBits: Long = -1L): Array[Byte] = {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     import org.apache.spark.sql.graftbridge.Bridge
+    val items =
+      if (expectedItems > 0) expectedItems
+      else math.max(1L << 13, corpus.count())
+    val bits =
+      if (numBits > 0) numBits
+      else {
+        val want = items.min(1L << 40) * 32 // 32 bits/item, overflow-safe
+        math.max(1L << 18, java.lang.Long.highestOneBit(want - 1) << 1)
+      }
     val agg = Bridge.column(new BloomFilterAggregate(
       Bridge.expression(xxhash64(TextAnalysis.normalize(col("text")))),
-      Literal(expectedItems), Literal(numBits)).toAggregateExpression())
+      Literal(items), Literal(bits)).toAggregateExpression())
     corpus.agg(agg.as("bf")).head().getAs[Array[Byte]]("bf")
   }
 

@@ -37,10 +37,21 @@ object CorpusCache {
   /** Marker-gated atomic corpus publication: when `out/markerName`
     * does not carry `stamp`, run `write` against a temp dir, stamp it,
     * and atomically move it into place. A lost publication race defers
-    * to the winner iff its stamp matches, else the conflict surfaces. */
+    * to the winner iff its stamp matches, else the conflict surfaces.
+    *
+    * The check-replace-move sequence holds an OS-level [[java.nio
+    * .channels.FileLock]] on a sibling `.lock` file (r17, closing the
+    * r16 TOCTOU: between the re-check and the replacement a concurrent
+    * process could publish a VALID corpus which this one then deleted
+    * from under that process's readers). Generation itself runs
+    * outside the lock — only the cheap check + rename is serialized —
+    * and a stale previous corpus is MOVED ASIDE to a pid-keyed trash
+    * name rather than deleted in place, so even a lock-bypassing
+    * legacy writer never sees files vanish mid-read; the trash is
+    * reaped after the new corpus is live. */
   def publish(out: String, markerName: String, stamp: String)
              (write: String => Unit): String = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import java.nio.file.{Files, Paths, StandardCopyOption, StandardOpenOption}
     val outPath = Paths.get(out)
     val marker = outPath.resolve(markerName)
     def published(): Boolean =
@@ -50,22 +61,35 @@ object CorpusCache {
       deleteRecursively(tmp)
       write(tmp.toString)
       Files.writeString(tmp.resolve(markerName), stamp)
-      // RE-CHECK before touching the final path: a concurrent
-      // generator may have published a valid corpus while this one was
-      // generating — deleting it here would yank files out from under
-      // that process's readers (the race this class exists to close).
-      // Defer to the winner; this process's tmp work is discarded.
-      if (published()) deleteRecursively(tmp)
-      else {
-        deleteRecursively(outPath) // stale or absent — replace wholesale
-        try Files.move(tmp, outPath, StandardCopyOption.ATOMIC_MOVE)
-        catch {
-          case e: java.nio.file.FileSystemException =>
-            val ok = published()
-            deleteRecursively(tmp)
-            if (!ok) throw e
-        }
-      }
+      // Serialize the re-check + replacement under the sibling lock:
+      // blocking lock() — the loser waits out the winner's (cheap)
+      // critical section, re-checks, and discards its own tmp work.
+      val lockPath = Paths.get(out + ".lock")
+      Option(lockPath.getParent).foreach(Files.createDirectories(_))
+      val ch = java.nio.channels.FileChannel.open(lockPath,
+        StandardOpenOption.CREATE, StandardOpenOption.WRITE)
+      try {
+        val lock = ch.lock()
+        try {
+          if (published()) deleteRecursively(tmp)
+          else {
+            // stale or absent — move the old dir ASIDE (never delete a
+            // path a reader may hold open), then rename the new one in
+            val trash = Paths.get(out + s".trash.${ProcessHandle.current.pid}")
+            deleteRecursively(trash)
+            if (Files.exists(outPath))
+              Files.move(outPath, trash, StandardCopyOption.ATOMIC_MOVE)
+            try Files.move(tmp, outPath, StandardCopyOption.ATOMIC_MOVE)
+            catch {
+              case e: java.nio.file.FileSystemException =>
+                val ok = published()
+                deleteRecursively(tmp)
+                if (!ok) throw e
+            }
+            deleteRecursively(trash)
+          }
+        } finally lock.release()
+      } finally ch.close()
     }
     out
   }

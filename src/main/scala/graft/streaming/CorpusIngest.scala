@@ -667,10 +667,6 @@ object CorpusIngest {
   // ---- batch-replay contract query (q_corpus_ingest_check) ---------
 
   private val replaySeq = new java.util.concurrent.atomic.AtomicLong(0)
-  // the previous replay's throwaway store, torn down at the NEXT call
-  // (the returned frame reads the store lazily, so this call cannot
-  // delete its own)
-  @volatile private var lastReplayStore: Option[(String, String)] = None
 
   /** The `_check` pattern applied to the STREAMING ingest path: split
     * `docs` into `nBatches` deterministic batches (batch i = doc_id
@@ -696,10 +692,15 @@ object CorpusIngest {
     *    partitions — any double-admission or self-blocking flips the
     *    membership and fails the hash.
     *
-    * Store hygiene: a fresh pid+sequence-keyed temp store per call
-    * (idempotent — re-evaluation replays from scratch), the PREVIOUS
-    * call's store torn down here (the returned frame still reads this
-    * call's store lazily, so at most one replay store exists per JVM).
+    * Store hygiene (r17, closing the lazy-frame advice): a fresh
+    * pid+sequence-keyed temp store per call, and the admitted
+    * membership is EAGERLY MATERIALIZED to driver rows before this
+    * call tears its own store down on the way out — the returned
+    * frame is a localRelation with no dependence on store files, so
+    * it survives any number of later replays in the same JVM and no
+    * store outlives the call. Bounded driver state: the membership is
+    * (long, long, long) per admitted doc over the gate-sized test
+    * tables this contract query is defined on (≤ ~5k rows at sf0.1).
     * CONTRACT query, not a production operator: the corpus it replays
     * is bounded by the test tables. Near-dup band filtering stays OFF
     * — its membership is probabilistic by design ([[NearDupStore]])
@@ -707,35 +708,38 @@ object CorpusIngest {
   def replayCheck(docs: DataFrame, nBatches: Int = 4): DataFrame = {
     require(nBatches >= 2, s"a replay needs >= 2 batches: $nBatches")
     val spark = docs.sparkSession
-    // tear down the previous replay's store (catalog entry + files)
-    lastReplayStore.foreach { case (dir, table) =>
-      spark.sql(s"DROP TABLE IF EXISTS $table")
-      val p = new Path(dir)
-      val f = fs(spark, dir)
-      if (f.exists(p)) { f.delete(p, true); () }
-    }
     val id = s"${ProcessHandle.current.pid}_${replaySeq.incrementAndGet()}"
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_ingest_check_$id"
     val corpusDir = s"$base/corpus"
     val deltaDir = s"$base/delta"
     val table = s"graft_ingest_check_$id"
-    lastReplayStore = Some((base, table))
 
-    val batches = (0 until nBatches).map(i =>
-      docs.select(col("doc_id"), col("source"), col("text"))
-        .filter(pmod(col("doc_id"), lit(nBatches)) === i))
-    batches.zipWithIndex.foreach { case (b, i) =>
-      ingestBatchBucketed(b, i.toLong, corpusDir, table, deltaDir)
-      if (i == 0) {
-        // fold batch 0 into the bucketed base, then REDELIVER it:
-        // base-tier own-batch exclusion must re-admit its exact rows
-        compact(spark, table, deltaDir)
-        ingestBatchBucketed(b, 0L, corpusDir, table, deltaDir)
+    try {
+      val batches = (0 until nBatches).map(i =>
+        docs.select(col("doc_id"), col("source"), col("text"))
+          .filter(pmod(col("doc_id"), lit(nBatches)) === i))
+      batches.zipWithIndex.foreach { case (b, i) =>
+        ingestBatchBucketed(b, i.toLong, corpusDir, table, deltaDir)
+        if (i == 0) {
+          // fold batch 0 into the bucketed base, then REDELIVER it:
+          // base-tier own-batch exclusion must re-admit its exact rows
+          compact(spark, table, deltaDir)
+          ingestBatchBucketed(b, 0L, corpusDir, table, deltaDir)
+        }
       }
+      val membership = spark.read.parquet(corpusDir)
+        .select(col("doc_id"), col("batch_id").cast("long").as("batch_id"),
+          TextAnalysis.contentHash(col("text")).as("content_hash"))
+        .orderBy("doc_id")
+      val schema = membership.schema
+      val rows: java.util.List[org.apache.spark.sql.Row] =
+        java.util.Arrays.asList(membership.collect(): _*)
+      spark.createDataFrame(rows, schema)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      val p = new Path(base)
+      val f = fs(spark, base)
+      if (f.exists(p)) { f.delete(p, true); () }
     }
-    spark.read.parquet(corpusDir)
-      .select(col("doc_id"), col("batch_id").cast("long").as("batch_id"),
-        TextAnalysis.contentHash(col("text")).as("content_hash"))
-      .orderBy("doc_id")
   }
 }

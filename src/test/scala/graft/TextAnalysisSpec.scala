@@ -1155,5 +1155,15 @@ class TextAnalysisSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Join") && !plan.contains("Exchange"),
       s"probe must be a pure projection:\n$plan")
+    // auto-sizing (r17): past the 8192-item floor the filter grows at
+    // the design point's 32 bits/item instead of saturating — 40k
+    // distinct items must size past the 2^18-bit floor (2^21 here)
+    // and still probe its own members with zero false negatives
+    val big = sp.range(40000L).select(col("id").as("doc_id"),
+      concat(lit("unique big-corpus doc "), col("id")).as("text"))
+    val bfBig = Dedup.bloomFilterOf(big)
+    assert(bfBig.length > (1 << 18) / 8, s"saturated filter: ${bfBig.length}")
+    assert(Dedup.bloomMembership(big, bfBig)
+      .filter(!col("maybe_seen")).count() == 0)
   }
 }
