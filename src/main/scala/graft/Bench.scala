@@ -755,6 +755,16 @@ object Bench {
         // q_semantic_decontaminate sits out (its fixed-benchmark
         // deployment shape is ScaleSpec's job)
         "q_tfidf_topk", "q_shard_plan",
+        // r16 ops (probes added r17 per the verdict): scan-local
+        // logit scoring over a capped training sample (expect ≈ byte
+        // slope), the bloom build+probe pass (auto-sized filter,
+        // mergeable aggregate), and the DSIR importance weights —
+        // its src0 target slice grows WITH the corpus, but the
+        // scoring join is a broadcast of the Zipf-bounded vocab
+        // merge, not corpus x benchmark, so the expected step stays
+        // ≈ linear (the unigram_logprob precedent)
+        "q_quality_classifier", "q_bloom_membership_check",
+        "q_importance_weights",
         // embeddings family (sign-flip-decorrelated copies): the
         // quantizer ops whose per-vector work is geometry-independent
         // — linear by construction. Deliberately absent: the

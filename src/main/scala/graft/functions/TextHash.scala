@@ -500,6 +500,40 @@ object TextHash {
       Array[Any](n.toLong, counts.size.toLong, scaled / 1e6))
   }
 
+  /** Per-document term-frequency entries — array<struct<token: string,
+    * n_tf: bigint>> over the token array in ONE row-local hash pass
+    * (first-occurrence order, empty tokens skipped) — the scan-local
+    * form of explode → groupBy(doc_id, token) → count
+    * ([[graft.functions.TokenTf]]): the (doc_id, token) wordcount is a
+    * per-document statistic, so at corpus scale the exploded token
+    * stream never needs to shuffle to compute it. Entry ORDER is
+    * deterministic but not meaningful — every consumer re-keys or
+    * re-ranks with explicit orderings. */
+  def tokenTf(toks: ArrayData): ArrayData = {
+    val n = toks.numElements()
+    val m = new java.util.LinkedHashMap[UTF8String, java.lang.Long](
+      math.max(n * 2, 4))
+    var i = 0
+    while (i < n) {
+      val t = toks.getUTF8String(i)
+      if (t != null && t.numBytes() > 0) {
+        val cur = m.get(t)
+        m.put(t, java.lang.Long.valueOf(if (cur == null) 1L else cur.longValue() + 1L))
+      }
+      i += 1
+    }
+    val out = new Array[Any](m.size)
+    var j = 0
+    val it = m.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      out(j) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](e.getKey, e.getValue.longValue()))
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** Left-to-right double dot of a FLOAT vector against a trained
     * DOUBLE weight vector (each element widened before the multiply) —
     * the linear-model scoring kernel ([[graft.functions.LogitDot]]).

@@ -172,6 +172,27 @@ case class TokenEntropyStats(child: Expression)
     copy(child = newChild)
 }
 
+/** Per-document term-frequency entries — array<struct<token, n_tf>>
+  * from the token array in one row-local pass ([[TextHash.tokenTf]]).
+  * Replaces the explode → groupBy(doc_id, token) → count corpus-sized
+  * shuffle: term frequency is a per-document statistic, so the
+  * tokenized corpus computes it inside its own scan (the
+  * [[TokenEntropyStats]] doctrine, keeping the entries for consumers
+  * that need the per-term rows — tf-idf, vocab rollups). */
+case class TokenTf(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("token", StringType, nullable = false),
+    StructField("n_tf", LongType, nullable = false))), containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    TextHash.tokenTf(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.tokenTf($c)")
+  override protected def withNewChildInternal(newChild: Expression): TokenTf =
+    copy(child = newChild)
+}
+
 /** Linear-model score of a float vector against a TRAINED double
   * weight vector (left-to-right widened dot — [[TextHash.logitDot]]).
   * The weights ride into generated code as a reference object, so
@@ -487,6 +508,7 @@ object GraftFunctions {
     Bridge.column(SortedIntersectCount(e(a), e(b)))
   def normalizeWs(text: Column): Column = Bridge.column(NormalizeWs(e(text)))
   def wsTokens(text: Column): Column = Bridge.column(WsTokens(e(text)))
+  def tokenTf(toks: Column): Column = Bridge.column(TokenTf(e(toks)))
   def countPunct(text: Column): Column = Bridge.column(CountPunct(e(text)))
   def redactIps(text: Column): Column = Bridge.column(RedactIps(e(text)))
   def countIps(text: Column): Column = Bridge.column(CountIps(e(text)))

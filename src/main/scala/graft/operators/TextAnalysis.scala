@@ -57,20 +57,27 @@ object TextAnalysis {
     * Integer compares only — no log2/width_bucket FP edge at the
     * power-of-two boundaries (Spark's log2(8) != 3 exactly).
     *
-    * Shape: one map-side-combined aggregate over a scan-local
-    * projection; output is boundaries.size + 1 rows. */
+    * Shape: ONE map-side-combined aggregate over a scan-local
+    * projection; output is boundaries.size + 1 rows. The share
+    * denominator is the sum of the per-bucket LONG sums — exact, so
+    * it equals the direct corpus total bit-for-bit — computed by an
+    * unpartitioned window over the bucket rows (≤ boundaries+1 of
+    * them; r17 — the old form re-scanned and re-TOKENIZED the whole
+    * corpus in a second aggregate just to divide by its total). */
   def lengthHistogram(docs: DataFrame,
                       boundaries: Seq[Long] = Seq(16L, 64L, 256L, 1024L)): DataFrame = {
     val n = size(tokens(col("text"))).cast("long")
     val bucket = boundaries.foldLeft(lit(0L))((acc, b) =>
       acc + when(n >= b, 1L).otherwise(0L))
-    val tot = docs.select(n.as("n")).agg(sum("n").as("n_total"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
     docs.select(bucket.as("bucket"), n.as("n"))
       .groupBy("bucket")
       .agg(count(lit(1)).as("n_docs"), sum("n").as("n_tokens"))
-      .crossJoin(broadcast(tot))
       .select(col("bucket"), col("n_docs"), col("n_tokens"),
-        rnd(col("n_tokens").cast("double") / col("n_total"), 6).as("token_share"))
+        rnd(col("n_tokens").cast("double") / sum("n_tokens").over(w), 6)
+          .as("token_share"))
       .orderBy("bucket")
   }
 
@@ -1358,21 +1365,39 @@ object TextAnalysis {
     * token asc) — engines' `ln` may differ in the last ulp, so
     * ranking raw doubles could disagree where rounded values tie.
     *
-    * Scale shape: one (doc_id, token) map-side-combined aggregate
-    * (the corpus-sized shuffle), a token-keyed df rollup over the
-    * ALREADY-AGGREGATED tf table (vocabulary-sized — Zipf keeps it
-    * orders of magnitude under the corpus; AQE broadcasts the
-    * join-back when it fits), a 1-row N scalar broadcast, and one
-    * doc_id window whose per-group state is the doc's distinct-token
-    * list. No stage carries the text past the scan. */
+    * Scale shape (r17): term frequency is computed INSIDE the scan —
+    * the [[graft.functions.TokenTf]] kernel emits each document's
+    * (token, n_tf) entries in one row-local hash pass, so the exploded
+    * corpus token stream never shuffles into a wordcount (the old
+    * form's corpus-sized (doc_id, token) exchange, gone). The tf
+    * table — already compressed to one row per (doc, term) — lands on
+    * a doc_id exchange and PERSISTS (scoped registry), feeding both
+    * consumers from one materialization: a token-keyed df rollup
+    * (vocabulary-sized; Zipf keeps it orders of magnitude under the
+    * corpus; AQE broadcasts the join-back when it fits) and the
+    * per-doc rank window, which runs exchange-FREE on the doc_id
+    * distribution the cache preserved. The corpus-count scalar N is a
+    * count-only parquet scan (row-group metadata, no text decode). No
+    * stage carries text past the scan. */
   def tfidfTopK(docs: DataFrame, topK: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val tf = docs
-      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
-      .filter(col("token") =!= "")
-      .groupBy("doc_id", "token").agg(count(lit(1)).as("n_tf"))
+    // One-pass-two-consumers discipline: plan-level exchange reuse is
+    // too fragile here (the first two r17 cuts watched constraint
+    // inference and column pruning specialize each branch's subtree
+    // below the shared exchange, forfeiting sameResult), so the tf
+    // table persists via the scoped registry — the [[Dedup
+    // .minhashPairs]] precedent — and the scan + kernel + exchange run
+    // exactly once. The repartition puts the cached entries ON the
+    // doc_id distribution, so the rank window later needs no exchange
+    // of its own (subset rule).
+    val tf = Caches.persistTracked(docs
+      .select(col("doc_id"),
+        explode(GraftFunctions.tokenTf(
+          tokens(coalesce(col("text"), lit(""))))).as("e"))
+      .select(col("doc_id"), col("e.token").as("token"), col("e.n_tf").as("n_tf"))
+      .repartition(col("doc_id")))
     val df = tf.groupBy("token").agg(count(lit(1)).as("n_df"))
-    val n  = docs.agg(count(lit(1)).as("n_docs"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
     tf.join(df, "token")
       .crossJoin(broadcast(n))
       .withColumn("tfidf",
@@ -1520,21 +1545,24 @@ object TextAnalysis {
     * cross-engine and the single log2 differs by ≤1 ulp, far inside
     * the 6dp nudge; per-doc mean via the DECIMAL-sum discipline, 4dp.
     *
-    * Shape: one map-side-combined wordcount per side, a vocab-sized
-    * full-outer merge carrying both counts, scalar totals via the
-    * unpartitioned window over the vocab frame (the unigramScores
-    * trick — no second corpus scan), then the corpus token stream
-    * joins the fused model on `token` (vocab ≪ corpus ⇒ AQE
-    * broadcasts; the stream never shuffles) and rolls up per doc. */
+    * Shape: one scan-local-tf wordcount per side (the [[docsTf]]
+    * kernel entries — r17; the exploded token stream never even
+    * materializes), a vocab-sized full-outer merge carrying both
+    * counts, scalar totals via the unpartitioned window over the
+    * vocab frame (the unigramScores trick — no second corpus scan),
+    * then the tf entries join the fused model on `token` (vocab ≪
+    * corpus ⇒ AQE broadcasts; the stream never shuffles) and roll up
+    * per doc tf-weighted. */
   def importanceWeights(docs: DataFrame, target: DataFrame): DataFrame = {
-    val rawToks = docs
-      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
-      .filter(col("token") =!= "")
-    val rawFreq = rawToks.groupBy("token").agg(count(lit(1)).as("c_r"))
-    val tgtFreq = target
-      .select(explode(tokens(col("text"))).as("token"))
-      .filter(col("token") =!= "")
-      .groupBy("token").agg(count(lit(1)).as("c_t"))
+    // r17: both wordcounts and the score join consume the scan-local
+    // tf entries ([[docsTf]] / [[graft.functions.TokenTf]]) instead
+    // of the exploded token stream — same exactness argument as
+    // [[unigramScores]] (DECIMAL tf-weighted sums of the 6dp-rounded
+    // llr are bit-identical to the per-occurrence sums).
+    val rawTf = docsTf(docs)
+    val rawFreq = rawTf.groupBy("token").agg(sum("n_tf").as("c_r"))
+    val tgtFreq = docsTf(target)
+      .groupBy("token").agg(sum("n_tf").as("c_t"))
     val vocab = rawFreq.join(tgtFreq, Seq("token"), "full_outer")
       .select(col("token"),
         coalesce(col("c_r"), lit(0L)).as("c_r"),
@@ -1548,12 +1576,13 @@ object TextAnalysis {
       count(lit(1)).over(wAll).as("v"))
     val ratio = ((col("c_t") + 1).cast("double") * (col("n_r") + col("v")).cast("double")) /
       ((col("c_r") + 1).cast("double") * (col("n_t") + col("v")).cast("double"))
-    rawToks
+    rawTf
       .join(model, "token")
-      .select(col("doc_id"), rnd(log2(ratio), 6).as("llr"))
+      .select(col("doc_id"), col("n_tf"), rnd(log2(ratio), 6).as("llr"))
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_tokens"),
-        rnd(decSum(col("llr")) / count(lit(1)), 4).as("importance"))
+      .agg(sum(col("n_tf")).as("n_tokens"),
+        rnd(sum(col("llr").cast("decimal(38,6)") * col("n_tf")).cast("double")
+          / sum(col("n_tf")), 4).as("importance"))
       .orderBy("doc_id")
   }
 
@@ -1564,6 +1593,19 @@ object TextAnalysis {
     * ([[bucketsByQuality]] → bucket window) pays that twice-computed
     * sort for nothing, so internal consumers take this form. */
   private[graft] def unigramScores(docs: DataFrame): DataFrame = {
+    // Deliberately the EXPLODED-token form, not the TokenTf-kernel
+    // form (r17 measured both): with the raw token stream the
+    // planner's build-side choice broadcasts whichever side is small
+    // — at gate SF that is the DOC side, which leaves the scoring
+    // join AND the per-doc rollup exchange-free (the rollup's
+    // clustered distribution is trivially satisfied), two whole AQE
+    // stages cheaper than the kernel variant's forced doc_id
+    // exchange; at corpus scale runtime sizes flip the broadcast to
+    // the Zipf-bounded vocab side and the stream still never
+    // shuffles. The kernel variant's compressed stream saved less
+    // than its extra exchange cost at every measured point (its
+    // per-doc tf-weighting discipline lives on in
+    // [[importanceWeights]], where it measured faster).
     val toks = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
       .filter(col("token") =!= "")
@@ -1586,6 +1628,18 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_tokens"),
         rnd(decSum(col("nll")) / count(lit(1)), 4).as("mean_nll"))
   }
+
+  /** The corpus as scan-local (doc_id, token, n_tf) term-frequency
+    * entries ([[graft.functions.TokenTf]]) — empty tokens skipped,
+    * null text contributes nothing, exactly the rows of
+    * explode → filter('' ) → groupBy(doc_id, token) → count without
+    * the corpus-sized exchange that shape pays. */
+  private[graft] def docsTf(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        explode(GraftFunctions.tokenTf(
+          tokens(coalesce(col("text"), lit(""))))).as("e"))
+      .select(col("doc_id"), col("e.token").as("token"), col("e.n_tf").as("n_tf"))
 
   /** Bigram language model with Stupid Backoff — one rung up from
     * [[unigramLogprob]] toward CCNet's 5-gram KenLM scoring, and the
