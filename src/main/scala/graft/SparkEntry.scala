@@ -211,6 +211,13 @@ object SparkEntry {
           .select((col("doc_id") + 2000001L).as("doc_id"), col("source"), col("text")))
       graft.streaming.CorpusIngest.replayCheck(v)
     }),
+    // near-dup BAND-STORE contract replay (CorpusIngest.nearDupStoreCheck
+    // scaladoc has the construction): synthetic md5-token texts make the
+    // expected membership pure doc_id arithmetic while the real two-tier
+    // band store (compacted base, delta tail, selfHits, own-batch-excluded
+    // redelivery) computes it
+    "q_neardup_store_check" -> ((s, d) =>
+      graft.streaming.CorpusIngest.nearDupStoreCheck(Tables.documents(s, d))),
     // incremental ingest dedup: odd doc_ids play the arriving batch,
     // even doc_ids the already-curated corpus
     "q_dedup_incremental" -> ((s, d) => {
@@ -2273,6 +2280,21 @@ object SparkEntry {
         |FROM (SELECT *, row_number() OVER (PARTITION BY content_hash
         |        ORDER BY batch_id, doc_id) AS rn FROM b)
         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    // the band store's admitted membership, restated from doc_id
+    // arithmetic alone: the check corpus is CONSTRUCTED (synthetic
+    // md5-chunk texts, zero natural shingle overlap) so the only
+    // rejections are the injected near-duplicates — evens admit in
+    // batch 0, odds in batch 1, the %10=5 fresh re-keys in batch 2;
+    // every +1e7/+2e7/+3e7 injected copy is band-rejected (base tier /
+    // selfHits / delta tail respectively)
+    "q_neardup_store_check" ->
+      """SELECT doc_id, batch_id FROM (
+        |  SELECT doc_id, CAST(0 AS BIGINT) AS batch_id FROM documents WHERE doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT doc_id, CAST(1 AS BIGINT) FROM documents WHERE doc_id % 2 = 1
+        |  UNION ALL
+        |  SELECT doc_id + 40000000, CAST(2 AS BIGINT) FROM documents WHERE doc_id % 10 = 5
+        |) ORDER BY doc_id""".stripMargin,
     "q_dedup_incremental" ->
       """WITH nh AS (
         |  SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS content_hash

@@ -742,4 +742,111 @@ object CorpusIngest {
       if (f.exists(p)) { f.delete(p, true); () }
     }
   }
+
+  /** The `_check` pattern applied to the NEAR-DUP BAND STORE
+    * (q_neardup_store_check) — the last probabilistic-by-design
+    * surface without an exact gate. The band membership itself is
+    * hash-defined (no exact verification on the ingest path — that is
+    * the operator's point), so no independent engine can re-derive a
+    * natural corpus's reject set; instead the corpus is CONSTRUCTED so
+    * the reject set is exactly known while every store mechanism still
+    * executes for real:
+    *
+    *  - every document's text is synthesized from doc_id arithmetic
+    *    (60 md5-chunk tokens) — two distinct documents share a 3-token
+    *    shingle with probability ~2⁻⁹⁶ per position, so natural band
+    *    collisions are structurally absent and the expected membership
+    *    is pure id arithmetic an independent engine restates;
+    *  - injected near-duplicates (the same synthetic text plus ONE
+    *    appended token — J = 58/59, per-band match p = J⁸ ≈ 0.87,
+    *    P(< minBands of 16 bands) ≈ 6e-13, and DETERMINISTIC given the
+    *    seeded signatures) exercise each reject tier: batch 1 carries
+    *    copies of batch-0 store documents (rejected via the COMPACTED
+    *    bucketed base) and same-batch copies of its own clean
+    *    documents (rejected via the within-batch earlier-id selfHits
+    *    path); batch 2 carries copies of batch-1 documents whose keys
+    *    still sit UNCOMPACTED (rejected via the broadcast delta tail)
+    *    plus fresh documents (admitted — the batch stays
+    *    non-degenerate);
+    *  - batch 1 is REDELIVERED after admission: own-batch exclusion in
+    *    BOTH stores must re-admit exactly its prior rows — its own
+    *    band keys in the delta must not block its retry.
+    *
+    * Output: the admitted (doc_id, batch_id) membership, eagerly
+    * materialized with the store torn down on exit (the [[replayCheck]]
+    * hygiene). DuckDB restates it from the documents table's doc_id
+    * arithmetic alone — a false band rejection (a clean document
+    * dropped), a missed injection (over-block contract broken), a
+    * double admission, or a self-blocked redelivery each flip the
+    * hash. */
+  def nearDupStoreCheck(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val id = s"${ProcessHandle.current.pid}_${replaySeq.incrementAndGet()}"
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_ndstore_check_$id"
+    val corpusDir = s"$base/corpus"
+    val hashDelta = s"$base/delta"
+    val bandDelta = s"$base/band_delta"
+    val hashTable = s"graft_ndcheck_hash_$id"
+    val bandTable = s"graft_ndcheck_band_$id"
+    val nd = NearDupStore(bandTable, bandDelta)
+
+    def synthText(idCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      concat_ws(" ", transform(sequence(lit(1), lit(60)),
+        j => substring(md5(concat(idCol.cast("string"), lit("_"),
+          j.cast("string"))), 1, 8)))
+    def withText(frame: DataFrame): DataFrame =
+      frame.select(col("doc_id"), lit("chk").as("source"),
+        when(col("base_id").isNull, synthText(col("doc_id")))
+          .otherwise(concat(synthText(col("base_id")), lit(" xtradup")))
+          .as("text"))
+
+    try {
+      val ids = docs.select(col("doc_id"))
+      val store = withText(ids.filter(pmod(col("doc_id"), lit(2)) === 0)
+        .select(col("doc_id"), lit(null).cast("long").as("base_id")))
+      val batch1 = withText(
+        ids.filter(pmod(col("doc_id"), lit(2)) === 1)
+          .select(col("doc_id"), lit(null).cast("long").as("base_id"))
+        .unionByName(ids.filter(pmod(col("doc_id"), lit(10)) === 0)
+          .select((col("doc_id") + 10000000L).as("doc_id"),
+            col("doc_id").as("base_id")))
+        .unionByName(ids.filter(pmod(col("doc_id"), lit(10)) === 1)
+          .select((col("doc_id") + 20000000L).as("doc_id"),
+            col("doc_id").as("base_id"))))
+      val batch2 = withText(
+        ids.filter(pmod(col("doc_id"), lit(10)) === 3)
+          .select((col("doc_id") + 30000000L).as("doc_id"),
+            col("doc_id").as("base_id"))
+        .unionByName(ids.filter(pmod(col("doc_id"), lit(10)) === 5)
+          .select((col("doc_id") + 40000000L).as("doc_id"),
+            lit(null).cast("long").as("base_id"))))
+
+      ingestBatchBucketed(store, 0L, corpusDir, hashTable, hashDelta, Some(nd))
+      // fold batch 0 into BOTH bucketed bases: batch 1's cross-batch
+      // rejections must come from the base tier, batch 2's from the
+      // still-uncompacted batch-1 delta tail
+      compact(spark, hashTable, hashDelta)
+      compactBands(spark, nd)
+      ingestBatchBucketed(batch1, 1L, corpusDir, hashTable, hashDelta, Some(nd))
+      // REDELIVER batch 1: own-batch exclusion in the band store must
+      // let its clean rows re-admit (their own keys are now in the
+      // delta under batch_id=1)
+      ingestBatchBucketed(batch1, 1L, corpusDir, hashTable, hashDelta, Some(nd))
+      ingestBatchBucketed(batch2, 2L, corpusDir, hashTable, hashDelta, Some(nd))
+
+      val membership = spark.read.parquet(corpusDir)
+        .select(col("doc_id"), col("batch_id").cast("long").as("batch_id"))
+        .orderBy("doc_id")
+      val schema = membership.schema
+      val rows: java.util.List[org.apache.spark.sql.Row] =
+        java.util.Arrays.asList(membership.collect(): _*)
+      spark.createDataFrame(rows, schema)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $hashTable")
+      spark.sql(s"DROP TABLE IF EXISTS $bandTable")
+      val p = new Path(base)
+      val f = fs(spark, base)
+      if (f.exists(p)) { f.delete(p, true); () }
+    }
+  }
 }

@@ -686,6 +686,27 @@ class StreamingSpec extends AnyFunSuite {
     } finally drop()
   }
 
+  test("nearDupStoreCheck: membership is exactly the doc_id-arithmetic expectation") {
+    import spark.implicits._
+    // 60 ids exercise every branch of the construction: evens (store),
+    // odds (clean batch 1), %10∈{0,1,3} injected copies (base / self /
+    // delta rejections), %10=5 fresh batch-2 admissions
+    val ids = (1L to 60L).map(i => (i, "s", s"unused $i")).toDF("doc_id", "source", "text")
+    val out = graft.streaming.CorpusIngest.nearDupStoreCheck(ids)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expect =
+      (1L to 60L).filter(_ % 2 == 0).map(i => (i, 0L)) ++
+      (1L to 60L).filter(_ % 2 == 1).map(i => (i, 1L)) ++
+      (1L to 60L).filter(_ % 10 == 5).map(i => (i + 40000000L, 2L))
+    assert(out.toSet == expect.toSet,
+      s"membership drifted: extra=${out.toSet -- expect.toSet} missing=${expect.toSet -- out.toSet}")
+    // every injected near-duplicate was band-rejected
+    assert(!out.exists(_._1 >= 10000000L && out.count(_._1 >= 10000000L) != (1L to 60L).count(_ % 10 == 5)))
+    // and the result survives the store teardown + a later replay
+    val again = graft.streaming.CorpusIngest.nearDupStoreCheck(ids)
+    assert(out.toSeq == again.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq)
+  }
+
   test("bucketed corpus ingest fails closed when the base table vanishes") {
     import spark.implicits._
     import graft.streaming.CorpusIngest
