@@ -461,23 +461,37 @@ final class CorpusCuration private[graft] (
     * redaction) show docs_dropped 0 — their presence in the datasheet
     * is the point (the run's full provenance, not just its filters).
     *
-    * Lazy like [[frame]] (first access resolves near-dup clusters);
-    * collecting it runs one counting job per stage. What those jobs
-    * actually cost: the filtering handoffs (quality, exact, near-dup,
-    * sample) count their scope-cached frames; the text-rewriting
-    * stages' counts prune the rewrite projection away entirely
-    * (Catalyst column pruning — counting `strip_markup` never runs
-    * the regexes), leaving a row-count of the same cached upstream or
-    * the raw scan. The counts MEASURE each stage rather than deriving
-    * "rewriters drop nothing" arithmetically — a stage that starts
-    * dropping rows by accident (a join that stops being
+    * Lazy like [[frame]] (first access resolves near-dup clusters).
+    * What the counting costs: the filtering handoffs (quality, exact,
+    * near-dup, sample) count their scope-cached frames; the
+    * text-rewriting stages' counts prune the rewrite projection away
+    * entirely (Catalyst column pruning — counting `strip_markup`
+    * never runs the regexes), leaving a row-count of the same cached
+    * upstream or the raw scan. The counts MEASURE each stage rather
+    * than deriving "rewriters drop nothing" arithmetically — a stage
+    * that starts dropping rows by accident (a join that stops being
     * count-preserving) shows up here, which is the audit value.
     * IntegrationSpec pins the reconciliation invariants: chained
     * docs_in/docs_out, input row = source count, last row = output
-    * count. */
+    * count.
+    *
+    * r17, the job-floor cut: the union-of-counts collects in ONE
+    * non-adaptive action and the result materializes as a local
+    * relation. Under AQE every per-stage count exchange is its own
+    * stage-job — a stage-count of serialized job round-trips for nine
+    * 1-row aggregates; with AQE off for just this bounded collect the
+    * scheduler runs the whole union as one job whose branches execute
+    * concurrently. (An Observation/CollectMetrics manifest was
+    * prototyped first and measured faster still, but AQE misreports
+    * main-lineage CollectMetrics values — a metric above a replanned
+    * join read 0 rows in one probe and inflated counts in the full
+    * pipeline — so the counts stay real aggregates.) AQE loses
+    * nothing here: every input is either a scope cache or a pruned
+    * count-only scan, and the output is `stages` rows. */
   lazy val manifest: DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
+    val spark = built._1.sparkSession
     val counts = built._2.zipWithIndex.map { case ((name, df), i) =>
       df.agg(count(lit(1)).as("docs_out"))
         .select(lit(i).as("stage_idx"), lit(name).as("stage"), col("docs_out"))
@@ -485,12 +499,23 @@ final class CorpusCuration private[graft] (
     // the window runs over one row per stage — single-partition by
     // construction and bounded by the stage count, not the data
     val prev = Window.orderBy("stage_idx").rowsBetween(-1, -1)
-    counts
+    val plan = counts
       .select(col("stage_idx"), col("stage"),
         coalesce(max("docs_out").over(prev), col("docs_out")).as("docs_in"),
         col("docs_out"))
       .withColumn("docs_dropped", col("docs_in") - col("docs_out"))
       .orderBy("stage_idx")
+    // materialize the scope caches UNDER AQE first (the pipeline's
+    // own execution wants adaptive sizing); the non-adaptive collect
+    // below then only re-reads warm caches and pruned scans
+    built._2.last._2.foreach(_ => ())
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val prevAqe = spark.conf.get(aqeKey, "true")
+    val rows =
+      try { spark.conf.set(aqeKey, "false"); plan.collect() }
+      finally spark.conf.set(aqeKey, prevAqe)
+    spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), plan.schema)
   }
 
   /** Drop the caches this curation registered (and no others). */
