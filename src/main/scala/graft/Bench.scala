@@ -764,7 +764,7 @@ object Bench {
         // merge, not corpus x benchmark, so the expected step stays
         // ≈ linear (the unigram_logprob precedent)
         "q_quality_classifier", "q_bloom_membership_check",
-        "q_importance_weights",
+        "q_importance_weights", "q_importance_weights_ng",
         // embeddings family (sign-flip-decorrelated copies): the
         // quantizer ops whose per-vector work is geometry-independent
         // — linear by construction. Deliberately absent: the

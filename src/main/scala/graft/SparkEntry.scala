@@ -252,6 +252,14 @@ object SparkEntry {
         docs.filter(col("source") =!= "src0"),
         docs.filter(col("source") === "src0"))
     }),
+    // the DSIR-faithful variant: hashed-bigram buckets, add-one
+    // smoothing over the FIXED 4096-bucket feature space
+    "q_importance_weights_ng" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      TextAnalysis.importanceWeightsNg(
+        docs.filter(col("source") =!= "src0"),
+        docs.filter(col("source") === "src0"))
+    }),
     // model trained on the src0-excluded slice, scoring ALL docs —
     // src0 rows exercise the OOV/backoff paths a same-corpus model
     // never reaches
@@ -1871,6 +1879,53 @@ object SparkEntry {
         |SELECT doc_id, count(*) AS n_tokens,
         |       (round(CAST(sum(CAST((round(log2(((c_t + 1) * 1.0 * (n_r + v)) / ((c_r + 1) * 1.0 * (n_t + v))) + 1e-9, 6) + 0) AS DECIMAL(38,6))) AS DOUBLE) / count(*) + 1e-9, 4) + 0) AS importance
         |FROM r JOIN vocab USING (token) CROSS JOIN tot
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+    // hashed-bigram DSIR: bigram strings re-formed from the token
+    // list, hashed through the SAME poly64+mix64 emulation the
+    // hashEmbedCte chain validated (wrapping 64-bit multiplies as
+    // 32x32 HUGEINT splits), bucket = (h >> 1) % 4096; smoothing over
+    // the FIXED bucket space (V = 4096 literal, not the observed
+    // vocab — the paper's construction)
+    "q_importance_weights_ng" ->
+      """WITH docs2 AS (
+        |  SELECT doc_id, source,
+        |         list_filter(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '), t -> t <> '') AS arr
+        |  FROM documents
+        |), bi AS (
+        |  SELECT doc_id, (source = 'src0') AS tgt,
+        |         arr[CAST(i AS INT)] || ' ' || arr[CAST(i AS INT) + 1] AS t
+        |  FROM docs2, unnest(range(1, len(arr))) AS u(i)
+        |), tb AS (
+        |  SELECT doc_id, tgt, hex(encode(t)) AS h, octet_length(encode(t)) AS nb FROM bi
+        |), p AS (
+        |  SELECT doc_id, tgt,
+        |    CAST(list_reduce(
+        |      list_prepend(1125899906842597::HUGEINT,
+        |        list_transform(range(0, nb), i ->
+        |          CAST((strpos('0123456789ABCDEF', h[2*i+1]) - 1) * 16
+        |             + (strpos('0123456789ABCDEF', h[2*i+2]) - 1) AS HUGEINT))),
+        |      (acc, x) -> (acc * 31 + x) % 18446744073709551616::HUGEINT) AS UBIGINT) AS x
+        |  FROM tb
+        |), s1 AS (SELECT doc_id, tgt, xor(x, x >> 33) AS a FROM p),
+        |m1 AS (SELECT doc_id, tgt, CAST(((((a::HUGEINT // 4294967296) * 3981806797 + (a::HUGEINT % 4294967296) * 4283543511) % 4294967296) * 4294967296
+        |       + (a::HUGEINT % 4294967296) * 3981806797) % 18446744073709551616::HUGEINT AS UBIGINT) AS b FROM s1),
+        |s2 AS (SELECT doc_id, tgt, xor(b, b >> 33) AS c FROM m1),
+        |m2 AS (SELECT doc_id, tgt, CAST(((((c::HUGEINT // 4294967296) * 444984403 + (c::HUGEINT % 4294967296) * 3301882366) % 4294967296) * 4294967296
+        |       + (c::HUGEINT % 4294967296) * 444984403) % 18446744073709551616::HUGEINT AS UBIGINT) AS d FROM s2),
+        |hx AS (SELECT doc_id, tgt, xor(d, d >> 33) AS h FROM m2),
+        |bk AS (SELECT doc_id, tgt, CAST((h >> 1) % 4096 AS BIGINT) AS bucket FROM hx),
+        |rc AS (SELECT bucket, count(*) AS c_r FROM bk WHERE NOT tgt GROUP BY bucket),
+        |tc AS (SELECT bucket, count(*) AS c_t FROM bk WHERE tgt GROUP BY bucket),
+        |vocab AS (
+        |  SELECT coalesce(rc.bucket, tc.bucket) AS bucket,
+        |         coalesce(c_r, 0) AS c_r, coalesce(c_t, 0) AS c_t
+        |  FROM rc FULL OUTER JOIN tc ON rc.bucket = tc.bucket
+        |), tot AS (SELECT sum(c_r) AS n_r, sum(c_t) AS n_t FROM vocab)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |       (round(CAST(sum(CAST((round(log2(((c_t + 1) * 1.0 * (n_r + 4096)) / ((c_r + 1) * 1.0 * (n_t + 4096))) + 1e-9, 6) + 0) AS DECIMAL(38,6))) AS DOUBLE) / count(*) + 1e-9, 4) + 0) AS importance
+        |FROM bk JOIN vocab USING (bucket) CROSS JOIN tot
+        |WHERE NOT tgt
         |GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
     "q_mix_quality" ->

@@ -500,6 +500,39 @@ object TextHash {
       Array[Any](n.toLong, counts.size.toLong, scaled / 1e6))
   }
 
+  /** Hashed-BIGRAM feature buckets — one bucket id per adjacent token
+    * pair (empty tokens dropped first), bucket = (mix64(poly64(
+    * "t1 t2")) >>> 1) mod nBuckets — the Xie et al. 2023 (DSIR)
+    * hashed n-gram feature construction over the SAME hash family the
+    * hashing-trick embedding uses (poly64 + mix64, restated in DuckDB
+    * by the hashEmbedCte emulation, which is what makes the oracle
+    * possible). Documents with fewer than two surviving tokens emit
+    * no features. ([[graft.functions.BigramBuckets]]) */
+  def bigramBuckets(toks: ArrayData, nBuckets: Int): ArrayData = {
+    val n = toks.numElements()
+    val clean = new scala.collection.mutable.ArrayBuffer[UTF8String](n)
+    var i = 0
+    while (i < n) {
+      val t = toks.getUTF8String(i)
+      if (t != null && t.numBytes() > 0) clean += t
+      i += 1
+    }
+    val m = clean.length
+    if (m < 2)
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    else {
+      val sp = UTF8String.fromString(" ")
+      val out = new Array[Any](m - 1)
+      var j = 0
+      while (j < m - 1) {
+        val h = mix64(poly64(UTF8String.concatWs(sp, clean(j), clean(j + 1))))
+        out(j) = (h >>> 1) % nBuckets
+        j += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+  }
+
   /** Per-document term-frequency entries — array<struct<token: string,
     * n_tf: bigint>> over the token array in ONE row-local hash pass
     * (first-occurrence order, empty tokens skipped) — the scan-local

@@ -193,6 +193,24 @@ case class TokenTf(child: Expression)
     copy(child = newChild)
 }
 
+/** Hashed-bigram feature buckets — array<bigint> of one bucket id per
+  * adjacent token pair ([[TextHash.bigramBuckets]]): the DSIR hashed
+  * n-gram construction, scan-local like [[TokenTf]] (the pair
+  * formation and hashing never leave the row; only B-bounded bucket
+  * ids flow on). */
+case class BigramBuckets(child: Expression, nBuckets: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    TextHash.bigramBuckets(input.asInstanceOf[ArrayData], nBuckets)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextHash.bigramBuckets($c, $nBuckets)")
+  override protected def withNewChildInternal(newChild: Expression): BigramBuckets =
+    copy(child = newChild)
+}
+
 /** Linear-model score of a float vector against a TRAINED double
   * weight vector (left-to-right widened dot — [[TextHash.logitDot]]).
   * The weights ride into generated code as a reference object, so
@@ -509,6 +527,8 @@ object GraftFunctions {
   def normalizeWs(text: Column): Column = Bridge.column(NormalizeWs(e(text)))
   def wsTokens(text: Column): Column = Bridge.column(WsTokens(e(text)))
   def tokenTf(toks: Column): Column = Bridge.column(TokenTf(e(toks)))
+  def bigramBuckets(toks: Column, nBuckets: Int): Column =
+    Bridge.column(BigramBuckets(e(toks), nBuckets))
   def countPunct(text: Column): Column = Bridge.column(CountPunct(e(text)))
   def redactIps(text: Column): Column = Bridge.column(RedactIps(e(text)))
   def countIps(text: Column): Column = Bridge.column(CountIps(e(text)))

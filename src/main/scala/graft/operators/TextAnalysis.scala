@@ -1586,6 +1586,64 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** [[importanceWeights]] with HASHED-BIGRAM features — the actual
+    * Xie et al. 2023 (DSIR) construction: features are adjacent token
+    * pairs hashed into a FIXED bucket space (poly64+mix64 — the
+    * hashing-trick embedding's hash family, so the oracle reuses its
+    * DuckDB mix64 emulation), importance is the per-doc mean
+    * bucket-level log-likelihood ratio toward the target with add-one
+    * smoothing over all `nBuckets` buckets (the paper smooths over
+    * the fixed feature space, not the observed vocabulary — hence V
+    * is the CONSTANT B here where the unigram sibling uses the
+    * observed union-vocab size). Remaining gap to the paper: DSIR
+    * hashes unigrams AND bigrams into one shared bucket space and
+    * SAMPLES by exponentiated weight; here the features are bigrams
+    * only and the output is the per-doc weight itself — sampling
+    * composes downstream ([[weightedSampleByTokens]]' A-ES machinery
+    * accepts any weight column).
+    *
+    * Scale shape: pair formation and hashing are SCAN-LOCAL
+    * ([[graft.functions.BigramBuckets]] — text never leaves its row);
+    * everything that shuffles is B-BOUNDED (two bucket wordcounts and
+    * a ≤B-row model merge — even better than the unigram form's
+    * Zipf-bounded vocab, the model side is CONSTANT-size by
+    * construction at any corpus scale); the bucket stream joins the
+    * broadcast model and rolls up per doc.
+    *
+    * FP discipline: same as [[importanceWeights]] — one double
+    * quotient of exact integer-valued products, 6dp-rounded log2,
+    * DECIMAL per-doc mean. */
+  def importanceWeightsNg(docs: DataFrame, target: DataFrame,
+                          nBuckets: Int = 4096): DataFrame = {
+    def buckets(side: DataFrame): DataFrame = side.select(col("doc_id"),
+      explode(GraftFunctions.bigramBuckets(
+        tokens(coalesce(col("text"), lit(""))), nBuckets)).as("bucket"))
+    val rawB = buckets(docs)
+    val rawFreq = rawB.groupBy("bucket").agg(count(lit(1)).as("c_r"))
+    val tgtFreq = buckets(target).groupBy("bucket").agg(count(lit(1)).as("c_t"))
+    val vocab = rawFreq.join(tgtFreq, Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        coalesce(col("c_r"), lit(0L)).as("c_r"),
+        coalesce(col("c_t"), lit(0L)).as("c_t"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val model = vocab.select(col("bucket"), col("c_r"), col("c_t"),
+      sum("c_r").over(wAll).as("n_r"),
+      sum("c_t").over(wAll).as("n_t"))
+    val b = lit(nBuckets.toLong)
+    val ratio =
+      ((col("c_t") + 1).cast("double") * (col("n_r") + b).cast("double")) /
+      ((col("c_r") + 1).cast("double") * (col("n_t") + b).cast("double"))
+    rawB
+      .join(model, "bucket")
+      .select(col("doc_id"), rnd(log2(ratio), 6).as("llr"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        rnd(decSum(col("llr")) / count(lit(1)), 4).as("importance"))
+      .orderBy("doc_id")
+  }
+
   /** [[unigramLogprob]] without the presentation sort. The public form
     * ends in a global orderBy — a range-partitioning exchange PLUS the
     * range partitioner's separate sampling job over the whole scoring

@@ -1120,6 +1120,41 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(w.values.forall(v => !v.isInfinite && !v.isNaN))
   }
 
+  test("hashed-bigram importance weights: DSIR ordering, bucket bounds, short docs") {
+    import graft.operators.TextAnalysis
+    val sp = spark
+    import sp.implicits._
+    val target = Seq(
+      (100L, "simmer the onion and garlic in butter then add the stock"),
+      (101L, "season the roast and simmer the sauce with butter and herbs"))
+      .toDF("doc_id", "text")
+    val raw = Seq(
+      (1L, "simmer the garlic in butter then add the stock"),
+      (2L, "the plaintiff hereby waives all claims pursuant to the statute"),
+      (3L, "one"), // < 2 tokens: no bigram features, absent from output
+      (4L, ""))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.importanceWeightsNg(raw, target).collect()
+    val w = out.map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // bigram features are sharper than unigrams here: doc 1 shares
+    // whole pair sequences with the target, doc 2 shares only the
+    // stray "the"-pairs — the hashed-bigram llr must separate them
+    assert(w(1L) > w(2L), s"bigram importance must rank cooking over legal: $w")
+    assert(!w.contains(3L) && !w.contains(4L),
+      "documents with < 2 tokens emit no bigram features")
+    assert(w.values.forall(v => !v.isInfinite && !v.isNaN))
+    // the kernel's bucket space is the documented [0, 4096) range
+    val buckets = raw.select(org.apache.spark.sql.functions.explode(
+      graft.functions.GraftFunctions.bigramBuckets(
+        TextAnalysis.tokens(org.apache.spark.sql.functions.col("text")), 4096))
+        .as("b"))
+      .collect().map(_.getLong(0))
+    assert(buckets.nonEmpty && buckets.forall(b => b >= 0 && b < 4096))
+    // n_bigrams = surviving tokens - 1 per doc
+    val nbi = out.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(nbi(1L) == 8L && nbi(2L) == 9L, s"bigram counts: $nbi")
+  }
+
   test("bloom membership: zero false negatives, designed fp bound, constant-size filter") {
     import graft.operators.Dedup
     val sp = spark

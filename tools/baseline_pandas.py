@@ -890,6 +890,41 @@ def importance_weights(docs):
                          "importance": np.round(g["mean"].to_numpy() + 1e-9, 4)})
 
 
+def importance_weights_ng(docs):
+    # graft q_importance_weights_ng: DSIR hashed-BIGRAM bucket llr
+    # toward the src0 target with add-one smoothing over the FIXED
+    # 4096-bucket feature space; per-doc mean (6dp addends, 4dp mean).
+    # Timing pair: Python's builtin hash stands in for the poly64+mix64
+    # kernel — same work class (one hash per adjacent token pair).
+    B = 4096
+    raw = docs[docs["source"] != "src0"]
+    tgt = docs[docs["source"] == "src0"]
+    mask = (1 << 64) - 1
+
+    def bucket_lists(frame):
+        out = []
+        for ts in _norm_tokens(frame):
+            ts = [t for t in ts if t]
+            out.append([((hash(a + " " + b) & mask) >> 1) % B
+                        for a, b in zip(ts, ts[1:])])
+        return out
+
+    rex = raw[["doc_id"]].assign(bucket=bucket_lists(raw)).explode("bucket")
+    rex = rex.dropna(subset=["bucket"])
+    tflat = [b for lst in bucket_lists(tgt) for b in lst]
+    cr = rex["bucket"].value_counts()
+    ct = pd.Series(tflat, dtype="int64").value_counts()
+    allb = cr.index.union(ct.index)
+    cr = cr.reindex(allb, fill_value=0)
+    ct = ct.reindex(allb, fill_value=0)
+    nr, nt = cr.sum(), ct.sum()
+    llr = np.round(np.log2(((ct + 1.0) * (nr + B)) / ((cr + 1.0) * (nt + B))) + 1e-9, 6)
+    per = rex["bucket"].map(llr).to_numpy()
+    g = rex.assign(llr=per).groupby("doc_id")["llr"].agg(["size", "mean"])
+    return pd.DataFrame({"doc_id": g.index, "n_bigrams": g["size"],
+                         "importance": np.round(g["mean"].to_numpy() + 1e-9, 4)})
+
+
 def quality_classifier(docs):
     # graft q_quality_classifier's shape in numpy: hashing-trick
     # embedding (64 signed buckets, L2-normalized), weak agreement
@@ -1030,6 +1065,7 @@ def main():
         ("length_histogram", length_histogram),
         ("quality_classifier", quality_classifier),
         ("importance_weights", importance_weights),
+        ("importance_weights_ng", importance_weights_ng),
         ("curate", curate),
     ]
     doc_queries = [(n, f) for n, f in doc_queries
