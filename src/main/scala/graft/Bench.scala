@@ -318,9 +318,13 @@ object Bench {
     // BASELINE.md's end-to-end table); q_corpus_ingest_check REPLAYS
     // batches through a throwaway on-disk store + catalog DDL — a
     // correctness contract whose wall is temp-store writes, not an
-    // operator
+    // operator; q_neardup_store_check is the same class (r17 — a
+    // 3-batch band-store replay with two compactions and synthetic
+    // text generation, ~16 s of store DDL at sf0.1 that would have
+    // been a third of the suite total while timing nothing new)
     val composedPins =
-      Set("q_curate", "q_curate_manifest", "q_corpus_ingest_check")
+      Set("q_curate", "q_curate_manifest", "q_corpus_ingest_check",
+        "q_neardup_store_check")
 
     def suite(dir: String, passes: Int, only: Option[Set[String]] = None,
               checkpoint: Option[() => Unit] = None):
