@@ -487,7 +487,11 @@ final class CorpusCuration private[graft] (
     * join read 0 rows in one probe and inflated counts in the full
     * pipeline — so the counts stay real aggregates.) AQE loses
     * nothing here: every input is either a scope cache or a pruned
-    * count-only scan, and the output is `stages` rows. */
+    * count-only scan, and the output is `stages` rows. The conf
+    * toggle is session-scoped for the collect's duration — callers
+    * running CONCURRENT queries on the same session should evaluate
+    * the manifest from a quiet point (Verify/Bench are sequential;
+    * the toggled window is one bounded local collect). */
   lazy val manifest: DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._

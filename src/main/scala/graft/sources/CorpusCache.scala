@@ -64,8 +64,14 @@ object CorpusCache {
       // Serialize the re-check + replacement under the sibling lock:
       // blocking lock() — the loser waits out the winner's (cheap)
       // critical section, re-checks, and discards its own tmp work.
+      // FileLock is held per-PROCESS: a second thread of the SAME JVM
+      // reaching lock() would throw OverlappingFileLockException
+      // rather than wait, so the OS lock nests inside a JVM-level
+      // monitor keyed by the output path (intra-process publishers
+      // queue on the monitor, inter-process ones on the file lock).
       val lockPath = Paths.get(out + ".lock")
       Option(lockPath.getParent).foreach(Files.createDirectories(_))
+      jvmLock(out).synchronized {
       val ch = java.nio.channels.FileChannel.open(lockPath,
         StandardOpenOption.CREATE, StandardOpenOption.WRITE)
       try {
@@ -90,7 +96,16 @@ object CorpusCache {
           }
         } finally lock.release()
       } finally ch.close()
+      }
     }
     out
   }
+
+  // one monitor object per canonical output path (bounded: the cache
+  // path universe is the handful of scaled-corpus dirs per process)
+  private val jvmLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def jvmLock(out: String): Object =
+    jvmLocks.computeIfAbsent(
+      java.nio.file.Paths.get(out).normalize.toString, _ => new Object)
 }
