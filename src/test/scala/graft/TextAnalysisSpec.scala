@@ -1120,6 +1120,57 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(w.values.forall(v => !v.isInfinite && !v.isNaN))
   }
 
+  test("TokenTf kernel ≡ explode+groupBy wordcount on adversarial texts") {
+    import graft.operators.TextAnalysis
+    val sp = spark
+    import sp.implicits._
+    val docs = Seq(
+      (1L, "a b a c b a"),
+      (2L, "  leading   and\ttrailing  \n ws "),
+      (3L, ""),
+      (4L, null.asInstanceOf[String]),
+      (5L, "ünïcode ünïcode 日本語 日本語 日本語 mixedCASE MIXEDcase"),
+      (6L, "single"),
+      (7L, (1 to 200).map(i => s"tok${i % 7}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val viaKernel = docs.select(col("doc_id"),
+        explode(graft.functions.GraftFunctions.tokenTf(
+          TextAnalysis.tokens(coalesce(col("text"), lit(""))))).as("e"))
+      .select(col("doc_id"), col("e.token").as("token"), col("e.n_tf").as("n_tf"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val viaExplode = docs.select(col("doc_id"),
+        explode(TextAnalysis.tokens(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("n_tf"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(viaKernel == viaExplode,
+      s"kernel/wordcount divergence: ${viaKernel -- viaExplode} vs ${viaExplode -- viaKernel}")
+  }
+
+  test("BigramBuckets kernel ≡ a zip-based scala reference") {
+    import graft.operators.TextAnalysis
+    val sp = spark
+    import sp.implicits._
+    val texts = Seq("the quick brown fox", "a a a", "x", "", "ü ö ü ö ä")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val got = docs.select(col("doc_id"),
+        graft.functions.GraftFunctions.bigramBuckets(
+          TextAnalysis.tokens(col("text")), 4096).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+    import org.apache.spark.unsafe.types.UTF8String
+    def ref(t: String): List[Long] = {
+      val toks = t.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toList
+      toks.zip(toks.drop(1)).map { case (a, b) =>
+        val h = graft.functions.TextHash.mix64(
+          graft.functions.TextHash.poly64(UTF8String.fromString(a + " " + b)))
+        (h >>> 1) % 4096
+      }
+    }
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(got(i.toLong) == ref(t), s"bigram bucket drift on '$t'")
+    }
+  }
+
   test("hashed-bigram importance weights: DSIR ordering, bucket bounds, short docs") {
     import graft.operators.TextAnalysis
     val sp = spark
