@@ -198,12 +198,22 @@ object GraftApi {
       import org.apache.spark.sql.functions.col
       val stages = Seq.newBuilder[(String, DataFrame)]
       stages += ("input" -> docs)
+      // Raise an under-partitioned input BEFORE the regex-heavy scans
+      // (r17): a gate-scale corpus arrives as ONE parquet row group =
+      // one scan partition, which serializes the markup-strip +
+      // quality regexes onto a single core (measured 1.27 s of the
+      // sf0.1 wall). spreadToCores repartitions ONLY when the input
+      // is smaller than cores x maxPartitionBytes — at lake scale the
+      // scan is already wide and this is a no-op, so the shape stays
+      // production-safe. Values are partition-independent (every
+      // downstream winner/rank is explicitly tie-broken).
+      val spread = operators.spreadToCores(docs)
       // Stage outputs that feed MULTIPLE downstream branches persist via
       // the cache registry under THIS curation's scope (released by
       // CorpusCuration.release, or globally by releaseCaches) — without
       // this, each handoff self-join would re-run the full upstream
       // lineage (the regex passes twice, the quality scoring three times).
-      val cleaned = docs.withColumn("text", TextAnalysis.cleanMarkup(col("text")))
+      val cleaned = spread.withColumn("text", TextAnalysis.cleanMarkup(col("text")))
       stages += ("strip_markup" -> cleaned)
       // the rule gate is a pure PREDICATE over the row (qualityKeepExpr
       // == qualityFilter's keep bit) — filtering in place keeps the
