@@ -345,6 +345,9 @@ object GraftApi {
               ("mix_cluster",
                 Similarity.mixByCluster(embedded, q, k, centroids = Some(cents))
                   .select(col("vec_id").as("doc_id")))
+            case MixStage.DsirSelect(k, target, nb) =>
+              ("dsir_select",
+                TextAnalysis.dsirSelect(r, target, k, nb).select("doc_id"))
           }
           val sampled = r.join(keepIds, "doc_id")
           stages += (label -> sampled)
@@ -398,6 +401,14 @@ object MixStage {
     * pre-existing embedding column. */
   final case class ClusterBalanced(quota: Int, k: Int = 16,
                                    dim: Int = 64) extends MixStage
+  /** DSIR importance resampling toward a TARGET domain
+    * ([[graft.operators.TextAnalysis.dsirSelect]]): keep the k
+    * survivors sampled without replacement proportional to
+    * exp(pooled-n-gram log-likelihood ratio vs `target`) — the
+    * curriculum-shaping mix (tilt the curated corpus toward a curated
+    * seed / benchmark domain) where the other stages cap counts. */
+  final case class DsirSelect(k: Int, target: DataFrame,
+                              nBuckets: Int = 4096) extends MixStage
 }
 
 /** Which member of the decontamination family a
@@ -497,11 +508,12 @@ final class CorpusCuration private[graft] (
     * join read 0 rows in one probe and inflated counts in the full
     * pipeline — so the counts stay real aggregates.) AQE loses
     * nothing here: every input is either a scope cache or a pruned
-    * count-only scan, and the output is `stages` rows. The conf
-    * toggle is session-scoped for the collect's duration — callers
-    * running CONCURRENT queries on the same session should evaluate
-    * the manifest from a quiet point (Verify/Bench are sequential;
-    * the toggled window is one bounded local collect). */
+    * count-only scan, and the output is `stages` rows. The AQE-off
+    * override is scoped to a throwaway session CLONE
+    * ([[org.apache.spark.sql.graftbridge.Bridge.withSessionConfs]]),
+    * so concurrent queries on the caller's session are untouched —
+    * the clone shares the CacheManager and re-reads the warm scope
+    * caches. */
   lazy val manifest: DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
@@ -521,13 +533,15 @@ final class CorpusCuration private[graft] (
       .orderBy("stage_idx")
     // materialize the scope caches UNDER AQE first (the pipeline's
     // own execution wants adaptive sizing); the non-adaptive collect
-    // below then only re-reads warm caches and pruned scans
+    // below then only re-reads warm caches and pruned scans. The
+    // AQE-off override is scoped to a CLONED session (r18, closing the
+    // r17 caveat: the set/restore window on the shared session could
+    // silently de-adapt a concurrent query) — the clone shares the
+    // CacheManager, so the warm scope caches still hit.
     built._2.last._2.foreach(_ => ())
-    val aqeKey = "spark.sql.adaptive.enabled"
-    val prevAqe = spark.conf.get(aqeKey, "true")
-    val rows =
-      try { spark.conf.set(aqeKey, "false"); plan.collect() }
-      finally spark.conf.set(aqeKey, prevAqe)
+    val rows = org.apache.spark.sql.graftbridge.Bridge
+      .withSessionConfs(plan, Map("spark.sql.adaptive.enabled" -> "false"))
+      .collect()
     spark.createDataFrame(
       java.util.Arrays.asList(rows: _*), plan.schema)
   }

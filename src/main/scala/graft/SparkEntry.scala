@@ -148,6 +148,13 @@ object SparkEntry {
     // scan-locally; trained-literal oracle — DuckDB re-derives the
     // embedding, the dot against the exported weight literals, and the
     // sigmoid of the 6dp-rounded score
+    // model-based language ID (r18): one-vs-rest logistic over
+    // hashing-trick embeddings, weak-labeled by the stopword-profile
+    // heuristic (which stays the SQL-oracled q_lang_id entry)
+    "q_lang_id_model" -> ((s, d) => {
+      recordClassifierRun(s, d)
+      LangIdModel.classify(s, Tables.documents(s, d), d)
+    }),
     "q_quality_classifier" -> ((s, d) => {
       recordClassifierRun(s, d)
       QualityClassifier.classify(s, Tables.documents(s, d), d)
@@ -260,6 +267,15 @@ object SparkEntry {
         docs.filter(col("source") =!= "src0"),
         docs.filter(col("source") === "src0"))
     }),
+    // the paper-COMPLETE DSIR composition (r18): pooled unigram+bigram
+    // buckets in one shared space, exponentiated-weight A-ES selection
+    // evaluated in log space (exp never computed)
+    "q_dsir_select" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      TextAnalysis.dsirSelect(
+        docs.filter(col("source") =!= "src0"),
+        docs.filter(col("source") === "src0"), 100)
+    }),
     // model trained on the src0-excluded slice, scoring ALL docs —
     // src0 rows exercise the OOV/backoff paths a same-corpus model
     // never reaches
@@ -320,6 +336,13 @@ object SparkEntry {
     "q_cluster_stats"   -> ((s, d) => {
       recordQuantizerRun(s, d)
       Similarity.clusterStats(Similarity.clusterEmbed(Tables.embeddings(s, d)))
+    }),
+    // SemDeDup (r18): embedding near-dups resolved within the shared
+    // trained quantizer's clusters — the semantic third axis of
+    // near-dup after the MinHash/SimHash shingle families
+    "q_semdedup"        -> ((s, d) => {
+      recordQuantizerRun(s, d)
+      Similarity.semDedup(Tables.embeddings(s, d))
     }),
     "q_hash_embed"      -> ((s, d) => {
       import org.apache.spark.sql.functions.{col, posexplode, round}
@@ -714,17 +737,36 @@ object SparkEntry {
     val m = QualityClassifier.trainedModel(spark, Tables.documents(spark, dir), dir)
     val ws = m.weights.map(_.toString).mkString(",")
     val b = m.bias.toString
+    // shared embedding chain: hashEmbedCte's per-(doc, bucket) signed
+    // counts L2-normalized through FLOAT, regrouped to one per-doc
+    // DOUBLE list — both classifier-family oracles score against it
+    val vecsCte =
+      s"""$hashEmbedCte, normd AS (
+        |  SELECT acc.doc_id, acc.i,
+        |    CAST(CASE WHEN nrm.ss > 0
+        |         THEN CAST(CAST(s AS DOUBLE) * (1.0/sqrt(nrm.ss)) AS FLOAT)
+        |         ELSE CAST(0.0 AS FLOAT) END AS DOUBLE) AS x
+        |  FROM acc JOIN nrm ON acc.doc_id = nrm.doc_id
+        |), vecs AS (
+        |  SELECT doc_id, list(x ORDER BY i) AS xs FROM normd GROUP BY doc_id
+        |)""".stripMargin
+    // q_lang_id_model: one-vs-rest scores against the TRAINED
+    // per-class weight/bias literals, 6dp-rounded BEFORE the argmax;
+    // the CASE cascade is exactly the operator's first-class-that-
+    // beats-all-later-classes tie rule
+    val lm = LangIdModel.trainedModel(spark, Tables.documents(spark, dir), dir)
+    val wtsRows = lm.langs.zipWithIndex.map { case (l, i) =>
+      s"('$l', CAST([${lm.weights(i).map(_.toString).mkString(",")}] AS DOUBLE[]), CAST(${lm.biases(i).toString} AS DOUBLE))"
+    }.mkString(",\n  ")
+    val pivCols = lm.langs.map(l =>
+      s"max(CASE WHEN lang = '$l' THEN s END) AS s_$l").mkString(",\n         ")
+    val argmax = lm.langs.init.zipWithIndex.map { case (l, i) =>
+      val beats = lm.langs.drop(i + 1).map(m => s"s_$l >= s_$m").mkString(" AND ")
+      s"WHEN $beats THEN '$l'"
+    }.mkString("\n         ")
     Map(
       "q_quality_classifier" ->
-        s"""$hashEmbedCte, normd AS (
-          |  SELECT acc.doc_id, acc.i,
-          |    CAST(CASE WHEN nrm.ss > 0
-          |         THEN CAST(CAST(s AS DOUBLE) * (1.0/sqrt(nrm.ss)) AS FLOAT)
-          |         ELSE CAST(0.0 AS FLOAT) END AS DOUBLE) AS x
-          |  FROM acc JOIN nrm ON acc.doc_id = nrm.doc_id
-          |), vecs AS (
-          |  SELECT doc_id, list(x ORDER BY i) AS xs FROM normd GROUP BY doc_id
-          |), scored AS (
+        s"""$vecsCte, scored AS (
           |  SELECT doc_id,
           |    (round(list_sum(list_transform(range(1, 65), i -> xs[i] * w.ws[i])) + ($b) + 1e-9, 6) + 0) AS score
           |  FROM vecs CROSS JOIN (SELECT CAST([$ws] AS DOUBLE[]) AS ws) w
@@ -732,7 +774,23 @@ object SparkEntry {
           |SELECT doc_id, score,
           |  (round(1.0/(1.0 + exp(-score)) + 1e-9, 6) + 0) AS prob,
           |  CAST(CASE WHEN score > 0 THEN 1 ELSE 0 END AS BIGINT) AS keep_pred
-          |FROM scored ORDER BY doc_id""".stripMargin)
+          |FROM scored ORDER BY doc_id""".stripMargin,
+      "q_lang_id_model" ->
+        s"""$vecsCte, wts(lang, w, b) AS (VALUES
+          |  $wtsRows
+          |), scored0 AS (
+          |  SELECT v.doc_id, w.lang,
+          |    (round(list_sum(list_transform(range(1, 65), i -> v.xs[i] * w.w[i])) + w.b + 1e-9, 6) + 0) AS s
+          |  FROM vecs v CROSS JOIN wts w
+          |), piv AS (
+          |  SELECT doc_id,
+          |         $pivCols
+          |  FROM scored0 GROUP BY doc_id
+          |)
+          |SELECT doc_id, ${lm.langs.map(l => s"s_$l").mkString(", ")},
+          |  CASE $argmax
+          |         ELSE '${lm.langs.last}' END AS lang_model
+          |FROM piv ORDER BY doc_id""".stripMargin)
   }
 
   /** Shared DuckDB restatement of the hashing-trick embedding
@@ -860,6 +918,28 @@ object SparkEntry {
                                     dir: String): Map[String, String] = {
       val idx = quantizerIdxSql(spark, dir, 16, 3, 42L)
       Map(
+        // SemDeDup: assignment argmax, within-cluster (a>b) pairs
+        // cosine-scored exactly as the kernel does (widened
+        // left-to-right list_sum, 6dp round, null on a zero-norm
+        // side), survivors = vectors with no lower-id neighbor >= tau
+        // in their cluster
+        "q_semdedup" ->
+          s"""$idx, assigned AS (
+            |  SELECT vec_id, cid, nrm, v FROM (
+            |    SELECT vec_id, cid, nrm, v,
+            |           row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cid) AS rn
+            |    FROM scored) WHERE rn = 1
+            |), dropped AS (
+            |  SELECT DISTINCT a.vec_id
+            |  FROM assigned a JOIN assigned b
+            |    ON a.cid = b.cid AND a.vec_id > b.vec_id
+            |  WHERE (round(CASE WHEN (a.nrm * b.nrm) > 0 THEN
+            |           list_sum(list_transform(range(1, len(a.v) + 1),
+            |             i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm) END + 1e-9, 6) + 0) >= 0.4
+            |)
+            |SELECT vec_id, cid FROM assigned
+            |WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+            |ORDER BY vec_id""".stripMargin,
         // assignment argmax + cosine confidence to the OWNING centroid;
         // zero-norm vectors take cid 0 by the tie rule with ccos 0.0
         "q_cluster_embed" ->
@@ -1928,6 +2008,62 @@ object SparkEntry {
         |WHERE NOT tgt
         |GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
+    // DSIR end-to-end: the ng chain generalized to POOLED features
+    // (unigram strings UNION bigram strings through the same
+    // poly64+mix64 HUGEINT emulation), per-doc log_w = 4dp DECIMAL
+    // sum of 6dp natural-log ratios, then the log-space A-ES key
+    // g - log_w with g = 9dp ln(-ln(u)) of the exact dyadic Knuth
+    // salt uniform — exp never evaluated on either engine
+    "q_dsir_select" ->
+      """WITH docs2 AS (
+        |  SELECT doc_id, source,
+        |         list_filter(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '), t -> t <> '') AS arr
+        |  FROM documents
+        |), feats AS (
+        |  SELECT doc_id, (source = 'src0') AS tgt, arr[CAST(i AS INT)] AS t
+        |  FROM docs2, unnest(range(1, len(arr) + 1)) AS u(i)
+        |  UNION ALL
+        |  SELECT doc_id, (source = 'src0') AS tgt,
+        |         arr[CAST(i AS INT)] || ' ' || arr[CAST(i AS INT) + 1] AS t
+        |  FROM docs2, unnest(range(1, len(arr))) AS u(i)
+        |), tb AS (
+        |  SELECT doc_id, tgt, hex(encode(t)) AS h, octet_length(encode(t)) AS nb FROM feats
+        |), p AS (
+        |  SELECT doc_id, tgt,
+        |    CAST(list_reduce(
+        |      list_prepend(1125899906842597::HUGEINT,
+        |        list_transform(range(0, nb), i ->
+        |          CAST((strpos('0123456789ABCDEF', h[2*i+1]) - 1) * 16
+        |             + (strpos('0123456789ABCDEF', h[2*i+2]) - 1) AS HUGEINT))),
+        |      (acc, x) -> (acc * 31 + x) % 18446744073709551616::HUGEINT) AS UBIGINT) AS x
+        |  FROM tb
+        |), s1 AS (SELECT doc_id, tgt, xor(x, x >> 33) AS a FROM p),
+        |m1 AS (SELECT doc_id, tgt, CAST(((((a::HUGEINT // 4294967296) * 3981806797 + (a::HUGEINT % 4294967296) * 4283543511) % 4294967296) * 4294967296
+        |       + (a::HUGEINT % 4294967296) * 3981806797) % 18446744073709551616::HUGEINT AS UBIGINT) AS b FROM s1),
+        |s2 AS (SELECT doc_id, tgt, xor(b, b >> 33) AS c FROM m1),
+        |m2 AS (SELECT doc_id, tgt, CAST(((((c::HUGEINT // 4294967296) * 444984403 + (c::HUGEINT % 4294967296) * 3301882366) % 4294967296) * 4294967296
+        |       + (c::HUGEINT % 4294967296) * 444984403) % 18446744073709551616::HUGEINT AS UBIGINT) AS d FROM s2),
+        |hx AS (SELECT doc_id, tgt, xor(d, d >> 33) AS h FROM m2),
+        |bk AS (SELECT doc_id, tgt, CAST((h >> 1) % 4096 AS BIGINT) AS bucket FROM hx),
+        |rc AS (SELECT bucket, count(*) AS c_r FROM bk WHERE NOT tgt GROUP BY bucket),
+        |tc AS (SELECT bucket, count(*) AS c_t FROM bk WHERE tgt GROUP BY bucket),
+        |vocab AS (
+        |  SELECT coalesce(rc.bucket, tc.bucket) AS bucket,
+        |         coalesce(c_r, 0) AS c_r, coalesce(c_t, 0) AS c_t
+        |  FROM rc FULL OUTER JOIN tc ON rc.bucket = tc.bucket
+        |), tot AS (SELECT sum(c_r) AS n_r, sum(c_t) AS n_t FROM vocab),
+        |w AS (
+        |  SELECT doc_id, count(*) AS n_features,
+        |         (round(CAST(sum(CAST((round(ln(((c_t + 1) * 1.0 * (n_r + 4096)) / ((c_r + 1) * 1.0 * (n_t + 4096))) + 1e-9, 6) + 0) AS DECIMAL(38,6))) AS DOUBLE) + 1e-9, 4) + 0) AS log_w
+        |  FROM bk JOIN vocab USING (bucket) CROSS JOIN tot
+        |  WHERE NOT tgt
+        |  GROUP BY doc_id
+        |)
+        |SELECT doc_id, n_features, log_w,
+        |       ((round(ln(-ln(((((doc_id % 2147483648 + 2147483648) % 2147483648) * 2654435761) % 4294967296 + 0.5) / 4294967296.0)) + 1e-9, 9) + 0) - log_w + 0) AS sample_key
+        |FROM w
+        |ORDER BY sample_key, doc_id
+        |LIMIT 100""".stripMargin,
     "q_mix_quality" ->
       """WITH tok AS (
         |  SELECT doc_id,

@@ -533,6 +533,48 @@ object TextHash {
     }
   }
 
+  /** POOLED hashed n-gram feature buckets — unigrams AND bigrams in
+    * ONE shared `nBuckets` space, the Xie et al. 2023 (DSIR) feature
+    * construction proper (the paper pools both orders into a single
+    * hashed vector; [[bigramBuckets]] is the bigram-only sibling).
+    * One bucket id per surviving token plus one per adjacent pair,
+    * bucket = (mix64(poly64(s)) >>> 1) mod nBuckets with s the token
+    * itself or "t1 t2" — the same poly64+mix64 family as HashEmbed,
+    * so the DuckDB HUGEINT emulation restates it over the unioned
+    * unigram+bigram feature strings. Empty tokens are dropped first;
+    * a one-token document still emits its unigram feature (unlike the
+    * bigram-only form, which needs two); an empty document emits
+    * nothing. ([[graft.functions.NgramBuckets]]) */
+  def ngramBuckets(toks: ArrayData, nBuckets: Int): ArrayData = {
+    val n = toks.numElements()
+    val clean = new scala.collection.mutable.ArrayBuffer[UTF8String](n)
+    var i = 0
+    while (i < n) {
+      val t = toks.getUTF8String(i)
+      if (t != null && t.numBytes() > 0) clean += t
+      i += 1
+    }
+    val m = clean.length
+    if (m == 0)
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    else {
+      val sp = UTF8String.fromString(" ")
+      val out = new Array[Any](m + math.max(0, m - 1))
+      var j = 0
+      while (j < m) {
+        out(j) = (mix64(poly64(clean(j))) >>> 1) % nBuckets
+        j += 1
+      }
+      var p = 0
+      while (p < m - 1) {
+        val h = mix64(poly64(UTF8String.concatWs(sp, clean(p), clean(p + 1))))
+        out(m + p) = (h >>> 1) % nBuckets
+        p += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+  }
+
   /** Per-document term-frequency entries — array<struct<token: string,
     * n_tf: bigint>> over the token array in ONE row-local hash pass
     * (first-occurrence order, empty tokens skipped) — the scan-local

@@ -30,4 +30,24 @@ object Bridge {
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry
       .registerFunction(FunctionIdentifier(name), info, builder)
+
+  /** Re-plan `df` on a CLONED session whose conf differs only by
+    * `confs` — per-execution conf scoping WITHOUT mutating the
+    * caller's shared session (the r17 caveat on CorpusCuration
+    * .manifest's AQE toggle, and bloomFilterOf's sizing-limit raise:
+    * a set/restore on the live session is mutable global state that a
+    * concurrent query on the same session can observe mid-window).
+    * `cloneSession` copies the session state (conf, temp views,
+    * registered functions) and SHARES the SharedState — one
+    * CacheManager, so plans persisted via the scoped registry still
+    * hit from the clone. The clone is plan-scoped garbage afterwards:
+    * nothing registers it, and it holds no state of its own. */
+  def withSessionConfs(df: org.apache.spark.sql.DataFrame,
+                       confs: Map[String, String]): org.apache.spark.sql.DataFrame = {
+    val clone = df.sparkSession
+      .asInstanceOf[org.apache.spark.sql.classic.SparkSession].cloneSession()
+    confs.foreach { case (k, v) => clone.conf.set(k, v) }
+    org.apache.spark.sql.classic.Dataset.ofRows(clone,
+      df.queryExecution.analyzed)
+  }
 }

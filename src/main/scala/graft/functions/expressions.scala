@@ -211,6 +211,24 @@ case class BigramBuckets(child: Expression, nBuckets: Int)
     copy(child = newChild)
 }
 
+/** Pooled hashed n-gram feature buckets — unigrams AND bigrams in one
+  * shared bucket space ([[TextHash.ngramBuckets]]): the full DSIR
+  * feature construction, scan-local like [[BigramBuckets]] (features
+  * are formed and hashed inside the row; only B-bounded bucket ids
+  * flow on). */
+case class NgramBuckets(child: Expression, nBuckets: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    TextHash.ngramBuckets(input.asInstanceOf[ArrayData], nBuckets)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextHash.ngramBuckets($c, $nBuckets)")
+  override protected def withNewChildInternal(newChild: Expression): NgramBuckets =
+    copy(child = newChild)
+}
+
 /** Linear-model score of a float vector against a TRAINED double
   * weight vector (left-to-right widened dot — [[TextHash.logitDot]]).
   * The weights ride into generated code as a reference object, so
@@ -529,6 +547,8 @@ object GraftFunctions {
   def tokenTf(toks: Column): Column = Bridge.column(TokenTf(e(toks)))
   def bigramBuckets(toks: Column, nBuckets: Int): Column =
     Bridge.column(BigramBuckets(e(toks), nBuckets))
+  def ngramBuckets(toks: Column, nBuckets: Int): Column =
+    Bridge.column(NgramBuckets(e(toks), nBuckets))
   def countPunct(text: Column): Column = Bridge.column(CountPunct(e(text)))
   def redactIps(text: Column): Column = Bridge.column(RedactIps(e(text)))
   def countIps(text: Column): Column = Bridge.column(CountIps(e(text)))

@@ -702,7 +702,11 @@ object Dedup {
     * corpus size instead of degrading sharply past it (a 2^18-bit
     * filter driven with 8192's ~22 hash functions saturates fast
     * beyond ~25k items; at the floor the sizes, and hence the filter
-    * bytes, are bit-identical to pre-r17). Callers
+    * bytes, are bit-identical to pre-r17). "Any corpus size" includes
+    * past Spark's own runtime-bloom-filter conf clamps (4M items /
+    * 2^26 bits, which would have silently re-saturated the filter at
+    * ~2M docs): the build runs on a session clone with those limits
+    * raised to the computed sizes — see the body comment. Callers
     * that already know their cardinality (or cannot afford the extra
     * count job) pass both sizes explicitly; an overdriven explicit
     * filter degrades in the documented direction only — false
@@ -725,10 +729,29 @@ object Dedup {
         val want = items.min(1L << 40) * 32 // 32 bits/item, overflow-safe
         math.max(1L << 18, java.lang.Long.highestOneBit(want - 1) << 1)
       }
+    // BloomFilterAggregate SILENTLY clamps both sizes via Math.min
+    // against spark.sql.optimizer.runtime.bloomFilter.maxNumItems
+    // (4M) / maxNumBits (2^26) — limits meant for the optimizer's
+    // injected runtime filters, read from SQLConf.get into a CACHED
+    // lazy val the first time checkInputDataTypes touches it, i.e.
+    // during ANALYSIS (verified in the 4.1.2 bytecode). Past ~2M docs
+    // the auto-sizing above would exceed them and the filter would
+    // saturate again — the exact cliff the count pre-pass exists to
+    // close. So the aggregate Dataset is BUILT (hence analyzed) on a
+    // session CLONE with the limits raised to what this build needs:
+    // the clamp then caches the raised values, and the caller's
+    // session conf is never mutated (r18, the ADVICE fix).
     val agg = Bridge.column(new BloomFilterAggregate(
       Bridge.expression(xxhash64(TextAnalysis.normalize(col("text")))),
       Literal(items), Literal(bits)).toAggregateExpression())
-    corpus.agg(agg.as("bf")).head().getAs[Array[Byte]]("bf")
+    Bridge.withSessionConfs(
+        corpus,
+        Map(
+          "spark.sql.optimizer.runtime.bloomFilter.maxNumItems" ->
+            math.max(items, 4000000L).toString,
+          "spark.sql.optimizer.runtime.bloomFilter.maxNumBits" ->
+            math.max(bits, 67108864L).toString))
+      .agg(agg.as("bf")).head().getAs[Array[Byte]]("bf")
   }
 
   /** Probe an arriving batch against a built filter — a PURE

@@ -1,0 +1,169 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+
+/** Model-BASED language identification — the fastText-class axis the
+  * stopword-profile heuristic ([[TextAnalysis.langId]]) approximates:
+  * real pipelines gate on a TRAINED lang-ID model (fastText in
+  * CCNet/RedPajama/FineWeb), because marker lists miss short
+  * documents, code-mixed text, and any token the list author didn't
+  * enumerate. This mirrors [[QualityClassifier]]'s shape exactly, one
+  * rung up in class count (reference analog: the rain classifier's
+  * train/score shape, weather_predictor.py:313-391, applied per
+  * language):
+  *
+  *  1. WEAK LABELS from the heuristic — [[TextAnalysis.langId]]'s
+  *     stopword-profile argmax labels a seeded bounded sample (the
+  *     standard weak-supervision bootstrap: the cheap rule teaches the
+  *     generalizing model; fastText itself trains on
+  *     Wikipedia-provenance labels, the same move one level up).
+  *  2. TRAIN one-vs-rest logistic regressions over hashing-trick
+  *     embeddings — one binary model per label class, each trained by
+  *     the same seeded full-batch GD as the quality classifier
+  *     (deterministic to the bit; driver state = |langs|·(dim+1)
+  *     doubles).
+  *  3. SCORE scan-locally: one [[graft.functions.HashEmbed]] per row,
+  *     one [[graft.functions.LogitDot]] per class against it, argmax
+  *     with ties to the alphabetically-first class (the heuristic's
+  *     tie rule). No join, no shuffle — 100 TB embarrassingly
+  *     parallel.
+  *
+  * Cross-engine contract (trained-literal oracle): the per-class
+  * scores round to 6dp BEFORE the argmax, so engines whose dot
+  * products agree bitwise (widened left-to-right — they do) rank
+  * classes identically; DuckDB re-derives the embedding via the
+  * hashEmbedCte chain and the argmax over the exported weight/bias
+  * literals. The heuristic form is retained as the label source and
+  * the SQL-oracled q_lang_id entry. */
+object LangIdModel {
+
+  /** One-vs-rest trained model: `langs` in the fixed (alphabetical +
+    * "und"-last) class order, one weight vector + bias per class. */
+  final case class Model(langs: Seq[String], weights: Array[Array[Double]],
+                         biases: Array[Double])
+
+  /** The class universe: the heuristic's marker languages plus its
+    * all-zero fallback class. */
+  val classes: Seq[String] = TextAnalysis.langMarkers.map(_._1) :+ "und"
+
+  /** Deterministic weak-label training frame: (embedding, class index)
+    * for a seeded hash-ordered sample. One Spark action. */
+  private def trainingSample(docs: DataFrame, dim: Int, sampleN: Int,
+                             seed: Long): Array[(Array[Float], Int)] = {
+    val emb = Similarity.hashEmbedDocs(docs, dim)
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+    val labels = TextAnalysis.langId(docs).select(col("doc_id"), col("lang_pred"))
+    emb.join(labels, "doc_id")
+      .withColumn("h", xxhash64(col("doc_id"), lit(seed)))
+      .orderBy("h", "doc_id").limit(sampleN)
+      .select(col("embedding"), col("lang_pred"))
+      .collect()
+      .map(r => (r.getSeq[Float](0).toArray,
+        math.max(0, classes.indexOf(r.getString(1)))))
+  }
+
+  /** Train the one-vs-rest model on heuristic weak labels — the
+    * [[QualityClassifier.train]] GD loop run once per class with
+    * y = (label == class). Deterministic: seeded hash-ordered sample,
+    * fixed step and iteration count. A class absent from the sample
+    * still trains (its GD drives the bias negative and stays bounded
+    * under the fixed iteration budget) — scoring then just never
+    * picks it. */
+  def train(docs: DataFrame, dim: Int = 64, sampleN: Int = 8192,
+            iters: Int = 200, lr: Double = 0.5,
+            seed: Long = 42L): Model = {
+    val sample = trainingSample(docs, dim, sampleN, seed)
+    require(sample.nonEmpty,
+      "LangIdModel.train: documents input is empty — nothing to train on")
+    val d = sample.head._1.length
+    val n = sample.length
+    val ws = Array.ofDim[Double](classes.length, d)
+    val bs = new Array[Double](classes.length)
+    var c = 0
+    while (c < classes.length) {
+      val w = ws(c)
+      var b = 0.0
+      var it = 0
+      while (it < iters) {
+        val gw = new Array[Double](d)
+        var gb = 0.0
+        var r = 0
+        while (r < n) {
+          val (v, yi) = sample(r)
+          val y = if (yi == c) 1.0 else 0.0
+          var z = b
+          var i = 0
+          while (i < d) { z += v(i).toDouble * w(i); i += 1 }
+          val p = 1.0 / (1.0 + math.exp(-z))
+          val g = p - y
+          i = 0
+          while (i < d) { gw(i) += g * v(i).toDouble; i += 1 }
+          gb += g
+          r += 1
+        }
+        var i = 0
+        while (i < d) { w(i) -= lr * gw(i) / n; i += 1 }
+        b -= lr * gb / n
+        it += 1
+      }
+      bs(c) = b
+      c += 1
+    }
+    Model(classes, ws, bs)
+  }
+
+  /** Score every document — (doc_id, s_<lang>…, lang_model): the
+    * 6dp-rounded per-class linear scores and the argmax class (ties →
+    * first in class order = alphabetical, "und" last — the heuristic's
+    * tie discipline). Pure scan-local codegen'd projection: the
+    * embedding is computed once per row as a non-cheap multi-consumer
+    * alias (CollapseProject leaves it alone — the redactCountIps
+    * precedent), each class score is one LogitDot against it. */
+  def score(docs: DataFrame, model: Model, dim: Int = 64): DataFrame = {
+    val scored = docs.select(col("doc_id"),
+        GraftFunctions.hashEmbed(TextAnalysis.tokens(col("text")), dim).as("emb"))
+      .select(Seq(col("doc_id")) ++ model.langs.zipWithIndex.map {
+        case (l, i) => rnd(GraftFunctions.logitDot(col("emb"), model.weights(i))
+          + lit(model.biases(i)), 6).as(s"s_$l")
+      }: _*)
+    val pred = model.langs.zipWithIndex.foldRight(lit(model.langs.last): Column) {
+      case ((l, i), elseCol) =>
+        val beatsLater = model.langs.drop(i + 1)
+          .map(m => col(s"s_$l") >= col(s"s_$m"))
+          .foldLeft(lit(true))(_ && _)
+        when(beatsLater, lit(l)).otherwise(elseCol)
+    }
+    scored.select(
+      Seq(col("doc_id")) ++ model.langs.map(l => col(s"s_$l")) :+
+        pred.as("lang_model"): _*)
+      .orderBy("doc_id")
+  }
+
+  /** Train + score in one call (the q_lang_id_model query body),
+    * memoized per (session, dir, dim) like
+    * [[QualityClassifier.trainedModel]]. */
+  def classify(spark: SparkSession, docs: DataFrame, dir: String,
+               dim: Int = 64): DataFrame =
+    score(docs, trainedModel(spark, docs, dir, dim), dim)
+
+  @volatile private var modelMemo:
+      ((SparkSession, String, Int), Model) = null
+
+  def trainedModel(spark: SparkSession, docs: DataFrame, dir: String,
+                   dim: Int = 64): Model = {
+    val key = (spark, dir, dim)
+    val memo = modelMemo
+    if (memo != null && memo._1 == key) memo._2
+    else {
+      val m = train(docs, dim)
+      modelMemo = (key, m)
+      m
+    }
+  }
+
+  /** Test hook: drop the model memo. */
+  private[graft] def invalidate(): Unit = modelMemo = null
+}

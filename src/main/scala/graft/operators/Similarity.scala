@@ -439,6 +439,73 @@ object Similarity {
       .orderBy("cid", "sample_rank")
   }
 
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    * at web-scale through semantic deduplication") — the third
+    * near-dup axis beside MinHash/SimHash shingles and RHP-bucketed
+    * cosine: EMBEDDING near-dups resolved WITHIN k-means clusters, the
+    * construction that catches semantic duplicates sharing no n-grams
+    * while bounding the pair space by cluster the way bands/buckets
+    * bound it elsewhere. Per cluster of the shared coarse quantizer
+    * ([[trainQuantizer]] — pass `centroids` to reuse a
+    * [[trainedQuantizer]] training across operators), every (i<j)
+    * pair is cosine-scored and a vector with a LOWER-id neighbor at
+    * cos ≥ tau is dropped — the keep-min-id rule of the other dedup
+    * families (the paper keeps one arbitrary representative per
+    * dup-group; min-id is the deterministic choice). Returns the
+    * SURVIVORS (vec_id, cid).
+    *
+    * Scale shape: assignment is the codegen'd scan-local `ivfAssign`
+    * map; the pair join partitions BOTH sides on cid, so each
+    * cluster's O(n_c²) scoring is a co-located slice and nothing
+    * corpus-sized is broadcast (contrast [[embedDedup]], the exact
+    * oracle-path form) — at 100 TB raise k so clusters stay
+    * executor-sized (the paper runs k ≈ √N; the bench line publishes
+    * max-cluster-size so skew is visible). Zero-norm vectors have no
+    * defined cosine and can never pair (the [[cosine]] null
+    * discipline), so they always survive.
+    *
+    * FP discipline: cosine rounds to 6dp (+1e-9 nudge) before the tau
+    * compare, the [[embedDedup]] contract; assignment ties go to the
+    * lowest cid. Deterministic end-to-end for the trained-literal
+    * oracle. */
+  def semDedup(embeddings: DataFrame, tau: Double = 0.4, k: Int = 16,
+               iters: Int = 3, seed: Long = 42L,
+               centroids: Option[Array[Array[Float]]] = None): DataFrame = {
+    // persisted: the normed frame feeds the quantizer sample job, BOTH
+    // pair-join sides, and the survivor anti-join — four consumers
+    // (the mixByCluster precedent; clusterEmbed's no-persist note is
+    // about TWO cheap columnar rescans, not four with a self-join)
+    val e = Caches.persistTracked(withNorm(embeddings))
+    val cents = centroids.getOrElse(trainQuantizer(e, k, iters, seed))
+    val assigned = e.select(col("vec_id"), col("v"), col("nrm"),
+      GraftFunctions.ivfAssign(col("v"), cents).as("cid"))
+    val dropIds = assigned.as("a").join(assigned.as("b"),
+        col("a.cid") === col("b.cid") && col("a.vec_id") > col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id"),
+        round(cosine + lit(1e-9), 6).as("cos"))
+      .filter(col("cos") >= tau)
+      .select("vec_id").distinct()
+    assigned.join(dropIds, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("cid"))
+      .orderBy("vec_id")
+  }
+
+  /** [[semDedup]]'s cluster-occupancy skew probe for the bench line
+    * (the lsh_buckets pattern): cluster count, max cluster size, and
+    * the within-cluster candidate-pair volume Σ n_c·(n_c−1)/2 — the
+    * quantity the cluster restriction bounds. */
+  def semDedupClusterStats(embeddings: DataFrame, k: Int = 16,
+                           iters: Int = 3, seed: Long = 42L): (Long, Long, Long) = {
+    val e = withNorm(embeddings)
+    val cents = trainQuantizer(e, k, iters, seed)
+    val row = e.select(GraftFunctions.ivfAssign(col("v"), cents).as("cid"))
+      .groupBy("cid").agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)), max("n"), sum(expr("(n * (n - 1)) div 2"))).head()
+    (row.getLong(0),
+      if (row.isNullAt(1)) 0L else row.getLong(1),
+      if (row.isNullAt(2)) 0L else row.getLong(2))
+  }
+
   /** Per-cluster datasheet over [[clusterEmbed]]'s assignment: size
     * and cohesion (mean/min cosine-to-centroid) per cluster — what a
     * mixing policy reads to set per-cluster quotas. One partial-agg

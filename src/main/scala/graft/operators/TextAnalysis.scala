@@ -1379,7 +1379,38 @@ object TextAnalysis {
     * distribution the cache preserved. The corpus-count scalar N is a
     * count-only parquet scan (row-group metadata, no text decode). No
     * stage carries text past the scan. */
-  def tfidfTopK(docs: DataFrame, topK: Int = 5): DataFrame = {
+  def tfidfTopK(docs: DataFrame, topK: Int = 5): DataFrame =
+    tfidfImpl(docs, topK, (tf, df) => tf.join(df, "token"))
+
+  /** [[tfidfTopK]] for the vocabulary-outgrows-broadcast case — the
+    * [[bigramLogprobSalted]] treatment applied to the df join-back.
+    * The default form's exchange-free-window property is
+    * BROADCAST-DEPENDENT: AQE broadcasts the vocab-sized df rollup
+    * (plan-locked in PlanSpec at bench scale so a silent flip is
+    * visible), the tf entries never leave their doc_id distribution,
+    * and the rank window re-uses it. Past the broadcast threshold the
+    * join would shuffle the tf table on the Zipf-skewed `token` key —
+    * a hot-token reducer hazard — so THIS form salts it: the tf side
+    * takes a deterministic (doc_id, token)-derived salt, the df side
+    * replicates across `salts`, the key becomes (token, _salt), and a
+    * hot token's rows spread over `salts` tasks. Each tf row still
+    * matches exactly its own df row, so the output is BIT-IDENTICAL
+    * to [[tfidfTopK]] (TextAnalysisSpec pins it). Costs: `salts`× the
+    * vocab-sized df table through the join, and the rank window pays
+    * the doc_id exchange the broadcast regime avoided — the expected
+    * beyond-broadcast degradation, paid only when chosen. */
+  def tfidfTopKSalted(docs: DataFrame, topK: Int = 5,
+                      salts: Int = 16): DataFrame =
+    tfidfImpl(docs, topK, (tf, df) => {
+      val sf = tf.withColumn("_salt",
+        pmod(hash(col("doc_id"), col("token")), lit(salts)))
+      val rd = df.withColumn("_salt",
+        explode(array((0 until salts).map(lit): _*)))
+      sf.join(rd, Seq("token", "_salt")).drop("_salt")
+    })
+
+  private def tfidfImpl(docs: DataFrame, topK: Int,
+      scoreJoin: (DataFrame, DataFrame) => DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // One-pass-two-consumers discipline: plan-level exchange reuse is
     // too fragile here (the first two r17 cuts watched constraint
@@ -1398,7 +1429,7 @@ object TextAnalysis {
       .repartition(col("doc_id")))
     val df = tf.groupBy("token").agg(count(lit(1)).as("n_df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
-    tf.join(df, "token")
+    scoreJoin(tf, df)
       .crossJoin(broadcast(n))
       .withColumn("tfidf",
         rnd(col("n_tf") * (log((col("n_docs") + 1) / (col("n_df") + lit(1.0))) + 1), 6))
@@ -1642,6 +1673,79 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_bigrams"),
         rnd(decSum(col("llr")) / count(lit(1)), 4).as("importance"))
       .orderBy("doc_id")
+  }
+
+  /** DSIR selection END-TO-END (Xie et al. 2023: pooled hashed
+    * unigram+bigram features, importance = target/raw log-likelihood
+    * ratio, sample WITHOUT replacement proportional to the
+    * exponentiated weight) — the paper-complete composition the two
+    * `importanceWeights*` forms feed into, closing the two gaps their
+    * scaladocs record: features here POOL unigrams and bigrams into
+    * one shared `nBuckets` space ([[graft.functions.NgramBuckets]] —
+    * the paper's construction; the ng sibling is bigrams-only), and
+    * the output is the SELECTED sample, not the weight column.
+    *
+    * Sampling: Efraimidis–Spirakis A-ES with weight w = exp(log_w),
+    * run ENTIRELY IN LOG SPACE — minimizing the A-ES key −ln(u)/w is
+    * equivalent to minimizing ln(−ln(u)) − ln(w) (ln is monotone on
+    * the positive keys), and ln(w) = log_w is already in hand, so exp
+    * IS NEVER EVALUATED: no overflow for any weight, no clipping
+    * needed, and no cross-engine exp discrepancy for the oracle to
+    * absorb (this is also Gumbel-top-k: −key = Gumbel(0,1) + log_w).
+    * u is the exact dyadic (salt+0.5)/2³² of [[weightedSampleByTokens]];
+    * ln(−ln(u)) rounds to 9dp (ln is the non-IEEE-exact step, the
+    * established discipline) and the subtraction of two rounded
+    * doubles is IEEE-exact, so the key is bit-identical cross-engine.
+    *
+    * log_w is the per-doc SUM of 6dp-rounded per-feature natural-log
+    * ratios (the paper's log importance weight; the weights forms
+    * report the per-feature MEAN as a score), DECIMAL-summed and
+    * 4dp-rounded. Natural log, not log2: the weight is exp(log_w) by
+    * definition, and log2 would add a ln2 product for nothing. A
+    * document with NO features (empty after tokenization) has no
+    * defined importance and is excluded — one surviving token
+    * suffices (its unigram feature), unlike the bigram-only form.
+    *
+    * Scale shape: identical to [[importanceWeightsNg]] — feature
+    * formation and hashing scan-local, every shuffle B-bounded (two
+    * bucket wordcounts, a ≤B-row model merge), the bucket stream joins
+    * the broadcast model, one per-doc rollup; then selection is
+    * orderBy+limit = TakeOrderedAndProject (per-partition top-k, one
+    * k-row merge — no global sort, no rank window, no driver state). */
+  def dsirSelect(docs: DataFrame, target: DataFrame, k: Int,
+                 nBuckets: Int = 4096): DataFrame = {
+    def buckets(side: DataFrame): DataFrame = side.select(col("doc_id"),
+      explode(GraftFunctions.ngramBuckets(
+        tokens(coalesce(col("text"), lit(""))), nBuckets)).as("bucket"))
+    val rawB = buckets(docs)
+    val rawFreq = rawB.groupBy("bucket").agg(count(lit(1)).as("c_r"))
+    val tgtFreq = buckets(target).groupBy("bucket").agg(count(lit(1)).as("c_t"))
+    val vocab = rawFreq.join(tgtFreq, Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        coalesce(col("c_r"), lit(0L)).as("c_r"),
+        coalesce(col("c_t"), lit(0L)).as("c_t"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val model = vocab.select(col("bucket"), col("c_r"), col("c_t"),
+      sum("c_r").over(wAll).as("n_r"),
+      sum("c_t").over(wAll).as("n_t"))
+    val b = lit(nBuckets.toLong)
+    val ratio =
+      ((col("c_t") + 1).cast("double") * (col("n_r") + b).cast("double")) /
+      ((col("c_r") + 1).cast("double") * (col("n_t") + b).cast("double"))
+    val weights = rawB
+      .join(model, "bucket")
+      .select(col("doc_id"), rnd(log(ratio), 6).as("llr"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_features"),
+        rnd(decSum(col("llr")), 4).as("log_w"))
+    val u = (sampleSalt.cast("double") + lit(0.5)) / lit(4294967296.0)
+    weights
+      .select(col("doc_id"), col("n_features"), col("log_w"),
+        (rnd(log(-log(u)), 9) - col("log_w")).as("sample_key"))
+      .orderBy("sample_key", "doc_id")
+      .limit(k)
   }
 
   /** [[unigramLogprob]] without the presentation sort. The public form

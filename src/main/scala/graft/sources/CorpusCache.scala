@@ -79,6 +79,13 @@ object CorpusCache {
         try {
           if (published()) deleteRecursively(tmp)
           else {
+            // reap orphaned trash from ANY earlier publisher first
+            // (r18 ADVICE fix: the reap below is pid-keyed, so a crash
+            // between move-aside and reap leaked a dir no later run —
+            // which has a different pid — would ever find; under the
+            // lock nothing is mid-publish, and trash only ever holds
+            // STALE corpora)
+            reapTrash(out)
             // stale or absent — move the old dir ASIDE (never delete a
             // path a reader may hold open), then rename the new one in
             val trash = Paths.get(out + s".trash.${ProcessHandle.current.pid}")
@@ -90,7 +97,17 @@ object CorpusCache {
               case e: java.nio.file.FileSystemException =>
                 val ok = published()
                 deleteRecursively(tmp)
-                if (!ok) throw e
+                if (!ok) {
+                  // restore what we moved aside rather than leaving
+                  // outPath empty with the old corpus stranded in
+                  // trash (r18 ADVICE fix); best-effort — the
+                  // original failure is the one to surface
+                  if (Files.exists(trash) && !Files.exists(outPath))
+                    try Files.move(trash, outPath,
+                      StandardCopyOption.ATOMIC_MOVE)
+                    catch { case _: java.nio.file.FileSystemException => () }
+                  throw e
+                }
             }
             deleteRecursively(trash)
           }
@@ -99,6 +116,22 @@ object CorpusCache {
       }
     }
     out
+  }
+
+  /** Delete every sibling `<out>.trash.*` dir regardless of owning
+    * pid — called under the publish lock, where any trash present is
+    * a crashed publisher's orphaned stale corpus. */
+  private def reapTrash(out: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    val outPath = Paths.get(out)
+    val dir = Option(outPath.getParent).getOrElse(Paths.get("."))
+    val prefix = outPath.getFileName.toString + ".trash."
+    if (Files.isDirectory(dir)) {
+      val s = Files.list(dir)
+      try s.filter(p => p.getFileName.toString.startsWith(prefix))
+        .forEach(p => deleteRecursively(p))
+      finally s.close()
+    }
   }
 
   // one monitor object per canonical output path (bounded: the cache

@@ -34,7 +34,36 @@ import graft.sources.Bucketed
   * ≈0.2%. `minBands`=1 maximizes recall at the cost of rejecting on
   * any single band collision; 2 (default) suppresses those
   * singletons. Documents too short to shingle (< 3 tokens) emit no
-  * keys and are never near-dup-rejected. */
+  * keys and are never near-dup-rejected.
+  *
+  * PRODUCTION SIZING (r18 — the scaling rule, so the constructor
+  * defaults are a design point, not a hidden contract; StreamingSpec
+  * pins a non-default configuration): with r = k/bands rows per band,
+  * P(reject at minBands=1) = 1 − (1 − J^r)^bands — the standard
+  * MinHash band math, the same family the batch [[graft.operators
+  * .Dedup.minhashPairs]] documents. Choose r from the Jaccard
+  * threshold you must CATCH (recall target) vs the similarity you
+  * must ADMIT (false-rejection ceiling); bands then sets store size
+  * at `bands`·24 B per admitted doc:
+  *
+  *  | goal                               | config            | catch J=0.9 | false-reject J=0.3 |
+  *  | aggressive (crawl boilerplate)     | k=64, bands=16, r=4, minBands=1 | ~1−(1−.66)¹⁶ ≈ 1.0 | ≈12% |
+  *  | balanced (the default)             | k=128, bands=16, r=8, minBands=2 | ≈0.998 | ≈5e-7 |
+  *  | precise (admit paraphrases)        | k=128, bands=8, r=16, minBands=2 | ≈0.45 | ~0 |
+  *
+  *  - CORPUS SCALE raises singleton-collision pressure linearly (each
+  *    stored band key is a 64-bit bucket; spurious matches are
+  *    birthday-rare but grow with N·bands), which is what `minBands`=2
+  *    suppresses — keep it ≥2 past ~10⁸ docs unless recall is the
+  *    overriding goal.
+  *  - COMPACTION CADENCE: [[CorpusIngest.compactBands]] folds delta
+  *    partitions into the bucketed base; the per-trigger membership
+  *    cost is (batch exchange + broadcast delta tail), so compact
+  *    when the tail approaches the batch size — every
+  *    O(base_growth_% ) batches, not on a clock. The store itself is
+  *    linear in ADMITTED keys, never corpus bytes.
+  *  - k (signature length) is the only knob that costs scan CPU;
+  *    bands/minBands re-slice the same signature for free. */
 final case class NearDupStore(table: String, deltaDir: String,
                               minBands: Int = 2, k: Int = 128, bands: Int = 16)
 
@@ -731,10 +760,8 @@ object CorpusIngest {
         .select(col("doc_id"), col("batch_id").cast("long").as("batch_id"),
           TextAnalysis.contentHash(col("text")).as("content_hash"))
         .orderBy("doc_id")
-      val schema = membership.schema
-      val rows: java.util.List[org.apache.spark.sql.Row] =
-        java.util.Arrays.asList(membership.collect(): _*)
-      spark.createDataFrame(rows, schema)
+      spark.createDataFrame(
+        collectBounded(membership, "replayCheck"), membership.schema)
     } finally {
       spark.sql(s"DROP TABLE IF EXISTS $table")
       val p = new Path(base)
@@ -779,6 +806,31 @@ object CorpusIngest {
     * dropped), a missed injection (over-block contract broken), a
     * double admission, or a self-blocked redelivery each flip the
     * hash. */
+  /** Cap on the rows a `_check` contract query may pull to the driver
+    * (r18 ADVICE guard): [[replayCheck]] and [[nearDupStoreCheck]] are
+    * CONTRACT queries over gate-sized test tables (≤ ~5k rows at
+    * sf0.1), and both are public and accept any DataFrame — a caller
+    * passing a production-scale corpus should fail fast with the
+    * contract named, not OOM the driver. 2^20 rows of (long, long[,
+    * 32-char hash]) is ≤ ~60 MB, roomy for any test table and far
+    * under driver heap. */
+  private val CheckCollectCap = 1 << 20
+
+  /** Eagerly materialize a check query's membership under
+    * [[CheckCollectCap]] — limit(cap+1) so the violation is detected
+    * from cap+1 collected rows, never by materializing the full
+    * oversized result first. */
+  private def collectBounded(membership: DataFrame, what: String)
+      : java.util.List[org.apache.spark.sql.Row] = {
+    val rows = membership.limit(CheckCollectCap + 1).collect()
+    require(rows.length <= CheckCollectCap,
+      s"$what: admitted membership exceeds the contract-query bound " +
+        s"of $CheckCollectCap rows — this check is defined on " +
+        "gate-sized test tables, not production corpora; pass a " +
+        "bounded slice")
+    java.util.Arrays.asList(rows: _*)
+  }
+
   def nearDupStoreCheck(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     val id = s"${ProcessHandle.current.pid}_${replaySeq.incrementAndGet()}"
@@ -837,10 +889,8 @@ object CorpusIngest {
       val membership = spark.read.parquet(corpusDir)
         .select(col("doc_id"), col("batch_id").cast("long").as("batch_id"))
         .orderBy("doc_id")
-      val schema = membership.schema
-      val rows: java.util.List[org.apache.spark.sql.Row] =
-        java.util.Arrays.asList(membership.collect(): _*)
-      spark.createDataFrame(rows, schema)
+      spark.createDataFrame(
+        collectBounded(membership, "nearDupStoreCheck"), membership.schema)
     } finally {
       spark.sql(s"DROP TABLE IF EXISTS $hashTable")
       spark.sql(s"DROP TABLE IF EXISTS $bandTable")

@@ -447,6 +447,23 @@ class IntegrationSpec extends AnyFunSuite {
       clusters.groupBy(_._2).foreach { case (cid, g) =>
         assert(g.length <= 4, s"cluster $cid over quota: ${g.length}") }
     } finally { cb.release(); GraftApi.releaseCaches() }
+    // DSIR importance resampling as the final stage (r18): the kept
+    // set is exactly the operator's own selection over the redacted
+    // survivors, and the stage owns a manifest row
+    val target = base.filter(col("source") === "src0")
+    val ds = GraftApi.curatePlan(base,
+      mix = Some(MixStage.DsirSelect(k = 30, target = target)))
+    try {
+      val out = ds.frame.collect().map(_.getAs[Long]("doc_id")).toSet
+      val m = ds.manifest.collect().map(_.getAs[String]("stage"))
+      assert(m.last == "dsir_select", s"stage order drifted: ${m.toSeq}")
+      assert(out.size == 30, s"DSIR selection must keep exactly k: ${out.size}")
+      val direct = graft.operators.TextAnalysis.dsirSelect(
+        ds.stageFrames.toMap.apply("redact_pii"), target, 30)
+        .collect().map(_.getAs[Long]("doc_id")).toSet
+      assert(direct == out,
+        "mix stage kept a different set than the operator itself")
+    } finally { ds.release(); GraftApi.releaseCaches() }
   }
 
   test("curation span stage cuts shared boilerplate from otherwise-distinct docs") {

@@ -194,14 +194,37 @@ class MonitoringSpec extends AnyFunSuite {
     assert(got.contains("q31"),
       s"the 1.31x deviator must get its reserved repass: $got")
     assert(refine.forall(got.contains), "refinement tail must be kept whole")
-    // budget math: base 16 + reserved <=8 + refinement 16, all distinct
-    assert(got.size <= 40)
+    // budget math: base 16 + reserved <=ArmDReserve + refinement 16
+    assert(got.size <= 16 + graft.Bench.ArmDReserve + 16)
     // the reserve is CAPPED: a fully-deviating board (every query past
-    // 1.3x — the loaded-box stampede) cannot exceed base+8+refine
+    // 1.3x — the loaded-box stampede) cannot exceed base+reserve+refine
     val allDev = steady.keys.map(_ -> 2.0).toMap
     val flood = selectSuspects(armAB = Seq.empty, armC = steady.keys.toSeq,
       refine = refine, steadyOf = steady, deviationOf = allDev)
-    assert(flood.size <= 40, s"reserve must stay bounded: ${flood.size}")
+    assert(flood.size <= 16 + graft.Bench.ArmDReserve + 16,
+      s"reserve must stay bounded: ${flood.size}")
+  }
+
+  test("arm-(d) reserve covers a burst-regime deviator board (BENCH_r17 starvation)") {
+    import graft.Bench.selectSuspects
+    // the r17/r18-run1 artifact, distilled: arms (a)/(b) fill the base
+    // 16 AND ~20 further mid-pack queries deviate 1.3-1.5x at once —
+    // under the old 8-slot reserve, 12+ deviators went unrepassed
+    // (`arm_budget_exhausted_by_higher_deviators`). With the reserve
+    // at ArmDReserve every one of them gets its repass.
+    val steady = (1 to 60).map(i => f"q$i%02d" -> i * 0.1).toMap
+    val refine = steady.toSeq.sortBy(-_._2).map(_._1).take(16)
+    val armAB = (1 to 16).map(i => f"q$i%02d")
+    val midPack = (17 to 36).map(i => f"q$i%02d") // 20 deviators
+    val dev = steady.keys.map { k =>
+      k -> (if (armAB.contains(k)) 2.5
+            else if (midPack.contains(k)) 1.4 else 1.0)
+    }.toMap
+    val got = selectSuspects(armAB = armAB, armC = Seq.empty,
+      refine = refine, steadyOf = steady, deviationOf = dev)
+    assert(midPack.forall(got.contains),
+      s"every burst-regime deviator must be repassed: " +
+        midPack.filterNot(got.contains).mkString(","))
   }
 
   test("convicted slope windows rename their wall-ratio keys (_loaded)") {

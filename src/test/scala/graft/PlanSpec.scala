@@ -306,6 +306,25 @@ class PlanSpec extends AnyFunSuite {
     graft.operators.Caches.releaseAll()
   }
 
+  test("tfidf: df join-back broadcasts and the rank window re-uses the tf distribution") {
+    // the exchange-free-window property is BROADCAST-DEPENDENT (r17
+    // verdict): AQE must broadcast the vocab-sized df rollup so the
+    // persisted doc_id-distributed tf table feeds the rank window
+    // without re-exchanging. A silent flip to a shuffled token join
+    // must fail here — the beyond-broadcast regime has its own
+    // documented form (tfidfTopKSalted), chosen explicitly, never by
+    // an AQE surprise. Post-execution adaptive plan, the bigram lock's
+    // discipline.
+    val df = SparkEntry.queries("q_tfidf_topk")(spark, sfDir)
+    df.count()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.split("BroadcastHashJoin").length - 1 >= 1,
+      s"df join-back must broadcast at bench scale:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the tf table must never sort-merge on the Zipf-skewed token:\n$p")
+    graft.operators.Caches.releaseAll()
+  }
+
   test("weighted sample plans per-partition top-k (TakeOrdered), not a global sort") {
     val p = planOf("q_weighted_sample")
     assert(p.contains("TakeOrderedAndProject"),

@@ -228,6 +228,57 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("semDedup survivors = everything minus lower-id-neighbor drops, cluster-restricted") {
+    val out = Similarity.semDedup(emb).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cid")).toMap
+    // independent recomputation from two already-pinned operators:
+    // clusterEmbed's assignment + embedDedup's exact global pair set,
+    // restricted to same-cluster pairs — the drop set is exactly the
+    // higher-id member of each surviving pair
+    val cid = Similarity.clusterEmbed(emb).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cid")).toMap
+    val drops = Similarity.embedDedup(emb).collect()
+      .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b")))
+      .filter { case (a, b) => cid(a) == cid(b) }
+      .map(_._2).toSet
+    assert(drops.nonEmpty, "test corpus must exercise the drop arm")
+    val expect = cid.filterNot { case (id, _) => drops(id) }
+    assert(out == expect,
+      s"extra=${out.keySet -- expect.keySet} missing=${expect.keySet -- out.keySet}")
+  }
+
+  test("semDedup: keep-min rule, zero-norm survival, shared-quantizer reuse") {
+    val sp = spark
+    import sp.implicits._
+    // two identical vectors (same cluster by construction) + one
+    // orthogonal + one zero-norm: the higher-id duplicate drops, the
+    // zero vector can never pair (undefined cosine) and survives
+    val v = Array(1.0f, 0.0f, 0.0f, 0.0f)
+    val w = Array(0.0f, 1.0f, 0.0f, 0.0f)
+    val z = Array(0.0f, 0.0f, 0.0f, 0.0f)
+    val tiny = Seq((1L, v), (2L, v), (3L, w), (4L, z))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.semDedup(tiny, tau = 0.9, k = 2)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(out == Set(1L, 3L, 4L), s"keep-min/zero-norm contract: $out")
+    // passing a pre-trained quantizer is bit-identical to self-training
+    val cents = Similarity.trainedQuantizer(emb)
+    val a = Similarity.semDedup(emb).collect().toSeq
+    val b = Similarity.semDedup(emb, centroids = Some(cents)).collect().toSeq
+    assert(a == b, "shared-quantizer path must be bit-identical")
+  }
+
+  test("semDedupClusterStats bounds the candidate-pair volume") {
+    val (k, mx, pairs) = Similarity.semDedupClusterStats(emb)
+    val n = emb.count()
+    assert(k >= 1 && mx >= 1 && mx <= n)
+    // the whole point: cluster restriction keeps the scored pair space
+    // far below all-pairs n(n-1)/2
+    assert(pairs < n * (n - 1) / 2,
+      s"cluster restriction must shrink the pair space: $pairs vs all-pairs")
+    assert(pairs >= mx * (mx - 1) / 2, "max cluster's own pairs are included")
+  }
+
   test("annTopK returns k ranked candidates per query") {
     val out = Similarity.annTopK(emb, nQueries = 5, k = 5).collect()
     assert(out.length == 25)

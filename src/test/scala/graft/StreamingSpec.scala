@@ -550,6 +550,50 @@ class StreamingSpec extends AnyFunSuite {
     } finally drop()
   }
 
+  test("near-dup store honors a NON-DEFAULT configuration (k=64, bands=8, minBands=1)") {
+    // the sizing table's contract (NearDupStore scaladoc, r18): the
+    // store's behavior is a function of its CONFIG, not accidentally
+    // coupled to the (128, 16, 2) defaults. The aggressive minBands=1
+    // arm rejects on a SINGLE band collision — a near-dup that the
+    // default's >=2 rule would also catch must still reject here, and
+    // the signature/band plumbing must run end-to-end at the smaller
+    // k/bands (8-row bands from a 64-hash signature).
+    import spark.implicits._
+    import graft.streaming.{CorpusIngest, NearDupStore}
+    import graft.sources.Bucketed
+    val corpusDir = java.nio.file.Files.createTempDirectory("graft-ndc").toString
+    val deltaDir = java.nio.file.Files.createTempDirectory("graft-ndc-h").toString
+    val bandDir = java.nio.file.Files.createTempDirectory("graft-ndc-b").toString
+    val hashTable = "corpus_hashes_ndc_t"
+    val nd = NearDupStore("corpus_bands_ndc_t", bandDir,
+      minBands = 1, k = 64, bands = 8)
+    def drop(): Unit = Seq(hashTable, hashTable + "_staging",
+      nd.table, nd.table + "_staging").foreach(Bucketed.dropTable(spark, _))
+    drop()
+    val body = (1 to 40).map(i => s"cfg$i tok$i").mkString(" ")
+    val other = (1 to 40).map(i => s"oth$i wrd$i").mkString(" ")
+    def admitted() = spark.read.parquet(corpusDir).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    def ingest(docs: Seq[(Long, String)], bid: Long): Unit =
+      CorpusIngest.ingestBatchBucketed(
+        docs.map { case (id, t) => (id, "s", t) }.toDF("doc_id", "source", "text"),
+        bid, corpusDir, hashTable, deltaDir, Some(nd))
+    try {
+      ingest(Seq(1L -> body), 0L)
+      // J≈0.975 edit: at r=8 expected band matches ≈ 8·0.81 ≈ 6.5 of 8
+      // — minBands=1 certainly rejects; a distinct doc admits
+      ingest(Seq(2L -> (body + " extra"), 3L -> other), 1L)
+      assert(admitted() == Set(1L, 3L),
+        s"non-default config must reject the near-dup: ${admitted()}")
+      // compaction runs under the same config and keeps rejecting
+      CorpusIngest.compact(spark, hashTable, deltaDir)
+      CorpusIngest.compactBands(spark, nd)
+      ingest(Seq(4L -> ("pre " + body)), 2L)
+      assert(admitted() == Set(1L, 3L),
+        s"compacted non-default store must keep rejecting: ${admitted()}")
+    } finally drop()
+  }
+
   test("readCorpus is read-only: crash states are readable and left for compact() to repair") {
     import spark.implicits._
     import graft.streaming.CorpusIngest
@@ -700,8 +744,18 @@ class StreamingSpec extends AnyFunSuite {
       (1L to 60L).filter(_ % 10 == 5).map(i => (i + 40000000L, 2L))
     assert(out.toSet == expect.toSet,
       s"membership drifted: extra=${out.toSet -- expect.toSet} missing=${expect.toSet -- out.toSet}")
-    // every injected near-duplicate was band-rejected
-    assert(!out.exists(_._1 >= 10000000L && out.count(_._1 >= 10000000L) != (1L to 60L).count(_ % 10 == 5)))
+    // every injected near-duplicate was band-rejected: the only ids at
+    // or above the injection offset are the %10=5 FRESH batch-2
+    // admissions (+4e7); any +1e7/+2e7/+3e7 id here is an injected
+    // copy that slipped a reject tier (r18: the previous form mixed a
+    // per-element predicate with an aggregate count inside exists(),
+    // which could never fail independently of the set-equality above)
+    val injected = out.filter(_._1 >= 10000000L)
+    assert(injected.length == (1L to 60L).count(_ % 10 == 5) &&
+      injected.forall { case (id, b) => id >= 40000000L && b == 2L },
+      s"injected near-dup admissions leaked past the band store: " +
+        injected.filterNot { case (id, b) => id >= 40000000L && b == 2L }
+          .mkString(","))
     // and the result survives the store teardown + a later replay
     val again = graft.streaming.CorpusIngest.nearDupStoreCheck(ids)
     assert(out.toSeq == again.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq)

@@ -189,6 +189,21 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
   }
 
+  test("tfidfTopKSalted is bit-identical to tfidfTopK") {
+    // the vocab-outgrows-broadcast form of the df join-back (r18):
+    // salted tf side, df rollup replicated across salts — same rows,
+    // same doubles, to the bit
+    val docs = Tables.documents(spark, sfDir)
+    val plain = TextAnalysis.tfidfTopK(docs).collect()
+    graft.operators.Caches.releaseAll()
+    val salted = TextAnalysis.tfidfTopKSalted(docs, salts = 7).collect()
+    graft.operators.Caches.releaseAll()
+    assert(plain.length == salted.length && plain.length > 0)
+    plain.zip(salted).foreach { case (a, b) =>
+      assert(a == b, s"salted drift: $a vs $b")
+    }
+  }
+
   test("bigram fanout guard: unfused fallback is bit-identical to fused") {
     // synthetic Zipf-hot token: "x" follows 7 distinct predecessors, so
     // its fused prev→p2 map row has fanout 7 — a maxFanout below that
@@ -1204,6 +1219,80 @@ class TextAnalysisSpec extends AnyFunSuite {
     // n_bigrams = surviving tokens - 1 per doc
     val nbi = out.map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(nbi(1L) == 8L && nbi(2L) == 9L, s"bigram counts: $nbi")
+  }
+
+  test("ngramBuckets pools the unigram hashes with bigramBuckets' output") {
+    import graft.functions.{GraftFunctions, TextHash}
+    val sp = spark
+    import sp.implicits._
+    val d = Seq((1L, "alpha beta  gamma"), (2L, "solo"), (3L, ""))
+      .toDF("doc_id", "text")
+    val got = d.select(col("doc_id"), GraftFunctions.ngramBuckets(
+        TextAnalysis.tokens(col("text")), 4096).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    def uh(s: String) =
+      (TextHash.mix64(TextHash.poly64(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s))) >>> 1) % 4096
+    // m unigrams first, then the m-1 bigrams, matching bigramBuckets
+    assert(got(1L) == Seq("alpha", "beta", "gamma").map(uh) ++
+      Seq("alpha beta", "beta gamma").map(uh))
+    assert(got(2L) == Seq(uh("solo")), "one token still emits its unigram")
+    assert(got(3L).isEmpty, "empty text emits nothing")
+  }
+
+  test("dsirSelect: log-space A-ES equals the exponentiated form, pooled counts, edges") {
+    import graft.operators.TextAnalysis
+    val sp = spark
+    import sp.implicits._
+    val target = Seq(
+      (100L, "simmer the onion and garlic in butter then add the stock"),
+      (101L, "season the roast and simmer the sauce with butter and herbs"))
+      .toDF("doc_id", "text")
+    val raw = Seq(
+      (1L, "simmer the garlic in butter then add the stock"),
+      (2L, "the plaintiff hereby waives all claims pursuant to the statute"),
+      (3L, "one"), // 1 token: unigram feature only — INCLUDED (unlike ng)
+      (4L, ""))    // no features — excluded
+      .toDF("doc_id", "text")
+    // k >= corpus keeps every featured doc
+    val out = TextAnalysis.dsirSelect(raw, target, k = 10).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_features"),
+        r.getAs[Double]("log_w"), r.getAs[Double]("sample_key")))
+    val ids = out.map(_._1).toSet
+    assert(ids == Set(1L, 2L, 3L), s"feature-bearing docs only: $ids")
+    // pooled feature count: m unigrams + (m-1) bigrams
+    val nf = out.map(t => t._1 -> t._2).toMap
+    assert(nf(1L) == 9 + 8 && nf(2L) == 10 + 9 && nf(3L) == 1, s"pooled: $nf")
+    // the cooking doc out-weighs the legal doc (DSIR ordering)
+    val lw = out.map(t => t._1 -> t._3).toMap
+    assert(lw(1L) > lw(2L), s"pooled importance must rank cooking over legal: $lw")
+    // sample_key is EXACTLY rnd9(ln(-ln(u))) - log_w, and ordering by
+    // it equals ordering by the exponentiated A-ES key -ln(u)/exp(log_w)
+    out.foreach { case (id, _, w, key) =>
+      val salt = (((id % 2147483648L) + 2147483648L) % 2147483648L) *
+        2654435761L % 4294967296L
+      val u = (salt + 0.5) / 4294967296.0
+      val g = BigDecimal(math.log(-math.log(u)) + 1e-9)
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(key == g - w, s"doc $id: key $key != ${g - w}")
+      val expKey = -math.log(u) / math.exp(w)
+      // monotone equivalence: both keys rank this doc identically
+      out.foreach { case (id2, _, w2, key2) =>
+        if (id2 != id) {
+          val salt2 = (((id2 % 2147483648L) + 2147483648L) % 2147483648L) *
+            2654435761L % 4294967296L
+          val u2 = (salt2 + 0.5) / 4294967296.0
+          val expKey2 = -math.log(u2) / math.exp(w2)
+          assert((key < key2) == (expKey < expKey2),
+            s"log-space order diverged from exp form for ($id,$id2)")
+        }
+      }
+    }
+    // k truncates: the kept set is the k smallest keys
+    val top2 = TextAnalysis.dsirSelect(raw, target, k = 2).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    val expect2 = out.sortBy(t => (t._4, t._1)).take(2).map(_._1).toSet
+    assert(top2 == expect2, s"top-2 by key: $top2 vs $expect2")
   }
 
   test("bloom membership: zero false negatives, designed fp bound, constant-size filter") {

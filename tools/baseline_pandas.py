@@ -925,6 +925,129 @@ def importance_weights_ng(docs):
                          "importance": np.round(g["mean"].to_numpy() + 1e-9, 4)})
 
 
+def dsir_select(docs):
+    # graft q_dsir_select: DSIR end-to-end — POOLED unigram+bigram
+    # hashed buckets (one shared 4096 space), per-doc natural-log
+    # importance SUM, then exponentiated-weight A-ES selection in log
+    # space (Gumbel-top-k; exp never computed). Timing pair: Python's
+    # builtin hash stands in for the poly64+mix64 kernel.
+    B, k = 4096, 100
+    raw = docs[docs["source"] != "src0"]
+    tgt = docs[docs["source"] == "src0"]
+    mask = (1 << 64) - 1
+
+    def bucket_lists(frame):
+        out = []
+        for ts in _norm_tokens(frame):
+            ts = [t for t in ts if t]
+            out.append([((hash(t) & mask) >> 1) % B for t in ts] +
+                       [((hash(a + " " + b) & mask) >> 1) % B
+                        for a, b in zip(ts, ts[1:])])
+        return out
+
+    rex = raw[["doc_id"]].assign(bucket=bucket_lists(raw)).explode("bucket")
+    rex = rex.dropna(subset=["bucket"])
+    tflat = [b for lst in bucket_lists(tgt) for b in lst]
+    cr = rex["bucket"].value_counts()
+    ct = pd.Series(tflat, dtype="int64").value_counts()
+    allb = cr.index.union(ct.index)
+    cr = cr.reindex(allb, fill_value=0)
+    ct = ct.reindex(allb, fill_value=0)
+    nr, nt = cr.sum(), ct.sum()
+    llr = np.round(np.log(((ct + 1.0) * (nr + B)) / ((cr + 1.0) * (nt + B))) + 1e-9, 6)
+    per = rex["bucket"].map(llr).to_numpy()
+    g = rex.assign(llr=per).groupby("doc_id")["llr"].agg(["size", "sum"])
+    ids = g.index.to_numpy()
+    salt = (((ids % 2**31) + 2**31) % 2**31) * 2654435761 % 2**32
+    u = (salt + 0.5) / 2**32
+    key = np.round(np.log(-np.log(u)) + 1e-9, 9) - np.round(g["sum"].to_numpy() + 1e-9, 4)
+    out = pd.DataFrame({"doc_id": ids, "n_features": g["size"].to_numpy(),
+                        "log_w": np.round(g["sum"].to_numpy() + 1e-9, 4),
+                        "sample_key": key}).reset_index(drop=True)
+    return out.nsmallest(k, ["sample_key", "doc_id"])
+
+
+def lang_id_model(docs):
+    # graft q_lang_id_model's shape in numpy: hashing-trick embedding,
+    # weak labels from the stopword-profile heuristic, one-vs-rest
+    # logistic GD per class (200 iters), scan-local argmax scoring.
+    # Timing pair (builtin hash stands in for the mix64 kernel).
+    dim, sample_n, iters, lr = 64, 8192, 200, 0.5
+    markers = {"de": {"der", "die", "und", "ist", "ein", "nicht"},
+               "en": {"the", "of", "and", "is", "to", "that"},
+               "es": {"el", "la", "de", "que", "los", "una"},
+               "fr": {"le", "la", "et", "les", "des", "une"}}
+    langs = sorted(markers) + ["und"]
+    toks = _norm_tokens(docs)
+    n = len(docs)
+    X = np.zeros((n, dim), dtype=np.float32)
+    labels = np.full(n, len(langs) - 1)
+    for r, ts in enumerate(toks):
+        scores = dict.fromkeys(markers, 0)
+        for t in ts:
+            if t:
+                h = hash(t)
+                X[r, (h >> 1) % dim] += 1.0 if (h & 1) == 0 else -1.0
+                for l, ws in markers.items():
+                    if t in ws:
+                        scores[l] += 1
+        best = max(sorted(markers), key=lambda l: scores[l])
+        if scores[best] > 0:
+            labels[r] = langs.index(best)
+    nr = np.linalg.norm(X, axis=1, keepdims=True)
+    X = X / np.where(nr == 0, 1, nr)
+    idx = np.random.RandomState(42).permutation(n)[:sample_n]
+    Xs, ys = X[idx], labels[idx]
+    W = np.zeros((len(langs), dim))
+    bs = np.zeros(len(langs))
+    for c in range(len(langs)):
+        w, b = np.zeros(dim), 0.0
+        y = (ys == c).astype(np.float64)
+        for _ in range(iters):
+            p = 1.0 / (1.0 + np.exp(-(Xs @ w + b)))
+            g = p - y
+            w -= lr * (Xs.T @ g) / len(ys)
+            b -= lr * g.mean()
+        W[c], bs[c] = w, b
+    scores = np.round(X @ W.T + bs + 1e-9, 6)
+    pred = np.argmax(scores, axis=1)
+    return pd.DataFrame({"doc_id": docs["doc_id"],
+                         "lang_model": [langs[i] for i in pred]})
+
+
+def semdedup(emb):
+    # graft q_semdedup's shape in numpy: spherical k-means assignment
+    # (the cluster_embed quantizer), within-cluster pairwise cosine,
+    # drop any vector with a lower-id neighbor >= tau in its cluster
+    k, iters, tau = 16, 3, 0.4
+    v = np.stack(emb["embedding"].to_numpy())
+    nrm = np.linalg.norm(v, axis=1, keepdims=True)
+    unit = v / np.where(nrm == 0, 1, nrm)
+    sample = unit[: k * 256]
+    cents = sample[:k].copy()
+    for _ in range(iters):
+        a = np.argmax(sample @ cents.T, axis=1)
+        for c in range(k):
+            m = sample[a == c]
+            if len(m):
+                s = m.sum(axis=0)
+                nn = np.linalg.norm(s)
+                if nn > 0:
+                    cents[c] = s / nn
+    cid = np.argmax(unit @ cents.T, axis=1)
+    ids = emb["vec_id"].to_numpy()
+    keep = np.ones(len(ids), dtype=bool)
+    for c in np.unique(cid):
+        m = np.where(cid == c)[0]
+        m = m[np.argsort(ids[m])]
+        cos = np.round(unit[m] @ unit[m].T + 1e-9, 6)
+        zero = (nrm[m, 0] == 0)
+        for j in range(1, len(m)):
+            if not zero[j] and np.any((cos[j, :j] >= tau) & ~zero[:j]):
+                keep[m[j]] = False
+    return pd.DataFrame({"vec_id": ids[keep], "cid": cid[keep]})
+
+
 def quality_classifier(docs):
     # graft q_quality_classifier's shape in numpy: hashing-trick
     # embedding (64 signed buckets, L2-normalized), weak agreement
@@ -1066,6 +1189,8 @@ def main():
         ("quality_classifier", quality_classifier),
         ("importance_weights", importance_weights),
         ("importance_weights_ng", importance_weights_ng),
+        ("dsir_select", dsir_select),
+        ("lang_id_model", lang_id_model),
         ("curate", curate),
     ]
     doc_queries = [(n, f) for n, f in doc_queries
@@ -1077,7 +1202,8 @@ def main():
             fn(docs)
             timings[name] = time.perf_counter() - t0
 
-    if only is None or {"cluster_embed", "semantic_decontaminate"} & only:
+    if only is None or {"cluster_embed", "semantic_decontaminate",
+                        "semdedup"} & only:
         emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
         if only is None or "cluster_embed" in only:
             t0 = time.perf_counter()
@@ -1087,6 +1213,10 @@ def main():
             t0 = time.perf_counter()
             semantic_decontaminate(emb)
             timings["semantic_decontaminate"] = time.perf_counter() - t0
+        if only is None or "semdedup" in only:
+            t0 = time.perf_counter()
+            semdedup(emb)
+            timings["semdedup"] = time.perf_counter() - t0
 
     print(json.dumps({
         "queries": {k: round(v, 4) for k, v in timings.items()},
