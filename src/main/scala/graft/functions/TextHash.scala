@@ -457,6 +457,72 @@ object TextHash {
     acc
   }
 
+  /** SemDeDup within-cluster drop set — one CLUSTER per row as
+    * array<struct<vec_id, v float[], nrm double>>, returning the ids
+    * that have a LOWER-id neighbor at rounded cosine ≥ tau
+    * ([[graft.functions.SemDedupDrops]]). Semantics bit-identical to
+    * the pair-join form it replaced (r18): cosine = dot/(nrm_i·nrm_j)
+    * with the dot the same left-to-right float→double widened sum as
+    * [[dotFD]], skipped when the norm product is not > 0 (zero-norm
+    * vectors never pair), rounded via the same +1e-9 nudge +
+    * BigDecimal HALF_UP as Spark's `round(c + 1e-9, 6)`. The kernel
+    * exists for FLOP efficiency: the join form paid ~100ns of
+    * row-materialization per candidate pair (measured 177-212 s for
+    * the 1.25G-pair 100×/k=16 probe); extracting each cluster's
+    * vectors into primitive arrays once and looping does the same
+    * arithmetic at memory speed. Work is O(n_c²·d) per cluster with
+    * the early exit (a dropped id stops probing at its FIRST
+    * lower-id match, ids visited ascending); one cluster must fit a
+    * row — the k ≈ √N sizing rule (see NearDupStore-style table in
+    * [[graft.operators.Similarity.semDedup]]) keeps that ~√N·d·4 B
+    * at any corpus scale. */
+  def semDedupDrops(cluster: ArrayData, tau: Double): ArrayData = {
+    val n = cluster.numElements()
+    if (n < 2)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val ids = new Array[Long](n)
+    val vecs = new Array[Array[Float]](n)
+    val nrms = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      val row = cluster.getStruct(i, 3)
+      ids(i) = row.getLong(0)
+      vecs(i) = row.getArray(1).toFloatArray()
+      nrms(i) = row.getDouble(2)
+      i += 1
+    }
+    // ascending-id visit order: for each candidate j, probe the
+    // lower-id members until the first ≥-tau hit
+    val idx = Array.range(0, n).sortBy(ids(_))
+    val out = new scala.collection.mutable.ArrayBuffer[Any](8)
+    var jj = 1
+    while (jj < n) {
+      val j = idx(jj)
+      if (nrms(j) > 0) {
+        val vj = vecs(j)
+        var ii = 0
+        var dropped = false
+        while (ii < jj && !dropped) {
+          val k = idx(ii)
+          val denom = nrms(k) * nrms(j)
+          if (denom > 0) {
+            val vk = vecs(k)
+            val d = math.min(vk.length, vj.length)
+            var acc = 0.0
+            var p = 0
+            while (p < d) { acc += vk(p).toDouble * vj(p).toDouble; p += 1 }
+            val c = java.math.BigDecimal.valueOf(acc / denom + 1e-9)
+              .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+            if (c >= tau) { out += ids(j); dropped = true }
+          }
+          ii += 1
+        }
+      }
+      jj += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
   /** Per-document token-entropy statistics from the token array in ONE
     * row-local pass: (n_tokens, n_distinct, clogc) where clogc =
     * Σ_distinct round(c·log2(c) + 1e-9, 6) — bit-exactly the value the

@@ -229,6 +229,27 @@ case class NgramBuckets(child: Expression, nBuckets: Int)
     copy(child = newChild)
 }
 
+/** SemDeDup within-cluster drop ids from ONE cluster's
+  * array<struct<vec_id, v, nrm>> row ([[TextHash.semDedupDrops]]) —
+  * the pairwise cosine loop at memory speed instead of through a
+  * per-pair join (r18; semantics bit-identical, see the kernel
+  * scaladoc). */
+case class SemDedupDrops(child: Expression, tau: Double)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("v", ArrayType(FloatType)),
+    StructField("nrm", DoubleType)))))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    TextHash.semDedupDrops(input.asInstanceOf[ArrayData], tau)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextHash.semDedupDrops($c, ${tau}D)")
+  override protected def withNewChildInternal(newChild: Expression): SemDedupDrops =
+    copy(child = newChild)
+}
+
 /** Linear-model score of a float vector against a TRAINED double
   * weight vector (left-to-right widened dot — [[TextHash.logitDot]]).
   * The weights ride into generated code as a reference object, so
@@ -549,6 +570,8 @@ object GraftFunctions {
     Bridge.column(BigramBuckets(e(toks), nBuckets))
   def ngramBuckets(toks: Column, nBuckets: Int): Column =
     Bridge.column(NgramBuckets(e(toks), nBuckets))
+  def semDedupDrops(cluster: Column, tau: Double): Column =
+    Bridge.column(SemDedupDrops(e(cluster), tau))
   def countPunct(text: Column): Column = Bridge.column(CountPunct(e(text)))
   def redactIps(text: Column): Column = Bridge.column(RedactIps(e(text)))
   def countIps(text: Column): Column = Bridge.column(CountIps(e(text)))

@@ -455,36 +455,45 @@ object Similarity {
     * SURVIVORS (vec_id, cid).
     *
     * Scale shape: assignment is the codegen'd scan-local `ivfAssign`
-    * map; the pair join partitions BOTH sides on cid, so each
-    * cluster's O(n_c²) scoring is a co-located slice and nothing
-    * corpus-sized is broadcast (contrast [[embedDedup]], the exact
-    * oracle-path form) — at 100 TB raise k so clusters stay
-    * executor-sized (the paper runs k ≈ √N; the bench line publishes
-    * max-cluster-size so skew is visible). Zero-norm vectors have no
-    * defined cosine and can never pair (the [[cosine]] null
-    * discipline), so they always survive.
+    * map; each cluster then resolves ROW-LOCALLY — one collect_list
+    * regroup on cid and the codegen'd
+    * [[graft.functions.SemDedupDrops]] kernel runs the pairwise
+    * cosine loop over primitive arrays at memory speed. The r18 pair-
+    * JOIN form (both sides partitioned on cid) was semantically
+    * identical but paid ~100 ns of row materialization per candidate
+    * pair — the 100×/k=16 probe (200k vectors, 1.25G pairs) measured
+    * 177-212 s against numpy's 25 s BLAS tiles; the kernel does the
+    * same arithmetic in the low seconds. Nothing corpus-sized is
+    * broadcast (contrast [[embedDedup]], the exact oracle-path
+    * form). Work is O(N²·d/k); one cluster must fit one row — BOTH
+    * are why k must scale with the corpus: the paper runs k ≈ √N
+    * (11k clusters for 5B embeddings), which bounds the cluster row
+    * at ~√N·d·4 B and the total work at ~N^1.5·d
+    * ([[semDedupClusterStats]] publishes the skew). Zero-norm
+    * vectors have no defined cosine and can never pair, so they
+    * always survive.
     *
-    * FP discipline: cosine rounds to 6dp (+1e-9 nudge) before the tau
-    * compare, the [[embedDedup]] contract; assignment ties go to the
+    * FP discipline: cosine rounds to 6dp (+1e-9 nudge, BigDecimal
+    * HALF_UP — exactly Spark's Round) before the tau compare, the
+    * [[embedDedup]] contract; the dot is [[graft.functions.TextHash
+    * .dotFD]]'s left-to-right widened sum; assignment ties go to the
     * lowest cid. Deterministic end-to-end for the trained-literal
     * oracle. */
   def semDedup(embeddings: DataFrame, tau: Double = 0.4, k: Int = 16,
                iters: Int = 3, seed: Long = 42L,
                centroids: Option[Array[Array[Float]]] = None): DataFrame = {
-    // persisted: the normed frame feeds the quantizer sample job, BOTH
-    // pair-join sides, and the survivor anti-join — four consumers
-    // (the mixByCluster precedent; clusterEmbed's no-persist note is
-    // about TWO cheap columnar rescans, not four with a self-join)
+    // persisted: the normed frame feeds the quantizer sample job, the
+    // cluster regroup, and the survivor anti-join's left side — three
+    // consumers (the mixByCluster precedent)
     val e = Caches.persistTracked(withNorm(embeddings))
     val cents = centroids.getOrElse(trainQuantizer(e, k, iters, seed))
     val assigned = e.select(col("vec_id"), col("v"), col("nrm"),
       GraftFunctions.ivfAssign(col("v"), cents).as("cid"))
-    val dropIds = assigned.as("a").join(assigned.as("b"),
-        col("a.cid") === col("b.cid") && col("a.vec_id") > col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_id"),
-        round(cosine + lit(1e-9), 6).as("cos"))
-      .filter(col("cos") >= tau)
-      .select("vec_id").distinct()
+    val dropIds = assigned
+      .groupBy("cid")
+      .agg(collect_list(struct(col("vec_id"), col("v"), col("nrm"))).as("cluster"))
+      .select(explode(GraftFunctions.semDedupDrops(col("cluster"), tau))
+        .as("vec_id"))
     assigned.join(dropIds, Seq("vec_id"), "left_anti")
       .select(col("vec_id"), col("cid"))
       .orderBy("vec_id")
