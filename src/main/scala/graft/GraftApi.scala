@@ -263,24 +263,48 @@ object GraftApi {
       val afterDecontam = benchmark match {
         case Some(bench) =>
           val stage = decontam.getOrElse(DecontamStage.Exact(decontamMinShared))
-          val (label, leaked) = stage match {
+          val (label, kept0) = stage match {
+            case DecontamStage.Exact(minShared)
+                // TIERED (r18): a benchmark whose plan stats bound its
+                // shingle set under the broadcast cap decontaminates as
+                // a SCAN-LOCAL predicate — [[Dedup.benchmarkShingles]]
+                // (one bounded collect) + [[Dedup.decontaminateKeepExpr]]
+                // (codegen'd distinct-hit count vs the folded set),
+                // semantics == decontaminate's contaminated==0 exactly
+                // (the streaming curationGate's pinned contract). The
+                // join/agg/anti-join chain this replaces was +12 AQE
+                // stage-jobs (~1.9 s) of the composed pipeline's
+                // gate-scale wall (CurateProbe r18 decomposition) while
+                // filtering 4750 docs against 500. Past the cap the
+                // join form stands — same stats tier decontaminate
+                // itself uses, so the 100 TB posture is unchanged.
+                if bench.queryExecution.optimizedPlan.stats.sizeInBytes * 4
+                     <= BigInt(16L * 1024 * 1024) * 8 =>
+              ("decontaminate",
+                afterExact.filter(Dedup.decontaminateKeepExpr(
+                  Dedup.benchmarkShingles(bench), minShared = minShared)))
             case DecontamStage.Exact(minShared) =>
               ("decontaminate",
-                Dedup.decontaminate(afterExact, bench, minShared = minShared)
-                  .filter(col("contaminated") === 1L).select("doc_id"))
+                afterExact.join(
+                  Dedup.decontaminate(afterExact, bench, minShared = minShared)
+                    .filter(col("contaminated") === 1L).select("doc_id"),
+                  Seq("doc_id"), "left_anti"))
             case DecontamStage.Fuzzy(tau) =>
               ("decontaminate_fuzzy",
-                Dedup.decontaminateFuzzy(afterExact, bench, tau = tau)
-                  .filter(col("contaminated") === 1L).select("doc_id"))
+                afterExact.join(
+                  Dedup.decontaminateFuzzy(afterExact, bench, tau = tau)
+                    .filter(col("contaminated") === 1L).select("doc_id"),
+                  Seq("doc_id"), "left_anti"))
             case DecontamStage.Semantic(tau, embed) =>
               ("decontaminate_semantic",
-                Similarity.semanticDecontaminate(
-                    embed(afterExact), embed(bench), tau)
-                  .filter(col("contaminated") === 1L)
-                  .select(col("vec_id").as("doc_id")))
+                afterExact.join(
+                  Similarity.semanticDecontaminate(
+                      embed(afterExact), embed(bench), tau)
+                    .filter(col("contaminated") === 1L)
+                    .select(col("vec_id").as("doc_id")),
+                  Seq("doc_id"), "left_anti"))
           }
-          val kept = Caches.persistTracked(
-            afterExact.join(leaked, Seq("doc_id"), "left_anti"))
+          val kept = Caches.persistTracked(kept0)
           stages += (label -> kept)
           kept
         case None => afterExact
