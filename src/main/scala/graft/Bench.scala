@@ -779,6 +779,17 @@ object Bench {
         // ≈ linear (the unigram_logprob precedent)
         "q_quality_classifier", "q_bloom_membership_check",
         "q_importance_weights", "q_importance_weights_ng",
+        // r18 ops: the paper-complete DSIR composition (same scoring
+        // shape as the ng sibling + a constant-k TakeOrdered select)
+        // and the one-vs-rest scan-local lang-ID scoring (the
+        // quality_classifier class). q_semdedup deliberately sits out
+        // for the LSH-pair-ops reason: at FIXED k=16 the
+        // within-cluster pair space is quadratic BY SEMANTICS
+        // (production scales k ≈ √N — see the semDedup scaladoc); its
+        // decade story is the measured kernel adjudication in
+        // BASELINE.md r18 (0.29× vs pandas at 100×), and its skew
+        // stats publish below with the lsh block.
+        "q_dsir_select", "q_lang_id_model",
         // embeddings family (sign-flip-decorrelated copies): the
         // quantizer ops whose per-vector work is geometry-independent
         // — linear by construction. Deliberately absent: the
@@ -911,7 +922,12 @@ object Bench {
       import graft.sources.Tables
       val m = Dedup.minhashBucketStats(Tables.documents(spark, sfDir)).collect()(0)
       val r = Similarity.rhpBucketStats(Tables.embeddings(spark, sfDir)).collect()(0)
-      s""","lsh_buckets":{"minhash":{"n":${m.getLong(0)},"max":${m.getLong(1)},"cand_pairs":${m.getLong(2)}},"rhp":{"n":${r.getLong(0)},"max":${r.getLong(1)},"cand_pairs":${r.getLong(2)}}}"""
+      // semdedup cluster-occupancy skew (r18): max cluster size is the
+      // kernel's per-row memory AND the quadratic-work hot spot — the
+      // exact quantity the k ≈ √N sizing rule bounds
+      val (sk, smx, sp) =
+        Similarity.semDedupClusterStats(Tables.embeddings(spark, sfDir))
+      s""","lsh_buckets":{"minhash":{"n":${m.getLong(0)},"max":${m.getLong(1)},"cand_pairs":${m.getLong(2)}},"rhp":{"n":${r.getLong(0)},"max":${r.getLong(1)},"cand_pairs":${r.getLong(2)}},"semdedup_clusters":{"n":$sk,"max":$smx,"cand_pairs":$sp}}"""
     } catch { case _: Throwable => "" }
     // range-join fan-out probe (r14 verdict item 5 — the slowest quiet
     // query was the only heavy op whose candidate volume was invisible
