@@ -917,18 +917,34 @@ object Bench {
     // LSH bucket-population probes: a skew regression in band/RHP
     // bucketing (one hot bucket -> quadratic candidate blowup) shows
     // up in these numbers long before a 100 TB straggler would
-    val lsh = try {
+    val lsh = {
       import graft.operators.{Dedup, Similarity}
       import graft.sources.Tables
-      val m = Dedup.minhashBucketStats(Tables.documents(spark, sfDir)).collect()(0)
-      val r = Similarity.rhpBucketStats(Tables.embeddings(spark, sfDir)).collect()(0)
-      // semdedup cluster-occupancy skew (r18): max cluster size is the
-      // kernel's per-row memory AND the quadratic-work hot spot — the
-      // exact quantity the k ≈ √N sizing rule bounds
-      val (sk, smx, sp) =
-        Similarity.semDedupClusterStats(Tables.embeddings(spark, sfDir))
-      s""","lsh_buckets":{"minhash":{"n":${m.getLong(0)},"max":${m.getLong(1)},"cand_pairs":${m.getLong(2)}},"rhp":{"n":${r.getLong(0)},"max":${r.getLong(1)},"cand_pairs":${r.getLong(2)}},"semdedup_clusters":{"n":$sk,"max":$smx,"cand_pairs":$sp}}"""
-    } catch { case _: Throwable => "" }
+      // each probe fails INDEPENDENTLY (r18 review fix: one shared
+      // try made a failure in any probe erase the others' telemetry)
+      def probe(name: String)(f: => (Long, Long, Long)): String =
+        try {
+          val (n, mx, cp) = f
+          s""""$name":{"n":$n,"max":$mx,"cand_pairs":$cp}"""
+        } catch { case _: Throwable => "" }
+      val blocks = Seq(
+        probe("minhash") {
+          val m = Dedup.minhashBucketStats(Tables.documents(spark, sfDir)).collect()(0)
+          (m.getLong(0), m.getLong(1), m.getLong(2))
+        },
+        probe("rhp") {
+          val r = Similarity.rhpBucketStats(Tables.embeddings(spark, sfDir)).collect()(0)
+          (r.getLong(0), r.getLong(1), r.getLong(2))
+        },
+        // semdedup cluster-occupancy skew (r18): max cluster size is
+        // the kernel's per-row memory AND the quadratic-work hot spot
+        // — the exact quantity the k ≈ √N sizing rule bounds
+        probe("semdedup_clusters") {
+          Similarity.semDedupClusterStats(Tables.embeddings(spark, sfDir))
+        }).filter(_.nonEmpty)
+      if (blocks.isEmpty) ""
+      else s""","lsh_buckets":{${blocks.mkString(",")}}"""
+    }
     // range-join fan-out probe (r14 verdict item 5 — the slowest quiet
     // query was the only heavy op whose candidate volume was invisible
     // from the JSON): incidents, buckets touched, pre-filter equi-join

@@ -276,10 +276,11 @@ object GraftApi {
                 // stage-jobs (~1.9 s) of the composed pipeline's
                 // gate-scale wall (CurateProbe r18 decomposition) while
                 // filtering 4750 docs against 500. Past the cap the
-                // join form stands — same stats tier decontaminate
-                // itself uses, so the 100 TB posture is unchanged.
-                if bench.queryExecution.optimizedPlan.stats.sizeInBytes * 4
-                     <= BigInt(16L * 1024 * 1024) * 8 =>
+                // join form stands — [[Dedup.fitsShingleBroadcast]] is
+                // the SAME stats tier decontaminate itself uses, so
+                // the two sites cannot drift and the 100 TB posture
+                // is unchanged.
+                if Dedup.fitsShingleBroadcast(bench) =>
               ("decontaminate",
                 afterExact.filter(Dedup.decontaminateKeepExpr(
                   Dedup.benchmarkShingles(bench), minShared = minShared)))

@@ -339,9 +339,26 @@ object Dedup {
     * Past the bound the match degrades to a shuffled join: both sides
     * hash-partition on the shingle — still candidate-restricted,
     * never all-pairs. */
+  /** The decontamination family's shared broadcast-cap default
+    * (16M 8-byte shingle hashes ≈ 128 MB). */
+  val DefaultMaxBroadcastShingles: Long = 16L * 1024 * 1024
+
+  /** Stats-tier test shared by [[decontaminate]]'s broadcast decision
+    * and the curation pipeline's scan-local-predicate tier: does the
+    * benchmark's plan-stats byte bound put its shingle set safely
+    * under the broadcast cap? (8-byte hashes number at most
+    * ~text_bytes/2, so stats × 4 bounds the payload.) One shared
+    * predicate so the two call sites can never drift apart (r18
+    * review fix). */
+  def fitsShingleBroadcast(benchmark: DataFrame,
+                           maxBroadcastShingles: Long =
+                             DefaultMaxBroadcastShingles): Boolean =
+    benchmark.queryExecution.optimizedPlan.stats.sizeInBytes * 4 <=
+      BigInt(maxBroadcastShingles) * 8
+
   def decontaminate(corpus: DataFrame, benchmark: DataFrame,
                     n: Int = 3, minShared: Int = 3,
-                    maxBroadcastShingles: Long = 16L * 1024 * 1024): DataFrame = {
+                    maxBroadcastShingles: Long = DefaultMaxBroadcastShingles): DataFrame = {
     // only the shingle set matters on the benchmark side — accept any
     // frame with a `text` column (an eval set rarely shares the
     // corpus's id scheme)
@@ -349,9 +366,8 @@ object Dedup {
       .select(explode(
         GraftFunctions.shingleHash64(TextAnalysis.tokens(col("text")), n)).as("s"))
       .distinct()
-    val statsBytes = benchmark.queryExecution.optimizedPlan.stats.sizeInBytes
     val benchSide =
-      if (statsBytes * 4 <= BigInt(maxBroadcastShingles) * 8) broadcast(bench)
+      if (fitsShingleBroadcast(benchmark, maxBroadcastShingles)) broadcast(bench)
       else {
         val cached = Caches.persistTracked(bench)
         if (cached.count() <= maxBroadcastShingles) broadcast(cached) else cached
@@ -376,7 +392,7 @@ object Dedup {
     * as a long[]) enforces that contract instead of letting a corpus
     * mistakenly passed as `benchmark` OOM the driver. */
   def benchmarkShingles(benchmark: DataFrame, n: Int = 3,
-                        maxShingles: Long = 16L * 1024 * 1024): Array[Long] = {
+                        maxShingles: Long = DefaultMaxBroadcastShingles): Array[Long] = {
     val rows = spreadToCores(benchmark.select(col("text")))
       .select(explode(
         GraftFunctions.shingleHash64(TextAnalysis.tokens(col("text")), n)).as("s"))

@@ -144,7 +144,12 @@ object LangIdModel {
 
   /** Train + score in one call (the q_lang_id_model query body),
     * memoized per (session, dir, dim) like
-    * [[QualityClassifier.trainedModel]]. */
+    * [[QualityClassifier.trainedModel]]. CONTRACT (shared with that
+    * memo): `docs` must BE dir's documents table — the memo keys on
+    * the (session, dir, dim) triple, not the frame, so a filtered
+    * slice or a rewritten dir passed under the same key would score
+    * against the first call's model; call [[invalidate]] (or
+    * [[train]] directly) for anything but the canonical table. */
   def classify(spark: SparkSession, docs: DataFrame, dir: String,
                dim: Int = 64): DataFrame =
     score(docs, trainedModel(spark, docs, dir, dim), dim)

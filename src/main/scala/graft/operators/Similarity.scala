@@ -502,11 +502,14 @@ object Similarity {
   /** [[semDedup]]'s cluster-occupancy skew probe for the bench line
     * (the lsh_buckets pattern): cluster count, max cluster size, and
     * the within-cluster candidate-pair volume Σ n_c·(n_c−1)/2 — the
-    * quantity the cluster restriction bounds. */
+    * quantity the cluster restriction bounds. Pass `centroids` to
+    * reuse a [[trainedQuantizer]] training (the semDedup hook). */
   def semDedupClusterStats(embeddings: DataFrame, k: Int = 16,
-                           iters: Int = 3, seed: Long = 42L): (Long, Long, Long) = {
+                           iters: Int = 3, seed: Long = 42L,
+                           centroids: Option[Array[Array[Float]]] = None)
+      : (Long, Long, Long) = {
     val e = withNorm(embeddings)
-    val cents = trainQuantizer(e, k, iters, seed)
+    val cents = centroids.getOrElse(trainQuantizer(e, k, iters, seed))
     val row = e.select(GraftFunctions.ivfAssign(col("v"), cents).as("cid"))
       .groupBy("cid").agg(count(lit(1)).as("n"))
       .agg(count(lit(1)), max("n"), sum(expr("(n * (n - 1)) div 2"))).head()

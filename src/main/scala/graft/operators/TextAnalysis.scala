@@ -1626,12 +1626,13 @@ object TextAnalysis {
     * smoothing over all `nBuckets` buckets (the paper smooths over
     * the fixed feature space, not the observed vocabulary — hence V
     * is the CONSTANT B here where the unigram sibling uses the
-    * observed union-vocab size). Remaining gap to the paper: DSIR
-    * hashes unigrams AND bigrams into one shared bucket space and
-    * SAMPLES by exponentiated weight; here the features are bigrams
-    * only and the output is the per-doc weight itself — sampling
-    * composes downstream ([[weightedSampleByTokens]]' A-ES machinery
-    * accepts any weight column).
+    * observed union-vocab size). The paper's remaining two steps —
+    * unigrams AND bigrams pooled into one shared bucket space, and
+    * sampling by exponentiated weight — are CLOSED by [[dsirSelect]]
+    * (r18), the end-to-end composition; this form stays as the
+    * weight-column REPORT (per-doc mean, log2 — continuous with
+    * [[importanceWeights]]) for pipelines that filter or re-weight
+    * rather than resample.
     *
     * Scale shape: pair formation and hashing are SCAN-LOCAL
     * ([[graft.functions.BigramBuckets]] — text never leaves its row);
@@ -1645,10 +1646,27 @@ object TextAnalysis {
     * quotient of exact integer-valued products, 6dp-rounded log2,
     * DECIMAL per-doc mean. */
   def importanceWeightsNg(docs: DataFrame, target: DataFrame,
-                          nBuckets: Int = 4096): DataFrame = {
+                          nBuckets: Int = 4096): DataFrame =
+    dsirLlr(docs, target, nBuckets,
+      GraftFunctions.bigramBuckets(_, nBuckets), log2)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        rnd(decSum(col("llr")) / count(lit(1)), 4).as("importance"))
+      .orderBy("doc_id")
+
+  /** The hashed-bucket DSIR scoring core shared by
+    * [[importanceWeightsNg]] and [[dsirSelect]] (r18 review fix —
+    * the two differed only in the bucket kernel and log base): raw
+    * and target bucket streams from `bucketsOf`, a full-outer
+    * ≤B-row model merge with window totals (no second corpus scan),
+    * add-one smoothing over the FIXED `nBuckets` space, per-feature
+    * llr = rnd(logOf(ratio), 6) joined back onto the raw stream.
+    * Returns (doc_id, llr) rows; callers roll up. */
+  private def dsirLlr(docs: DataFrame, target: DataFrame, nBuckets: Int,
+                      bucketsOf: Column => Column,
+                      logOf: Column => Column): DataFrame = {
     def buckets(side: DataFrame): DataFrame = side.select(col("doc_id"),
-      explode(GraftFunctions.bigramBuckets(
-        tokens(coalesce(col("text"), lit(""))), nBuckets)).as("bucket"))
+      explode(bucketsOf(tokens(coalesce(col("text"), lit(""))))).as("bucket"))
     val rawB = buckets(docs)
     val rawFreq = rawB.groupBy("bucket").agg(count(lit(1)).as("c_r"))
     val tgtFreq = buckets(target).groupBy("bucket").agg(count(lit(1)).as("c_t"))
@@ -1668,11 +1686,7 @@ object TextAnalysis {
       ((col("c_r") + 1).cast("double") * (col("n_t") + b).cast("double"))
     rawB
       .join(model, "bucket")
-      .select(col("doc_id"), rnd(log2(ratio), 6).as("llr"))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_bigrams"),
-        rnd(decSum(col("llr")) / count(lit(1)), 4).as("importance"))
-      .orderBy("doc_id")
+      .select(col("doc_id"), rnd(logOf(ratio), 6).as("llr"))
   }
 
   /** DSIR selection END-TO-END (Xie et al. 2023: pooled hashed
@@ -1714,29 +1728,8 @@ object TextAnalysis {
     * k-row merge — no global sort, no rank window, no driver state). */
   def dsirSelect(docs: DataFrame, target: DataFrame, k: Int,
                  nBuckets: Int = 4096): DataFrame = {
-    def buckets(side: DataFrame): DataFrame = side.select(col("doc_id"),
-      explode(GraftFunctions.ngramBuckets(
-        tokens(coalesce(col("text"), lit(""))), nBuckets)).as("bucket"))
-    val rawB = buckets(docs)
-    val rawFreq = rawB.groupBy("bucket").agg(count(lit(1)).as("c_r"))
-    val tgtFreq = buckets(target).groupBy("bucket").agg(count(lit(1)).as("c_t"))
-    val vocab = rawFreq.join(tgtFreq, Seq("bucket"), "full_outer")
-      .select(col("bucket"),
-        coalesce(col("c_r"), lit(0L)).as("c_r"),
-        coalesce(col("c_t"), lit(0L)).as("c_t"))
-    val wAll = org.apache.spark.sql.expressions.Window
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.unboundedFollowing)
-    val model = vocab.select(col("bucket"), col("c_r"), col("c_t"),
-      sum("c_r").over(wAll).as("n_r"),
-      sum("c_t").over(wAll).as("n_t"))
-    val b = lit(nBuckets.toLong)
-    val ratio =
-      ((col("c_t") + 1).cast("double") * (col("n_r") + b).cast("double")) /
-      ((col("c_r") + 1).cast("double") * (col("n_t") + b).cast("double"))
-    val weights = rawB
-      .join(model, "bucket")
-      .select(col("doc_id"), rnd(log(ratio), 6).as("llr"))
+    val weights = dsirLlr(docs, target, nBuckets,
+        GraftFunctions.ngramBuckets(_, nBuckets), log)
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_features"),
         rnd(decSum(col("llr")), 4).as("log_w"))

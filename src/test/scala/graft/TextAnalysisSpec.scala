@@ -1324,6 +1324,15 @@ class TextAnalysisSpec extends AnyFunSuite {
     val none = Dedup.bloomMembership(arriving,
       Dedup.bloomFilterOf(corpus.filter(lit(false))))
     assert(none.filter(col("maybe_seen")).count() == 0)
+    // the conf-clamp raise (r18 ADVICE): an explicitly oversized
+    // filter must come back at the REQUESTED size — Spark's
+    // BloomFilterAggregate silently Math.min's numBits against
+    // spark.sql.optimizer.runtime.bloomFilter.maxNumBits (2^26), so
+    // without the session-clone raise this returns 8 MB, not 16
+    val bigBf = Dedup.bloomFilterOf(corpus,
+      expectedItems = 5000000L, numBits = 1L << 27)
+    assert(bigBf.length >= (1L << 27) / 8,
+      s"bloom sizing silently clamped: ${bigBf.length} bytes for 2^27 bits")
     // the membership probe is scan-local: the filter rides as a plan
     // literal — no join, no exchange of any kind
     val plan = Dedup.bloomMembership(arriving, bf)
