@@ -801,7 +801,10 @@ object Bench {
         // corpus x benchmark = 100x per decade by construction;
         // ScaleSpec measures its linear deployment shape — fixed
         // benchmark, growing corpus — instead).
-        "q_cluster_embed", "q_mix_cluster")
+        // PQ (r18): encoding is a geometry-independent per-vector map
+        // and ADC rows are N·m·Q ints — linear in the corpus at fixed
+        // queries, like the quantizer ops
+        "q_cluster_embed", "q_mix_cluster", "q_ann_pq")
       val heavyKeys = onlyEnv.fold(heavyKeys0)(heavyKeys0.intersect)
       if (sys.env.get("SPARK_GRAFT_SLOPE2").contains("0") ||
           heavyKeys.isEmpty) None

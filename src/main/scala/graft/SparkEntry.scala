@@ -344,6 +344,12 @@ object SparkEntry {
       recordQuantizerRun(s, d)
       Similarity.semDedup(Tables.embeddings(s, d))
     }),
+    // product-quantization ANN (r18): the memory-bounded axis — m int
+    // codes per vector as the whole index, ADC scoring per query
+    "q_ann_pq"          -> ((s, d) => {
+      recordQuantizerRun(s, d)
+      Similarity.annPq(Tables.embeddings(s, d))
+    }),
     "q_hash_embed"      -> ((s, d) => {
       import org.apache.spark.sql.functions.{col, posexplode, round}
       // posexploded to scalar rows: the driver canonicalizer cannot
@@ -917,7 +923,54 @@ object SparkEntry {
   private def buildQuantizerOracles(spark: SparkSession,
                                     dir: String): Map[String, String] = {
       val idx = quantizerIdxSql(spark, dir, 16, 3, 42L)
+      // PQ codebooks (their OWN training — per-subspace L2 k-means,
+      // not the spherical coarse quantizer) as (sub, code, c) literals
+      val pqCb = Similarity.trainPqCodebooks(Tables.embeddings(spark, dir))
+      val dsub = pqCb(0)(0).length
+      val pqRows = (for { s <- pqCb.indices; c <- pqCb(s).indices } yield
+        s"($s, $c, CAST([${pqCb(s)(c).map(_.toDouble.toString).mkString(",")}] AS DOUBLE[]))")
+        .mkString(",\n  ")
       Map(
+        // PQ-ANN: per-(vector, subspace) raw-double squared distances
+        // against the codebook literals (same left-to-right product
+        // sum as the kernel — the raw argmin compare is bit-faithful,
+        // the ivfAssign precedent), argmin codes with ties to the
+        // lowest code, per-query 6dp LUT entries, DECIMAL-exact ADC
+        // sums, top-5 by (adist, cand_id)
+        "q_ann_pq" ->
+          s"""WITH e AS (
+            |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            |  FROM embeddings
+            |), cb(sub, code, c) AS (VALUES
+            |  $pqRows
+            |), dists AS (
+            |  SELECT e.vec_id, cb.sub, cb.code,
+            |         list_sum(list_transform(range(1, ${dsub + 1}),
+            |           i -> (coalesce(e.v[cb.sub * $dsub + i], 0.0) - cb.c[i])
+            |              * (coalesce(e.v[cb.sub * $dsub + i], 0.0) - cb.c[i]))) AS d
+            |  FROM e CROSS JOIN cb
+            |), codes AS (
+            |  SELECT vec_id, sub, code FROM (
+            |    SELECT vec_id, sub, code,
+            |           row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, code) AS rn
+            |    FROM dists) WHERE rn = 1
+            |), lut AS (
+            |  SELECT vec_id AS query_id, sub, code, (round(d + 1e-9, 6) + 0) AS pd
+            |  FROM dists WHERE vec_id < 20
+            |), adist AS (
+            |  SELECT l.query_id, c.vec_id AS cand_id,
+            |         CAST(sum(CAST(l.pd AS DECIMAL(38,6))) AS DOUBLE) AS adist
+            |  FROM codes c JOIN lut l ON c.sub = l.sub AND c.code = l.code
+            |  WHERE c.vec_id <> l.query_id
+            |  GROUP BY 1, 2
+            |)
+            |SELECT query_id, cand_id, adist,
+            |       CAST(row_number() OVER (PARTITION BY query_id
+            |              ORDER BY adist, cand_id) AS INT) AS rank
+            |FROM adist
+            |QUALIFY row_number() OVER (PARTITION BY query_id
+            |          ORDER BY adist, cand_id) <= 5
+            |ORDER BY query_id, rank""".stripMargin,
         // SemDeDup: assignment argmax, within-cluster (a>b) pairs
         // cosine-scored exactly as the kernel does (widened
         // left-to-right list_sum, 6dp round, null on a zero-norm

@@ -457,6 +457,51 @@ object TextHash {
     acc
   }
 
+  /** Product-quantization encoding (Jégou et al. 2011) — the float
+    * vector split into `codebooks.length` subspaces, each assigned
+    * the ARGMIN-squared-L2 centroid of its subspace codebook (ties →
+    * lowest code), returning one int code per subspace
+    * ([[graft.functions.PqEncode]]). The codebooks ride into
+    * generated code as a reference object (the IvfAssign shape), so
+    * encoding a corpus is a pure scan-local map. Distances are
+    * left-to-right double sums of (v_i − c_i)² — the exact arithmetic
+    * the DuckDB oracle restates over the codebook literals, so the
+    * raw-double argmin compare is bit-faithful cross-engine (the
+    * ivfAssign argmax precedent). A vector shorter than m·dsub reads
+    * missing tail elements as 0 (clamped like [[dotFD]] — the oracle
+    * corpus is fixed-width, so this is a guard, not a hot path). */
+  def pqEncode(v: ArrayData,
+               codebooks: Array[Array[Array[Float]]]): ArrayData = {
+    val m = codebooks.length
+    val n = v.numElements()
+    val out = new Array[Any](m)
+    var s = 0
+    while (s < m) {
+      val cb = codebooks(s)
+      val dsub = if (cb.isEmpty) 0 else cb(0).length
+      val base = s * dsub
+      var best = 0
+      var bd = Double.PositiveInfinity
+      var c = 0
+      while (c < cb.length) {
+        val cent = cb(c)
+        var acc = 0.0
+        var i = 0
+        while (i < dsub) {
+          val x = (if (base + i < n) v.getFloat(base + i).toDouble else 0.0) -
+            cent(i).toDouble
+          acc += x * x
+          i += 1
+        }
+        if (acc < bd) { bd = acc; best = c }
+        c += 1
+      }
+      out(s) = best
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** SemDeDup within-cluster drop set — one CLUSTER per row as
     * array<struct<vec_id, v float[], nrm double>>, returning the ids
     * that have a LOWER-id neighbor at rounded cosine ≥ tau

@@ -229,6 +229,25 @@ case class NgramBuckets(child: Expression, nBuckets: Int)
     copy(child = newChild)
 }
 
+/** Product-quantization codes — one int per subspace, argmin-squared-
+  * L2 against a TRAINED codebook reference object
+  * ([[TextHash.pqEncode]]): encoding a 100 TB corpus is a scan-local
+  * codegen'd map, and the emitted codes are the ENTIRE index payload
+  * (m ints vs d floats — the memory-bounded ANN axis). */
+case class PqEncode(child: Expression, codebooks: Array[Array[Array[Float]]])
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    TextHash.pqEncode(input.asInstanceOf[ArrayData], codebooks)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cb = ctx.addReferenceObj("pqCodebooks", codebooks, "float[][][]")
+    defineCodeGen(ctx, ev, v => s"graft.functions.TextHash.pqEncode($v, $cb)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): PqEncode =
+    copy(child = newChild)
+}
+
 /** SemDeDup within-cluster drop ids from ONE cluster's
   * array<struct<vec_id, v, nrm>> row ([[TextHash.semDedupDrops]]) —
   * the pairwise cosine loop at memory speed instead of through a
@@ -572,6 +591,8 @@ object GraftFunctions {
     Bridge.column(NgramBuckets(e(toks), nBuckets))
   def semDedupDrops(cluster: Column, tau: Double): Column =
     Bridge.column(SemDedupDrops(e(cluster), tau))
+  def pqEncode(v: Column, codebooks: Array[Array[Array[Float]]]): Column =
+    Bridge.column(PqEncode(e(v), codebooks))
   def countPunct(text: Column): Column = Bridge.column(CountPunct(e(text)))
   def redactIps(text: Column): Column = Bridge.column(RedactIps(e(text)))
   def countIps(text: Column): Column = Bridge.column(CountIps(e(text)))

@@ -518,6 +518,137 @@ object Similarity {
       if (row.isNullAt(2)) 0L else row.getLong(2))
   }
 
+  /** Per-subspace product-quantization codebooks (Jégou, Douze,
+    * Schmid 2011) — the vector split into `m` equal subspaces, each
+    * with its own `kCodes`-centroid L2 k-means codebook trained on a
+    * seeded bounded driver sample (the [[trainQuantizer]] pattern:
+    * hash-ordered sample, fixed Lloyd iterations, argmin ties to the
+    * lowest code, empty clusters keep their centroid — bit-
+    * deterministic, so the codebooks export as trained literals).
+    * Driver state: m·kCodes·(d/m) floats = d·kCodes — KBs. */
+  def trainPqCodebooks(embeddings: DataFrame, m: Int = 16, kCodes: Int = 32,
+                       iters: Int = 5, seed: Long = 42L)
+      : Array[Array[Array[Float]]] = {
+    val sample: Array[Array[Float]] = embeddings
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("h", xxhash64(col("vec_id"), lit(seed)))
+      .orderBy("h", "vec_id").limit(kCodes * 256)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).toArray)
+    require(sample.nonEmpty,
+      "trainPqCodebooks: embeddings input is empty — nothing to train on")
+    val d = sample.head.length
+    require(d % m == 0, s"dim $d is not divisible by m=$m subspaces")
+    val dsub = d / m
+    Array.tabulate(m) { s =>
+      val sub = sample.map(v =>
+        java.util.Arrays.copyOfRange(v, s * dsub, (s + 1) * dsub))
+      var cents: Array[Array[Float]] =
+        sub.take(math.min(kCodes, sub.length)).map(_.clone)
+      for (_ <- 1 to iters) {
+        val sums = Array.fill(cents.length)(new Array[Double](dsub))
+        val cnt = new Array[Int](cents.length)
+        sub.foreach { v =>
+          var best = 0
+          var bd = Double.PositiveInfinity
+          var c = 0
+          while (c < cents.length) {
+            var acc = 0.0
+            var i = 0
+            while (i < dsub) {
+              val x = v(i).toDouble - cents(c)(i).toDouble
+              acc += x * x
+              i += 1
+            }
+            if (acc < bd) { bd = acc; best = c }
+            c += 1
+          }
+          val t = sums(best)
+          var i = 0
+          while (i < dsub) { t(i) += v(i).toDouble; i += 1 }
+          cnt(best) += 1
+        }
+        cents = cents.zipWithIndex.map { case (old, ci) =>
+          if (cnt(ci) == 0) old
+          else sums(ci).map(x => (x / cnt(ci)).toFloat)
+        }
+      }
+      cents
+    }
+  }
+
+  /** Product-quantization ANN (the MEMORY-BOUNDED axis beside
+    * [[annLsh]]'s buckets and [[annIvf]]'s inverted lists): the
+    * corpus index is m int codes per vector — 8 codes standing in
+    * for 64 floats, a 32× payload compression, which is what lets a
+    * 100 TB embedding store keep its ENTIRE index hot (the faiss PQ
+    * posture; compose with IVF list restriction — IVF-PQ — when the
+    * candidate sweep itself must shrink). Scoring is ADC (asymmetric
+    * distance computation): per query, an m·kCodes lookup table of
+    * 6dp-rounded per-subspace squared distances (built on the driver
+    * from the bounded query set — the [[annTopK]] contract) joins
+    * the exploded code stream broadcast-side; a candidate's
+    * approximate distance is the DECIMAL-exact sum of its m looked-up
+    * entries, so the rank is deterministic cross-engine (the decSum
+    * discipline — a raw double SUM over a shuffle would be
+    * order-dependent). Top-k per query by (adist, cand_id).
+    *
+    * Scale shape: encoding is the scan-local codegen'd [[graft
+    * .functions.PqEncode]] map; the only corpus-sized rows in motion
+    * are (sub, code, vec_id) ints through ONE broadcast join and one
+    * (query, cand) rollup — vectors never shuffle, never broadcast.
+    * Approximation contract: PQ ranks by quantized distance —
+    * SimilaritySpec pins recall against [[annTopK]]; raise kCodes/m
+    * for tighter recall (the codebooks stay KBs). */
+  def annPq(embeddings: DataFrame, nQueries: Int = 20, k: Int = 5,
+            m: Int = 16, kCodes: Int = 32, seed: Long = 42L,
+            codebooks: Option[Array[Array[Array[Float]]]] = None): DataFrame = {
+    val spark = embeddings.sparkSession
+    val cb = codebooks.getOrElse(
+      trainPqCodebooks(embeddings, m, kCodes, seed = seed))
+    val dsub = cb(0)(0).length
+    val codes = embeddings.select(col("vec_id"),
+      posexplode(GraftFunctions.pqEncode(col("embedding"), cb))
+        .as(Seq("sub", "code")))
+    // per-query ADC lookup table, built on the driver from the
+    // collected query vectors (nQueries · d floats — bounded by the
+    // same designated-query contract as annTopK) with the SAME
+    // subspace arithmetic the encoder and the DuckDB oracle use
+    val qvecs = embeddings.filter(col("vec_id") < nQueries)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val lutRows = for {
+      (qid, qv) <- qvecs.toSeq
+      s <- cb.indices
+      c <- cb(s).indices
+    } yield {
+      val cent = cb(s)(c)
+      val base = s * dsub
+      var acc = 0.0
+      var i = 0
+      while (i < dsub) {
+        val x = (if (base + i < qv.length) qv(base + i).toDouble else 0.0) -
+          cent(i).toDouble
+        acc += x * x
+        i += 1
+      }
+      (qid, s, c,
+        java.math.BigDecimal.valueOf(acc + 1e-9)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue())
+    }
+    import spark.implicits._
+    val lut = lutRows.toDF("query_id", "sub", "code", "pd")
+    val w = Window.partitionBy("query_id").orderBy(asc("adist"), asc("cand_id"))
+    codes
+      .join(broadcast(lut), Seq("sub", "code"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id").as("cand_id"))
+      .agg(decSum(col("pd")).as("adist"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy("query_id", "rank")
+  }
+
   /** Per-cluster datasheet over [[clusterEmbed]]'s assignment: size
     * and cohesion (mean/min cosine-to-centroid) per cluster — what a
     * mixing policy reads to set per-cluster quotas. One partial-agg

@@ -303,6 +303,51 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall > 0.5, s"recall $recall below the 6x4-config floor")
   }
 
+  test("annPq: valid codes, deterministic, nontrivial recall vs brute force") {
+    val cb = Similarity.trainPqCodebooks(emb)
+    assert(cb.length == 16 && cb.forall(_.length <= 32) &&
+      cb.forall(_.forall(_.length == 4)), "codebook shape m=16, kCodes<=32, dsub=4")
+    // codes are in range and there is one per subspace
+    val codes = emb.select(graft.functions.GraftFunctions.pqEncode(
+        col("embedding"), cb).as("c"))
+      .collect().map(_.getSeq[Int](0).toSeq)
+    assert(codes.forall(c => c.length == 16 && c.forall(x => x >= 0 && x < 32)))
+    // deterministic end-to-end (trained-literal oracle depends on it)
+    val a = Similarity.annPq(emb).collect().toSeq
+    val b = Similarity.annPq(emb).collect().toSeq
+    assert(a == b, "annPq must be bit-deterministic")
+    // quantized top-k overlaps the EXACT L2 top-k well above chance —
+    // the PQ approximation contract. The reference is exact L2, not
+    // annTopK's cosine: PQ approximates squared-L2, and these test
+    // embeddings are not unit-norm, so the two metrics legitimately
+    // rank differently (chance recall at k=5 of ~2000 is ~0.25%)
+    val all = emb.select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    def l2(x: Array[Float], y: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < math.min(x.length, y.length)) {
+        val d = x(i).toDouble - y(i).toDouble; acc += d * d; i += 1
+      }
+      acc
+    }
+    val brute = (for {
+      (qid, qv) <- all.filter(_._1 < 20)
+      (cid, _) <- all.filter(t => t._1 != qid)
+        .map(t => (t._1, l2(qv, t._2))).sortBy(t => (t._2, t._1)).take(5)
+    } yield (qid, cid)).toSet
+    val pq = a.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("cand_id"))).toSet
+    val recall = brute.intersect(pq).size.toDouble / brute.size
+    // measured 0.43 at the default 16x32 config on this corpus
+    // (vs 0.20 at 8x16 — more subspaces beat more codes here); the
+    // bar sits under it with the usual margin
+    assert(recall > 0.3, s"PQ recall $recall vs exact L2 below the 16x32-config floor")
+    // approximate distances are non-decreasing by rank
+    a.groupBy(_.getAs[Long]("query_id")).values.foreach { rows =>
+      val ds = rows.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("adist"))
+      assert(ds.sameElements(ds.sorted), "adist not ascending by rank")
+    }
+  }
+
   test("embedDedupLsh finds a sound subset of the exact pairs") {
     val exact = Similarity.embedDedup(emb).collect()
       .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet

@@ -1048,6 +1048,44 @@ def semdedup(emb):
     return pd.DataFrame({"vec_id": ids[keep], "cid": cid[keep]})
 
 
+def ann_pq(emb):
+    # graft q_ann_pq's shape in numpy: per-subspace L2 k-means
+    # codebooks on a sample, argmin encoding, per-query ADC lookup
+    # tables, top-5 by summed table entries. Timing pair.
+    m, k_codes, iters, n_q, topk = 16, 32, 5, 20, 5
+    v = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    n, d = v.shape
+    dsub = d // m
+    sample = v[: k_codes * 256]
+    books = []
+    for s in range(m):
+        sub = sample[:, s * dsub:(s + 1) * dsub]
+        cents = sub[:k_codes].copy()
+        for _ in range(iters):
+            d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            a = np.argmin(d2, axis=1)
+            for c in range(len(cents)):
+                mbr = sub[a == c]
+                if len(mbr):
+                    cents[c] = mbr.mean(axis=0)
+        books.append(cents)
+    codes = np.zeros((n, m), dtype=np.int32)
+    for s in range(m):
+        sub = v[:, s * dsub:(s + 1) * dsub]
+        d2 = ((sub[:, None, :] - books[s][None, :, :]) ** 2).sum(axis=2)
+        codes[:, s] = np.argmin(d2, axis=1)
+    ids = emb["vec_id"].to_numpy()
+    out = []
+    for qi in np.where(ids < n_q)[0]:
+        lut = np.stack([(((v[qi, s * dsub:(s + 1) * dsub][None, :]
+                           - books[s]) ** 2).sum(axis=1)) for s in range(m)])
+        adist = lut[np.arange(m)[:, None], codes.T].sum(axis=0)
+        adist[qi] = np.inf
+        top = np.argsort(adist, kind="stable")[:topk]
+        out.extend((ids[qi], ids[t], adist[t]) for t in top)
+    return pd.DataFrame(out, columns=["query_id", "cand_id", "adist"])
+
+
 def quality_classifier(docs):
     # graft q_quality_classifier's shape in numpy: hashing-trick
     # embedding (64 signed buckets, L2-normalized), weak agreement
@@ -1203,7 +1241,7 @@ def main():
             timings[name] = time.perf_counter() - t0
 
     if only is None or {"cluster_embed", "semantic_decontaminate",
-                        "semdedup"} & only:
+                        "semdedup", "ann_pq"} & only:
         emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
         if only is None or "cluster_embed" in only:
             t0 = time.perf_counter()
@@ -1217,6 +1255,10 @@ def main():
             t0 = time.perf_counter()
             semdedup(emb)
             timings["semdedup"] = time.perf_counter() - t0
+        if only is None or "ann_pq" in only:
+            t0 = time.perf_counter()
+            ann_pq(emb)
+            timings["ann_pq"] = time.perf_counter() - t0
 
     print(json.dumps({
         "queries": {k: round(v, 4) for k, v in timings.items()},
