@@ -136,6 +136,40 @@ class EdgeCaseSpec extends AnyFunSuite {
     Caches.releaseAll()
   }
 
+  test("r18 operators: empty/degenerate inputs behave per family contract") {
+    import spark.implicits._
+    val someDocs = Tables.documents(spark, sfDir).limit(5)
+    // dsirSelect: empty CORPUS -> 0 rows (no featured docs); empty
+    // TARGET still scores finitely (add-one smoothing over the fixed
+    // bucket space — c_t=0 everywhere, weights defined)
+    assert(TextAnalysis.dsirSelect(noDocs, someDocs, k = 10).count() == 0)
+    val noTgt = TextAnalysis.dsirSelect(someDocs, noDocs, k = 10).collect()
+    assert(noTgt.length == 5 &&
+      noTgt.forall(r => !r.getAs[Double]("log_w").isNaN &&
+        !r.getAs[Double]("log_w").isInfinite),
+      "empty target must yield finite smoothed weights")
+    // k = 0 keeps nothing
+    assert(TextAnalysis.dsirSelect(someDocs, someDocs, k = 0).count() == 0)
+    // semDedup / annPq / trainPqCodebooks: empty embeddings refused
+    // with the quantizer family's clear message
+    for (f <- Seq(
+        () => Similarity.semDedup(noEmb).count(),
+        () => Similarity.annPq(noEmb).count())) {
+      val ex = intercept[IllegalArgumentException](f())
+      assert(ex.getMessage.contains("empty"))
+    }
+    // annPq: a single-vector corpus has no candidates (self excluded)
+    val oneEmb = Tables.embeddings(spark, sfDir).limit(1)
+    assert(Similarity.annPq(oneEmb, nQueries = 20, k = 5).count() == 0)
+    // semDedup: a single vector survives alone
+    val oneOut = Similarity.semDedup(oneEmb).collect()
+    assert(oneOut.length == 1)
+    // lang-ID model scores an empty frame to 0 rows with a trained model
+    val m = LangIdModel.train(someDocs)
+    assert(LangIdModel.score(noDocs, m).count() == 0)
+    Caches.releaseAll()
+  }
+
   test("single-row input flows through the window operators") {
     val one = Tables.events(spark, sfDir).limit(1)
     assert(TimeSeries.featurePipeline(one).count() == 1)
