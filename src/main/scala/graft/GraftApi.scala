@@ -264,32 +264,43 @@ object GraftApi {
         case Some(bench) =>
           val stage = decontam.getOrElse(DecontamStage.Exact(decontamMinShared))
           val (label, kept0) = stage match {
-            case DecontamStage.Exact(minShared)
-                // TIERED (r18): a benchmark whose plan stats bound its
-                // shingle set under the broadcast cap decontaminates as
-                // a SCAN-LOCAL predicate — [[Dedup.benchmarkShingles]]
-                // (one bounded collect) + [[Dedup.decontaminateKeepExpr]]
-                // (codegen'd distinct-hit count vs the folded set),
-                // semantics == decontaminate's contaminated==0 exactly
-                // (the streaming curationGate's pinned contract). The
-                // join/agg/anti-join chain this replaces was +12 AQE
-                // stage-jobs (~1.9 s) of the composed pipeline's
-                // gate-scale wall (CurateProbe r18 decomposition) while
-                // filtering 4750 docs against 500. Past the cap the
-                // join form stands — [[Dedup.fitsShingleBroadcast]] is
-                // the SAME stats tier decontaminate itself uses, so
-                // the two sites cannot drift and the 100 TB posture
-                // is unchanged.
-                if Dedup.fitsShingleBroadcast(bench) =>
-              ("decontaminate",
-                afterExact.filter(Dedup.decontaminateKeepExpr(
-                  Dedup.benchmarkShingles(bench), minShared = minShared)))
             case DecontamStage.Exact(minShared) =>
-              ("decontaminate",
+              // TIERED (r18): a benchmark whose plan stats bound its
+              // shingle set under the broadcast cap decontaminates as
+              // a SCAN-LOCAL predicate — [[Dedup.benchmarkShingles]]
+              // (one bounded collect) + [[Dedup.decontaminateKeepExpr]]
+              // (codegen'd distinct-hit count vs the folded set),
+              // semantics == decontaminate's contaminated==0 exactly
+              // (the streaming curationGate's pinned contract). The
+              // join/agg/anti-join chain this replaces was +12 AQE
+              // stage-jobs (~1.9 s) of the composed pipeline's
+              // gate-scale wall (CurateProbe r18 decomposition) while
+              // filtering 4750 docs against 500. Past the cap the
+              // join form stands — [[Dedup.fitsShingleBroadcast]] is
+              // the SAME stats tier decontaminate itself uses, so
+              // the two sites cannot drift and the 100 TB posture
+              // is unchanged. The stats tier is an ESTIMATE: if the
+              // actual distinct set still blows the cap (filter
+              // selectivity under-estimated near the boundary), the
+              // bounded collect's own require fires — degrade to the
+              // join form, which is decontaminate's OWN fallback past
+              // the cap, instead of failing the whole plan (r18
+              // advice).
+              val scanLocal =
+                if (!Dedup.fitsShingleBroadcast(bench)) None
+                else
+                  try Some(afterExact.filter(Dedup.decontaminateKeepExpr(
+                    Dedup.benchmarkShingles(bench), minShared = minShared)))
+                  catch {
+                    case e: IllegalArgumentException
+                        if e.getMessage != null &&
+                          e.getMessage.contains("maxShingles") => None
+                  }
+              ("decontaminate", scanLocal.getOrElse(
                 afterExact.join(
                   Dedup.decontaminate(afterExact, bench, minShared = minShared)
                     .filter(col("contaminated") === 1L).select("doc_id"),
-                  Seq("doc_id"), "left_anti"))
+                  Seq("doc_id"), "left_anti")))
             case DecontamStage.Fuzzy(tau) =>
               ("decontaminate_fuzzy",
                 afterExact.join(

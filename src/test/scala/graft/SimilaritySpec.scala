@@ -383,6 +383,58 @@ class SimilaritySpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("annIvfPq: valid index entries, deterministic, re-ranked recall beats plain PQ") {
+    val cents = Similarity.trainedQuantizer(emb)
+    val cb = Similarity.trainIvfPqCodebooks(emb, cents)
+    assert(cb.length == 16 && cb.forall(_.length <= 32) &&
+      cb.forall(_.forall(_.length == 4)), "residual codebook shape m=16, kCodes<=32, dsub=4")
+    // index entries: [cid, codes...] — cid in the list range, one
+    // in-range code per subspace
+    val entries = emb.select(graft.functions.GraftFunctions.ivfPqEncode(
+        col("embedding"), cents, cb).as("cc"))
+      .collect().map(_.getSeq[Int](0).toSeq)
+    assert(entries.forall(e => e.length == 17 &&
+      e.head >= 0 && e.head < cents.length &&
+      e.tail.forall(x => x >= 0 && x < 32)))
+    // deterministic end-to-end (trained-literal oracle depends on it)
+    val a = Similarity.annIvfPq(emb).collect().toSeq
+    val b = Similarity.annIvfPq(emb).collect().toSeq
+    assert(a == b, "annIvfPq must be bit-deterministic")
+    // the round's design claim, pinned: residual encoding + the exact
+    // re-rank recover MORE of the cosine brute-force top-k than plain
+    // PQ's raw-vector ADC ranking does (measured 0.58 vs 0.43 at
+    // sf0.001, 0.67 vs 0.45 at sf0.01; pure residual-ADC without the
+    // re-rank read 0.26 — the refine stage is what buys the recall)
+    val brute = Similarity.annTopK(emb, nQueries = 20, k = 5).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("cand_id"))).toSet
+    val ivfpq = a.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("cand_id"))).toSet
+    val pq = Similarity.annPq(emb).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("cand_id"))).toSet
+    val recIvfPq = brute.intersect(ivfpq).size.toDouble / brute.size
+    val recPq = brute.intersect(pq).size.toDouble / brute.size
+    assert(recIvfPq > recPq,
+      s"IVF-PQ recall $recIvfPq does not beat plain PQ's $recPq")
+    assert(recIvfPq > 0.5, s"IVF-PQ recall $recIvfPq below the refine-stage floor")
+    // exact re-ranked cosines are non-increasing by rank
+    a.groupBy(_.getAs[Long]("query_id")).values.foreach { rows =>
+      val cs = rows.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("cos"))
+      assert(cs.sameElements(cs.sorted.reverse), "cosine not descending by rank")
+    }
+  }
+
+  test("PQ codebook training at a non-default size follows the kCodes*256 sample rule") {
+    // the sample-sizing contract (r19 scaladoc): the sample scales
+    // with kCodes automatically; a non-default (m=8, kCodes=8)
+    // training stays deterministic and shape-correct
+    val cb1 = Similarity.trainPqCodebooks(emb, m = 8, kCodes = 8)
+    val cb2 = Similarity.trainPqCodebooks(emb, m = 8, kCodes = 8)
+    assert(cb1.length == 8 && cb1.forall(_.length <= 8) &&
+      cb1.forall(_.forall(_.length == 8)), "codebook shape m=8, kCodes<=8, dsub=8")
+    assert(cb1.zip(cb2).forall { case (x, y) =>
+      x.zip(y).forall { case (u, v) => u.sameElements(v) } },
+      "non-default-size training must be bit-deterministic")
+  }
+
   test("nearDupClusters equals a local union-find on random pair graphs") {
     import spark.implicits._
     val rng = new scala.util.Random(7)
