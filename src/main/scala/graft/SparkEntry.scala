@@ -155,6 +155,13 @@ object SparkEntry {
       recordClassifierRun(s, d)
       LangIdModel.classify(s, Tables.documents(s, d), d)
     }),
+    // char-3..5-gram feature basis (r19) — fastText's actual basis;
+    // the axis that separates no-space scripts the word-token
+    // embedding collapses to one feature per line
+    "q_lang_id_model_cn" -> ((s, d) => {
+      recordClassifierRun(s, d)
+      LangIdModel.classify(s, Tables.documents(s, d), d, charGrams = true)
+    }),
     "q_quality_classifier" -> ((s, d) => {
       recordClassifierRun(s, d)
       QualityClassifier.classify(s, Tables.documents(s, d), d)
@@ -777,6 +784,23 @@ object SparkEntry {
       val beats = lm.langs.drop(i + 1).map(m => s"s_$l >= s_$m").mkString(" AND ")
       s"WHEN $beats THEN '$l'"
     }.mkString("\n         ")
+    // the char-gram sibling's trained literals + its embedding chain
+    // (same class universe, so pivCols/argmax are shared)
+    val cm = LangIdModel.trainedModel(spark, Tables.documents(spark, dir), dir,
+      charGrams = true)
+    val cwtsRows = cm.langs.zipWithIndex.map { case (l, i) =>
+      s"('$l', CAST([${cm.weights(i).map(_.toString).mkString(",")}] AS DOUBLE[]), CAST(${cm.biases(i).toString} AS DOUBLE))"
+    }.mkString(",\n  ")
+    val vecsCharCte =
+      s"""$hashEmbedCharCte, normd AS (
+        |  SELECT acc.doc_id, acc.i,
+        |    CAST(CASE WHEN nrm.ss > 0
+        |         THEN CAST(CAST(s AS DOUBLE) * (1.0/sqrt(nrm.ss)) AS FLOAT)
+        |         ELSE CAST(0.0 AS FLOAT) END AS DOUBLE) AS x
+        |  FROM acc JOIN nrm ON acc.doc_id = nrm.doc_id
+        |), vecs AS (
+        |  SELECT doc_id, list(x ORDER BY i) AS xs FROM normd GROUP BY doc_id
+        |)""".stripMargin
     Map(
       "q_quality_classifier" ->
         s"""$vecsCte, scored AS (
@@ -803,6 +827,25 @@ object SparkEntry {
           |SELECT doc_id, ${lm.langs.map(l => s"s_$l").mkString(", ")},
           |  CASE $argmax
           |         ELSE '${lm.langs.last}' END AS lang_model
+          |FROM piv ORDER BY doc_id""".stripMargin,
+      // char-gram sibling (r19): the identical one-vs-rest restatement
+      // over the char-3..5-gram embedding chain and ITS trained
+      // literals (same class order ⇒ pivCols/argmax shared)
+      "q_lang_id_model_cn" ->
+        s"""$vecsCharCte, wts(lang, w, b) AS (VALUES
+          |  $cwtsRows
+          |), scored0 AS (
+          |  SELECT v.doc_id, w.lang,
+          |    (round(list_sum(list_transform(range(1, 65), i -> v.xs[i] * w.w[i])) + w.b + 1e-9, 6) + 0) AS s
+          |  FROM vecs v CROSS JOIN wts w
+          |), piv AS (
+          |  SELECT doc_id,
+          |         $pivCols
+          |  FROM scored0 GROUP BY doc_id
+          |)
+          |SELECT doc_id, ${cm.langs.map(l => s"s_$l").mkString(", ")},
+          |  CASE $argmax
+          |         ELSE '${cm.langs.last}' END AS lang_model
           |FROM piv ORDER BY doc_id""".stripMargin)
   }
 
@@ -819,11 +862,9 @@ object SparkEntry {
     * `acc` (per-(doc, bucket) signed count as FLOAT) + `nrm` (per-doc
     * squared norm); q_hash_embed and the classifier oracle project
     * from these. */
-  private val hashEmbedCte: String =
-    """WITH toks AS (
-      |  SELECT doc_id, t
-      |  FROM documents, unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS u(t)
-      |  WHERE t <> ''
+  private def hashEmbedCteWith(toksBody: String): String =
+    s"""WITH toks AS (
+      |$toksBody
       |), tb AS (
       |  SELECT doc_id, hex(encode(t)) AS h, octet_length(encode(t)) AS nb FROM toks
       |), p AS (
@@ -854,6 +895,28 @@ object SparkEntry {
       |), nrm AS (
       |  SELECT doc_id, SUM(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) AS ss FROM acc GROUP BY doc_id
       |)""".stripMargin
+
+  private val hashEmbedCte: String = hashEmbedCteWith(
+    """  SELECT doc_id, t
+      |  FROM documents, unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS u(t)
+      |  WHERE t <> ''""".stripMargin)
+
+  /** The char-3..5-gram feature stream (r19): every code-point window
+    * of length 3..5 over the SAME normalized text the word chain
+    * splits — DuckDB substring/length count code points exactly as
+    * [[graft.functions.TextHash.charNgrams]]'s lead-byte scan does;
+    * the downstream poly64/mix64/vote chain is byte-level and shared.
+    * Windows are never empty by construction, and a string shorter
+    * than the window length emits no rows (empty doc ⇒ zero vector,
+    * the kernel contract). */
+  private val hashEmbedCharCte: String = hashEmbedCteWith(
+    """  SELECT doc_id, substring(txt, CAST(p AS INT), CAST(nn AS INT)) AS t
+      |  FROM (SELECT doc_id, txt, nn,
+      |               unnest(range(1, greatest(length(txt) - nn + 2, 1))) AS p
+      |        FROM (SELECT doc_id, txt, unnest([3, 4, 5]) AS nn
+      |              FROM (SELECT doc_id,
+      |                           regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS txt
+      |                    FROM documents)))""".stripMargin)
 
   /** `cents(cid, c)` literal CTE body: the TRAINED spherical-k-means
     * centroids (deterministic — seeded hash-order sample + fixed Lloyd

@@ -209,6 +209,44 @@ object TextHash {
     ArrayData.toArrayData(toks.toArray)
   }
 
+  /** Character n-gram windows over CODE POINTS — every contiguous
+    * window of nMin..nMax code points of the input (expected
+    * pre-normalized via normalizeWs, so spaces are single and carry
+    * word-boundary information into the grams — the fastText feature
+    * basis). One boundary scan finds the UTF-8 lead-byte offsets,
+    * then windows slice bytes, so a window is exactly DuckDB's
+    * `substring(txt, p, n)` over the same normalized string (both
+    * count code points, neither is grapheme-aware — the established
+    * parity class of lower/trim/length). A string shorter than nMin
+    * code points emits nothing (the empty document embeds to zero).
+    * ([[graft.functions.CharNgrams]]) */
+  def charNgrams(input: UTF8String, nMin: Int, nMax: Int): ArrayData = {
+    val arr = input.getBytes
+    val n = arr.length
+    // lead-byte offsets + terminal sentinel: starts(i) = byte offset
+    // of code point i; starts(nChars) = n
+    val starts = new scala.collection.mutable.ArrayBuffer[Int](n + 1)
+    var i = 0
+    while (i < n) {
+      if ((arr(i) & 0xc0) != 0x80) starts += i
+      i += 1
+    }
+    starts += n
+    val nChars = starts.length - 1
+    val out = new scala.collection.mutable.ArrayBuffer[UTF8String](
+      math.max(0, (nMax - nMin + 1) * nChars))
+    var len = nMin
+    while (len <= nMax) {
+      var p = 0
+      while (p + len <= nChars) {
+        out += UTF8String.fromBytes(arr, starts(p), starts(p + len) - starts(p))
+        p += 1
+      }
+      len += 1
+    }
+    ArrayData.toArrayData(out.toArray)
+  }
+
   /** `regexp_count(text, "[^a-zA-Z0-9\\s]")` without the regex
     * engine: code points outside ASCII alphanumerics and ASCII \s.
     * Counted at UTF-8 LEAD bytes, so every non-ASCII code point —

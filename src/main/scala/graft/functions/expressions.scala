@@ -248,6 +248,22 @@ case class PqEncode(child: Expression, codebooks: Array[Array[Array[Float]]])
     copy(child = newChild)
 }
 
+/** Character n-gram windows of a (pre-normalized) string
+  * ([[TextHash.charNgrams]]) — the fastText feature basis: code-point
+  * windows of nMin..nMax, formed row-locally so the char-level
+  * embedding costs one scan like the word-token form. */
+case class CharNgrams(child: Expression, nMin: Int, nMax: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    TextHash.charNgrams(input.asInstanceOf[UTF8String], nMin, nMax)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.charNgrams($c, $nMin, $nMax)")
+  override protected def withNewChildInternal(newChild: Expression): CharNgrams =
+    copy(child = newChild)
+}
+
 /** IVF-PQ index entry — `[cid, code_0..code_{m-1}]` in one scan-local
   * codegen'd map ([[TextHash.ivfPqEncode]]): coarse inverted-list
   * assignment plus residual PQ codes, the IVFADC construction (Jégou
@@ -617,6 +633,8 @@ object GraftFunctions {
   def ivfPqEncode(v: Column, cents: Array[Array[Float]],
                   codebooks: Array[Array[Array[Float]]]): Column =
     Bridge.column(IvfPqEncode(e(v), cents, codebooks))
+  def charNgrams(text: Column, nMin: Int, nMax: Int): Column =
+    Bridge.column(CharNgrams(e(text), nMin, nMax))
   def countPunct(text: Column): Column = Bridge.column(CountPunct(e(text)))
   def redactIps(text: Column): Column = Bridge.column(RedactIps(e(text)))
   def countIps(text: Column): Column = Bridge.column(CountIps(e(text)))

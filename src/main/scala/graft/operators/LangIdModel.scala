@@ -49,12 +49,26 @@ object LangIdModel {
     * all-zero fallback class. */
   val classes: Seq[String] = TextAnalysis.langMarkers.map(_._1) :+ "und"
 
+  /** The feature embedding, selected by basis (r19): word tokens (the
+    * r18 form) or char 3..5-grams over the normalized text —
+    * fastText's actual basis, and the one that matters for no-space
+    * scripts: a Thai/CJK line is ONE whitespace token, so the word
+    * embedding collapses to a single hash bucket per line (every such
+    * line looks alike), while char windows see the script itself.
+    * Both are scan-local codegen'd projections. */
+  private[graft] def featEmbed(text: Column, dim: Int,
+                               charGrams: Boolean): Column =
+    if (charGrams)
+      GraftFunctions.hashEmbed(
+        GraftFunctions.charNgrams(GraftFunctions.normalizeWs(text), 3, 5), dim)
+    else GraftFunctions.hashEmbed(TextAnalysis.tokens(text), dim)
+
   /** Deterministic weak-label training frame: (embedding, class index)
     * for a seeded hash-ordered sample. One Spark action. */
   private def trainingSample(docs: DataFrame, dim: Int, sampleN: Int,
-                             seed: Long): Array[(Array[Float], Int)] = {
-    val emb = Similarity.hashEmbedDocs(docs, dim)
-      .select(col("vec_id").as("doc_id"), col("embedding"))
+                             seed: Long, charGrams: Boolean): Array[(Array[Float], Int)] = {
+    val emb = docs.select(col("doc_id"),
+      featEmbed(col("text"), dim, charGrams).as("embedding"))
     val labels = TextAnalysis.langId(docs).select(col("doc_id"), col("lang_pred"))
     emb.join(labels, "doc_id")
       .withColumn("h", xxhash64(col("doc_id"), lit(seed)))
@@ -82,8 +96,8 @@ object LangIdModel {
     * picks it. */
   def train(docs: DataFrame, dim: Int = 64, sampleN: Int = 8192,
             iters: Int = 200, lr: Double = 0.5,
-            seed: Long = 42L): Model = {
-    val sample = trainingSample(docs, dim, sampleN, seed)
+            seed: Long = 42L, charGrams: Boolean = false): Model = {
+    val sample = trainingSample(docs, dim, sampleN, seed, charGrams)
     require(sample.nonEmpty,
       "LangIdModel.train: documents input is empty — nothing to train on")
     val d = sample.head._1.length
@@ -130,9 +144,10 @@ object LangIdModel {
     * embedding is computed once per row as a non-cheap multi-consumer
     * alias (CollapseProject leaves it alone — the redactCountIps
     * precedent), each class score is one LogitDot against it. */
-  def score(docs: DataFrame, model: Model, dim: Int = 64): DataFrame = {
+  def score(docs: DataFrame, model: Model, dim: Int = 64,
+            charGrams: Boolean = false): DataFrame = {
     val scored = docs.select(col("doc_id"),
-        GraftFunctions.hashEmbed(TextAnalysis.tokens(col("text")), dim).as("emb"))
+        featEmbed(col("text"), dim, charGrams).as("emb"))
       .select(Seq(col("doc_id")) ++ model.langs.zipWithIndex.map {
         case (l, i) => rnd(GraftFunctions.logitDot(col("emb"), model.weights(i))
           + lit(model.biases(i)), 6).as(s"s_$l")
@@ -158,30 +173,26 @@ object LangIdModel {
     * different training configuration now trains its own model
     * instead of silently scoring against the first call's. */
   def classify(spark: SparkSession, docs: DataFrame, dir: String,
-               dim: Int = 64): DataFrame =
-    score(docs, trainedModel(spark, docs, dir, dim), dim)
+               dim: Int = 64, charGrams: Boolean = false): DataFrame =
+    score(docs, trainedModel(spark, docs, dir, dim, charGrams), dim, charGrams)
 
   /** Default train hyperparameters, part of the memo key so a
     * non-default [[train]] call can never be confused with the
     * memoized default-trained model. */
   private val defaultHyper = (8192, 200, 0.5, 42L)
 
-  @volatile private var modelMemo:
-      ((SparkSession, String, Int, (Int, Int, Double, Long), Int), Model) = null
+  /** Both feature bases run in one Verify/test JVM, so the memo is a
+    * small map (word + char per corpus), not a single slot. */
+  private val modelMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, Int, (Int, Int, Double, Long), Int, Boolean), Model]()
 
   def trainedModel(spark: SparkSession, docs: DataFrame, dir: String,
-                   dim: Int = 64): Model = {
+                   dim: Int = 64, charGrams: Boolean = false): Model = {
     val key = (spark, dir, dim, defaultHyper,
-      docs.queryExecution.analyzed.semanticHash())
-    val memo = modelMemo
-    if (memo != null && memo._1 == key) memo._2
-    else {
-      val m = train(docs, dim)
-      modelMemo = (key, m)
-      m
-    }
+      docs.queryExecution.analyzed.semanticHash(), charGrams)
+    modelMemo.computeIfAbsent(key, _ => train(docs, dim, charGrams = charGrams))
   }
 
   /** Test hook: drop the model memo. */
-  private[graft] def invalidate(): Unit = modelMemo = null
+  private[graft] def invalidate(): Unit = modelMemo.clear()
 }

@@ -44,6 +44,51 @@ class LangIdModelSpec extends AnyFunSuite {
       f"${agree / n}%.3f over ${n.toInt} docs")
   }
 
+  test("char-gram basis separates no-space scripts the word basis collapses (r19)") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    def sent(words: Seq[String], n: Int): String =
+      Seq.fill(n)(words(rng.nextInt(words.length))).mkString(" ")
+    val en = Seq("the", "of", "and", "is", "to", "that", "house", "water", "light")
+    val de = Seq("der", "die", "und", "ist", "ein", "nicht", "haus", "wasser", "licht")
+    val th = Seq(
+      "สวัสดีครับวันนี้อากาศดีมาก",
+      "ประเทศไทยมีอาหารอร่อยมากมาย",
+      "ภาษาไทยไม่มีการเว้นวรรคระหว่างคำ",
+      "การเรียนรู้ของเครื่องเป็นสาขาหนึ่งของปัญญาประดิษฐ์",
+      "แม่น้ำเจ้าพระยาไหลผ่านกรุงเทพมหานคร")
+    val rows = (0 until 60).map(i => (i.toLong, sent(en, 8))) ++
+      (60 until 120).map(i => (i.toLong, sent(de, 8))) ++
+      (120 until 180).map(i => (i.toLong, th(i % th.length) * (1 + i % 3)))
+    val corpus = rows.toDF("doc_id", "text")
+    // the word-token failure mode, made visible: a no-space line is ONE
+    // whitespace token, so its word embedding is one-hot — every Thai
+    // line looks like "some single feature" to the r18 basis (and to
+    // its weak-label teacher); char windows see the script itself
+    val emb = corpus.filter(col("doc_id") >= 120).select(
+        LangIdModel.featEmbed(col("text"), 64, charGrams = false).as("w"),
+        LangIdModel.featEmbed(col("text"), 64, charGrams = true).as("c"))
+      .collect()
+    assert(emb.forall(_.getSeq[Float](0).count(_ != 0f) == 1),
+      "a no-space line must collapse to a one-hot word-token embedding")
+    assert(emb.forall(_.getSeq[Float](1).count(_ != 0f) > 8),
+      "char windows must spread a no-space line across many features")
+    // the char-basis model separates HELD-OUT docs: marker languages
+    // classify as themselves, a new Thai sentence as the non-marker
+    // class — the fastText-faithful axis the verdict asked for
+    val m = LangIdModel.train(corpus, charGrams = true)
+    val held = Seq(
+      (1000L, sent(en, 10)), (1001L, sent(de, 10)),
+      (1002L, "ปัญญาประดิษฐ์ช่วยให้คอมพิวเตอร์เข้าใจภาษามนุษย์"))
+      .toDF("doc_id", "text")
+    val out = LangIdModel.score(held, m, charGrams = true).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("lang_model")).toMap
+    assert(out(1000L) == "en" && out(1001L) == "de",
+      s"marker-language held-outs misclassified: $out")
+    assert(out(1002L) == "und",
+      s"no-space-script held-out not separated from the marker languages: $out")
+  }
+
   test("argmax tie rule: equal scores pick the alphabetically-first class") {
     // force exact ties by scoring with an all-zero model: every class
     // score is its bias; set all biases equal so every row ties
