@@ -169,10 +169,13 @@ object GraftApi {
                    mix: Option[MixStage] = None,
                    blocklist: Seq[String] = Nil,
                    decontam: Option[DecontamStage] = None,
-                   qualityModel: Option[QualityClassifier.LogitModel] = None)
+                   qualityModel: Option[QualityClassifier.LogitModel] = None,
+                   semanticDedupTau: Option[Double] = None,
+                   semanticDedupK: Int = 16)
       : DataFrame =
     curatePlan(docs, perSource, spanDedupK, benchmark, decontamMinShared,
-      mix, blocklist, decontam, qualityModel).frame
+      mix, blocklist, decontam, qualityModel, semanticDedupTau,
+      semanticDedupK).frame
 
   /** Build the corpus-curation unit of work WITHOUT running any Spark
     * job: a pure plan-construction call returning the composed frame
@@ -191,7 +194,9 @@ object GraftApi {
                  mix: Option[MixStage] = None,
                  blocklist: Seq[String] = Nil,
                  decontam: Option[DecontamStage] = None,
-                 qualityModel: Option[QualityClassifier.LogitModel] = None)
+                 qualityModel: Option[QualityClassifier.LogitModel] = None,
+                 semanticDedupTau: Option[Double] = None,
+                 semanticDedupK: Int = 16)
       : CorpusCuration = {
     val scope = Caches.newScope("curate")
     new CorpusCuration(scope, () => Caches.in(scope) {
@@ -335,12 +340,36 @@ object GraftApi {
       val survivors = Caches.persistTracked(
         afterDecontam.join(nearDupDrop, Seq("doc_id"), "left_anti"))
       stages += ("near_dup" -> survivors)
+      // optional SEMANTIC near-dup removal (r19, the SemDeDup axis as
+      // a pipeline stage): the minhash stage above catches LEXICAL
+      // near-dups (shared shingles); this one catches paraphrases —
+      // hash-embed the survivors scan-locally (no external model, the
+      // ClusterBalanced mix's bridge), resolve embedding near-dups
+      // within the trained quantizer's clusters
+      // ([[graft.operators.Similarity.semDedup]] — keep-min-id, the
+      // same rule as the other dedup families), and semi-join the
+      // surviving ids back — the standard aggregation-stage handoff.
+      // Runs AFTER the lexical stage (no point embedding documents a
+      // shingle rule removes) with its own manifest row. At 100 TB
+      // size `semanticDedupK` by the k ≈ √N rule (see semDedup's
+      // scaladoc); the default 16 fits the test corpora.
+      val afterSemantic = semanticDedupTau match {
+        case Some(tau) =>
+          val keep = Similarity
+            .semDedup(Similarity.hashEmbedDocs(survivors),
+              tau = tau, k = semanticDedupK)
+            .select(col("vec_id").as("doc_id"))
+          val kept = Caches.persistTracked(survivors.join(keep, Seq("doc_id")))
+          stages += ("semantic_dedup" -> kept)
+          kept
+        case None => survivors
+      }
       val afterNearDup = spanDedupK match {
         case Some(sk) =>
-          val cut = TextAnalysis.cutSpans(survivors, k = sk)
+          val cut = TextAnalysis.cutSpans(afterSemantic, k = sk)
           stages += ("span_dedup" -> cut)
           cut
-        case None => survivors
+        case None => afterSemantic
       }
       // redaction is a pure function of the row — project it in place
       // ([[TextAnalysis.redactTextExpr]]); the r15 form joined

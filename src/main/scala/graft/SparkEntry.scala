@@ -184,6 +184,20 @@ object SparkEntry {
         benchmark = Some(docs.filter(col("source") === "src0")),
         mix = Some(MixStage.PerSource(10)))
     }),
+    // the composed pipeline WITH the semantic near-dup stage (r19):
+    // strip → quality → keep-best exact dedup → exact decontam vs
+    // src0 → minhash-cluster removal → SEMANTIC dedup (hash-embedded
+    // survivors resolved within the trained quantizer's clusters at
+    // tau=0.85) → PII redaction — pins the semantic stage's doc_id
+    // semi-join plumbing and placement against one DuckDB restatement
+    "q_curate_semantic" -> ((s, d) => {
+      recordQuantizerRun(s, d)
+      val docs = Tables.documents(s, d)
+      GraftApi.curateCorpus(
+        docs.filter(col("source") =!= "src0"),
+        benchmark = Some(docs.filter(col("source") === "src0")),
+        semanticDedupTau = Some(0.85))
+    }),
     // the same run's attrition datasheet — pins the manifest's
     // docs_in/docs_out/docs_dropped reconciliation arithmetic against
     // independently recomputed per-stage counts
@@ -863,7 +877,14 @@ object SparkEntry {
     * squared norm); q_hash_embed and the classifier oracle project
     * from these. */
   private def hashEmbedCteWith(toksBody: String): String =
-    s"""WITH toks AS (
+    "WITH " + hashEmbedChain(toksBody, "documents")
+
+  /** The chain WITHOUT the leading WITH, parameterized over the
+    * feature-stream body and the per-doc grid source, so it can
+    * CONTINUE an existing CTE chain (the q_curate_semantic oracle
+    * embeds it over the curation survivors `nd`). */
+  private def hashEmbedChain(toksBody: String, docSource: String): String =
+    s"""toks AS (
       |$toksBody
       |), tb AS (
       |  SELECT doc_id, hex(encode(t)) AS h, octet_length(encode(t)) AS nb FROM toks
@@ -888,7 +909,7 @@ object SparkEntry {
       |         SUM(CASE WHEN (h & 1) = 0 THEN 1.0 ELSE -1.0 END) AS s
       |  FROM hx GROUP BY doc_id, i
       |), grid AS (
-      |  SELECT doc_id, CAST(g.i AS INT) AS i FROM documents, range(0, 64) AS g(i)
+      |  SELECT doc_id, CAST(g.i AS INT) AS i FROM $docSource, range(0, 64) AS g(i)
       |), acc AS (
       |  SELECT grid.doc_id, grid.i, CAST(COALESCE(votes.s, 0.0) AS FLOAT) AS s
       |  FROM grid LEFT JOIN votes ON grid.doc_id = votes.doc_id AND grid.i = votes.i
@@ -1014,6 +1035,26 @@ object SparkEntry {
       val rcbRows = (for { s <- ivfPqCb.indices; c <- ivfPqCb(s).indices } yield
         s"($s, $c, CAST([${ivfPqCb(s)(c).map(_.toDouble.toString).mkString(",")}] AS DOUBLE[]))")
         .mkString(",\n  ")
+      // q_curate_semantic's trained literals (r19): the semantic
+      // stage's quantizer trains on the CURATION SURVIVORS' hash
+      // embeddings, so the builder reconstructs the same pipeline up
+      // to the near_dup stage (deterministic — identical survivors,
+      // identical seeded sample) and exports those centroids; the
+      // run's caches are scope-released right after
+      val semCentRows = {
+        import org.apache.spark.sql.functions.col
+        val docs = Tables.documents(spark, dir)
+        val plan = GraftApi.curatePlan(
+          docs.filter(col("source") =!= "src0"),
+          benchmark = Some(docs.filter(col("source") === "src0")))
+        val surv = plan.stageFrames.find(_._1 == "near_dup").get._2
+        val cents = Similarity.trainQuantizer(
+          Similarity.withNorm(Similarity.hashEmbedDocs(surv)), 16, 3, 42L)
+        plan.release()
+        cents.zipWithIndex.map { case (c, i) =>
+          s"($i, CAST([${c.map(_.toDouble.toString).mkString(",")}] AS DOUBLE[]))"
+        }.mkString(",\n  ")
+      }
       Map(
         // PQ-ANN: per-(vector, subspace) raw-double squared distances
         // against the codebook literals (same left-to-right product
@@ -1138,6 +1179,68 @@ object SparkEntry {
             |QUALIFY row_number() OVER (PARTITION BY query_id
             |          ORDER BY cos DESC NULLS LAST, cand_id) <= 5
             |ORDER BY query_id, rank""".stripMargin,
+        // q_curate_semantic (r19): the full composed-curation chain
+        // (strip → quality → keep-best → decontam → minhash clusters
+        // → `nd`), then the hashing-trick embedding RE-DERIVED over
+        // the survivors' tokens (the shared byte-level chain, grid
+        // from nd), float-exact normalization, assignment argmax over
+        // the survivor-trained centroid literals, the SemDeDup
+        // lower-id-neighbor drop at tau=0.85, and the PII-redaction
+        // tail over the semantic survivors
+        "q_curate_semantic" -> (curateOracleStages + s"""
+          |), ${hashEmbedChain(
+            "  SELECT doc_id, t FROM (SELECT doc_id, unnest(toks) AS t FROM nd) WHERE t <> ''",
+            "nd")}, sem_normd AS (
+          |  SELECT acc.doc_id, acc.i,
+          |    CAST(CASE WHEN nrm.ss > 0
+          |         THEN CAST(CAST(s AS DOUBLE) * (1.0/sqrt(nrm.ss)) AS FLOAT)
+          |         ELSE CAST(0.0 AS FLOAT) END AS DOUBLE) AS x
+          |  FROM acc JOIN nrm ON acc.doc_id = nrm.doc_id
+          |), sem_vecs AS (
+          |  SELECT doc_id, list(x ORDER BY i) AS v FROM sem_normd GROUP BY doc_id
+          |), sem_n AS (
+          |  SELECT doc_id, v, sqrt(list_sum(list_transform(v, y -> y * y))) AS vn
+          |  FROM sem_vecs
+          |), sem_cents(cid, c) AS (VALUES
+          |  $semCentRows
+          |), sem_scored AS (
+          |  SELECT sn.doc_id, ct.cid, sn.vn, sn.v,
+          |         list_sum(list_transform(range(1, len(ct.c) + 1),
+          |               i -> sn.v[i] * ct.c[i])) AS d
+          |  FROM sem_n sn CROSS JOIN sem_cents ct
+          |), sem_assigned AS (
+          |  SELECT doc_id, cid, vn, v FROM (
+          |    SELECT doc_id, cid, vn, v,
+          |           row_number() OVER (PARTITION BY doc_id ORDER BY d DESC, cid) AS rn
+          |    FROM sem_scored) WHERE rn = 1
+          |), sem_dropped AS (
+          |  SELECT DISTINCT a.doc_id
+          |  FROM sem_assigned a JOIN sem_assigned b
+          |    ON a.cid = b.cid AND a.doc_id > b.doc_id
+          |  WHERE (round(CASE WHEN (a.vn * b.vn) > 0 THEN
+          |           list_sum(list_transform(range(1, len(a.v) + 1),
+          |             i -> a.v[i] * b.v[i])) / (a.vn * b.vn) END + 1e-9, 6) + 0) >= 0.85
+          |), semk AS (
+          |  SELECT doc_id, source, text FROM nd
+          |  WHERE doc_id NOT IN (SELECT doc_id FROM sem_dropped)
+          |), red1 AS (
+          |  SELECT doc_id, source,
+          |         regexp_replace(text, '${TextAnalysis.emailPat}', '<EMAIL>', 'g') AS a
+          |  FROM semk
+          |), red2a AS (
+          |  SELECT doc_id, source,
+          |         regexp_replace(a, '${TextAnalysis.ipPat}', '${TextAnalysis.ipReplDuck}', 'g') AS b1
+          |  FROM red1
+          |), red2 AS (
+          |  SELECT doc_id, source,
+          |         regexp_replace(b1, '${TextAnalysis.ipPat}', '${TextAnalysis.ipReplDuck}', 'g') AS b
+          |  FROM red2a
+          |), redacted AS (
+          |  SELECT doc_id, source,
+          |         regexp_replace(b, '${TextAnalysis.phonePat}', '${TextAnalysis.phoneReplDuck}', 'g') AS text
+          |  FROM red2
+          |)
+          |SELECT doc_id, source, text FROM redacted ORDER BY doc_id""").stripMargin,
         // SemDeDup: assignment argmax, within-cluster (a>b) pairs
         // cosine-scored exactly as the kernel does (widened
         // left-to-right list_sum, 6dp round, null on a zero-norm

@@ -364,6 +364,67 @@ class IntegrationSpec extends AnyFunSuite {
     graft.operators.Caches.releaseAll()
   }
 
+  test("curation semantic-dedup stage: placement, manifest row, gapless arithmetic (r19)") {
+    import org.apache.spark.sql.functions.col
+    val base = graft.sources.Tables.documents(spark, sfDir)
+      .select("doc_id", "source", "text")
+    val curation = GraftApi.curatePlan(base, semanticDedupTau = Some(0.85))
+    try {
+      val nOut = curation.frame.count()
+      val m = curation.manifest.collect()
+        .map(r => (r.getAs[String]("stage"), r.getAs[Long]("docs_in"),
+          r.getAs[Long]("docs_out"), r.getAs[Long]("docs_dropped")))
+      // the semantic stage slots between the lexical near-dup stage
+      // and redaction, with its own manifest row
+      assert(m.map(_._1).toSeq == Seq("input", "strip_markup",
+        "quality_filter", "exact_dedup", "near_dup", "semantic_dedup",
+        "redact_pii"), s"stage order drifted: ${m.map(_._1).toSeq}")
+      assert(m.last._2 == nOut && m.last._3 == nOut)
+      m.sliding(2).foreach { case Array(a, b) =>
+        assert(b._2 == a._3, s"docs_in of ${b._1} != docs_out of ${a._1}")
+      }
+      m.foreach { case (stage, in, out, dropped) =>
+        assert(dropped == in - out && dropped >= 0, s"$stage attrition inconsistent")
+      }
+      assert(m.find(_._1 == "semantic_dedup").exists(_._4 > 0),
+        "tau=0.85 must own a drop on this corpus (measured 38/16 at the test SFs)")
+    } finally curation.release()
+  }
+
+  test("semantic stage catches a token-permuted paraphrase the shingle stage misses") {
+    import spark.implicits._
+    // same token MULTISET, different order: the hashing-trick
+    // embeddings are IDENTICAL (cosine exactly 1.0), but the 3-gram
+    // shingle sets of a shuffle barely overlap — so the lexical
+    // near-dup stage keeps both and only the semantic stage can
+    // resolve the pair (keep-min-id)
+    val words = ("the quick brown fox jumps over lazy dog near quiet " +
+      "river bank while golden sun slowly sets behind tall mountain " +
+      "peaks today").split(" ").toSeq
+    val a = words.mkString(" ")
+    val b = new scala.util.Random(3).shuffle(words).mkString(" ")
+    assert(a != b)
+    val filler = (0 until 30).map(i => (100L + i, "srcB",
+      s"filler document number $i with the usual amount of plain and " +
+        s"ordinary text about topic $i to pass the quality gate easily"))
+    val docs = (Seq((1L, "srcA", a), (2L, "srcA", b)) ++ filler)
+      .toDF("doc_id", "source", "text")
+    // control: WITHOUT the semantic stage both permutations survive
+    val plain = GraftApi.curatePlan(docs)
+    val sem = GraftApi.curatePlan(docs, semanticDedupTau = Some(0.99))
+    try {
+      val keptPlain = plain.frame.select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(keptPlain.contains(1L) && keptPlain.contains(2L),
+        "the shingle stage must NOT pair a full-shuffle paraphrase")
+      val kept = sem.frame.select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(kept.contains(1L) && !kept.contains(2L),
+        s"semantic stage must drop the higher-id twin: kept=$kept")
+      val m = sem.manifest.collect().map(r =>
+        (r.getAs[String]("stage"), r.getAs[Long]("docs_dropped"))).toMap
+      assert(m("semantic_dedup") >= 1L)
+    } finally { plain.release(); sem.release(); GraftApi.releaseCaches() }
+  }
+
   test("curation with every optional stage on: full order, gapless manifest") {
     import spark.implicits._
     val base = graft.sources.Tables.documents(spark, sfDir)
