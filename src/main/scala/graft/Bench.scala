@@ -188,6 +188,48 @@ object Bench {
     (base ++ reservedD ++ refine).distinct
   }
 
+  /** r19 (the BENCH_r18 residual, verdict item 6): repass RUNS are a
+    * budget allocated by DEVIATION RANK with a 1-run floor, replacing
+    * the fixed-cardinality reserve whose overflow truncated the tail
+    * on every burst-regime round (r17: 20 unrepassed; r18: 16 even at
+    * budget 48). The core set — the 16-slot arm base plus the whole
+    * refinement tail — keeps its TWO extra runs (the min-of-5 warmth
+    * contract); every remaining arm-(d) deviator then gets ONE run in
+    * deviation order while the run budget lasts, and leftover budget
+    * upgrades the highest-deviation tail members back to two. A board
+    * so flooded that even the 1-run floor exhausts cuts the lowest
+    * deviators and publishes the LOWEST FUNDED deviation as
+    * `suspect_cutoff` — every unrepassed suspect is then provably at
+    * or below the published cutoff (the adjudicable-degradation
+    * contract). Budget 96 runs ≈ the r18 worst case (48 suspects × 2),
+    * but it now covers up to ~28 core + 40 floor suspects ≈ 68 — more
+    * than any observed board — before cutting anything. */
+  private[graft] val RepassRunBudget = 96
+  private[graft] def allocateRepasses(armAB: Seq[String], armC: Seq[String],
+                                      refine: Seq[String],
+                                      steadyOf: Map[String, Double],
+                                      deviationOf: Map[String, Double] = Map.empty,
+                                      runBudget: Int = RepassRunBudget)
+      : (Seq[(String, Int)], Option[Double]) = {
+    def rank(ks: Seq[String]): Seq[String] =
+      ks.distinct.sortBy(k => (-deviationOf.getOrElse(k, 0.0),
+        -steadyOf.getOrElse(k, 0.0), k))
+    val armD = deviationOf.collect { case (k, d) if d > 1.3 => k }.toSeq
+    val base = (rank(armAB) ++ rank(armD) ++ rank(armC)).distinct.take(16)
+    val core = (base ++ refine).distinct
+    val tail = rank(armD).filterNot(core.toSet)
+    val left = math.max(0, runBudget - 2 * core.size)
+    val funded = tail.take(left)
+    val upgrades = math.min(funded.size, left - funded.size)
+    val alloc = core.map(_ -> 2) ++
+      funded.zipWithIndex.map { case (k, i) => k -> (if (i < upgrades) 2 else 1) }
+    val cutoff =
+      if (funded.size < tail.size)
+        funded.lastOption.map(k => deviationOf.getOrElse(k, 0.0))
+      else None
+    (alloc, cutoff)
+  }
+
   /** Key under which a slope window's WALL-TIME maps publish (the
     * ratio maps AND the raw per-query seconds): a CONVICTED window
     * (sustained sentinel contention, or suite-level load) renames the
@@ -333,8 +375,8 @@ object Bench {
     // text generation, ~16 s of store DDL at sf0.1 that would have
     // been a third of the suite total while timing nothing new)
     val composedPins =
-      Set("q_curate", "q_curate_manifest", "q_corpus_ingest_check",
-        "q_neardup_store_check")
+      Set("q_curate", "q_curate_manifest", "q_curate_semantic",
+        "q_corpus_ingest_check", "q_neardup_store_check")
 
     def suite(dir: String, passes: Int, only: Option[Set[String]] = None,
               checkpoint: Option[() => Unit] = None):
@@ -584,9 +626,14 @@ object Bench {
       case (k, _, v, _, true, _) if baselineFor(k).isDefined =>
         k -> v / math.max(baselineFor(k).get, 1e-3)
     }.toMap
-    val suspects = selectSuspects(armAB, armC, refine, steadyOf, deviationOf)
-    val repassed = suspects.map { k =>
-      val extra = (0 until 2).map(_ => time(SparkEntry.queries(k), sfDir))
+    // r19: run-budget allocation by deviation rank (see
+    // [[allocateRepasses]]) — the core set keeps min-of-5, the arm-(d)
+    // tail degrades to min-of-4 then a published cutoff instead of
+    // silently truncating at a fixed reserve
+    val (repassAlloc, suspectCutoff) =
+      allocateRepasses(armAB, armC, refine, steadyOf, deviationOf)
+    val repassed = repassAlloc.map { case (k, nRuns) =>
+      val extra = (0 until nRuns).map(_ => time(SparkEntry.queries(k), sfDir))
       k -> ((extra.map(_._1).min, extra.map(_._2).min))
     }.toMap
     // one post-repass checkpoint when arm (c) fired: the artifact then
@@ -804,7 +851,12 @@ object Bench {
         // PQ (r18): encoding is a geometry-independent per-vector map
         // and ADC rows are N·m·Q ints — linear in the corpus at fixed
         // queries, like the quantizer ops
-        "q_cluster_embed", "q_mix_cluster", "q_ann_pq")
+        "q_cluster_embed", "q_mix_cluster", "q_ann_pq",
+        // r19 ops: IVF-PQ is the PQ shape with a list-restricted sweep
+        // plus a fixed-size refine join — linear at fixed queries; the
+        // char-gram lang-ID is the lang_id_model scan shape with a
+        // heavier per-row feature loop (windows vs tokens)
+        "q_ann_ivfpq", "q_lang_id_model_cn")
       val heavyKeys = onlyEnv.fold(heavyKeys0)(heavyKeys0.intersect)
       if (sys.env.get("SPARK_GRAFT_SLOPE2").contains("0") ||
           heavyKeys.isEmpty) None
@@ -859,8 +911,16 @@ object Bench {
     // SPARK_GRAFT_SLOPE3=0; override the dir with
     // SPARK_GRAFT_SLOPE3=<dir>.
     val slope3 = (try {
+      // r19 (the r18 verdict's item 8): q_dsir_select and q_ann_pq
+      // join the 100x instrument so their decade claims regenerate
+      // every round instead of living as BASELINE prose; q_semdedup
+      // stays out by the documented fixed-k caveat (pair space
+      // quadratic BY SEMANTICS at fixed k — production scales
+      // k ≈ √N) and is represented by its 100x cluster-skew stats
+      // published below instead
       val s3Keys0 = Set("q_source_overlap", "q_dedup_minhash",
-        "q_feature_pipeline", "q_hash_embed", "q_mix_cluster")
+        "q_feature_pipeline", "q_hash_embed", "q_mix_cluster",
+        "q_dsir_select", "q_ann_pq")
       val s3Keys = onlyEnv.fold(s3Keys0)(s3Keys0.intersect)
       if (sys.env.get("SPARK_GRAFT_SLOPE3").contains("0") ||
           s3Keys.isEmpty) None
@@ -910,10 +970,21 @@ object Bench {
             s""","${ratioKey("slope3_step_ratios", s3Conv)}":$steps,""" +
               s""""slope3_step_shuffle_ratios":$sSteps"""
           } else ""
+        // q_semdedup's 100x datapoint, in lieu of a timed slope (the
+        // fixed-k caveat): cluster-occupancy skew of the shared
+        // quantizer at the 100x corpus — max cluster is the kernel's
+        // per-row memory and the quadratic-work hot spot, the exact
+        // quantity the k ≈ √N sizing rule bounds. Byte-free and
+        // load-independent, so it never renames under conviction.
+        val semJ = try {
+          val (n, mx, cp) = graft.operators.Similarity.semDedupClusterStats(
+            graft.sources.Tables.embeddings(spark, hugeDir))
+          s""","slope3_semdedup_clusters":{"n":$n,"max":$mx,"cand_pairs":$cp}"""
+        } catch { case _: Throwable => "" }
         Some(s""","slope3_sf":"$hugeDir","slope3_factor":100,""" +
           s""""${ratioKey("slope3_queries", s3Conv)}":$qsJ,""" +
           s""""${ratioKey("slope3_ratios", s3Conv)}":$ratios,""" +
-          s""""slope3_shuffle_ratios":$sratios""" + stepJ + loadJ)
+          s""""slope3_shuffle_ratios":$sratios""" + stepJ + semJ + loadJ)
       }
     } catch { case _: Throwable => None }).getOrElse("")
 
@@ -996,13 +1067,17 @@ object Bench {
       .mkString("{", ",", "}")
     val suspectReason =
       if (suspectUnrepassed.isEmpty) "\"\""
-      else "\"arm_budget_exhausted_by_higher_deviators\""
-    // the published repass budget: base 16 + the arm-(d) reserve —
-    // a non-empty suspect_unrepassed is adjudicable against this
-    // number (it can only be non-empty when MORE than this many
-    // queries were flagged at once)
-    val repassBudget = 16 + ArmDReserve
-    val loadMeta = s""","load":{"cpus":$cpusAvail,"pre_1m":$preLoad1m,"samples":[${loadSamples.mkString(",")}]},"floor_sentinel":{"name":"$sentinelName","times":[${sentinelTimes.mkString(",")}],"drift":$floorDrift,"drift_raw":$floorDriftRaw,"drift_suite":$floorDriftSuite},"load_triggered":$loadEvident,"quiet_baseline_n":${quietBase.size},"repass_budget":$repassBudget,"repassed":$repassedJ,"suspect_unrepassed":$suspectJ,"suspect_unrepassed_reason":$suspectReason"""
+      else "\"run_budget_exhausted_below_published_cutoff\""
+    // the published repass budget is now in RUNS (r19), with the
+    // per-suspect allocation and — when the 1-run floor itself
+    // exhausted — the lowest funded deviation as `suspect_cutoff`:
+    // a non-empty suspect_unrepassed is adjudicable row by row
+    // (every entry's deviation is at or below the cutoff)
+    val repassBudget = RepassRunBudget
+    val allocJ = repassAlloc.sortBy(_._1)
+      .map { case (k, n) => "\"" + k + "\":" + n }.mkString("{", ",", "}")
+    val cutoffJ = suspectCutoff.map(_.toString).getOrElse("null")
+    val loadMeta = s""","load":{"cpus":$cpusAvail,"pre_1m":$preLoad1m,"samples":[${loadSamples.mkString(",")}]},"floor_sentinel":{"name":"$sentinelName","times":[${sentinelTimes.mkString(",")}],"drift":$floorDrift,"drift_raw":$floorDriftRaw,"drift_suite":$floorDriftSuite},"load_triggered":$loadEvident,"quiet_baseline_n":${quietBase.size},"repass_budget":$repassBudget,"repass_budget_unit":"runs","repass_runs":$allocJ,"suspect_cutoff":$cutoffJ,"repassed":$repassedJ,"suspect_unrepassed":$suspectJ,"suspect_unrepassed_reason":$suspectReason"""
     val fullLine = s"""{"metric":"total_full","failed_count":$failedCount,"value":$total,"unit":"sec","queries":$qs,"exec_times":$execs,"shuffle_bytes":$shuffles,"spill_bytes_total":$spillTotal,"cold_total":$coldTotal,"failed":$failed,"retried_ok":$retriedJ,"bench_excluded":$excludedJ$slope$slope2$slope3$lsh$rjs$loadMeta,"sf":"$sfDir"}"""
     println(fullLine)
     // ALSO persist the full detail to a file: the driver's stdout

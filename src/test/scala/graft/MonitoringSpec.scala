@@ -227,6 +227,52 @@ class MonitoringSpec extends AnyFunSuite {
         midPack.filterNot(got.contains).mkString(","))
   }
 
+  test("repass run allocation: 1-run floor by deviation rank, published cutoff (BENCH_r18 residual)") {
+    import graft.Bench.{allocateRepasses, RepassRunBudget}
+    val steady = (1 to 80).map(i => f"q$i%02d" -> i * 0.1).toMap
+    val refine = steady.toSeq.sortBy(-_._2).map(_._1).take(16)
+    // the r18 board, distilled then worsened: arms fill the base 16
+    // AND 48 further mid-pack queries deviate at once — more than any
+    // fixed reserve. The floor must fund them in deviation order and
+    // publish the cutoff where the run budget ends.
+    val armAB = (1 to 16).map(i => f"q$i%02d")
+    val dev = steady.keys.map { k =>
+      val i = k.drop(1).toInt
+      k -> (if (i <= 16) 2.5
+            else if (i <= 64) 1.3 + (65 - i) * 0.01
+            else 1.0)
+    }.toMap
+    val (alloc, cutoff) = allocateRepasses(armAB = armAB, armC = Seq.empty,
+      refine = refine, steadyOf = steady, deviationOf = dev)
+    val runsOf = alloc.toMap
+    // budget is exactly spent, never exceeded
+    assert(alloc.map(_._2).sum <= RepassRunBudget)
+    // the core (arm base + refinement tail) keeps its two runs
+    assert(armAB.forall(runsOf.get(_).contains(2)),
+      "arm-convicted queries must keep min-of-5")
+    assert(refine.forall(runsOf.get(_).contains(2)),
+      "refinement tail must keep min-of-5")
+    // graceful degradation: funded tail deviators get >= 1 run, and
+    // every UNFUNDED deviator sits at or below the published cutoff
+    assert(cutoff.isDefined, "an overflowing board must publish its cutoff")
+    val unfunded = dev.collect { case (k, d)
+      if d > 1.3 && !runsOf.contains(k) => k }
+    assert(unfunded.nonEmpty, "this board is built to overflow the floor")
+    assert(unfunded.forall(k => dev(k) <= cutoff.get),
+      s"every unrepassed suspect must be at or below the cutoff ${cutoff.get}")
+    // funded tail members rank strictly above the unfunded ones
+    val fundedTail = alloc.collect { case (k, 1) => k }
+    assert(fundedTail.forall(k => dev(k) >= cutoff.get))
+    // a calm board: every deviator funded at two runs, no cutoff
+    val fewDev = steady.keys.map(k =>
+      k -> (if (k == "q20" || k == "q30") 1.6 else 1.0)).toMap
+    val (calm, calmCut) = allocateRepasses(armAB = Seq.empty, armC = Seq.empty,
+      refine = refine, steadyOf = steady, deviationOf = fewDev)
+    assert(calmCut.isEmpty)
+    assert(calm.toMap.get("q20").contains(2) && calm.toMap.get("q30").contains(2),
+      "leftover budget must upgrade a small tail back to min-of-5")
+  }
+
   test("convicted slope windows rename their wall-ratio keys (_loaded)") {
     import graft.Bench.ratioKey
     // quiet window: the quotable name
