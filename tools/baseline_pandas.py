@@ -1086,6 +1086,124 @@ def ann_pq(emb):
     return pd.DataFrame(out, columns=["query_id", "cand_id", "adist"])
 
 
+def ann_ivfpq(emb):
+    # graft q_ann_ivfpq's shape in numpy (IVFADC + refine): spherical
+    # coarse quantizer, unit-sphere residual PQ codebooks, per-query
+    # probe of the 6 nearest lists, ADC over the probed lists' codes,
+    # refine*k shortlist re-ranked by exact cosine. Timing pair.
+    n_list, n_probe, q_iters, m, k_codes, pq_iters = 16, 6, 3, 16, 32, 5
+    n_q, topk, refine = 20, 5, 4
+    v = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    n, d = v.shape
+    dsub = d // m
+    nrm = np.linalg.norm(v, axis=1, keepdims=True)
+    unit = v / np.where(nrm == 0, 1, nrm)
+    # coarse quantizer (the semdedup/cluster_embed training shape)
+    sample = unit[: n_list * 256]
+    cents = sample[:n_list].copy()
+    for _ in range(q_iters):
+        a = np.argmax(sample @ cents.T, axis=1)
+        for c in range(n_list):
+            mbr = sample[a == c]
+            if len(mbr):
+                s = mbr.sum(axis=0)
+                nn = np.linalg.norm(s)
+                if nn > 0:
+                    cents[c] = s / nn
+    cid = np.argmax(unit @ cents.T, axis=1)
+    resid = unit - cents[cid]
+    # residual codebooks + codes (the ann_pq shape over residuals)
+    rs = resid[: k_codes * 256]
+    books = []
+    for s in range(m):
+        sub = rs[:, s * dsub:(s + 1) * dsub]
+        bc = sub[:k_codes].copy()
+        for _ in range(pq_iters):
+            d2 = ((sub[:, None, :] - bc[None, :, :]) ** 2).sum(axis=2)
+            a = np.argmin(d2, axis=1)
+            for c in range(len(bc)):
+                mbr = sub[a == c]
+                if len(mbr):
+                    bc[c] = mbr.mean(axis=0)
+        books.append(bc)
+    codes = np.zeros((n, m), dtype=np.int32)
+    for s in range(m):
+        sub = resid[:, s * dsub:(s + 1) * dsub]
+        d2 = ((sub[:, None, :] - books[s][None, :, :]) ** 2).sum(axis=2)
+        codes[:, s] = np.argmin(d2, axis=1)
+    ids = emb["vec_id"].to_numpy()
+    out = []
+    for qi in np.where(ids < n_q)[0]:
+        ccos = unit[qi] @ cents.T
+        probes = np.argsort(-ccos, kind="stable")[:n_probe]
+        cand, adist = [], []
+        for c in probes:
+            qr = unit[qi] - cents[c]
+            lut = np.stack([(((qr[s * dsub:(s + 1) * dsub][None, :]
+                               - books[s]) ** 2).sum(axis=1)) for s in range(m)])
+            mbr = np.where((cid == c) & (np.arange(n) != qi))[0]
+            cand.extend(mbr)
+            adist.extend(lut[np.arange(m)[:, None], codes[mbr].T].sum(axis=0))
+        cand = np.asarray(cand)
+        adist = np.asarray(adist)
+        short = cand[np.argsort(adist, kind="stable")[: refine * topk]]
+        cos = np.round((unit[short] @ unit[qi]) + 1e-9, 6)
+        top = short[np.argsort(-cos, kind="stable")[:topk]]
+        out.extend((ids[qi], ids[t]) for t in top)
+    return pd.DataFrame(out, columns=["query_id", "cand_id"])
+
+
+def lang_id_model_cn(docs):
+    # graft q_lang_id_model_cn's shape: char-3..5-gram hashing-trick
+    # embedding (the fastText basis), weak labels from the stopword
+    # heuristic, one-vs-rest logistic GD, scan-local argmax. The char
+    # windows are the cost delta vs lang_id_model. Timing pair.
+    dim, sample_n, iters, lr = 64, 8192, 200, 0.5
+    markers = {"de": {"der", "die", "und", "ist", "ein", "nicht"},
+               "en": {"the", "of", "and", "is", "to", "that"},
+               "es": {"el", "la", "de", "que", "los", "una"},
+               "fr": {"le", "la", "et", "les", "des", "une"}}
+    langs = sorted(markers) + ["und"]
+    toks = _norm_tokens(docs)
+    n = len(docs)
+    X = np.zeros((n, dim), dtype=np.float32)
+    labels = np.full(n, len(langs) - 1)
+    for r, ts in enumerate(toks):
+        scores = dict.fromkeys(markers, 0)
+        for t in ts:
+            if t:
+                for l, ws in markers.items():
+                    if t in ws:
+                        scores[l] += 1
+        best = max(sorted(markers), key=lambda l: scores[l])
+        if scores[best] > 0:
+            labels[r] = langs.index(best)
+        txt = " ".join(ts)
+        for ln in (3, 4, 5):
+            for p in range(len(txt) - ln + 1):
+                h = hash(txt[p:p + ln])
+                X[r, (h >> 1) % dim] += 1.0 if (h & 1) == 0 else -1.0
+    nr = np.linalg.norm(X, axis=1, keepdims=True)
+    X = X / np.where(nr == 0, 1, nr)
+    idx = np.random.RandomState(42).permutation(n)[:sample_n]
+    Xs, ys = X[idx], labels[idx]
+    W = np.zeros((len(langs), dim))
+    bs = np.zeros(len(langs))
+    for c in range(len(langs)):
+        w, b = np.zeros(dim), 0.0
+        y = (ys == c).astype(np.float64)
+        for _ in range(iters):
+            p = 1.0 / (1.0 + np.exp(-(Xs @ w + b)))
+            g = p - y
+            w -= lr * (Xs.T @ g) / len(ys)
+            b -= lr * g.mean()
+        W[c], bs[c] = w, b
+    scores = np.round(X @ W.T + bs + 1e-9, 6)
+    pred = np.argmax(scores, axis=1)
+    return pd.DataFrame({"doc_id": docs["doc_id"],
+                         "lang_model": [langs[i] for i in pred]})
+
+
 def quality_classifier(docs):
     # graft q_quality_classifier's shape in numpy: hashing-trick
     # embedding (64 signed buckets, L2-normalized), weak agreement
@@ -1229,6 +1347,7 @@ def main():
         ("importance_weights_ng", importance_weights_ng),
         ("dsir_select", dsir_select),
         ("lang_id_model", lang_id_model),
+        ("lang_id_model_cn", lang_id_model_cn),
         ("curate", curate),
     ]
     doc_queries = [(n, f) for n, f in doc_queries
@@ -1241,7 +1360,7 @@ def main():
             timings[name] = time.perf_counter() - t0
 
     if only is None or {"cluster_embed", "semantic_decontaminate",
-                        "semdedup", "ann_pq"} & only:
+                        "semdedup", "ann_pq", "ann_ivfpq"} & only:
         emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
         if only is None or "cluster_embed" in only:
             t0 = time.perf_counter()
@@ -1259,6 +1378,10 @@ def main():
             t0 = time.perf_counter()
             ann_pq(emb)
             timings["ann_pq"] = time.perf_counter() - t0
+        if only is None or "ann_ivfpq" in only:
+            t0 = time.perf_counter()
+            ann_ivfpq(emb)
+            timings["ann_ivfpq"] = time.perf_counter() - t0
 
     print(json.dumps({
         "queries": {k: round(v, 4) for k, v in timings.items()},
