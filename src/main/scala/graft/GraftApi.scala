@@ -354,6 +354,16 @@ object GraftApi {
       // size `semanticDedupK` by the k ≈ √N rule (see semDedup's
       // scaladoc); the default 16 fits the test corpora.
       val afterSemantic = semanticDedupTau match {
+        case Some(tau) if survivors.isEmpty =>
+          // a fully-filtered corpus has nothing to resolve; skipping
+          // keeps the pipeline total (semDedup's own quantizer would
+          // otherwise refuse an empty training input — correct for
+          // the standalone operator, wrong as a pipeline crash). The
+          // isEmpty action reads the survivors cache the downstream
+          // stages materialize anyway, and this closure is already
+          // eager (near-dup resolution above runs jobs).
+          stages += ("semantic_dedup" -> survivors)
+          survivors
         case Some(tau) =>
           val keep = Similarity
             .semDedup(Similarity.hashEmbedDocs(survivors),

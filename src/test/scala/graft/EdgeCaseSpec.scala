@@ -170,6 +170,62 @@ class EdgeCaseSpec extends AnyFunSuite {
     Caches.releaseAll()
   }
 
+  test("r19 operators: empty/degenerate inputs behave per family contract") {
+    import org.apache.spark.sql.functions.col
+    val someDocs = Tables.documents(spark, sfDir).limit(5)
+    val someEmb = Tables.embeddings(spark, sfDir).limit(50)
+    // annIvfPq / trainIvfPqCodebooks: empty embeddings refused with
+    // the quantizer family's clear message (the quantizer itself
+    // refuses first — same family contract as semDedup/annPq)
+    val ex = intercept[IllegalArgumentException](
+      Similarity.annIvfPq(noEmb).count())
+    assert(ex.getMessage.contains("empty"))
+    // a single-vector corpus: the sole vector is its own list's only
+    // member — no candidates (self excluded), 0 rows, no crash
+    val oneEmb = Tables.embeddings(spark, sfDir).limit(1)
+    assert(Similarity.annIvfPq(oneEmb, nQueries = 20, k = 5).count() == 0)
+    // refine=1: the shortlist IS k — still k ranked rows per covered
+    // query, exact-cosine order
+    val r1 = Similarity.annIvfPq(someEmb, nQueries = 5, k = 3, refine = 1)
+      .collect()
+    assert(r1.nonEmpty && r1.groupBy(_.getAs[Long]("query_id"))
+      .values.forall(_.length <= 3))
+    // refine=0 is a contract violation, refused loudly
+    intercept[IllegalArgumentException](
+      Similarity.annIvfPq(someEmb, refine = 0))
+    // charNgrams counts CODE POINTS, not graphemes or bytes: empty
+    // and 2-point strings are below nMin=3 (no windows -- the empty
+    // doc embeds to zero); the precomposed 2-point a-acute+b has no
+    // window while the DECOMPOSED 3-point a+combining-acute+b has
+    // exactly one -- DuckDB's substring/length view of the same
+    // strings, the parity the oracle chain rests on
+    import spark.implicits._
+    val cn = Seq(("", 0), ("ab", 0), ("abc", 1), ("\u00e1b", 0),
+        ("a\u0301b", 1))
+      .toDF("t", "expect")
+      .select(org.apache.spark.sql.functions.size(
+        graft.functions.GraftFunctions.charNgrams(col("t"), 3, 5)).as("n"),
+        col("expect"))
+      .collect()
+    assert(cn.forall(r => r.getInt(0) == r.getInt(1)),
+      s"charNgrams window counts drifted: ${cn.mkString(",")}")
+    // char-basis lang model scores an empty frame to 0 rows
+    val m = LangIdModel.train(someDocs, charGrams = true)
+    assert(LangIdModel.score(noDocs, m, charGrams = true).count() == 0)
+    // curation semantic stage on an EMPTY corpus: the stage skips
+    // (nothing to resolve) instead of surfacing the standalone
+    // quantizer's empty-input refusal as a pipeline crash -- the run
+    // stays total with 0 rows and a 0-drop semantic_dedup manifest row
+    val emptyCur = GraftApi.curatePlan(noDocs, semanticDedupTau = Some(0.85))
+    try {
+      assert(emptyCur.frame.count() == 0)
+      val mrows = emptyCur.manifest.collect()
+      assert(mrows.exists(r => r.getAs[String]("stage") == "semantic_dedup" &&
+        r.getAs[Long]("docs_dropped") == 0L))
+    } finally emptyCur.release()
+    Caches.releaseAll()
+  }
+
   test("single-row input flows through the window operators") {
     val one = Tables.events(spark, sfDir).limit(1)
     assert(TimeSeries.featurePipeline(one).count() == 1)
