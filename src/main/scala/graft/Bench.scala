@@ -225,7 +225,13 @@ object Bench {
       funded.zipWithIndex.map { case (k, i) => k -> (if (i < upgrades) 2 else 1) }
     val cutoff =
       if (funded.size < tail.size)
-        funded.lastOption.map(k => deviationOf.getOrElse(k, 0.0))
+        // lowest FUNDED deviation, or — when the 1-run floor itself
+        // funded nothing (r19 advice: reachable if core ever grows to
+        // runBudget/2) — the HIGHEST tail deviation, so "every
+        // unrepassed suspect is at or below the cutoff" stays true in
+        // both regimes instead of silently publishing null
+        funded.lastOption.orElse(tail.headOption)
+          .map(k => deviationOf.getOrElse(k, 0.0))
       else None
     (alloc, cutoff)
   }
@@ -647,10 +653,15 @@ object Bench {
     // arms cannot see), so the artifact always names them and readers
     // know which round-over-round per-query comparisons to route
     // through bench_quiet.json instead.
+    // membership derives from the SAME >1.3 deviation predicate that
+    // feeds arm (d) (r19 advice): the old raw `v > 1.3 * p` form let a
+    // sub-millisecond-baseline query (p < 1e-3, so its deviation reads
+    // vs the 1e-3 clamp and stays <= 1.3) appear here while provably
+    // unable to enter arm (d), making the published reason string and
+    // the cutoff contract both wrong for that row
     val suspectUnrepassed =
-      results0.collect { case (k, _, v, _, true, _)
-        if !repassed.contains(k) &&
-           baselineFor(k).exists(p => v > 1.3 * p) => k
+      results0.collect { case (k, _, _, _, true, _)
+        if !repassed.contains(k) && deviationOf.get(k).exists(_ > 1.3) => k
       }.sorted
     val results = results0.map { case r @ (k, cold, v, e, ok, s) =>
       repassed.get(k)

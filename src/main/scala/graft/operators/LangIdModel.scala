@@ -182,17 +182,35 @@ object LangIdModel {
   private val defaultHyper = (8192, 200, 0.5, 42L)
 
   /** Both feature bases run in one Verify/test JVM, so the memo is a
-    * small map (word + char per corpus), not a single slot. */
-  private val modelMemo = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String, Int, (Int, Int, Double, Long), Int, Boolean), Model]()
+    * small map (word + char per corpus), not a single slot — but
+    * BOUNDED (r19 advice): sessions are WEAK outer keys so a stopped
+    * session's models unpin with it, and each session's inner map
+    * clears past [[MemoCap]] so a long-lived JVM scoring many
+    * distinct plan shapes re-trains (deterministic, bit-identical)
+    * instead of accumulating models forever. WeakHashMap is not
+    * thread-safe — outer access synchronizes on the map. */
+  private val MemoCap = 32
+  private val modelMemo = new java.util.WeakHashMap[SparkSession,
+    java.util.concurrent.ConcurrentHashMap[
+      (String, Int, (Int, Int, Double, Long), Int, Boolean), Model]]()
 
   def trainedModel(spark: SparkSession, docs: DataFrame, dir: String,
                    dim: Int = 64, charGrams: Boolean = false): Model = {
-    val key = (spark, dir, dim, defaultHyper,
+    val inner = modelMemo.synchronized {
+      var m = modelMemo.get(spark)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap()
+        modelMemo.put(spark, m)
+      }
+      m
+    }
+    if (inner.size > MemoCap) inner.clear()
+    val key = (dir, dim, defaultHyper,
       docs.queryExecution.analyzed.semanticHash(), charGrams)
-    modelMemo.computeIfAbsent(key, _ => train(docs, dim, charGrams = charGrams))
+    inner.computeIfAbsent(key, _ => train(docs, dim, charGrams = charGrams))
   }
 
   /** Test hook: drop the model memo. */
-  private[graft] def invalidate(): Unit = modelMemo.clear()
+  private[graft] def invalidate(): Unit =
+    modelMemo.synchronized(modelMemo.clear())
 }

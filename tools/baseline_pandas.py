@@ -1144,8 +1144,10 @@ def ann_ivfpq(emb):
             mbr = np.where((cid == c) & (np.arange(n) != qi))[0]
             cand.extend(mbr)
             adist.extend(lut[np.arange(m)[:, None], codes[mbr].T].sum(axis=0))
-        cand = np.asarray(cand)
-        adist = np.asarray(adist)
+        # explicit dtypes: an empty python list would otherwise become
+        # float64 and crash the integer indexing below (r19 advice)
+        cand = np.asarray(cand, dtype=np.int64)
+        adist = np.asarray(adist, dtype=np.float64)
         short = cand[np.argsort(adist, kind="stable")[: refine * topk]]
         cos = np.round((unit[short] @ unit[qi]) + 1e-9, 6)
         top = short[np.argsort(-cos, kind="stable")[:topk]]
