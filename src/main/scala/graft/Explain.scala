@@ -20,6 +20,10 @@ object Explain {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    // same session tuning as Bench/Verify so the audited plans are the
+    // plans those surfaces actually execute (r20: the excluded-rule
+    // list changes plan shape)
+    GraftSession.tune(spark)
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { name =>
       println(s"\n===== $name =====")

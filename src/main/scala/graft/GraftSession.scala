@@ -34,6 +34,16 @@ object GraftSession {
       // testdata events.ts is parquet TIMESTAMP(NANOS); Spark reads it
       // as LongType (nanos) with this flag — Tables.events converts.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // InferFiltersFromGenerate re-evaluates the generator child as a
+      // `size(e) > 0 AND isnotnull(e)` pre-filter — for this engine's
+      // explode(<kernel>(text)) scan shape that is one to two EXTRA
+      // tokenize/hash passes per row at the scan (17 bench queries
+      // carried it; q_dedup_spans paid shinglehashpos(wstokens(text))
+      // three times per row). An inner Generate already emits nothing
+      // for null/empty arrays, so at every scale the inferred filter
+      // only duplicates work; scale-independent, not a local tune.
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
 
   def get(): SparkSession = {
     val s = builder().getOrCreate()
@@ -51,6 +61,10 @@ object GraftSession {
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // see builder: the inferred generate-filter re-runs expensive
+    // kernel children per row for zero pruning benefit here
+    spark.conf.set("spark.sql.optimizer.excludedRules",
+      "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
     spark
   }
 }

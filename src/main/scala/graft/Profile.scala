@@ -18,6 +18,9 @@ object Profile {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    // match Bench's session tuning (nanos flag, excluded rules) so
+    // profiled plans are the benched plans
+    GraftSession.tune(spark)
     spark.sparkContext.setLogLevel("ERROR")
     // job-count + summed-execution listener: the floor decomposition
     // (wall − Σ job execution = driver-side gaps: Catalyst analysis,
@@ -27,12 +30,24 @@ object Profile {
     val execNanos = new java.util.concurrent.atomic.AtomicLong(0L)
     val jobStart =
       new java.util.concurrent.ConcurrentHashMap[Int, java.lang.Long]()
+    // per-job breakdown for the floor decomposition: (jobId, ms,
+    // n_tasks, first-stage name) rows printed per rep when
+    // SPARK_GRAFT_PROFILE_JOBS=1 — answers "WHICH of the N jobs carry
+    // the time" without the UI
+    val jobDetail = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[(Int, Double, Int, String)]())
+    val jobInfo =
+      new java.util.concurrent.ConcurrentHashMap[Int, (Int, String)]()
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         override def onJobStart(
             s: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
           jobs.incrementAndGet()
           jobStart.put(s.jobId, System.nanoTime())
+          val nTasks = s.stageInfos.map(_.numTasks).sum
+          val name = s.stageInfos.lastOption.map(_.name.takeWhile(_ != '\n'))
+            .getOrElse("")
+          jobInfo.put(s.jobId, (nTasks, name))
         }
         override def onJobEnd(
             e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
@@ -40,8 +55,12 @@ object Profile {
           // null for an unseen jobId (e.g. a job started before the
           // counters were reset) — don't rely on Scala's null→0L
           // unboxing plus a sentinel compare to encode that case
-          Option(jobStart.remove(e.jobId))
-            .foreach(t0 => execNanos.addAndGet(System.nanoTime() - t0))
+          Option(jobStart.remove(e.jobId)).foreach { t0 =>
+            val dt = System.nanoTime() - t0
+            execNanos.addAndGet(dt)
+            val (nt, nm) = Option(jobInfo.remove(e.jobId)).getOrElse((0, ""))
+            jobDetail.add((e.jobId, dt / 1e6, nt, nm))
+          }
         }
       })
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
@@ -62,6 +81,13 @@ object Profile {
       org.apache.spark.sql.graftbridge.Bridge.drainListenerBus(spark)
       println(f"[profile] $name run $i: $wall%.3f s " +
         f"(jobs=${jobs.get}, job_exec=${execNanos.get / 1e9}%.2f s)")
+      if (sys.env.get("SPARK_GRAFT_PROFILE_JOBS").contains("1")) {
+        import scala.jdk.CollectionConverters._
+        jobDetail.asScala.toList.sortBy(_._1).foreach { case (id, ms, nt, nm) =>
+          println(f"[profile]   job $id%3d ${ms}%8.1f ms tasks=$nt%4d  $nm")
+        }
+        jobDetail.clear()
+      } else jobDetail.clear()
       // drain operator caches between reps, as Bench does — otherwise
       // warm reps read persistTracked frames and overstate vs Bench
       graft.operators.Caches.releaseAll()

@@ -508,12 +508,23 @@ object Dedup {
     val pairCol = flatten(transform(col("srcs"), (x, i) =>
       transform(slice(col("srcs"), i + 2, size(col("srcs"))), y =>
         struct(x.as("a"), y.as("b")))))
+    // ONE 1-row broadcast carries all totals as a src→n_sh map (r20:
+    // the former two per-side broadcast joins each built their OWN
+    // broadcast exchange — different projections defeat exchange
+    // reuse — and each build job's lineage re-plans the masks cache
+    // fill, so the pair agg waited on two extra concurrent 67-task
+    // jobs; the map form has one build and two scan-local lookups)
+    val totalsMap = totals
+      .agg(map_from_entries(collect_list(struct(col("src"), col("n_sh"))))
+        .as("tm"))
     srcsFrame
       .select(explode(pairCol).as("p"), col("cnt"))
       .groupBy(col("p.a").as("a"), col("p.b").as("b"))
       .agg(sum(col("cnt")).as("n_shared"))
-      .join(broadcast(totals.select(col("src").as("a"), col("n_sh").as("n_a"))), "a")
-      .join(broadcast(totals.select(col("src").as("b"), col("n_sh").as("n_b"))), "b")
+      .crossJoin(broadcast(totalsMap))
+      .select(col("a"), col("b"), col("n_shared"),
+        element_at(col("tm"), col("a")).as("n_a"),
+        element_at(col("tm"), col("b")).as("n_b"))
       .select(element_at(decodeMap, col("a")).as("src_a"),
         element_at(decodeMap, col("b")).as("src_b"), col("n_shared"),
         col("n_a"), col("n_b"),

@@ -277,8 +277,16 @@ object TimeSeries {
       .select(col("event_id").as("incident_id"), epoch.as("start_s"))
       .withColumn("bucket",
         explode(expr(s"sequence(start_s div ${W}L, (start_s + ${W - 1}L) div ${W}L)")))
-    val facts = events
-      .select(col("user_id"), col("value"), epoch.as("ts_s"))
+    // the probe side does the heavy work (candidate expansion + the
+    // (incident, user) partial aggregate run INSIDE the facts scan
+    // stage): a small single-file table arrives as ONE partition and
+    // serializes ~cand_rows of probe+agg onto one core (measured 1.5 s
+    // of a 1.9 s wall at sf0.1 — range_join_stats: 2.77M cand_rows).
+    // spreadToCores is size-gated, so a well-partitioned 100 TB scan
+    // passes through untouched; the repartition moves only the four
+    // projected narrow columns (guide §2.3: project before exchange).
+    val facts = spreadToCores(events
+      .select(col("user_id"), col("value"), epoch.as("ts_s")))
       .withColumn("bucket", expr(s"ts_s div ${W}L"))
     incidents.join(facts,
         incidents("bucket") === facts("bucket") &&
