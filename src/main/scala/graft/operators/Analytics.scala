@@ -152,7 +152,11 @@ object Analytics {
     * raw API JSON → typed columns). `get_json_object` is codegen'd;
     * a full `from_json` with schema is used in the streaming path. */
   def jsonIngest(events: DataFrame): DataFrame =
-    events
+    // spread before the parse: JSON-path extraction is the per-row
+    // cost here and a single-file table serializes it onto one core
+    // (size-gated — a partitioned ingest at scale passes through)
+    spreadToCores(events
+      .select(col("event_id"), col("user_id"), col("props"), col("value")))
       .select(col("event_id"), col("user_id"),
         jsonLong(col("props"), "$.k").as("k"),
         col("value"))
@@ -257,8 +261,15 @@ object Analytics {
     * TPC-H scale). Partial aggregation + single shuffle on the tiny
     * group key space. */
   def pricingSummary(lineitem: DataFrame): DataFrame =
-    lineitem
+    // filter first (stays pushed to the scan), project to the six
+    // needed columns, then spread: the DECIMAL-exact partial
+    // aggregation is the per-row cost and otherwise runs inside a
+    // one-split scan task (size-gated; no-op on a partitioned fact
+    // table at scale)
+    spreadToCores(lineitem
       .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp"))
+      .select("l_returnflag", "l_linestatus", "l_quantity",
+        "l_extendedprice", "l_discount"))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
         rnd(decSum(col("l_quantity")), 2).as("sum_qty"),

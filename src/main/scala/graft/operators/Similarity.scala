@@ -664,13 +664,29 @@ object Similarity {
                           cents: Array[Array[Float]],
                           m: Int = 16, kCodes: Int = 32,
                           iters: Int = 5, seed: Long = 42L)
-      : Array[Array[Array[Float]]] = {
-    val sample: Array[Array[Float]] = embeddings
+      : Array[Array[Array[Float]]] =
+    ivfPqLloydFromSample(ivfPqSample(embeddings, kCodes, seed), cents,
+      m, kCodes, iters)
+
+  /** The bounded training-sample collect of [[trainIvfPqCodebooks]],
+    * split out so [[annIvfPq]] can overlap it with the coarse
+    * quantizer's own sample job (the two collects are independent —
+    * only the Lloyd step needs the trained centroids; guide §2.6's
+    * overlap-independent-jobs form). Same rows, same order, same
+    * result. */
+  private[graft] def ivfPqSample(embeddings: DataFrame, kCodes: Int,
+                                 seed: Long): Array[Array[Float]] =
+    embeddings
       .select(col("vec_id"), col("embedding"))
       .withColumn("h", xxhash64(col("vec_id"), lit(seed)))
       .orderBy("h", "vec_id").limit(kCodes * 256)
       .select(col("embedding")).collect()
       .map(_.getSeq[Float](0).toArray)
+
+  private[graft] def ivfPqLloydFromSample(sample: Array[Array[Float]],
+                                          cents: Array[Array[Float]],
+                                          m: Int, kCodes: Int, iters: Int)
+      : Array[Array[Array[Float]]] = {
     require(sample.nonEmpty,
       "trainIvfPqCodebooks: embeddings input is empty — nothing to train on")
     pqLloyd(sample.map(v => coarseResidual(v, cents)._3), m, kCodes, iters)
@@ -803,26 +819,53 @@ object Similarity {
       : DataFrame = {
     require(refine >= 1, s"refine must be >= 1: $refine")
     val spark = embeddings.sparkSession
-    val cents = centroids.getOrElse(
-      trainQuantizer(withNorm(embeddings), nList, iters, seed))
-    val cb = codebooks.getOrElse(
-      trainIvfPqCodebooks(embeddings, cents, m, kCodes, pqIters, seed))
+    // the three bounded driver pulls — quantizer sample, codebook
+    // sample, query vectors — are INDEPENDENT jobs (only the Lloyd
+    // step consumes the trained centroids), but ran sequentially and
+    // cost three back-to-back single-scan jobs (~0.5 s of the sf0.1
+    // wall). Overlap them (guide §2.6); same collected rows, same
+    // training inputs, bit-identical results.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val centsF = Future(centroids.getOrElse(
+      trainQuantizer(withNorm(embeddings), nList, iters, seed)))
+    val cbSampleF =
+      if (codebooks.isDefined) Future.successful(Array.empty[Array[Float]])
+      else Future(ivfPqSample(embeddings, kCodes, seed))
+    val qvecsF = Future(embeddings.filter(col("vec_id") < nQueries)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)))
+    val cents = Await.result(centsF, Duration.Inf)
+    val cb = codebooks.getOrElse(ivfPqLloydFromSample(
+      Await.result(cbSampleF, Duration.Inf), cents, m, kCodes, pqIters))
     val dsub = cb(0)(0).length
 
     // corpus index: one scan-local map to [cid, codes...], exploded to
-    // 4-int rows — the only corpus-sized stream in the plan
-    val codes = embeddings
+    // 4-int rows — the only corpus-sized stream in the plan. The
+    // explicit embedding-null prefilter (pushes to the parquet scan)
+    // plus the never-hit coalesce make `cid` NON-NULLABLE, so the
+    // inner join can no longer infer an IsNotNull(cid) data filter
+    // that re-evaluates the encode kernel at the scan (r19 verdict
+    // item 8: one extra ~3k-flop pass per row). A null-embedding row
+    // produced no output before either — its null code array
+    // generates nothing — so results are unchanged.
+    // spreadToCores: the encode map, the LUT probe and the ADC partial
+    // aggregate all run inside this scan stage — a single-file corpus
+    // arrives as ONE partition and serializes them onto one core
+    // (size-gated: a well-partitioned 100 TB store passes through)
+    val codes = spreadToCores(embeddings
+      .filter(col("embedding").isNotNull))
       .select(col("vec_id"),
         GraftFunctions.ivfPqEncode(col("embedding"), cents, cb).as("cc"))
-      .select(col("vec_id"), element_at(col("cc"), 1).as("cid"),
+      .select(col("vec_id"),
+        coalesce(element_at(col("cc"), 1), lit(-1)).as("cid"),
         posexplode(slice(col("cc"), 2, m)).as(Seq("sub", "code")))
 
     // driver-built per-(query, probed list) ADC lookup table: the
     // query vectors are bounded by the designated-query contract and
     // collected anyway, so probe ranking runs where they live
-    val qvecs = embeddings.filter(col("vec_id") < nQueries)
-      .select(col("vec_id"), col("embedding")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val qvecs = Await.result(qvecsF, Duration.Inf)
     val lutRows = for {
       (qid, qv) <- qvecs.toSeq
       // ccos per centroid, then annIvf's probe window: DESC with a

@@ -564,8 +564,12 @@ object TextAnalysis {
   private[graft] def spanIntervals(docs: DataFrame, k: Int,
                                    maxDocFreq: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val whs = docs.select(col("doc_id"),
-      GraftFunctions.shingleHashPos(tokens(col("text")), k).as("whs"))
+    // spread BEFORE the positional-hash kernel: a single-file corpus
+    // arrives as one partition and serializes tokenize+hash onto one
+    // core (size-gated — a partitioned 100 TB scan passes through)
+    val whs = spreadToCores(docs.select(col("doc_id"), col("text")))
+      .select(col("doc_id"),
+        GraftFunctions.shingleHashPos(tokens(col("text")), k).as("whs"))
     val wins = whs.select(col("doc_id"), posexplode(col("whs")).as(Seq("pos", "wh")))
     // window-content document frequency; > maxDocFreq = boilerplate.
     // NOT broadcast back: at corpus scale the repeated-window set is
@@ -611,7 +615,7 @@ object TextAnalysis {
     * shingle-surface collision contract. */
   private[graft] def contaminationIntervals(docs: DataFrame, bench: DataFrame,
                                             k: Int): DataFrame = {
-    val wins = docs
+    val wins = spreadToCores(docs.select(col("doc_id"), col("text")))
       .select(col("doc_id"),
         posexplode(GraftFunctions.shingleHashPos(tokens(col("text")), k))
           .as(Seq("pos", "wh")))
@@ -660,7 +664,10 @@ object TextAnalysis {
                         broadcastIntervals: Boolean): DataFrame = {
     val ivSide = if (broadcastIntervals) broadcast(ivs) else ivs
     val noIvs = array().cast("array<struct<s:int,e:int>>")
-    docs.select(col("doc_id") +: extra: _*)
+    // spread the streamed side: tokenization here plus the caller's
+    // cut/reassembly projections all run in this scan stage, which a
+    // single-file corpus serializes onto one core (size-gated)
+    spreadToCores(docs).select(col("doc_id") +: extra: _*)
       .join(ivSide, Seq("doc_id"), "left")
       .withColumn("ivs", coalesce(col("ivs"), noIvs))
   }
