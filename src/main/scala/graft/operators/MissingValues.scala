@@ -24,6 +24,13 @@ object MissingValues {
   /** Deterministic null-injection view over events (+ the weather-view
     * measures). Nullable: event_type ~4.3%, value ~10.5%,
     * humidity ~7.7%, wind_speed ~10.3%; keys/ts never null. */
+  // NOTE r20: deliberately NOT spreadToCores'd — most consumers are
+  // per-entity window operators that re-exchange on user_id right
+  // after (and several prune the humidity parse entirely), so a
+  // keyless pre-exchange only added its local sort + a stage (bench
+  // A/B: ffill 2.3x, mode_fill 2.0x worse with it). weatherView IS
+  // spread: its consumers are row-local/aggregate and all parse
+  // humidity.
   def maskedView(events: DataFrame): DataFrame =
     events.select(
       col("event_id"), col("user_id"), col("ts"),

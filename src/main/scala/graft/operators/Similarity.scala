@@ -256,6 +256,13 @@ object Similarity {
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
       .distinct()
+      // the distinct's output is byte-small, so AQE coalesces it to ~1
+      // partition and the per-pair dot-product verify serializes onto
+      // one core (the ngramJaccard width-pin lesson); an explicit
+      // keyed repartition is exempt from coalescing. Cost: one
+      // 16 B/pair exchange
+      .repartition(embeddings.sparkSession.sparkContext.defaultParallelism,
+        col("vec_a"))
     val eN = withNorm(embeddings)
     candIds
       .join(eN.as("a"), col("vec_a") === col("a.vec_id"))
@@ -719,19 +726,30 @@ object Similarity {
             m: Int = 16, kCodes: Int = 32, seed: Long = 42L,
             codebooks: Option[Array[Array[Array[Float]]]] = None): DataFrame = {
     val spark = embeddings.sparkSession
-    val cb = codebooks.getOrElse(
-      trainPqCodebooks(embeddings, m, kCodes, seed = seed))
+    // overlap the two independent bounded driver pulls (codebook
+    // training sample, query vectors) — the annIvfPq r20 pattern;
+    // same collected rows, bit-identical codebooks
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val cbF = Future(codebooks.getOrElse(
+      trainPqCodebooks(embeddings, m, kCodes, seed = seed)))
+    val qvecsF = Future(embeddings.filter(col("vec_id") < nQueries)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)))
+    val cb = Await.result(cbF, Duration.Inf)
     val dsub = cb(0)(0).length
-    val codes = embeddings.select(col("vec_id"),
+    // spread: the encode map, LUT probe and ADC partial aggregate all
+    // run inside this scan stage (size-gated — no-op at scale)
+    val codes = spreadToCores(embeddings.select("vec_id", "embedding"))
+      .select(col("vec_id"),
       posexplode(GraftFunctions.pqEncode(col("embedding"), cb))
         .as(Seq("sub", "code")))
     // per-query ADC lookup table, built on the driver from the
     // collected query vectors (nQueries · d floats — bounded by the
     // same designated-query contract as annTopK) with the SAME
     // subspace arithmetic the encoder and the DuckDB oracle use
-    val qvecs = embeddings.filter(col("vec_id") < nQueries)
-      .select(col("vec_id"), col("embedding")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val qvecs = Await.result(qvecsF, Duration.Inf)
     val lutRows = for {
       (qid, qv) <- qvecs.toSeq
       s <- cb.indices

@@ -29,7 +29,13 @@ object TimeSeries {
     * (documented in SURVEY.md §3):
     * temperature←value, humidity←props.k, wind_speed←f(event_id). */
   def weatherView(events: DataFrame): DataFrame =
-    events.select(
+    // spread BEFORE the humidity JSON parse (the view's per-row cost;
+    // a single-file table serializes it onto one core) — size-gated,
+    // so a partitioned ingest at scale passes through
+    spreadToCores(events.select(
+      col("event_id"), col("user_id"), col("ts"), col("value"),
+      col("props")))
+      .select(
       col("event_id"), col("user_id"), col("ts"),
       col("value").as("temperature"),
       jsonDouble(col("props"), "$.k").as("humidity"),
