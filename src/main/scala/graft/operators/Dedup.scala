@@ -447,12 +447,13 @@ object Dedup {
     * order, so pair generation and output ordering are identical to
     * the string form; the final ≤ nSources²/2-row projection decodes.
     *
-    * NOTE eager construction (laziness break, dictionary only): the
-    * source dictionary is collected when the DataFrame is BUILT
-    * (bounded driver state — label-cardinality-sized); totals are
-    * back to lazy broadcast joins over the combination-sized cache.
-    * A docs table that gains a NEW SOURCE between construction and
-    * execution would miss it; rebuild to re-snapshot. */
+    * NOTE eager construction (laziness break): the source dictionary
+    * AND the per-source totals are collected when the DataFrame is
+    * BUILT (bounded driver state — both label-cardinality-sized; the
+    * totals job doubles as the masks cache fill, so the final job is
+    * a pure cache read with zero broadcast builds). A docs table that
+    * changes between construction and execution would miss it;
+    * rebuild to re-snapshot. */
   def sourceOverlap(docs: DataFrame, n: Int = 3): DataFrame = {
     val sources = docs.select(col("source")).distinct()
       .collect().map(_.getString(0)).sorted
@@ -508,23 +509,30 @@ object Dedup {
     val pairCol = flatten(transform(col("srcs"), (x, i) =>
       transform(slice(col("srcs"), i + 2, size(col("srcs"))), y =>
         struct(x.as("a"), y.as("b")))))
-    // ONE 1-row broadcast carries all totals as a src→n_sh map (r20:
-    // the former two per-side broadcast joins each built their OWN
-    // broadcast exchange — different projections defeat exchange
-    // reuse — and each build job's lineage re-plans the masks cache
+    // Totals fold into the plan as a LITERAL src→n_sh map (r20): the
+    // former two per-side broadcast joins each built their OWN
+    // broadcast exchange (different projections defeat exchange
+    // reuse), and each build job's lineage re-planned the masks cache
     // fill, so the pair agg waited on two extra concurrent 67-task
-    // jobs; the map form has one build and two scan-local lookups)
-    val totalsMap = totals
-      .agg(map_from_entries(collect_list(struct(col("src"), col("n_sh"))))
-        .as("tm"))
+    // jobs. The totals table is source-cardinality-sized (≤ k rows,
+    // same bound as the dictionary snapshot above) and its eager
+    // collect here doubles as the masks cache fill, so the final job
+    // reads the combination-sized cache with zero broadcast builds.
+    // Degenerate empty corpus: no masks rows → no pair rows → the
+    // lookup expression is never evaluated, matching the former
+    // inner-join's empty output.
+    val totalRows = totals.collect()
+    val totalsLit =
+      if (totalRows.isEmpty) map().cast("map<int,bigint>")
+      else map(totalRows.flatMap(r =>
+        Seq(lit(r.getInt(0)), lit(r.getLong(1)))).toSeq: _*)
     srcsFrame
       .select(explode(pairCol).as("p"), col("cnt"))
       .groupBy(col("p.a").as("a"), col("p.b").as("b"))
       .agg(sum(col("cnt")).as("n_shared"))
-      .crossJoin(broadcast(totalsMap))
       .select(col("a"), col("b"), col("n_shared"),
-        element_at(col("tm"), col("a")).as("n_a"),
-        element_at(col("tm"), col("b")).as("n_b"))
+        element_at(totalsLit, col("a")).as("n_a"),
+        element_at(totalsLit, col("b")).as("n_b"))
       .select(element_at(decodeMap, col("a")).as("src_a"),
         element_at(decodeMap, col("b")).as("src_b"), col("n_shared"),
         col("n_a"), col("n_b"),
