@@ -72,15 +72,29 @@ object Profile {
       // a bare row count; sharing the impl with Bench keeps the
       // MapType fallback and the bit_xor ANSI-overflow fix (r14) in
       // sync at both sites by construction
-      Checksum.fullEval(SparkEntry.queries(name)(spark, sfDir))
+      //
+      // floor decomposition (r20, BASELINE item): construct = the
+      // query function itself (includes any eager training/dictionary
+      // jobs), plan = Catalyst analyze+optimize+physical-plan of the
+      // query frame (the checksum wrapper re-plans on top of it, so
+      // this is a lower bound on the action's driver-side share),
+      // action = the checksum job(s)
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      val tC = System.nanoTime()
+      df.queryExecution.executedPlan
+      val tP = System.nanoTime()
+      Checksum.fullEval(df)
       val wall = (System.nanoTime() - t0) / 1e9
+      val constructS = (tC - t0) / 1e9
+      val planS = (tP - tC) / 1e9
       // drain the async listener bus BEFORE reading the counters: the
       // last job's end event arrives after the action returns, and
       // without the drain it undercounts this rep and bleeds into the
       // next one's reset
       org.apache.spark.sql.graftbridge.Bridge.drainListenerBus(spark)
       println(f"[profile] $name run $i: $wall%.3f s " +
-        f"(jobs=${jobs.get}, job_exec=${execNanos.get / 1e9}%.2f s)")
+        f"(jobs=${jobs.get}, job_exec=${execNanos.get / 1e9}%.2f s, " +
+        f"construct=$constructS%.3f, plan=$planS%.3f)")
       if (sys.env.get("SPARK_GRAFT_PROFILE_JOBS").contains("1")) {
         import scala.jdk.CollectionConverters._
         jobDetail.asScala.toList.sortBy(_._1).foreach { case (id, ms, nt, nm) =>

@@ -1896,6 +1896,13 @@ object TextAnalysis {
   private def bigramImpl(docs: DataFrame, train: DataFrame, alpha: Double,
       maxFanout: Int,
       scoreJoin: (DataFrame, DataFrame, Seq[String]) => DataFrame): DataFrame = {
+    // NOTE r20: deliberately NOT spreadToCores'd on either side —
+    // both-sides spread benched 2.3x worse (the gate-SF plan
+    // broadcasts the scored stream's build side, and a pre-exchange
+    // inside that build lineage defeats it), and even a train-side-
+    // only spread profiled 3-4x worse end-to-end (the RR exchange
+    // lands inside the freq1/freq2 cache lineage that every model
+    // consumer re-plans)
     def stream(d: DataFrame): DataFrame = d
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"), col("toks"),
