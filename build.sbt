@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked program's stdout/stderr through UNPREFIXED: sbt's
+// default LoggedOutput strategy prepends "[info] " to every line, which
+// is why the driver's parse of the bench's final JSON line recorded
+// `parsed: null` in rounds 1-20 (VERDICT r20 item 1). With StdoutOutput
+// the bench/verify JSON lines reach the caller's capture bare.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -1116,7 +1116,31 @@ object Bench {
       .map { case (k, _, v, _, _, _) => s"\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val loadMax = loadMaxOf(loadSamples.toSeq)
-    println(s"""{"metric":"total","failed_count":$failedCount,"value":$total,"unit":"sec","cold_total":$coldTotal,"n_queries":${results.size},"failed":$failed,"retried_ok":$retriedJ,"bench_excluded":$excludedJ,"spill_bytes_total":$spillTotal,"slowest5":$slowest,"floor_drift":$floorDrift,"load_max_1m":$loadMax,"load_triggered":$loadEvident,"n_repassed":${repassed.size},"sf":"$sfDir"}""")
+    // per-query seconds ride in the COMPACT line too (r21): the
+    // driver's PERF comparison keys on this line's `queries` map, and
+    // the map is ~5 KB — far under any sane tail bound — so carrying
+    // it here costs nothing and makes the official record
+    // self-contained (the detail line keeps the full telemetry).
+    val compactLine = s"""{"metric":"total","failed_count":$failedCount,"value":$total,"unit":"sec","cold_total":$coldTotal,"n_queries":${results.size},"queries":$qs,"failed":$failed,"retried_ok":$retriedJ,"bench_excluded":$excludedJ,"spill_bytes_total":$spillTotal,"slowest5":$slowest,"floor_drift":$floorDrift,"load_max_1m":$loadMax,"load_triggered":$loadEvident,"n_repassed":${repassed.size},"sf":"$sfDir"}"""
+    println(compactLine)
+    // r21 (VERDICT r20 item 1): the driver's parse of the bench stdout
+    // recorded `parsed: null` in ALL 20 rounds — the line reaches its
+    // capture behind sbt's "[info] " logger prefix. Emit the same
+    // compact line (a) bare on stderr (build.sbt now passes forked run
+    // output through unprefixed) and (b) to a small fixed-size file
+    // next to bench_detail.json, so any reasonable parse succeeds.
+    // Subset runs redirect to tmp exactly like the detail file (same
+    // r9 clobber guard).
+    System.err.println(compactLine)
+    try {
+      val totalPath = sys.env.get("SPARK_GRAFT_BENCH_TOTAL").getOrElse(
+        if (onlyEnv.isDefined)
+          java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+            "bench_total_subset.json").toString
+        else "bench_total.json")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(totalPath),
+        compactLine + "\n")
+    } catch { case _: Throwable => () }
     spark.stop()
   }
 }

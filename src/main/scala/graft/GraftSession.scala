@@ -62,9 +62,16 @@ object GraftSession {
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // see builder: the inferred generate-filter re-runs expensive
-    // kernel children per row for zero pruning benefit here
-    spark.conf.set("spark.sql.optimizer.excludedRules",
-      "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+    // kernel children per row for zero pruning benefit here. APPEND to
+    // any externally configured excluded-rule list rather than
+    // clobbering it (r20 ADVICE) — the exclusion is session-global, so
+    // an external session's own exclusions must survive the tune.
+    val inferRule =
+      "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+    val existing = spark.conf.get("spark.sql.optimizer.excludedRules", "")
+    val merged = (existing.split(",").map(_.trim).filter(_.nonEmpty)
+      :+ inferRule).distinct.mkString(",")
+    spark.conf.set("spark.sql.optimizer.excludedRules", merged)
     spark
   }
 }

@@ -261,7 +261,7 @@ object Analytics {
     * TPC-H scale). Partial aggregation + single shuffle on the tiny
     * group key space. */
   def pricingSummary(lineitem: DataFrame): DataFrame =
-    // filter first (stays pushed to the scan), project to the six
+    // filter first (stays pushed to the scan), project to the five
     // needed columns, then spread: the DECIMAL-exact partial
     // aggregation is the per-row cost and otherwise runs inside a
     // one-split scan task (size-gated; no-op on a partitioned fact
@@ -398,18 +398,42 @@ object Analytics {
     * gate: DuckDB recomputes the exact distincts (verifying the
     * grouping and exact layer bit-for-bit) and asserts TRUE per row,
     * so any day whose sketch strays past 3σ flips the hash red.
-    * One groupBy, not a daily-frame-to-exact-frame join: a join on
-    * (day, event_type) would silently DROP null-key groups (null
+    * One corpus pass, not a daily-frame-to-exact-frame join: a join
+    * on (day, event_type) would silently DROP null-key groups (null
     * never equals null in join equality) that the oracle's GROUP BY
     * emits — and it costs a second corpus aggregation plus the join
     * shuffle for nothing. The raw-estimate query (q_distinct_sketch)
-    * stays rows-only for readers of the actual estimates. */
+    * stays rows-only for readers of the actual estimates.
+    *
+    * Two EXPLICIT aggregation levels (r21): the former single groupBy
+    * mixed `countDistinct` with the sketch aggregate, and Catalyst's
+    * distinct rewrite then keyed the FIRST level on
+    * (day, type, user_id) with the HLL partial riding along — one
+    * sketch OBJECT per (day, type, user) group, hundreds of thousands
+    * of buffers allocated, serialized through the exchange and
+    * pairwise MERGED (sketch merge is far costlier than update), and
+    * the whole chain forced into ObjectHashAggregate. Deduplicating
+    * manually first makes level 1 a plain codegen count; level 2 then
+    * updates one sketch per (day, type) with the deduplicated user
+    * stream. Results are identical: an HLL sketch is
+    * multiplicity-insensitive (duplicate updates are register no-ops
+    * in every mode, so the sketch over the distinct set IS the sketch
+    * over the multiset), count(user_id) over the deduplicated rows is
+    * the distinct non-null user count, and sum(n) restores the full
+    * event count including null-user rows (whose group count(1)
+    * carries them, exactly as the old count(1) did). */
   def distinctSketchDailyCheck(events: DataFrame): DataFrame =
     events
-      .groupBy(to_date(col("ts")).cast("string").as("day"), col("event_type"))
+      .groupBy(to_date(col("ts")).cast("string").as("day"), col("event_type"),
+        col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy("day", "event_type")
       .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("est"),
-        countDistinct(col("user_id")).as("exact_users"),
-        count(lit(1)).as("n_events"))
+        count(col("user_id")).as("exact_users"),
+        // coalesce keeps the column NON-NULLABLE like the old count(1)
+        // (sum's nullable schema would otherwise differ; the value
+        // itself can never be null — every group has ≥1 row)
+        coalesce(sum("n"), lit(0L)).as("n_events"))
       .select(col("day"), col("event_type"), col("exact_users"), col("n_events"),
         (abs(col("est") - col("exact_users"))
           <= greatest(lit(2.0), col("exact_users") * 0.05)).as("est_in_bound"))

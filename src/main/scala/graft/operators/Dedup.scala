@@ -375,7 +375,14 @@ object Dedup {
     val hits = shingleHashes(corpus, n)
       .select(col("doc_id"), explode(col("sh")).as("s"))
       .join(benchSide, "s")
-      .groupBy("doc_id").agg(countDistinct(col("s")).as("n_shared"))
+      // count(1), NOT countDistinct(s) (r21): the exploded stream is
+      // distinct-per-doc by construction — shingleHash64 emits each
+      // doc's DISTINCT shingle set, and the benchmark side is itself
+      // distinct (one row per s), so the join cannot duplicate a
+      // (doc, s) pair. countDistinct planned Catalyst's distinct
+      // rewrite: an extra (doc_id, s)-keyed aggregate level + exchange
+      // re-deduplicating already-unique rows.
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
     corpus.select(col("doc_id"))
       .join(hits, Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -448,15 +455,25 @@ object Dedup {
     * the string form; the final ≤ nSources²/2-row projection decodes.
     *
     * NOTE eager construction (laziness break): the source dictionary
-    * AND the per-source totals are collected when the DataFrame is
-    * BUILT (bounded driver state — both label-cardinality-sized; the
-    * totals job doubles as the masks cache fill, so the final job is
-    * a pure cache read with zero broadcast builds). A docs table that
+    * is collected when the DataFrame is BUILT, and for
+    * k ≤ `driverFoldMaxK` the ≤2^k-row mask rollup is too — the
+    * totals/pair aggregation then finishes in a driver loop and the
+    * result ships as a LocalRelation (bounded driver state, see the
+    * fold comment in the body; past the bound, the distributed arm
+    * collects only the k-row totals, and its final job is a pure
+    * cache read with zero broadcast builds). A docs table that
     * changes between construction and execution would miss it;
     * rebuild to re-snapshot. */
-  def sourceOverlap(docs: DataFrame, n: Int = 3): DataFrame = {
-    val sources = docs.select(col("source")).distinct()
-      .collect().map(_.getString(0)).sorted
+  def sourceOverlap(docs: DataFrame, n: Int = 3,
+                    driverFoldMaxK: Int = 20): DataFrame = {
+    val spark = docs.sparkSession
+    // ONE-exchange dictionary pull: collect_set aggregates the source
+    // column in a single partial+final pass (the hash-distinct form
+    // materialized an extra AQE exchange job for the same ≤k strings).
+    // Sources are non-null by the corpus contract — a null source
+    // crashed the former form too (String.compareTo in .sorted).
+    val sources = docs.agg(sort_array(collect_set(col("source"))))
+      .collect()(0).getSeq[String](0).toArray
     val k = sources.length
     val encodeMap = map(sources.zipWithIndex.flatMap { case (s, i) =>
       Seq(lit(s), lit(i)) }.toSeq: _*)
@@ -471,18 +488,85 @@ object Dedup {
     // case): the per-shingle aggregate is bit_or over 1L<<src (a
     // single-long buffer vs a set, still map-side combined), and the
     // mask rollup then collapses the frame to one row per OBSERVED
-    // source combination — so the cached frame, the totals aggregate,
-    // and the pair explode all run over at most
+    // source combination — so everything downstream runs over at most
     // min(2^k, #distinct shingles) rows instead of the corpus's
     // distinct-shingle count, weighted by `cnt`. Past 63 sources the
     // collect_set form takes over (same downstream, weight 1).
+    val masksAgg =
+      if (k <= 63)
+        shingled
+          .select(expr("shiftleft(CAST(1 AS BIGINT), src)").as("bit"), col("sh"))
+          .groupBy("sh").agg(bit_or(col("bit")).as("m"))
+          .groupBy("m").agg(count(lit(1)).as("cnt"))
+      else null
+    // DRIVER FOLD (r21): for k ≤ driverFoldMaxK the mask rollup is
+    // PROVABLY ≤ 2^k ≤ 1M (m, cnt) rows ≈ 16 MB — the same bounded-
+    // driver-state class as nearDupClusters' 1M-pair union-find — so
+    // collect it and finish the totals + pair aggregation in a driver
+    // loop: the whole operator is then TWO Spark jobs (dictionary,
+    // mask rollup) and the former final job — a cache fill, a ~26k-row
+    // interpreted pair-explode (HOF transform/flatten is
+    // CodegenFallback), two more exchanges and ~4 AQE job round-trips
+    // — disappears. Arithmetic is bit-identical by construction: the
+    // counts are exact long sums in both layouts, the containment
+    // division runs on the same doubles, and rnd6 below replicates
+    // Spark's round(x + 1e-9, 6) exactly (scala BigDecimal.decimal →
+    // java BigDecimal.valueOf, HALF_UP — DedupSpec pins the two arms
+    // equal). Sorted-output contract: ids are lexicographic ranks, so
+    // the (a, b) loop order IS the orderBy(src_a, src_b) order.
+    if (k > 0 && k <= 63 && k <= driverFoldMaxK) {
+      val maskRows = masksAgg.collect()
+      val nSh = new Array[Long](k)
+      val pairCnt = new Array[Long](k * k)
+      maskRows.foreach { r =>
+        val m = r.getLong(0); val c = r.getLong(1)
+        var i = 0
+        while (i < k) {
+          if (((m >> i) & 1L) != 0L) {
+            nSh(i) += c
+            var j = i + 1
+            while (j < k) {
+              if (((m >> j) & 1L) != 0L) pairCnt(i * k + j) += c
+              j += 1
+            }
+          }
+          i += 1
+        }
+      }
+      def rnd6(x: Double): Double = new java.math.BigDecimal(
+        java.lang.Double.toString(x + 1e-9))
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+      var a = 0
+      while (a < k) {
+        var b = a + 1
+        while (b < k) {
+          val c = pairCnt(a * k + b)
+          if (c > 0L) rows.add(org.apache.spark.sql.Row(
+            sources(a), sources(b), c, nSh(a), nSh(b),
+            rnd6(c.toDouble / math.min(nSh(a), nSh(b)).toDouble)))
+          b += 1
+        }
+        a += 1
+      }
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("src_a",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("src_b",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("n_shared",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("n_a",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("n_b",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("containment",
+          org.apache.spark.sql.types.DoubleType)))
+      return spark.createDataFrame(rows, schema)
+    }
     val srcsFrame =
       if (k <= 63) {
-        val masks = Caches.persistTracked(
-          shingled
-            .select(expr("shiftleft(CAST(1 AS BIGINT), src)").as("bit"), col("sh"))
-            .groupBy("sh").agg(bit_or(col("bit")).as("m"))
-            .groupBy("m").agg(count(lit(1)).as("cnt")))
+        val masks = Caches.persistTracked(masksAgg)
         val bits = array_compact(array((0 until k).map(i =>
           when(col("m").bitwiseAND(lit(1L << i)) =!= lit(0L), lit(i))): _*))
         masks.select(bits.as("srcs"), col("cnt"))
@@ -492,15 +576,10 @@ object Dedup {
             .agg(sort_array(collect_set(col("src"))).as("srcs")))
         bySh.select(col("srcs"), lit(1L).as("cnt"))
       }
-    // per-source distinct-shingle totals as LAZY broadcast joins over
-    // the combination-sized cached frame: pre-bitmask, the totals were
-    // an eager collect folded in as a literal map because each
-    // broadcast-join subplan re-ran a build stage over the
-    // CORPUS-SIZED per-shingle cache; the mask rollup removed that
-    // cost (the totals aggregate now reads a handful of cached rows),
-    // so the join form is free — and the WHOLE operator is back to
-    // one lazy job, with only the source dictionary snapshotted at
-    // build time
+    // per-source distinct-shingle totals, rolled up from the
+    // combination-sized cached masks frame (a handful of rows) and
+    // collected below into a literal map — see the r20 note at the
+    // collect site
     val totals = srcsFrame.select(explode(col("srcs")).as("src"), col("cnt"))
       .groupBy("src").agg(sum(col("cnt")).as("n_sh"))
     // all ordered pairs of the (sorted) per-shingle source-id set,

@@ -729,14 +729,17 @@ object Similarity {
     // overlap the two independent bounded driver pulls (codebook
     // training sample, query vectors) — the annIvfPq r20 pattern;
     // same collected rows, bit-identical codebooks
-    import scala.concurrent.{Await, Future}
+    import scala.concurrent.{Await, Future, blocking}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
-    val cbF = Future(codebooks.getOrElse(
-      trainPqCodebooks(embeddings, m, kCodes, seed = seed)))
-    val qvecsF = Future(embeddings.filter(col("vec_id") < nQueries)
+    // blocking{}: these futures BLOCK on Spark collects — mark them so
+    // the shared fork-join pool spawns compensation threads instead of
+    // starving under concurrent callers (r20 ADVICE)
+    val cbF = Future(blocking(codebooks.getOrElse(
+      trainPqCodebooks(embeddings, m, kCodes, seed = seed))))
+    val qvecsF = Future(blocking(embeddings.filter(col("vec_id") < nQueries)
       .select(col("vec_id"), col("embedding")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)))
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))))
     val cb = Await.result(cbF, Duration.Inf)
     val dsub = cb(0)(0).length
     // spread: the encode map, LUT probe and ADC partial aggregate all
@@ -843,17 +846,22 @@ object Similarity {
     // cost three back-to-back single-scan jobs (~0.5 s of the sf0.1
     // wall). Overlap them (guide §2.6); same collected rows, same
     // training inputs, bit-identical results.
-    import scala.concurrent.{Await, Future}
+    import scala.concurrent.{Await, Future, blocking}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
-    val centsF = Future(centroids.getOrElse(
-      trainQuantizer(withNorm(embeddings), nList, iters, seed)))
+    // blocking{}: see annPq — Spark collects inside futures must not
+    // starve the shared fork-join pool (r20 ADVICE). A failed training
+    // pull still leaves the sibling collects running detached; with
+    // three bounded jobs that is an accepted cost (they finish and are
+    // discarded), not an orphan-job leak.
+    val centsF = Future(blocking(centroids.getOrElse(
+      trainQuantizer(withNorm(embeddings), nList, iters, seed))))
     val cbSampleF =
       if (codebooks.isDefined) Future.successful(Array.empty[Array[Float]])
-      else Future(ivfPqSample(embeddings, kCodes, seed))
-    val qvecsF = Future(embeddings.filter(col("vec_id") < nQueries)
+      else Future(blocking(ivfPqSample(embeddings, kCodes, seed)))
+    val qvecsF = Future(blocking(embeddings.filter(col("vec_id") < nQueries)
       .select(col("vec_id"), col("embedding")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)))
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))))
     val cents = Await.result(centsF, Duration.Inf)
     val cb = codebooks.getOrElse(ivfPqLloydFromSample(
       Await.result(cbSampleF, Duration.Inf), cents, m, kCodes, pqIters))

@@ -1646,37 +1646,61 @@ object TextAnalysis {
     * everything that shuffles is B-BOUNDED (two bucket wordcounts and
     * a ≤B-row model merge — even better than the unigram form's
     * Zipf-bounded vocab, the model side is CONSTANT-size by
-    * construction at any corpus scale); the bucket stream joins the
-    * broadcast model and rolls up per doc.
+    * construction at any corpus scale); the trained model folds into
+    * the scoring scan as a DENSE B-slot literal array
+    * ([[dsirLlrScaled]] — r21), so scoring is one codegen stage with
+    * no join at all, rolled up per doc.
     *
     * FP discipline: same as [[importanceWeights]] — one double
     * quotient of exact integer-valued products, 6dp-rounded log2,
-    * DECIMAL per-doc mean. */
+    * exact per-doc sum (scaled-long, see [[dsirLlrScaled]]). */
   def importanceWeightsNg(docs: DataFrame, target: DataFrame,
-                          nBuckets: Int = 4096): DataFrame =
-    dsirLlr(docs, target, nBuckets,
-      GraftFunctions.bigramBuckets(_, nBuckets), log2)
+                          nBuckets: Int = 4096): DataFrame = {
+    val llr6 = typedlit(dsirLlrScaled(docs, target, nBuckets,
+      GraftFunctions.bigramBuckets(_, nBuckets), log2).toSeq)
+    dsirBuckets(docs, GraftFunctions.bigramBuckets(_, nBuckets))
+      .select(col("doc_id"),
+        element_at(llr6, (col("bucket") + 1).cast("int")).as("s"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
-        rnd(decSum(col("llr")) / count(lit(1)), 4).as("importance"))
+        // (Σs)/1e6 reproduces decSum(llr) bit-for-bit: Σs is the exact
+        // decimal sum's unscaled value, its double cast is exact below
+        // 2^53 (|s| ≤ ~4.2e7 ⇒ safe to ~2e8 features/doc), and the two
+        // correctly-rounded divisions match the Decimal.toDouble +
+        // double-divide of the former form
+        rnd(sum(col("s")).cast("double") / lit(1e6) / count(lit(1)), 4)
+          .as("importance"))
       .orderBy("doc_id")
+  }
 
-  /** The hashed-bucket DSIR scoring core shared by
-    * [[importanceWeightsNg]] and [[dsirSelect]] (r18 review fix —
-    * the two differed only in the bucket kernel and log base): raw
-    * and target bucket streams from `bucketsOf`, a full-outer
-    * ≤B-row model merge with window totals (no second corpus scan),
-    * add-one smoothing over the FIXED `nBuckets` space, per-feature
-    * llr = rnd(logOf(ratio), 6) joined back onto the raw stream.
-    * Returns (doc_id, llr) rows; callers roll up. */
-  private def dsirLlr(docs: DataFrame, target: DataFrame, nBuckets: Int,
-                      bucketsOf: Column => Column,
-                      logOf: Column => Column): DataFrame = {
-    def buckets(side: DataFrame): DataFrame = side.select(col("doc_id"),
+  /** One side's scan-local (doc_id, bucket) feature stream under the
+    * given bucket kernel — shared by the DSIR model build and the
+    * scoring scans. Deliberately NOT spread (r21 A/B): the bucket
+    * kernel over the whole sf0.1 corpus is ~100-150 ms even on the
+    * one-task single-file scan, while the spread's text exchange plus
+    * the extra AQE stage materializations cost ~400 ms per consuming
+    * job (raw freq 114→525 ms measured) — the same negative result the
+    * r20 bigram-stream A/B recorded. A partitioned corpus at scale
+    * parallelizes the scan natively. */
+  private def dsirBuckets(side: DataFrame,
+                          bucketsOf: Column => Column): DataFrame =
+    side.select(col("doc_id"),
       explode(bucketsOf(tokens(coalesce(col("text"), lit(""))))).as("bucket"))
-    val rawB = buckets(docs)
-    val rawFreq = rawB.groupBy("bucket").agg(count(lit(1)).as("c_r"))
-    val tgtFreq = buckets(target).groupBy("bucket").agg(count(lit(1)).as("c_t"))
+
+  /** The hashed-bucket DSIR model shared by [[importanceWeightsNg]]
+    * and [[dsirSelect]] (the two differ only in the bucket kernel and
+    * log base): raw and target bucket streams from `bucketsOf`, a
+    * full-outer ≤B-row model merge with window totals (no second
+    * corpus scan), add-one smoothing over the FIXED `nBuckets` space.
+    * Returns (bucket, llr = rnd(logOf(ratio), 6)) — at most `nBuckets`
+    * rows. */
+  private def dsirModel(docs: DataFrame, target: DataFrame, nBuckets: Int,
+                        bucketsOf: Column => Column,
+                        logOf: Column => Column): DataFrame = {
+    val rawFreq = dsirBuckets(docs, bucketsOf)
+      .groupBy("bucket").agg(count(lit(1)).as("c_r"))
+    val tgtFreq = dsirBuckets(target, bucketsOf)
+      .groupBy("bucket").agg(count(lit(1)).as("c_t"))
     val vocab = rawFreq.join(tgtFreq, Seq("bucket"), "full_outer")
       .select(col("bucket"),
         coalesce(col("c_r"), lit(0L)).as("c_r"),
@@ -1691,9 +1715,47 @@ object TextAnalysis {
     val ratio =
       ((col("c_t") + 1).cast("double") * (col("n_r") + b).cast("double")) /
       ((col("c_r") + 1).cast("double") * (col("n_t") + b).cast("double"))
-    rawB
-      .join(model, "bucket")
-      .select(col("doc_id"), rnd(logOf(ratio), 6).as("llr"))
+    model.select(col("bucket"), rnd(logOf(ratio), 6).as("llr"))
+  }
+
+  /** The trained DSIR model as a DENSE `nBuckets`-slot array of
+    * SCALED-LONG llr values (llr · 10⁶ as an exact integer), collected
+    * eagerly when the consuming DataFrame is BUILT (r21 — the
+    * bounded-driver-state fold: the model is CONSTANT-size by
+    * construction, ≤4096 rows, the same class as the sourceOverlap
+    * totals map). The scoring scans then index this array per feature
+    * — one codegen array load instead of the former model join, whose
+    * planner-estimated build side at bench SF was the CORPUS bucket
+    * stream (a broadcast of millions of exploded rows).
+    *
+    * Exactness: each collected llr double is Spark's
+    * round(logOf(ratio)+1e-9, 6) — the nearest double of a 6dp
+    * decimal; distinct 6dp decimals of this magnitude (|llr| ≤ ~60)
+    * map to distinct doubles, so
+    * BigDecimal.valueOf(d).setScale(6, HALF_UP) recovers that decimal
+    * exactly and `unscaledValue` is its exact 10⁶-scaled integer. A
+    * per-doc LONG sum of scaled values therefore equals the former
+    * DECIMAL(38,6) sum's unscaled value — order-independent and exact
+    * (|s| ≤ ~4.2e7 keeps any realistic per-doc sum far below 2^53).
+    * Unobserved buckets hold 0 and are never read: every bucket a
+    * scoring row produces was counted by this model's own rawFreq
+    * over the same docs.
+    *
+    * NOTE eager construction (laziness break, same contract as
+    * [[graft.operators.Dedup.sourceOverlap]]): a docs/target table
+    * mutating between build and execution uses the stale model;
+    * rebuild to re-snapshot. */
+  private def dsirLlrScaled(docs: DataFrame, target: DataFrame,
+                            nBuckets: Int, bucketsOf: Column => Column,
+                            logOf: Column => Column): Array[Long] = {
+    val arr = new Array[Long](nBuckets)
+    dsirModel(docs, target, nBuckets, bucketsOf, logOf).collect().foreach {
+      r =>
+        arr(r.getLong(0).toInt) = java.math.BigDecimal.valueOf(r.getDouble(1))
+          .setScale(6, java.math.RoundingMode.HALF_UP)
+          .unscaledValue().longValueExact()
+    }
+    arr
   }
 
   /** DSIR selection END-TO-END (Xie et al. 2023: pooled hashed
@@ -1729,17 +1791,23 @@ object TextAnalysis {
     *
     * Scale shape: identical to [[importanceWeightsNg]] — feature
     * formation and hashing scan-local, every shuffle B-bounded (two
-    * bucket wordcounts, a ≤B-row model merge), the bucket stream joins
-    * the broadcast model, one per-doc rollup; then selection is
-    * orderBy+limit = TakeOrderedAndProject (per-partition top-k, one
-    * k-row merge — no global sort, no rank window, no driver state). */
+    * bucket wordcounts, a ≤B-row model merge), the trained model folds
+    * into the scoring scan as a dense B-slot literal array
+    * ([[dsirLlrScaled]] — no scoring join), one per-doc rollup; then
+    * selection is orderBy+limit = TakeOrderedAndProject (per-partition
+    * top-k, one k-row merge — no global sort, no rank window, no
+    * unbounded driver state). */
   def dsirSelect(docs: DataFrame, target: DataFrame, k: Int,
                  nBuckets: Int = 4096): DataFrame = {
-    val weights = dsirLlr(docs, target, nBuckets,
-        GraftFunctions.ngramBuckets(_, nBuckets), log)
+    val llr6 = typedlit(dsirLlrScaled(docs, target, nBuckets,
+      GraftFunctions.ngramBuckets(_, nBuckets), log).toSeq)
+    val weights = dsirBuckets(docs, GraftFunctions.ngramBuckets(_, nBuckets))
+      .select(col("doc_id"),
+        element_at(llr6, (col("bucket") + 1).cast("int")).as("s"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_features"),
-        rnd(decSum(col("llr")), 4).as("log_w"))
+        // exactness of (Σs)/1e6 vs decSum(llr): see [[dsirLlrScaled]]
+        rnd(sum(col("s")).cast("double") / lit(1e6), 4).as("log_w"))
     val u = (sampleSalt.cast("double") + lit(0.5)) / lit(4294967296.0)
     weights
       .select(col("doc_id"), col("n_features"), col("log_w"),

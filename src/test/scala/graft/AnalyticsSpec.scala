@@ -93,6 +93,47 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("distinctSketchDailyCheck two-level rewrite equals the single-groupBy form") {
+    // r21: the check deduplicates on (day, type, user) BEFORE the HLL
+    // aggregate (one codegen count level, one sketch per (day, type)
+    // instead of one sketch OBJECT per user group). Pin bit-equality
+    // against the former single-groupBy form — incl. the null-user and
+    // null-ts corners the rewrite's count/sum arithmetic must preserve
+    // — on real data plus a synthetic frame that exercises them.
+    import graft.operators.Analytics
+    import graft.sources.Tables
+    import org.apache.spark.sql.functions._
+    def oldForm(events: org.apache.spark.sql.DataFrame) = events
+      .groupBy(to_date(col("ts")).cast("string").as("day"), col("event_type"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("est"),
+        countDistinct(col("user_id")).as("exact_users"),
+        count(lit(1)).as("n_events"))
+      .select(col("day"), col("event_type"), col("exact_users"),
+        col("n_events"),
+        (abs(col("est") - col("exact_users"))
+          <= greatest(lit(2.0), col("exact_users") * 0.05)).as("est_in_bound"))
+      .orderBy("day", "event_type")
+    val ev = Tables.events(spark, sfDir)
+    assert(Analytics.distinctSketchDailyCheck(ev).collect().toSeq ==
+      oldForm(ev).collect().toSeq)
+    import spark.implicits._
+    val synth = Seq(
+      ("2024-01-01 10:00:00", Some(1L), "a"), // dup user same day/type
+      ("2024-01-01 11:00:00", Some(1L), "a"),
+      ("2024-01-01 12:00:00", None, "a"),     // null user: counted in
+      ("2024-01-01 13:00:00", None, "a"),     // n_events, not in exact
+      ("2024-01-01 14:00:00", Some(2L), "b"),
+      (null.asInstanceOf[String], Some(3L), "b")) // null ts → null day
+      .toDF("s", "user_id", "event_type")
+      .select(col("s").cast("timestamp").as("ts"), col("user_id"),
+        col("event_type"))
+    val now = Analytics.distinctSketchDailyCheck(synth).collect()
+    assert(now.toSeq == oldForm(synth).collect().toSeq)
+    val a = now.find(r => r.getString(0) == "2024-01-01" &&
+      r.getString(1) == "a").get
+    assert(a.getLong(2) == 1L && a.getLong(3) == 4L) // exact excl. null, events incl.
+  }
+
   test("asof join attaches only past-or-present state") {
     val rows = SparkEntry.queries("q_asof_join")(spark, sfDir).collect()
     assert(rows.nonEmpty)

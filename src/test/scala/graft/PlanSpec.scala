@@ -17,6 +17,31 @@ class PlanSpec extends AnyFunSuite {
     df.queryExecution.executedPlan.toString
   }
 
+  test("no declared query plans a Generate above a Join (excluded-rule safety)") {
+    // GraftSession excludes InferFiltersFromGenerate session-wide: that
+    // is safe exactly while every generator sits on a scan-side subtree,
+    // where the inferred `size(kernel(..)) > 0` pre-filter can only
+    // re-evaluate the generator's kernel child per row (an inner
+    // Generate already emits nothing for null/empty arrays) and can
+    // never push through a join to prune the OTHER side. This pins the
+    // invariant (r20 verdict item 3): a future operator that explodes
+    // the OUTPUT of a join would silently lose real pruning under the
+    // exclusion — move its generate below the join, or scope the
+    // exclusion, before shipping it as a declared query.
+    import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join}
+    try {
+      val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { name =>
+        val plan =
+          SparkEntry.queries(name)(spark, sfDir).queryExecution.optimizedPlan
+        plan.collect {
+          case g: Generate if g.child.collectFirst { case j: Join => j }.isDefined => g
+        }.nonEmpty
+      }
+      assert(offenders.isEmpty,
+        s"queries planning a Generate above a Join: $offenders")
+    } finally graft.operators.Caches.releaseAll() // eager queries cache
+  }
+
   test("dim joins broadcast (no sort-merge join in q_join_enrich)") {
     val p = planOf("q_join_enrich")
     assert(p.contains("BroadcastHashJoin"), p)
@@ -77,20 +102,37 @@ class PlanSpec extends AnyFunSuite {
     // the shingle exchange fails here, not in a bench diff. (The
     // label-cardinality dictionary/totals collects at construction are
     // separate bounded jobs, not part of this plan.)
+    //
+    // r21: the corpus-sized shingle exchange now lives INSIDE the
+    // cached masks plan — the single-partition masks cache satisfies
+    // the final pair-agg's clustered distribution trivially, so the
+    // OUTER plan has zero hash exchanges (the point of the change) —
+    // descend into InMemoryRelation children to keep the lock on the
+    // exchange that actually moves corpus-sized rows.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
     import org.apache.spark.sql.types.StringType
+    def hashExchanges(p: SparkPlan): Seq[ShuffleExchangeExec] =
+      p.collect {
+        case e: ShuffleExchangeExec
+          if e.outputPartitioning.isInstanceOf[HashPartitioning] => Seq(e)
+        case im: InMemoryTableScanExec =>
+          hashExchanges(im.relation.cachedPlan)
+      }.flatten
     // AQE off for plan inspection: exchanges are inserted by the
     // EnsureRequirements preparation (absent from sparkPlan) and the
     // adaptive wrapper hides them from executedPlan until execution
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
     try {
       spark.conf.set("spark.sql.adaptive.enabled", "false")
-      val out = graft.operators.Dedup.sourceOverlap(Tables.documents(spark, sfDir))
-      val hashEx = out.queryExecution.executedPlan.collect {
-        case e: ShuffleExchangeExec
-          if e.outputPartitioning.isInstanceOf[HashPartitioning] => e
-      }
+      // driverFoldMaxK = -1: inspect the DISTRIBUTED arm (the 100 TB
+      // path) — the default k≤20 driver fold returns a LocalRelation
+      // with no exchanges at all
+      val out = graft.operators.Dedup.sourceOverlap(
+        Tables.documents(spark, sfDir), driverFoldMaxK = -1)
+      val hashEx = hashExchanges(out.queryExecution.executedPlan)
       assert(hashEx.nonEmpty, "expected hash exchanges in sourceOverlap")
       hashEx.foreach { e =>
         val strs = e.output.filter(_.dataType == StringType).map(_.name)

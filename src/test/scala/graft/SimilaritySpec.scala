@@ -602,6 +602,22 @@ class SimilaritySpec extends AnyFunSuite {
     graft.operators.Caches.releaseAll()
   }
 
+  test("sourceOverlap: driver-fold arm is bit-identical to the distributed arm") {
+    // r21: for k ≤ driverFoldMaxK the ≤2^k-row mask rollup collects
+    // and the totals/pair aggregation finishes in a driver loop. Pin
+    // both arms equal on real multi-source data — the loop's long
+    // arithmetic AND the rnd6 replication of Spark's round(x+1e-9, 6)
+    // (scala BigDecimal.decimal semantics, HALF_UP) must reproduce
+    // every column bit-for-bit, containment included.
+    val docs = Tables.documents(spark, sfDir)
+    val folded = Dedup.sourceOverlap(docs).collect().toSeq
+    val distributed =
+      Dedup.sourceOverlap(docs, driverFoldMaxK = -1).collect().toSeq
+    assert(folded.nonEmpty, "expected overlapping source pairs at sf0.001")
+    assert(folded == distributed)
+    graft.operators.Caches.releaseAll()
+  }
+
   test("semanticDecontaminate: argmax cosine with rounded-tie determinism and zero-norm guard") {
     import spark.implicits._
     val benchmark = Seq(

@@ -1221,6 +1221,50 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(nbi(1L) == 8L && nbi(2L) == 9L, s"bigram counts: $nbi")
   }
 
+  test("DSIR scaled-long model fold is bit-identical to the decimal join form") {
+    // r21: importanceWeightsNg/dsirSelect score through a dense
+    // scaled-long llr literal array instead of joining the model back
+    // onto the exploded bucket stream. Pin bit-equality against the
+    // former join + DECIMAL(38,6)-sum form on a corpus big enough to
+    // exercise hundreds of distinct buckets (sf0.001 documents).
+    import graft.operators.TextAnalysis
+    import graft.sources.Tables
+    val docs0 = Tables.documents(spark, sfDir)
+    val docs = docs0.filter(col("source") =!= "src0")
+    val target = docs0.filter(col("source") === "src0")
+    def oldForm(nBuckets: Int): Seq[org.apache.spark.sql.Row] = {
+      def buckets(side: org.apache.spark.sql.DataFrame) =
+        side.select(col("doc_id"), explode(graft.functions.GraftFunctions
+          .bigramBuckets(TextAnalysis.tokens(
+            coalesce(col("text"), lit(""))), nBuckets)).as("bucket"))
+      val rawB = buckets(docs)
+      val rawFreq = rawB.groupBy("bucket").agg(count(lit(1)).as("c_r"))
+      val tgtFreq = buckets(target).groupBy("bucket").agg(count(lit(1)).as("c_t"))
+      val vocab = rawFreq.join(tgtFreq, Seq("bucket"), "full_outer")
+        .select(col("bucket"), coalesce(col("c_r"), lit(0L)).as("c_r"),
+          coalesce(col("c_t"), lit(0L)).as("c_t"))
+      val wAll = org.apache.spark.sql.expressions.Window.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+      val model = vocab.select(col("bucket"), col("c_r"), col("c_t"),
+        sum("c_r").over(wAll).as("n_r"), sum("c_t").over(wAll).as("n_t"))
+      val b = lit(nBuckets.toLong)
+      val ratio =
+        ((col("c_t") + 1).cast("double") * (col("n_r") + b).cast("double")) /
+        ((col("c_r") + 1).cast("double") * (col("n_t") + b).cast("double"))
+      rawB.join(model, "bucket")
+        .select(col("doc_id"),
+          round(log2(ratio) + lit(1e-9), 6).as("llr"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(sum(col("llr").cast("decimal(38,6)")).cast("double")
+            / count(lit(1)) + lit(1e-9), 4).as("importance"))
+        .orderBy("doc_id").collect().toSeq
+    }
+    val now = TextAnalysis.importanceWeightsNg(docs, target).collect().toSeq
+    assert(now == oldForm(4096))
+  }
+
   test("ngramBuckets pools the unigram hashes with bigramBuckets' output") {
     import graft.functions.{GraftFunctions, TextHash}
     val sp = spark
