@@ -212,27 +212,39 @@ object Similarity {
     * shape) and verify only bucket-colliding pairs. */
   def semanticDecontaminate(corpus: DataFrame, benchmark: DataFrame,
                             tau: Double = 0.4): DataFrame = {
+    // empty-benchmark probe (r21, bounded side — one tiny job at
+    // build): the join-free rollup below emits nothing from an empty
+    // cross join, where the former corpus-id left join kept every
+    // vector as (-1, 0.0, 0) — reproduce that shape directly
+    if (benchmark.isEmpty)
+      return corpus.select(col("vec_id"), lit(-1L).as("best_bench"),
+        lit(0.0).as("cosine"), lit(0L).as("contaminated"))
+        .orderBy("vec_id")
     val c = spreadToCores(withNorm(corpus)).as("a")
     val b = withNorm(benchmark)
       .select(col("vec_id").as("bench_id"), col("v"), col("nrm")).as("b")
+    // null cosines (zero-norm vectors) stay IN the rollup (r21): a
+    // null struct FIELD ranks lowest, so any real cosine still wins
+    // the max, and an all-null vector surfaces as m.cos null — decoded
+    // to the (-1, 0.0, 0) sentinel below. This removes the former
+    // corpus-id left join AND its second corpus scan + broadcast(best)
+    // build: with a non-empty benchmark every corpus vector appears in
+    // the cross join (withNorm drops no rows), so the rollup already
+    // covers all ids.
     val scored = c.join(broadcast(b))
       .select(col("a.vec_id").as("vec_id"), col("bench_id"),
         round(cosine + lit(1e-9), 6).as("cos"))
-      .filter(col("cos").isNotNull)
     // max(struct) keeps the rollup partial-aggregable (map-side
     // combine collapses the |bench| fan-out before the exchange); the
     // negated id makes the struct order "highest cos, lowest id"
-    val best = scored
+    scored
       .groupBy("vec_id")
       .agg(max(struct(col("cos"), (-col("bench_id")).as("nb"))).as("m"))
-      .select(col("vec_id"), (-col("m.nb")).as("best_bench"),
-        col("m.cos").as("cosine"))
-    corpus.select(col("vec_id"))
-      .join(best, Seq("vec_id"), "left")
       .select(col("vec_id"),
-        coalesce(col("best_bench"), lit(-1L)).as("best_bench"),
-        coalesce(col("cosine"), lit(0.0)).as("cosine"),
-        coalesce(col("cosine") >= tau, lit(false)).cast("long").as("contaminated"))
+        when(col("m.cos").isNotNull, -col("m.nb")).otherwise(lit(-1L))
+          .as("best_bench"),
+        coalesce(col("m.cos"), lit(0.0)).as("cosine"),
+        coalesce(col("m.cos") >= tau, lit(false)).cast("long").as("contaminated"))
       .orderBy("vec_id")
   }
 

@@ -2086,12 +2086,15 @@ object TextAnalysis {
   def stratifiedSample(docs: DataFrame, perSource: Int = 10): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("source").orderBy(col("sample_key"), col("doc_id"))
+    // sources whose row count never reaches the quota have no bound
+    // row (the cumulative count never crosses it) — keep all theirs.
+    // Bounds collected and folded as a literal map (r21, see
+    // [[saltBoundFilter]]): source-cardinality rows, and the former
+    // broadcast build was a whole extra job in front of the window.
+    val bounds = sampleSaltBounds(docs, perSource).collect()
     docs
       .select(col("doc_id"), col("source"), sampleSalt.as("sample_key"))
-      // sources whose row count never reaches the quota have no bound
-      // row (the cumulative count never crosses it) — keep all theirs
-      .join(broadcast(sampleSaltBounds(docs, perSource)), Seq("source"), "left")
-      .filter(col("salt_bound").isNull || col("sample_key") < col("salt_bound"))
+      .filter(saltBoundFilter(bounds, col("source")))
       .withColumn("sample_rank", row_number().over(w).cast("long"))
       .filter(col("sample_rank") <= perSource)
       .select(col("doc_id"), col("source"), col("sample_rank"))
@@ -2145,6 +2148,14 @@ object TextAnalysis {
     val bucketed = Caches.persistTracked(bucketsByQuality(docs, thresholds))
     val quotaOfKey = element_at(
       array(quotas.map(q => lit(q.toLong)): _*), (col("bucket") + 1).cast("int"))
+    // A/B-REJECTED bounds fold (r21): collecting the ≤quotas.size-row
+    // bounds frame eagerly and folding it in as a literal map
+    // ([[saltBoundFilter]], the stratifiedSample form) measured FLAT
+    // here (0.994 → 0.993 s at sf0.1) — the lazy broadcast build and
+    // the rank job overlap on the shared scoring cache, and the fold
+    // serialized that concurrency for exactly the work it saved. The
+    // join form stays; stratifiedSample (no cache, two parquet scans)
+    // is where the fold pays.
     bucketed
       .select(col("doc_id"), col("bucket"), col("mean_nll"), sampleSalt.as("sample_key"))
       .join(broadcast(saltBoundsByKey(bucketed, "bucket", quotaOfKey)),
@@ -2155,6 +2166,24 @@ object TextAnalysis {
       .select(col("doc_id"), col("bucket"), col("mean_nll"), col("sample_rank"))
       .orderBy("bucket", "sample_rank")
   }
+
+  /** The refined rank window's prefilter with the (key, salt_bound)
+    * rows folded in as a LITERAL map — replaces the former
+    * `left join broadcast(bounds)` + `salt_bound.isNull || key <
+    * salt_bound` pair with the exact same semantics: a key absent
+    * from the map (an under-quota stratum, or a null key the join
+    * could never match) keeps all its rows via try_element_at's null,
+    * identical to the join's null salt_bound. Bounds cardinality is
+    * the stratum-key cardinality (quota buckets / sources / langs) —
+    * the same bounded-literal class as the sourceOverlap totals. */
+  private def saltBoundFilter(bounds: Array[org.apache.spark.sql.Row],
+                              key: Column): Column =
+    if (bounds.isEmpty) lit(true)
+    else {
+      val m = map(bounds.flatMap(r =>
+        Seq(lit(r.get(0)), lit(r.getLong(1)))).toSeq: _*)
+      try_element_at(m, key).isNull || col("sample_key") < try_element_at(m, key)
+    }
 
   /** (doc_id, bucket, mean_nll) under `thresholds` — [[mixByQuality]]'s
     * scoring+bucketing stage, shared with its whole-window test oracle. */
@@ -2240,6 +2269,12 @@ object TextAnalysis {
     // registry — one quota-assignment pass, not two (mixByQuality's
     // `bucketed` pattern)
     val base = Caches.persistTracked(withTemperatureQuota(docs, keyCol, budget, alpha))
+    // A/B-REJECTED bounds fold (r21): the literal-map form
+    // ([[saltBoundFilter]]) REGRESSED this operator (0.42 → 0.52 s at
+    // sf0.1) — the eager bounds collect serialized the cache fill in
+    // front of the rank job, where the lazy broadcast build overlaps
+    // it. See mixByQuality's matching note; the fold pays only on the
+    // cache-less stratifiedSample shape.
     base
       .join(broadcast(saltBoundsCarried(base, keyCol)), Seq(keyCol), "left")
       .filter(col("salt_bound").isNull || col("sample_key") < col("salt_bound"))
