@@ -300,22 +300,23 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
-  test("stratified sample: broadcast-refined prefilter, rank window on survivors only") {
+  test("stratified sample: literal-folded prefilter, rank window on survivors only") {
+    // r21 shape: the per-source salt bounds are collected at build and
+    // folded into the prefilter as a LITERAL map (saltBoundFilter) —
+    // the rank-window plan is now scan → filter → ONE hash exchange →
+    // window, with no join and no broadcast at all (the bounds
+    // aggregate runs as its own bounded construction job). The former
+    // lock expected three hash exchanges + a broadcast join-back.
     val df = SparkEntry.queries("q_stratified_sample")(spark, sfDir)
     val p = df.queryExecution.executedPlan.toString
-    // threshold refinement shape: the (source, bucket) count aggregate,
-    // the per-source histogram regroup, and the survivor rank window —
-    // three hash exchanges, ONE Window (the old per-source cumulation
-    // window is now an in-row aggregate() fold over the ≤4096-element
-    // histogram array; only the rank window on ~quota survivors remains)
-    assert(p.split("Exchange hashpartitioning").length - 1 == 3,
-      s"expected exactly three hash Exchanges:\n$p")
+    assert(p.split("Exchange hashpartitioning").length - 1 == 1,
+      s"expected exactly one hash Exchange (the rank window's):\n$p")
     assert(p.split("Window \\[").length - 1 == 1, s"expected 1 Window operator:\n$p")
-    // the per-source bounds come back as a BROADCAST, never a shuffle
-    // of the corpus side
-    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin") ||
-      p.contains("BroadcastNestedLoopJoin"),
-      s"salt bounds must broadcast back:\n$p")
+    assert(!p.contains("Join"), s"no join in the folded rank plan:\n$p")
+    // the literal fold shows up as a map lookup on the key
+    assert(p.contains("try_element_at") || p.contains("TryElementAt") ||
+      p.contains("map_contains") || p.contains("keys:"),
+      s"expected the literal salt-bound map in the filter:\n$p")
   }
 
   test("mix_temperature: quota/bound joins broadcast, rank window per key, no sort-merge") {
